@@ -1,13 +1,690 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{CopyPipeline, DiffSync, Validation}
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.parser.TsqlParser
+import graft.convert.Config
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-runnable oracle in `oracleSql`.
+  *
+  * Conventions keeping Spark and DuckDB hash-identical:
+  *  - every query ends in a total ORDER BY on a unique key;
+  *  - double aggregation goes through DECIMAL (exact, engine-independent
+  *    summation) and is cast back to double;
+  *  - only portable hashes (md5 hex) appear in oracle-checked output;
+  *  - timestamps are formatted/truncated to second precision or coarser
+  *    (events.parquet is ns; Spark reads it as long via nanosAsLong).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with ns-long ts converted to a timestamp column. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+
+  /** Exact decimal sum of a double column, surfaced as double.
+    * Scale 4 because price×(1−discount) products are true 4-decimal
+    * rationals: scale 3 would round at .0005 ties where engines'
+    * double→decimal tie-breaking differs; at scale 4 nothing rounds.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shaped pricing summary over lineitem.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---- diff/sync fixture: deterministic source/target derived from
+  // orders (keys %10==4 deleted from source; %10==3 missing from
+  // target; %7==0 perturbed in target) ----
+  private def diffSrc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 4)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  private def diffTgt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- aggregation / join / window headliners ----------
+    "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
+
+    "q3_segment_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,3)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---------------- reference dataflow operators (C/B families) -----
+    "c_full_copy_scrub" -> ((s, dir) => {
+      // C1–C6: full-copy plan = read-side projection + NUL scrub
+      val li = t(s, dir, "lineitem")
+      CopyPipeline.scrubNulBytes(li)
+        .withColumn("l_shipdate",
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "c3_modulo_buckets" -> ((s, dir) => {
+      // C3/P1: LOB-table modulo partitioning — bucket histogram proves
+      // the split is complete and disjoint
+      t(s, dir, "orders")
+        .select(CopyPipeline.moduloBucket("o_orderkey", 8).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    "b4_read_normalize" -> ((s, dir) => {
+      // B4: read-side normalization (uuid→lower ≈ lower(text),
+      // datetime→style-120 text)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        lower(col("o_orderpriority")).as("pri_norm"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od_text"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "c15_diff_classify" -> ((s, dir) => {
+      // C11–C15: full-outer diff classification new/changed/deleted/identical
+      DiffSync.diff(diffSrc(s, dir), diffTgt(s, dir), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col(DiffSync.FlagCol).as("row_state"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "c16_sync_apply" -> ((s, dir) => {
+      // C16 (set-based): applying the diff reproduces the source table
+      DiffSync.applyDiff(
+        DiffSync.diff(diffSrc(s, dir), diffTgt(s, dir), Seq("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "a22_fk_orphans" -> ((s, dir) => {
+      // A22: FK validation as left-anti join; orphans seeded
+      // deterministically (keys shifted out of range)
+      val li = t(s, dir, "lineitem")
+      val seeded = li.select(col("l_orderkey")).union(
+        li.filter(col("l_orderkey") % 997 === 0)
+          .select((col("l_orderkey") + 100000000L).as("l_orderkey")))
+      Validation.fkOrphans(seeded, Seq("l_orderkey"),
+        t(s, dir, "orders"), Seq("o_orderkey"), broadcastParent = false)
+        .distinct().orderBy(col("l_orderkey"))
+    }),
+
+    "a23_check_violations" -> ((s, dir) => {
+      // A23/B6/B7: translated T-SQL CHECK evaluated distributively;
+      // source predicate was ISNULL([o_totalprice],0) <= 40000 → rewrite
+      val pred = graft.convert.ExprRewriter.rewrite(
+        "ISNULL([o_totalprice], 0) <= 40000",
+        graft.convert.ExprRewriter.Sparksql, _.toLowerCase)
+      Validation.checkViolations(t(s, dir, "orders"), expr(pred))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "a8_sequence_setval" -> ((s, dir) =>
+      // A8/pl:3048–3063: setval after load (max for +step, min for -step)
+      t(s, dir, "orders").agg(
+        max(col("o_orderkey")).as("setval_pos"),
+        min(col("o_orderkey")).as("setval_neg"),
+        (max(col("o_orderkey")) + 1L).as("next_val"))),
+
+    "b6_expr_rewrite" -> ((s, dir) => {
+      // B6: translated T-SQL scalar expressions running distributed:
+      // ISNULL→coalesce, CHARINDEX→position, DATEADD→interval, LEN
+      val ev = events(s, dir)
+      ev.select(
+        col("event_id"),
+        expr("COALESCE(props, '')").as("props_nn"),
+        expr("POSITION('r' IN event_type)").as("pos_r"),
+        expr("LENGTH(event_type)").as("type_len"),
+        date_format(expr("ts + (2) * INTERVAL '1 day'"),
+          "yyyy-MM-dd HH:mm:ss").as("ts_plus2d"))
+        .orderBy(col("event_id"))
+    }),
+
+    "a12_view_tsql" -> ((s, dir) => {
+      // A12: a T-SQL view translated by the parser and executed on
+      // Spark: concat `+`→`||`, CONVERT→CAST, ISNULL→COALESCE
+      val ddl =
+        """CREATE VIEW [dbo].[nation_report] (nk, label, region_name) AS
+          |SELECT n.n_nationkey, CONVERT(VARCHAR(40), n.n_name) + '|' + ISNULL(r.r_name, 'none'), r.r_name
+          |FROM dbo.nation n INNER JOIN dbo.region r ON n.n_regionkey = r.r_regionkey
+          |GO""".stripMargin
+      val cat = new TsqlParser(Config()).parse(ddl.split("\n").toSeq)
+      val viewSql = cat.schemas("public").views("nation_report").sql
+      // extract the SELECT body (after AS) and run it on temp views
+      val body = viewSql.substring(viewSql.indexOf(" AS ") + 4)
+        .replaceAll("public\\.", "")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "region").createOrReplaceTempView("region")
+      // the view's column aliases live in the CREATE VIEW header
+      s.sql(body).toDF("nk", "label", "region_name").orderBy(col("nk"))
+    }),
+
+    "c13_sorted_export" -> ((s, dir) =>
+      // C13/C17: PK-ordered export (sort pushdown analog) with top-k
+      t(s, dir, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .limit(100)),
+
+    "set_except" -> ((s, dir) => {
+      // §2.D set ops: the diff semantics as EXCEPT ALL
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 10 =!= 3).select(col("o_orderkey"))
+        .exceptAll(o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "events_window" -> ((s, dir) =>
+      // streaming-parity windowed aggregation (batch semantics == the
+      // Structured Streaming plan in graft.streaming.EventStream)
+      graft.streaming.EventStream.windowedAgg(events(s, dir), "1 hour")
+        .withColumn("window_start",
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ---------------- parser/emitter operators as golden relations ----
+    "ddl_type_map" -> ((s, dir) => {
+      // A3/A4/B1/B2: parse a fixture dump; emit (column, pg_type, spark
+      // type, not_null) — golden-checked against a VALUES oracle
+      val ddl =
+        """CREATE TABLE [dbo].[TypeZoo](
+          |	[id] [bigint] IDENTITY(1,1) NOT NULL,
+          |	[guid] [uniqueidentifier] NOT NULL,
+          |	[ver] [rowversion] NOT NULL,
+          |	[name] [nvarchar](100) NULL,
+          |	[blob] [varbinary](max) NULL,
+          |	[price] [numeric](10, 0) NULL,
+          |	[flag] [bit] NOT NULL,
+          |	[created] [datetime2](7) NULL
+          |) ON [PRIMARY]
+          |GO""".stripMargin
+      val cat = new TsqlParser(Config(convertNumericToInt = true))
+        .parse(ddl.split("\n").toSeq)
+      val tab = cat.table("public", "TypeZoo").get
+      import s.implicits._
+      tab.cols.sortBy(_.pos).map(c =>
+        (c.name, c.pgType, c.sparkType.simpleString, c.notNull))
+        .toDF("col_name", "pg_type", "spark_type", "not_null")
+        .orderBy(col("col_name"))
+    }),
+
+    "ddl_constraints" -> ((s, dir) => {
+      // A6/A19/A20/A22/B11: constraint records from a parsed dump
+      val ddl =
+        """CREATE TABLE [dbo].[Parent](
+          |	[id] [int] NOT NULL,
+          | CONSTRAINT [PK_Parent] PRIMARY KEY CLUSTERED ([id] ASC)
+          |) ON [PRIMARY]
+          |GO
+          |CREATE TABLE [dbo].[Child](
+          |	[id] [int] NOT NULL,
+          |	[pid] [int] NULL,
+          |	[code] [varchar](10) NOT NULL
+          |) ON [PRIMARY]
+          |GO
+          |ALTER TABLE [dbo].[Child] ADD CONSTRAINT [PK_Child] PRIMARY KEY CLUSTERED ([id] ASC)
+          |GO
+          |ALTER TABLE [dbo].[Child] ADD CONSTRAINT [UQ_Code] UNIQUE NONCLUSTERED ([code] ASC)
+          |GO
+          |ALTER TABLE [dbo].[Child] WITH CHECK ADD CONSTRAINT [FK_Child_Parent] FOREIGN KEY([pid])
+          |REFERENCES [dbo].[Parent] ([id])
+          |ON DELETE CASCADE
+          |GO""".stripMargin
+      val cat = new TsqlParser(Config()).parse(ddl.split("\n").toSeq)
+      import s.implicits._
+      cat.allTables.flatMap { case (_, tab) =>
+        tab.constraints.map {
+          case graft.catalog.PrimaryKey(n, cols) =>
+            (tab.name, "PK", n.getOrElse(""), cols.mkString("+"))
+          case graft.catalog.Unique(n, cols) =>
+            (tab.name, "UNIQUE", n.getOrElse(""), cols.mkString("+"))
+          case fk: graft.catalog.ForeignKey =>
+            (tab.name, "FK", fk.name.getOrElse(""),
+              fk.localCols.mkString("+") + "->" + fk.remoteTable + "." +
+                fk.remoteCols.mkString("+") +
+                (if (fk.onDeleteCascade) " ON DELETE CASCADE" else ""))
+          case c: graft.catalog.Check =>
+            (tab.name, "CHECK", c.name.getOrElse(""), c.predicate)
+        }
+      }.toDF("table_name", "kind", "con_name", "detail")
+        .orderBy(col("table_name"), col("kind"), col("con_name"))
+    }),
+
+    // ---------------- extension operators: text analysis --------------
+    "txt_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"),
+        length(col("text")).as("n_chars_measured"))
+        .orderBy(col("doc_id"))),
+
+    "txt_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "txt_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "txt_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---------------- extension operators: dedup -----------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        "lang", threshold = 0.15, n = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 4, ngramN = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      // xxhash64-based signature: Spark-side only (rows-only check)
+      Dedup.simhashGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("simhash"))),
+
+    // ---------------- extension operators: similarity search ----------
+    "sim_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          TextAnalysis.q4(col("cos")).as("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed scale path (engine-specific hash → rows-only check)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, planes = 6)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "dedup_embedding_cos" -> ((s, dir) => {
+      // the synthetic embeddings have no natural near-dups (max pair
+      // cosine ≈0.51), so seed exact duplicates (vec_id+10000) — the
+      // LSH-bucketed detector must recover exactly those 500 pairs,
+      // which a brute-force oracle can verify independently of the LSH
+      val emb = t(s, dir, "embeddings")
+      val aug = emb.select(col("vec_id"), col("embedding"))
+        .union(emb.select((col("vec_id") + 10000).as("vec_id"),
+          col("embedding")))
+      Dedup.embeddingNearDups(aug, "vec_id", "embedding",
+        threshold = 0.95, planes = 6)
+        .select(col("id_a"), col("id_b"),
+          TextAnalysis.q4(col("cos")).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---------------- extension operators: multimodal plumbing --------
+    "mm_byte_features" -> ((s, dir) => {
+      // binary-column plumbing over text payloads cast to binary;
+      // size is oracle-checked, content hash is engine-specific
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.functions.Multimodal.byteFeatures(docs, "payload")
+        .select(col("doc_id"), col("media_size"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB oracles. Portability notes: DuckDB regexp_replace needs the
+    * 'g' flag to replace all; `%` is mod; strftime for date formatting;
+    * list_transform/list_min/list_distinct for array ops; md5 hex
+    * matches Spark's.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "c_full_copy_scrub" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax,
+        |  replace(l_returnflag, chr(0), '') AS l_returnflag,
+        |  replace(l_linestatus, chr(0), '') AS l_linestatus,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "c3_modulo_buckets" ->
+      """SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "b4_read_normalize" ->
+      """SELECT o_orderkey, lower(o_orderpriority) AS pri_norm,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_text
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c15_diff_classify" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 4),
+        |tgt AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3)
+        |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN t.o_orderkey IS NULL THEN 'new'
+        |       WHEN s.o_orderkey IS NULL THEN 'deleted'
+        |       WHEN s.o_custkey IS DISTINCT FROM t.o_custkey
+        |         OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+        |         THEN 'changed'
+        |       ELSE 'identical' END AS row_state
+        |FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "c16_sync_apply" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 <> 4 ORDER BY o_orderkey""".stripMargin,
+
+    "a22_fk_orphans" ->
+      """WITH seeded AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 100000000 AS l_orderkey FROM lineitem
+        |  WHERE l_orderkey % 997 = 0)
+        |SELECT DISTINCT l_orderkey FROM seeded
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "a23_check_violations" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT COALESCE(COALESCE(o_totalprice, 0) <= 40000, TRUE)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a8_sequence_setval" ->
+      """SELECT MAX(o_orderkey) AS setval_pos, MIN(o_orderkey) AS setval_neg,
+        |  MAX(o_orderkey) + 1 AS next_val FROM orders""".stripMargin,
+
+    "b6_expr_rewrite" ->
+      """SELECT event_id, COALESCE(props, '') AS props_nn,
+        |  POSITION('r' IN event_type) AS pos_r,
+        |  LENGTH(event_type) AS type_len,
+        |  strftime(ts + 2 * INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS ts_plus2d
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "a12_view_tsql" ->
+      """SELECT n.n_nationkey AS nk,
+        |  CAST(n.n_name AS VARCHAR(40)) || '|' || COALESCE(r.r_name, 'none') AS label,
+        |  r.r_name AS region_name
+        |FROM nation n INNER JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY nk""".stripMargin,
+
+    "c13_sorted_export" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 3
+        |EXCEPT ALL
+        |SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ddl_type_map" ->
+      """SELECT * FROM (VALUES
+        |  ('id', 'bigint', 'bigint', TRUE),
+        |  ('guid', 'uuid', 'string', TRUE),
+        |  ('ver', 'bytea', 'binary', TRUE),
+        |  ('name', 'varchar(100)', 'string', FALSE),
+        |  ('blob', 'bytea', 'binary', FALSE),
+        |  ('price', 'bigint', 'bigint', FALSE),
+        |  ('flag', 'boolean', 'boolean', TRUE),
+        |  ('created', 'timestamp', 'timestamp_ntz', FALSE)
+        |) AS t(col_name, pg_type, spark_type, not_null)
+        |ORDER BY col_name""".stripMargin,
+
+    "ddl_constraints" ->
+      """SELECT * FROM (VALUES
+        |  ('Child', 'FK', 'FK_Child_Parent', 'pid->Parent.id ON DELETE CASCADE'),
+        |  ('Child', 'PK', 'PK_Child', 'id'),
+        |  ('Child', 'UNIQUE', 'UQ_Code', 'code'),
+        |  ('Parent', 'PK', 'PK_Parent', 'id')
+        |) AS t(table_name, kind, con_name, detail)
+        |ORDER BY table_name, kind, con_name""".stripMargin,
+
+    "txt_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |    + (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS n_subwords,
+        |  length(text) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    ' ' || lower(text) || ' ' AS padded
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    floor(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) * 10000) / 10000 AS punct_ratio,
+        |    floor(CAST(
+        |        (length(padded) - length(replace(padded, ' the ', ''))) / 5
+        |      + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+        |      + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+        |      + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+        |      + (length(padded) - length(replace(padded, ' to ', ''))) / 4
+        |      + (length(padded) - length(replace(padded, ' in ', ''))) / 4
+        |      AS DOUBLE) / greatest(n_tokens, 1) * 10000) / 10000 AS stopword_ratio,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+        |  FROM base)
+        |SELECT doc_id, punct_ratio, stopword_ratio,
+        |  floor(greatest(least((len_score + least(stopword_ratio * 5, 1.0)
+        |    - least(punct_ratio * 5, 1.0)) / 2, 1.0), 0.0) * 10000) / 10000 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "txt_lang_id" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    (length(p) - length(replace(p, ' der ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' die ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' und ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' ist ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' nicht ', ''))) / 7 AS de,
+        |    (length(p) - length(replace(p, ' the ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' and ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' is ', ''))) / 4
+        |      + (length(p) - length(replace(p, ' of ', ''))) / 4
+        |      + (length(p) - length(replace(p, ' to ', ''))) / 4 AS en,
+        |    (length(p) - length(replace(p, ' el ', ''))) / 4
+        |      + (length(p) - length(replace(p, ' la ', ''))) / 4
+        |      + (length(p) - length(replace(p, ' que ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' los ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' es ', ''))) / 4 AS es,
+        |    (length(p) - length(replace(p, ' le ', ''))) / 4
+        |      + (length(p) - length(replace(p, ' la ', ''))) / 4
+        |      + (length(p) - length(replace(p, ' les ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' est ', ''))) / 5
+        |      + (length(p) - length(replace(p, ' une ', ''))) / 5 AS fr,
+        |    (length(p) - length(replace(p, ' 的 ', ''))) / 3
+        |      + (length(p) - length(replace(p, ' 是 ', ''))) / 3
+        |      + (length(p) - length(replace(p, ' 了 ', ''))) / 3
+        |      + (length(p) - length(replace(p, ' 在 ', ''))) / 3
+        |      + (length(p) - length(replace(p, ' 我 ', ''))) / 3 AS zh
+        |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |       WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |       WHEN es >= fr AND es >= zh THEN 'es'
+        |       WHEN fr >= zh THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    floor(length(text) / 64.0) AS len_bucket,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1) + 1),
+        |      i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
+        |           regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |           regexp_split_to_array(lower(trim(text)), '\s+')[i+2])) AS ngrams
+        |  FROM documents)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  floor(CAST(len(list_intersect(l.ngrams, r.ngrams)) AS DOUBLE) /
+        |    greatest(len(list_distinct(list_concat(l.ngrams, r.ngrams))), 1) * 10000) / 10000 AS jaccard
+        |FROM base l JOIN base r
+        |  ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+        |  AND l.doc_id < r.doc_id
+        |WHERE floor(CAST(len(list_intersect(l.ngrams, r.ngrams)) AS DOUBLE) /
+        |    greatest(len(list_distinct(list_concat(l.ngrams, r.ngrams))), 1) * 10000) / 10000 >= 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS neighbor_id,
+        |  floor(cos * 10000) / 10000 AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_cos" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, floor(cos * 10000) / 10000 AS cos_sim
+        |FROM pairs WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+
+    "mm_byte_features" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // dedup_minhash_lsh, dedup_simhash, sim_ann_lsh: engine-specific
+    // hashing (xxhash64 / murmur3) — rows-only checks.
+  )
 }

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is groupBy/join on a compact key
+  * (hash, band signature) — never an O(n²) comparison of full corpora.
+  * The only all-pairs work happens inside LSH buckets, which are small
+  * by construction. Signatures are computed map-side (codegen'd array
+  * expressions, no UDFs), so the shuffle carries fingerprints, not
+  * documents.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint.
+    * Returns one row per distinct content: keeper id (min), dup count.
+    * One shuffle of (16-byte key, id) pairs regardless of corpus size.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Character k-shingles of normalized text, distinct. */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val n = greatest(length(norm) - lit(k - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), n),
+      i => norm.substr(i, lit(k))))
+  }
+
+  /** Word n-grams from a MATERIALIZED token-array column. The tokens
+    * must be a plain column reference, not an inline split() — an
+    * expression embedded in the lambda re-evaluates per element access
+    * (3n× split() per row; the O(tokens²) trap this API shape avoids).
+    */
+  def wordNgramsFromTokens(toks: Column, n: Int = 3): Column = {
+    val cnt = greatest(size(toks) - lit(n - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), cnt - 1),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Convenience for small inputs/tests; hot paths must materialize
+    * tokens first (see wordNgramsFromTokens).
+    */
+  def wordNgrams(text: Column, n: Int = 3): Column =
+    wordNgramsFromTokens(TextAnalysis.tokens(lower(text)), n)
+
+  /** MinHash signature: `numHashes` seeded xxhash64 minima over the
+    * word-3-gram set. xxhash64(seed, gram) approximates an independent
+    * permutation per seed; the minimum is the signature component.
+    *
+    * Scale note: word n-grams (~1 per token) rather than char shingles
+    * (~1 per character) keep the set small, and xxhash64 is Spark's
+    * native codegen'd hash — the whole signature is one map-side
+    * projection. An earlier md5-per-seed-per-char-shingle variant was
+    * ~100× slower at sf0.1.
+    */
+  def minhashFromNgrams(ngrams: Column, numHashes: Int = 16): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(ngrams, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  def minhashSignature(text: Column, numHashes: Int = 16,
+      ngramN: Int = 3): Column =
+    minhashFromNgrams(wordNgrams(text, ngramN), numHashes)
+
+  /** LSH banding: split the signature into `bands` bands and hash each;
+    * docs sharing any band hash are candidates. Emits (id, band_id,
+    * band_hash) — exploded, so the candidate join is a self-equi-join
+    * on (band_id, band_hash): pure shuffle-on-key, no crossing.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    // staged selects: tokens → ngrams → signature → bands, each
+    // materialized once per row (never recomputed inside lambdas)
+    val staged = df
+      .select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), wordNgramsFromTokens(col("__toks"), ngramN).as("__ng"))
+      .select(col(idCol), minhashFromNgrams(col("__ng"), numHashes).as("__sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((0 until rows).map(r =>
+          element_at(col("__sig"), b * rows + r + 1)): _*).as("band_hash"))
+    }
+    staged.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** MinHash-LSH candidate pairs (a < b), deduplicated across bands.
+    * Verification (exact Jaccard) composes downstream on candidates
+    * only — the expensive comparison never touches non-colliding pairs.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3): DataFrame = {
+    val b = lshBands(df, idCol, textCol, numHashes, bands, ngramN)
+    val l = b.alias("l"); val r = b.alias("r")
+    l.join(r, col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(aSet: Column, bSet: Column): Column =
+    TextAnalysis.q4(size(array_intersect(aSet, bSet)).cast("double") /
+      greatest(size(array_union(aSet, bSet)), lit(1)))
+
+  /** Near-dup pairs by exact word-n-gram Jaccard over a blocked
+    * candidate set: candidates share (lang, length bucket) — the
+    * portable-SQL blocking strategy — then exact Jaccard filters.
+    * At 100 TB, swap the blocker for `minhashCandidates` (same
+    * downstream verify); this variant exists because it is exactly
+    * expressible in the DuckDB oracle.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    val withSets = df
+      .select(col(idCol), col(langCol),
+        floor(length(col(textCol)) / lit(64)).as("len_bucket"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), col(langCol), col("len_bucket"),
+        wordNgramsFromTokens(col("__toks"), n).as("ngrams"))
+    val l = withSets.alias("l"); val r = withSets.alias("r")
+    l.join(r, col(s"l.$langCol") === col(s"r.$langCol") &&
+        col("l.len_bucket") === col("r.len_bucket") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        jaccard(col("l.ngrams"), col("r.ngrams")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup: group by signature (identical simhash ⇒
+    * near-identical token distribution). See SimHash64 expression.
+    */
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // two-phase select: token hashing materializes once, then the 64
+    // bit-votes read the same array (no re-hash per bit)
+    df.select(col(idCol), Similarity.tokenHashes(col(textCol)).as("th"))
+      .select(col(idCol), Similarity.simhashFromHashes(col("th")).as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Embedding-cosine near-dup pairs above a threshold, blocked by an
+    * LSH bucket to avoid the full cross join (see Similarity).
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val withSig = df.select(col(idCol), col(vecCol),
+      Similarity.hyperplaneSignature(col(vecCol), planes).as("sig"))
+    val l = withSig.alias("l"); val r = withSig.alias("r")
+    l.join(r, col("l.sig") === col("r.sig") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        Similarity.cosine(col(s"l.$vecCol"), col(s"r.$vecCol")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure Catalyst column expressions (whole-stage codegen, no UDFs)
+  * so they run at 100 TB as map-only projections — no shuffle, no
+  * driver involvement. Each has a DuckDB-expressible twin for the
+  * correctness oracle (portable constructs only: replace-counting
+  * instead of regexp_count, md5 instead of engine-specific hashes).
+  */
+object TextAnalysis {
+
+  /** Quantize a double to 4 decimals via floor — unlike round(), floor
+    * is a pure IEEE-double operation with no decimal-string tie
+    * semantics, so Spark and any oracle engine produce bit-identical
+    * results for bit-identical inputs.
+    */
+  def q4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** Whitespace tokenization; trim first so leading/trailing blanks
+    * don't produce empty tokens.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: words + digit runs + punctuation
+    * marks each count as a token boundary; approximates tokenizer
+    * inflation over plain word count with portable string ops.
+    */
+  def subwordCountEstimate(text: Column): Column = {
+    // occurrences of punctuation count as extra tokens
+    val punct = length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+    tokenCount(text) + punct
+  }
+
+  /** Count non-overlapping occurrences of `needle` via replace —
+    * portable to any SQL engine (no regexp_count needed).
+    */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text,
+      java.util.regex.Pattern.quote(needle), ""))) / needle.length)
+      .cast("int")
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Stopword ratio: stopword tokens / all tokens, on space-padded text
+    * so boundary words count.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val hits = stopwords.map(w => occurrences(padded, s" $w "))
+      .reduce(_ + _)
+    q4(hits.cast("double") / greatest(tokenCount(text), lit(1)))
+  }
+
+  def punctRatio(text: Column): Column =
+    q4((length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+      .cast("double") / greatest(length(text), lit(1)))
+
+  /** Composite quality score in [0,1]: length band + stopword presence
+    * − punctuation excess. Deterministic, monotone, cheap; the exact
+    * formula matters less than it being identical in the oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5, lit(1.0))
+    q4(greatest(least((lenScore + stopScore - punctPenalty) / 2,
+      lit(1.0)), lit(0.0)))
+  }
+
+  /** Language ID by stopword-profile voting — the classic trigram/
+    * stopword heuristic. Per language: count hits of its most frequent
+    * function words; argmax wins, deterministic tie-break by vote count
+    * then language code. Map-only at scale.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "es" -> Seq("el", "la", "que", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  def langVotes(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langProfiles.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val votes = langVotes(text)
+    // argmax with deterministic tie-break: higher vote wins; on equal
+    // votes the earlier language code (alphabetical) wins
+    votes.tail.foldLeft((votes.head._2, lit(votes.head._1))) {
+      case ((bestVotes, bestLang), (lang, v)) =>
+        (when(v > bestVotes, v).otherwise(bestVotes),
+          when(v > bestVotes, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * The canonical exact-dedup key — portable across engines (DuckDB
+    * md5 produces the identical hex).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style shingle fingerprint: minimum md5 over all k-char
+    * shingles — a rolling-hash document sketch. Identical results are a
+    * strong near-dup signal under small edits. Pure higher-order array
+    * functions (transform over a sequence), still no UDF.
+    */
+  def shingleFingerprint(text: Column, k: Int = 8): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val n = greatest(length(norm) - lit(k - 1), lit(1))
+    array_min(transform(sequence(lit(1), n),
+      i => md5(norm.substr(i, lit(k)))))
+  }
+}

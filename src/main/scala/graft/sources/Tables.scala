@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loading for the driver's parquet test data and, in production,
+  * JDBC sources (C2/C3/C11/C12 of SURVEY §2).
+  *
+  * At 100 TB the parquet path is the native one: columnar scans with
+  * filter/column pushdown handled by Catalyst. The JDBC path carries the
+  * reference's physical knobs (partitioned reads for LOB tables,
+  * NOLOCK ≈ READ_UNCOMMITTED, fetchsize).
+  */
+object Tables {
+
+  def parquet(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** JDBC read plan mirroring the reference's TableInput (C2) with the
+    * LOB-table partitioned variant (C3, pl:949–963): when a single
+    * integral PK exists, read with `partitionColumn` so N executors scan
+    * disjoint ranges — Spark's native equivalent of the reference's
+    * `WHERE pk % N = copy#` modulo split.
+    */
+  final case class JdbcSpec(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 1,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      fetchSize: Int = 10000,
+      dirtyReads: Boolean = true // WITH(NOLOCK) parity (pl:3666)
+  )
+
+  def jdbc(spark: SparkSession, spec: JdbcSpec): DataFrame = {
+    var r = spark.read.format("jdbc")
+      .option("url", spec.url)
+      .option("dbtable", spec.table)
+      .option("user", spec.user)
+      .option("password", spec.password)
+      .option("fetchsize", spec.fetchSize)
+    if (spec.dirtyReads)
+      r = r.option("isolationLevel", "READ_UNCOMMITTED")
+    (spec.partitionColumn, spec.lowerBound, spec.upperBound) match {
+      case (Some(col), Some(lo), Some(hi)) if spec.numPartitions > 1 =>
+        r = r.option("partitionColumn", col)
+          .option("numPartitions", spec.numPartitions)
+          .option("lowerBound", lo).option("upperBound", hi)
+      case _ =>
+    }
+    r.load()
+  }
+}

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.SparkTestBase
+
+class FunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("text analysis: token count, ratios, quality bounds") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "the quick brown fox jumps over the lazy dog"),
+      (2, ""),
+      (3, "a, b. c! d?")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.punctRatio(col("text")).as("p"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getInt(1) === 9)
+    assert(out(2).getInt(1) === 0)
+    assert(out(3).getDouble(2) > 0.2) // heavy punctuation
+    out.values.foreach { r =>
+      val q = r.getDouble(3); assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("lang id votes for the profile language") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat and the dog is of no concern to anyone"),
+      ("fr", "le chat est dans la maison et les oiseaux"),
+      ("de", "der hund und die katze ist nicht da"),
+      ("es", "el perro y la casa que los gatos es bonita"))
+      .toDF("expected", "text")
+    val out = df.select(col("expected"),
+      TextAnalysis.langId(col("text")).as("got")).collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"lang mismatch for ${r.getString(0)}"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    import spark.implicits._
+    val df = Seq(("A  B\tC"), ("a b c")).toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getString(0)).distinct
+    assert(fps.length === 1)
+  }
+
+  test("exact dedup groups duplicate texts") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "SAME   text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(g.length === 2)
+    val dup = g.find(_.getLong(2) === 2L).get
+    assert(dup.getLong(1) === 1L) // keeper = min id
+  }
+
+  test("minhash LSH finds a near-duplicate pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " indeed"),       // near-dup of 1
+      (3L, "completely different content about database engines and query optimizers running fast"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text",
+      numHashes = 16, bands = 8, ngramN = 3).collect()
+    val pairs = cands.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta"),
+      (3L, "en", "one two three four five six"))
+      .toDF("doc_id", "lang", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs share signature, different do not") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark catalyst optimizer rewrites logical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans"),
+      (3L, "completely unrelated words about gardening and cooking"))
+      .toDF("doc_id", "text")
+    val g = Dedup.simhashGroups(df, "doc_id", "text").collect()
+    assert(g.length === 2)
+    assert(g.find(_.getLong(2) === 2L).isDefined)
+  }
+
+  test("cosine: orthogonal=0, identical=1") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topK returns k ranked neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val res = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qv", 3).collect()
+    assert(res.length === 3)
+    assert(res.map(_.getAs[Int]("rank")).toSeq.sorted === Seq(1, 2, 3))
+    // ranks ordered by similarity
+    val byRank = res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH signature buckets identical vectors together") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val sigs = df.select(Similarity.hyperplaneSignature(col("embedding"), 8))
+      .collect().map(_.getString(0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0).length === 8)
+  }
+
+  test("multimodal: decode plumbing tags failures instead of aborting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "real payload bytes".getBytes("UTF-8")),
+      (2L, Array.empty[Byte])).toDF("id", "payload")
+    val out = Multimodal.decodeMeta(df, "payload").collect()
+    val meta = out.map(r => r.getLong(0) ->
+      r.getStruct(r.length - 1)).toMap
+    assert(meta(1L).getBoolean(4)) // decode_ok
+    assert(!meta(2L).getBoolean(4)) // empty payload → tagged, not thrown
+    assert(meta(2L).getString(5) != null)
+  }
+
+  test("multimodal: frame sampling explodes by stride") {
+    import spark.implicits._
+    val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
+    val decoded = Multimodal.decodeMeta(df, "payload")
+    val frames = Multimodal.sampleFrames(decoded, "media_meta", 5)
+    val n = frames.count()
+    val nFrames = decoded.select(col("media_meta.n_frames")).head.getInt(0)
+    assert(n === (0 until nFrames by 5).size)
+  }
+
+  test("streaming: windowed agg batch semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0))
+      .toDF("ts", "event_type", "value")
+    val out = graft.streaming.EventStream.windowedAgg(df, "1 hour")
+      .orderBy("window_start").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(2) === 2L)
+    assert(out(0).getDecimal(3).doubleValue() === 3.0)
+  }
+}
