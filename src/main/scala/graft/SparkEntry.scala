@@ -388,6 +388,44 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "c8_migration_copy" -> ((s, dir) => {
+      // C8–C10/P10: the migration runner copying a parsed catalog's
+      // tables concurrently from the test source; output = per-table
+      // row counts the oracle recomputes directly
+      val ddl =
+        """CREATE TABLE [dbo].[orders](
+          |	[o_orderkey] [bigint] NOT NULL,
+          |	[o_custkey] [bigint] NOT NULL,
+          |	[o_orderstatus] [nvarchar](10) NULL
+          |) ON [PRIMARY]
+          |GO
+          |CREATE TABLE [dbo].[lineitem](
+          |	[l_orderkey] [bigint] NOT NULL,
+          |	[l_linenumber] [int] NOT NULL,
+          |	[l_returnflag] [nvarchar](1) NULL
+          |) ON [PRIMARY]
+          |GO""".stripMargin
+      val cat = new TsqlParser(Config()).parse(ddl.split("\n").toSeq)
+      val results = graft.operators.MigrationRunner.runAll(s, cat,
+        read = (_, tab) => Some(t(s, dir, tab.name)),
+        sink = (_, _, df) => df.count(),
+        parallelism = 2)
+      import s.implicits._
+      results.map(r => (r.table, r.rows)).toDF("table_name", "rows")
+        .orderBy(col("table_name"))
+    }),
+
+    "citext_ci_join" -> ((s, dir) => {
+      // B1 citext semantics: case-insensitive join via UTF8_LCASE
+      // collation must behave exactly like lower()-equality
+      val a = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val b = t(s, dir, "nation").select(
+        col("n_nationkey").as("nk2"), upper(col("n_name")).as("n_name"))
+      graft.functions.Citext.ciJoin(a, b, Seq("n_name"))
+        .select(col("n_nationkey"), col("nk2"))
+        .orderBy(col("n_nationkey"), col("nk2"))
+    }),
+
     // ---------------- extension operators: multimodal plumbing --------
     "mm_byte_features" -> ((s, dir) => {
       // binary-column plumbing over text payloads cast to binary;
@@ -665,6 +703,20 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id AS neighbor_id,
         |  floor(cos * 10000) / 10000 AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "c8_migration_copy" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem' AS table_name, COUNT(*) AS rows FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders' AS table_name, COUNT(*) AS rows FROM orders
+        |) t ORDER BY table_name""".stripMargin,
+
+    "citext_ci_join" ->
+      """SELECT a.n_nationkey, b.n_nationkey AS nk2
+        |FROM nation a JOIN (SELECT n_nationkey, upper(n_name) AS n_name
+        |                    FROM nation) b
+        |  ON lower(a.n_name) = lower(b.n_name)
+        |ORDER BY a.n_nationkey, nk2""".stripMargin,
 
     "dedup_embedding_cos" ->
       """WITH aug AS (

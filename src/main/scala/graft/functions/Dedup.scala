@@ -121,18 +121,30 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       langCol: String, threshold: Double, n: Int = 3): DataFrame = {
+    // ngram sets are compared as xxhash64 longs, not strings: the
+    // intersection then runs on 8-byte values instead of ~20-char
+    // strings (~10× cheaper per pair; a 64-bit collision altering a
+    // count is ~1e-15). |A∪B| = |A|+|B|−|A∩B| avoids building the
+    // union array; the staged select computes the intersection once.
     val withSets = df
       .select(col(idCol), col(langCol),
         floor(length(col(textCol)) / lit(64)).as("len_bucket"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol), col(langCol), col("len_bucket"),
-        wordNgramsFromTokens(col("__toks"), n).as("ngrams"))
+        wordNgramsFromTokens(col("__toks"), n).as("__ng"))
+      .select(col(idCol), col(langCol), col("len_bucket"),
+        transform(col("__ng"), g => xxhash64(g)).as("ngh"))
     val l = withSets.alias("l"); val r = withSets.alias("r")
     l.join(r, col(s"l.$langCol") === col(s"r.$langCol") &&
         col("l.len_bucket") === col("r.len_bucket") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        jaccard(col("l.ngrams"), col("r.ngrams")).as("jaccard"))
+        size(array_intersect(col("l.ngh"), col("r.ngh"))).as("__inter"),
+        size(col("l.ngh")).as("__na"), size(col("r.ngh")).as("__nb"))
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.q4(col("__inter").cast("double") /
+          greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
