@@ -329,6 +329,17 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "txt_shingle_fp" -> ((s, dir) =>
+      // winnowing-style rolling-hash sketch: min md5 over 8-char
+      // shingles of normalized text (staged select: normalization
+      // materializes once, not once per shingle)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("__norm"))
+        .select(col("doc_id"),
+          TextAnalysis.shingleFingerprintFromNorm(col("__norm"), 8).as("sfp"))
+        .orderBy(col("doc_id"))),
+
     // ---------------- extension operators: dedup -----------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -658,6 +669,17 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_shingle_fp" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_min(list_transform(
+        |    range(1, greatest(length(norm) - 7, 1) + 1),
+        |    i -> md5(substr(norm, i, 8)))) AS sfp
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -118,8 +118,15 @@ object TextAnalysis {
     * strong near-dup signal under small edits. Pure higher-order array
     * functions (transform over a sequence), still no UDF.
     */
-  def shingleFingerprint(text: Column, k: Int = 8): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  def shingleFingerprint(text: Column, k: Int = 8): Column =
+    shingleFingerprintFromNorm(
+      regexp_replace(lower(trim(text)), "\\s+", " "), k)
+
+  /** Hot-path variant taking a MATERIALIZED normalized-text column —
+    * an inline regexp_replace would re-evaluate once per shingle
+    * inside the lambda (see Dedup.wordNgramsFromTokens).
+    */
+  def shingleFingerprintFromNorm(norm: Column, k: Int = 8): Column = {
     val n = greatest(length(norm) - lit(k - 1), lit(1))
     array_min(transform(sequence(lit(1), n),
       i => md5(norm.substr(i, lit(k)))))
