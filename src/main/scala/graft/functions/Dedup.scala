@@ -163,14 +163,18 @@ object Dedup {
     * LSH bucket to avoid the full cross join (see Similarity).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
+      threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
     val withSig = df.select(col(idCol), col(vecCol),
-      Similarity.hyperplaneSignature(col(vecCol), planes).as("sig"))
+      Similarity.hyperplaneSignature(col(vecCol), planes, dims).as("sig"),
+      Similarity.norm(col(vecCol)).as("__n"))
     val l = withSig.alias("l"); val r = withSig.alias("r")
+    val denom = col("l.__n") * col("r.__n")
     l.join(r, col("l.sig") === col("r.sig") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        Similarity.cosine(col(s"l.$vecCol"), col(s"r.$vecCol")).as("cos"))
+        when(denom === 0, lit(0.0))
+          .otherwise(Similarity.dot(col(s"l.$vecCol"), col(s"r.$vecCol")) / denom)
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -33,14 +33,25 @@ object Similarity {
     * against a huge corpus). Ranking is one window per query id; with
     * k ≪ corpus this is the textbook pattern Catalyst turns into a
     * partial top-k (WindowGroupLimit pushes rank < k+1 below the sort).
+    *
+    * Norms are precomputed per side before the join — computing
+    * `sqrt(dot(v,v))` inside the pair expression would redo each
+    * corpus norm once per query (100 queries = 100× wasted work).
+    * cos = dot/(na*nb) is bit-identical to the unstaged form.
     */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val c = corpus.select(col(corpusId), col(corpusVec),
+      norm(col(corpusVec)).as("__cn"))
+    val q = queries.select(col(queryId), col(queryVec),
+      norm(col(queryVec)).as("__qn"))
+    val denom = col("__cn") * col("__qn")
+    val joined = c.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(corpusId)) // self-match excluded
       .select(col(queryId), col(corpusId),
-        cosine(col(corpusVec), col(queryVec)).as("cos"))
+        when(denom === 0, lit(0.0))
+          .otherwise(dot(col(corpusVec), col(queryVec)) / denom).as("cos"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))
@@ -49,22 +60,28 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for sign-LSH:
     * plane `p`, dimension `d` → uniform in [-1, 1], derived from a
-    * hash so executors need no shared state and results are stable
-    * across runs/engines.
+    * driver-side hash so executors need no shared state and results
+    * are stable across runs. Materialized as a literal array so the
+    * executor does array lookups, not per-element hash calls.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(hash(lit(p), d), lit(1000003)).cast("double") / lit(500001.5)) - 1.0
+  private def planeVector(p: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { d =>
+      val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+      (math.floorMod(h, 1000003).toDouble / 500001.5) - 1.0
+    }
 
   /** Sign-LSH signature: for each of `planes` hyperplanes, the sign of
     * the projection — a bit string. Vectors in the same bucket are
     * likely neighbors; bucketing turns all-pairs similarity into a
     * per-bucket join (the scale path for ANN and near-dup).
+    * `dims` must match the embedding dimensionality.
     */
-  def hyperplaneSignature(vec: Column, planes: Int = 8): Column =
+  def hyperplaneSignature(vec: Column, planes: Int = 8,
+      dims: Int = 64): Column =
     concat((0 until planes).map { p =>
+      val plane = lit(planeVector(p, dims))
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, plane, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
@@ -76,15 +93,19 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, planes: Int = 8): DataFrame = {
-    val c = corpus.withColumn("sig",
-      hyperplaneSignature(col(corpusVec), planes))
-    val q = queries.withColumn("sig",
-      hyperplaneSignature(col(queryVec), planes))
+      k: Int, planes: Int = 8, dims: Int = 64): DataFrame = {
+    val c = corpus.select(col(corpusId), col(corpusVec),
+      hyperplaneSignature(col(corpusVec), planes, dims).as("sig"),
+      norm(col(corpusVec)).as("__cn"))
+    val q = queries.select(col(queryId), col(queryVec),
+      hyperplaneSignature(col(queryVec), planes, dims).as("sig"),
+      norm(col(queryVec)).as("__qn"))
+    val denom = col("__cn") * col("__qn")
     val joined = c.join(q.hint("broadcast"), Seq("sig"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
-        cosine(col(corpusVec), col(queryVec)).as("cos"))
+        when(denom === 0, lit(0.0))
+          .otherwise(dot(col(corpusVec), col(queryVec)) / denom).as("cos"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cos").desc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))

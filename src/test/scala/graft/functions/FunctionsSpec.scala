@@ -128,7 +128,8 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
-    val sigs = df.select(Similarity.hyperplaneSignature(col("embedding"), 8))
+    val sigs = df.select(
+      Similarity.hyperplaneSignature(col("embedding"), 8, dims = 3))
       .collect().map(_.getString(0))
     assert(sigs(0) === sigs(1))
     assert(sigs(0).length === 8)
