@@ -83,7 +83,12 @@ object Similarity {
       val proj = aggregate(
         zip_with(vec, plane, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
+      // dims mismatch ⇒ zip_with null-pads ⇒ proj NULL: surface it as a
+      // loud error instead of silently collapsing every vector into one
+      // bucket (correct results, but LSH degrades to brute force)
+      when(proj.isNull, raise_error(lit(
+        s"hyperplaneSignature: vector dims != $dims")))
+        .when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
   /** LSH-bucketed approximate top-k: like bruteForceTopK but queries
