@@ -95,8 +95,13 @@ object DiffSync {
     * one partition) so insert/delete ordering per key is serialized —
     * the reference got this via its single sorted stream.
     */
+  /** `dialect`: "postgresql" batches `INSERT … ON CONFLICT DO UPDATE`;
+    * "generic" runs portable UPDATE-then-INSERT per row (works on any
+    * JDBC target — Derby, H2, …) at the cost of batching.
+    */
   final case class SyncTarget(url: String, table: String, user: String,
-      password: String, batchSize: Int = 100)
+      password: String, batchSize: Int = 100,
+      dialect: String = "postgresql")
 
   def applyToJdbc(diffed: DataFrame, pkCols: Seq[String],
       target: SyncTarget): Unit = {
@@ -104,15 +109,26 @@ object DiffSync {
       .filterNot(c => pkCols.contains(c) || c == FlagCol)
     val allCols = pkCols ++ valueCols
     val insertSql = upsertSql(target.table, pkCols, valueCols)
+    val plainInsertSql = s"INSERT INTO ${target.table} " +
+      s"(${allCols.mkString(", ")}) VALUES " +
+      s"(${allCols.map(_ => "?").mkString(", ")})"
+    val updateSql =
+      if (valueCols.isEmpty) "" else s"UPDATE ${target.table} SET " +
+        valueCols.map(c => s"$c = ?").mkString(", ") + " WHERE " +
+        pkCols.map(c => s"$c = ?").mkString(" AND ")
     val deleteSql = s"DELETE FROM ${target.table} WHERE " +
       pkCols.map(c => s"$c = ?").mkString(" AND ")
     val schema = diffed.schema
+    val generic = target.dialect != "postgresql"
     diffed.repartition(pkCols.map(col): _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val conn = java.sql.DriverManager.getConnection(
           target.url, target.user, target.password)
         conn.setAutoCommit(false)
-        val ins = conn.prepareStatement(insertSql)
+        val ins = conn.prepareStatement(
+          if (generic) plainInsertSql else insertSql)
+        val upd = if (generic && updateSql.nonEmpty)
+          Some(conn.prepareStatement(updateSql)) else None
         val del = conn.prepareStatement(deleteSql)
         var pendingIns = 0; var pendingDel = 0
         def flush(): Unit = {
@@ -120,6 +136,9 @@ object DiffSync {
           if (pendingDel > 0) { del.executeBatch(); pendingDel = 0 }
           conn.commit()
         }
+        def bindAll(row: org.apache.spark.sql.Row): Unit =
+          allCols.zipWithIndex.foreach { case (c, i) =>
+            ins.setObject(i + 1, row.getAs[Any](schema.fieldIndex(c))) }
         try {
           rows.foreach { row =>
             row.getAs[String](FlagCol) match {
@@ -128,16 +147,27 @@ object DiffSync {
                 pkCols.zipWithIndex.foreach { case (c, i) =>
                   del.setObject(i + 1, row.getAs[Any](schema.fieldIndex(c))) }
                 del.addBatch(); pendingDel += 1
-              case _ => // new | changed → upsert
-                allCols.zipWithIndex.foreach { case (c, i) =>
-                  ins.setObject(i + 1, row.getAs[Any](schema.fieldIndex(c))) }
-                ins.addBatch(); pendingIns += 1
+              case _ if generic => // portable UPDATE-then-INSERT
+                val updated = upd.map { u =>
+                  valueCols.zipWithIndex.foreach { case (c, i) =>
+                    u.setObject(i + 1, row.getAs[Any](schema.fieldIndex(c))) }
+                  pkCols.zipWithIndex.foreach { case (c, i) =>
+                    u.setObject(valueCols.length + i + 1,
+                      row.getAs[Any](schema.fieldIndex(c))) }
+                  u.executeUpdate()
+                }.getOrElse(0)
+                if (updated == 0) { bindAll(row); ins.executeUpdate() }
+                conn.commit()
+              case _ => // new | changed → batched PG upsert
+                bindAll(row); ins.addBatch(); pendingIns += 1
             }
             if (pendingIns >= target.batchSize ||
                 pendingDel >= target.batchSize) flush()
           }
           flush()
-        } finally { ins.close(); del.close(); conn.close() }
+        } finally {
+          ins.close(); upd.foreach(_.close()); del.close(); conn.close()
+        }
       }
   }
 

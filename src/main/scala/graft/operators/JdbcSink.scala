@@ -99,10 +99,18 @@ object JdbcSink {
         schema.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
       val rejected =
         try writeIgnoringErrors(rows, spec.batchSize) { batch =>
-          batch.foreach { r => bind(r); ps.addBatch() }
-          ps.executeBatch(); conn.commit()
+          try {
+            batch.foreach { r => bind(r); ps.addBatch() }
+            ps.executeBatch(); conn.commit()
+          } catch { case e: Throwable =>
+            // a failed batch may have partially applied: wipe both the
+            // statement queue and the uncommitted rows, else the row
+            // replay double-inserts what the batch already wrote
+            ps.clearBatch(); conn.rollback(); throw e
+          }
         } { r =>
-          bind(r); ps.executeUpdate(); conn.commit()
+          try { bind(r); ps.executeUpdate(); conn.commit() }
+          catch { case e: Throwable => conn.rollback(); throw e }
         }
         finally { ps.close(); conn.close() }
       Iterator.single(rejected)
