@@ -42,5 +42,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Backstop against leaked non-daemon threads blocking JVM exit.
+    sys.exit(0)
   }
 }

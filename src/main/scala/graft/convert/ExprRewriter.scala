@@ -56,9 +56,9 @@ object ExprRewriter {
     s = newidRe.replaceAllIn(s,
       if (dialect == Pg) "gen_random_uuid()" else "uuid()")
     s = rewriteCharindex(s, dialect)
-    s = rewriteDatepart(s)
+    s = rewriteDatepart(s, dialect)
     s = rewriteDateadd(s, dialect)
-    s = rewriteConvert(s)
+    s = rewriteConvert(s, dialect)
     s
   }
 
@@ -66,14 +66,14 @@ object ExprRewriter {
     * accepts the POSITION(x IN y) form.
     */
   private def rewriteCharindex(s: String, dialect: Dialect): String =
-    rewriteCall(s, "charindex") {
+    rewriteCall(s, "charindex", dialect) {
       case Seq(sub, str) => s"POSITION($sub IN $str)"
       case args => s"CHARINDEX(${args.mkString(", ")})" // 3-arg: unsupported
     }
 
   /** DATEPART(part, d) → date_part('part', d) (pl:595). */
-  private def rewriteDatepart(s: String): String =
-    rewriteCall(s, "datepart") {
+  private def rewriteDatepart(s: String, dialect: Dialect): String =
+    rewriteCall(s, "datepart", dialect) {
       case Seq(part, d) => s"date_part('${part.trim.toLowerCase}', $d)"
       case args => s"DATEPART(${args.mkString(", ")})"
     }
@@ -82,7 +82,7 @@ object ExprRewriter {
     * Spark: accepts the same arithmetic with INTERVAL literals.
     */
   private def rewriteDateadd(s: String, dialect: Dialect): String =
-    rewriteCall(s, "dateadd") {
+    rewriteCall(s, "dateadd", dialect) {
       case Seq(unit, n, d) =>
         val u = unit.trim.toLowerCase match {
           case "dd" | "d" => "day"
@@ -101,8 +101,8 @@ object ExprRewriter {
   /** CONVERT(type[(n[,m])], x[, style]) → CAST(x AS type) (pl:598–600);
     * the T-SQL style argument is dropped.
     */
-  private def rewriteConvert(s: String): String =
-    rewriteCall(s, "convert") {
+  private def rewriteConvert(s: String, dialect: Dialect): String =
+    rewriteCall(s, "convert", dialect) {
       case Seq(tpe, x) => s"CAST($x AS ${tpe.trim})"
       case Seq(tpe, x, _) => s"CAST($x AS ${tpe.trim})"
       case args => s"CONVERT(${args.mkString(", ")})"
@@ -112,23 +112,30 @@ object ExprRewriter {
     * quote-aware argument splitting — the structural improvement over the
     * reference's flat regexes (which break on nested calls).
     */
-  private def rewriteCall(input: String, fn: String)(
+  private def rewriteCall(input: String, fn: String, dialect: Dialect)(
       f: Seq[String] => String): String = {
     val re = s"(?i)\\b$fn\\s*\\(".r
     var s = input
+    // Resume each search AFTER the previous replacement: a fallback branch
+    // that re-emits the same function name (legal 3-arg CHARINDEX, odd-arity
+    // DATEPART/DATEADD/CONVERT) would otherwise re-match forever.
+    var from = 0
     var continue = true
-    while (continue) {
-      re.findFirstMatchIn(s) match {
+    while (continue && from < s.length) {
+      re.findFirstMatchIn(s.substring(from)) match {
         case None => continue = false
         case Some(m) =>
-          val open = m.end - 1
+          val start = from + m.start
+          val open = from + m.end - 1
           findClose(s, open) match {
             case None => continue = false
             case Some(close) =>
               val args = splitArgs(s.substring(open + 1, close))
               // recurse into args so nested calls rewrite first
-              val rwArgs = args.map(a => rewriteFunctions(a, Pg))
-              s = s.substring(0, m.start) + f(rwArgs) + s.substring(close + 1)
+              val rwArgs = args.map(a => rewriteFunctions(a, dialect))
+              val repl = f(rwArgs)
+              s = s.substring(0, start) + repl + s.substring(close + 1)
+              from = start + repl.length
           }
       }
     }

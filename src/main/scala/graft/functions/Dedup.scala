@@ -38,9 +38,15 @@ object Dedup {
     * (3n× split() per row; the O(tokens²) trap this API shape avoids).
     */
   def wordNgramsFromTokens(toks: Column, n: Int = 3): Column = {
-    val cnt = greatest(size(toks) - lit(n - 1), lit(1))
-    array_distinct(transform(sequence(lit(0), cnt - 1),
+    // Branches are guarded: ANSI mode (Spark 4 default) errors on
+    // element_at past the array end, so the sliding window only runs
+    // when the doc actually has >= n tokens. Shorter docs contribute
+    // the whole doc as one gram (still dedupable); empty docs none.
+    val full = array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    when(size(toks) >= n, full)
+      .when(size(toks) > 0, array(concat_ws(" ", toks)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Convenience for small inputs/tests; hot paths must materialize

@@ -61,27 +61,37 @@ object MigrationRunner {
       read: (String, TableDef) => Option[DataFrame],
       sink: (String, TableDef, DataFrame) => Long,
       parallelism: Int = 4): Seq[TableResult] = {
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism)))
-    val futures = cat.allTables.map { case (sn, t) =>
-      Future {
-        val t0 = System.nanoTime()
-        try {
-          read(sn, t) match {
-            case Some(df) =>
-              val rows = sink(sn, t, copyPlan(t, df))
-              TableResult(sn, t.name, rows, (System.nanoTime() - t0) / 1e9, None)
-            case None =>
-              TableResult(sn, t.name, 0L, 0.0, Some("source not found"))
+    // Daemon threads + explicit shutdown: a leaked non-daemon pool keeps
+    // the JVM alive after main returns (it cost round 1 its bench number).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, parallelism),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-migration")
+        t.setDaemon(true)
+        t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = cat.allTables.map { case (sn, t) =>
+        Future {
+          val t0 = System.nanoTime()
+          try {
+            read(sn, t) match {
+              case Some(df) =>
+                val rows = sink(sn, t, copyPlan(t, df))
+                TableResult(sn, t.name, rows, (System.nanoTime() - t0) / 1e9, None)
+              case None =>
+                TableResult(sn, t.name, 0L, 0.0, Some("source not found"))
+            }
+          } catch {
+            case e: Exception =>
+              TableResult(sn, t.name, -1L, (System.nanoTime() - t0) / 1e9,
+                Some(e.getMessage))
           }
-        } catch {
-          case e: Exception =>
-            TableResult(sn, t.name, -1L, (System.nanoTime() - t0) / 1e9,
-              Some(e.getMessage))
         }
       }
-    }
-    Await.result(Future.sequence(futures), Duration.Inf)
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** C-report (kettle_report.pl:26–67): per-table duration + rows/s

@@ -76,6 +76,7 @@ final class TsqlParser(conf: Config = Config()) {
   /** A26 ignore list (pl:2424–2570): statements with no PG equivalent. */
   private val ignoreRes: Seq[Regex] = Seq(
     """(?i)^\s*$""".r,
+    """^\s*--.*$""".r,                     // line comments (pl:2430)
     """(?i)^\s*GO\s*;?\s*$""".r,
     """(?i)^\s*USE\s+.*$""".r,
     """(?i)^\s*SET\s+\w+.*$""".r,

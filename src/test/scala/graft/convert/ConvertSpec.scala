@@ -98,6 +98,25 @@ class ConvertSpec extends AnyFunSuite {
       === "COALESCE(CAST(x AS INT), (d + (1) * INTERVAL '1 day'))")
   }
 
+  test("B6: unsupported arities terminate (no infinite re-match)") {
+    // 3-arg CHARINDEX is legal T-SQL; the fallback re-emits the name,
+    // which must not re-match forever.
+    assert(ExprRewriter.rewrite("CHARINDEX('a', col, 2) > 0")
+      === "CHARINDEX('a', col, 2) > 0")
+    assert(ExprRewriter.rewrite("DATEPART(year)") === "DATEPART(year)")
+    assert(ExprRewriter.rewrite("DATEADD(day, 1)") === "DATEADD(day, 1)")
+    // and a later rewritable call after an unsupported one still fires
+    assert(ExprRewriter.rewrite("CHARINDEX(a, b, 1) + CHARINDEX(a, b)")
+      === "CHARINDEX(a, b, 1) + POSITION(a IN b)")
+  }
+
+  test("B6: dialect threads into nested rewrites") {
+    assert(ExprRewriter.rewrite("CONVERT(VARCHAR(36), NEWID())",
+      ExprRewriter.Sparksql) === "CAST(uuid() AS VARCHAR(36))")
+    assert(ExprRewriter.rewrite("CONVERT(VARCHAR(36), NEWID())")
+      === "CAST(gen_random_uuid() AS VARCHAR(36))")
+  }
+
   test("B7: bracketed identifiers renamed by policy") {
     assert(ExprRewriter.rewrite("[MyCol] > (10)", rename = _.toLowerCase)
       === "mycol > (10)")

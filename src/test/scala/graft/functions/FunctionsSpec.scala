@@ -73,6 +73,27 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("short and empty docs survive ngram/minhash under ANSI mode") {
+    import spark.implicits._
+    // Spark 4 defaults ANSI on: element_at past the array end errors, so
+    // docs with < n tokens must never reach the sliding window.
+    val df = Seq(
+      (1L, "en", "word"),                       // 1 token < n=3
+      (2L, "en", "word"),                       // dup of the short doc
+      (3L, "en", "two tokens"),
+      (4L, "en", ""),                           // empty
+      (5L, "en", "a full five token document here"))
+      .toDF("doc_id", "lang", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // empty doc yields no grams, so it pairs with nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("ngram jaccard: identical=1, disjoint absent") {
     import spark.implicits._
     val df = Seq(

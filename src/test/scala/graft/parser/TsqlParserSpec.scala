@@ -221,6 +221,17 @@ class TsqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("A26: -- line comments are skipped (pl:2430)") {
+    val cat = parse(
+      """-- SSMS-generated header comment
+        |CREATE TABLE [dbo].[C](
+        |	[id] [int] NOT NULL
+        |) ON [PRIMARY]
+        |GO
+        |  -- indented trailer comment""".stripMargin)
+    assert(cat.table("public", "C").isDefined)
+  }
+
   test("A25: :setvar capture") {
     val cat = parse(""":setvar path "C:\temp"""")
     assert(cat.variables("path") === "C:\\temp")
