@@ -151,8 +151,10 @@ object SparkEntry {
       val seeded = li.select(col("l_orderkey")).union(
         li.filter(col("l_orderkey") % 997 === 0)
           .select((col("l_orderkey") + 100000000L).as("l_orderkey")))
+      // parent (orders) is the small side of the anti join at any
+      // realistic dim/fact ratio — broadcast it so only the child scans
       Validation.fkOrphans(seeded, Seq("l_orderkey"),
-        t(s, dir, "orders"), Seq("o_orderkey"), broadcastParent = false)
+        t(s, dir, "orders"), Seq("o_orderkey"), broadcastParent = true)
         .distinct().orderBy(col("l_orderkey"))
     }),
 
@@ -346,18 +348,32 @@ object SparkEntry {
         .orderBy(col("fp"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        "lang", threshold = 0.15, n = 3)
+      // THE corpus-dedup hot path: MinHash-LSH candidates (2-row bands →
+      // recall ≈1 at j≥0.8) + exact-Jaccard verify on candidates only.
+      // Portable md5 hashing lets the oracle replicate the exact
+      // candidate set, so the full pipeline is hash-verified.
+      Dedup.ngramJaccardPairsLsh(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.15, n = 3, numHashes = 16, bands = 8, portable = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dedup_ngram_allpairs" -> ((s, dir) =>
+      // ground-truth twin on a 1/3 sample: unblocked exact all-pairs
+      // Jaccard, independently recomputable by the oracle
+      Dedup.ngramJaccardAllPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", threshold = 0.15, n = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 16, bands = 4, ngramN = 3)
+        numHashes = 16, bands = 4, ngramN = 3, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     "dedup_simhash" -> ((s, dir) =>
-      // xxhash64-based signature: Spark-side only (rows-only check)
-      Dedup.simhashGroups(t(s, dir, "documents"), "doc_id", "text")
+      // portable mode: per-token 60-bit md5-derived hash, bit-vote
+      // signature — the oracle recomputes the identical simhash
+      Dedup.simhashGroups(t(s, dir, "documents"), "doc_id", "text",
+        portable = true)
         .orderBy(col("simhash"))),
 
     // ---------------- extension operators: similarity search ----------
@@ -373,27 +389,90 @@ object SparkEntry {
     }),
 
     "sim_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed scale path (engine-specific hash → rows-only check)
+      // banded sign-LSH scale path. Fixture: plant 5 perturbed copies
+      // per query (cos ≈0.9989–0.99996, portable integer-noise formula)
+      // so the true top-5 is known and high-similarity; with 8 bands ×
+      // 16 rows the per-neighbor miss probability is ~4e-6, so LSH
+      // top-5 equals the brute-force oracle's top-5 deterministically.
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.lshTopK(emb, "vec_id", "embedding",
-        queries, "query_id", "qvec", k = 5, planes = 6)
+      val planted = queries
+        .select(col("query_id"), col("qvec"),
+          explode(array((0 until 5).map(k => lit(k)): _*)).as("k"))
+        .select((col("query_id") + (col("k") + 1) * 100000L).as("vec_id"),
+          transform(col("qvec"), (x, i) =>
+            x.cast("double") + (col("k") + 1).cast("double") * lit(0.002) *
+              (((col("query_id") * 31 + i * 17) % 19 - 9).cast("double") /
+                lit(9.0))).as("embedding"))
+      val corpus = emb
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .union(planted)
+      Similarity.lshTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, bands = 8, rowsPerBand = 16)
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_lsh_recall" -> ((s, dir) => {
+      // recall gate on PERTURBED near-duplicates (cos ≈0.98, not
+      // copies): every vector gets a noised twin; banded sign-LSH must
+      // recover ≥90% of the true pairs found by the exact cosine
+      // (which the oracle recomputes independently). Expected recall
+      // with 8×16 bands at cos 0.98 ≈ 0.98.
+      val emb = t(s, dir, "embeddings")
+      val noised = emb.select((col("vec_id") + 700000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") + lit(0.04) *
+            (((col("vec_id") * 31 + i * 17) % 19 - 9).cast("double") /
+              lit(9.0))).as("embedding"))
+      val naturals = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val aug = naturals.union(noised)
+      // truth: per-seed exact cosine against its twin (linear, no join)
+      val truth = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + lit(0.04) *
+              (((col("vec_id") * 31 + i * 17) % 19 - 9).cast("double") /
+                lit(9.0))).as("w"))
+        .select(col("vec_id"),
+          (Similarity.dot(col("v"), col("w")) /
+            (Similarity.norm(col("v")) * Similarity.norm(col("w")))).as("cos"))
+        .filter(col("cos") >= 0.9)
+      val bands = Similarity.signBands(aug, "vec_id", "embedding",
+        bands = 8, rowsPerBand = 16)
+      val l = bands.alias("l"); val r = bands.alias("r")
+      val recovered = l.join(r,
+          col("l.band_id") === col("r.band_id") &&
+          col("l.band_sig") === col("r.band_sig") &&
+          col("r.vec_id") === col("l.vec_id") + 700000L)
+        .select(col("l.vec_id").as("vec_id")).distinct()
+      val truthAgg = truth.agg(
+        count(lit(1)).as("n_true"),
+        TextAnalysis.q4(min(col("cos"))).as("min_cos"),
+        TextAnalysis.q4(max(col("cos"))).as("max_cos"))
+      val recAgg = recovered.join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_rec"))
+      truthAgg.crossJoin(recAgg)
+        .select(col("n_true"), col("min_cos"), col("max_cos"),
+          (col("n_rec").cast("double") >=
+            lit(0.9) * col("n_true").cast("double")).as("recall_ok"))
     }),
 
     "dedup_embedding_cos" -> ((s, dir) => {
       // the synthetic embeddings have no natural near-dups (max pair
       // cosine ≈0.51), so seed exact duplicates (vec_id+10000) — the
-      // LSH-bucketed detector must recover exactly those 500 pairs,
-      // which a brute-force oracle can verify independently of the LSH
+      // banded detector recovers exact dups with probability 1 (equal
+      // vectors share every band), which the brute-force oracle
+      // verifies independently of the LSH internals
       val emb = t(s, dir, "embeddings")
       val aug = emb.select(col("vec_id"), col("embedding"))
         .union(emb.select((col("vec_id") + 10000).as("vec_id"),
           col("embedding")))
       Dedup.embeddingNearDups(aug, "vec_id", "embedding",
-        threshold = 0.95, planes = 6)
+        threshold = 0.95, bands = 4, rowsPerBand = 16)
         .select(col("id_a"), col("id_b"),
           TextAnalysis.q4(col("cos")).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
@@ -686,25 +765,105 @@ object SparkEntry {
         |  MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Shared CTE prologue for the md5-minhash replicas: tokens → ngrams
+    // (short-doc guarded exactly like Dedup.wordNgramsFromTokens).
     "dedup_ngram_jaccard" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang,
-        |    floor(length(text) / 64.0) AS len_bucket,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1) + 1),
-        |      i -> regexp_split_to_array(lower(trim(text)), '\s+')[i] || ' ' ||
-        |           regexp_split_to_array(lower(trim(text)), '\s+')[i+1] || ' ' ||
-        |           regexp_split_to_array(lower(trim(text)), '\s+')[i+2])) AS ngrams
-        |  FROM documents)
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(ngrams,
+        |      g -> md5(CAST(s AS VARCHAR) || chr(1) || g)))) AS sg
+        |  FROM ng),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id, md5(sg[b*2+1] || sg[b*2+2]) AS band_hash
+        |  FROM sig, range(0, 8) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |    AND l.doc_id < r.doc_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+        |      greatest(len(a.ngrams) + len(b.ngrams)
+        |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 AS jaccard
+        |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_allpairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks)
         |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
         |  floor(CAST(len(list_intersect(l.ngrams, r.ngrams)) AS DOUBLE) /
-        |    greatest(len(list_distinct(list_concat(l.ngrams, r.ngrams))), 1) * 10000) / 10000 AS jaccard
-        |FROM base l JOIN base r
-        |  ON l.lang = r.lang AND l.len_bucket = r.len_bucket
-        |  AND l.doc_id < r.doc_id
+        |    greatest(len(l.ngrams) + len(r.ngrams)
+        |      - len(list_intersect(l.ngrams, r.ngrams)), 1) * 10000) / 10000 AS jaccard
+        |FROM ng l JOIN ng r ON l.doc_id < r.doc_id
         |WHERE floor(CAST(len(list_intersect(l.ngrams, r.ngrams)) AS DOUBLE) /
-        |    greatest(len(list_distinct(list_concat(l.ngrams, r.ngrams))), 1) * 10000) / 10000 >= 0.15
+        |    greatest(len(l.ngrams) + len(r.ngrams)
+        |      - len(list_intersect(l.ngrams, r.ngrams)), 1) * 10000) / 10000 >= 0.15
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(ngrams,
+        |      g -> md5(CAST(s AS VARCHAR) || chr(1) || g)))) AS sg
+        |  FROM ng),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    md5(sg[b*4+1] || sg[b*4+2] || sg[b*4+3] || sg[b*4+4]) AS band_hash
+        |  FROM sig, range(0, 4) t(b))
+        |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |FROM bands l JOIN bands r
+        |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |  AND l.doc_id < r.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+        |  FROM documents),
+        |sim AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+        |    CASE WHEN list_sum(list_transform(hs,
+        |        h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM th)
+        |SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+        |FROM sim GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ann_bruteforce" ->
       """WITH q AS (
@@ -757,8 +916,64 @@ object SparkEntry {
 
     "mm_byte_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // dedup_minhash_lsh, dedup_simhash, sim_ann_lsh: engine-specific
-    // hashing (xxhash64 / murmur3) — rows-only checks.
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sim_ann_lsh" ->
+      // brute-force top-5 over naturals + the 5 planted near-copies per
+      // query (portable integer-noise perturbation, replicated here
+      // bit-for-bit); LSH recall at cos ≥0.9989 with 8×16 bands is
+      // 1 − ~4e-6, so the approximate result equals this exact oracle
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |planted AS (
+        |  SELECT q.query_id + (k + 1) * 100000 AS vec_id,
+        |    list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE)
+        |      + CAST(k + 1 AS DOUBLE) * CAST(0.002 AS DOUBLE)
+        |        * (CAST((q.query_id * 31 + (i - 1) * 17) % 19 - 9 AS DOUBLE)
+        |           / CAST(9 AS DOUBLE))) AS emb
+        |  FROM q, range(0, 5) t(k)),
+        |corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |  UNION ALL SELECT vec_id, emb FROM planted),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> c.emb[i] * CAST(q.qvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(c.emb, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM corpus c CROSS JOIN q
+        |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS neighbor_id
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_lsh_recall" ->
+      // the truth side (exact cosine of every seed against its noised
+      // twin) is fully portable; recall_ok is the assertion the Spark
+      // side must satisfy for the hashes to match
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+        |      + CAST(0.04 AS DOUBLE)
+        |        * (CAST((vec_id * 31 + (i - 1) * 17) % 19 - 9 AS DOUBLE)
+        |           / CAST(9 AS DOUBLE))) AS w
+        |  FROM embeddings),
+        |cosv AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * w[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(w, x -> x * x)))) AS cos
+        |  FROM p)
+        |SELECT COUNT(*) AS n_true,
+        |  floor(MIN(cos) * 10000) / 10000 AS min_cos,
+        |  floor(MAX(cos) * 10000) / 10000 AS max_cos,
+        |  TRUE AS recall_ok
+        |FROM cosv WHERE cos >= 0.9""".stripMargin
   )
 }

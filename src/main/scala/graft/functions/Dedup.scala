@@ -70,6 +70,18 @@ object Dedup {
       array_min(transform(ngrams, s => xxhash64(lit(seed), s)))
     }: _*)
 
+  /** Portable MinHash signature: per-seed minima of md5 hex strings
+    * (lexicographic min over ASCII hex — identical in any engine with
+    * a bit-exact md5, e.g. the DuckDB oracle). ~3× the cost of the
+    * xxhash64 variant; use for oracle-checked gates, keep the xxhash64
+    * signature for production corpora.
+    */
+  def minhashFromNgramsPortable(ngrams: Column, numHashes: Int = 16): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(ngrams, s =>
+        md5(concat(lit(seed.toString), lit("\u0001"), s))))
+    }: _*)
+
   def minhashSignature(text: Column, numHashes: Int = 16,
       ngramN: Int = 3): Column =
     minhashFromNgrams(wordNgrams(text, ngramN), numHashes)
@@ -80,7 +92,8 @@ object Dedup {
     * on (band_id, band_hash): pure shuffle-on-key, no crossing.
     */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3,
+      portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // staged selects: tokens → ngrams → signature → bands, each
     // materialized once per row (never recomputed inside lambdas)
@@ -88,11 +101,15 @@ object Dedup {
       .select(col(idCol),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol), wordNgramsFromTokens(col("__toks"), ngramN).as("__ng"))
-      .select(col(idCol), minhashFromNgrams(col("__ng"), numHashes).as("__sig"))
+      .select(col(idCol),
+        (if (portable) minhashFromNgramsPortable(col("__ng"), numHashes)
+         else minhashFromNgrams(col("__ng"), numHashes)).as("__sig"))
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        xxhash64((0 until rows).map(r =>
-          element_at(col("__sig"), b * rows + r + 1)): _*).as("band_hash"))
+      val comps = (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1))
+      val bandHash: Column =
+        if (portable) md5(concat(comps: _*)) // 32-hex components: unambiguous
+        else xxhash64(comps: _*)
+      struct(lit(b).as("band_id"), bandHash.as("band_hash"))
     }
     staged.select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_hash"))
@@ -101,16 +118,68 @@ object Dedup {
   /** MinHash-LSH candidate pairs (a < b), deduplicated across bands.
     * Verification (exact Jaccard) composes downstream on candidates
     * only — the expensive comparison never touches non-colliding pairs.
+    * `portable = true` derives every hash from md5, so an external SQL
+    * oracle can replicate the exact candidate set.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3): DataFrame = {
-    val b = lshBands(df, idCol, textCol, numHashes, bands, ngramN)
+      numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val b = lshBands(df, idCol, textCol, numHashes, bands, ngramN, portable)
     val l = b.alias("l"); val r = b.alias("r")
     l.join(r, col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Near-dup pairs: MinHash-LSH candidate generation + exact n-gram
+    * Jaccard verification — THE scale path for corpus-level dedup. The
+    * expensive set intersection only touches LSH candidates (linear in
+    * collisions), never the O(n²) pair space. With `bands` = numHashes/2
+    * (2-row bands) recall at j ≥ 0.9 is 1 − (1 − j²)^bands ≈ 0.999998.
+    */
+  def ngramJaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      portable: Boolean = false): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, n,
+      portable)
+    val sets = df
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__ng"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__ng_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__ng_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ng_a"), col("__ng_b"))).as("__inter"),
+        size(col("__ng_a")).as("__na"), size(col("__ng_b")).as("__nb"))
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.q4(col("__inter").cast("double") /
+          greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Unblocked exact all-pairs n-gram Jaccard — ground-truth twin for
+    * the LSH path. O(n²): only for bounded samples/audits, never the
+    * full-corpus hot path.
+    */
+  def ngramJaccardAllPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val sets = df
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__ng"))
+      .select(col(idCol), transform(col("__ng"), g => xxhash64(g)).as("ngh"))
+    val l = sets.alias("l"); val r = sets.alias("r")
+    l.join(r, col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        size(array_intersect(col("l.ngh"), col("r.ngh"))).as("__inter"),
+        size(col("l.ngh")).as("__na"), size(col("r.ngh")).as("__nb"))
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.q4(col("__inter").cast("double") /
+          greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
@@ -155,31 +224,58 @@ object Dedup {
   }
 
   /** SimHash near-dup: group by signature (identical simhash ⇒
-    * near-identical token distribution). See SimHash64 expression.
+    * near-identical token distribution). `portable = true` derives the
+    * per-token hash from md5 (60 usable bits) so an external SQL oracle
+    * can recompute the identical signature; default is the faster
+    * native xxhash64 with all 64 bits.
     */
-  def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // two-phase select: token hashing materializes once, then the 64
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    // two-phase select: token hashing materializes once, then the
     // bit-votes read the same array (no re-hash per bit)
-    df.select(col(idCol), Similarity.tokenHashes(col(textCol)).as("th"))
-      .select(col(idCol), Similarity.simhashFromHashes(col("th")).as("simhash"))
+    val th = if (portable) Similarity.tokenHashesPortable(col(textCol))
+             else Similarity.tokenHashes(col(textCol))
+    val bits = if (portable) 60 else 64
+    df.select(col(idCol), th.as("th"))
+      .select(col(idCol),
+        Similarity.simhashFromHashes(col("th"), bits).as("simhash"))
       .groupBy("simhash")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+  }
 
-  /** Embedding-cosine near-dup pairs above a threshold, blocked by an
-    * LSH bucket to avoid the full cross join (see Similarity).
+  /** Embedding-cosine near-dup pairs above a threshold. Candidates come
+    * from banded sign-LSH (OR of `bands` AND-bands of `rowsPerBand`
+    * hyperplane bits — see Similarity.signBands): a pair is a candidate
+    * if it agrees on EVERY bit of ANY band. Identical vectors collide
+    * in every band, so exact-duplicate recall is 1.0 at any setting;
+    * near-dup recall is 1 − (1 − p^r)^b with p = 1 − θ/π.
+    *
+    * 100 TB scaling: bucket granularity is 2^rowsPerBand per band, so
+    * size rowsPerBand ≈ log2(n / targetBucketRows) (e.g. 24–28 at 1e10
+    * rows) and raise `bands` to keep recall; the candidate join stays
+    * a pure equi-join on (band_id, band_sig).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val withSig = df.select(col(idCol), col(vecCol),
-      Similarity.hyperplaneSignature(col(vecCol), planes, dims).as("sig"),
-      Similarity.norm(col(vecCol)).as("__n"))
-    val l = withSig.alias("l"); val r = withSig.alias("r")
-    val denom = col("l.__n") * col("r.__n")
-    l.join(r, col("l.sig") === col("r.sig") &&
+      threshold: Double, bands: Int = 4, rowsPerBand: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val bandsDf = Similarity.signBands(df, idCol, vecCol, bands, rowsPerBand, dims)
+    val l = bandsDf.alias("l"); val r = bandsDf.alias("r")
+    val cands = l.join(r, col("l.band_id") === col("r.band_id") &&
+        col("l.band_sig") === col("r.band_sig") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol), col(vecCol),
+      Similarity.norm(col(vecCol)).as("__n"))
+    val denom = col("__n_a") * col("__n_b")
+    cands
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__v_a"),
+        col("__n").as("__n_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__v_b"),
+        col("__n").as("__n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
         when(denom === 0, lit(0.0))
-          .otherwise(Similarity.dot(col(s"l.$vecCol"), col(s"r.$vecCol")) / denom)
+          .otherwise(Similarity.dot(col("__v_a"), col("__v_b")) / denom)
           .as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -70,15 +70,12 @@ object Similarity {
       (math.floorMod(h, 1000003).toDouble / 500001.5) - 1.0
     }
 
-  /** Sign-LSH signature: for each of `planes` hyperplanes, the sign of
-    * the projection — a bit string. Vectors in the same bucket are
-    * likely neighbors; bucketing turns all-pairs similarity into a
-    * per-bucket join (the scale path for ANN and near-dup).
-    * `dims` must match the embedding dimensionality.
+  /** All `planes` sign bits in one staged pass: array of '0'/'1'
+    * strings, one per hyperplane. Computing the whole bit array once
+    * and slicing bands out of it beats re-projecting per band.
     */
-  def hyperplaneSignature(vec: Column, planes: Int = 8,
-      dims: Int = 64): Column =
-    concat((0 until planes).map { p =>
+  def signBits(vec: Column, planes: Int, dims: Int = 64): Column =
+    array((0 until planes).map { p =>
       val plane = lit(planeVector(p, dims))
       val proj = aggregate(
         zip_with(vec, plane, (x, w) => x.cast("double") * w),
@@ -87,27 +84,65 @@ object Similarity {
       // loud error instead of silently collapsing every vector into one
       // bucket (correct results, but LSH degrades to brute force)
       when(proj.isNull, raise_error(lit(
-        s"hyperplaneSignature: vector dims != $dims")))
+        s"signBits: vector dims != $dims")))
         .when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
-  /** LSH-bucketed approximate top-k: like bruteForceTopK but queries
-    * only compare against corpus vectors sharing their signature.
-    * Recall < 1.0 by construction; multiply `planes` down or probe
-    * multiple buckets for higher recall.
+  /** Single AND-only signature (all planes concatenated) — kept for
+    * compatibility and for tests; production paths use `signBands`.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int = 8,
+      dims: Int = 64): Column =
+    concat_ws("", signBits(vec, planes, dims))
+
+  /** Banded sign-LSH (OR of `bands` AND-bands, mirroring the MinHash
+    * band structure): emits one row per (id, band_id, band_sig) where
+    * band_sig concatenates `rowsPerBand` hyperplane sign bits. Two
+    * vectors are candidates if they share ANY band — recall
+    * 1 − (1 − p^r)^b instead of the single-band p^planes, with the
+    * same pure equi-join shape on (band_id, band_sig).
+    *
+    * Sizing at scale: buckets per band = 2^rowsPerBand; pick
+    * rowsPerBand ≈ log2(corpusRows / targetBucketRows) so the
+    * within-bucket join stays linear, then raise `bands` until
+    * 1 − (1 − p^r)^b meets the recall target at the similarity of
+    * interest.
+    */
+  def signBands(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, rowsPerBand: Int, dims: Int = 64): DataFrame = {
+    val staged = df.select(col(idCol),
+      signBits(col(vecCol), bands * rowsPerBand, dims).as("__bits"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("", (0 until rowsPerBand).map(r =>
+          element_at(col("__bits"), b * rowsPerBand + r + 1)): _*)
+          .as("band_sig"))
+    }
+    staged.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_sig"))
+  }
+
+  /** Banded-LSH approximate top-k: queries compare only against corpus
+    * vectors sharing at least one band signature. The query side is
+    * broadcast (probe batches are small); the corpus side stays
+    * distributed — band join, distinct candidate pairs, then one
+    * hash join back to vectors for exact scoring.
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, planes: Int = 8, dims: Int = 64): DataFrame = {
+      k: Int, bands: Int = 8, rowsPerBand: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val cb = signBands(corpus, corpusId, corpusVec, bands, rowsPerBand, dims)
+    val qb = signBands(queries, queryId, queryVec, bands, rowsPerBand, dims)
+    val cands = cb.join(broadcast(qb), Seq("band_id", "band_sig"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId)).distinct()
     val c = corpus.select(col(corpusId), col(corpusVec),
-      hyperplaneSignature(col(corpusVec), planes, dims).as("sig"),
       norm(col(corpusVec)).as("__cn"))
     val q = queries.select(col(queryId), col(queryVec),
-      hyperplaneSignature(col(queryVec), planes, dims).as("sig"),
       norm(col(queryVec)).as("__qn"))
     val denom = col("__cn") * col("__qn")
-    val joined = c.join(q.hint("broadcast"), Seq("sig"))
-      .filter(col(queryId) =!= col(corpusId))
+    val joined = cands.join(c, corpusId).join(broadcast(q), queryId)
       .select(col(queryId), col(corpusId),
         when(denom === 0, lit(0.0))
           .otherwise(dot(col(corpusVec), col(queryVec)) / denom).as("cos"))
@@ -130,11 +165,20 @@ object Similarity {
   def tokenHashes(text: Column): Column =
     transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
 
-  /** 64-bit simhash from a precomputed token-hash array: for each bit
-    * b, sum over tokens of (bit set ? +1 : −1); sign → bit b.
+  /** Portable per-token hash: the first 15 hex chars of md5 parsed as
+    * a 60-bit non-negative long. Any engine with bit-exact md5 can
+    * recompute it (DuckDB: `CAST('0x' || substr(md5(t),1,15) AS
+    * BIGINT)`), unlike xxhash64/murmur3 which exist only in Spark.
     */
-  def simhashFromHashes(hashes: Column): Column = {
-    val bits = (0 until 64).map { b =>
+  def tokenHashesPortable(text: Column): Column =
+    transform(TextAnalysis.tokens(lower(text)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** Simhash from a precomputed token-hash array: for each bit b in
+    * [0, numBits), sum over tokens of (bit set ? +1 : −1); sign → bit.
+    */
+  def simhashFromHashes(hashes: Column, numBits: Int = 64): Column = {
+    val bits = (0 until numBits).map { b =>
       val vote = aggregate(hashes, lit(0L), (acc, h) =>
         acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))

@@ -156,6 +156,63 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(sigs(0).length === 8)
   }
 
+  test("portable md5-derived 60-bit hash matches the reference value") {
+    import spark.implicits._
+    // DuckDB: CAST('0x' || substr(md5('a'),1,15) AS BIGINT) = 57446577476672362
+    val got = Seq("a").toDF("t")
+      .select(Similarity.tokenHashesPortable(col("t")).getItem(0))
+      .collect()(0).getLong(0)
+    assert(got === 57446577476672362L)
+  }
+
+  test("banded sign-LSH: exact dups collide in every band; near-dups in some") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => (i + 1).toFloat / 8f)
+    val nearDup = v.clone(); nearDup(0) = v(0) + 0.02f
+    val far = Array.tabulate(8)(i => ((i % 2) * 2 - 1).toFloat)
+    val df = Seq((1L, v), (2L, v), (3L, nearDup), (4L, far))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      threshold = 0.95, bands = 4, rowsPerBand = 4, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))       // exact dup: guaranteed
+    assert(pairs.contains((1L, 3L)))       // near dup, cos ≈0.9996
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("banded lshTopK recovers planted high-cos neighbors") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    def pert(eps: Float) = base.zipWithIndex.map { case (x, i) =>
+      x + eps * (if (i % 2 == 0) 1 else -1) }
+    val corpus = Seq(
+      (10L, base), (11L, pert(0.01f)), (12L, pert(0.02f)),
+      (13L, Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, base)).toDF("query_id", "qvec")
+    val got = Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 2, bands = 6, rowsPerBand = 4,
+      dims = 16).collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+    assert(got.sortBy(_._1).map(_._2).take(2).toSeq === Seq(11L, 12L))
+  }
+
+  test("LSH-verified jaccard equals all-pairs on high-similarity docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight again"
+    val df = Seq(
+      (1L, base), (2L, base), (3L, base + " slightly changed tail here"),
+      (4L, "completely different content about database engines and optimizers"))
+      .toDF("doc_id", "text")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = norm(Dedup.ngramJaccardPairsLsh(df, "doc_id", "text", 0.5,
+      portable = true).collect())
+    val exact = norm(Dedup.ngramJaccardAllPairs(df, "doc_id", "text", 0.5)
+      .collect())
+    assert(lsh === exact)
+    assert(lsh.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
   test("multimodal: decode plumbing tags failures instead of aborting") {
     import spark.implicits._
     val df = Seq(
