@@ -357,10 +357,11 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "dedup_ngram_allpairs" -> ((s, dir) =>
-      // ground-truth twin on a 1/3 sample: unblocked exact all-pairs
-      // Jaccard, independently recomputable by the oracle
+      // ground-truth twin on a BOUNDED audit sample (first 200 ids —
+      // constant cost at any sf): unblocked exact all-pairs Jaccard,
+      // independently recomputable by the oracle
       Dedup.ngramJaccardAllPairs(
-        t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        t(s, dir, "documents").filter(col("doc_id") < 200),
         "doc_id", "text", threshold = 0.15, n = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -779,13 +780,18 @@ object SparkEntry {
         |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
         |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
         |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
         |sig AS (
         |  SELECT doc_id, list_transform(range(0, 16),
-        |    s -> list_min(list_transform(ngrams,
-        |      g -> md5(CAST(s AS VARCHAR) || chr(1) || g)))) AS sg
-        |  FROM ng),
+        |    s -> list_min(list_transform(hs, h -> h.h1 + s * h.h2))) AS sg
+        |  FROM hp),
         |bands AS (
-        |  SELECT doc_id, b AS band_id, md5(sg[b*2+1] || sg[b*2+2]) AS band_hash
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
         |  FROM sig, range(0, 8) t(b)),
         |cands AS (
         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -804,7 +810,7 @@ object SparkEntry {
     "dedup_ngram_allpairs" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-        |  FROM documents WHERE doc_id % 3 = 0),
+        |  FROM documents WHERE doc_id < 200),
         |ng AS (
         |  SELECT doc_id,
         |    CASE WHEN len(tk) >= 3 THEN
@@ -835,14 +841,19 @@ object SparkEntry {
         |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
         |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
         |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
         |sig AS (
         |  SELECT doc_id, list_transform(range(0, 16),
-        |    s -> list_min(list_transform(ngrams,
-        |      g -> md5(CAST(s AS VARCHAR) || chr(1) || g)))) AS sg
-        |  FROM ng),
+        |    s -> list_min(list_transform(hs, h -> h.h1 + s * h.h2))) AS sg
+        |  FROM hp),
         |bands AS (
         |  SELECT doc_id, b AS band_id,
-        |    md5(sg[b*4+1] || sg[b*4+2] || sg[b*4+3] || sg[b*4+4]) AS band_hash
+        |    CAST(sg[b*4+1] AS VARCHAR) || '|' || CAST(sg[b*4+2] AS VARCHAR) || '|' ||
+        |    CAST(sg[b*4+3] AS VARCHAR) || '|' || CAST(sg[b*4+4] AS VARCHAR) AS band_hash
         |  FROM sig, range(0, 4) t(b))
         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         |FROM bands l JOIN bands r

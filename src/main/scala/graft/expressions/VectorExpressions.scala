@@ -1,0 +1,195 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the embedding-similarity hot paths.
+  *
+  * The declarative forms (`aggregate(zip_with(...))`) are correct but
+  * run through the interpreted higher-order-function path — one lambda
+  * evaluation per vector element. At 100 TB that interpretive overhead
+  * dominates the actual multiply-adds, so the two innermost kernels are
+  * native expressions with `doGenCode`: a tight scalar loop inside
+  * whole-stage codegen, no virtual calls per element.
+  *
+  * Numeric parity: both kernels accumulate left-to-right over the
+  * element index in plain IEEE doubles — bit-identical to the
+  * `aggregate` fold they replace AND to the DuckDB oracle's
+  * `list_sum(list_transform(...))`, so oracle-checked results are
+  * unchanged.
+  */
+object VectorExpressions {
+
+  private[expressions] def elementReader(dt: DataType,
+      arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case other => throw new IllegalArgumentException(
+      s"vector expression expects array<float|double>, got $other")
+  }
+
+  private[expressions] def elementAt(dt: DataType,
+      arr: ArrayData, i: Int): Double = dt match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"vector expression expects array<float|double>, got $other")
+  }
+}
+
+/** Dot product of two float/double array columns as one codegen'd loop.
+  * Null if either side is null, either side has a null element, or the
+  * lengths differ (mirrors `zip_with` null-padding semantics).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects two array<float|double> arguments, " +
+        s"got ${left.dataType} and ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val n = av.numElements()
+    if (n != bv.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (av.isNullAt(i) || bv.isNullAt(i)) return null
+      s += VectorExpressions.elementAt(left.dataType, av, i) *
+        VectorExpressions.elementAt(right.dataType, bv, i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val la = VectorExpressions.elementReader(left.dataType, a, i)
+      val rb = VectorExpressions.elementReader(right.dataType, b, i)
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $la * $rb;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
+}
+
+/** All hyperplane sign bits of a vector as one '0'/'1' string: bit p is
+  * the sign of the projection onto plane p. One codegen'd double loop
+  * per row replaces `planes` separate interpreted aggregate passes.
+  * Band signatures are then cheap substrings of the result.
+  *
+  * Throws on a dimensionality mismatch or null element instead of
+  * degrading every vector into one bucket (same contract as the
+  * declarative signBits it replaces).
+  */
+case class SignBits(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val numPlanes = planes.length
+  private val dims = if (planes.isEmpty) 0 else planes(0).length
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "sign_bits"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_bits expects array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"signBits: vector dims != $dims")
+    val bits = new Array[Char](numPlanes)
+    var p = 0
+    while (p < numPlanes) {
+      val plane = planes(p)
+      var s = 0.0
+      var d = 0
+      while (d < dims) {
+        if (vec.isNullAt(d))
+          throw new RuntimeException(s"signBits: vector dims != $dims")
+        s += VectorExpressions.elementAt(child.dataType, vec, d) * plane(d)
+        d += 1
+      }
+      bits(p) = if (s >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromString(new String(bits))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val bits = ctx.freshName("bits")
+      val elem = VectorExpressions.elementReader(child.dataType, v, d)
+      s"""
+         |if ($v.numElements() != $dims) {
+         |  throw new RuntimeException("signBits: vector dims != $dims");
+         |}
+         |char[] $bits = new char[$numPlanes];
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $dims; $d++) {
+         |    if ($v.isNullAt($d)) {
+         |      throw new RuntimeException("signBits: vector dims != $dims");
+         |    }
+         |    $s += $elem * $planesRef[$p][$d];
+         |  }
+         |  $bits[$p] = ($s >= 0) ? '1' : '0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(new String($bits));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBits =
+    copy(child = newChild)
+}

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  import org.apache.spark.sql.graftglue.Glue.{column => exprCol, expression => colExpr}
+
   /** Exact dedup: hash-groupBy on the normalized-text fingerprint.
     * Returns one row per distinct content: keeper id (min), dup count.
     * One shuffle of (16-byte key, id) pairs regardless of corpus size.
@@ -70,16 +72,30 @@ object Dedup {
       array_min(transform(ngrams, s => xxhash64(lit(seed), s)))
     }: _*)
 
-  /** Portable MinHash signature: per-seed minima of md5 hex strings
-    * (lexicographic min over ASCII hex — identical in any engine with
-    * a bit-exact md5, e.g. the DuckDB oracle). ~3× the cost of the
-    * xxhash64 variant; use for oracle-checked gates, keep the xxhash64
-    * signature for production corpora.
+  /** Portable per-gram hash pair for Carter–Wegman MinHash: ONE md5
+    * per gram, split into two independent halves — h1 (60 bits from
+    * hex chars 1–15) and h2 (40 bits from chars 16–25). The i-th
+    * "seeded" hash is then h1 + i·h2 (Broder's linear family): max
+    * value 2^60 + 15·2^40 — no 64-bit overflow, and any engine with
+    * bit-exact md5 and 64-bit integers replays it (DuckDB:
+    * `CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)`).
     */
-  def minhashFromNgramsPortable(ngrams: Column, numHashes: Int = 16): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(ngrams, s =>
-        md5(concat(lit(seed.toString), lit("\u0001"), s))))
+  def portableGramHashPairs(md5s: Column): Column =
+    transform(md5s, m => struct(
+      conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(m, 16, 10), 16, 10).cast("long").as("h2")))
+
+  /** Portable MinHash signature from a MATERIALIZED (h1, h2) struct
+    * array (see portableGramHashPairs — the md5 pass must be staged in
+    * its own select so the `numHashes` minima reread the array instead
+    * of re-hashing). Components are longs; an external SQL oracle
+    * recomputes them exactly.
+    */
+  def minhashFromHashPairsPortable(pairs: Column,
+      numHashes: Int = 16): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(pairs,
+        h => h.getField("h1") + lit(i.toLong) * h.getField("h2")))
     }: _*)
 
   def minhashSignature(text: Column, numHashes: Int = 16,
@@ -95,19 +111,27 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3,
       portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    // staged selects: tokens → ngrams → signature → bands, each
-    // materialized once per row (never recomputed inside lambdas)
-    val staged = df
+    // staged selects: tokens → ngrams → (hashes) → signature → bands,
+    // each materialized once per row (never recomputed inside lambdas)
+    val ngrams = df
       .select(col(idCol),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol), wordNgramsFromTokens(col("__toks"), ngramN).as("__ng"))
-      .select(col(idCol),
-        (if (portable) minhashFromNgramsPortable(col("__ng"), numHashes)
-         else minhashFromNgrams(col("__ng"), numHashes)).as("__sig"))
+    val staged =
+      if (portable)
+        // native single-pass kernel: one md5 + all minima per doc
+        // (see graft.expressions.PortableMinHash; bit-identical to the
+        // staged declarative form kept for parity tests)
+        ngrams.select(col(idCol),
+          exprCol(graft.expressions.PortableMinHash(
+            colExpr(col("__ng")), numHashes)).as("__sig"))
+      else
+        ngrams.select(col(idCol),
+          minhashFromNgrams(col("__ng"), numHashes).as("__sig"))
     val bandCols = (0 until bands).map { b =>
       val comps = (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1))
       val bandHash: Column =
-        if (portable) md5(concat(comps: _*)) // 32-hex components: unambiguous
+        if (portable) concat_ws("|", comps.map(_.cast("string")): _*)
         else xxhash64(comps: _*)
       struct(lit(b).as("band_id"), bandHash.as("band_hash"))
     }
@@ -231,15 +255,21 @@ object Dedup {
     */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
-    // two-phase select: token hashing materializes once, then the
-    // bit-votes read the same array (no re-hash per bit)
-    val th = if (portable) Similarity.tokenHashesPortable(col(textCol))
-             else Similarity.tokenHashes(col(textCol))
-    val bits = if (portable) 60 else 64
-    df.select(col(idCol), th.as("th"))
-      .select(col(idCol),
-        Similarity.simhashFromHashes(col("th"), bits).as("simhash"))
-      .groupBy("simhash")
+    val sig =
+      if (portable)
+        // native single-pass kernel: md5 + all 60 bit-votes per doc
+        df.select(col(idCol),
+          TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+          .select(col(idCol),
+            exprCol(graft.expressions.PortableSimHash(
+              colExpr(col("__toks")), 60)).as("simhash"))
+      else
+        // two-phase select: token hashing materializes once, then the
+        // bit-votes read the same array (no re-hash per bit)
+        df.select(col(idCol), Similarity.tokenHashes(col(textCol)).as("th"))
+          .select(col(idCol),
+            Similarity.simhashFromHashes(col("th"), 64).as("simhash"))
+    sig.groupBy("simhash")
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
   }
 

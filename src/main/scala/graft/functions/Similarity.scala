@@ -13,8 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns. */
+  import org.apache.spark.sql.graftglue.Glue.{column => exprCol, expression => colExpr}
+
+  /** Dot product of two float/double-array columns — a native codegen'd
+    * Catalyst expression (see graft.expressions.VecDot). Accumulation
+    * order matches the declarative `aggregate(zip_with(...))` fold it
+    * replaced, so results are bit-identical.
+    */
   def dot(a: Column, b: Column): Column =
+    exprCol(graft.expressions.VecDot(colExpr(a), colExpr(b)))
+
+  /** Declarative twin of `dot` (interpreted HOF path) — kept for parity
+    * testing against the codegen kernel.
+    */
+  private[functions] def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -70,19 +82,23 @@ object Similarity {
       (math.floorMod(h, 1000003).toDouble / 500001.5) - 1.0
     }
 
-  /** All `planes` sign bits in one staged pass: array of '0'/'1'
-    * strings, one per hyperplane. Computing the whole bit array once
-    * and slicing bands out of it beats re-projecting per band.
+  /** All `planes` sign bits of a vector as one '0'/'1' string, computed
+    * by the codegen'd SignBits kernel (one tight double loop per row
+    * instead of `planes` interpreted aggregate passes). Band signatures
+    * slice this string with substring.
     */
   def signBits(vec: Column, planes: Int, dims: Int = 64): Column =
-    array((0 until planes).map { p =>
+    exprCol(graft.expressions.SignBits(colExpr(vec),
+      Array.tabulate(planes)(p => planeVector(p, dims))))
+
+  /** Declarative twin of `signBits` — kept for parity testing. */
+  private[functions] def signBitsDeclarative(vec: Column, planes: Int,
+      dims: Int = 64): Column =
+    concat_ws("", (0 until planes).map { p =>
       val plane = lit(planeVector(p, dims))
       val proj = aggregate(
         zip_with(vec, plane, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
-      // dims mismatch ⇒ zip_with null-pads ⇒ proj NULL: surface it as a
-      // loud error instead of silently collapsing every vector into one
-      // bucket (correct results, but LSH degrades to brute force)
       when(proj.isNull, raise_error(lit(
         s"signBits: vector dims != $dims")))
         .when(proj >= 0, lit("1")).otherwise(lit("0"))
@@ -93,7 +109,7 @@ object Similarity {
     */
   def hyperplaneSignature(vec: Column, planes: Int = 8,
       dims: Int = 64): Column =
-    concat_ws("", signBits(vec, planes, dims))
+    signBits(vec, planes, dims)
 
   /** Banded sign-LSH (OR of `bands` AND-bands, mirroring the MinHash
     * band structure): emits one row per (id, band_id, band_sig) where
@@ -114,8 +130,7 @@ object Similarity {
       signBits(col(vecCol), bands * rowsPerBand, dims).as("__bits"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        concat_ws("", (0 until rowsPerBand).map(r =>
-          element_at(col("__bits"), b * rowsPerBand + r + 1)): _*)
+        substring(col("__bits"), b * rowsPerBand + 1, rowsPerBand)
           .as("band_sig"))
     }
     staged.select(col(idCol), explode(array(bandCols: _*)).as("band"))

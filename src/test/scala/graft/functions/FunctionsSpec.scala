@@ -156,6 +156,61 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(sigs(0).length === 8)
   }
 
+  test("codegen VecDot/SignBits are bit-identical to the declarative forms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1),
+        Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(
+      Similarity.dot(col("a"), col("b")).as("fast"),
+      Similarity.dotDeclarative(col("a"), col("b")).as("slow"),
+      Similarity.signBits(col("a"), 12, dims = 16).as("fastBits"),
+      Similarity.signBitsDeclarative(col("a"), 12, dims = 16).as("slowBits"))
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(r.getString(2) === r.getString(3))
+      assert(r.getString(2).length === 12)
+    }
+  }
+
+  test("VecDot null/length semantics mirror zip_with") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("codegen PortableMinHash/PortableSimHash match the declarative forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftglue.Glue.{column => exprCol, expression => colExpr}
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "word"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.wordNgrams(col("text")).as("ng"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val cmp = df.select(
+      exprCol(graft.expressions.PortableMinHash(colExpr(col("ng")), 16)).as("fast"),
+      col("ng"), col("toks"),
+      exprCol(graft.expressions.PortableSimHash(colExpr(col("toks")), 60)).as("fastSim"))
+      .select(col("fast"),
+        Dedup.minhashFromHashPairsPortable(
+          Dedup.portableGramHashPairs(transform(col("ng"), g => md5(g))), 16).as("slow"),
+        col("fastSim"),
+        Similarity.simhashFromHashes(
+          transform(col("toks"),
+            t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")), 60).as("slowSim"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Any](0) === r.getSeq[Any](1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("portable md5-derived 60-bit hash matches the reference value") {
     import spark.implicits._
     // DuckDB: CAST('0x' || substr(md5('a'),1,15) AS BIGINT) = 57446577476672362
