@@ -27,7 +27,16 @@ final case class Config(
     parallelismOut: Int = 8,
     /** incremental sort batch (-sort_size, pl:167). */
     sortSize: Int = 10000,
-    ignoreErrors: Boolean = false
+    ignoreErrors: Boolean = false,
+    /** -skip_citext_length_check: no char_length CHECK on citext
+      * columns under -i (pl:420–424). */
+    skipCitextLengthCheck: Boolean = false,
+    /** -use_pk_if_possible: table list (or "*") allowed to use the
+      * sortable-PK incremental path (C17, pl:168/4105–4133). */
+    usePkIfPossible: String = "",
+    /** -stringtype_unspecified: JDBC stringtype=unspecified so PG casts
+      * varchar params to citext/uuid/… implicitly (pl:3723–3727). */
+    stringtypeUnspecified: Boolean = false
 ) {
   /** dbo→public default + user remapping (B14, pl:716–751). */
   def relabel(schema: String): String = {

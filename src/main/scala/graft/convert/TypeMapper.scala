@@ -112,6 +112,7 @@ object TypeMapper {
   private def textType(pgBase: String, t: SqlType, conf: Config): Converted =
     if (conf.caseInsensitive) {
       val check = t.arg1.filterNot(_ => t.isMax)
+        .filterNot(_ => conf.skipCitextLengthCheck) // pl:420–424
         .map(len => s"char_length(%s) <= $len")
       Converted("citext", StringType, generatedCheck = check,
         requiresCitext = true)

@@ -48,6 +48,24 @@ final class PgDdlEmitter(conf: Config = Config()) {
     if (cat.requiresCitext) before ++= "CREATE EXTENSION IF NOT EXISTS citext;\n"
     if (cat.requiresPostgis) before ++= "CREATE EXTENSION IF NOT EXISTS postgis;\n"
 
+    // B3: implicit varchar→type casts for text-based loads (pl:243–255,
+    // 1285–1301): 'C' types get a CREATE CAST … WITH INOUT AS IMPLICIT
+    // around the load, 'S' (xml) a pg_cast castcontext tweak. Spark's
+    // typed JDBC writes don't need these (P14); psql/COPY replays do.
+    cat.casts.toSeq.sortBy(_._1).foreach { case (tpe, kind) =>
+      kind match {
+        case 'C' =>
+          before ++= s"DROP CAST IF EXISTS (varchar as $tpe);\n"
+          before ++= s"CREATE CAST (varchar as $tpe) WITH INOUT AS IMPLICIT;\n"
+          after ++= s"DROP CAST (varchar as $tpe);\n"
+        case _ => // 'S'
+          before ++= "UPDATE pg_cast SET castcontext='i' WHERE " +
+            s"castsource='character varying'::regtype AND casttarget='$tpe'::regtype;\n"
+          after ++= "UPDATE pg_cast SET castcontext='e' WHERE " +
+            s"castsource='character varying'::regtype AND casttarget='$tpe'::regtype;\n"
+      }
+    }
+
     // psql variables from :setvar (pl:2643–2646)
     cat.variables.toSeq.sortBy(_._1).foreach { case (k, v) =>
       unsure ++= s"\\set $k '$v'\n"

@@ -48,9 +48,14 @@ object JdbcSink {
     * the reference's truncate step).
     */
   def write(df: DataFrame, spec: Spec): Unit = {
+    // match the reference's -po connection count exactly: coalesce down
+    // (no shuffle) when over, repartition UP when under — a 2-partition
+    // DataFrame must still open numPartitions writer connections
+    val n = df.rdd.getNumPartitions
     val repartitioned =
-      if (df.rdd.getNumPartitions > spec.numPartitions)
-        df.coalesce(spec.numPartitions) else df
+      if (n > spec.numPartitions) df.coalesce(spec.numPartitions)
+      else if (n < spec.numPartitions) df.repartition(spec.numPartitions)
+      else df
     repartitioned.write
       .format("jdbc")
       .options(jdbcOptions(spec))

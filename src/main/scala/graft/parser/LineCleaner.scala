@@ -31,10 +31,24 @@ object LineCleaner {
         val nuls = sample.count(_ == 0)
         if (sample.nonEmpty && nuls * 3 > sample.length)
           Charset.forName(if (sample.indexOf(0) % 2 == 1) "UTF-16LE" else "UTF-16BE")
-        else Charset.forName("UTF-8")
+        else if (isValidUtf8(bytes)) Charset.forName("UTF-8")
+        // Encode::Guess fallback list includes iso8859-15 (pl:1526):
+        // a Latin-1/9 SSMS export with high-bit chars is not valid
+        // UTF-8 and must not be decoded as it (silent mojibake)
+        else Charset.forName("ISO-8859-15")
       }
     stripBom(new String(bytes, cs))
   }
+
+  /** Strict UTF-8 validity check (decode with REPORT, not REPLACE). */
+  private def isValidUtf8(bytes: Array[Byte]): Boolean =
+    try {
+      Charset.forName("UTF-8").newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
 
   private def stripBom(s: String): String =
     if (s.nonEmpty && s.charAt(0) == '﻿') s.substring(1) else s

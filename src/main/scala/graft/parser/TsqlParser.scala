@@ -631,9 +631,12 @@ final class TsqlParser(conf: Config = Config()) {
       s"""(?i)@$k\\s*=\\s*N?'((?:[^']|'')*)'""".r.findFirstMatchIn(one)
         .map(_.group(1).replace("''", "'"))
     val propName = arg("name").getOrElse("")
-    // Only MS_Description / MS_SSMA_SOURCE become comments (pl:2322–2386);
-    // the 50+ SSMS GUI layout properties are ignored.
-    if (propName != "MS_Description" && propName != "MS_SSMA_SOURCE") return
+    // MS_Description / MS_SSMA_SOURCE become comments (pl:2322–2386),
+    // and the multi-line 'Dictionary' variant is another way tables get
+    // comments (pl:2387–2406); the 50+ SSMS GUI layout properties are
+    // ignored.
+    if (propName != "MS_Description" && propName != "MS_SSMA_SOURCE" &&
+      propName != "Dictionary") return
     val value = arg("value").getOrElse("")
     val l0 = arg("level0name").map(s => relabel(s))
     val l1type = arg("level1type").map(_.toUpperCase)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.Row
@@ -42,21 +42,42 @@ object EventStream {
         .withWatermark("ts", watermark),
       windowDur)
 
-  /** Continuous sync sink: each micro-batch applies idempotent upserts
-    * via the DiffSync JDBC writer — `foreachBatch` + upsert is the
-    * exactly-once-effective pattern (batch id dedup left to the target
-    * table's PK).
+  /** Map a CDC operation column onto the DiffSync flag vocabulary:
+    * delete markers → "deleted" (tombstone rows need only their PK
+    * columns populated), everything else → "changed" (upsert).
+    */
+  private[streaming] def cdcFlag(op: Column): Column =
+    when(lower(op.cast("string"))
+      .isin("delete", "deleted", "d", "-"), lit("deleted"))
+      .otherwise(lit("changed"))
+
+  /** Continuous sync sink: each micro-batch applies idempotent
+    * upserts AND deletes via the DiffSync JDBC writer — `foreachBatch`
+    * + upsert is the exactly-once-effective pattern (batch-id dedup
+    * left to the target table's PK).
+    *
+    * `opCol` names the stream's CDC operation column (Debezium-style
+    * op codes or plain "delete"/"upsert" strings); rows flagged as
+    * deletes are removed from the target instead of upserted. Without
+    * an opCol the stream is treated as insert/update-only — the
+    * reference's batch re-sync semantics (FAQ.md:46–48), which can
+    * never observe a disappearance inside a micro-batch.
     */
   def continuousSyncWriter(stream: DataFrame, pkCols: Seq[String],
       target: graft.operators.DiffSync.SyncTarget,
-      checkpoint: String): DataStreamWriter[Row] =
+      checkpoint: String, opCol: Option[String] = None): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("10 seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val flagged = batch.withColumn(
-          graft.operators.DiffSync.FlagCol, lit("changed"))
+        val flagged = opCol match {
+          case Some(c) =>
+            batch.withColumn(graft.operators.DiffSync.FlagCol,
+              cdcFlag(col(c))).drop(c)
+          case None =>
+            batch.withColumn(graft.operators.DiffSync.FlagCol, lit("changed"))
+        }
         graft.operators.DiffSync.applyToJdbc(flagged, pkCols, target)
       }
 }

@@ -1,0 +1,97 @@
+package graft.tools
+
+import graft.convert.{ConfFile, Config}
+import graft.emit.PgDdlEmitter
+import graft.parser.{ParseException, TsqlParser}
+import java.nio.file.{Files, Paths}
+
+/** The single CLI binding the reference's full option surface
+  * (sqlserver2pgsql.pl:3272–3351): `-conf <file>` + the whole short
+  * option matrix, CLI winning over conf, then parse → convert → emit
+  * before/after/unsure (+ col map).
+  *
+  * The `kettle directory` parameter is accepted for conf-file
+  * compatibility but only acknowledged with a note: the Kettle jobs
+  * are replaced by the Spark operators (graft.operators.*), which read
+  * the same Config (parallelism, ignore errors, sort size).
+  */
+object Main {
+
+  private val usage =
+    """usage: graft.tools.Main [-conf <conf_file>] -f <dump> -b <before> -a <after> -u <unsure>
+      |  [-i] [-num] [-nr] [-keep_identifier_case | -camel_to_snake]
+      |  [-drop_rowversion] [-use_identity_column] [-relabel_schemas 'a=>b;c=>d']
+      |  [-validate_constraints yes|after|no] [-skip_citext_length_check]
+      |  [-col_map_file <f> [-col_map_file_header] [-col_map_file_delimiter <d>]]
+      |  [-pi N] [-po N] [-sort_size N] [-ignore_errors] [-use_pk_if_possible '*'|t1,t2]
+      |  [-sd db -sh host -si inst -sp port -su user -sw pass]
+      |  [-pd db -ph host -pp port -pu user -pw pass]
+      |  [-sforce_ssl] [-pforce_ssl] [-stringtype_unspecified]""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val job =
+      try buildJob(args.toSeq)
+      catch {
+        case e: ConfFile.ConfException =>
+          System.err.println(e.msg); System.err.println(usage); sys.exit(2)
+          return
+      }
+    val dump = job.dumpFile.getOrElse {
+      System.err.println("Missing -f (sql server dump filename)")
+      System.err.println(usage); sys.exit(2); return
+    }
+    if (job.beforeFile.isEmpty || job.afterFile.isEmpty || job.unsureFile.isEmpty) {
+      System.err.println("Missing -b/-a/-u output files")
+      System.err.println(usage); sys.exit(2); return
+    }
+    job.kettleDir.foreach(_ => System.err.println(
+      "note: kettle directory set — data movement runs on Spark " +
+        "(graft.operators), no Kettle jobs are generated"))
+    val cat =
+      try new TsqlParser(job.config).parseFile(Paths.get(dump))
+      catch {
+        case e: ParseException =>
+          System.err.println(s"parse error: ${e.getMessage}"); sys.exit(1)
+          return
+      }
+    val out = new PgDdlEmitter(job.config).emit(cat)
+    def write(path: String, content: String): Unit = {
+      val p = Paths.get(path)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.writeString(p, content)
+    }
+    write(job.beforeFile.get, out.before)
+    write(job.afterFile.get, out.after)
+    write(job.unsureFile.get, out.unsure)
+    job.colMapFile.foreach { f =>
+      val body = out.colMap.replace("\t", job.colMapDelimiter)
+      val header = if (job.colMapHeader)
+        Seq("source", "destination").mkString(job.colMapDelimiter) + "\n"
+      else ""
+      write(f, header + body)
+    }
+    out.warnings.foreach(w => System.err.println(s"WARNING: $w"))
+    println(s"converted $dump: ${cat.allTables.size} tables, " +
+      s"${cat.schemas.valuesIterator.map(_.views.size).sum} views -> " +
+      s"${job.beforeFile.get}, ${job.afterFile.get}, ${job.unsureFile.get}")
+  }
+
+  /** CLI + optional conf file → Job (CLI wins; pl:3341–3344 parses the
+    * conf only after GetOptions has set the CLI vars).
+    */
+  def buildJob(args: Seq[String]): ConfFile.Job = {
+    val cli = ConfFile.parseCli(args)
+    if (cli.exists(_._1 == "h")) {
+      println(usage); sys.exit(0)
+    }
+    val confEntries = cli.collectFirst { case ("conf", f) => f } match {
+      case Some(f) =>
+        ConfFile.parseConfLines(
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            Files.readAllLines(Paths.get(f))).asScala.toSeq)
+      case None => Seq.empty
+    }
+    ConfFile.toJob(ConfFile.merge(
+      cli.filterNot(_._1 == "conf") ++ confEntries))
+  }
+}

@@ -214,6 +214,29 @@ class TsqlParserSpec extends AnyFunSuite {
     assert(t.colByName("ID").get.comment === Some("ONEBANK.ACCOUNT.ID"))
   }
 
+  test("A24: Dictionary extended property becomes a table comment (pl:2387)") {
+    val cat = parse(
+      """CREATE TABLE [dbo].[Ledger](
+        |	[id] [int] NOT NULL
+        |) ON [PRIMARY]
+        |GO
+        |EXEC sys.sp_addextendedproperty @name=N'Dictionary', @value=N'General ledger
+        |entries, one row per posting' , @level0type=N'SCHEMA',@level0name=N'dbo', @level1type=N'TABLE',@level1name=N'Ledger'
+        |GO""".stripMargin)
+    val t = cat.table("public", "Ledger").get
+    assert(t.comment.exists(_.startsWith("General ledger")))
+  }
+
+  test("A1: iso-8859-15 fallback when bytes are not valid UTF-8 (pl:1526)") {
+    // 0xE9 = 'é' in iso-8859-15; a bare 0xE9 is malformed UTF-8
+    val latin = "CREATE TABLE [dbo].[Café]([id] [int] NOT NULL) ON [PRIMARY]"
+      .getBytes("ISO-8859-15")
+    val decoded = LineCleaner.decode(latin)
+    assert(decoded.contains("Café"))
+    // plain ASCII and valid UTF-8 still decode as UTF-8
+    assert(LineCleaner.decode("Café".getBytes("UTF-8")) === "Café")
+  }
+
   test("A26/A27: ignore list passes, unknown line dies") {
     parse("USE [master]\nGO\nSET ANSI_NULLS ON\nGO\nGRANT SELECT ON [dbo].[T] TO [U]\nGO")
     intercept[ParseException] {

@@ -53,4 +53,47 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       rm(dir); rm(chk)
     }
   }
+
+  test("continuous sync propagates CDC deletes to a real JDBC target") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftstreamdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE cdc_t (id BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    val ps = conn.prepareStatement("INSERT INTO cdc_t VALUES (?, ?)")
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).foreach { case (id, v) =>
+      ps.setLong(1, id); ps.setDouble(2, v); ps.executeUpdate()
+    }
+    ps.close()
+    val dir = Files.createTempDirectory("graft_cdc").toFile
+    val chk = Files.createTempDirectory("graft_cdc_chk").toFile
+    try {
+      // CDC batch: upsert id=2 (new value), insert id=4, DELETE id=3
+      val cdc = Seq(
+        (2L, 20.0, "update"), (4L, 4.0, "insert"), (3L, 0.0, "delete"))
+        .toDF("id", "v", "op")
+      cdc.write.parquet(dir.getAbsolutePath + "/batch1")
+      val stream = spark.readStream.schema(cdc.schema)
+        .parquet(dir.getAbsolutePath + "/batch1")
+      val q = EventStream.continuousSyncWriter(stream, Seq("id"),
+        graft.operators.DiffSync.SyncTarget(url, "cdc_t", "", "",
+          dialect = "generic"),
+        chk.getAbsolutePath, opCol = Some("op"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val rs = conn.createStatement()
+        .executeQuery("SELECT id, v FROM cdc_t ORDER BY id")
+      val buf = scala.collection.mutable.Buffer[(Long, Double)]()
+      while (rs.next()) buf += ((rs.getLong(1), rs.getDouble(2)))
+      // deleted row 3 is GONE; 2 updated; 4 inserted; 1 untouched
+      assert(buf.toSeq === Seq((1L, 1.0), (2L, 20.0), (4L, 4.0)))
+    } finally {
+      conn.close()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
 }
