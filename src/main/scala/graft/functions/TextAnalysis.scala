@@ -98,12 +98,16 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val votes = langVotes(text)
     // argmax with deterministic tie-break: higher vote wins; on equal
-    // votes the earlier language code (alphabetical) wins
-    votes.tail.foldLeft((votes.head._2, lit(votes.head._1))) {
-      case ((bestVotes, bestLang), (lang, v)) =>
-        (when(v > bestVotes, v).otherwise(bestVotes),
-          when(v > bestVotes, lit(lang)).otherwise(bestLang))
-    }._2
+    // votes the earlier language code (alphabetical) wins. Encoded as
+    // ONE array_max over (vote, reverse-position, lang) structs — a
+    // when()-chain fold embeds each previous best twice, which grows
+    // the expression tree exponentially (25 regexp_replace × 2^4
+    // copies blew the 64KB JVM method limit and dropped the whole
+    // stage out of codegen).
+    val n = votes.size
+    array_max(array(votes.zipWithIndex.map { case ((lang, v), i) =>
+      struct(v.as("v"), lit(n - i).as("p"), lit(lang).as("l"))
+    }: _*)).getField("l")
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
