@@ -88,8 +88,16 @@ object Similarity {
     * slice this string with substring.
     */
   def signBits(vec: Column, planes: Int, dims: Int = 64): Column =
-    exprCol(graft.expressions.SignBits(colExpr(vec),
-      Array.tabulate(planes)(p => planeVector(p, dims))))
+    exprCol(signBitsExpr(colExpr(vec), planes, dims))
+
+  /** Expression-level constructor (SQL registration via
+    * GraftExtensions needs it — planeVector stays private here).
+    */
+  def signBitsExpr(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      planes: Int, dims: Int = 64): graft.expressions.SignBits =
+    graft.expressions.SignBits(child,
+      Array.tabulate(planes)(p => planeVector(p, dims)))
 
   /** Declarative twin of `signBits` — kept for parity testing. */
   private[functions] def signBitsDeclarative(vec: Column, planes: Int,

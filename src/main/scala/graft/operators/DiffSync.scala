@@ -48,11 +48,20 @@ object DiffSync {
     * missing from target" (must be inserted), `deleted` means "in
     * target, gone from source".
     */
+  /** `nullSafePk = true` joins PKs with `<=>` so NULL keys pair up —
+    * only for degenerate sources; the rewrite Spark applies to
+    * null-safe join keys (`coalesce(k, 0), isnull(k)`) disqualifies
+    * bucketed-scan co-location, so the default (plain equality, PKs
+    * are NOT NULL by definition) is what keeps the 100 TB bucketed
+    * diff shuffle-free. Value comparison stays null-safe either way.
+    */
   def diff(source: DataFrame, target: DataFrame,
-      pkCols: Seq[String]): DataFrame = {
+      pkCols: Seq[String], nullSafePk: Boolean = false): DataFrame = {
     val src = source.alias("s")
     val tgt = target.alias("t")
-    val joinCond = pkCols.map(k => col(s"s.$k") <=> col(s"t.$k"))
+    val joinCond = pkCols.map(k =>
+      if (nullSafePk) col(s"s.$k") <=> col(s"t.$k")
+      else col(s"s.$k") === col(s"t.$k"))
       .reduce(_ && _)
     val valueCols = source.columns.filterNot(pkCols.contains)
 
