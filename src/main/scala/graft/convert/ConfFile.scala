@@ -157,7 +157,35 @@ object ConfFile {
       colMapHeader: Boolean,
       colMapDelimiter: String,
       sqlServer: Map[String, String],
-      postgres: Map[String, String])
+      postgres: Map[String, String]) {
+
+    /** Source JDBC URL from the reference's connection params
+      * (pl:3650–3676: host, port, instance, database, force-ssl).
+      */
+    def sqlServerUrl: Option[String] = sqlServer.get("sd").map { db =>
+      val host = sqlServer.getOrElse("sh", "localhost")
+      val port = sqlServer.get("sp").map(p => s":$p").getOrElse("")
+      val inst = sqlServer.get("si").map(i => s";instanceName=$i").getOrElse("")
+      val ssl = if (sqlServer.contains("sforce_ssl"))
+        ";encrypt=true;trustServerCertificate=true" else ""
+      s"jdbc:sqlserver://$host$port$inst;databaseName=$db$ssl"
+    }
+
+    /** Target JDBC URL (pl:3680–3727): `stringtype=unspecified` lets PG
+      * implicitly cast varchar parameters to citext/uuid/xml — the JDBC
+      * twin of the B3 CREATE CAST statements emitted for text loads.
+      */
+    def postgresUrl: Option[String] = postgres.get("pd").map { db =>
+      val host = postgres.getOrElse("ph", "localhost")
+      val port = postgres.get("pp").map(p => s":$p").getOrElse("")
+      val params = Seq(
+        if (config.stringtypeUnspecified) Some("stringtype=unspecified") else None,
+        if (postgres.contains("pforce_ssl")) Some("sslmode=require") else None
+      ).flatten
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      s"jdbc:postgresql://$host$port/$db$q"
+    }
+  }
 
   def toJob(p: Map[String, String]): Job = {
     val keep = p.get("keep_identifier_case").exists(boolOf)

@@ -24,6 +24,18 @@ object JdbcSink {
       relaxDurability: Boolean = true, // P5 synchronous_commit=off
       rewriteBatchedInserts: Boolean = true)
 
+  /** Sink spec from the conf/CLI surface: target endpoint, -po write
+    * parallelism, ignore-errors mode (pl:3680–3727).
+    */
+  def specFromJob(job: graft.convert.ConfFile.Job, table: String): Spec =
+    Spec(
+      url = job.postgresUrl.getOrElse(sys.error(
+        "postgresql connection not configured (-pd/-ph/...)")),
+      table = table,
+      user = job.postgres.getOrElse("pu", ""),
+      password = job.postgres.getOrElse("pw", ""),
+      numPartitions = job.config.parallelismOut)
+
   def jdbcOptions(spec: Spec): Map[String, String] = {
     val url =
       if (spec.rewriteBatchedInserts && spec.url.startsWith("jdbc:postgresql"))

@@ -34,6 +34,23 @@ object Tables {
       dirtyReads: Boolean = true // WITH(NOLOCK) parity (pl:3666)
   )
 
+  /** Read spec from the conf/CLI surface: source endpoint + -pi read
+    * parallelism; the LOB partition column/bounds stay per-table (C3).
+    */
+  def specFromJob(job: graft.convert.ConfFile.Job, table: String,
+      partitionColumn: Option[String] = None,
+      bounds: Option[(Long, Long)] = None): JdbcSpec =
+    JdbcSpec(
+      url = job.sqlServerUrl.getOrElse(sys.error(
+        "sql server connection not configured (-sd/-sh/...)")),
+      table = table,
+      user = job.sqlServer.getOrElse("su", ""),
+      password = job.sqlServer.getOrElse("sw", ""),
+      partitionColumn = partitionColumn,
+      numPartitions = job.config.parallelismIn,
+      lowerBound = bounds.map(_._1),
+      upperBound = bounds.map(_._2))
+
   def jdbc(spark: SparkSession, spec: JdbcSpec): DataFrame = {
     var r = spark.read.format("jdbc")
       .option("url", spec.url)

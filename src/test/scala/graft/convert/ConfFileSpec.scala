@@ -77,6 +77,25 @@ class ConfFileSpec extends AnyFunSuite {
       "pu" -> "pg", "pw" -> "pw2"))
   }
 
+  test("connection params bind to JDBC read/write specs") {
+    val job = ConfFile.toJob(ConfFile.merge(ConfFile.parseCli(Seq(
+      "-sd", "srcdb", "-sh", "mssql.example", "-sp", "1433", "-si", "INST",
+      "-su", "sa", "-sw", "s3c", "-sforce_ssl",
+      "-pd", "tgtdb", "-ph", "pg.example", "-pp", "5433", "-pu", "pg",
+      "-pw", "p4s", "-stringtype_unspecified", "-pforce_ssl",
+      "-pi", "6", "-po", "12"))))
+    assert(job.sqlServerUrl === Some("jdbc:sqlserver://mssql.example:1433" +
+      ";instanceName=INST;databaseName=srcdb;encrypt=true;trustServerCertificate=true"))
+    assert(job.postgresUrl === Some(
+      "jdbc:postgresql://pg.example:5433/tgtdb?stringtype=unspecified&sslmode=require"))
+    val read = graft.sources.Tables.specFromJob(job, "dbo.T",
+      partitionColumn = Some("id"), bounds = Some((0L, 100L)))
+    assert(read.numPartitions === 6 && read.user === "sa")
+    val write = graft.operators.JdbcSink.specFromJob(job, "public.t")
+    assert(write.numPartitions === 12 && write.user === "pg")
+    assert(write.url.startsWith("jdbc:postgresql://pg.example:5433/tgtdb"))
+  }
+
   test("keep_identifier_case + camel_to_snake is rejected") {
     intercept[ConfFile.ConfException] {
       ConfFile.toJob(Map("keep_identifier_case" -> "1",
