@@ -70,6 +70,32 @@ object SparkEntry {
         when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")).as("o_totalprice"))
 
+  /** Shared ANN fixture: every 50th embedding is a query; 5 perturbed
+    * near-copies per query (amps 0.002k → cos ≈0.9989–0.99996, portable
+    * integer-noise formula the oracle replays) are planted into the
+    * corpus, so the true top-5 is known, high-similarity, and
+    * uniquely ordered.
+    */
+  private def plantedAnnFixture(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val planted = queries
+      .select(col("query_id"), col("qvec"),
+        explode(array((0 until 5).map(k => lit(k)): _*)).as("k"))
+      .select((col("query_id") + (col("k") + 1) * 100000L).as("vec_id"),
+        transform(col("qvec"), (x, i) =>
+          x.cast("double") + (col("k") + 1).cast("double") * lit(0.002) *
+            (((col("query_id") * 31 + i * 17) % 19 - 9).cast("double") /
+              lit(9.0))).as("embedding"))
+    val corpus = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .union(planted)
+    (corpus, queries)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- aggregation / join / window headliners ----------
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
@@ -395,23 +421,23 @@ object SparkEntry {
       // so the true top-5 is known and high-similarity; with 8 bands ×
       // 16 rows the per-neighbor miss probability is ~4e-6, so LSH
       // top-5 equals the brute-force oracle's top-5 deterministically.
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val planted = queries
-        .select(col("query_id"), col("qvec"),
-          explode(array((0 until 5).map(k => lit(k)): _*)).as("k"))
-        .select((col("query_id") + (col("k") + 1) * 100000L).as("vec_id"),
-          transform(col("qvec"), (x, i) =>
-            x.cast("double") + (col("k") + 1).cast("double") * lit(0.002) *
-              (((col("query_id") * 31 + i * 17) % 19 - 9).cast("double") /
-                lit(9.0))).as("embedding"))
-      val corpus = emb
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("embedding"))
-        .union(planted)
+      val (corpus, queries) = plantedAnnFixture(s, dir)
       Similarity.lshTopK(corpus, "vec_id", "embedding",
         queries, "query_id", "qvec", k = 5, bands = 8, rowsPerBand = 16)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ann_ivf" -> ((s, dir) => {
+      // IVF scale path over the same planted fixture: coarse cells from
+      // deterministically sampled centroids, queries probe their 4
+      // nearest cells. The planted near-copies (cos ≥0.9989) land in
+      // the query's own cell, so IVF top-5 equals the brute-force
+      // oracle exactly.
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, cents, nprobe = 4)
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -534,6 +560,41 @@ object SparkEntry {
     * list_transform/list_min/list_distinct for array ops; md5 hex
     * matches Spark's.
     */
+  /** Brute-force top-5 over naturals + the 5 planted near-copies per
+    * query (portable integer-noise perturbation, replicated here
+    * bit-for-bit) — the exact oracle both approximate ANN paths
+    * (banded sign-LSH, IVF) must equal on this fixture.
+    */
+  private val plantedAnnOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      |  WHERE vec_id % 50 = 0),
+      |planted AS (
+      |  SELECT q.query_id + (k + 1) * 100000 AS vec_id,
+      |    list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE)
+      |      + CAST(k + 1 AS DOUBLE) * CAST(0.002 AS DOUBLE)
+      |        * (CAST((q.query_id * 31 + (i - 1) * 17) % 19 - 9 AS DOUBLE)
+      |           / CAST(9 AS DOUBLE))) AS emb
+      |  FROM q, range(0, 5) t(k)),
+      |corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |  UNION ALL SELECT vec_id, emb FROM planted),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> c.emb[i] * CAST(q.qvec[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.emb, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM corpus c CROSS JOIN q
+      |  WHERE c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -929,39 +990,8 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "sim_ann_lsh" ->
-      // brute-force top-5 over naturals + the 5 planted near-copies per
-      // query (portable integer-noise perturbation, replicated here
-      // bit-for-bit); LSH recall at cos ≥0.9989 with 8×16 bands is
-      // 1 − ~4e-6, so the approximate result equals this exact oracle
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-        |  WHERE vec_id % 50 = 0),
-        |planted AS (
-        |  SELECT q.query_id + (k + 1) * 100000 AS vec_id,
-        |    list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE)
-        |      + CAST(k + 1 AS DOUBLE) * CAST(0.002 AS DOUBLE)
-        |        * (CAST((q.query_id * 31 + (i - 1) * 17) % 19 - 9 AS DOUBLE)
-        |           / CAST(9 AS DOUBLE))) AS emb
-        |  FROM q, range(0, 5) t(k)),
-        |corpus AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |  FROM embeddings
-        |  UNION ALL SELECT vec_id, emb FROM planted),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> c.emb[i] * CAST(q.qvec[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(c.emb, x -> x * x)))
-        |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM corpus c CROSS JOIN q
-        |  WHERE c.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, vec_id AS neighbor_id
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_lsh" -> plantedAnnOracle,
+    "sim_ann_ivf" -> plantedAnnOracle,
 
     "sim_lsh_recall" ->
       // the truth side (exact cosine of every seed against its noised

@@ -175,6 +175,87 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path besides sign-LSH:
+  // a coarse quantizer of `nlist` centroids partitions the corpus into
+  // cells; queries score only their `nprobe` nearest cells.
+  // ------------------------------------------------------------------
+
+  /** Deterministic coarse centroids: every (n/nlist)-th corpus vector
+    * in id order. No trained k-means dependency — the quantizer is
+    * pluggable (pass refined centroids to ivfTopK for better balance);
+    * determinism matters more than balance for verifiable pipelines.
+    * Centroids are tiny by definition (nlist ≪ n): the collect is a
+    * few KB, broadcast to every task as literals.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] = {
+    val n = corpus.count()
+    val step = math.max(1L, n / nlist)
+    corpus.select(col(vecCol))
+      .orderBy(col(idCol))
+      .limit((step * nlist).toInt)
+      .collect()
+      .zipWithIndex
+      .collect { case (r, i) if i % step == 0 =>
+        r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+      }
+      .take(nlist)
+  }
+
+  /** Cell assignment: argmin over centroids of ‖v−c‖² ≡ argmin of
+    * (‖c‖² − 2·v·c) — one codegen'd VecDot per centroid, argmin as a
+    * single array_min over (score, cell) structs.
+    */
+  private def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(c))).as("score"),
+        lit(i).as("cell"))
+    }: _*)).getField("cell")
+
+  /** The nprobe cells nearest to a query vector, as an array column. */
+  private def probeCells(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column =
+    slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(c))).as("score"),
+        lit(i).as("cell"))
+    }: _*)), 1, nprobe)
+
+  /** IVF approximate top-k: corpus bucketed once by nearest centroid,
+    * queries explode into their `nprobe` probe cells, and the
+    * candidate join is a plain equi-join on the cell id — the same
+    * shuffle-on-compact-key shape as the LSH paths. Recall rises with
+    * nprobe (nprobe = nlist degenerates to exact brute force).
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(corpusId), col(corpusVec),
+      norm(col(corpusVec)).as("__cn"),
+      cellOf(col(corpusVec), centroids).as("__cell"))
+    val q = queries
+      .select(col(queryId), col(queryVec), norm(col(queryVec)).as("__qn"),
+        probeCells(col(queryVec), centroids, nprobe).as("__probes"))
+      .select(col(queryId), col(queryVec), col("__qn"),
+        explode(col("__probes").getField("cell")).as("__cell"))
+    val denom = col("__cn") * col("__qn")
+    val joined = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        when(denom === 0, lit(0.0))
+          .otherwise(dot(col(corpusVec), col(queryVec)) / denom).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** SimHash64 over whitespace tokens: per-token 64-bit hash votes on
     * each bit position weighted ±1; the sign vector is the signature.
     * Built from xxhash64 (stable, seedable, codegen'd). Spark-side

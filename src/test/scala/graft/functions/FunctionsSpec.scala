@@ -268,6 +268,39 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("IVF topK recovers planted neighbors; nprobe=nlist equals brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val naturals = (1L to 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // plant 2 near-copies of every 20th vector
+    val planted = naturals.filter(_._1 % 20 == 0).flatMap { case (id, v) =>
+      Seq(1, 2).map(j => (id + 1000L * j,
+        v.map(x => x + 0.005f * j * (if (x > 0) 1 else -1))))
+    }
+    val corpus = (naturals ++ planted).toDF("vec_id", "embedding")
+    val queries = naturals.filter(_._1 % 20 == 0)
+      .toDF("query_id", "qvec")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    assert(cents.length === 8 && cents.forall(_.length === 16))
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    val ivf = topSet(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 2, cents, nprobe = 3))
+    // the planted near-copies are each query's true top-2
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      assert(ivf.contains((q, 1, q + 1000L)), s"query $q missing rank-1")
+      assert(ivf.contains((q, 2, q + 2000L)), s"query $q missing rank-2")
+    }
+    // probing every cell degenerates to exact brute force
+    val all = topSet(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 2, cents, nprobe = 8))
+    val bf = topSet(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 2))
+    assert(all === bf)
+  }
+
   test("multimodal: decode plumbing tags failures instead of aborting") {
     import spark.implicits._
     val df = Seq(
