@@ -396,6 +396,14 @@ object SparkEntry {
         numHashes = 16, bands = 4, ngramN = 3, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_simhash_hamming" -> ((s, dir) =>
+      // pigeonhole blocks: pairs within Hamming distance 3 of the
+      // 60-bit portable simhash; the oracle replays blocks, xor and
+      // bit_count exactly
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        radius = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dedup_simhash" -> ((s, dir) =>
       // portable mode: per-token 60-bit md5-derived hash, bit-vote
       // signature — the oracle recomputes the identical simhash
@@ -920,6 +928,31 @@ object SparkEntry {
         |FROM bands l JOIN bands r
         |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
         |  AND l.doc_id < r.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash_hamming" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+        |  FROM documents),
+        |sim AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+        |    CASE WHEN list_sum(list_transform(hs,
+        |        h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM th),
+        |bands AS (
+        |  SELECT doc_id, sig, b AS block_id,
+        |    (sig >> (b * 15)) & 32767 AS block_value
+        |  FROM sim, range(0, 4) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+        |    CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+        |  FROM bands l JOIN bands r
+        |    ON l.block_id = r.block_id AND l.block_value = r.block_value
+        |    AND l.doc_id < r.doc_id)
+        |SELECT id_a, id_b, hamming FROM cands WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash" ->

@@ -273,6 +273,46 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
   }
 
+  /** SimHash near-dup pairs within a Hamming radius — the pigeonhole
+    * upgrade over equality grouping: split the signature into
+    * (radius+1) bit-blocks; any pair within distance ≤ radius must
+    * agree EXACTLY on at least one block, so candidates come from an
+    * equi-join on (block_id, block_value) and the exact Hamming check
+    * (bit_count of xor) runs on candidates only. Same
+    * shuffle-on-compact-key shape as every other dedup path; fully
+    * portable (60-bit md5 simhash, xor/bit_count exist in DuckDB).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      radius: Int = 3): DataFrame = {
+    val numBits = 60
+    val blocks = radius + 1
+    require(numBits % blocks == 0,
+      s"radius+1 = $blocks must divide $numBits bits")
+    val width = numBits / blocks
+    val mask = (1L << width) - 1
+    val sigs = df
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        exprCol(graft.expressions.PortableSimHash(
+          colExpr(col("__toks")), numBits)).as("sig"))
+    val bandCols = (0 until blocks).map { b =>
+      struct(lit(b).as("block_id"),
+        shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
+          .as("block_value"))
+    }
+    val bands = sigs
+      .select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("blk"))
+      .select(col(idCol), col("sig"), col("blk.block_id"), col("blk.block_value"))
+    val l = bands.alias("l"); val r = bands.alias("r")
+    l.join(r, col("l.block_id") === col("r.block_id") &&
+        col("l.block_value") === col("r.block_value") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Candidates come
     * from banded sign-LSH (OR of `bands` AND-bands of `rowsPerBand`
     * hyperplane bits — see Similarity.signBands): a pair is a candidate

@@ -42,6 +42,41 @@ object EventStream {
         .withWatermark("ts", watermark),
       windowDur)
 
+  /** Streaming exact dedup with CUSTOM keyed state
+    * (flatMapGroupsWithState): the first document per content
+    * fingerprint passes, every later duplicate — within a batch or
+    * across batches — is dropped. Unlike dropDuplicates, the state
+    * here is explicit and extensible (counters, first-seen timestamps,
+    * replacement policies); state size is one boolean per distinct
+    * fingerprint, partitioned by the fingerprint hash across
+    * executors.
+    */
+  def streamingExactDedup(stream: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"),
+        graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (fp: String, rows: Iterator[(Long, String, String)],
+          state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          // keep the smallest id in this batch for determinism
+          val keeper = rows.minBy(_._1)
+          Iterator.single((keeper._1, keeper._2, fp))
+        })
+      .toDF("doc_id", "text", "fp")
+  }
+
   /** Map a CDC operation column onto the DiffSync flag vocabulary:
     * delete markers → "deleted" (tombstone rows need only their PK
     * columns populated), everything else → "changed" (upsert).

@@ -268,6 +268,23 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("simhash Hamming near-dups: pigeonhole blocks find close pairs only") {
+    import spark.implicits._
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans with codegen stages enabled"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                                   // identical: hamming 0
+      (3L, base.replace("codegen", "compiled")),    // one-token edit: small distance
+      (4L, "completely unrelated words about gardening cooking and travel plans tomorrow"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", radius = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // exactness: every emitted pair is within the radius
+    assert(pairs.values.forall(_ <= 3))
+  }
+
   test("IVF topK recovers planted neighbors; nprobe=nlist equals brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -54,6 +54,45 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming stateful dedup drops duplicates across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sdedup").toFile
+    val chk = Files.createTempDirectory("graft_sdedup_chk").toFile
+    try {
+      // batch 1: two distinct docs + an intra-batch duplicate
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+        (3L, "alpha  beta   gamma")) // ws-normalized dup of 1
+        .toDF("doc_id", "text")
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      // one long-lived query: state persists across micro-batches
+      val q = EventStream.streamingExactDedup(stream, "doc_id", "text")
+        .writeStream.format("memory").queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      val after1 = spark.table("sdedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(after1 === Set(1L, 2L)) // 3 deduped within the batch
+      // batch 2: cross-batch duplicate of 2 + one genuinely new doc
+      Seq((4L, "delta epsilon zeta"), (5L, "eta theta iota"))
+        .toDF("doc_id", "text")
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      val after2 = spark.table("sdedup").collect().map(_.getLong(0)).toSet
+      assert(after2 === Set(1L, 2L, 5L)) // 4 suppressed by keyed state
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("continuous sync propagates CDC deletes to a real JDBC target") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftstreamdb;create=true"
