@@ -172,11 +172,15 @@ object SparkEntry {
 
     "a22_fk_orphans" -> ((s, dir) => {
       // A22: FK validation as left-anti join; orphans seeded
-      // deterministically (keys shifted out of range)
+      // deterministically (keys shifted out of range). Seeding is one
+      // explode over a single scan — the naive union re-read the whole
+      // fact table for the 0.1% seeded branch.
       val li = t(s, dir, "lineitem")
-      val seeded = li.select(col("l_orderkey")).union(
-        li.filter(col("l_orderkey") % 997 === 0)
-          .select((col("l_orderkey") + 100000000L).as("l_orderkey")))
+      val seeded = li.select(explode(array(
+          col("l_orderkey"),
+          when(col("l_orderkey") % 997 === 0,
+            col("l_orderkey") + 100000000L))).as("l_orderkey"))
+        .filter(col("l_orderkey").isNotNull)
       // parent (orders) is the small side of the anti join at any
       // realistic dim/fact ratio — broadcast it so only the child scans
       Validation.fkOrphans(seeded, Seq("l_orderkey"),
@@ -511,6 +515,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           TextAnalysis.q4(col("cos")).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "curate_documents" -> ((s, dir) => {
+      // the composed training-data curation pipeline: length + quality
+      // filters, then near-duplicate removal (LSH candidates + exact
+      // Jaccard ≥ 0.15; the lower doc_id of each dup pair survives) —
+      // one declarative plan, one anti-join, no driver loop
+      val docs = t(s, dir, "documents")
+      val dupLosers = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text",
+        threshold = 0.15, n = 3, numHashes = 16, bands = 8, portable = true)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .filter(col("n_tokens") >= 25 && col("quality") >= 0.35)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
     }),
 
     "c8_migration_copy" -> ((s, dir) => {
@@ -1022,6 +1043,72 @@ object SparkEntry {
     "mm_byte_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curate_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(hs, h -> h.h1 + s * h.h2))) AS sg
+        |  FROM hp),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
+        |  FROM sig, range(0, 8) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |    AND l.doc_id < r.doc_id),
+        |losers AS (
+        |  SELECT DISTINCT c.id_b AS doc_id
+        |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id
+        |  WHERE floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+        |      greatest(len(a.ngrams) + len(b.ngrams)
+        |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 >= 0.15),
+        |base AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    ' ' || lower(text) || ' ' AS padded
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    floor(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) * 10000) / 10000 AS punct_ratio,
+        |    floor(CAST(
+        |        (length(padded) - length(replace(padded, ' the ', ''))) / 5
+        |      + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+        |      + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+        |      + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+        |      + (length(padded) - length(replace(padded, ' to ', ''))) / 4
+        |      + (length(padded) - length(replace(padded, ' in ', ''))) / 4
+        |      AS DOUBLE) / greatest(n_tokens, 1) * 10000) / 10000 AS stopword_ratio,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    floor(greatest(least((len_score + least(stopword_ratio * 5, 1.0)
+        |      - least(punct_ratio * 5, 1.0)) / 2, 1.0), 0.0) * 10000) / 10000 AS quality
+        |  FROM m)
+        |SELECT doc_id, lang, n_tokens, quality FROM scored
+        |WHERE n_tokens >= 25 AND quality >= 0.35
+        |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     "sim_ann_lsh" -> plantedAnnOracle,
     "sim_ann_ivf" -> plantedAnnOracle,
