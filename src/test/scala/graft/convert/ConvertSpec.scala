@@ -200,6 +200,29 @@ class ConvertSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rewrite terminates on arbitrary function-call soup") {
+    // the round-1 hang class: fallback branches re-emitting the source
+    // function name must never re-match forever. Generate nested call
+    // soup from the rewriter's own vocabulary with random arities.
+    val names = Seq("CHARINDEX", "DATEPART", "DATEADD", "CONVERT",
+      "ISNULL", "LEN", "SPACE", "charindex", "convert")
+    val leafGen = Gen.oneOf(Gen.identifier, Gen.choose(0, 999).map(_.toString),
+      Gen.alphaStr.map(s => s"'${s.take(8)}'"))
+    def callGen(depth: Int): Gen[String] =
+      if (depth == 0) leafGen
+      else for {
+        name <- Gen.oneOf(names)
+        n <- Gen.choose(0, 4)
+        args <- Gen.listOfN(n, Gen.frequency(
+          3 -> leafGen, 1 -> callGen(depth - 1)))
+      } yield s"$name(${args.mkString(", ")})"
+    forAll(callGen(3)) { expr =>
+      // must return (quickly) for both dialects; result is irrelevant
+      ExprRewriter.rewrite(expr)
+      ExprRewriter.rewrite(expr, ExprRewriter.Sparksql)
+    }
+  }
+
   test("property: camelToSnake is idempotent") {
     forAll(Gen.identifier) { s =>
       val once = Identifiers.camelToSnake(s)

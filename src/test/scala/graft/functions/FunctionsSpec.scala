@@ -318,6 +318,22 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(all === bf)
   }
 
+  test("lowerJoin matches ciJoin on ASCII and broadcast-hash-joins") {
+    import spark.implicits._
+    val a = Seq((1L, "Alpha"), (2L, "BETA")).toDF("id", "name")
+    val b = Seq((10L, "alpha"), (20L, "beta")).toDF("id2", "name")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCollation = pairs(Citext.ciJoin(a, b, Seq("name")))
+    val viaLower = pairs(Citext.lowerJoin(a, b, Seq("name")))
+    assert(viaCollation === Set((1L, 10L), (2L, 20L)))
+    assert(viaLower === viaCollation)
+    val plan = Citext.lowerJoin(a, b, Seq("name"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("multimodal: decode plumbing tags failures instead of aborting") {
     import spark.implicits._
     val df = Seq(
