@@ -573,6 +573,16 @@ object SparkEntry {
     }),
 
     // ---------------- extension operators: multimodal plumbing --------
+    "mm_chunk_fixed" -> ((s, dir) =>
+      // audio-style fixed-window framing of the payload with per-chunk
+      // content hashes (char windows here so the oracle can replay;
+      // the operator accepts binary columns identically)
+      graft.functions.Multimodal.chunkFixed(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text", 256)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
+          col("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "mm_byte_features" -> ((s, dir) => {
       // binary-column plumbing over text payloads cast to binary;
       // size is oracle-checked, content hash is engine-specific
@@ -1043,6 +1053,16 @@ object SparkEntry {
     "mm_byte_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_chunk_fixed" ->
+      """WITH ex AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(length(text) / 256.0) AS BIGINT), 1))) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(length(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS INT) AS chunk_len,
+        |  md5(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS chunk_hash
+        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "curate_documents" ->
       """WITH toks AS (

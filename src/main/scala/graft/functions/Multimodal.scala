@@ -85,6 +85,25 @@ object Multimodal {
           greatest(coalesce(col(s"$metaCol.n_frames"), lit(1)) - 1, lit(0)),
           lit(every))))
 
+  /** Fixed-window chunking — the audio/video framing plan: one output
+    * row per `size`-unit window of the payload (binary or string
+    * column; SQL substring handles both), with the window's content
+    * hash for downstream chunk-level dedup. Declarative explode: the
+    * fan-out is a codegen'd generator, no shuffle, no UDF — at 100 TB
+    * chunking is a map-only stage whose output feeds the same
+    * hash-dedup operators as documents.
+    */
+  def chunkFixed(df: DataFrame, payloadCol: String, size: Int): DataFrame =
+    df.withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(ceil(length(col(payloadCol)) / lit(size)).cast("int") - 1,
+            lit(0)))))
+      .withColumn("chunk",
+        expr(s"substring($payloadCol, chunk_idx * $size + 1, $size)"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .withColumn("chunk_hash", md5(col("chunk")))
+      .drop("chunk")
+
   /** Byte-level feature extraction that IS runnable here (no codec):
     * payload size, xxhash64 content id, entropy-ish distinct-byte
     * ratio — the cheap pre-filter columns a media pipeline computes

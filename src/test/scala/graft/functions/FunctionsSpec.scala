@@ -347,6 +347,20 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(meta(2L).getString(5) != null)
   }
 
+  test("multimodal: fixed chunking covers the payload, binary included") {
+    import spark.implicits._
+    val payload = Array.tabulate(700)(i => (i % 251).toByte)
+    val df = Seq((1L, payload), (2L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val chunks = Multimodal.chunkFixed(df, "payload", 256)
+      .select(col("id"), col("chunk_idx"), col("chunk_len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val one = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(one.map(_._2).toSeq === Seq(0, 1, 2))
+    assert(one.map(_._3).toSeq === Seq(256, 256, 188)) // 700 bytes total
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq === Seq(0))
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
