@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity}
+
+/** Empirical scale check for the dedup/similarity hot paths: grow the
+  * corpus by k× (content-distinct transforms per copy, so candidate
+  * volume is not inflated quadratically by design) and confirm wall
+  * time grows ~linearly — the local proxy for "no O(n²) stage".
+  *
+  * Copies are made content-distinct deterministically: every token
+  * gets a copy-specific suffix, which changes every token, gram,
+  * minhash and simhash (bag-of-words operators are permutation
+  * INVARIANT — reversing/sorting tokens would leave simhash identical
+  * and collapse sorted n-grams, inflating pairs quadratically; that
+  * mistake is why this transform suffixes instead of permutes).
+  * Embeddings get large per-copy noise (cos ≈0.6 vs original — below
+  * every near-dup threshold). Within each copy the original dup
+  * structure is preserved, so true pairs scale exactly k×.
+  */
+object ScaleSmoke {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def docsAt(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      val shifted = base.select(
+        (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+        col("lang"), col("text"))
+      if (c == 0) shifted
+      else shifted.withColumn("text",
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(s"~$c")))))
+    }.reduce(_ union _)
+
+  private def embAt(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      base.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        (if (c == 0) transform(col("embedding"), x => x.cast("double"))
+         else transform(col("embedding"), (x, i) =>
+           x.cast("double") + lit(0.5) *
+             (((col("vec_id") * 13 + i * 7 + lit(c)) % 17 - 8).cast("double") /
+               lit(8.0)))).as("embedding"))
+    }.reduce(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                  else Seq(1, 2, 4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // warmup
+    docs0.count(); emb0.count()
+    println(f"${"factor"}%-7s ${"docs"}%-7s ${"minhash"}%-9s ${"hamming"}%-9s ${"embdup"}%-9s ${"annlsh"}%-9s")
+    factors.foreach { f =>
+      val docs = docsAt(docs0, f).cache()
+      val nd = docs.count()
+      val emb = embAt(emb0, f).cache()
+      emb.count()
+      val (p1, tMinhash) = timed(Dedup.ngramJaccardPairsLsh(
+        docs, "doc_id", "text", threshold = 0.5).count())
+      val (p2, tHamming) = timed(Dedup.simhashNearDups(
+        docs, "doc_id", "text", radius = 3).count())
+      val (p3, tEmbDup) = timed(Dedup.embeddingNearDups(
+        emb, "vec_id", "embedding", threshold = 0.95,
+        bands = 4, rowsPerBand = 16).count())
+      val queries = emb0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qvec"))
+      val (p4, tAnn) = timed(Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, bands = 8, rowsPerBand = 16)
+        .count())
+      println(f"$f%-7d $nd%-7d $tMinhash%-9.2f $tHamming%-9.2f $tEmbDup%-9.2f $tAnn%-9.2f" +
+        s"   (pairs: $p1/$p2/$p3, ann rows: $p4)")
+      docs.unpersist(); emb.unpersist()
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}
