@@ -67,6 +67,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(d === Map(1 -> "identical", 2 -> "changed"))
   }
 
+  test("salted join/agg equal their unsalted twins on skewed keys") {
+    import spark.implicits._
+    // 90% of rows share one key — the classic skew shape
+    val big = (1L to 2000L).map(i =>
+      (if (i <= 1800) 1L else i, i, i * 1.5)).toDF("k", "row_id", "v")
+    val dim = Seq((1L, "hot"), (1900L, "cold"), (3000L, "absent"))
+      .toDF("k", "label")
+    val plain = big.join(dim, Seq("k")).select(col("row_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Skew.saltedJoin(big, dim, Seq("k"),
+      saltSource = "row_id", buckets = 8)
+      .select(col("row_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted === plain && plain.size === 1801)
+    val agg = Skew.saltedSumCount(big, Seq("k"), "v",
+      saltSource = "row_id", buckets = 8)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(agg(1L)._2 === 1800L)
+    assert(math.abs(agg(1L)._1 - (1L to 1800L).map(_ * 1.5).sum) < 1e-6)
+  }
+
   test("C16: upsert SQL shape") {
     assert(DiffSync.upsertSql("t", Seq("id"), Seq("a", "b")) ===
       "INSERT INTO t (id, a, b) VALUES (?, ?, ?) " +
