@@ -75,6 +75,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize kernel — deterministic fake: emits a payload whose
+    * length encodes the target dims (real impl: scaler/codec call).
+    */
+  private[functions] object FakeResizer {
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (bytes == null || bytes.isEmpty)
+        throw new IllegalArgumentException("empty payload")
+      val out = new Array[Byte](math.max(4, (w * h) / 64))
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+      out
+    }
+  }
+
+  /** Resize pass: binary column → resized binary + (width, height,
+    * resize_ok, error) — the same partition-batched contract as
+    * decodeMeta (scaler initialized once per partition, per-row error
+    * channel; a corrupt blob yields a null payload row, never a task
+    * abort). Swap FakeResizer for a real scaler, nothing else changes.
+    */
+  def resizeTo(df: DataFrame, binCol: String, width: Int,
+      height: Int): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resize_meta", StructType(Seq(
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("resize_ok", BooleanType),
+        StructField("error", StringType))))))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      // (real impl: scaler context initialized HERE, once)
+      rows.map { row =>
+        val bytes = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        val (payload, meta) =
+          try {
+            val out = FakeResizer.resize(bytes, width, height)
+            (out, Row(width, height, true, null))
+          } catch {
+            case e: Exception =>
+              (null, Row(null, null, false, e.getMessage))
+          }
+        Row.fromSeq(row.toSeq :+ payload :+ meta)
+      }
+    }(enc)
+  }
+
   /** Frame sampling plan for video-ish payloads: one output row per
     * sampled frame index (stride `every`), exploded declaratively —
     * the shuffle-free Spark shape for frame extraction fan-out.

@@ -361,6 +361,19 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(chunks.filter(_._1 == 2L).map(_._3).toSeq === Seq(0))
   }
 
+  test("multimodal: resize plumbing keeps schema and tags failures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "real payload bytes".getBytes("UTF-8")),
+      (2L, Array.empty[Byte])).toDF("id", "payload")
+    val out = Multimodal.resizeTo(df, "payload", 64, 64).collect()
+      .map(r => r.getLong(0) ->
+        (r.get(2), r.getStruct(3).getAs[Boolean]("resize_ok"))).toMap
+    assert(out(1L)._2 === true)
+    assert(out(1L)._1.asInstanceOf[Array[Byte]].length === 64 * 64 / 64)
+    assert(out(2L)._2 === false && out(2L)._1 === null)
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
