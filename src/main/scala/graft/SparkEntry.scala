@@ -517,6 +517,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "skew_salted_agg" -> ((s, dir) =>
+      // skew-safe two-phase aggregation: the salted plan MUST produce
+      // exactly the plain GROUP BY's results — which is precisely what
+      // the oracle computes, so the salting path is verified end-to-end
+      graft.operators.Skew.saltedSumCount(
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,3)").as("price")),
+        Seq("o_custkey"), "price", saltSource = "o_orderkey", buckets = 16)
+        .select(col("o_custkey"),
+          col("sum_price").cast("double").as("sum_price"), col("cnt"))
+        .orderBy(col("o_custkey"))),
+
     "curate_documents" -> ((s, dir) => {
       // the composed training-data curation pipeline: length + quality
       // filters, then near-duplicate removal (LSH candidates + exact
@@ -887,7 +900,9 @@ object SparkEntry {
         |  FROM ng),
         |sig AS (
         |  SELECT doc_id, list_transform(range(0, 16),
-        |    s -> list_min(list_transform(hs, h -> h.h1 + s * h.h2))) AS sg
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
         |  FROM hp),
         |bands AS (
         |  SELECT doc_id, b AS band_id,
@@ -948,7 +963,9 @@ object SparkEntry {
         |  FROM ng),
         |sig AS (
         |  SELECT doc_id, list_transform(range(0, 16),
-        |    s -> list_min(list_transform(hs, h -> h.h1 + s * h.h2))) AS sg
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
         |  FROM hp),
         |bands AS (
         |  SELECT doc_id, b AS band_id,
@@ -1064,6 +1081,12 @@ object SparkEntry {
         |  md5(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS chunk_hash
         |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    "skew_salted_agg" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "curate_documents" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
@@ -1083,7 +1106,9 @@ object SparkEntry {
         |  FROM ng),
         |sig AS (
         |  SELECT doc_id, list_transform(range(0, 16),
-        |    s -> list_min(list_transform(hs, h -> h.h1 + s * h.h2))) AS sg
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
         |  FROM hp),
         |bands AS (
         |  SELECT doc_id, b AS band_id,

@@ -42,6 +42,19 @@ object HashExpressions {
     while (i < 12) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(12) & 0xffL) >>> 4)
   }
+
+  /** Portable finalizer for the CW family: the raw h1 + i·h2 keeps its
+    * high bits (the min-deciding ones) almost constant in i, so one
+    * gram tends to win MANY seeds and band components collide ~5× too
+    * often. Rotating the halves moves the i-dependent low bits to the
+    * top, and a right-shift xor diffuses them — both expressible in
+    * any SQL engine with 64-bit shifts/xor (no wrapping multiply,
+    * which DuckDB would reject as overflow).
+    */
+  def mix(u: Long): Long = {
+    val w = ((u & 0x3FFFFFFFL) << 30) | (u >>> 30)
+    w ^ (w >>> 15)
+  }
 }
 
 /** Carter–Wegman portable MinHash signature: array<string> n-grams →
@@ -78,9 +91,10 @@ case class PortableMinHash(child: Expression, numHashes: Int)
         val a = HashExpressions.h1(d)
         val b = HashExpressions.h2(d)
         var i = 0
-        var v2 = a // a + i*b, accumulated additively
+        var v2 = a // a + i*b, accumulated additively, then mixed
         while (i < numHashes) {
-          if (v2 < mins(i)) mins(i) = v2
+          val f = HashExpressions.mix(v2)
+          if (f < mins(i)) mins(i) = f
           v2 += b
           i += 1
         }
@@ -105,6 +119,7 @@ case class PortableMinHash(child: Expression, numHashes: Int)
       val a = ctx.freshName("a")
       val b = ctx.freshName("b")
       val v2 = ctx.freshName("v2")
+      val f = ctx.freshName("f")
       val mins = ctx.freshName("mins")
       val any = ctx.freshName("any")
       val res = ctx.freshName("res")
@@ -122,7 +137,8 @@ case class PortableMinHash(child: Expression, numHashes: Int)
          |    long $b = $hx.h2($d);
          |    long $v2 = $a;
          |    for (int $i = 0; $i < $numHashes; $i++) {
-         |      if ($v2 < $mins[$i]) $mins[$i] = $v2;
+         |      long $f = $hx.mix($v2);
+         |      if ($f < $mins[$i]) $mins[$i] = $f;
          |      $v2 += $b;
          |    }
          |  }
@@ -138,6 +154,97 @@ case class PortableMinHash(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PortableMinHash =
+    copy(child = newChild)
+}
+
+/** Shared kernel for the fused tokens → word-n-gram → Carter–Wegman
+  * MinHash pass: no intermediate gram-string array is ever built —
+  * each window digests the token bytes directly (space-separated,
+  * byte-identical to md5(concat_ws(" ", window))). Duplicate grams
+  * cannot change a minimum, so skipping array_distinct is exact.
+  */
+object NgramMinHashKernel {
+  def compute(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int, numHashes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cnt = tokens.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = MessageDigest.getInstance("MD5")
+    var any = false
+    if (cnt > 0) {
+      val toks = new Array[Array[Byte]](cnt)
+      var i = 0
+      while (i < cnt) {
+        toks(i) = if (tokens.isNullAt(i)) null
+                  else tokens.getUTF8String(i).getBytes
+        i += 1
+      }
+      val space = ' '.toByte
+      def digestWindow(from: Int, until: Int): Unit = {
+        md.reset()
+        var j = from
+        var first = true
+        while (j < until) {
+          if (toks(j) != null) {
+            if (!first) md.update(space)
+            md.update(toks(j))
+            first = false
+          }
+          j += 1
+        }
+        val d = md.digest()
+        val a = HashExpressions.h1(d)
+        val b = HashExpressions.h2(d)
+        var k = 0
+        var v = a
+        while (k < numHashes) {
+          val f = HashExpressions.mix(v)
+          if (f < mins(k)) mins(k) = f
+          v += b
+          k += 1
+        }
+        any = true
+      }
+      if (cnt >= n) {
+        var w = 0
+        while (w <= cnt - n) { digestWindow(w, w + n); w += 1 }
+      } else digestWindow(0, cnt) // whole short doc as one gram
+    }
+    if (!any)
+      new GenericArrayData(Array.fill[Any](numHashes)(null))
+    else new GenericArrayData(mins)
+  }
+}
+
+/** Fused tokens → n-gram → portable MinHash signature in one pass
+  * (see NgramMinHashKernel). Signature values are bit-identical to
+  * wordNgramsFromTokens + PortableMinHash, without materializing the
+  * gram array.
+  */
+case class PortableNgramMinHash(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "portable_ngram_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"portable_ngram_minhash expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NgramMinHashKernel.compute(v.asInstanceOf[ArrayData], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val kernel = NgramMinHashKernel.getClass.getName.stripSuffix("$") +
+      "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = $kernel.compute($in, $n, $numHashes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableNgramMinHash =
     copy(child = newChild)
 }
 

@@ -94,8 +94,14 @@ object Dedup {
   def minhashFromHashPairsPortable(pairs: Column,
       numHashes: Int = 16): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(pairs,
-        h => h.getField("h1") + lit(i.toLong) * h.getField("h2")))
+      array_min(transform(pairs, { h =>
+        val u = h.getField("h1") + lit(i.toLong) * h.getField("h2")
+        // portable finalizer (HashExpressions.mix): rotate 60-bit
+        // halves + xor-shift, else CW minima correlate across seeds
+        val w = shiftleft(u.bitwiseAND(lit(0x3FFFFFFFL)), 30)
+          .bitwiseOR(shiftright(u, 30))
+        w.bitwiseXOR(shiftright(w, 15))
+      }))
     }: _*)
 
   def minhashSignature(text: Column, numHashes: Int = 16,
@@ -111,23 +117,24 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3,
       portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    // staged selects: tokens → ngrams → (hashes) → signature → bands,
-    // each materialized once per row (never recomputed inside lambdas)
-    val ngrams = df
-      .select(col(idCol),
-        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
-      .select(col(idCol), wordNgramsFromTokens(col("__toks"), ngramN).as("__ng"))
+    // staged selects: tokens → (ngrams) → signature → bands, each
+    // materialized once per row (never recomputed inside lambdas)
+    val toks = df.select(col(idCol),
+      TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
     val staged =
       if (portable)
-        // native single-pass kernel: one md5 + all minima per doc
-        // (see graft.expressions.PortableMinHash; bit-identical to the
+        // fused native kernel: tokens → windows → md5 → all minima in
+        // ONE pass, no gram array materialized (bit-identical to the
         // staged declarative form kept for parity tests)
-        ngrams.select(col(idCol),
-          exprCol(graft.expressions.PortableMinHash(
-            colExpr(col("__ng")), numHashes)).as("__sig"))
+        toks.select(col(idCol),
+          exprCol(graft.expressions.PortableNgramMinHash(
+            colExpr(col("__toks")), ngramN, numHashes)).as("__sig"))
       else
-        ngrams.select(col(idCol),
-          minhashFromNgrams(col("__ng"), numHashes).as("__sig"))
+        toks
+          .select(col(idCol),
+            wordNgramsFromTokens(col("__toks"), ngramN).as("__ng"))
+          .select(col(idCol),
+            minhashFromNgrams(col("__ng"), numHashes).as("__sig"))
     val bandCols = (0 until bands).map { b =>
       val comps = (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1))
       val bandHash: Column =

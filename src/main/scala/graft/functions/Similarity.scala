@@ -206,6 +206,38 @@ object Similarity {
       .take(nlist)
   }
 
+  /** Deterministic Lloyd refinement of the coarse quantizer: assign →
+    * mean per cell, `iters` times. Centroid means accumulate through
+    * DECIMAL (exact, partition-order independent) so the trained
+    * centroids are bit-identical across runs and cluster layouts —
+    * the property that makes a trained quantizer usable in verified
+    * pipelines. Empty cells keep their previous centroid. The per-iter
+    * collect is nlist×dims values (a few KB).
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+    var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val dims = cents.head.length
+    val doubled = corpus.select(
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    (0 until iters).foreach { _ =>
+      val assigned = doubled.select(
+        cellOf(col("__v"), cents).as("__cell"),
+        posexplode(col("__v")).as(Seq("__d", "__x")))
+      val means = assigned
+        .groupBy(col("__cell"), col("__d"))
+        .agg((sum(col("__x").cast("decimal(28,14)")) /
+          count(lit(1))).cast("double").as("__m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Cell assignment: argmin over centroids of ‖v−c‖² ≡ argmin of
     * (‖c‖² − 2·v·c) — one codegen'd VecDot per centroid, argmin as a
     * single array_min over (score, cell) structs.

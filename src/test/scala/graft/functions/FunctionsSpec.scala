@@ -211,6 +211,26 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fused ngram-minhash kernel equals the staged gram pipeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftglue.Glue.{column => exprCol, expression => colExpr}
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "word", "two tokens", "",
+      "dup dup dup dup dup")                  // duplicate grams
+      .toDF("text")
+      .select(TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val cmp = df.select(
+      exprCol(graft.expressions.PortableNgramMinHash(
+        colExpr(col("toks")), 3, 16)).as("fused"),
+      Dedup.wordNgramsFromTokens(col("toks"), 3).as("ng"))
+      .select(col("fused"),
+        exprCol(graft.expressions.PortableMinHash(
+          colExpr(col("ng")), 16)).as("staged"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Any](0) === r.getSeq[Any](1)))
+  }
+
   test("portable md5-derived 60-bit hash matches the reference value") {
     import spark.implicits._
     // DuckDB: CAST('0x' || substr(md5('a'),1,15) AS BIGINT) = 57446577476672362
@@ -283,6 +303,32 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
     // exactness: every emitted pair is within the radius
     assert(pairs.values.forall(_ <= 3))
+  }
+
+  test("ivfTrain separates well-clustered data and is deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // three tight, well-separated clusters in 8 dims
+    val centers = Seq(
+      Array.fill(8)(5f), Array.fill(8)(-5f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5f else -5f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 40
+    } yield (ci * 100L + j, c.map(_ + rnd.nextFloat() * 0.5f))
+    val df = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.ivfTrain(df, "vec_id", "embedding",
+      nlist = 3, iters = 3)
+    val trained2 = Similarity.ivfTrain(df.repartition(7), "vec_id",
+      "embedding", nlist = 3, iters = 3)
+    // deterministic across partitioning layouts (decimal accumulation)
+    assert(trained.map(_.toSeq).toSeq === trained2.map(_.toSeq).toSeq)
+    // after training, each true cluster center is closest to a DISTINCT
+    // trained centroid (the sampled init has all seeds in cluster 0)
+    def nearest(v: Array[Float]): Int =
+      trained.zipWithIndex.minBy { case (c, _) =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum }._2
+    assert(centers.map(nearest).distinct.size === 3)
   }
 
   test("IVF topK recovers planted neighbors; nprobe=nlist equals brute force") {
