@@ -24,6 +24,18 @@ object JdbcSink {
       relaxDurability: Boolean = true, // P5 synchronous_commit=off
       rewriteBatchedInserts: Boolean = true)
 
+  /** `createTableColumnTypes` value from the catalog's converted PG
+    * types, so a Spark-created target table carries the CONVERTED DDL
+    * (citext, uuid, numeric narrowing) instead of Spark's generic JDBC
+    * type mapping. Computed columns are excluded (they are plain
+    * converted columns on the target; the formula lives in comments,
+    * reference parity pl:1576–1616).
+    */
+  def createTableColumnTypes(table: graft.catalog.TableDef): String =
+    table.cols.sortBy(_.pos)
+      .map(c => s"${c.name} ${c.pgType}")
+      .mkString(", ")
+
   /** Sink spec from the conf/CLI surface: target endpoint, -po write
     * parallelism, ignore-errors mode (pl:3680–3727).
     */

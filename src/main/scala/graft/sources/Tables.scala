@@ -34,6 +34,27 @@ object Tables {
       dirtyReads: Boolean = true // WITH(NOLOCK) parity (pl:3666)
   )
 
+  /** C3/C17 partition-column choice from the catalog: a table is
+    * range-partitionable when it has a single-column integral PK, and
+    * the conf's `use pk if possible` ("*" or a comma list of table
+    * names) or a LOB payload opts it in — the reference's template
+    * selection (pl:949–962, 4105–4133) as one predicate.
+    */
+  def partitionHint(table: graft.catalog.TableDef,
+      conf: graft.convert.Config): Option[String] = {
+    val eligible = table.pk.toSeq.flatMap(_.cols) match {
+      case Seq(one) =>
+        table.colByName(one).filter(c =>
+          Seq("smallint", "integer", "bigint")
+            .exists(c.pgType.startsWith)).map(_.name)
+      case _ => None
+    }
+    val wanted = table.hasLobs || conf.usePkIfPossible.trim == "*" ||
+      conf.usePkIfPossible.split(",").map(_.trim.toLowerCase)
+        .contains(table.name.toLowerCase)
+    eligible.filter(_ => wanted)
+  }
+
   /** Read spec from the conf/CLI surface: source endpoint + -pi read
     * parallelism; the LOB partition column/bounds stay per-table (C3).
     */

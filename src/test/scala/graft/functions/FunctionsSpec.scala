@@ -271,6 +271,26 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.sortBy(_._1).map(_._2).take(2).toSeq === Seq(11L, 12L))
   }
 
+  test("char shingles catch CJK near-dups that word grams cannot") {
+    import spark.implicits._
+    // unsegmented text: whitespace tokenization sees ONE token, so
+    // word n-grams degenerate; char k-shingles stay discriminative
+    val zh1 = "机器学习模型在大规模数据集上训练需要分布式计算框架支持"
+    val zh2 = "机器学习模型在大规模数据集上训练需要分布式计算框架帮助" // 1-char edit
+    val zh3 = "完全不同的内容讨论烹饪食谱和旅行计划与前文毫无关系可言"
+    val df = Seq((1L, zh1), (2L, zh2), (3L, zh3)).toDF("doc_id", "text")
+    val sets = df.select(col("doc_id"),
+      Dedup.shingles(col("text"), k = 3).as("sh"))
+    val l = sets.alias("l"); val r = sets.alias("r")
+    val sims = l.join(r, col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id"),
+        Dedup.jaccard(col("l.sh"), col("r.sh")).as("j"))
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+      .toMap
+    assert(sims((1L, 2L)) > 0.7)   // near-dup detected
+    assert(sims((1L, 3L)) < 0.1 && sims((2L, 3L)) < 0.1)
+  }
+
   test("LSH-verified jaccard equals all-pairs on high-similarity docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight again"
