@@ -146,6 +146,42 @@ object Dedup {
       .select(col(idCol), col("band.band_id"), col("band.band_hash"))
   }
 
+  /** MinHash-LSH candidates over CHAR k-shingles — the variant for
+    * unsegmented scripts (zh/ja/th), where whitespace tokenization
+    * collapses a document into one "token" and word n-grams lose all
+    * discrimination. Same banding and join shape as the word-gram
+    * path; shingle sets are ~1 per character, so prefer the word-gram
+    * variant for segmented text.
+    */
+  def minhashCandidatesChars(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    val staged = df
+      .select(col(idCol), shingles(col(textCol), k).as("__sh"))
+      .select(col(idCol),
+        (if (portable)
+          exprCol(graft.expressions.PortableMinHash(
+            colExpr(col("__sh")), numHashes))
+         else minhashFromNgrams(col("__sh"), numHashes)).as("__sig"))
+    val bandCols = (0 until bands).map { b =>
+      val comps = (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1))
+      val bandHash: Column =
+        if (portable) concat_ws("|", comps.map(_.cast("string")): _*)
+        else xxhash64(comps: _*)
+      struct(lit(b).as("band_id"), bandHash.as("band_hash"))
+    }
+    val bandsDf = staged
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+    val l = bandsDf.alias("l"); val r = bandsDf.alias("r")
+    l.join(r, col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
   /** MinHash-LSH candidate pairs (a < b), deduplicated across bands.
     * Verification (exact Jaccard) composes downstream on candidates
     * only — the expensive comparison never touches non-colliding pairs.

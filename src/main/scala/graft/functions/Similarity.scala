@@ -76,6 +76,11 @@ object Similarity {
     * are stable across runs. Materialized as a literal array so the
     * executor does array lookups, not per-element hash calls.
     */
+  // productHash is deprecated in 2.13.17, but the plane constants MUST
+  // stay bit-identical forever (every sign-LSH signature derives from
+  // them); replacing it with caseClassHash would silently re-roll all
+  // banded signatures and recall properties.
+  @annotation.nowarn("cat=deprecation")
   private def planeVector(p: Int, dims: Int): Array[Double] =
     Array.tabulate(dims) { d =>
       val h = scala.util.hashing.MurmurHash3.productHash((p, d))
@@ -243,7 +248,7 @@ object Similarity {
     * single array_min over (score, cell) structs.
     */
   private def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+    array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val cNormSq = c.map(x => x * x).sum
       struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(c))).as("score"),
         lit(i).as("cell"))
@@ -252,7 +257,7 @@ object Similarity {
   /** The nprobe cells nearest to a query vector, as an array column. */
   private def probeCells(vec: Column, centroids: Array[Array[Double]],
       nprobe: Int): Column =
-    slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+    slice(array_sort(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val cNormSq = c.map(x => x * x).sum
       struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(c))).as("score"),
         lit(i).as("cell"))

@@ -115,7 +115,7 @@ object DiffSync {
   def applyToJdbc(diffed: DataFrame, pkCols: Seq[String],
       target: SyncTarget): Unit = {
     val valueCols = diffed.columns
-      .filterNot(c => pkCols.contains(c) || c == FlagCol)
+      .filterNot(c => pkCols.contains(c) || c == FlagCol).toIndexedSeq
     val allCols = pkCols ++ valueCols
     val insertSql = upsertSql(target.table, pkCols, valueCols)
     val plainInsertSql = s"INSERT INTO ${target.table} " +

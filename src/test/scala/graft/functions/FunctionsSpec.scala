@@ -289,6 +289,12 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .toMap
     assert(sims((1L, 2L)) > 0.7)   // near-dup detected
     assert(sims((1L, 3L)) < 0.1 && sims((2L, 3L)) < 0.1)
+    // and the banded candidate generator finds exactly that pair
+    val cands = Dedup.minhashCandidatesChars(df, "doc_id", "text",
+      k = 3, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("LSH-verified jaccard equals all-pairs on high-similarity docs") {
