@@ -29,6 +29,9 @@ object Main {
       |  [-sforce_ssl] [-pforce_ssl] [-stringtype_unspecified]""".stripMargin
 
   def main(args: Array[String]): Unit = {
+    if (args.exists(a => a == "-h" || a == "--h" || a == "-help")) {
+      println(usage); sys.exit(0)
+    }
     val job =
       try buildJob(args.toSeq)
       catch {
@@ -77,13 +80,11 @@ object Main {
   }
 
   /** CLI + optional conf file → Job (CLI wins; pl:3341–3344 parses the
-    * conf only after GetOptions has set the CLI vars).
+    * conf only after GetOptions has set the CLI vars). Embeddable —
+    * never exits the JVM; -h short-circuits in main() only.
     */
   def buildJob(args: Seq[String]): ConfFile.Job = {
     val cli = ConfFile.parseCli(args)
-    if (cli.exists(_._1 == "h")) {
-      println(usage); sys.exit(0)
-    }
     val confEntries = cli.collectFirst { case ("conf", f) => f } match {
       case Some(f) =>
         ConfFile.parseConfLines(

@@ -96,6 +96,12 @@ class ConfFileSpec extends AnyFunSuite {
     assert(write.url.startsWith("jdbc:postgresql://pg.example:5433/tgtdb"))
   }
 
+  test("buildJob is embeddable: -h does not exit the JVM") {
+    // -h parses as a plain boolean flag; only Main.main() exits on it
+    val job = graft.tools.Main.buildJob(Seq("-h", "-f", "/d.sql"))
+    assert(job.dumpFile === Some("/d.sql"))
+  }
+
   test("keep_identifier_case + camel_to_snake is rejected") {
     intercept[ConfFile.ConfException] {
       ConfFile.toJob(Map("keep_identifier_case" -> "1",
