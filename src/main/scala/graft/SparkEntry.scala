@@ -29,7 +29,10 @@ object SparkEntry {
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // `div` (integral) — `/` is double division, and ns epochs
+        // (~1.7e18) exceed a double's 53-bit mantissa: the rounded
+        // quotient drifts ±1 µs, which the µs-exact oracles catch
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }
@@ -604,7 +607,79 @@ object SparkEntry {
       graft.functions.Multimodal.byteFeatures(docs, "payload")
         .select(col("doc_id"), col("media_size"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // ---------------- extension operators: corpus curation ------------
+    "curate_split_train_test" -> ((s, dir) =>
+      // deterministic md5-bucket split: stable under corpus growth,
+      // map-only, replayed bit-for-bit by the oracle
+      graft.functions.Curation.splitAssign(t(s, dir, "documents"), "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "curate_sample_stratified" -> ((s, dir) =>
+      // per-language downsampling (en to 20%, rest to 50%) via the
+      // same salted-hash buckets — a codegen'd filter, no shuffle
+      graft.functions.Curation.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        ratesPer10k = Seq("en" -> 2000), defaultPer10k = 5000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    "curate_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing a 4-gram with the
+      // held-out set (doc_id % 37 = 0 here; a real eval suite in
+      // production). The benchmark gram set is broadcast — the corpus
+      // side is never self-joined.
+      val docs = t(s, dir, "documents")
+      graft.functions.Curation.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "curate_pii_redact" -> ((s, dir) => {
+      // the corpus has no natural PII, so synthesize a deterministic
+      // contact line per doc (both engines build the identical string)
+      // and redact it — exercising both patterns on every row
+      val synth = concat(col("text"), lit(" Contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.org or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-9876."))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Curation.piiRedact(synth).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "txt_top_tokens" -> ((s, dir) =>
+      // corpus-level heavy hitters: partial-agg'd counts, TakeOrdered
+      // top-20 (ties break on the token)
+      graft.functions.Curation.topTokens(t(s, dir, "documents"), "text", 20)),
+
+    "txt_repetition" -> ((s, dir) =>
+      graft.functions.Curation.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "dedup_cluster_cc" -> ((s, dir) => {
+      // duplicate CLUSTERS from the pairwise LSH+Jaccard edges:
+      // iterative min-label propagation to the unique fixpoint (min
+      // doc_id per connected component) — the oracle recomputes it as
+      // a recursive reachability CTE
+      val edges = Dedup.ngramJaccardPairsLsh(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.15, n = 3, numHashes = 16,
+        bands = 8, portable = true)
+      Dedup.connectedComponents(edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "events_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (30-min) + per-session rollup: one
+      // shuffle on user_id shared by the windows AND the aggregation
+      graft.operators.Sessionize.rollup(events(s, dir), "user_id",
+        "event_id", unix_micros(col("ts")), gapUs = 1800000000L, "value")
+        .orderBy(col("user_id"), col("session_idx")))
   )
 
   /** DuckDB oracles. Portability notes: DuckDB regexp_replace needs the
@@ -1180,6 +1255,152 @@ object SparkEntry {
         |  floor(MIN(cos) * 10000) / 10000 AS min_cos,
         |  floor(MAX(cos) * 10000) / 10000 AS max_cos,
         |  TRUE AS recall_ok
-        |FROM cosv WHERE cos >= 0.9""".stripMargin
+        |FROM cosv WHERE cos >= 0.9""".stripMargin,
+
+    "curate_split_train_test" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "curate_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 10000
+        |  < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "curate_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT unnest(ngrams) AS g FROM ng WHERE doc_id % 37 = 0),
+        |corpus AS (
+        |  SELECT doc_id, unnest(ngrams) AS g FROM ng WHERE doc_id % 37 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS n_hits
+        |  FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id),
+        |tot AS (
+        |  SELECT doc_id, len(ngrams) AS n_grams FROM ng WHERE doc_id % 37 <> 0)
+        |SELECT t.doc_id, h.n_hits, t.n_grams,
+        |  floor(CAST(h.n_hits AS DOUBLE) / greatest(t.n_grams, 1) * 10000) / 10000
+        |    AS overlap
+        |FROM tot t JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "curate_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@mail.example.org or 555-'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-9876.',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4}(-\d{4})?', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_top_tokens" ->
+      """SELECT token, cnt FROM (
+        |  SELECT token, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |    FROM documents) u
+        |  WHERE token <> ''
+        |  GROUP BY token)
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents)
+        |SELECT doc_id, len(tk) AS n_tokens,
+        |  len(list_distinct(tk)) AS n_distinct,
+        |  floor(CAST(len(list_distinct(tk)) AS DOUBLE)
+        |    / greatest(len(tk), 1) * 10000) / 10000 AS ttr,
+        |  list_max(list_transform(list_distinct(tk),
+        |    t -> len(list_filter(tk, x -> x = t)))) AS max_tok_freq
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_cc" ->
+      // the pair pipeline is dedup_ngram_jaccard's; the cluster label is
+      // min reachable id, computed as a recursive reachability CTE
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
+        |  FROM hp),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
+        |  FROM sig, range(0, 8) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |    AND l.doc_id < r.doc_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id
+        |  WHERE floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+        |      greatest(len(a.ngrams) + len(b.ngrams)
+        |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 >= 0.15),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM scored
+        |  UNION ALL SELECT id_b, id_a FROM scored),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |      OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM b)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
   )
 }

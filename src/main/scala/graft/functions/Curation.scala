@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * train/valid/test splits, stratified sampling, benchmark
+  * decontamination, PII redaction, and corpus-level token statistics.
+  *
+  * Scale design: split/sample/redact are map-only projections (no
+  * shuffle at all); decontamination broadcasts the benchmark gram set
+  * (benchmarks are thousands of documents, corpora are billions) so the
+  * only shuffle is the per-doc hit aggregation; top-k tokens is a
+  * partial-aggregated count followed by TakeOrdered on k rows.
+  *
+  * Determinism: all randomness derives from md5 of a salted key, which
+  * any engine with bit-exact md5 replays (see Dedup.portableGramHashPairs
+  * for the same trick on gram hashes). Re-running a split NEVER moves a
+  * document between train and test — the property that matters when the
+  * corpus is re-ingested incrementally.
+  */
+object Curation {
+
+  /** 60-bit uniform hash of a salted string key (portable: DuckDB
+    * `CAST('0x' || substr(md5(salt || key), 1, 15) AS BIGINT)`).
+    */
+  def saltedHash60(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Deterministic train/valid/test assignment by hash bucket: bucket =
+    * h(id) mod 100; train < `trainPct` <= valid < `trainPct+validPct`
+    * <= test. Map-only — at 100 TB this is a free projection pushed
+    * into the scan, and membership is stable under corpus growth
+    * (adding documents never reassigns existing ones).
+    */
+  def splitAssign(df: DataFrame, idCol: String, trainPct: Int = 90,
+      validPct: Int = 5, salt: String = "split|"): DataFrame = {
+    val bucket = saltedHash60(salt, col(idCol)) % 100
+    df.select(col(idCol), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  /** Deterministic stratified sample: keep a row iff its 4-digit hash
+    * bucket falls under the stratum's rate (per-10000). Rates are a
+    * literal when()-chain, so the filter is codegen'd and pushed to the
+    * scan — sampling 1% of 100 TB reads the column-pruned scan once and
+    * shuffles nothing.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      ratesPer10k: Seq[(String, Int)], defaultPer10k: Int,
+      salt: String = "sample|"): DataFrame = {
+    val bucket = saltedHash60(salt, col(idCol)) % 10000
+    val rate = ratesPer10k.foldLeft(lit(defaultPer10k)) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{4}(-\\d{4})?"
+
+  /** PII redaction: email and phone patterns replaced with typed
+    * placeholder tokens. Pure codegen'd regexp_replace (no UDF); the
+    * patterns avoid constructs whose semantics differ between regex
+    * engines (no backreferences, no lookaround), so an RE2-based oracle
+    * replays them exactly.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Benchmark decontamination: for each corpus document, count its
+    * word n-grams that also occur in `bench` (the held-out benchmark /
+    * eval set), and the overlap ratio. Training on benchmark text
+    * invalidates evals — this flags documents to drop.
+    *
+    * Scale: the benchmark gram set is DISTINCT'd and broadcast (eval
+    * suites are ~1e3–1e6 docs; the corpus is the big side), so the
+    * corpus is scanned once, map-side joined, and the only shuffle is
+    * the per-doc count aggregation on (doc_id) — no corpus self-join
+    * anywhere. Returns only contaminated docs (n_hits >= 1).
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 4): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), TextAnalysis.tokens(lower(trim(col(textCol))))
+        .as("__toks"))
+      .select(col(idCol), Dedup.wordNgramsFromTokens(col("__toks"), n)
+        .as("__ng"))
+    val benchGrams = grams(bench)
+      .select(explode(col("__ng")).as("g")).distinct()
+    val corpusGrams = grams(corpus)
+    val hits = corpusGrams
+      .select(col(idCol), explode(col("__ng")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    corpusGrams.select(col(idCol), size(col("__ng")).as("n_grams"))
+      .join(hits, idCol)
+      .select(col(idCol), col("n_hits"), col("n_grams"),
+        TextAnalysis.q4(col("n_hits").cast("double") /
+          greatest(col("n_grams"), lit(1))).as("overlap"))
+  }
+
+  /** Corpus-level top-k token frequencies. explode → groupBy benefits
+    * from map-side partial aggregation (the shuffle carries one row per
+    * distinct token per partition, not per occurrence); the final
+    * orderBy+limit plans as TakeOrderedAndProject — only k rows ever
+    * reach the driver. Ties break on the token for determinism.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.tokens(lower(trim(col(textCol)))))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Per-document repetition statistics: token count, distinct-token
+    * count, type-token ratio, and the max single-token frequency —
+    * boilerplate/spam signals (a low TTR or a dominant token marks
+    * machine-generated filler). Map-only; the token array materializes
+    * once per row (staged select), and the max-frequency pass runs over
+    * the distinct tokens of THAT array — O(distinct × tokens) per doc,
+    * zero shuffles.
+    */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        TextAnalysis.tokens(lower(trim(col(textCol)))).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        array_distinct(col("__toks")).as("__dist"))
+      .select(col(idCol),
+        size(col("__toks")).as("n_tokens"),
+        size(col("__dist")).as("n_distinct"),
+        TextAnalysis.q4(size(col("__dist")).cast("double") /
+          greatest(size(col("__toks")), lit(1))).as("ttr"),
+        array_max(transform(col("__dist"),
+          t => size(filter(col("__toks"), x => x === t))))
+          .as("max_tok_freq"))
+}

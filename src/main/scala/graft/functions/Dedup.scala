@@ -356,6 +356,53 @@ object Dedup {
       .filter(col("hamming") <= radius)
   }
 
+  /** Connected components over a near-duplicate pair list: collapses
+    * pairwise edges (from any of the candidate generators above) into
+    * duplicate CLUSTERS, labeling every member with the minimum doc id
+    * of its component — the form a pipeline actually consumes ("keep
+    * one per cluster"), since near-duplication is transitive in
+    * practice (A≈B, B≈C ⇒ drop two of three) while the raw pair list
+    * is not.
+    *
+    * Algorithm: iterative min-label propagation (the Pregel/GraphX CC
+    * shape) — each round every node takes the min label over itself
+    * and its neighbors; convergence is detected by counting changed
+    * labels. Rounds needed = max component diameter, and dedup
+    * components are shallow (near-dup clusters are quasi-cliques), so
+    * this converges in a handful of rounds. Each round is one
+    * shuffle-on-key join + aggregation; `localCheckpoint` truncates
+    * the lineage so plan size stays constant across rounds. The
+    * fixpoint (min id per component) is unique, so the result is
+    * deterministic regardless of how many rounds ran. For graphs with
+    * long chains at extreme scale, the same loop accepts the
+    * large-star/small-star edge rewriting (Kiveris et al.) — dedup
+    * graphs don't need it.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nb_label"), col("label")))
+            .as("new_label"))
+        .localCheckpoint()
+      converged = next.filter(col("new_label") < col("label")).isEmpty
+      labels = next.select(col("id"), col("new_label").as("label"))
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Candidates come
     * from banded sign-LSH (OR of `bands` AND-bands of `rowsPerBand`
     * hyperplane bits — see Similarity.signBands): a pair is a candidate

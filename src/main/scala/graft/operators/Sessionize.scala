@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Gap-based sessionization of an event stream — the batch twin of the
+  * streaming windowed aggregation (streaming/EventStream.scala): events
+  * of one user separated by more than `gapUs` microseconds start a new
+  * session.
+  *
+  * Plan shape at 100 TB: ONE shuffle on the user key. The two window
+  * passes (lag → boundary flag, running sum → session index) and the
+  * final per-session aggregation all require clustering by user_id, and
+  * Catalyst satisfies the groupBy(user_id, session_idx) distribution
+  * with the window's existing HashPartitioning(user_id) — no second
+  * Exchange (asserted in SessionizeSpec). Timestamps stay integral
+  * microseconds end-to-end, so session arithmetic is exact and
+  * engine-portable.
+  */
+object Sessionize {
+
+  /** Assign per-user session indexes (1-based, in time order) to each
+    * event. `tsUs` must be an integral microseconds-since-epoch column.
+    */
+  def assign(events: DataFrame, userCol: String, idCol: String,
+      tsUs: Column, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(tsUs, col(idCol))
+    val prev = lag(tsUs, 1).over(w)
+    val isNew = when(prev.isNull || tsUs - prev > gapUs, 1).otherwise(0)
+    events
+      .withColumn("__ts_us", tsUs)
+      .withColumn("__is_new", isNew)
+      .withColumn("session_idx",
+        sum(col("__is_new")).over(
+          Window.partitionBy(col(userCol)).orderBy(col("__ts_us"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__is_new")
+  }
+
+  /** Per-session rollup: event count, first/last timestamp (µs), exact
+    * decimal sum of `valueCol` surfaced as double.
+    */
+  def rollup(events: DataFrame, userCol: String, idCol: String,
+      tsUs: Column, gapUs: Long, valueCol: String): DataFrame =
+    assign(events, userCol, idCol, tsUs, gapUs)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__ts_us")).as("start_us"),
+        max(col("__ts_us")).as("end_us"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+}

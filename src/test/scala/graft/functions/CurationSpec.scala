@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.operators.Sessionize
+
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text", "lang")
+  }
+
+  test("splitAssign: deterministic, complete, and stable under growth") {
+    val d1 = docs((0L until 200L).map(i => (i, s"doc $i", "en")): _*)
+    val a = Curation.splitAssign(d1, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(a.size == 200)
+    // every bucket in [0,100), split consistent with bucket
+    a.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100)
+      assert(s == (if (b < 90) "train" else if (b < 95) "valid" else "test"))
+    }
+    // all three splits are populated at n=200
+    assert(a.values.map(_._2).toSet == Set("train", "valid", "test"))
+    // growing the corpus never reassigns an existing id
+    val d2 = docs((0L until 400L).map(i => (i, s"doc $i", "en")): _*)
+    val b = Curation.splitAssign(d2, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    a.foreach { case (id, v) => assert(b(id) == v) }
+  }
+
+  test("stratifiedSample: per-stratum rates honored deterministically") {
+    val d = docs((0L until 1000L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "de")): _*)
+    val kept = Curation.stratifiedSample(d, "doc_id", "lang",
+      Seq("en" -> 2000), defaultPer10k = 5000).collect()
+    val en = kept.count(_.getString(2) == "en")
+    val de = kept.count(_.getString(2) == "de")
+    // 500 docs per stratum; expectation 100 en / 250 de, generous bounds
+    assert(en > 50 && en < 160, s"en kept $en")
+    assert(de > 180 && de < 320, s"de kept $de")
+    // deterministic: a second run keeps the identical id set
+    val again = Curation.stratifiedSample(d, "doc_id", "lang",
+      Seq("en" -> 2000), defaultPer10k = 5000).collect()
+    assert(kept.map(_.getLong(0)).toSet == again.map(_.getLong(0)).toSet)
+  }
+
+  test("piiRedact masks emails and phones, leaves clean text alone") {
+    import spark.implicits._
+    val d = Seq(
+      "reach me at jane.doe+x@sub.example.org today",
+      "call 555-0123 or 555-0123-4567 now",
+      "nothing sensitive here").toDF("t")
+    val out = d.select(Curation.piiRedact(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "reach me at <EMAIL> today")
+    assert(out(1) == "call <PHONE> or <PHONE> now")
+    assert(out(2) == "nothing sensitive here")
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val bench = docs((900L, "the quick brown fox jumps over the lazy dog", "en"))
+    val corpus = docs(
+      (1L, "the quick brown fox jumps somewhere else entirely today", "en"),
+      (2L, "completely unrelated text with no shared phrases at all", "en"),
+      (3L, "the quick brown fox jumps over the lazy dog exactly", "en"))
+    val out = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(1L) && out.contains(3L) && !out.contains(2L))
+    // doc 3 contains the whole benchmark doc: every benchmark gram hits
+    assert(out(3L) > out(1L))
+  }
+
+  test("topTokens: counts, ordering, tie-break") {
+    val d = docs(
+      (1L, "b b b a a c", "en"),
+      (2L, "a b  ", "en"))
+    val out = Curation.topTokens(d, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("b", 4L), ("a", 3L), ("c", 1L)))
+  }
+
+  test("repetitionStats: ttr and max frequency") {
+    val d = docs((1L, "a a a b", "en"), (2L, "w x y z", "en"))
+    val out = Curation.repetitionStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out(1L) == ((4, 2, 0.5, 3)))
+    assert(out(2L) == ((4, 4, 1.0, 1)))
+  }
+
+  test("connectedComponents: chain, clique, and pair resolve to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("sessionize: gap starts new session; rollup aggregates per session") {
+    import spark.implicits._
+    val gap = 1800000000L // 30 min in µs
+    val ev = Seq(
+      // user 1: two events 10 min apart, then one 31 min later
+      (1L, 100L, 0L, 2.5), (2L, 100L, 600000000L, 1.5),
+      (3L, 100L, 600000000L + 1860000000L, 4.0),
+      // user 2: single event
+      (4L, 200L, 0L, 9.0)
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val out = Sessionize.rollup(ev, "user_id", "event_id",
+      col("ts_us"), gap, "value")
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.length == 3)
+    val s1 = out(0)
+    assert(s1.getLong(0) == 100L && s1.getLong(1) == 1L &&
+      s1.getLong(2) == 2L && s1.getDouble(5) == 4.0)
+    val s2 = out(1)
+    assert(s2.getLong(1) == 2L && s2.getLong(2) == 1L &&
+      s2.getDouble(5) == 4.0)
+    assert(out(2).getLong(0) == 200L)
+    // exactly at the gap boundary (not >) stays in-session
+    val edge = Seq((1L, 1L, 0L, 1.0), (2L, 1L, gap, 1.0))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    assert(Sessionize.rollup(edge, "user_id", "event_id",
+      col("ts_us"), gap, "value").count() == 1)
+  }
+
+  test("sessionize rollup plans a single exchange (windows + agg co-partition)") {
+    import spark.implicits._
+    val ev = (1L to 100L).map(i => (i, i % 5, i * 1000000L, 1.0))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val plan = Sessionize.rollup(ev, "user_id", "event_id",
+      col("ts_us"), 1800000000L, "value")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+  }
+}
