@@ -92,11 +92,21 @@ object Curation {
         .as("__toks"))
       .select(col(idCol), Dedup.wordNgramsFromTokens(col("__toks"), n)
         .as("__ng"))
+    // explode_outer, NOT explode: plain explode makes the optimizer push
+    // a `size(__ng) > 0 AND isnotnull(__ng)` filter BELOW the staged
+    // projects, inlining the whole n-gram expression into the filter —
+    // where split() re-evaluates per element access (O(tokens²) per row;
+    // 22 s for this query at sf0.1 vs 0.9 s staged). explode_outer adds
+    // no implicit filter, so the null check runs on the GENERATED column
+    // above the Generate and the staging survives.
     val benchGrams = grams(bench)
-      .select(explode(col("__ng")).as("g")).distinct()
+      .select(explode_outer(col("__ng")).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
     val corpusGrams = grams(corpus)
     val hits = corpusGrams
-      .select(col(idCol), explode(col("__ng")).as("g"))
+      .select(col(idCol), explode_outer(col("__ng")).as("g"))
+      .filter(col("g").isNotNull)
       .join(broadcast(benchGrams), "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))

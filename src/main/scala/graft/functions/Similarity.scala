@@ -248,11 +248,18 @@ object Similarity {
     * single array_min over (score, cell) structs.
     */
   private def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cNormSq = c.map(x => x * x).sum
-      struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(c))).as("score"),
-        lit(i).as("cell"))
-    }: _*)).getField("cell")
+    // coalesce makes the cell provably non-nullable, so the equi-join
+    // downstream infers NO IsNotNull filter on it — without this the
+    // optimizer pushes isnotnull(<whole argmin>) below the projection
+    // and the entire nlist-centroid scoring runs TWICE per corpus row
+    // (once in the filter, once in the project)
+    coalesce(
+      array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        val cNormSq = c.map(x => x * x).sum
+        struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(c))).as("score"),
+          lit(i).as("cell"))
+      }: _*)).getField("cell"),
+      lit(-1))
 
   /** The nprobe cells nearest to a query vector, as an array column. */
   private def probeCells(vec: Column, centroids: Array[Array[Double]],

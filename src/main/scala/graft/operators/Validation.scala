@@ -19,8 +19,13 @@ object Validation {
   def fkOrphans(child: DataFrame, childKeys: Seq[String],
       parent: DataFrame, parentKeys: Seq[String],
       broadcastParent: Boolean = false): DataFrame = {
-    val p0 = parent.selectExpr(parentKeys: _*).distinct()
-    val p = if (broadcastParent) broadcast(p0) else p0
+    // Anti-join semantics are insensitive to duplicate parent keys, so
+    // distinct() is purely a shuffle-volume reduction: worth one
+    // map-side-combined Exchange when the parent will itself be
+    // shuffled, pure waste when it is broadcast (the HashedRelation
+    // dedups keys as it builds).
+    val proj = parent.selectExpr(parentKeys: _*)
+    val p = if (broadcastParent) broadcast(proj) else proj.distinct()
     val cond = childKeys.zip(parentKeys)
       .map { case (c, pk) => child(c) === p(pk) }.reduce(_ && _)
     child.join(p, cond, "left_anti")
