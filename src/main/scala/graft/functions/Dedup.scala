@@ -329,18 +329,26 @@ object Dedup {
       radius: Int = 3): DataFrame = {
     val numBits = 60
     val blocks = radius + 1
-    require(numBits % blocks == 0,
-      s"radius+1 = $blocks must divide $numBits bits")
-    val width = numBits / blocks
-    val mask = (1L << width) - 1
+    require(blocks >= 2 && blocks <= numBits,
+      s"radius must be in [1, ${numBits - 1}]")
+    // Pigeonhole only needs SOME partition into radius+1 blocks; when
+    // blocks does not divide numBits the low `rem` blocks are one bit
+    // wider (floor/ceil widths), so any radius works — not just
+    // divisors of 60.
+    val baseWidth = numBits / blocks
+    val rem = numBits % blocks
+    // block b covers [offset, offset+width): widths cover all bits once
+    val layout = (0 until blocks).scanLeft((0, 0)) { case ((off, w), b) =>
+      (off + w, baseWidth + (if (b < rem) 1 else 0))
+    }.tail
     val sigs = df
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol),
         exprCol(graft.expressions.PortableSimHash(
           colExpr(col("__toks")), numBits)).as("sig"))
-    val bandCols = (0 until blocks).map { b =>
+    val bandCols = layout.zipWithIndex.map { case ((offset, width), b) =>
       struct(lit(b).as("block_id"),
-        shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
+        shiftright(col("sig"), offset).bitwiseAND(lit((1L << width) - 1))
           .as("block_value"))
     }
     val bands = sigs

@@ -28,12 +28,28 @@ object Multimodal {
   def withMediaSchema(df: DataFrame, binCol: String): StructType =
     StructType(df.schema.fields ++ Seq(StructField("media_meta", mediaMetaType)))
 
+  /** The decoder swap point: a real codec binding (JNI/FFI) implements
+    * these two traits and nothing else changes — not the plan, not the
+    * schema, not the error channel. The FACTORY ships to executors
+    * (Serializable); the decoder it opens does not — it's created once
+    * per partition and closed via the task-completion listener, which is
+    * where a native codec frees its context.
+    */
+  trait MediaDecoder extends java.io.Closeable {
+    /** format, width, height, n_frames; throw on undecodable payload. */
+    def decode(bytes: Array[Byte]): (String, Int, Int, Int)
+    override def close(): Unit = ()
+  }
+  trait MediaDecoderFactory extends Serializable {
+    def open(): MediaDecoder
+  }
+
   /** STUB decode kernel — deterministic fake standing in for a real
     * codec: derives pseudo-dimensions from the payload bytes. Replace
     * with an actual decoder binding in production; everything around it
     * (batching, schema, error channel) is the real implementation.
     */
-  private[functions] object FakeDecoder {
+  private[functions] object FakeDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte]): (String, Int, Int, Int) = {
       if (bytes == null || bytes.isEmpty) throw new IllegalArgumentException("empty payload")
       val h = java.util.Arrays.hashCode(bytes)
@@ -44,19 +60,28 @@ object Multimodal {
         1 + math.abs(h % 30))
     }
   }
+  object FakeDecoderFactory extends MediaDecoderFactory {
+    def open(): MediaDecoder = FakeDecoder
+  }
 
   /** Decode/feature-extract pass: binary column → media_meta struct.
     * `mapPartitions` so a real decoder initializes once per partition;
     * per-row failures become `decode_ok=false` rows, never task aborts
     * (at 100 TB a single corrupt blob must not kill a stage).
     */
-  def decodeMeta(df: DataFrame, binCol: String): DataFrame = {
+  def decodeMeta(df: DataFrame, binCol: String,
+      factory: MediaDecoderFactory = FakeDecoderFactory): DataFrame = {
     val schema = withMediaSchema(df, binCol)
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     df.mapPartitions { rows =>
-      // (real impl: decoder/codec context initialized HERE, once)
+      // decoder context opens ONCE per partition; a native codec frees
+      // its resources in close(), fired at task completion (success or
+      // failure) — never per row
+      val decoder = factory.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
       rows.map { row =>
         val bytes = row.get(binIdx) match {
           case b: Array[Byte] => b
@@ -64,7 +89,7 @@ object Multimodal {
         }
         val meta =
           try {
-            val (fmt, w, h, nf) = FakeDecoder.decode(bytes)
+            val (fmt, w, h, nf) = decoder.decode(bytes)
             Row(fmt, w, h, nf, true, null)
           } catch {
             case e: Exception => Row(null, null, null, null, false,
@@ -75,10 +100,19 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resizer swap point — same contract as MediaDecoderFactory. */
+  trait MediaResizer extends java.io.Closeable {
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    override def close(): Unit = ()
+  }
+  trait MediaResizerFactory extends Serializable {
+    def open(): MediaResizer
+  }
+
   /** STUB resize kernel — deterministic fake: emits a payload whose
     * length encodes the target dims (real impl: scaler/codec call).
     */
-  private[functions] object FakeResizer {
+  private[functions] object FakeResizer extends MediaResizer {
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       if (bytes == null || bytes.isEmpty)
         throw new IllegalArgumentException("empty payload")
@@ -88,6 +122,9 @@ object Multimodal {
       out
     }
   }
+  object FakeResizerFactory extends MediaResizerFactory {
+    def open(): MediaResizer = FakeResizer
+  }
 
   /** Resize pass: binary column → resized binary + (width, height,
     * resize_ok, error) — the same partition-batched contract as
@@ -96,7 +133,8 @@ object Multimodal {
     * abort). Swap FakeResizer for a real scaler, nothing else changes.
     */
   def resizeTo(df: DataFrame, binCol: String, width: Int,
-      height: Int): DataFrame = {
+      height: Int,
+      factory: MediaResizerFactory = FakeResizerFactory): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("resized", BinaryType),
       StructField("resize_meta", StructType(Seq(
@@ -108,7 +146,10 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     df.mapPartitions { rows =>
-      // (real impl: scaler context initialized HERE, once)
+      // scaler context opens ONCE per partition, closed at task end
+      val resizer = factory.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => resizer.close()))
       rows.map { row =>
         val bytes = row.get(binIdx) match {
           case b: Array[Byte] => b
@@ -116,7 +157,7 @@ object Multimodal {
         }
         val (payload, meta) =
           try {
-            val out = FakeResizer.resize(bytes, width, height)
+            val out = resizer.resize(bytes, width, height)
             (out, Row(width, height, true, null))
           } catch {
             case e: Exception =>

@@ -331,6 +331,30 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.values.forall(_ <= 3))
   }
 
+  test("simhash Hamming: non-divisor radii use floor/ceil block widths") {
+    import spark.implicits._
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans with codegen stages enabled"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("codegen", "compiled")),
+      (3L, "completely unrelated words about gardening cooking and travel plans tomorrow"))
+      .toDF("doc_id", "text")
+    // radius 6 → 7 blocks over 60 bits (8*4 + 9*3 — not a divisor);
+    // pigeonhole still guarantees recall within the radius, and larger
+    // radii must find at least everything smaller radii find
+    for (radius <- Seq(1, 4, 6)) {
+      val pairs = Dedup.simhashNearDups(df, "doc_id", "text", radius)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      assert(pairs.values.forall(_ <= radius), s"radius $radius")
+      assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    }
+    // the one-token edit pair must appear once the radius covers its
+    // true distance (small by construction; assert via the exact value)
+    val all = Dedup.simhashNearDups(df, "doc_id", "text", radius = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(all.contains((1L, 2L)))
+  }
+
   test("ivfTrain separates well-clustered data and is deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
@@ -419,6 +443,21 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(meta(2L).getString(5) != null)
   }
 
+  test("multimodal: custom decoder factory opens per partition and closes") {
+    import spark.implicits._
+    CountingDecoderFactory.reset()
+    val df = Seq(
+      (1L, "abc".getBytes("UTF-8")), (2L, "def".getBytes("UTF-8")),
+      (3L, "ghi".getBytes("UTF-8")), (4L, "jkl".getBytes("UTF-8")))
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.decodeMeta(df, "payload", CountingDecoderFactory)
+      .collect()
+    assert(out.forall(_.getStruct(2).getString(0) == "fake-codec"))
+    // one open per partition (not per row), and every open was closed
+    assert(CountingDecoderFactory.opens.get() == 2)
+    assert(CountingDecoderFactory.closes.get() == 2)
+  }
+
   test("multimodal: fixed chunking covers the payload, binary included") {
     import spark.implicits._
     val payload = Array.tabulate(700)(i => (i % 251).toByte)
@@ -468,5 +507,22 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length === 2)
     assert(out(0).getLong(2) === 2L)
     assert(out(0).getDecimal(3).doubleValue() === 3.0)
+  }
+}
+
+/** Instrumented decoder factory (top-level object so executors in
+  * local mode share the counters with the test).
+  */
+object CountingDecoderFactory extends graft.functions.Multimodal.MediaDecoderFactory {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0) }
+  def open(): graft.functions.Multimodal.MediaDecoder = {
+    opens.incrementAndGet()
+    new graft.functions.Multimodal.MediaDecoder {
+      def decode(bytes: Array[Byte]): (String, Int, Int, Int) =
+        ("fake-codec", 8, 8, 1)
+      override def close(): Unit = { closes.incrementAndGet(); () }
+    }
   }
 }
