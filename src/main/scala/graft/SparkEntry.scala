@@ -1394,8 +1394,8 @@ object SparkEntry {
         |      OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |s AS (
-        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us,
+        |    event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |  FROM b)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
