@@ -103,15 +103,18 @@ object Curation {
       .select(explode_outer(col("__ng")).as("g"))
       .filter(col("g").isNotNull)
       .distinct()
-    val corpusGrams = grams(corpus)
-    val hits = corpusGrams
-      .select(col(idCol), explode_outer(col("__ng")).as("g"))
+    // Single corpus pass: carry the per-doc gram count through the
+    // explode so the gram pipeline runs once and there is no second
+    // corpus scan + doc_id self-join. n_grams is functionally dependent
+    // on idCol, so grouping on both adds nothing to the shuffle key's
+    // cardinality.
+    grams(corpus)
+      .select(col(idCol), size(col("__ng")).as("n_grams"),
+        explode_outer(col("__ng")).as("g"))
       .filter(col("g").isNotNull)
       .join(broadcast(benchGrams), "g")
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("n_grams"))
       .agg(count(lit(1)).as("n_hits"))
-    corpusGrams.select(col(idCol), size(col("__ng")).as("n_grams"))
-      .join(hits, idCol)
       .select(col(idCol), col("n_hits"), col("n_grams"),
         TextAnalysis.q4(col("n_hits").cast("double") /
           greatest(col("n_grams"), lit(1))).as("overlap"))

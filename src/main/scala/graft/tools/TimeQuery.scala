@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time individual SparkEntry queries standalone (perf iteration aid).
+  * Usage: runMain graft.tools.TimeQuery <sfDir> <query>[ <query>…]
+  * Each query runs twice; the second run is reported (first absorbs
+  * JIT/codegen warmup, like Bench's session warmup but per-query).
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      (1 to 2).foreach { run =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[time] $name%-26s run$run $secs%8.2f s  ($n rows)")
+      }
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}
