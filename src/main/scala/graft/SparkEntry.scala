@@ -679,7 +679,50 @@ object SparkEntry {
       // shuffle on user_id shared by the windows AND the aggregation
       graft.operators.Sessionize.rollup(events(s, dir), "user_id",
         "event_id", unix_micros(col("ts")), gapUs = 1800000000L, "value")
-        .orderBy(col("user_id"), col("session_idx")))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    "events_asof_join" -> ((s, dir) => {
+      // backward as-of join: each click attributed to the user's most
+      // recent prior purchase — union + one window pass, single shuffle
+      // on user_id, no join node (oracle: DuckDB's native ASOF JOIN)
+      val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsofJoin.backward(clicks, purchases,
+          Seq("user_id"), "ts_us", tieCol = "purchase_id")
+        .orderBy(col("event_id"))
+    }),
+
+    "events_range_join" -> ((s, dir) => {
+      // binned point-in-interval join: error events located in their
+      // gap-session interval — equi-join on (user_id, bin), BETWEEN
+      // only on bin-colliding candidates, never quadratic per key
+      val ev = events(s, dir)
+      val sessions = graft.operators.Sessionize.rollup(ev, "user_id",
+          "event_id", unix_micros(col("ts")), gapUs = 1800000000L, "value")
+        .select(col("user_id"), col("session_idx"),
+          col("start_us"), col("end_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.operators.RangeJoin.pointInInterval(errors, sessions,
+          "ts_us", "start_us", "end_us", binWidth = 3600000000L,
+          equiKeys = Seq("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "c19_digest_diff" -> ((s, dir) =>
+      // Merkle-pruned incremental diff: per-bucket (count, xor-of-row-
+      // hash) digests on both sides, full diff only over dirty buckets;
+      // output = the non-identical rows a sync would apply
+      DiffSync.digestDiff(diffSrc(s, dir), diffTgt(s, dir),
+          Seq("o_orderkey"), nBuckets = 64)
+        .select(col("o_orderkey"), col(DiffSync.FlagCol).as("row_state"))
+        .orderBy(col("o_orderkey")))
   )
 
   /** DuckDB oracles. Portability notes: DuckDB regexp_replace needs the
@@ -1401,6 +1444,72 @@ object SparkEntry {
         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "events_asof_join" ->
+      // DuckDB's native ASOF JOIN is the oracle for the union+window
+      // implementation (inclusive backward semantics on ts_us)
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us, event_id AS purchase_id,
+        |        value AS purchase_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us, p.ts_us AS asof_ts_us,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |ORDER BY c.event_id""".stripMargin,
+
+    "events_range_join" ->
+      // plain BETWEEN join is the oracle for the binned range join
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |      OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us,
+        |    event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, session_idx, MIN(ts_us) AS start_us,
+        |    MAX(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_idx),
+        |err AS (
+        |  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'error')
+        |SELECT err.event_id, err.user_id, err.ts_us, sess.session_idx,
+        |  sess.start_us, sess.end_us
+        |FROM err JOIN sess ON err.user_id = sess.user_id
+        |  AND err.ts_us BETWEEN sess.start_us AND sess.end_us
+        |ORDER BY err.event_id""".stripMargin,
+
+    "c19_digest_diff" ->
+      // direct diff classification minus identical rows — the digest
+      // pruning must be output-invisible
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 4),
+        |tgt AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |d AS (
+        |  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |    CASE WHEN t.o_orderkey IS NULL THEN 'new'
+        |         WHEN s.o_orderkey IS NULL THEN 'deleted'
+        |         WHEN s.o_custkey IS DISTINCT FROM t.o_custkey
+        |           OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+        |           THEN 'changed'
+        |         ELSE 'identical' END AS row_state
+        |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+        |SELECT o_orderkey, row_state FROM d
+        |WHERE row_state <> 'identical' ORDER BY o_orderkey""".stripMargin
   )
 }

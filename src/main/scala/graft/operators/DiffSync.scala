@@ -85,6 +85,58 @@ object DiffSync {
       .select(outPk ++ outVals :+ flag.as(FlagCol): _*)
   }
 
+  /** Per-bucket digests for Merkle-style change detection: rows hash to
+    * `nBuckets` buckets by PK, each bucket aggregates (row count,
+    * XOR of full-row hashes). Equal digests ⇒ identical bucket content
+    * (up to 64-bit hash collision odds); the aggregation is map-side
+    * partial, so a digest pass moves nBuckets rows per partition —
+    * not the table — through the shuffle.
+    */
+  private[operators] def bucketDigests(df: DataFrame, pkCols: Seq[String],
+      nBuckets: Int): DataFrame =
+    df.withColumn("__bkt", pmod(xxhash64(pkCols.map(col): _*), lit(nBuckets)))
+      .withColumn("__rh", xxhash64(df.columns.toIndexedSeq.map(col): _*))
+      .groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__n"), expr("bit_xor(__rh)").as("__x"))
+
+  /** Buckets whose (count, xor-digest) differ between the two sides —
+    * including buckets present on only one side.
+    */
+  def dirtyBuckets(source: DataFrame, target: DataFrame,
+      pkCols: Seq[String], nBuckets: Int): DataFrame = {
+    val s = bucketDigests(source, pkCols, nBuckets).alias("ds")
+    val t = bucketDigests(target, pkCols, nBuckets).alias("dt")
+    s.join(t, col("ds.__bkt") === col("dt.__bkt"), "full_outer")
+      .filter(!(col("ds.__n") <=> col("dt.__n")) ||
+              !(col("ds.__x") <=> col("dt.__x")))
+      .select(coalesce(col("ds.__bkt"), col("dt.__bkt")).as("__bkt"))
+  }
+
+  /** C15 at 100 TB when most rows are unchanged: Merkle-pruned diff.
+    * Both sides aggregate per-bucket digests (tiny shuffles), buckets
+    * with equal digests are skipped, and the full-outer diff runs only
+    * over rows of dirty buckets. Returns only non-identical rows
+    * (`new`/`changed`/`deleted`) — exactly `diff(...)` minus
+    * `identical`, which is what a sync consumes.
+    *
+    * The second pass re-reads both inputs restricted by a broadcast
+    * semi-join on the dirty-bucket ids; with inputs bucketed/partitioned
+    * by `pmod(xxhash64(pk), nBuckets)` that restriction prunes I/O too,
+    * and a stored digest table from the previous sync replaces one
+    * side's digest pass entirely (incremental state).
+    */
+  def digestDiff(source: DataFrame, target: DataFrame, pkCols: Seq[String],
+      nBuckets: Int = 4096): DataFrame = {
+    val dirty = broadcast(dirtyBuckets(source, target, pkCols, nBuckets))
+    def restrict(df: DataFrame): DataFrame =
+      df.withColumn("__bkt",
+          pmod(xxhash64(pkCols.map(col): _*), lit(nBuckets)))
+        .join(dirty, Seq("__bkt"), "left_semi")
+        .drop("__bkt")
+    diff(restrict(source), restrict(target), pkCols)
+      .filter(col(FlagCol) =!= "identical")
+  }
+
   /** C16 (set-based half): apply the classified diff to produce the
     * synchronized table — insert `new`, keep `changed` (source values),
     * keep `identical`, drop `deleted`. The result equals the source
