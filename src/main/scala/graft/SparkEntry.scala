@@ -715,6 +715,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "profile_orders" -> ((s, dir) =>
+      // per-column migration profile: one scan, one single-row agg
+      // (exact distinct via Expand), canonical min/max strings
+      graft.operators.Profile.profile(t(s, dir, "orders"))
+        .orderBy(col("col_name"))),
+
+    "profile_migration_audit" -> ((s, dir) =>
+      // both sides profiled + full-outer compared per column: the
+      // perturbed o_totalprice and the row-set drift must flag, the
+      // intact o_custkey distinct-set must not
+      graft.operators.Profile.compare(diffSrc(s, dir), diffTgt(s, dir))
+        .orderBy(col("col_name"))),
+
     "c19_digest_diff" -> ((s, dir) =>
       // Merkle-pruned incremental diff: per-bucket (count, xor-of-row-
       // hash) digests on both sides, full diff only over dirty buckets;
@@ -1488,6 +1501,96 @@ object SparkEntry {
         |FROM err JOIN sess ON err.user_id = sess.user_id
         |  AND err.ts_us BETWEEN sess.start_us AND sess.end_us
         |ORDER BY err.event_id""".stripMargin,
+
+    "profile_orders" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(o_orderkey) AS n_nonnull,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR),
+        |    CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR),
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+        |    COUNT(DISTINCT o_orderdate),
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    CAST(MIN(o_orderpriority) AS VARCHAR),
+        |    CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
+
+    "profile_migration_audit" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 4),
+        |tgt AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |ps AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(o_orderkey) AS n_nonnull,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM src
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM src
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR),
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR)
+        |  FROM src),
+        |pt AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(o_orderkey) AS n_nonnull,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM tgt
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR) FROM tgt
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR),
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR)
+        |  FROM tgt)
+        |SELECT COALESCE(ps.col_name, pt.col_name) AS col_name,
+        |  ps.n_rows AS src_n_rows, pt.n_rows AS tgt_n_rows,
+        |  ps.n_nonnull AS src_n_nonnull, pt.n_nonnull AS tgt_n_nonnull,
+        |  ps.n_distinct AS src_n_distinct, pt.n_distinct AS tgt_n_distinct,
+        |  ps.min_s AS src_min_s, pt.min_s AS tgt_min_s,
+        |  ps.max_s AS src_max_s, pt.max_s AS tgt_max_s,
+        |  (ps.n_rows IS NOT DISTINCT FROM pt.n_rows
+        |    AND ps.n_nonnull IS NOT DISTINCT FROM pt.n_nonnull
+        |    AND ps.n_distinct IS NOT DISTINCT FROM pt.n_distinct
+        |    AND ps.min_s IS NOT DISTINCT FROM pt.min_s
+        |    AND ps.max_s IS NOT DISTINCT FROM pt.max_s) AS cols_match
+        |FROM ps FULL OUTER JOIN pt ON ps.col_name = pt.col_name
+        |ORDER BY col_name""".stripMargin,
 
     "c19_digest_diff" ->
       // direct diff classification minus identical rows — the digest

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column data profiling for migration validation — the "did every
+  * column arrive intact" check the reference leaves to eyeballing row
+  * counts (kettle_report.pl throughput lines are all it offers). One
+  * profile per side of a copy, one tiny join to compare.
+  *
+  * Plan shape: ONE scan, one single-row aggregate (map-side partials;
+  * the shuffle carries one partial row per partition), then a constant
+  * explode to long form. With `exact = true` the per-column DISTINCT
+  * counts add an Expand (×cols row multiplication before the partial
+  * agg) — fine to ~tens of columns; at 100 TB × wide schemas use
+  * `exact = false` for one-pass HLL (approx_count_distinct) with no
+  * Expand.
+  *
+  * min/max are surfaced as canonical strings so profiles of the same
+  * data are comparable across engines and type systems: floating point
+  * through DECIMAL(18,4) (no double-formatting ambiguity), timestamps
+  * as 'yyyy-MM-dd HH:mm:ss', everything else via plain cast.
+  */
+object Profile {
+
+  private def canon(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType => c.cast("decimal(18,4)").cast("string")
+    case TimestampType | TimestampNTZType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast("string")
+  }
+
+  /** Long-form profile: one row per column —
+    * (col_name, n_rows, n_nonnull, n_distinct, min_s, max_s).
+    */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.schema.fields.toIndexedSeq
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"__nn_${f.name}"),
+        (if (exact) count_distinct(c) else approx_count_distinct(c))
+          .as(s"__nd_${f.name}"),
+        canon(min(c), f.dataType).as(s"__mn_${f.name}"),
+        canon(max(c), f.dataType).as(s"__mx_${f.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"__nn_${f.name}").as("n_nonnull"),
+        col(s"__nd_${f.name}").as("n_distinct"),
+        col(s"__mn_${f.name}").as("min_s"),
+        col(s"__mx_${f.name}").as("max_s"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Migration audit: profiles of source and target, full-outer joined
+    * per column, with a per-column verdict. `cols_match = true` means
+    * every metric agrees — the column copied intact.
+    */
+  def compare(source: DataFrame, target: DataFrame,
+      exact: Boolean = true): DataFrame = {
+    val s = profile(source, exact).alias("s")
+    val t = profile(target, exact).alias("t")
+    val metrics = Seq("n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
+    val allMatch = metrics.map(m => col(s"s.$m") <=> col(s"t.$m"))
+      .reduce(_ && _)
+    s.join(t, col("s.col_name") === col("t.col_name"), "full_outer")
+      .select(
+        coalesce(col("s.col_name"), col("t.col_name")).as("col_name") +:
+        (metrics.flatMap(m =>
+          Seq(col(s"s.$m").as(s"src_$m"), col(s"t.$m").as(s"tgt_$m"))) :+
+        allMatch.as("cols_match")): _*)
+  }
+}

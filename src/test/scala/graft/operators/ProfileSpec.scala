@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ProfileSpec extends AnyFunSuite with SparkTestBase {
+
+  test("profile: counts, nulls, distinct, canonical min/max strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), Some(2.5)),
+      (2L, None, Some(1.25)),
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(2.5))
+    ).toDF("id", "s", "v")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 4 && p("id").getLong(2) == 4 &&
+      p("id").getLong(3) == 4)
+    assert(p("id").getString(4) == "1" && p("id").getString(5) == "4")
+    assert(p("s").getLong(2) == 3 && p("s").getLong(3) == 2)
+    assert(p("s").getString(4) == "a" && p("s").getString(5) == "b")
+    // doubles canonicalize through DECIMAL(18,4)
+    assert(p("v").getLong(2) == 3 && p("v").getLong(3) == 2)
+    assert(p("v").getString(4) == "1.2500" && p("v").getString(5) == "2.5000")
+  }
+
+  test("profile: approx path returns a sane HLL estimate without Expand") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, i % 100)).toDF("id", "g")
+    val plan = Profile.profile(df, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+    val exactPlan = Profile.profile(df, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand")) // documents the trade-off
+    val nd = Profile.profile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(nd("g") - 100) <= 10)   // ±10% at HLL default sd
+    assert(math.abs(nd("id") - 5000) <= 500)
+  }
+
+  test("compare: intact columns pass, perturbed column and row drift flag") {
+    import spark.implicits._
+    val src = (1L to 1000L).map(i => (i, i % 50, i * 1.5)).toDF("pk", "g", "v")
+    val tgt = src.filter(col("pk") =!= 1000L) // one row lost in transit
+      .withColumn("v", when(col("pk") === 5L, lit(9999.0)).otherwise(col("v")))
+    val byCol = Profile.compare(src, tgt).collect()
+      .map(r => r.getString(0) -> r.getBoolean(r.fieldIndex("cols_match")))
+      .toMap
+    assert(!byCol("pk")) // n_rows/max differ
+    assert(!byCol("v"))  // perturbed value
+    assert(!byCol("g"))  // row loss changes counts even if distinct set same
+    val same = Profile.compare(src, src).collect()
+    assert(same.forall(_.getBoolean(same.head.fieldIndex("cols_match"))))
+  }
+}
