@@ -130,6 +130,53 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "q_rollup_pricing" -> ((s, dir) =>
+      // ROLLUP lattice in one pass: Catalyst expands to grouping sets,
+      // one shuffle serves all three aggregation levels (map-side
+      // partials per level). NULL group keys -> 'ALL' sentinel.
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("bigint").as("gid"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("sum_qty"), col("sum_disc_price"), col("n_rows"))
+        .orderBy(col("gid"), col("rf"), col("ls"))),
+
+    "q_percentiles" -> ((s, dir) =>
+      // exact interpolated percentiles (bit-identical to DuckDB
+      // quantile_cont — verified empirically). Exact percentile
+      // buffers per group, which is fine for few groups; the 100 TB
+      // path for high-cardinality groups is approx_percentile (t-digest
+      // sketch, mergeable map-side) — parity-tested in the spec.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_pivot_revenue" -> ((s, dir) => {
+      // pivot = single groupBy(status) with per-segment conditional
+      // aggregates: one shuffle, no per-value scans. Values are
+      // enumerated explicitly so the plan is static (no driver-side
+      // distinct pass) — the 100 TB-safe way to pivot.
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus"))
+        .pivot("c_mktsegment", segs)
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---------------- reference dataflow operators (C/B families) -----
     "c_full_copy_scrub" -> ((s, dir) => {
       // C1–C6: full-copy plan = read-side projection + NUL scrub
@@ -714,6 +761,13 @@ object SparkEntry {
           equiKeys = Seq("user_id"))
         .orderBy(col("event_id"))
     }),
+
+    "events_resample" -> ((s, dir) =>
+      // gap-filled hourly resample per event_type: one aggregate
+      // shuffle + a generated spine join + forward-fill window
+      graft.operators.Resample.resample(events(s, dir), "event_type",
+          unix_micros(col("ts")), binUs = 3600000000L, "value")
+        .orderBy(col("event_type"), col("bucket_us"))),
 
     "profile_orders" -> ((s, dir) =>
       // per-column migration profile: one scan, one single-row agg
@@ -1441,6 +1495,69 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_rollup_pricing" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot_revenue" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS DOUBLE) AS "AUTOMOBILE",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS "BUILDING",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE c_mktsegment = 'FURNITURE') AS DOUBLE) AS "FURNITURE",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS DOUBLE) AS "HOUSEHOLD",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "events_resample" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 3600000000 * 3600000000 AS bucket_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, bucket_us, COUNT(*) AS n_events,
+        |    CAST(SUM(v) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY event_type, bucket_us),
+        |bounds AS (SELECT MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM e),
+        |spine AS (
+        |  SELECT k.event_type, g.bucket_us
+        |  FROM (SELECT DISTINCT event_type FROM e) k
+        |  CROSS JOIN (SELECT unnest(range(lo, hi + 1, 3600000000))
+        |              AS bucket_us FROM bounds) g),
+        |filled AS (
+        |  SELECT s.event_type, s.bucket_us,
+        |    COALESCE(a.n_events, 0) AS n_events,
+        |    COALESCE(a.sum_value, 0.0) AS sum_value
+        |  FROM spine s LEFT JOIN a
+        |    ON s.event_type = a.event_type AND s.bucket_us = a.bucket_us)
+        |SELECT event_type, bucket_us, n_events, sum_value,
+        |  last_value(CASE WHEN n_events > 0 THEN sum_value END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY bucket_us
+        |          ROWS UNBOUNDED PRECEDING) AS last_sum_value
+        |FROM filled ORDER BY event_type, bucket_us""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

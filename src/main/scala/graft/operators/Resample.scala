@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Gap-filling fixed-width time-series resample.
+  *
+  * Classic warehouse-ETL shape (the reference's Kettle jobs lean on a
+  * calendar dimension for the same thing): bucket events to a fixed
+  * grid, then densify — every (key, bucket) slot in the observed range
+  * exists in the output, empty slots carry zero counts and a
+  * forward-filled "last seen" value.
+  *
+  * Scale shape (100 TB): the only full-data shuffle is the (key,
+  * bucket) aggregate with map-side partial aggregation. The spine is a
+  * generated dimension of |keys| x |buckets| rows — tiny relative to
+  * the fact side (it is the *output* grid) — built from two 1-row
+  * aggregates and the distinct key set, so densification joins
+  * aggregate-vs-spine, never touching raw rows again. The forward-fill
+  * window partitions on the key: state per partition is one running
+  * value, no buffering.
+  */
+object Resample {
+
+  /** Resample `df` onto a `binUs`-wide grid of `tsUs` per `key`.
+    *
+    * Output: (key, bucket_us, n_events, sum_value, last_sum_value)
+    * where empty buckets have n_events=0/sum_value=0.0 and
+    * last_sum_value forward-fills the most recent non-empty bucket's
+    * sum (null before the first observation for that key).
+    *
+    * Sums go through DECIMAL(18,4) so results are exact and
+    * engine-portable.
+    */
+  def resample(df: DataFrame, key: String, tsUs: Column, binUs: Long,
+      value: String): DataFrame = {
+    require(binUs > 0, s"binUs must be positive, got $binUs")
+    // ts - (ts mod bin): exact long arithmetic (double division would
+    // drift at epoch-us magnitudes)
+    val tsL = tsUs.cast("long")
+    val binned = df.select(col(key),
+      (tsL - pmod(tsL, lit(binUs))).as("bucket_us"),
+      col(value).cast("decimal(18,4)").as("v"))
+
+    val agg = binned.groupBy(col(key), col("bucket_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
+
+    // 1-row bounds x distinct keys -> exploded grid. sequence() is
+    // bounded by the output grid size, not the input row count.
+    val bounds = binned.agg(min(col("bucket_us")).as("lo"),
+      max(col("bucket_us")).as("hi"))
+    val spine = binned.select(col(key)).distinct()
+      .crossJoin(bounds)
+      .select(col(key),
+        explode(sequence(col("lo"), col("hi"), lit(binUs)))
+          .as("bucket_us"))
+
+    val filled = spine.join(agg, Seq(key, "bucket_us"), "left")
+      .select(col(key), col("bucket_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.withColumn("last_sum_value",
+      last(when(col("n_events") > 0, col("sum_value")),
+        ignoreNulls = true).over(w))
+  }
+}

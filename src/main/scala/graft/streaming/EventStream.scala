@@ -42,6 +42,35 @@ object EventStream {
         .withWatermark("ts", watermark),
       windowDur)
 
+  /** Gap-based session aggregation via `session_window` — the
+    * streaming twin of `operators.Sessionize.rollup` (which carries a
+    * session_idx the merging window API cannot, so batch keeps its own
+    * implementation). Identical grouping semantics: sessions close
+    * after `gap` of per-user silence. Note `session_window.end` is
+    * last-event-ts + gap, not last-event-ts.
+    *
+    * Streaming state is bounded by the watermark: sessions idle past
+    * it are finalized and evicted, so a 1000-executor job holds only
+    * open sessions in the state store.
+    */
+  def sessionWindowAgg(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming variant: watermarked file-source session aggregation. */
+  def streamingSessionAgg(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    sessionWindowAgg(
+      spark.readStream.schema(schema).parquet(sourceDir)
+        .withWatermark("ts", watermark),
+      gap)
+
   /** Streaming exact dedup with CUSTOM keyed state
     * (flatMapGroupsWithState): the first document per content
     * fingerprint passes, every later duplicate — within a batch or
