@@ -51,13 +51,15 @@ object AsofJoin {
     val buildSide = build.select(
       keyCols.map(col) ++ Seq(
         col(tsCol).as("__ts"), lit(1).as("__build"),
-        col(tieCol).cast("string").as("__tie"),
+        // native type, NOT a string cast: a lexicographic tie-break
+        // would rank numeric id 9 above 10 ('10' < '9')
+        col(tieCol).as("__tie"),
         payloadStruct.as("__b")) ++
       probeOther.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
     val probeSide = probe.select(
       keyCols.map(col) ++ Seq(
         col(tsCol).as("__ts"), lit(0).as("__build"),
-        lit(null).cast("string").as("__tie"),
+        lit(null).cast(build.schema(tieCol).dataType).as("__tie"),
         lit(null).cast(payloadType).as("__b")) ++
       probeOther.map(col): _*)
 

@@ -92,10 +92,21 @@ object DiffSync {
     * partial, so a digest pass moves nBuckets rows per partition —
     * not the table — through the shuffle.
     */
+  /** Row hash for the digest. `xxhash64` SKIPS null children (a null
+    * input leaves the hash state unchanged), so hashing raw columns
+    * makes (pk, 'x', NULL) and (pk, NULL, 'x') collide — exactly the
+    * column-shift corruption a sync audit exists to catch. Interleaving
+    * each column with its (never-null) isnull flag makes null POSITION
+    * part of the hash, restoring the documented 2^-64 collision odds.
+    */
+  private def rowHash(df: DataFrame): Column =
+    xxhash64(df.columns.toIndexedSeq
+      .flatMap(c => Seq(col(c), isnull(col(c)))): _*)
+
   private[operators] def bucketDigests(df: DataFrame, pkCols: Seq[String],
       nBuckets: Int): DataFrame =
     df.withColumn("__bkt", pmod(xxhash64(pkCols.map(col): _*), lit(nBuckets)))
-      .withColumn("__rh", xxhash64(df.columns.toIndexedSeq.map(col): _*))
+      .withColumn("__rh", rowHash(df))
       .groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__n"), expr("bit_xor(__rh)").as("__x"))
 

@@ -25,7 +25,13 @@ import org.apache.spark.sql.types._
 object Profile {
 
   private def canon(c: Column, dt: DataType): Column = dt match {
-    case DoubleType | FloatType => c.cast("decimal(18,4)").cast("string")
+    // DECIMAL(18,4) canonicalization overflows for |x| >= 1e14, NaN and
+    // Infinity — under ANSI it throws, and with a plain cast two NULL
+    // min_s values would "match" under <=> in compare(). try_cast +
+    // string fallback keeps extreme values distinguishable.
+    case DoubleType | FloatType =>
+      coalesce(c.try_cast(DecimalType(18, 4)).cast("string"),
+        c.cast("string"))
     case TimestampType | TimestampNTZType =>
       date_format(c, "yyyy-MM-dd HH:mm:ss")
     case _ => c.cast("string")

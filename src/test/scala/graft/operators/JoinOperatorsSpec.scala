@@ -41,6 +41,17 @@ class JoinOperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getAs[String]("asof_payload") == "hi")
   }
 
+  test("asof backward: tie-break is typed, not lexicographic (9 vs 10)") {
+    import spark.implicits._
+    // a string cast would rank '9' > '10'; the typed compare must pick 10
+    val probe = Seq((1L, 1L, 100L)).toDF("event_id", "k", "ts")
+    val build = Seq((9L, 1L, 100L, "nine"), (10L, 1L, 100L, "ten"))
+      .toDF("bid", "k", "ts", "payload")
+    val out = AsofJoin.backward(probe, build, Seq("k"), "ts", "bid").collect()
+    assert(out(0).getAs[Long]("asof_bid") == 10L)
+    assert(out(0).getAs[String]("asof_payload") == "ten")
+  }
+
   test("asof backward equals the join-then-argmax reference implementation") {
     import spark.implicits._
     // deterministic pseudo-random fixture, multiple keys, shared ts
@@ -146,6 +157,22 @@ class JoinOperatorsSpec extends AnyFunSuite with SparkTestBase {
     // 7 touched PKs land in ≤7 of 256 buckets — pruning is real
     val dirty = DiffSync.dirtyBuckets(src, tgt, Seq("pk"), 256).count()
     assert(dirty >= 1 && dirty <= 7, s"dirty=$dirty")
+  }
+
+  test("digest sees a value moved between two nullable columns") {
+    import spark.implicits._
+    // xxhash64 skips null children, so without null-position tagging
+    // (pk, 'x', NULL) and (pk, NULL, 'x') produce identical digests and
+    // the shift is invisible to both the count and the XOR
+    val src = Seq((1L, Option("x"), Option.empty[String]),
+        (2L, Option("a"), Option("b"))).toDF("pk", "c1", "c2")
+    val tgt = Seq((1L, Option.empty[String], Option("x")),
+        (2L, Option("a"), Option("b"))).toDF("pk", "c1", "c2")
+    assert(DiffSync.dirtyBuckets(src, tgt, Seq("pk"), 64).count() == 1)
+    val out = DiffSync.digestDiff(src, tgt, Seq("pk"), 64)
+      .select("pk", DiffSync.FlagCol).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "changed")))
   }
 
   test("digestDiff on identical inputs returns nothing, zero dirty buckets") {

@@ -41,6 +41,22 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(nd("id") - 5000) <= 500)
   }
 
+  test("extreme doubles stay distinguishable (no DECIMAL(18,4) overflow)") {
+    import spark.implicits._
+    // |x| >= 1e14, NaN, Infinity all overflow DECIMAL(18,4) to NULL —
+    // two sides with different extremes must NOT report cols_match
+    val src = Seq((1L, 1.0e15), (2L, 2.0)).toDF("pk", "v")
+    val tgt = Seq((1L, 7.0e17), (2L, 2.0)).toDF("pk", "v")
+    val byCol = Profile.compare(src, tgt).collect()
+      .map(r => r.getString(0) -> r.getBoolean(r.fieldIndex("cols_match")))
+      .toMap
+    assert(!byCol("v"), "different extreme maxima must flag")
+    val inf = Seq((1L, Double.PositiveInfinity)).toDF("pk", "v")
+    val pInf = Profile.profile(inf).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(pInf("v") == "Infinity") // not NULL
+  }
+
   test("compare: intact columns pass, perturbed column and row drift flag") {
     import spark.implicits._
     val src = (1L to 1000L).map(i => (i, i % 50, i * 1.5)).toDF("pk", "g", "v")
