@@ -477,6 +477,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_quantized" -> ((s, dir) => {
+      // int8-quantized cosine top-k: per-vector scales cancel in the
+      // cosine, so candidate scoring is exact integer dot products over
+      // 4×-smaller codes — bit-reproducible across engines, which float
+      // cosine is not
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.quantizedTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          TextAnalysis.q4(col("cos")).as("approx_cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       // banded sign-LSH scale path. Fixture: plant 5 perturbed copies
       // per query (cos ≈0.9989–0.99996, portable integer-noise formula)
@@ -684,6 +699,37 @@ object SparkEntry {
         "doc_id", "text", n = 4)
         .orderBy(col("doc_id"))
     }),
+
+    "curate_decontaminate_bloom" -> ((s, dir) => {
+      // Bloom-prefilter decontamination: same output as the exact
+      // variant, but the corpus gram stream is cut map-side by a
+      // distributed-built Bloom sketch BEFORE the (unbroadcast) exact
+      // semi-join — the shape for eval sets too big to broadcast
+      val docs = t(s, dir, "documents")
+      graft.functions.Curation.decontaminateBloom(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 4,
+        expectedGrams = 200000L, numBits = 2097152L)
+        .orderBy(col("doc_id"))
+    }),
+
+    "curate_pack_sequences" -> ((s, dir) =>
+      // concat-then-chunk sequence packing into 512-token training
+      // sequences over 16 hash shards: one shuffle, one running-sum
+      // window per shard, fully deterministic layout
+      graft.functions.Curation.packSequences(
+        t(s, dir, "documents"), "doc_id", "text",
+        budget = 512, nShards = 16)
+        .orderBy(col("doc_id"))),
+
+    "curate_shuffle_shard" -> ((s, dir) =>
+      // deterministic md5-order global shuffle into 16 shards with
+      // within-shard positions — the epoch-reshuffleable training
+      // order layout (new salt = new epoch)
+      graft.functions.Curation.shuffleAssign(
+        t(s, dir, "documents"), "doc_id", nShards = 16)
+        .orderBy(col("doc_id"))),
 
     "curate_pii_redact" -> ((s, dir) => {
       // the corpus has no natural PII, so synthesize a deterministic
@@ -1223,6 +1269,41 @@ object SparkEntry {
         |  floor(cos * 10000) / 10000 AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_ann_quantized" ->
+      // int8 codes are exact integral doubles on both engines, so the
+      // integer dot products (and thus the ranking) replay bit-for-bit
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0.0)
+        |         ELSE list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * 127 / mx + 0.5)) END AS q
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, q,
+        |    sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
+        |  FROM qz),
+        |qs AS (
+        |  SELECT vec_id AS query_id, q AS qq, qn AS qqn FROM n
+        |  WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT qs.query_id, n.vec_id,
+        |    CASE WHEN n.qn * qs.qqn = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(range(1, len(n.q) + 1),
+        |           i -> n.q[i] * qs.qq[i])) / (n.qn * qs.qqn) END AS cos
+        |  FROM n CROSS JOIN qs WHERE n.vec_id <> qs.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS neighbor_id,
+        |  floor(cos * 10000) / 10000 AS approx_cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "c8_migration_copy" ->
       """SELECT * FROM (
         |  SELECT 'lineitem' AS table_name, COUNT(*) AS rows FROM lineitem
@@ -1412,6 +1493,68 @@ object SparkEntry {
         |    AS overlap
         |FROM tot t JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "curate_decontaminate_bloom" ->
+      // the Bloom prefilter is plan-only (false positives die in the
+      // exact verify join), so the oracle is the exact decontamination
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT unnest(ngrams) AS g FROM ng WHERE doc_id % 37 = 0),
+        |corpus AS (
+        |  SELECT doc_id, unnest(ngrams) AS g FROM ng WHERE doc_id % 37 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS n_hits
+        |  FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id),
+        |tot AS (
+        |  SELECT doc_id, len(ngrams) AS n_grams FROM ng WHERE doc_id % 37 <> 0)
+        |SELECT t.doc_id, h.n_hits, t.n_grams,
+        |  floor(CAST(h.n_hits AS DOUBLE) / greatest(t.n_grams, 1) * 10000) / 10000
+        |    AS overlap
+        |FROM tot t JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "curate_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 16 AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens,
+        |  cum - n_tokens AS start_offset,
+        |  (cum - n_tokens) // 512 AS pack_first,
+        |  greatest(cum - 1, cum - n_tokens) // 512 AS pack_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "curate_shuffle_shard" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 16 AS shard, h
+        |  FROM b)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "curate_pii_redact" ->
       """SELECT doc_id,

@@ -87,11 +87,7 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 4): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol), TextAnalysis.tokens(lower(trim(col(textCol))))
-        .as("__toks"))
-      .select(col(idCol), Dedup.wordNgramsFromTokens(col("__toks"), n)
-        .as("__ng"))
+    def grams(df: DataFrame) = gramSets(df, idCol, textCol, n)
     // explode_outer, NOT explode: plain explode makes the optimizer push
     // a `size(__ng) > 0 AND isnotnull(__ng)` filter BELOW the staged
     // projects, inlining the whole n-gram expression into the filter —
@@ -118,6 +114,126 @@ object Curation {
       .select(col(idCol), col("n_hits"), col("n_grams"),
         TextAnalysis.q4(col("n_hits").cast("double") /
           greatest(col("n_grams"), lit(1))).as("overlap"))
+  }
+
+  /** (idCol, __ng: array of word n-grams) — shared front half of the
+    * decontamination variants. */
+  private def gramSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = df
+    .select(col(idCol), TextAnalysis.tokens(lower(trim(col(textCol))))
+      .as("__toks"))
+    .select(col(idCol), Dedup.wordNgramsFromTokens(col("__toks"), n)
+      .as("__ng"))
+
+  /** Decontamination, Bloom-prefilter variant — the shape for when the
+    * held-out set is too big to broadcast as a hash relation (a full
+    * eval-suite union can reach 1e8–1e9 grams; a hash relation of that
+    * blows executor memory, while a Bloom filter is `numBits/8` bytes
+    * at any cardinality).
+    *
+    * Plan: (1) benchmark grams aggregate DISTRIBUTED into one Bloom
+    * filter (`BloomFilterAggregate`, the same sketch Spark's runtime
+    * filter injection uses); only the finished `numBits/8`-byte sketch
+    * reaches the driver, where it embeds as a foldable literal —
+    * `BloomFilterMightContain` requires a constant/scalar-subquery
+    * bloom side, and this IS how Spark materializes its own runtime
+    * filters. (2) The corpus gram stream drops every gram the filter
+    * rejects — map-side, codegen'd, no shuffle. (3) Survivors (true
+    * hits + ~fpp false positives) go through the exact semi-join,
+    * which now shuffles only the prefiltered sliver instead of every
+    * corpus gram. Output is bit-identical to `decontaminate` (the
+    * exact join kills false positives); only the plan differs.
+    */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 4, expectedGrams: Long = 4000000L,
+      numBits: Long = 33554432L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftglue.Glue
+    val benchGrams = gramSets(bench, idCol, textCol, n)
+      .select(explode_outer(col("__ng")).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    val bloomBytes = benchGrams
+      .select(Glue.column(new BloomFilterAggregate(
+        Glue.expression(xxhash64(col("g"))),
+        Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = Glue.column(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      Glue.expression(xxhash64(col("g")))))
+    gramSets(corpus, idCol, textCol, n)
+      .select(col(idCol), size(col("__ng")).as("n_grams"),
+        explode_outer(col("__ng")).as("g"))
+      .filter(col("g").isNotNull)
+      .filter(mightContain)
+      // exact verify WITHOUT a broadcast hint: at real scale this is a
+      // shuffle semi-join, and the bloom prefilter is what keeps the
+      // corpus side of that shuffle small
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col(idCol), col("n_hits"), col("n_grams"),
+        TextAnalysis.q4(col("n_hits").cast("double") /
+          greatest(col("n_grams"), lit(1))).as("overlap"))
+  }
+
+  /** Greedy-free sequence packing (concat-then-chunk): documents are
+    * hash-sharded, laid end-to-end within each shard in id order, and
+    * the resulting token stream is cut into fixed `budget`-token
+    * training sequences. Documents may span a boundary — the GPT-style
+    * packing that wastes zero tokens and needs no bin-packing search.
+    * Emits per document: shard, token count, the shard-local start
+    * offset, and the first/last pack (sequence) index it lands in.
+    *
+    * Scale: ONE shuffle (hash partition by shard) and one running-sum
+    * window per shard. Shards are independent, so parallelism = nShards
+    * regardless of corpus size; pick nShards ≫ executor count and the
+    * 100 TB layout job is embarrassingly parallel. Assignment is
+    * deterministic and stable: a document's (shard, offset) never
+    * depends on partitioning or execution order.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, nShards: Int, salt: String = "pack|"): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, 0)
+    df.select(col(idCol),
+        (saltedHash60(salt, col(idCol)) % nShards).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("__end") - col("n_tokens")).as("start_offset"),
+        expr(s"(__end - n_tokens) div $budget").as("pack_first"),
+        // empty docs (n_tokens=0) occupy no pack; pin last to first
+        expr(s"greatest(__end - 1, __end - n_tokens) div $budget")
+          .as("pack_last"))
+  }
+
+  /** Deterministic global training-order shuffle + sharding: order is
+    * md5(salt || id) — uniform, seedable via salt, reproducible on any
+    * engine with bit-exact md5. Emits (id, shard, pos): shard = high
+    * bits mod nShards, pos = 1-based rank of the hash within the shard.
+    * Writing with `repartition(shard).sortWithinPartitions(pos)` lays
+    * the corpus out in shuffled order with ONE shuffle; re-shuffling
+    * for a new epoch is just a new salt, and membership is stable
+    * under corpus growth (new docs interleave, old pairs keep their
+    * relative order).
+    */
+  def shuffleAssign(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuffle|"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol),
+        md5(concat(lit(salt), col(idCol).cast("string"))).as("__h"))
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 15), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
   }
 
   /** Corpus-level top-k token frequencies. explode → groupBy benefits

@@ -300,6 +300,64 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // int8 quantization — the memory-layout scale path: a float32 corpus
+  // stores 4× smaller as int8 codes + one scale per vector, and the
+  // candidate scoring becomes exact integer arithmetic.
+  // ------------------------------------------------------------------
+
+  /** max |x| of a vector (the symmetric-quantization range). */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization: q[i] = floor(x[i]·127/mx + 0.5) with
+    * mx = max|x| (pass `maxAbs(vec)` STAGED as its own column — inlining
+    * it here would re-evaluate the array_max once per element). The
+    * all-zero vector quantizes to all zeros.
+    *
+    * Codes are integral values in [−127, 127] carried as doubles, so
+    * (a) VecDot consumes them unchanged and every dot product is EXACT
+    * integer arithmetic (≤ 2^53, no float-order ambiguity — fully
+    * cross-engine reproducible, which float cosine is not), and (b) for
+    * storage they cast losslessly to `array<tinyint>` — 4× smaller than
+    * the float32 they replace.
+    */
+  def quantizeInt8(vec: Column, mx: Column): Column =
+    when(mx === 0, transform(vec, _ => lit(0.0)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") * lit(127.0) / mx + lit(0.5))
+          .cast("double")))
+
+  /** Top-k by cosine over int8-quantized vectors. The per-vector scale
+    * cancels out of the cosine entirely — score = int-dot(qa, qb) /
+    * (‖qa‖·‖qb‖) — so ranking needs only the codes: the float corpus
+    * is never touched after quantization. Same broadcast
+    * probe-batch × corpus shape as `bruteForceTopK`; at 100 TB the
+    * corpus side streams 4× fewer bytes per candidate. Compose with an
+    * exact float re-rank of the top candidates when approximation
+    * error matters more than bandwidth.
+    */
+  def quantizedTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, vec: String, q: String, n: String) =
+      df.select(col(id), maxAbs(col(vec)).as("__mx"), col(vec))
+        .select(col(id), quantizeInt8(col(vec), col("__mx")).as(q))
+        .select(col(id), col(q), sqrt(dot(col(q), col(q))).as(n))
+    val c = prep(corpus, corpusId, corpusVec, "__cq", "__cn")
+    val q = prep(queries, queryId, queryVec, "__qq", "__qn")
+    val denom = col("__cn") * col("__qn")
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        when(denom === 0, lit(0.0))
+          .otherwise(dot(col("__cq"), col("__qq")) / denom).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** SimHash64 over whitespace tokens: per-token 64-bit hash votes on
     * each bit position weighted ±1; the sign vector is the signature.
     * Built from xxhash64 (stable, seedable, codegen'd). Spark-side

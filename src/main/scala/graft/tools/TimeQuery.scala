@@ -21,6 +21,14 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_WARM_DIR: optionally pre-run each query against a
+    // different (smaller) SF first — reproduces Bench's warmup regime
+    sys.env.get("SPARK_GRAFT_WARM_DIR").foreach { wd =>
+      names.foreach { name =>
+        try graft.SparkEntry.queries(name)(spark, wd).count()
+        catch { case _: Throwable => () }
+      }
+    }
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to 2).foreach { run =>

@@ -73,6 +73,79 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) > out(1L))
   }
 
+  test("decontaminateBloom output is bit-identical to exact decontaminate") {
+    val bench = docs(
+      (900L, "the quick brown fox jumps over the lazy dog", "en"),
+      (901L, "pack my box with five dozen liquor jugs", "en"))
+    val corpus = docs((1L to 60L).map { i =>
+      val text =
+        if (i % 7 == 0) s"prefix $i the quick brown fox jumps over it"
+        else if (i % 11 == 0) s"note $i pack my box with five dozen things"
+        else s"unique filler document number $i with plain words"
+      (i, text, "en")
+    }: _*)
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val bloom = Curation.decontaminateBloom(corpus, bench, "doc_id", "text",
+      n = 4, expectedGrams = 1000L, numBits = 65536L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(exact.nonEmpty)
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("packSequences: offsets are contiguous per shard, packs honor budget") {
+    val d = docs((1L to 100L).map(i =>
+      (i, Seq.fill((i % 13 + 1).toInt)("tok").mkString(" "), "en")): _*)
+    val out = Curation.packSequences(d, "doc_id", "text",
+      budget = 16, nShards = 4).collect()
+    assert(out.length == 100)
+    // within each shard ordered by id: start = previous end
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      var expectStart = 0L
+      sorted.foreach { r =>
+        val (nTok, start) = (r.getLong(2), r.getLong(3))
+        assert(start == expectStart, s"doc ${r.getLong(0)} start")
+        assert(r.getLong(4) == start / 16)            // pack_first
+        assert(r.getLong(5) == math.max(start + nTok - 1, start) / 16)
+        expectStart = start + nTok
+      }
+    }
+    // a doc spanning a 16-token boundary reports pack_first < pack_last
+    assert(out.exists(r => r.getLong(4) < r.getLong(5)))
+  }
+
+  test("packSequences: empty docs occupy zero width at their offset") {
+    val d = docs((1L, "a b c", "en"), (2L, "   ", "en"), (3L, "d e", "en"))
+    val out = Curation.packSequences(d, "doc_id", "text",
+      budget = 4, nShards = 1).collect().sortBy(_.getLong(0))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(byId(2L)._1 == 0L)                 // no tokens
+    assert(byId(2L)._3 == byId(2L)._4)        // pack_first == pack_last
+    // doc 3 starts exactly where doc 1 ended (empty doc consumed nothing)
+    assert(byId(3L)._2 == byId(1L)._1)
+  }
+
+  test("shuffleAssign: permutation per shard, deterministic, salt re-rolls") {
+    val d = docs((1L to 500L).map(i => (i, s"doc $i", "en")): _*)
+    val out = Curation.shuffleAssign(d, "doc_id", nShards = 8).collect()
+    assert(out.length == 500)
+    // pos is a 1..n permutation within every shard
+    out.groupBy(_.getLong(1)).foreach { case (s, rows) =>
+      assert(s >= 0 && s < 8)
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic under re-run; a different salt produces a new order
+    val again = Curation.shuffleAssign(d, "doc_id", nShards = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val rerolled = Curation.shuffleAssign(d, "doc_id", 8, salt = "epoch2|")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rerolled != out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("topTokens: counts, ordering, tie-break") {
     val d = docs(
       (1L, "b b b a a c", "en"),

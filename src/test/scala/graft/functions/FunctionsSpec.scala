@@ -414,6 +414,46 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(all === bf)
   }
 
+  test("int8 quantization: codes integral in [-127,127], extremes hit ±127") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = d.select(col("vec_id"), col("embedding"),
+        Similarity.maxAbs(col("embedding")).as("mx"))
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding"), col("mx")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(64.0, -127.0, 32.0, 0.0))
+    assert(out(2L) == Seq(0.0, 0.0, 0.0, 0.0))   // zero vector: no NaN
+    assert(out.values.flatten.forall(v => v == math.floor(v) && v.abs <= 127))
+  }
+
+  test("quantizedTopK ranks like brute force on well-separated vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 150L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 30 === 0)
+      .toDF("query_id", "qvec")
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      .toSet
+    val qz = Similarity.quantizedTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10)
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10)
+    // int8 error is ~1/254 per element; on random 16-dim data the top-10
+    // sets agree almost everywhere — require >= 80% overlap
+    val inter = sets(qz).intersect(sets(bf)).size.toDouble
+    assert(inter / sets(bf).size >= 0.8, s"overlap ${inter / sets(bf).size}")
+    // determinism: re-run is identical including ranks
+    val again = Similarity.quantizedTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10)
+    assert(qz.collect().map(_.toSeq).toSeq ==
+      again.collect().map(_.toSeq).toSeq)
+  }
+
   test("lowerJoin matches ciJoin on ASCII and broadcast-hash-joins") {
     import spark.implicits._
     val a = Seq((1L, "Alpha"), (2L, "BETA")).toDF("id", "name")
