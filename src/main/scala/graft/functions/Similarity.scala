@@ -186,30 +186,72 @@ object Similarity {
   // cells; queries score only their `nprobe` nearest cells.
   // ------------------------------------------------------------------
 
-  /** Deterministic coarse centroids: every (n/nlist)-th corpus vector
-    * in id order. No trained k-means dependency — the quantizer is
-    * pluggable (pass refined centroids to ivfTopK for better balance);
-    * determinism matters more than balance for verifiable pipelines.
-    * Centroids are tiny by definition (nlist ≪ n): the collect is a
-    * few KB, broadcast to every task as literals.
+  /** Deterministic coarse centroids: a distributed uniform sample of
+    * `nlist × oversample` corpus vectors (the rows whose md5(id) sorts
+    * smallest — seed-free and engine-portable), thinned on the driver
+    * by greedy farthest-point selection so the seeds spread across the
+    * data rather than clumping. No trained k-means dependency — the
+    * quantizer is pluggable (pass refined centroids to ivfTopK for
+    * better balance); determinism matters more than balance for
+    * verifiable pipelines.
+    *
+    * Scale: the sampling plans as TakeOrderedAndProject — each
+    * partition keeps its local top-(nlist×oversample), and ONLY that
+    * many rows ever reach the driver (O(nlist·dims) doubles, a few
+    * KB). No global sort materializes, no row count is needed up
+    * front, and nothing is O(corpus) on the driver at any data size.
+    * The farthest-point pass is O(nlist²·oversample·dims) driver
+    * flops on the tiny candidate set.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): Array[Array[Double]] = {
-    val n = corpus.count()
-    val step = math.max(1L, n / nlist)
-    corpus.select(col(vecCol))
-      .orderBy(col(idCol))
-      .limit((step * nlist).toInt)
+      nlist: Int, oversample: Int = 8): Array[Array[Double]] = {
+    require(nlist > 0 && oversample > 0, "nlist and oversample must be > 0")
+    val cands = centroidCandidates(corpus, idCol, vecCol, nlist * oversample)
       .collect()
-      .zipWithIndex
-      .collect { case (r, i) if i % step == 0 =>
-        r.getSeq[Any](0).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-        }.toArray
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    if (cands.length <= nlist) cands
+    else {
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
       }
-      .take(nlist)
+      // greedy farthest-point: first candidate seeds; each next seed is
+      // the candidate farthest from all chosen so far (ties → first in
+      // hash order, so the result is fully deterministic)
+      val chosen = scala.collection.mutable.ArrayBuffer(cands.head)
+      val minD = cands.map(c => d2(c, cands.head))
+      while (chosen.size < nlist) {
+        var best = 0; var bestD = -1.0; var i = 0
+        while (i < cands.length) {
+          if (minD(i) > bestD) { bestD = minD(i); best = i }
+          i += 1
+        }
+        chosen += cands(best)
+        i = 0
+        while (i < cands.length) {
+          val d = d2(cands(i), cands(best))
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+      }
+      chosen.toArray
+    }
   }
+
+  /** The bounded selection plan behind `ivfCentroids`, exposed so specs
+    * can assert its shape (TakeOrdered with limit = nlist×oversample —
+    * never a full-corpus limit/collect). Ties on the hash break by id.
+    */
+  private[graft] def centroidCandidates(corpus: DataFrame, idCol: String,
+      vecCol: String, limitRows: Int): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(limitRows)
+      .select(col(vecCol))
 
   /** Deterministic Lloyd refinement of the coarse quantizer: assign →
     * mean per cell, `iters` times. Centroid means accumulate through

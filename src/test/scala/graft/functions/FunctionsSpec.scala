@@ -381,6 +381,24 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(centers.map(nearest).distinct.size === 3)
   }
 
+  test("ivfCentroids: nlist-row TakeOrdered selection, never a full-corpus collect") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, Array.fill(8)(i.toFloat % 7)))
+      .toDF("vec_id", "embedding")
+    // the driver-side result is exactly nlist rows...
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 16)
+    assert(cents.length === 16 && cents.forall(_.length === 8))
+    // ...selected by a TakeOrdered plan (per-partition top-nlist, only
+    // nlist rows reach the driver) — not orderBy+limit(n) over the corpus
+    val plan = Similarity.centroidCandidates(df, "vec_id", "embedding", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject(limit=16"), plan)
+    // deterministic across partitioning layouts
+    val cents2 = Similarity.ivfCentroids(df.repartition(13), "vec_id",
+      "embedding", 16)
+    assert(cents.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq)
+  }
+
   test("IVF topK recovers planted neighbors; nprobe=nlist equals brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
