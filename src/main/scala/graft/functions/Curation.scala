@@ -144,22 +144,76 @@ object Curation {
     * corpus gram. Output is bit-identical to `decontaminate` (the
     * exact join kills false positives); only the plan differs.
     */
+  /** Bloom sizing: bits for a target false-positive probability at
+    * `expectedItems` distinct items — m = −n·ln(p) / ln²2, the standard
+    * optimal-k formula.
+    */
+  def bloomNumBits(expectedItems: Long, fpp: Double): Long = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    math.ceil(-expectedItems.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+  }
+
+  /** `decontaminateBloom` with the sketch auto-sized from the expected
+    * gram cardinality and a target false-positive rate instead of a
+    * hand-picked bit count.
+    */
+  def decontaminateBloomAuto(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 4, expectedGrams: Long,
+      fpp: Double = 0.03): DataFrame =
+    decontaminateBloom(corpus, bench, idCol, textCol, n, expectedGrams,
+      bloomNumBits(expectedGrams, fpp))
+
   def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 4, expectedGrams: Long = 4000000L,
       numBits: Long = 33554432L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftglue.Glue
+    // persisted: the gram tokenize+ngram+distinct pass feeds BOTH the
+    // sketch-build action below and the exact verify join in the
+    // returned plan — uncached it would run twice (a full second pass
+    // over a 1e8–1e9-gram eval suite). MEMORY_AND_DISK, LRU-evictable;
+    // callers with tight memory can spark.catalog.clearCache() after
+    // consuming the result.
     val benchGrams = gramSets(bench, idCol, textCol, n)
       .select(explode_outer(col("__ng")).as("g"))
       .filter(col("g").isNotNull)
       .distinct()
-    val bloomBytes = benchGrams
-      .select(Glue.column(new BloomFilterAggregate(
-        Glue.expression(xxhash64(col("g"))),
-        Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
-        .as("bf"))
-      .head().getAs[Array[Byte]](0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // BloomFilterAggregate silently clamps its parameters to the
+    // runtime-filter conf caps (defaults 4e6 items / 6.7e7 bits) —
+    // raise them to the requested size for the build so the achieved
+    // fpp is the one the caller asked for, then restore.
+    val spark = bench.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) =
+      (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    val bloomBytes =
+      try {
+        spark.conf.set(itemsKey, math.max(prevItems.toLong, expectedGrams))
+        spark.conf.set(bitsKey, math.max(prevBits.toLong, numBits))
+        benchGrams
+          .select(Glue.column(new BloomFilterAggregate(
+            Glue.expression(xxhash64(col("g"))),
+            Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+            .as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally {
+        spark.conf.set(itemsKey, prevItems)
+        spark.conf.set(bitsKey, prevBits)
+      }
+    // achieved fpp at the DESIGNED cardinality: (1 − e^(−kn/m))^k with
+    // k = max(1, round(m/n·ln2)) — the sketch's own k derivation
+    {
+      val m = numBits.toDouble; val nn = expectedGrams.toDouble
+      val k = math.max(1, math.round(m / nn * math.log(2))).toDouble
+      val achieved = math.pow(1 - math.exp(-k * nn / m), k)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        f"decontaminateBloom sketch: $numBits%d bits, k=${k.toInt}%d, " +
+          f"design fpp ≈ $achieved%.4g at $expectedGrams%d grams")
+    }
     val mightContain = Glue.column(BloomFilterMightContain(
       Literal.create(bloomBytes,
         org.apache.spark.sql.types.BinaryType),
@@ -198,6 +252,11 @@ object Curation {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Int, nShards: Int, salt: String = "pack|"): DataFrame = {
     require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    // the id column survives into the output alongside these generated
+    // names; a collision would make the window key ambiguous
+    require(!Set("shard", "n_tokens", "__end", "start_offset",
+      "pack_first", "pack_last").contains(idCol),
+      s"idCol '$idCol' collides with a packSequences output column")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Long.MinValue, 0)
@@ -226,6 +285,8 @@ object Curation {
   def shuffleAssign(df: DataFrame, idCol: String, nShards: Int,
       salt: String = "shuffle|"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    require(!Set("shard", "pos", "__h").contains(idCol),
+      s"idCol '$idCol' collides with a shuffleAssign output column")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     df.select(col(idCol),
@@ -254,13 +315,29 @@ object Curation {
   /** Per-document repetition statistics: token count, distinct-token
     * count, type-token ratio, and the max single-token frequency —
     * boilerplate/spam signals (a low TTR or a dominant token marks
-    * machine-generated filler). Map-only; the token array materializes
-    * once per row (staged select), and the max-frequency pass runs over
-    * the distinct tokens of THAT array — O(distinct × tokens) per doc,
-    * zero shuffles.
+    * machine-generated filler). Map-only, zero shuffles; the token
+    * array materializes once per row (staged select).
+    *
+    * The max-frequency pass runs over the SORTED token array, where
+    * equal tokens form contiguous runs — one fold tracking (previous
+    * token, run length, max run) bounds the per-document cost at
+    * O(tokens log tokens). The distinct×tokens nested scan it replaces
+    * went quadratic on adversarial docs (a single 1 M-token spam doc
+    * put ~10¹⁰ comparisons in one task).
     */
   def repetitionStats(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String): DataFrame = {
+    val runMax = aggregate(
+      array_sort(col("__toks")),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("mx")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
     df.select(col(idCol),
         TextAnalysis.tokens(lower(trim(col(textCol)))).as("__toks"))
       .select(col(idCol), col("__toks"),
@@ -270,7 +347,8 @@ object Curation {
         size(col("__dist")).as("n_distinct"),
         TextAnalysis.q4(size(col("__dist")).cast("double") /
           greatest(size(col("__toks")), lit(1))).as("ttr"),
-        array_max(transform(col("__dist"),
-          t => size(filter(col("__toks"), x => x === t))))
-          .as("max_tok_freq"))
+        // empty docs: NULL, matching list_max([]) in the oracle
+        when(size(col("__toks")) === 0, lit(null).cast("int"))
+          .otherwise(runMax).as("max_tok_freq"))
+  }
 }

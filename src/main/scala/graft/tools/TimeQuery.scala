@@ -25,8 +25,14 @@ object TimeQuery {
     // different (smaller) SF first — reproduces Bench's warmup regime
     sys.env.get("SPARK_GRAFT_WARM_DIR").foreach { wd =>
       names.foreach { name =>
+        // NonFatal only: a broken warm dir must be visible, and fatal
+        // errors (OOM, dying JVM) must propagate, not silently produce
+        // cold timings
         try graft.SparkEntry.queries(name)(spark, wd).count()
-        catch { case _: Throwable => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[time] warmup $name failed: ${e.getMessage}")
+        }
       }
     }
     names.foreach { name =>

@@ -164,6 +164,48 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == ((4, 4, 1.0, 1)))
   }
 
+  test("repetitionStats: adversarial single-token megadoc stays linear-ish") {
+    // 200k copies of one token — the old distinct×tokens nested scan
+    // did ~4e10 comparisons here; the sorted-run fold is one pass
+    val mega = Seq.fill(200000)("spam").mkString(" ")
+    val d = docs((1L, mega, "en"), (2L, "", "en"))
+    val t0 = System.nanoTime()
+    val out = Curation.repetitionStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out(1L).getInt(1) == 200000 && out(1L).getInt(2) == 1)
+    assert(out(1L).getInt(4) == 200000)
+    // empty doc: split('') = [''] on both engines → one empty token
+    assert(out(2L).getInt(1) == 1 && out(2L).getInt(4) == 1)
+    assert(secs < 30.0, s"megadoc took $secs s — quadratic regression?")
+  }
+
+  test("bloomNumBits sizing and decontaminateBloomAuto parity") {
+    // classic figures: 1% fpp ≈ 9.59 bits/item, 3% ≈ 7.30 bits/item
+    assert(math.abs(Curation.bloomNumBits(1000000L, 0.01) / 1e6 - 9.585) < 0.01)
+    assert(math.abs(Curation.bloomNumBits(1000000L, 0.03) / 1e6 - 7.298) < 0.01)
+    val bench = docs((900L, "the quick brown fox jumps over the lazy dog", "en"))
+    val corpus = docs(
+      (1L, "the quick brown fox jumps somewhere else entirely today", "en"),
+      (2L, "completely unrelated text with no shared phrases at all", "en"))
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val auto = Curation.decontaminateBloomAuto(corpus, bench, "doc_id",
+      "text", n = 4, expectedGrams = 500L, fpp = 0.01)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(auto.toSeq == exact.toSeq)
+  }
+
+  test("packSequences/shuffleAssign reject colliding id column names") {
+    val d = docs((1L, "a b", "en")).withColumnRenamed("doc_id", "shard")
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(d, "shard", "text", budget = 4, nShards = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.shuffleAssign(d, "shard", nShards = 2)
+    }
+  }
+
   test("connectedComponents: chain, clique, and pair resolve to min labels") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
