@@ -790,6 +790,38 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "events_asof_fwd" -> ((s, dir) => {
+      // forward as-of join: each click paired with the user's NEXT
+      // purchase at-or-after it — same single-shuffle union+window
+      // shape as backward (oracle: DuckDB ASOF with <=)
+      val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsofJoin.forward(clicks, purchases,
+          Seq("user_id"), "ts_us", tieCol = "purchase_id")
+        .orderBy(col("event_id"))
+    }),
+
+    "events_asof_nearest" -> ((s, dir) => {
+      // nearest as-of join: closer of the backward/forward purchase,
+      // equal distances resolve backward — one shuffle, two window
+      // frames, no join node (oracle: explicit argmin over a θ-join)
+      val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsofJoin.nearest(clicks, purchases,
+          Seq("user_id"), "ts_us", tieCol = "purchase_id")
+        .orderBy(col("event_id"))
+    }),
+
     "events_range_join" -> ((s, dir) => {
       // binned point-in-interval join: error events located in their
       // gap-session interval — equi-join on (user_id, bin), BETWEEN
@@ -1736,6 +1768,50 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         |ORDER BY c.event_id""".stripMargin,
+
+    "events_asof_fwd" ->
+      // DuckDB's native forward ASOF (probe.ts <= build.ts); fixture
+      // has zero equal-(user, ts) purchases, so ties can't bite
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us, event_id AS purchase_id,
+        |        value AS purchase_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us, p.ts_us AS asof_ts_us,
+        |  p.purchase_id AS asof_purchase_id,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY c.event_id""".stripMargin,
+
+    "events_asof_nearest" ->
+      // explicit argmin over the θ-join: rank every candidate by
+      // (|Δts|, backward-first, then greatest id backward / smallest
+      // id forward) — the exact tie ladder the operator implements
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us, event_id AS purchase_id,
+        |        value AS purchase_value
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us, p.ts_us AS asof_ts_us,
+        |    p.purchase_id AS asof_purchase_id,
+        |    p.purchase_value AS asof_purchase_value,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY
+        |      abs(p.ts_us - c.ts_us),
+        |      CASE WHEN p.ts_us <= c.ts_us THEN 0 ELSE 1 END,
+        |      CASE WHEN p.ts_us <= c.ts_us THEN -p.purchase_id
+        |           ELSE p.purchase_id END) AS rn
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id)
+        |SELECT event_id, user_id, ts_us, asof_ts_us, asof_purchase_id,
+        |  asof_purchase_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "events_range_join" ->
       // plain BETWEEN join is the oracle for the binned range join

@@ -83,6 +83,83 @@ class JoinOperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), s"expected no join node:\n$plan")
   }
 
+  test("asof forward: earliest at-or-after build; ties to smallest tieCol") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 100L), (2L, 1L, 250L), (3L, 2L, 70L),
+        (4L, 3L, 10L))
+      .toDF("event_id", "k", "ts")
+    val build = Seq((10L, 1L, 100L, "a"), (11L, 1L, 200L, "b"),
+        (12L, 2L, 60L, "c"))
+      .toDF("bid", "k", "ts", "payload")
+    val out = AsofJoin.forward(probe, build, Seq("k"), "ts", "bid")
+      .orderBy("event_id").collect()
+    // probe@100 matches build@100 (inclusive), not the later 200
+    assert(out(0).getAs[Long]("asof_bid") == 10L)
+    // probe@250 has no later build → null
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_bid")))
+    // key 2: build@60 is BEFORE probe@70 → no forward match
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_bid")))
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_bid")))
+    // forward equal-ts ties break to the SMALLEST tie value
+    val tie = AsofJoin.forward(
+      Seq((1L, 1L, 100L)).toDF("event_id", "k", "ts"),
+      Seq((9L, 1L, 100L, "hi"), (7L, 1L, 100L, "lo"))
+        .toDF("bid", "k", "ts", "payload"),
+      Seq("k"), "ts", "bid").collect()
+    assert(tie(0).getAs[Long]("asof_bid") == 7L)
+  }
+
+  test("asof forward equals the join-then-argmin reference implementation") {
+    import spark.implicits._
+    val probe = (1L to 200L)
+      .map(i => (i, i % 7, (i * 37) % 500)).toDF("event_id", "k", "ts")
+    val build = (1L to 80L)
+      .map(i => (1000L + i, i % 7, (i * 91) % 500, i * 1.5))
+      .toDF("bid", "k", "ts", "v")
+    val fast = AsofJoin.forward(probe, build, Seq("k"), "ts", "bid")
+      .select("event_id", "asof_bid")
+    // reference: θ-join + per-probe argmin on (build ts, bid)
+    val ref = probe.alias("p")
+      .join(build.alias("b"),
+        col("p.k") === col("b.k") && col("b.ts") >= col("p.ts"), "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(min_by(col("b.bid"),
+        struct(col("b.ts"), col("b.bid"))).as("asof_bid"))
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+
+  test("asof nearest: closer side wins, equal distance goes backward") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 2L, 50L),
+        (4L, 3L, 10L), (5L, 4L, 10L))
+      .toDF("event_id", "k", "ts")
+    val build = Seq(
+      (10L, 1L, 90L, "back10"), (11L, 1L, 105L, "fwd5"),
+      (12L, 1L, 195L, "back5"), (13L, 1L, 205L, "fwd5b"),
+      (14L, 2L, 40L, "backonly"), (15L, 4L, 99L, "fwdonly"))
+      .toDF("bid", "k", "ts", "payload")
+    val out = AsofJoin.nearest(probe, build, Seq("k"), "ts", "bid")
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("asof_bid") == 11L)  // fwd dist 5 < back 10
+    assert(out(1).getAs[Long]("asof_bid") == 12L)  // tie dist 5 → backward
+    assert(out(2).getAs[Long]("asof_bid") == 14L)  // only backward exists
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_bid")))  // no builds
+    assert(out(4).getAs[Long]("asof_bid") == 15L)  // only forward exists
+  }
+
+  test("asof forward/nearest plan one exchange, no join node") {
+    import spark.implicits._
+    val probe = Seq((1L, 1L, 100L)).toDF("event_id", "k", "ts")
+    val build = Seq((7L, 1L, 90L, "x")).toDF("bid", "k", "ts", "payload")
+    for (mk <- Seq(AsofJoin.forward _, AsofJoin.nearest _)) {
+      val plan = mk(probe, build, Seq("k"), "ts", "bid", "asof_")
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+      assert(!plan.contains("Join"), s"expected no join node:\n$plan")
+    }
+  }
+
   // ---- RangeJoin ----
 
   test("range join: boundaries inclusive, bin-spanning intervals, negatives") {
