@@ -565,6 +565,52 @@ object SparkEntry {
             lit(0.9) * col("n_true").cast("double")).as("recall_ok"))
     }),
 
+    "sim_ivf_recall" -> ((s, dir) => {
+      // IVF twin of sim_lsh_recall: same noised-twin fixture (cos
+      // ≈0.98), every natural queries the augmented corpus through the
+      // coarse quantizer at the DEFAULT nprobe (4 of nlist=16). The
+      // twin is each natural's true nearest by a wide margin (natural
+      // max pair cos ≈0.51), so recall = fraction of rank-1 hits —
+      // measuring the probe-miss rate at nprobe < nlist, which the
+      // planted sim_ann_ivf fixture never exercises.
+      val emb = t(s, dir, "embeddings")
+      val noised = emb.select((col("vec_id") + 700000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") + lit(0.04) *
+            (((col("vec_id") * 31 + i * 17) % 19 - 9).cast("double") /
+              lit(9.0))).as("embedding"))
+      val naturals = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val aug = naturals.union(noised)
+      val truth = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + lit(0.04) *
+              (((col("vec_id") * 31 + i * 17) % 19 - 9).cast("double") /
+                lit(9.0))).as("w"))
+        .select(col("vec_id"),
+          (Similarity.dot(col("v"), col("w")) /
+            (Similarity.norm(col("v")) * Similarity.norm(col("w")))).as("cos"))
+        .filter(col("cos") >= 0.9)
+      val queries = naturals
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cents = Similarity.ivfCentroids(aug, "vec_id", "embedding", 16)
+      val recovered = Similarity.ivfTopK(aug, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 1, cents, nprobe = 4)
+        .filter(col("vec_id") === col("query_id") + 700000L)
+        .select(col("query_id").as("vec_id"))
+      val truthAgg = truth.agg(
+        count(lit(1)).as("n_true"),
+        TextAnalysis.q4(min(col("cos"))).as("min_cos"),
+        TextAnalysis.q4(max(col("cos"))).as("max_cos"))
+      val recAgg = recovered.join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_rec"))
+      truthAgg.crossJoin(recAgg)
+        .select(col("n_true"), col("min_cos"), col("max_cos"),
+          (col("n_rec").cast("double") >=
+            lit(0.9) * col("n_true").cast("double")).as("recall_ok"))
+    }),
+
     "dedup_embedding_cos" -> ((s, dir) => {
       // the synthetic embeddings have no natural near-dups (max pair
       // cosine ≈0.51), so seed exact duplicates (vec_id+10000) — the
@@ -1460,6 +1506,30 @@ object SparkEntry {
       // the truth side (exact cosine of every seed against its noised
       // twin) is fully portable; recall_ok is the assertion the Spark
       // side must satisfy for the hashes to match
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+        |      + CAST(0.04 AS DOUBLE)
+        |        * (CAST((vec_id * 31 + (i - 1) * 17) % 19 - 9 AS DOUBLE)
+        |           / CAST(9 AS DOUBLE))) AS w
+        |  FROM embeddings),
+        |cosv AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * w[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(w, x -> x * x)))) AS cos
+        |  FROM p)
+        |SELECT COUNT(*) AS n_true,
+        |  floor(MIN(cos) * 10000) / 10000 AS min_cos,
+        |  floor(MAX(cos) * 10000) / 10000 AS max_cos,
+        |  TRUE AS recall_ok
+        |FROM cosv WHERE cos >= 0.9""".stripMargin,
+
+    "sim_ivf_recall" ->
+      // identical truth side to sim_lsh_recall (exact per-seed twin
+      // cosine, fully portable); recall_ok is the assertion the IVF
+      // probe path must satisfy for the hashes to match
       """WITH p AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
