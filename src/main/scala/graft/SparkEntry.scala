@@ -641,6 +641,44 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"), col("cnt"))
         .orderBy(col("o_custkey"))),
 
+    "skew_salted_agg_zipf" -> ((s, dir) =>
+      // the salted path on data that actually NEEDS it: ~70% of all
+      // rows collapse onto hot_key 0 (one reducer's partition under a
+      // plain shuffle), the rest spread over 100 cold keys. The
+      // two-phase plan must still equal the oracle's plain GROUP BY.
+      graft.operators.Skew.saltedSumCount(
+        t(s, dir, "orders")
+          .select(
+            when(col("o_orderkey") % 10 < 7, lit(0L))
+              .otherwise(col("o_custkey") % 100 + 1).as("hot_key"),
+            col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,3)").as("price")),
+        Seq("hot_key"), "price", saltSource = "o_orderkey", buckets = 32)
+        .select(col("hot_key"),
+          col("sum_price").cast("double").as("sum_price"), col("cnt"))
+        .orderBy(col("hot_key"))),
+
+    "skew_salted_join_zipf" -> ((s, dir) => {
+      // salted replicated join under the same zipf skew: the hot key's
+      // rows spread over 32 (key, salt) buckets, the 25-row dim side
+      // replicates 32×. Rolled up per dim label so the oracle is a
+      // plain join + GROUP BY.
+      val big = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 10 < 7, lit(0L))
+          .otherwise(col("o_custkey") % 25).as("hot_key"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,3)").as("price"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("hot_key"),
+          col("n_name"))
+      graft.operators.Skew.saltedJoin(big, dim, Seq("hot_key"),
+          saltSource = "o_orderkey", buckets = 32)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .orderBy(col("n_name"))
+    }),
+
     "curate_documents" -> ((s, dir) => {
       // the composed training-data curation pipeline: length + quality
       // filters, then near-duplicate removal (LSH candidates + exact
@@ -1430,6 +1468,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS cnt
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "skew_salted_agg_zipf" ->
+      """SELECT CAST(CASE WHEN o_orderkey % 10 < 7 THEN 0
+        |       ELSE o_custkey % 100 + 1 END AS BIGINT) AS hot_key,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "skew_salted_join_zipf" ->
+      """WITH big AS (
+        |  SELECT CAST(CASE WHEN o_orderkey % 10 < 7 THEN 0
+        |         ELSE o_custkey % 25 END AS BIGINT) AS hot_key,
+        |    CAST(o_totalprice AS DECIMAL(18,3)) AS price
+        |  FROM orders)
+        |SELECT n.n_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM big b JOIN nation n ON b.hot_key = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
 
     "curate_documents" ->
       """WITH toks AS (

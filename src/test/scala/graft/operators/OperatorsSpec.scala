@@ -88,6 +88,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(agg(1L)._1 - (1L to 1800L).map(_ * 1.5).sum) < 1e-6)
   }
 
+  test("saltedSumCount plans two aggregate phases over the salted key") {
+    import spark.implicits._
+    val big = (1L to 100L).map(i => (1L, i, i * 1.0)).toDF("k", "row_id", "v")
+    val df = Skew.saltedSumCount(big, Seq("k"), "v",
+      saltSource = "row_id", buckets = 8)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // phase 1 groups on (k, __salt__), phase 2 on k — the hot key is
+    // spread over `buckets` reducers before the final combine
+    assert(plan.contains("__salt__"), plan)
+    assert("Aggregate \\[".r.findAllIn(plan).length == 2, plan)
+    val phys = df.queryExecution.executedPlan.toString
+    // the salted partial shuffles on (k, __salt__), not on k alone
+    assert(phys.contains("__salt__"), phys)
+  }
+
   test("C16: upsert SQL shape") {
     assert(DiffSync.upsertSql("t", Seq("id"), Seq("a", "b")) ===
       "INSERT INTO t (id, a, b) VALUES (?, ?, ?) " +
