@@ -858,6 +858,20 @@ object SparkEntry {
         "event_id", unix_micros(col("ts")), gapUs = 1800000000L, "value")
         .orderBy(col("user_id"), col("session_idx"))),
 
+    "events_session_window" -> ((s, dir) =>
+      // session_window batch/stream parity gate: the SAME groupBy the
+      // streaming path uses (EventStream.streamingSessionAgg wraps this
+      // around readStream), run in batch mode against the events
+      // fixture. Window end = last event + gap; a gap of EXACTLY the
+      // duration starts a new session (half-open merge interval).
+      graft.streaming.EventStream.sessionWindowAgg(events(s, dir),
+          "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))),
+
     "events_asof_join" -> ((s, dir) => {
       // backward as-of join: each click attributed to the user's most
       // recent prior purchase — union + one window pass, single shuffle
@@ -1876,6 +1890,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "events_session_window" ->
+      // gap-session replay with session_window's exact semantics:
+      // >= gap starts a NEW session (Spark merges half-open
+      // [t, t+gap) intervals — equality does not overlap), end =
+      // last event + gap
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0
+        |    END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY
+        |    ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM b)
+        |SELECT user_id, MIN(ts_us) AS start_us,
+        |  MAX(ts_us) + 1800000000 AS end_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "events_asof_join" ->
       // DuckDB's native ASOF JOIN is the oracle for the union+window
