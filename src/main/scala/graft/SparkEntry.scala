@@ -745,6 +745,26 @@ object SparkEntry {
           col("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    "mm_decode_png" -> ((s, dir) => {
+      // REAL image decode (javax.imageio, pure JVM): synthetic PNGs
+      // with id-derived dims are built per partition, every 97th
+      // payload truncated; the decoder must report exact format/dims
+      // (the oracle replays the dimension arithmetic) and route
+      // corrupt payloads to decode_ok=false instead of failing tasks
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withPng = graft.functions.Multimodal.withSyntheticPng(
+        docs, "doc_id", truncateEvery = 97L)
+      graft.functions.Multimodal.decodeMeta(withPng, "payload",
+          graft.functions.Multimodal.ImageIoDecoderFactory)
+        .select(col("doc_id"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_frames").as("n_frames"),
+          col("media_meta.decode_ok").as("decode_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_byte_features" -> ((s, dir) => {
       // binary-column plumbing over text payloads cast to binary;
       // size is oracle-checked, content hash is engine-specific
@@ -1465,6 +1485,20 @@ object SparkEntry {
 
     "mm_byte_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_png" ->
+      // the decoded dims must equal the generator's arithmetic; the
+      // every-97th truncated payload must flag, not fail
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE 'png' END AS format,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(8 + doc_id % 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE CAST(8 + (doc_id * 7) % 16 AS INT) END AS height,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CAST(1 AS INT) END
+        |    AS n_frames,
+        |  doc_id % 97 <> 0 AS decode_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_chunk_fixed" ->

@@ -64,6 +64,83 @@ object Multimodal {
     def open(): MediaDecoder = FakeDecoder
   }
 
+  /** REAL decode kernel for the formats the JDK ships codecs for
+    * (PNG/BMP/GIF/JPEG via javax.imageio — pure JVM, no native deps):
+    * format from the matched reader's canonical name, dims from the
+    * image header, frame count without stream search (animated GIF
+    * readers report it; single-image formats → 1). The first frame is
+    * actually DECODED so truncated/corrupt payloads fail here and land
+    * in the per-row error channel, not downstream. Plugs into the same
+    * factory seam as FakeDecoder — the plan, schema, and batching are
+    * identical; only the kernel is real.
+    */
+  object ImageIoDecoderFactory extends MediaDecoderFactory {
+    def open(): MediaDecoder = new MediaDecoder {
+      def decode(bytes: Array[Byte]): (String, Int, Int, Int) = {
+        if (bytes == null || bytes.isEmpty)
+          throw new IllegalArgumentException("empty payload")
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            throw new IllegalArgumentException("unrecognized image format")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val img = reader.read(0)
+            val n = reader.getNumImages(false) match {
+              case k if k > 0 => k
+              case _ => 1
+            }
+            (fmt, img.getWidth, img.getHeight, n)
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** Deterministic synthetic-PNG fixture builder: one real PNG per row
+    * (pixels a pure function of the id, encoded by the JDK PNG writer,
+    * dims = 8 + id%16 × 8 + (7·id)%16), truncated to 10 bytes on every
+    * `truncateEvery`-th id to exercise the error channel. Generation
+    * runs per partition on executors — map-only, nothing driver-side.
+    */
+  def withSyntheticPng(df: DataFrame, idCol: String,
+      truncateEvery: Long = 0L): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val w = (8 + math.floorMod(id, 16L)).toInt
+        val h = (8 + math.floorMod(id * 7, 16L)).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val png = bos.toByteArray
+        val payload =
+          if (truncateEvery > 0 && id % truncateEvery == 0)
+            java.util.Arrays.copyOf(png, 10)
+          else png
+        Row.fromSeq(row.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
   /** Decode/feature-extract pass: binary column → media_meta struct.
     * `mapPartitions` so a real decoder initializes once per partition;
     * per-row failures become `decode_ok=false` rows, never task aborts

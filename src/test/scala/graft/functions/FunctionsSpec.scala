@@ -516,6 +516,53 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(CountingDecoderFactory.closes.get() == 2)
   }
 
+  test("multimodal: ImageIO decoder reads real PNG/BMP, flags corrupt bytes") {
+    import spark.implicits._
+    // real encoded images via the JDK writers — PNG and BMP — plus a
+    // truncated PNG and plain garbage
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, x * 31 + y)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = encode("png", 20, 11)
+    val bmp = encode("bmp", 7, 33)
+    val df = Seq(
+      (1L, png), (2L, bmp),
+      (3L, java.util.Arrays.copyOf(png, 10)),
+      (4L, "not an image at all".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeMeta(df, "payload",
+        Multimodal.ImageIoDecoderFactory).collect()
+      .map(r => r.getLong(0) -> r.getStruct(r.length - 1)).toMap
+    assert(out(1L).getString(0) == "png" && out(1L).getInt(1) == 20 &&
+      out(1L).getInt(2) == 11 && out(1L).getBoolean(4))
+    assert(out(2L).getString(0) == "bmp" && out(2L).getInt(1) == 7 &&
+      out(2L).getInt(2) == 33 && out(2L).getBoolean(4))
+    assert(!out(3L).getBoolean(4) && out(3L).getString(5) != null)
+    assert(!out(4L).getBoolean(4))
+  }
+
+  test("multimodal: synthetic PNG fixture round-trips through the decoder") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 97L, 130L).toDF("doc_id")
+    val out = Multimodal.decodeMeta(
+        Multimodal.withSyntheticPng(ids, "doc_id", truncateEvery = 97L),
+        "payload", Multimodal.ImageIoDecoderFactory)
+      .select(col("doc_id"), col("media_meta.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // dims replay the generator arithmetic: 8 + id%16, 8 + (7id)%16
+    assert(out(5L).getString(1) == "png" && out(5L).getInt(2) == 13 &&
+      out(5L).getInt(3) == 11 && out(5L).getBoolean(5))
+    assert(out(130L).getInt(2) == 10 && out(130L).getInt(3) == 22)
+    // ids 0 and 97 are truncated → flagged, not thrown
+    assert(!out(0L).getBoolean(5) && !out(97L).getBoolean(5))
+  }
+
   test("multimodal: fixed chunking covers the payload, binary included") {
     import spark.implicits._
     val payload = Array.tabulate(700)(i => (i % 251).toByte)
