@@ -64,6 +64,31 @@ object Profile {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Column-count threshold above which the auto variants abandon
+    * exact distinct counts: Expand multiplies every scanned row by the
+    * column count BEFORE the partial aggregation, so a 500-column
+    * schema turns a 100 TB scan into 50 PB of aggregation input. Past
+    * this width the one-pass HLL sketch (no Expand, ~1.6 KB state per
+    * column) is the only sane plan.
+    */
+  val DefaultExactMaxCols = 64
+
+  /** `profile` with the exact/HLL choice made from the schema width —
+    * wide migration audits degrade to sketched distinct counts instead
+    * of exploding the plan.
+    */
+  def profileAuto(df: DataFrame,
+      exactMaxCols: Int = DefaultExactMaxCols): DataFrame =
+    profile(df, exact = df.schema.size <= exactMaxCols)
+
+  /** `compare` with the same width-based exact/HLL switch (applied to
+    * both sides, so the distinct-count columns stay comparable).
+    */
+  def compareAuto(source: DataFrame, target: DataFrame,
+      exactMaxCols: Int = DefaultExactMaxCols): DataFrame =
+    compare(source, target, exact =
+      source.schema.size <= exactMaxCols && target.schema.size <= exactMaxCols)
+
   /** Migration audit: profiles of source and target, full-outer joined
     * per column, with a per-column verdict. `cols_match = true` means
     * every metric agrees — the column copied intact.

@@ -41,6 +41,30 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(nd("id") - 5000) <= 500)
   }
 
+  test("profileAuto: 500-column schema engages HLL (no Expand), narrow stays exact") {
+    import spark.implicits._
+    val wide = spark.range(200).select(
+      (0 until 500).map(i => (col("id") * (i + 1) % 37).as(s"c$i")): _*)
+    val auto = Profile.profileAuto(wide)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "500-column auto profile must not Expand")
+    assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"),
+      s"expected the HLL sketch in:\n$plan")
+    // the wide profile actually RUNS: one row per column, sane counts
+    val rows = auto.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getLong(1) == 200L))
+    // a narrow schema keeps the exact-distinct Expand path
+    val narrow = (1L to 100L).map(i => (i, i % 5)).toDF("id", "g")
+    val narrowPlan = Profile.profileAuto(narrow)
+      .queryExecution.executedPlan.toString
+    assert(narrowPlan.contains("Expand"))
+    // compareAuto on the wide schema: intact copy → every column matches
+    val cmp = Profile.compareAuto(wide, wide).collect()
+    assert(cmp.length == 500 && cmp.forall(_.getBoolean(11)))
+  }
+
   test("extreme doubles stay distinguishable (no DECIMAL(18,4) overflow)") {
     import spark.implicits._
     // |x| >= 1e14, NaN, Infinity all overflow DECIMAL(18,4) to NULL —
