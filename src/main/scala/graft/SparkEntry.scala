@@ -92,10 +92,15 @@ object SparkEntry {
           x.cast("double") + (col("k") + 1).cast("double") * lit(0.002) *
             (((col("query_id") * 31 + i * 17) % 19 - 9).cast("double") /
               lit(9.0))).as("embedding"))
+    // fixture-only repartition: the tiny single-split parquet would
+    // otherwise run all per-row scoring (sign bits / cell argmin) on
+    // one core; production corpora arrive already multi-split, and
+    // library operators never force a shuffle themselves
     val corpus = emb
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
       .union(planted)
+      .repartition(col("vec_id"))
     (corpus, queries)
   }
 
