@@ -770,6 +770,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_decode_wav" -> ((s, dir) => {
+      // REAL audio decode (javax.sound.sampled, pure JVM): synthetic
+      // PCM WAVs with id-derived params are built per partition, every
+      // 89th payload truncated mid-data; the decoder must report exact
+      // container params (the oracle replays the arithmetic) and the
+      // frame-count drain must flag the truncated payloads
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val withWav = graft.functions.Multimodal.withSyntheticWav(
+        docs, "doc_id", truncateEvery = 89L)
+      graft.functions.Multimodal.decodeAudioMeta(withWav, "payload")
+        .select(col("doc_id"),
+          col("audio_meta.format").as("format"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.bits").as("bits"),
+          col("audio_meta.frames").as("frames"),
+          col("audio_meta.decode_ok").as("decode_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_byte_features" -> ((s, dir) => {
       // binary-column plumbing over text payloads cast to binary;
       // size is oracle-checked, content hash is engine-specific
@@ -861,6 +881,23 @@ object SparkEntry {
     "txt_repetition" -> ((s, dir) =>
       graft.functions.Curation.repetitionStats(
         t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "txt_tfidf_top" -> ((s, dir) =>
+      // per-doc top-3 TF-IDF terms: one pass, df via a term-partitioned
+      // window over the tf table, corpus size via a 1-row broadcast;
+      // ranking on the floor-quantized score with a term tie-break
+      graft.functions.TextAnalysis.tfidfTopTerms(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    "dedup_passage" -> ((s, dir) =>
+      // C4-style passage-level exact dedup: 8-token passages, global
+      // first occurrence by (doc_id, idx) survives, documents
+      // reassembled from surviving passages
+      Dedup.passageDedup(t(s, dir, "documents"), "doc_id", "text",
+        passageTokens = 8)
         .orderBy(col("doc_id"))),
 
     "dedup_cluster_cc" -> ((s, dir) => {
@@ -1506,6 +1543,22 @@ object SparkEntry {
         |  doc_id % 97 <> 0 AS decode_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "mm_decode_wav" ->
+      // params must equal the generator's arithmetic; every 89th
+      // payload is truncated mid-data and must flag, not fail
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 89 = 0 THEN NULL ELSE 'wave' END AS format,
+        |  CASE WHEN doc_id % 89 = 0 THEN NULL
+        |       ELSE CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                 ELSE 44100 END AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 89 = 0 THEN NULL
+        |       ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 89 = 0 THEN NULL ELSE CAST(16 AS INT) END AS bits,
+        |  CASE WHEN doc_id % 89 = 0 THEN NULL
+        |       ELSE CAST(50 + (doc_id * 13) % 200 AS BIGINT) END AS frames,
+        |  doc_id % 89 <> 0 AS decode_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_chunk_fixed" ->
       """WITH ex AS (
         |  SELECT doc_id, text,
@@ -1798,6 +1851,57 @@ object SparkEntry {
         |  list_max(list_transform(list_distinct(tk),
         |    t -> len(list_filter(tk, x -> x = t)))) AS max_tok_freq
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "txt_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    COUNT(*) OVER (PARTITION BY term) AS df
+        |  FROM tf),
+        |fin AS (
+        |  SELECT s.doc_id, s.term, s.tf, s.df,
+        |    floor(s.tf * ln((n.n + 1.0) / (s.df + 1.0)) * 1000000) / 1000000
+        |      AS tfidf
+        |  FROM scored s, n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank FROM fin)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "dedup_passage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS idx,
+        |    array_to_string(tk[(CAST(i AS INT) * 8 + 1):(CAST(i AS INT) * 8 + 8)], ' ')
+        |      AS passage
+        |  FROM toks,
+        |    unnest(range(0, greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT), 1)))
+        |      AS t(i)),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, idx, passage,
+        |      row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn
+        |    FROM chunks) WHERE rn = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT), 1) AS n_passages
+        |  FROM toks)
+        |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  t.n_passages, coalesce(r.n_kept, 0) AS n_kept
+        |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_cluster_cc" ->
       // the pair pipeline is dedup_ngram_jaccard's; the cluster label is

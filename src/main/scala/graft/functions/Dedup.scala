@@ -447,4 +447,59 @@ object Dedup {
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Passage-level exact dedup (the C4/RefinedWeb substring cleaner):
+    * split each document into fixed-size token passages, keep only the
+    * globally FIRST occurrence of each passage (ordered by (doc, idx)),
+    * and reassemble documents from their surviving passages. Boilerplate
+    * repeated across documents — headers, navigation, license blurbs —
+    * vanishes corpus-wide while each copy's first host keeps it.
+    *
+    * Scale shape: passages explode map-side (codegen'd slice/posexplode,
+    * no UDF); first-occurrence is ONE shuffle on the passage text via a
+    * row_number window (no self-join, no second corpus scan); reassembly
+    * is a second shuffle keyed by doc id. Both keys are
+    * well-distributed: passage text is near-unique and doc ids are
+    * unique, so no skew handling is needed. The shuffled payload is the
+    * passage stream itself — the same order of magnitude as the corpus,
+    * the unavoidable minimum for substring-level dedup.
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 8): DataFrame = {
+    require(passageTokens > 0, "passageTokens must be positive")
+    val reserved = Seq("clean_text", "n_passages", "n_kept",
+      "__toks", "__idx", "__passage", "__rn")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input column '$c' collides with a passageDedup column"))
+    val p = passageTokens
+    val toks = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val passages = toks.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(ceil(size(col("__toks")) / lit(p.toDouble)).cast("int") - 1,
+              lit(0))),
+          i => concat_ws(" ", slice(col("__toks"), i * p + 1, lit(p))))))
+      .withColumnRenamed("pos", "__idx")
+      .withColumnRenamed("col", "__passage")
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__passage"))
+      .orderBy(col(idCol), col("__idx"))
+    val kept = passages
+      .withColumn("__rn", row_number().over(firstW))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__idx"), col("__passage")))),
+        s => s.getField("__passage")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    val totals = toks.select(col(idCol),
+      greatest(ceil(size(col("__toks")) / lit(p.toDouble)).cast("int"),
+        lit(1)).cast("long").as("n_passages"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

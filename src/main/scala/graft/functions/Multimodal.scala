@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The heavy decoders (image/audio codecs) are NOT available in this
-  * environment, so the decode kernel is STUBBED with a deterministic
-  * fake — but the Spark-side contract is real and tested: schema shape,
+  * Decode kernels ship in two tiers: REAL pure-JVM codecs where the
+  * JDK carries them (PNG/BMP/GIF/JPEG via javax.imageio, WAV/AIFF/AU
+  * via javax.sound.sampled) and a deterministic FAKE for everything
+  * else (video, webp, …) standing in for a JNI/FFI binding. Either way
+  * the Spark-side contract is identical and tested: schema shape,
   * partition-batched execution (`mapPartitions`, one decoder init per
   * partition, not per row), and null/error tagging instead of task
-  * failure. Swapping `FakeDecoder` for a JNI/FFI codec changes no plan.
+  * failure. Swapping kernels changes no plan.
   */
 object Multimodal {
 
@@ -99,6 +101,151 @@ object Multimodal {
         } finally iis.close()
       }
     }
+  }
+
+  /** Typed metadata for audio payloads — the audio twin of
+    * [[mediaMetaType]]: container format, PCM parameters, frame count.
+    */
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("frames", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("error", StringType)))
+
+  /** Audio decoder swap point — same per-partition open / task-close
+    * contract as [[MediaDecoderFactory]].
+    */
+  trait AudioDecoder extends java.io.Closeable {
+    /** (format, sampleRateHz, channels, bitsPerSample, frames);
+      * throw on undecodable payload.
+      */
+    def decode(bytes: Array[Byte]): (String, Int, Int, Int, Long)
+    override def close(): Unit = ()
+  }
+  trait AudioDecoderFactory extends Serializable {
+    def open(): AudioDecoder
+  }
+
+  /** REAL audio decode kernel for the containers the JDK ships codecs
+    * for (WAV/AIFF/AU via javax.sound.sampled — pure JVM, no native
+    * deps): format from the parsed file type, PCM params from the
+    * header, frame count from the stream. The data section is actually
+    * CONSUMED and length-checked against the declared frame count, so
+    * a payload truncated mid-data fails here and lands in the per-row
+    * error channel — exactly the ImageIo contract, for audio.
+    */
+  object JavaSoundDecoderFactory extends AudioDecoderFactory {
+    def open(): AudioDecoder = new AudioDecoder {
+      def decode(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
+        if (bytes == null || bytes.isEmpty)
+          throw new IllegalArgumentException("empty payload")
+        val bin = new java.io.ByteArrayInputStream(bytes)
+        val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(bin)
+        bin.reset()
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(bin)
+        try {
+          val fmt = ais.getFormat
+          val frameSize = fmt.getFrameSize
+          val declared = ais.getFrameLength
+          // drain the data section: a container whose header promises
+          // more frames than the payload carries must FAIL, not
+          // silently under-report downstream
+          var seen = 0L
+          val buf = new Array[Byte](8192)
+          var n = ais.read(buf)
+          while (n > 0) { seen += n; n = ais.read(buf) }
+          if (frameSize > 0 && seen / frameSize < declared)
+            throw new java.io.EOFException(
+              s"data section truncated: ${seen / frameSize} of $declared frames")
+          (fileFmt.getType.toString.toLowerCase(java.util.Locale.ROOT),
+            fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, declared)
+        } finally ais.close()
+      }
+    }
+  }
+
+  /** Audio decode pass: binary column → audio_meta struct, identical
+    * partition-batched shape to [[decodeMeta]] (one decoder per
+    * partition, task-completion close, per-row error channel).
+    */
+  def decodeAudioMeta(df: DataFrame, binCol: String,
+      factory: AudioDecoderFactory = JavaSoundDecoderFactory): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("audio_meta", audioMetaType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      val decoder = factory.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
+      rows.map { row =>
+        val bytes = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        val meta =
+          try {
+            val (fmt, rate, ch, bits, frames) = decoder.decode(bytes)
+            Row(fmt, rate, ch, bits, frames, true, null)
+          } catch {
+            case e: Exception => Row(null, null, null, null, null, false,
+              e.getMessage)
+          }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic-WAV fixture builder: one real PCM WAV per
+    * row (16-bit mono/stereo, header + samples a pure function of the
+    * id), truncated mid-data on every `truncateEvery`-th id so the
+    * decoder's frame-count check fires. Per-partition map-only, like
+    * [[withSyntheticPng]]. Parameter arithmetic (replayed by oracles):
+    * channels = 1 + id%2, rate = {8000,16000,44100}[id%3],
+    * frames = 50 + (13·id)%200.
+    */
+  def withSyntheticWav(df: DataFrame, idCol: String,
+      truncateEvery: Long = 0L): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val channels = (1 + math.floorMod(id, 2L)).toInt
+        val rate = math.floorMod(id, 3L) match {
+          case 0L => 8000; case 1L => 16000; case _ => 44100
+        }
+        val frames = (50 + math.floorMod(id * 13, 200L)).toInt
+        val dataLen = frames * channels * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(channels.toShort).putInt(rate)
+          .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+          .putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < frames * channels) {
+          bb.putShort((math.floorMod(id * 31 + i * 7, 65536L) - 32768L).toShort)
+          i += 1
+        }
+        val wav = bb.array()
+        val payload =
+          if (truncateEvery > 0 && id % truncateEvery == 0)
+            java.util.Arrays.copyOf(wav, 44 + dataLen / 2) // header intact, data cut
+          else wav
+        Row.fromSeq(row.toSeq :+ payload)
+      }
+    }(enc)
   }
 
   /** Deterministic synthetic-PNG fixture builder: one real PNG per row

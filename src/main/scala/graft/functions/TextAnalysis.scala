@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -116,6 +117,45 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Per-document top-k terms by smoothed TF-IDF
+    * (tf · ln((N+1)/(df+1))), the standard keyword-extraction /
+    * topic-salience pass over a training corpus.
+    *
+    * Single pass over the corpus, no joins, no broadcast: document
+    * frequency is a count over a `term`-partitioned window of the
+    * (doc, term) tf table (one shuffle of the tf table — far smaller
+    * than the token stream — instead of a second corpus scan for a
+    * df-side aggregate), and N rides in via a 1-row broadcast (parquet
+    * count(*) is metadata-only). Ranking uses the floor-QUANTIZED score
+    * with a term tie-break so ordering is reproducible across engines
+    * (a raw ln() may differ in the last ulp between libm and the JVM).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val reserved = Seq("term", "tf", "df", "tfidf", "rank", "__n")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input column '$c' collides with a tfidfTopTerms output column"))
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val n = df.agg(count(lit(1)).as("__n"))
+    // floor-quantize to 6 decimals (same rationale as q4: pure IEEE
+    // ops, no decimal-string tie semantics) BEFORE ranking so the
+    // order is identical in any oracle engine
+    val scored = withDf.crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        floor(col("tf") * log((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))
+          * 1000000) / 1000000)
+    val rankW = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
 
   /** Winnowing-style shingle fingerprint: minimum md5 over all k-char
     * shingles — a rolling-hash document sketch. Identical results are a

@@ -40,6 +40,72 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       s"lang mismatch for ${r.getString(0)}"))
   }
 
+  test("tfidf top terms ranks rare terms above common ones") {
+    import spark.implicits._
+    // 'zebra' appears once in one doc; 'the' is everywhere — zebra must
+    // outrank it despite equal tf
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ate the zebra"),
+      (3L, "the bird saw the cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 2 rank 1: 'ate', 'dog', 'zebra' all have tf=1, df=1 →
+    // identical score, tie broken by term ascending
+    assert(out((2L, 1))._1 == "ate")
+    assert(out((2L, 2))._1 == "dog")
+    // doc 1: 'the' has tf=2 but df=3 (every doc) → ln(4/4)=0 score;
+    // rank 1 must be a df=1 term (cat has df=2): 'mat', 'on', 'sat' tie
+    assert(out((1L, 1))._1 == "mat" && out((1L, 1))._3 == 1L)
+    // ranks are dense 1..k per doc
+    assert(out.keys.toSeq.groupBy(_._1).values.forall(
+      _.map(_._2).sorted == Seq(1, 2)))
+  }
+
+  test("tfidf guards reserved column names") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 9L)).toDF("doc_id", "text", "tf")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.tfidfTopTerms(df, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("tf"))
+  }
+
+  test("passage dedup removes repeated boilerplate, keeps first host") {
+    import spark.implicits._
+    // 8-token boilerplate block shared by docs 1 and 2; doc 3 is all
+    // boilerplate and must survive as an empty document
+    val boiler = "all rights reserved contact us terms of service"
+    val df = Seq(
+      (1L, s"unique alpha beta gamma delta epsilon zeta eta $boiler"),
+      (2L, s"$boiler other words here make a second passage"),
+      (3L, boiler)).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "doc_id", "text", passageTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 owns the boilerplate's first occurrence (passage idx 1) —
+    // everything survives
+    assert(out(1L)._2 == 2L && out(1L)._3 == 2L)
+    assert(out(1L)._1.endsWith(boiler))
+    // doc 2's copy of the boilerplate is removed, its unique tail stays
+    assert(out(2L)._1 == "other words here make a second passage")
+    assert(out(2L)._2 == 2L && out(2L)._3 == 1L)
+    // doc 3 is pure boilerplate → empty text, zero kept
+    assert(out(3L)._1 == "" && out(3L)._3 == 0L)
+  }
+
+  test("passage dedup is identity on a dup-free corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "doc_id", "text", passageTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "one two three four five six seven eight nine")
+    assert(out(2L) == "alpha beta gamma")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     import spark.implicits._
     val df = Seq(("A  B\tC"), ("a b c")).toDF("text")
@@ -561,6 +627,38 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(130L).getInt(2) == 10 && out(130L).getInt(3) == 22)
     // ids 0 and 97 are truncated → flagged, not thrown
     assert(!out(0L).getBoolean(5) && !out(97L).getBoolean(5))
+  }
+
+  test("multimodal: synthetic WAV round-trips through the JavaSound decoder") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 89L, 178L, 6L).toDF("doc_id")
+    val out = Multimodal.decodeAudioMeta(
+        Multimodal.withSyntheticWav(ids, "doc_id", truncateEvery = 89L),
+        "payload")
+      .select(col("doc_id"), col("audio_meta.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // id=1: stereo, 16 kHz, 50 + 13%200 = 63 frames
+    assert(out(1L).getString(1) == "wave" && out(1L).getInt(2) == 16000 &&
+      out(1L).getInt(3) == 2 && out(1L).getInt(4) == 16 &&
+      out(1L).getLong(5) == 63L && out(1L).getBoolean(6))
+    // id=6: mono (6%2=0 → 1+0), 8 kHz (6%3=0), 50 + 78%200 = 128 frames
+    assert(out(6L).getInt(2) == 8000 && out(6L).getInt(3) == 1 &&
+      out(6L).getLong(5) == 128L)
+    // ids 89 and 178 are truncated mid-data: the header parses but the
+    // frame-count drain must flag them — not throw, not under-report
+    assert(!out(89L).getBoolean(6) && out(89L).getString(7) != null)
+    assert(!out(178L).getBoolean(6))
+  }
+
+  test("multimodal: JavaSound decoder rejects non-audio payloads") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "definitely not a wav".getBytes("UTF-8")),
+      (2L, Array.empty[Byte])).toDF("id", "payload")
+    val out = Multimodal.decodeAudioMeta(df, "payload").collect()
+      .map(r => r.getLong(0) -> r.getStruct(r.length - 1)).toMap
+    assert(!out(1L).getBoolean(5) && out(1L).getString(6) != null)
+    assert(!out(2L).getBoolean(5))
   }
 
   test("multimodal: fixed chunking covers the payload, binary included") {
