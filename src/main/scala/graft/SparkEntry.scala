@@ -900,6 +900,16 @@ object SparkEntry {
         passageTokens = 8)
         .orderBy(col("doc_id"))),
 
+    "layout_zorder" -> ((s, dir) =>
+      // Morton z-value over (custkey, orderkey) low 10 bits — the
+      // clustering key a multi-dim-pruning layout rewrite sorts by;
+      // pure codegen'd shift/and/sum arithmetic the oracle replays
+      t(s, dir, "orders").select(col("o_orderkey"),
+        graft.operators.Layout.zValue(Seq(
+          pmod(col("o_custkey"), lit(1024L)),
+          pmod(col("o_orderkey"), lit(1024L))), 10).as("zval"))
+        .orderBy(col("o_orderkey"))),
+
     "dedup_cluster_cc" -> ((s, dir) => {
       // duplicate CLUSTERS from the pairwise LSH+Jaccard edges:
       // iterative min-label propagation to the unique fixpoint (min
@@ -980,6 +990,24 @@ object SparkEntry {
       graft.operators.AsofJoin.nearest(clicks, purchases,
           Seq("user_id"), "ts_us", tieCol = "purchase_id")
         .orderBy(col("event_id"))
+    }),
+
+    "events_attribution" -> ((s, dir) => {
+      // stream-stream interval join, run in batch: each click paired
+      // with the user's purchases in the 30 min after it — key
+      // equi-join + residual range predicate; the identical definition
+      // runs on watermarked streams with bounded state (spec-verified)
+      val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("purchase_us"))
+      graft.streaming.EventStream.intervalJoin(clicks, purchases,
+          "user_id", "click_us", "purchase_us", lit(1800000000L))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
     }),
 
     "events_range_join" -> ((s, dir) => {
@@ -1903,6 +1931,14 @@ object SparkEntry {
         |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    "layout_zorder" ->
+      """SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 10), j ->
+        |    (((o_custkey % 1024) >> j) & 1) * (CAST(1 AS BIGINT) << (2 * j))
+        |    + (((o_orderkey % 1024) >> j) & 1) * (CAST(1 AS BIGINT) << (2 * j + 1))
+        |  )) AS BIGINT) AS zval
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "dedup_cluster_cc" ->
       // the pair pipeline is dedup_ngram_jaccard's; the cluster label is
       // min reachable id, computed as a recursive reachability CTE
@@ -2056,6 +2092,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
+
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_us >= c.click_us
+        |  AND p.purchase_us <= c.click_us + 1800000000
+        |ORDER BY c.click_id, p.purchase_id""".stripMargin,
 
     "events_asof_join" ->
       // DuckDB's native ASOF JOIN is the oracle for the union+window

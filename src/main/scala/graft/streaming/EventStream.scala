@@ -71,6 +71,25 @@ object EventStream {
         .withWatermark("ts", watermark),
       gap)
 
+  /** Stream-stream interval join (attribution shape): left rows joined
+    * to same-key right rows whose event time falls in
+    * [leftTs, leftTs + window]. One definition serves both engines:
+    * batch callers get a key equi-join with a residual range predicate
+    * (shuffle on the key only — see operators.RangeJoin for the
+    * keyless/skewed variant); streaming callers pass two WATERMARKED
+    * streams and the time-bound condition lets Spark evict both sides'
+    * state past the watermark — the canonical bounded-state
+    * stream-stream join. `window` is `lit(µs)` for integer event
+    * times or `expr("INTERVAL …")` for timestamps.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, window: Column): DataFrame = {
+    val cond = left(keyCol) === right(keyCol) &&
+      right(rightTs) >= left(leftTs) &&
+      right(rightTs) <= left(leftTs) + window
+    left.join(right, cond).drop(right(keyCol))
+  }
+
   /** Streaming exact dedup with CUSTOM keyed state
     * (flatMapGroupsWithState): the first document per content
     * fingerprint passes, every later duplicate — within a batch or

@@ -141,4 +141,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val nc = Validation.nullCounts(df, Seq("v")).head
     assert(nc.getLong(0) === 3 && nc.getLong(1) === 1)
   }
+
+  test("zValue interleaves bits in column-major order") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L))
+      .toDF("x", "y")
+    val out = df.select(col("x"), col("y"),
+      Layout.zValue(Seq(col("x"), col("y")), 10).as("z")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) === 0L)
+    assert(out((1L, 0L)) === 1L) // x holds even bit positions
+    assert(out((0L, 1L)) === 2L) // y holds odd bit positions
+    // x=3 (bits 0,1 → z bits 0,2), y=5 (bits 0,2 → z bits 1,5):
+    // 1 + 4 + 2 + 32 = 39
+    assert(out((3L, 5L)) === 39L)
+    assert(out((1023L, 1023L)) === (1L << 20) - 1)
+  }
+
+  test("zOrderBy clusters both dimensions into tight per-partition ranges") {
+    import spark.implicits._
+    // full 64×64 grid → 8 range partitions on the z-value; every
+    // partition must cover a small hypercube: both dimensions' spans
+    // well under the full 0..63 range (an x-sorted layout would leave
+    // the y span at 63 in every partition)
+    val grid = spark.range(64 * 64).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    def spans(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy(col("pid"))
+        .agg((max(col("x")) - min(col("x"))).as("xspan"),
+          (max(col("y")) - min(col("y"))).as("yspan"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val zSpans = spans(Layout.zOrderBy(grid, Seq(col("x"), col("y")), 6, 8))
+    val xSorted = spans(grid.repartitionByRange(8, col("x")))
+    assert(zSpans.length === 8)
+    def avg(xs: Array[Long]) = xs.sum.toDouble / xs.length
+    // x-sorted baseline: y is unclustered — every partition spans ~the
+    // full 0..63 range
+    assert(avg(xSorted.map(_._2)) > 60.0)
+    // z-order: 512 consecutive z codes cover ~a 32×16 block (a range
+    // boundary can straddle blocks, so assert the average, with slack)
+    assert(avg(zSpans.map(_._1)) < 44.0, s"x spans ${zSpans.map(_._1).toSeq}")
+    assert(avg(zSpans.map(_._2)) < 44.0, s"y spans ${zSpans.map(_._2).toSeq}")
+  }
 }

@@ -93,6 +93,56 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming interval join equals batch result with bounded state") {
+    import spark.implicits._
+    val ldir = Files.createTempDirectory("graft_sj_l").toFile
+    val rdir = Files.createTempDirectory("graft_sj_r").toFile
+    val chk = Files.createTempDirectory("graft_sj_chk").toFile
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+      val clicks = Seq(
+        (1L, 100L, ts("10:00")), (1L, 101L, ts("11:00")),
+        (2L, 102L, ts("10:10"))).toDF("user_id", "click_id", "cts")
+      val purchases = Seq(
+        (1L, 200L, ts("10:20")), // matches click 100 (within 30 min)
+        (1L, 201L, ts("11:45")), // outside both windows
+        (2L, 202L, ts("10:05")), // BEFORE click 102 → no match
+        (2L, 203L, ts("10:39"))) // matches click 102 (29 min after)
+        .toDF("user_id", "purchase_id", "pts")
+      clicks.write.parquet(ldir.getAbsolutePath + "/b")
+      purchases.write.parquet(rdir.getAbsolutePath + "/b")
+
+      val w = expr("INTERVAL 30 MINUTES")
+      val ls = spark.readStream.schema(clicks.schema)
+        .parquet(ldir.getAbsolutePath + "/b").withWatermark("cts", "2 hours")
+      val rs = spark.readStream.schema(purchases.schema)
+        .parquet(rdir.getAbsolutePath + "/b").withWatermark("pts", "2 hours")
+      val joined = EventStream.intervalJoin(ls, rs, "user_id",
+        "cts", "pts", w)
+      assert(joined.isStreaming)
+      val q = joined.writeStream.format("memory").queryName("sjoin")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("click_id"), col("purchase_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamed = pairs(spark.table("sjoin"))
+      val batched = pairs(EventStream.intervalJoin(
+        clicks, purchases, "user_id", "cts", "pts", w))
+      assert(streamed === batched)
+      assert(streamed === Set((100L, 200L), (102L, 203L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(ldir); rm(rdir); rm(chk)
+    }
+  }
+
   test("continuous sync propagates CDC deletes to a real JDBC target") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftstreamdb;create=true"
