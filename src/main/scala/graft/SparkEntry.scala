@@ -471,6 +471,13 @@ object SparkEntry {
         .orderBy(col("simhash"))),
 
     // ---------------- extension operators: similarity search ----------
+    "sim_label_centroids" -> ((s, dir) =>
+      // per-label class prototypes: one (label, dim) partial-agg'd
+      // shuffle, decimal accumulation for cross-engine determinism
+      Similarity.labelCentroids(t(s, dir, "embeddings"),
+        "label", "embedding")
+        .orderBy(col("label"), col("dim"))),
+
     "sim_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
@@ -1488,6 +1495,21 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id AS neighbor_id,
         |  floor(cos * 10000) / 10000 AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_label_centroids" ->
+      // decimal accumulation on both sides: the sum is exact and
+      // order-independent, so the quantized mean replays bit-for-bit
+      """WITH ex AS (
+        |  SELECT label, CAST(i AS INT) AS dim,
+        |    CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+        |      AS DECIMAL(27,10)) AS x
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS t(i)),
+        |agg AS (
+        |  SELECT label, dim, COUNT(*) AS n_vectors, SUM(x) AS s
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT label, dim, n_vectors,
+        |  floor(CAST(s AS DOUBLE) / n_vectors * 10000) / 10000 AS centroid
+        |FROM agg ORDER BY label, dim""".stripMargin,
 
     "sim_ann_quantized" ->
       // int8 codes are exact integral doubles on both engines, so the

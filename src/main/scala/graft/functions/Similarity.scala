@@ -38,6 +38,28 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Per-label centroid (element-wise mean) of an embedding column —
+    * class prototypes for nearest-centroid classification, cluster
+    * summaries, IVF seeding.
+    *
+    * Shape: posexplode to (label, dim, x) then ONE partial-agg'd
+    * groupBy on (label, dim) — shuffle rows = labels × dims regardless
+    * of corpus size. Accumulation is decimal, not double: a
+    * distributed double sum is partition-order nondeterministic, a
+    * decimal sum is exact and reproducible bit-for-bit in any engine
+    * (same convention as the event-value aggregates). Output mean is
+    * floor-quantized to 4 decimals.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)))
+      .withColumnRenamed("pos", "dim")
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("col").cast("double").cast("decimal(27,10)")).as("__s"))
+      .select(col(labelCol), col("dim"), col("n_vectors"),
+        TextAnalysis.q4(col("__s").cast("double") / col("n_vectors"))
+          .as("centroid"))
+
   /** Brute-force exact top-k neighbors for every query vector.
     *
     * queries × corpus cross join — correct at any scale when `queries`

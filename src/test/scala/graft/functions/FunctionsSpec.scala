@@ -554,6 +554,20 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("label centroids: exact element-wise means per label") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(-1.0f, 0.5f))).toDF("label", "embedding")
+    val out = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0, 0)) === (2L, 2.0))   // (1+3)/2
+    assert(out((0, 1)) === (2L, 4.0))   // (2+6)/2
+    assert(out((1, 0))._2 === -1.0)
+    assert(out((1, 1))._2 === 0.5)
+  }
+
   test("multimodal: decode plumbing tags failures instead of aborting") {
     import spark.implicits._
     val df = Seq(
