@@ -907,6 +907,32 @@ object SparkEntry {
         passageTokens = 8)
         .orderBy(col("doc_id"))),
 
+    "q_bloom_semijoin" -> ((s, dir) => {
+      // Bloom-prefiltered semi join: membership sketch built
+      // distributed, map-side might_contain cuts the big side before
+      // the exact shuffle semi-join rescues correctness
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      graft.operators.BloomJoin.semi(t(s, dir, "orders"), cust,
+          "o_custkey", expectedItems = 100000L, numBits = 1000000L)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_bloom_antijoin" -> ((s, dir) => {
+      // Bloom anti join: a sketch REJECT is a definite non-member and
+      // passes through with no shuffle; only the accepted sliver pays
+      // the exact left_anti that kills false positives
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      graft.operators.BloomJoin.anti(t(s, dir, "orders"), cust,
+          "o_custkey", expectedItems = 100000L, numBits = 1000000L)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "layout_zorder" -> ((s, dir) =>
       // Morton z-value over (custkey, orderkey) low 10 bits — the
       // clustering key a multi-dim-pruning layout rewrite sorts by;
@@ -1952,6 +1978,18 @@ object SparkEntry {
         |  t.n_passages, coalesce(r.n_kept, 0) AS n_kept
         |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_bloom_semijoin" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bloom_antijoin" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "layout_zorder" ->
       """SELECT o_orderkey,

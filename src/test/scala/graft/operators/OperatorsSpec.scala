@@ -142,6 +142,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(nc.getLong(0) === 3 && nc.getLong(1) === 1)
   }
 
+  test("bloom semi/anti joins equal their exact twins, nulls included") {
+    import spark.implicits._
+    val big = Seq(Some(1L), Some(2L), Some(3L), Some(4L), None)
+      .toDF("k")
+    val small = Seq(2L, 4L, 99L).toDF("k")
+    val semi = BloomJoin.semi(big, small, "k", 1000L, 10000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(semi === Set(2L, 4L))
+    val anti = BloomJoin.anti(big, small, "k", 1000L, 10000L)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    // left_anti semantics: null keys never match → kept
+    assert(anti === Set(1L, 3L, -1L))
+  }
+
   test("zValue interleaves bits in column-major order") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L))
