@@ -478,6 +478,31 @@ object SparkEntry {
         "label", "embedding")
         .orderBy(col("label"), col("dim"))),
 
+    "sim_nearest_centroid" -> ((s, dir) => {
+      // nearest-centroid classification composed from labelCentroids:
+      // centroid vectors reassembled per label (tiny → broadcast), one
+      // map-side cosine per (vector, label), argmax via a partial-agg'd
+      // struct max — no window shuffle, no driver loop
+      val emb = t(s, dir, "embeddings")
+      val cvecs = Similarity.labelCentroids(emb, "label", "embedding")
+        .groupBy(col("label").as("cand_label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          c => c.getField("centroid")).as("cvec"))
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("cand_label"),
+          TextAnalysis.q4(
+            Similarity.cosine(col("embedding"), col("cvec"))).as("cos_q"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos_q"),
+          (-col("cand_label")).as("__nl"),
+          col("cand_label").as("__l"))).as("__m"))
+        .select(col("vec_id"), col("__m.__l").as("pred_label"),
+          col("__m.cos_q").as("cos_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
     "sim_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
@@ -1536,6 +1561,46 @@ object SparkEntry {
         |SELECT label, dim, n_vectors,
         |  floor(CAST(s AS DOUBLE) / n_vectors * 10000) / 10000 AS centroid
         |FROM agg ORDER BY label, dim""".stripMargin,
+
+    "sim_nearest_centroid" ->
+      // cosine against the q4-quantized centroids (exact decimals →
+      // doubles), argmax = (cos desc, label asc) — replays the
+      // struct-max tie-break exactly
+      """WITH ex AS (
+        |  SELECT label, CAST(i AS INT) AS dim,
+        |    CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+        |      AS DECIMAL(27,10)) AS x
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS t(i)),
+        |agg AS (
+        |  SELECT label, dim, COUNT(*) AS n, SUM(x) AS s
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, dim,
+        |    floor(CAST(s AS DOUBLE) / n * 10000) / 10000 AS c
+        |  FROM agg),
+        |cvec AS (
+        |  SELECT label AS cand_label, array_agg(c ORDER BY dim) AS cv
+        |  FROM cent GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, v.cand_label,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * v.cv[i])) AS num,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |    * sqrt(list_sum(list_transform(v.cv, x -> x * x))) AS den
+        |  FROM embeddings e CROSS JOIN cvec v),
+        |q AS (
+        |  SELECT vec_id, cand_label,
+        |    floor((CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * 10000)
+        |      / 10000 AS cos_q
+        |  FROM scored),
+        |pred AS (
+        |  SELECT vec_id, cand_label, cos_q,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_q DESC, cand_label ASC) AS rn
+        |  FROM q)
+        |SELECT vec_id, cand_label AS pred_label, cos_q AS cos_sim
+        |FROM pred WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "sim_ann_quantized" ->
       // int8 codes are exact integral doubles on both engines, so the

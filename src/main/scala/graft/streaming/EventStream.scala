@@ -84,10 +84,19 @@ object EventStream {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, window: Column): DataFrame = {
-    val cond = left(keyCol) === right(keyCol) &&
-      right(rightTs) >= left(leftTs) &&
-      right(rightTs) <= left(leftTs) + window
-    left.join(right, cond).drop(right(keyCol))
+    // rename the right key instead of relying on df(col) self-join
+    // disambiguation: both sides often derive from the SAME source
+    // (e.g. one events table filtered twice), where left(k) ===
+    // right(k) resolves to a trivially-true predicate warning and
+    // dataset-id repair — an explicit distinct name sidesteps all of it
+    require(!left.columns.contains("__rkey") &&
+      !right.columns.contains("__rkey"),
+      "input column '__rkey' collides with the intervalJoin working column")
+    val r = right.withColumnRenamed(keyCol, "__rkey")
+    left.join(r, col(keyCol) === col("__rkey") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + window)
+      .drop("__rkey")
   }
 
   /** Streaming exact dedup with CUSTOM keyed state
