@@ -456,19 +456,22 @@ object Dedup {
     * vanishes corpus-wide while each copy's first host keeps it.
     *
     * Scale shape: passages explode map-side (codegen'd slice/posexplode,
-    * no UDF); first-occurrence is ONE shuffle on the passage text via a
-    * row_number window (no self-join, no second corpus scan); reassembly
-    * is a second shuffle keyed by doc id. Both keys are
-    * well-distributed: passage text is near-unique and doc ids are
-    * unique, so no skew handling is needed. The shuffled payload is the
-    * passage stream itself — the same order of magnitude as the corpus,
+    * no UDF). First-occurrence is a partial-aggregated groupBy min on
+    * the passage text — map-side combine collapses a viral passage's
+    * occurrences before the shuffle, so a boilerplate block repeated
+    * 10⁹ times costs one row per input partition, where a
+    * passage-partitioned WINDOW would route every copy to one task and
+    * windows cannot be skew-split. The winners join back onto the
+    * passage stream (equi-join AQE can skew-split if a hot passage
+    * still dominates); reassembly is one more shuffle keyed by the
+    * unique doc id. The shuffled payload is the passage stream itself —
     * the unavoidable minimum for substring-level dedup.
     */
   def passageDedup(df: DataFrame, idCol: String, textCol: String,
       passageTokens: Int = 8): DataFrame = {
     require(passageTokens > 0, "passageTokens must be positive")
     val reserved = Seq("clean_text", "n_passages", "n_kept",
-      "__toks", "__idx", "__passage", "__rn")
+      "__toks", "__idx", "__passage", "__first")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input column '$c' collides with a passageDedup column"))
     val p = passageTokens
@@ -482,12 +485,10 @@ object Dedup {
           i => concat_ws(" ", slice(col("__toks"), i * p + 1, lit(p))))))
       .withColumnRenamed("pos", "__idx")
       .withColumnRenamed("col", "__passage")
-    val firstW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__passage"))
-      .orderBy(col(idCol), col("__idx"))
-    val kept = passages
-      .withColumn("__rn", row_number().over(firstW))
-      .filter(col("__rn") === 1)
+    val firsts = passages.groupBy(col("__passage"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__first"))
+    val kept = passages.join(firsts, Seq("__passage"))
+      .filter(struct(col(idCol), col("__idx")) === col("__first"))
     val rebuilt = kept.groupBy(col(idCol)).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("__idx"), col("__passage")))),

@@ -122,14 +122,18 @@ object TextAnalysis {
     * (tf · ln((N+1)/(df+1))), the standard keyword-extraction /
     * topic-salience pass over a training corpus.
     *
-    * Single pass over the corpus, no joins, no broadcast: document
-    * frequency is a count over a `term`-partitioned window of the
-    * (doc, term) tf table (one shuffle of the tf table — far smaller
-    * than the token stream — instead of a second corpus scan for a
-    * df-side aggregate), and N rides in via a 1-row broadcast (parquet
-    * count(*) is metadata-only). Ranking uses the floor-QUANTIZED score
-    * with a term tie-break so ordering is reproducible across engines
-    * (a raw ln() may differ in the last ulp between libm and the JVM).
+    * Skew-safe at 100 TB: document frequency comes from a partial-
+    * aggregated groupBy of the tf table (map-side combine collapses a
+    * stopword's rows before the shuffle — a `term`-partitioned WINDOW
+    * would instead route every "the" row to ONE task, and windows
+    * cannot be skew-split). The tiny (term, df) table broadcast-joins
+    * back onto tf; since both branches share the tf exchange, Spark's
+    * ReuseExchange computes the token explode and tf aggregation once.
+    * N rides in via a 1-row broadcast (parquet count(*) is
+    * metadata-only). Ranking uses the floor-QUANTIZED score with a
+    * term tie-break so ordering is reproducible across engines (a raw
+    * ln() may differ in the last ulp between libm and the JVM); the
+    * ranking window partitions by doc id — skew-safe, ids are unique.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
@@ -139,8 +143,8 @@ object TextAnalysis {
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = tf.join(broadcast(dfTable), Seq("term"))
     val n = df.agg(count(lit(1)).as("__n"))
     // floor-quantize to 6 decimals (same rationale as q4: pure IEEE
     // ops, no decimal-string tie semantics) BEFORE ranking so the
