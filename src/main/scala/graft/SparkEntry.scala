@@ -915,6 +915,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "txt_lm_score" -> ((s, dir) =>
+      // corpus-trained bigram LM score: mean ln P(w2|w1) per doc —
+      // per-bigram log-probs floor-quantized then decimal-summed so
+      // the distributed mean is order-independent
+      graft.functions.TextAnalysis.bigramLmScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "txt_tfidf_top" -> ((s, dir) =>
       // per-doc top-3 TF-IDF terms: one pass, df via a term-partitioned
       // window over the tf table, corpus size via a 1-row broadcast;
@@ -1992,6 +2001,31 @@ object SparkEntry {
         |  list_max(list_transform(list_distinct(tk),
         |    t -> len(list_filter(tk, x -> x = t)))) AS max_tok_freq
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "txt_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)] AS b,
+        |    tk[CAST(i AS INT)] AS w1
+        |  FROM toks, unnest(range(1, len(tk))) AS t(i)),
+        |c12 AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |lp AS (
+        |  SELECT bg.doc_id,
+        |    CAST(floor(ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * 1e9) / 1e9
+        |      AS DECIMAL(28,9)) AS lp
+        |  FROM bg JOIN c12 ON bg.b = c12.b JOIN c1 ON bg.w1 = c1.w1),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS s
+        |  FROM lp GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  floor(coalesce(CAST(a.s AS DOUBLE) / a.n_bigrams, 0.0) * 10000)
+        |    / 10000 AS lm_score
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "txt_tfidf_top" ->
       """WITH toks AS (

@@ -161,6 +161,59 @@ object TextAnalysis {
         col("tfidf"), col("rank"))
   }
 
+  /** Corpus-trained bigram language-model score per document — the
+    * classic LM-based quality/fluency pass: score = mean over the
+    * doc's bigrams of ln P(w₂|w₁), with P = c(w₁w₂)/c(w₁·) estimated
+    * from the corpus itself (every observed bigram has count ≥ 1, so
+    * no smoothing is needed). Repetitive or formulaic text scores
+    * high, unusual token sequences score low; filters typically cut
+    * both tails.
+    *
+    * Scale shape: bigrams explode map-side; the two count tables are
+    * partial-aggregated groupBys (hot bigrams collapse map-side);
+    * scoring joins are plain equi-joins AQE can skew-split. Per-bigram
+    * log-probs are floor-quantized to 9 decimals and summed as
+    * DECIMALS so the per-doc mean is order-independent and replays
+    * bit-for-bit in any oracle engine.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reserved = Seq("n_bigrams", "lm_score", "__toks", "__bg", "__w1",
+      "__c12", "__c1", "__lp")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input column '$c' collides with a bigramLmScore column"))
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // non-distinct bigram stream: every occurrence counts in an LM
+    val bg = toks.select(col(idCol),
+      explode(when(size(col("__toks")) >= 2,
+        transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => struct(
+            concat_ws(" ", element_at(col("__toks"), i + 1),
+              element_at(col("__toks"), i + 2)).as("__bg"),
+            element_at(col("__toks"), i + 1).as("__w1"))))
+        .otherwise(array().cast("array<struct<__bg:string,__w1:string>>")))
+        .as("__e"))
+      .select(col(idCol), col("__e.__bg").as("__bg"), col("__e.__w1").as("__w1"))
+    val c12 = bg.groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
+    val c1 = bg.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val scoredRows = bg
+      .join(c12, Seq("__bg"))
+      .join(c1, Seq("__w1"))
+      .select(col(idCol),
+        // floor-quantize BEFORE accumulating: the decimal sum is then
+        // exact and order-independent
+        (floor(log(col("__c12").cast("double") / col("__c1")) * 1e9) / 1e9)
+          .cast("decimal(28,9)").as("__lp"))
+    val agg = scoredRows.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("__lp")).as("__s"))
+    // docs with < 2 tokens have no bigrams: keep them, score 0
+    toks.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        q4(coalesce(col("__s").cast("double") / col("n_bigrams"), lit(0.0)))
+          .as("lm_score"))
+  }
+
   /** Winnowing-style shingle fingerprint: minimum md5 over all k-char
     * shingles — a rolling-hash document sketch. Identical results are a
     * strong near-dup signal under small edits. Pure higher-order array

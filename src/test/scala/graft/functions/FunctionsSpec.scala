@@ -63,6 +63,23 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       _.map(_._2).sorted == Seq(1, 2)))
   }
 
+  test("bigram LM score: common sequences outscore rare ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat"), (2L, "the cat"), (3L, "the dog"),
+      (4L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // P(cat|the) = 2/3 → ln ≈ −0.4055; P(dog|the) = 1/3 → ln ≈ −1.0987
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - (-0.4055)) < 1e-9)
+    assert(out(2L)._2 == out(1L)._2)
+    assert(math.abs(out(3L)._2 - (-1.0987)) < 1e-9)
+    assert(out(1L)._2 > out(3L)._2)
+    // single-token doc: no bigrams, score pinned to 0
+    assert(out(4L) == (0L, 0.0))
+  }
+
   test("tfidf guards reserved column names") {
     import spark.implicits._
     val df = Seq((1L, "x", 9L)).toDF("doc_id", "text", "tf")
