@@ -59,9 +59,19 @@ object Bench {
       val (secs, err) =
         if (e1.isEmpty && s1 > 1.0) {
           val (s2, e2) = timed(fn)
-          if (s2 < s1)
-            System.err.println(f"[bench] $name%-26s $s2%8.2f s (re-measured, was $s1%.2f)")
-          (math.min(s1, s2), e2)
+          // two samples disagreeing by >2× means at least one sat in a
+          // burst — a third sample breaks the tie (bursts hit the
+          // second pass too: one run recorded 13 s twice for a query
+          // that costs 0.6 s)
+          val best2 = math.min(s1, s2)
+          val best =
+            if (e2.isEmpty && best2 > 1.0 && math.max(s1, s2) > 2 * best2) {
+              val (s3, _) = timed(fn)
+              math.min(best2, s3)
+            } else best2
+          if (best < s1)
+            System.err.println(f"[bench] $name%-26s $best%8.2f s (re-measured, was $s1%.2f)")
+          (best, e2)
         } else (s1, e1)
       (name, secs, err)
     }

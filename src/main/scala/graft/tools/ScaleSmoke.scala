@@ -64,7 +64,7 @@ object ScaleSmoke {
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // warmup
     docs0.count(); emb0.count()
-    println(f"${"factor"}%-7s ${"docs"}%-7s ${"minhash"}%-9s ${"hamming"}%-9s ${"embdup"}%-9s ${"annlsh"}%-9s")
+    println(f"${"factor"}%-7s ${"docs"}%-7s ${"minhash"}%-9s ${"hamming"}%-9s ${"embdup"}%-9s ${"annlsh"}%-9s ${"passage"}%-9s ${"tfidf"}%-9s ${"lmscore"}%-9s")
     factors.foreach { f =>
       val docs = docsAt(docs0, f).cache()
       val nd = docs.count()
@@ -83,8 +83,14 @@ object ScaleSmoke {
       val (p4, tAnn) = timed(Similarity.lshTopK(emb, "vec_id", "embedding",
         queries, "query_id", "qvec", k = 5, bands = 8, rowsPerBand = 16)
         .count())
-      println(f"$f%-7d $nd%-7d $tMinhash%-9.2f $tHamming%-9.2f $tEmbDup%-9.2f $tAnn%-9.2f" +
-        s"   (pairs: $p1/$p2/$p3, ann rows: $p4)")
+      val (p5, tPassage) = timed(Dedup.passageDedup(
+        docs, "doc_id", "text").count())
+      val (p6, tTfidf) = timed(graft.functions.TextAnalysis.tfidfTopTerms(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text").count())
+      val (p7, tLm) = timed(graft.functions.TextAnalysis.bigramLmScore(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text").count())
+      println(f"$f%-7d $nd%-7d $tMinhash%-9.2f $tHamming%-9.2f $tEmbDup%-9.2f $tAnn%-9.2f $tPassage%-9.2f $tTfidf%-9.2f $tLm%-9.2f" +
+        s"   (pairs: $p1/$p2/$p3, ann: $p4, rows: $p5/$p6/$p7)")
       docs.unpersist(); emb.unpersist()
     }
     spark.stop()
