@@ -127,8 +127,11 @@ object TextAnalysis {
     * stopword's rows before the shuffle — a `term`-partitioned WINDOW
     * would instead route every "the" row to ONE task, and windows
     * cannot be skew-split). The tiny (term, df) table broadcast-joins
-    * back onto tf; since both branches share the tf exchange, Spark's
-    * ReuseExchange computes the token explode and tf aggregation once.
+    * back onto tf. The df branch re-runs the map-side tokenize +
+    * partial agg (column pruning makes its exchange narrower than the
+    * tf one, so exchange reuse cannot apply — verified in the final
+    * AQE plan); both passes are map-side and skew-safe, and callers
+    * can persist the tf table to trade memory for the second pass.
     * N rides in via a 1-row broadcast (parquet count(*) is
     * metadata-only). Ranking uses the floor-QUANTIZED score with a
     * term tie-break so ordering is reproducible across engines (a raw

@@ -22,7 +22,15 @@ object ExplainPlans {
       .filter(q => names.isEmpty || names.contains(q._1))
       .foreach { case (name, fn) =>
         println(s"\n########## $name ##########")
-        try fn(spark, dir).explain("formatted")
+        try {
+          val df = fn(spark, dir)
+          // execute THIS dataset's queryExecution so AQE finalizes:
+          // runtime-only rewrites (ReusedExchange/ReusedSubquery, skew
+          // splits, bhj demotions) only appear in the finalized
+          // adaptive plan, and a count() would execute a different one
+          df.collect()
+          df.explain("formatted")
+        }
         catch { case e: Exception => println(s"explain failed: $e") }
       }
     spark.stop()
