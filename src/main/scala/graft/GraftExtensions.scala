@@ -18,6 +18,8 @@ import graft.expressions.{PortableMinHash, PortableSimHash, SignBits, VecDot}
   * - `sign_bits(v, planes, dims)` — hyperplane sign-bit string for LSH
   * - `portable_minhash(grams, n)` — Carter–Wegman md5 MinHash signature
   * - `portable_simhash(tokens)`   — 60-bit md5 SimHash
+  * - `zorder_value(bits, c₁, c₂, …)` — Morton z-value of the columns'
+  *   low `bits` bits (see operators.Layout)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -52,5 +54,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("portable_simhash"),
       new ExpressionInfo(classOf[PortableSimHash].getName, "portable_simhash"),
       (children: Seq[Expression]) => PortableSimHash(children.head, 60)))
+
+    ext.injectFunction((FunctionIdentifier("zorder_value"),
+      new ExpressionInfo(graft.operators.Layout.getClass.getName, "zorder_value"),
+      (children: Seq[Expression]) => {
+        // built directly from catalyst nodes: a functions-API Column
+        // converted back to an Expression here stays an unresolved
+        // ColumnNodeExpression (Unevaluable) in Spark 4
+        import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Multiply, ShiftRight}
+        import org.apache.spark.sql.types.LongType
+        val bits = intLit(children.head, "zorder_value bits")
+        val cols = children.tail
+        require(cols.nonEmpty && bits * cols.size <= 63,
+          s"zorder_value: ${cols.size} cols × $bits bits must fit a signed long")
+        val terms = for {
+          (c, i) <- cols.zipWithIndex
+          j <- 0 until bits
+        } yield Multiply(
+          BitwiseAnd(ShiftRight(Cast(c, LongType), Literal(j)), Literal(1L)),
+          Literal(1L << (j * cols.size + i)))
+        terms.reduce[Expression]((a, b) => Add(a, b))
+      }))
   }
 }

@@ -50,6 +50,18 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 60))
   }
 
+  test("zorder_value callable from SQL, equals the Column API") {
+    val r = spark.sql(
+      "SELECT zorder_value(10, 3L, 5L) AS z, zorder_value(2, 3L, 3L, 3L) AS z3")
+      .collect()(0)
+    assert(r.getLong(0) === 39L) // x bits→even, y bits→odd: 1+4 + 2+32
+    assert(r.getLong(1) === 63L) // three cols × 2 bits, all ones
+    val viaApi = spark.range(1).select(graft.operators.Layout.zValue(
+      Seq(org.apache.spark.sql.functions.lit(3L),
+        org.apache.spark.sql.functions.lit(5L)), 10)).collect()(0).getLong(0)
+    assert(r.getLong(0) === viaApi)
+  }
+
   test("SQL portable_simhash equals the Dataset-API kernel") {
     import spark.implicits._
     val df = Seq("the quick brown fox").toDF("text")
