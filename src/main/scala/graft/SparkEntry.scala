@@ -1115,6 +1115,14 @@ object SparkEntry {
       graft.operators.Profile.compare(diffSrc(s, dir), diffTgt(s, dir))
         .orderBy(col("col_name"))),
 
+    "profile_histogram" -> ((s, dir) =>
+      // equi-width value distribution: 1-row min/max broadcast, then
+      // a map-side bucket projection and a <=10-key groupBy — the
+      // audit that catches in-range value drift min/max misses
+      graft.operators.Profile.histogram(t(s, dir, "orders"),
+        "o_totalprice", nBuckets = 10)
+        .orderBy(col("bucket"))),
+
     "c19_digest_diff" -> ((s, dir) =>
       // Merkle-pruned incremental diff: per-bucket (count, xor-of-row-
       // hash) digests on both sides, full diff only over dirty buckets;
@@ -2352,6 +2360,18 @@ object SparkEntry {
         |FROM err JOIN sess ON err.user_id = sess.user_id
         |  AND err.ts_us BETWEEN sess.start_us AND sess.end_us
         |ORDER BY err.event_id""".stripMargin,
+
+    "profile_histogram" ->
+      """WITH mm AS (
+        |  SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+        |         max(CAST(o_totalprice AS DOUBLE)) AS mx
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT CAST(CASE WHEN mm.mx = mm.mn THEN 0
+        |  ELSE least(floor((CAST(o_totalprice AS DOUBLE) - mm.mn)
+        |    / ((mm.mx - mm.mn) / 10)), 9) END AS INT) AS bucket,
+        |  COUNT(*) AS n_rows
+        |FROM orders, mm WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "profile_orders" ->
       """WITH p AS (

@@ -89,6 +89,33 @@ object Profile {
     compare(source, target, exact =
       source.schema.size <= exactMaxCols && target.schema.size <= exactMaxCols)
 
+  /** Equi-width histogram of a numeric column — the distribution view
+    * a migration audit adds on top of min/max (a copy that shifted
+    * values inside the same range passes min/max but not this).
+    *
+    * One 1-row min/max aggregate broadcast back, then a map-side
+    * bucket projection and one partial-agg'd groupBy on ≤ nBuckets
+    * keys — two scans, no wide shuffle. The top edge folds into the
+    * last bucket (least(…, n−1)); a constant column degenerates to
+    * one bucket; nulls are excluded (they're profile()'s n_nonnull
+    * business).
+    */
+  def histogram(df: DataFrame, colName: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val v = col(colName).cast("double")
+    val mm = df.filter(v.isNotNull)
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(
+            floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / nBuckets)),
+            lit(nBuckets - 1))).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Migration audit: profiles of source and target, full-outer joined
     * per column, with a per-column verdict. `cols_match = true` means
     * every metric agrees — the column copied intact.

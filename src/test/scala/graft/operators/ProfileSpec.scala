@@ -95,4 +95,21 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     val same = Profile.compare(src, src).collect()
     assert(same.forall(_.getBoolean(same.head.fieldIndex("cols_match"))))
   }
+
+  test("histogram: equi-width buckets, top edge folded, nulls excluded") {
+    import spark.implicits._
+    // values 0..99 → 10 buckets of exactly 10; value 100 (the max)
+    // folds into bucket 9; a null contributes nowhere
+    val df = ((0 to 100).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val h = Profile.histogram(df, "v", 10).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h.keySet === (0 to 9).toSet)
+    assert((0 to 8).forall(b => h(b) === 10L))
+    assert(h(9) === 11L) // 90..99 plus the folded max
+    // constant column degenerates to a single bucket 0
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val hc = Profile.histogram(const, "v", 10).collect()
+    assert(hc.length === 1 && hc.head.getInt(0) === 0 &&
+      hc.head.getLong(1) === 3L)
+  }
 }
