@@ -941,6 +941,16 @@ object SparkEntry {
         passageTokens = 8)
         .orderBy(col("doc_id"))),
 
+    "q_trgm_similarity" -> ((s, dir) =>
+      // pg_trgm-style fuzzy pair search over customer names: inverted
+      // trigram index for candidates (never a cross join), exact
+      // Jaccard re-score from the full trigram sets
+      graft.functions.Trigram.similarPairs(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+          .filter(col("c_custkey") <= 500),
+        "c_custkey", "c_name", threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_bloom_semijoin" -> ((s, dir) => {
       // Bloom-prefiltered semi join: membership sketch built
       // distributed, map-side might_contain cuts the big side before
@@ -2085,6 +2095,31 @@ object SparkEntry {
         |  t.n_passages, coalesce(r.n_kept, 0) AS n_kept
         |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_trgm_similarity" ->
+      // pairwise oracle replays the padded-word trigram Jaccard; the
+      // Spark side must find the same pairs via the inverted index
+      """WITH base AS (
+        |  SELECT c_custkey AS id,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(string_split_regex(
+        |        regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |        w -> length(w) > 0),
+        |      w -> list_transform(range(1, length(w) + 2),
+        |        i -> substr('  ' || w || ' ', CAST(i AS INT), 3))))) AS tg
+        |  FROM customer WHERE c_custkey <= 500),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    len(list_intersect(a.tg, b.tg)) AS inter,
+        |    len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg)) AS un
+        |  FROM base a JOIN base b ON a.id < b.id)
+        |SELECT id_a, id_b,
+        |  floor((CASE WHEN un = 0 THEN 0.0
+        |    ELSE CAST(inter AS DOUBLE) / un END) * 10000) / 10000 AS sim
+        |FROM pairs
+        |WHERE floor((CASE WHEN un = 0 THEN 0.0
+        |    ELSE CAST(inter AS DOUBLE) / un END) * 10000) / 10000 >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_bloom_semijoin" ->
       """SELECT o_orderkey, o_custkey FROM orders o

@@ -123,6 +123,43 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == "alpha beta gamma")
   }
 
+  test("trigram similarity follows pg_trgm padding semantics") {
+    import spark.implicits._
+    // pg_trgm('word'): {'  w',' wo','wor','ord','rd '} — 5 trigrams
+    val tg = Seq("word").toDF("s")
+      .select(Trigram.trigrams(col("s"))).head.getSeq[String](0).toSet
+    assert(tg === Set("  w", " wo", "wor", "ord", "rd "))
+    val sims = Seq(
+      ("word", "word"), ("word", "two words"), ("word", "")).toDF("a", "b")
+      .select(Trigram.similarity(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(sims(0) === 1.0)
+    assert(sims(1) > 0 && sims(1) < 1.0)
+    assert(sims(2) === 0.0) // empty side → 0, like pg_trgm
+  }
+
+  test("trigram pair search equals brute force, with and without maxDf") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha centauri"), (2L, "alpha centuri"),
+      (3L, "beta pictoris"), (4L, "alphacentauri")).toDF("id", "s")
+    def pairs(maxDf: Option[Long]) =
+      Trigram.similarPairs(df, "id", "s", threshold = 0.4, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = {
+      val rows = df.collect().map(r => r.getLong(0) -> r.getString(1))
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        sim = Seq((sa, sb)).toDF("a", "b")
+          .select(Trigram.similarity(col("a"), col("b"))).head.getDouble(0)
+        if sim >= 0.4
+      } yield (ia, ib)).toSet
+    }
+    assert(pairs(None) === brute)
+    assert(brute.contains((1L, 2L))) // the typo pair must be found
+    // a generous cap keeps every pair; exact sims are unchanged
+    assert(pairs(Some(100L)) === brute)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     import spark.implicits._
     val df = Seq(("A  B\tC"), ("a b c")).toDF("text")
