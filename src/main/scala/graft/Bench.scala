@@ -41,6 +41,17 @@ object Bench {
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    val startTicks = {
+      def t(): Option[(Long, Long)] =
+        try {
+          val f = scala.io.Source.fromFile("/proc/stat")
+          try {
+            val v = f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+            Some((v.sum, if (v.length > 7) v(7) else 0L))
+          } finally f.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      t()
+    }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val firstPass = sorted.map { case (name, fn) =>
       val (s, e) = timed(fn)
@@ -86,7 +97,24 @@ object Bench {
       s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // contention diagnostic: host steal percentage over the measured
+    // window. This box shows multi-minute steal windows that inflate
+    // every query 1.5-3x; a reader comparing totals across rounds
+    // needs to know whether the run was clean.
+    def endTicks(): Option[(Long, Long)] =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val v = f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+          Some((v.sum, if (v.length > 7) v(7) else 0L))
+        } finally f.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val stealPct = (startTicks, endTicks()) match {
+      case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+        f"${(s1 - s0) * 100.0 / (t1 - t0)}%.1f"
+      case _ => "null"
+    }
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
     // Full line first (per-query detail), durable copy on disk, and a
     // ~120-byte total-only line LAST: whatever slice of the tail the
     // driver parses, at least one complete JSON line with the round
@@ -96,7 +124,7 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_errors":$nErr,"steal_pct":$stealPct,"sf":"$sfDir"}""")
     spark.stop()
     // Backstop: any leaked non-daemon thread (3rd-party pool, Derby, …)
     // must not block driver timeout-kill the bench (round-1 rc=124).
