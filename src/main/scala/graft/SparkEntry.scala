@@ -182,6 +182,44 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_grouping_sets" -> ((s, dir) =>
+      // explicit GROUPING SETS lattice — unlike rollup's prefix chain,
+      // the two single-column sets are independent (cube-style slices
+      // without the grand total). Catalyst expands to one Expand +
+      // one shuffle serving every set; grouping_id() disambiguates
+      // rows whose NULLs are data vs. set-placeholders.
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("bigint").as("gid"),
+          dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("gid"), col("revenue"), col("n_rows"))
+        .orderBy(col("gid"), col("st"), col("pri"))),
+
+    "q_window_funcs" -> ((s, dir) => {
+      // analytic-function battery over one window spec: lag/lead,
+      // ntile, percent_rank, cume_dist all share a single sort+shuffle
+      // on (custkey; date, key) — Catalyst plans ONE Window node.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_price",
+          lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price",
+          lead(col("o_totalprice"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+          col("next_price"), col("quartile"), col("pct_rank"), col("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---------------- reference dataflow operators (C/B families) -----
     "c_full_copy_scrub" -> ((s, dir) => {
       // C1–C6: full-copy plan = read-side projection + NUL scrub
@@ -999,6 +1037,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy(col("doc_id"))
     }),
+
+    "events_json_extract" -> ((s, dir) =>
+      // semi-structured path extraction: props is a JSON string column;
+      // get_json_object is codegen'd map-side path evaluation (no UDF,
+      // no schema inference pass), so the parse stays inside the scan
+      // stage and the shuffle carries only (event_type, k) partials
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))),
 
     "events_sessionize" -> ((s, dir) =>
       // gap-based sessionization (30-min) + per-session rollup: one
@@ -2227,6 +2280,31 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "q_grouping_sets" ->
+      // DuckDB numbers grouping_id bits identically to Spark here:
+      // bit per grouping column, MSB first, 1 = aggregated-away
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, st, pri""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "events_resample" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -2254,6 +2332,14 @@ object SparkEntry {
         |    OVER (PARTITION BY event_type ORDER BY bucket_us
         |          ROWS UNBOUNDED PRECEDING) AS last_sum_value
         |FROM filled ORDER BY event_type, bucket_us""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (
