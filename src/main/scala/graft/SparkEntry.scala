@@ -989,6 +989,17 @@ object SparkEntry {
         "c_custkey", "c_name", threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      // edit-distance-1 pair search over customer names: FastSS
+      // deletion-neighborhood inverted index for candidates (never a
+      // cross join), exact levenshtein verify; the oracle brute-forces
+      // the same pairs quadratically on the capped slice
+      graft.functions.FuzzyJoin.editDistancePairs(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+          .filter(col("c_custkey") <= 500),
+        "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_bloom_semijoin" -> ((s, dir) => {
       // Bloom-prefiltered semi join: membership sketch built
       // distributed, map-side might_contain cuts the big side before
@@ -2148,6 +2159,17 @@ object SparkEntry {
         |  t.n_passages, coalesce(r.n_kept, 0) AS n_kept
         |FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      // quadratic ground truth on the capped slice — the Spark side
+      // must find exactly these pairs via the deletion-neighborhood
+      // index (FastSS guarantees candidate completeness at d ≤ maxDist)
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 500 AND b.c_custkey <= 500
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_trgm_similarity" ->
       // pairwise oracle replays the padded-word trigram Jaccard; the
