@@ -953,6 +953,24 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "txt_gopher_quality" -> ((s, dir) => {
+      // Gopher filter battery over a deterministically constructed
+      // multiline doc (the corpus text is single-line): even doc_ids
+      // get their body duplicated (nonzero dup-line fractions), every
+      // doc gains a bullet line and an ellipsis line, and the ≥50-word
+      // gate splits the 10–99-word corpus — so every metric and the
+      // final conjunction take both branches
+      val doc = concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("\n"), col("text"))).otherwise(lit("")),
+        lit("\n"), substring(col("text"), 1, 20),
+        lit("\n- bullet item\ntrailing dots..."))
+      graft.functions.TextAnalysis.gopherQualityStats(
+        t(s, dir, "documents").select(col("doc_id"), doc.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "txt_lm_score" -> ((s, dir) =>
       // corpus-trained bigram LM score: mean ln P(w2|w1) per doc —
       // per-bigram log-probs floor-quantized then decimal-summed so
@@ -2083,6 +2101,67 @@ object SparkEntry {
         |  list_max(list_transform(list_distinct(tk),
         |    t -> len(list_filter(tk, x -> x = t)))) AS max_tok_freq
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "txt_gopher_quality" ->
+      // replays the doc construction, then every Gopher metric with
+      // DuckDB list folds; thresholds apply to the QUANTIZED values,
+      // matching the Spark side
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0 THEN chr(10) || text
+        |      ELSE '' END
+        |    || chr(10) || substr(text, 1, 20)
+        |    || chr(10) || '- bullet item' || chr(10) || 'trailing dots...'
+        |    AS doc
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, doc,
+        |    list_filter(string_split(doc, chr(10)),
+        |      l -> length(l) > 0) AS lines,
+        |    list_filter(string_split_regex(doc, '\s+'),
+        |      w -> length(w) > 0) AS words
+        |  FROM d),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    greatest(CAST(len(words) AS DOUBLE), 1.0) AS wd,
+        |    greatest(CAST(len(lines) AS DOUBLE), 1.0) AS ld,
+        |    CAST(list_aggregate(list_transform(words,
+        |      w -> CAST(length(w) AS BIGINT)), 'sum') AS DOUBLE) AS wchars,
+        |    CAST(CAST(length(doc) - length(replace(doc, '#', ''))
+        |      AS INT) + CAST((length(doc)
+        |        - length(replace(doc, '...', ''))) / 3 AS INT)
+        |      AS DOUBLE) AS symbols,
+        |    CAST(len(list_filter(words,
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_w,
+        |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'
+        |      OR l LIKE '•%')) AS DOUBLE) AS bullet_l,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+        |      AS DOUBLE) AS ell_l,
+        |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) AS dup_l,
+        |    CAST(list_aggregate(list_transform(lines,
+        |      l -> CAST(length(l) AS BIGINT)), 'sum') AS DOUBLE) AS chars_all,
+        |    CAST(list_aggregate(list_transform(list_distinct(lines),
+        |      l -> CAST(length(l) AS BIGINT)), 'sum') AS DOUBLE) AS chars_dist
+        |  FROM m),
+        |q AS (
+        |  SELECT doc_id, n_words,
+        |    floor(wchars / wd * 10000) / 10000 AS mean_word_len,
+        |    floor(symbols / wd * 10000) / 10000 AS symbol_word_ratio,
+        |    floor(alpha_w / wd * 10000) / 10000 AS frac_alpha_words,
+        |    floor(bullet_l / ld * 10000) / 10000 AS frac_bullet_lines,
+        |    floor(ell_l / ld * 10000) / 10000 AS frac_ellipsis_lines,
+        |    floor(dup_l / ld * 10000) / 10000 AS dup_line_frac,
+        |    floor((chars_all - chars_dist) / greatest(chars_all, 1.0)
+        |      * 10000) / 10000 AS dup_line_char_frac
+        |  FROM a)
+        |SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3 AND mean_word_len <= 10
+        |    AND symbol_word_ratio < 0.1 AND frac_alpha_words > 0.8
+        |    AND frac_bullet_lines < 0.9 AND frac_ellipsis_lines < 0.3
+        |    AND dup_line_frac < 0.3) AS passes
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "txt_lm_score" ->
       """WITH toks AS (

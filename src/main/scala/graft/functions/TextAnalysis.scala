@@ -76,6 +76,71 @@ object TextAnalysis {
       lit(1.0)), lit(0.0)))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1 — public paper): the
+    * standard web-corpus filter battery. Per document:
+    *
+    *  - `n_words`, `mean_word_len` — length gates;
+    *  - `symbol_word_ratio` — '#' and '...' occurrences per word
+    *    (boilerplate/markup signal);
+    *  - `frac_alpha_words` — words containing at least one letter;
+    *  - `frac_bullet_lines` / `frac_ellipsis_lines` — lines starting
+    *    with a bullet mark, lines ending in an ellipsis;
+    *  - `dup_line_frac` — lines repeating an earlier line;
+    *  - `dup_line_char_frac` — characters inside those repeated lines
+    *    (the char-weighted variant catches a few huge pasted blocks
+    *    that the line-count variant underweights);
+    *  - `passes` — the conjunction at Gopher's published thresholds.
+    *
+    * Map-only: every metric is a higher-order-function fold over the
+    * split arrays — whole-stage codegen, zero shuffles, linear in
+    * document bytes, so at 100 TB it rides the scan. Ratios are
+    * floor-quantized (q4) for cross-engine hashing.
+    */
+  def gopherQualityStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("bigint")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val wordsD = greatest(size(words), lit(1)).cast("double")
+    val meanWordLen = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / wordsD
+    val symbolRatio = (occurrences(col(textCol), "#") +
+      occurrences(col(textCol), "...")).cast("double") / wordsD
+    val alphaFrac = size(filter(words,
+      w => w.rlike("[A-Za-z]"))).cast("double") / wordsD
+    val bulletFrac = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("*") ||
+        l.startsWith("•"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…")))
+      .cast("double") / nLines
+    val dupLines = (size(lines) - size(array_distinct(lines)))
+    val dupLineFrac = dupLines.cast("double") / nLines
+    val charsAll = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val charsDistinct = aggregate(array_distinct(lines), lit(0L),
+      (acc, l) => acc + length(l))
+    val dupCharFrac = (charsAll - charsDistinct).cast("double") /
+      greatest(charsAll, lit(1L)).cast("double")
+    df.select(col(idCol), nWords.as("n_words"),
+        q4(meanWordLen).as("mean_word_len"),
+        q4(symbolRatio).as("symbol_word_ratio"),
+        q4(alphaFrac).as("frac_alpha_words"),
+        q4(bulletFrac).as("frac_bullet_lines"),
+        q4(ellipsisFrac).as("frac_ellipsis_lines"),
+        q4(dupLineFrac).as("dup_line_frac"),
+        q4(dupCharFrac).as("dup_line_char_frac"))
+      .withColumn("passes",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_word_ratio") < 0.1 &&
+          col("frac_alpha_words") > 0.8 &&
+          col("frac_bullet_lines") < 0.9 &&
+          col("frac_ellipsis_lines") < 0.3 &&
+          col("dup_line_frac") < 0.3).cast("boolean"))
+  }
+
   /** Language ID by stopword-profile voting — the classic trigram/
     * stopword heuristic. Per language: count hits of its most frequent
     * function words; argmax wins, deterministic tie-break by vote count

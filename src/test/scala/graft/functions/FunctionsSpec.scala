@@ -779,6 +779,31 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getLong(2) === 2L)
     assert(out(0).getDecimal(3).doubleValue() === 3.0)
   }
+
+  test("gopher quality stats: dup lines, bullets, ellipsis, thresholds") {
+    import spark.implicits._
+    val good = (("word " * 60).trim + "\nanother line of body text")
+    val dupHeavy = "same line\nsame line\nsame line\nother"
+    val bullets = "- a\n- b\n- c\nbody"
+    val df = Seq((1L, good), (2L, dupHeavy), (3L, bullets), (4L, ""))
+      .toDF("id", "text")
+    val out = TextAnalysis.gopherQualityStats(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 60 + 5 = 65 words, clean → passes
+    assert(out(1).getAs[Boolean]("passes"))
+    assert(out(1).getLong(1) === 65L)
+    assert(out(1).getDouble(7) === 0.0) // dup_line_frac
+    // doc 2: 2 of 4 lines are repeats → 0.5 ≥ 0.3, fails
+    assert(out(2).getDouble(7) === 0.5)
+    assert(out(2).getDouble(8) > 0.0) // dup_line_char_frac
+    assert(!out(2).getAs[Boolean]("passes"))
+    // doc 3: 3 of 4 lines bulleted → 0.75 < 0.9 on bullets, but word
+    // count fails; bullet fraction is what we assert
+    assert(out(3).getDouble(5) === 0.75)
+    // doc 4: empty doc → zero words, all ratios defined (no NaN/null)
+    assert(out(4).getLong(1) === 0L)
+    (2 to 8).foreach(i => assert(!out(4).isNullAt(i), s"col $i null"))
+  }
 }
 
 /** Instrumented decoder factory (top-level object so executors in
