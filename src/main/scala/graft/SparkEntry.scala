@@ -1082,6 +1082,20 @@ object SparkEntry {
           countDistinct(col("k")).as("n_distinct_k"))
         .orderBy(col("event_type"))),
 
+    "dedup_cluster_keep_best" -> ((s, dir) => {
+      // canonical selection on top of the cc clusters: keep the
+      // longest member (n_chars, ties → min doc_id) of each near-dup
+      // cluster; singleton docs keep themselves. Argmax is a
+      // partial-agg'd struct max, never a per-cluster window.
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text",
+        threshold = 0.15, n = 3, numHashes = 16, bands = 8,
+        portable = true)
+      val clusters = Dedup.connectedComponents(edges, "id_a", "id_b")
+      Dedup.keepBestPerCluster(docs, "doc_id", clusters, "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     "events_sessionize" -> ((s, dir) =>
       // gap-based sessionization (30-min) + per-session rollup: one
       // shuffle on user_id shared by the windows AND the aggregation
@@ -1264,6 +1278,56 @@ object SparkEntry {
       |  FROM scored)
       |SELECT query_id, rank, vec_id AS neighbor_id
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared oracle prefix: the dedup_ngram_jaccard pair pipeline +
+    * recursive reachability CTE (`reach`) that the cluster oracles
+    * build on. */
+  private val ccReachSql: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
+        |  FROM hp),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
+        |  FROM sig, range(0, 8) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |    AND l.doc_id < r.doc_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id
+        |  WHERE floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+        |      greatest(len(a.ngrams) + len(b.ngrams)
+        |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 >= 0.15),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM scored
+        |  UNION ALL SELECT id_b, id_a FROM scored),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2298,53 +2362,30 @@ object SparkEntry {
     "dedup_cluster_cc" ->
       // the pair pipeline is dedup_ngram_jaccard's; the cluster label is
       // min reachable id, computed as a recursive reachability CTE
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-        |  FROM documents),
-        |ng AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(tk) - 1),
-        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
-        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
-        |  FROM toks),
-        |hp AS (
-        |  SELECT doc_id, list_transform(ngrams, g -> {
-        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
-        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
-        |  FROM ng),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 16),
-        |    s -> list_min(list_transform(hs, h ->
-        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
-        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
-        |  FROM hp),
-        |bands AS (
-        |  SELECT doc_id, b AS band_id,
-        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
-        |  FROM sig, range(0, 8) t(b)),
-        |cands AS (
-        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        |  FROM bands l JOIN bands r
-        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
-        |    AND l.doc_id < r.doc_id),
-        |scored AS (
-        |  SELECT c.id_a, c.id_b
-        |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id
-        |  WHERE floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
-        |      greatest(len(a.ngrams) + len(b.ngrams)
-        |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 >= 0.15),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM scored
-        |  UNION ALL SELECT id_b, id_a FROM scored),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+      (ccReachSql + """
         |SELECT id AS doc_id, min(r) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    "dedup_cluster_keep_best" ->
+      // cc reachability + singleton fill-in, winner = (max n_chars,
+      // min doc_id) per cluster via row_number
+      (ccReachSql + """,
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |win AS (
+        |  SELECT cluster_id, doc_id AS keep_id FROM (
+        |    SELECT cluster_id, doc_id, row_number() OVER (
+        |      PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM lab) t
+        |  WHERE rn = 1)
+        |SELECT l.doc_id, l.cluster_id, l.n_chars,
+        |  (l.doc_id = w.keep_id) AS kept
+        |FROM lab l JOIN win w ON l.cluster_id = w.cluster_id
+        |ORDER BY l.doc_id""".stripMargin),
 
     "q_rollup_pricing" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,

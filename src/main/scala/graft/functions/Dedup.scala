@@ -411,6 +411,39 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Canonical-document selection: given near-dup cluster labels
+    * (`clusters` = (id, cluster_id), as produced by
+    * `connectedComponents` — ids absent from it are singletons and
+    * keep themselves), mark per cluster the single best document:
+    * highest `qualityCol`, ties broken toward the smallest id. The
+    * standard last step of a dedup pipeline — drop the copies, keep
+    * the best representative (e.g. the longest, or the highest
+    * quality-score).
+    *
+    * Scale shape: winner selection is a partial-aggregated
+    * `max(struct(quality, -id))` groupBy — the argmax rides map-side
+    * combine, no window over the cluster (a per-cluster window would
+    * hash every member to one task; viral clusters would skew it).
+    * The winner table (one row per cluster) joins back broadcast-or-
+    * shuffled at AQE's discretion. Output: (id, cluster_id, quality,
+    * kept) for every input document.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String,
+      clusters: DataFrame, qualityCol: String): DataFrame = {
+    val labeled = docs.select(col(idCol), col(qualityCol))
+      .join(clusters.select(col("id").as(idCol),
+        col("cluster_id").as("__cl")), Seq(idCol), "left")
+      .select(col(idCol), col(qualityCol),
+        coalesce(col("__cl"), col(idCol)).as("cluster_id"))
+    val winners = labeled.groupBy(col("cluster_id"))
+      .agg(max(struct(col(qualityCol).as("__q"),
+        (-col(idCol)).as("__negid"))).as("__w"))
+      .select(col("cluster_id"), (-col("__w.__negid")).as("__keep_id"))
+    labeled.join(winners, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col(qualityCol),
+        (col(idCol) === col("__keep_id")).as("kept"))
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Candidates come
     * from banded sign-LSH (OR of `bands` AND-bands of `rowsPerBand`
     * hyperplane bits — see Similarity.signBands): a pair is a candidate

@@ -218,6 +218,23 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("keepBestPerCluster: quality argmax, id tiebreak, singletons") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), // cluster 1: tie 2 vs 3
+      (10L, 5L), (11L, 99L),                        // cluster 10: 11 wins
+      (42L, 7L)                                     // singleton
+    ).toDF("doc_id", "len")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("id", "cluster_id")
+    val out = Dedup.keepBestPerCluster(docs, "doc_id", clusters, "len")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Boolean]("kept"))).toMap
+    assert(out === Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, false),
+      10L -> (10L, false), 11L -> (10L, true),
+      42L -> (42L, true)))
+  }
+
   test("sessionize: gap starts new session; rollup aggregates per session") {
     import spark.implicits._
     val gap = 1800000000L // 30 min in µs
