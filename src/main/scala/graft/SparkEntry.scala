@@ -509,6 +509,19 @@ object SparkEntry {
         .orderBy(col("simhash"))),
 
     // ---------------- extension operators: similarity search ----------
+    "sim_random_projection" -> ((s, dir) => {
+      // JL sign-matrix projection 64 → 8 dims: map-only nested folds,
+      // md5-derived signs the oracle replays; the dimension-reduction
+      // front end for every downstream ANN/near-dup shuffle
+      val proj = Similarity.randomProject(col("embedding"), k = 8,
+        dims = 64)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), proj.as("__p"))
+        .select(col("vec_id") +: (0 until 8).map(j =>
+          TextAnalysis.q4(element_at(col("__p"), j + 1)).as(s"p$j")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
     "sim_label_centroids" -> ((s, dir) =>
       // per-label class prototypes: one (label, dim) partial-agg'd
       // shuffle, decimal accumulation for cross-engine determinism
@@ -1719,6 +1732,29 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id AS neighbor_id,
         |  floor(cos * 10000) / 10000 AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_random_projection" ->
+      // same fold, same sign hash, same IEEE ops (left-to-right sum,
+      // division by sqrt(k)) — bit-identical before quantization
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), j ->
+        |      list_aggregate(list_transform(range(0, 64), i ->
+        |        CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+        |        (CASE WHEN CAST(('0x' || substr(md5('rp|' || j || '|' || i),
+        |          1, 15)) AS BIGINT) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END)), 'sum') / sqrt(8)) AS pr
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  floor(pr[1] * 10000) / 10000 AS p0,
+        |  floor(pr[2] * 10000) / 10000 AS p1,
+        |  floor(pr[3] * 10000) / 10000 AS p2,
+        |  floor(pr[4] * 10000) / 10000 AS p3,
+        |  floor(pr[5] * 10000) / 10000 AS p4,
+        |  floor(pr[6] * 10000) / 10000 AS p5,
+        |  floor(pr[7] * 10000) / 10000 AS p6,
+        |  floor(pr[8] * 10000) / 10000 AS p7
+        |FROM p ORDER BY vec_id""".stripMargin,
 
     "sim_label_centroids" ->
       // decimal accumulation on both sides: the sum is exact and

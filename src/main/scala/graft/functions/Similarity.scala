@@ -38,6 +38,31 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    * (Achlioptas 2001): out[j] = Σ_i vec[i]·s(j,i) / √k, where the
+    * sign s(j,i) derives from md5(salt|j|i) — deterministic, seedable
+    * via `salt`, and replayable bit-for-bit in any engine with md5
+    * (the same portability convention as the minhash family). Sign
+    * matrices satisfy the JL distance-preservation bound with the
+    * same constants as Gaussian ones, at integer-arithmetic cost.
+    *
+    * Map-only (two nested higher-order folds per row, O(k·dims),
+    * whole-stage codegen, no shuffle) — at 100 TB it rides the scan
+    * and cuts every downstream ANN/dedup shuffle by dims/k. Division
+    * by √k (not multiplication by its reciprocal) so the oracle's
+    * `/ sqrt(k)` is the identical IEEE operation.
+    */
+  def randomProject(vec: Column, k: Int, dims: Int,
+      salt: String = "rp"): Column = {
+    require(k > 0 && dims > 0, "k and dims must be positive")
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+        (acc, i) => acc + element_at(vec, i + 1).cast("double") *
+          when(conv(substring(md5(concat_ws("|", lit(salt), j, i)),
+            1, 15), 16, 10).cast("bigint") % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0))) / math.sqrt(k.toDouble))
+  }
+
   /** Per-label centroid (element-wise mean) of an embedding column —
     * class prototypes for nearest-centroid classification, cluster
     * summaries, IVF seeding.

@@ -780,6 +780,35 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getDecimal(3).doubleValue() === 3.0)
   }
 
+  test("random projection: linear, deterministic, distance-preserving") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val proj = df.select(col("id"),
+      Similarity.randomProject(col("v"), 16, 64).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // linearity: proj(2v) = 2 proj(v)
+    val doubled = df.select(col("id"),
+      Similarity.randomProject(transform(col("v"),
+        x => x * 2).as("v2"), 16, 64).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    proj.foreach { case (id, p) =>
+      p.zip(doubled(id)).foreach { case (a, b) =>
+        assert(math.abs(b - 2 * a) < 1e-9) }
+    }
+    // JL: projected squared distances within 3x of original on average
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = vecs.map { case (id, v) => id -> v.map(_.toDouble).toSeq }.toMap
+    val ratios = for {
+      i <- 0L until 20L; j <- (i + 1) until 20L
+    } yield d2(proj(i), proj(j)) / d2(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"mean distortion $mean")
+  }
+
   test("gopher quality stats: dup lines, bullets, ellipsis, thresholds") {
     import spark.implicits._
     val good = (("word " * 60).trim + "\nanother line of body text")
