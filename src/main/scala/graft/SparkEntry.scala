@@ -943,6 +943,32 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", nShards = 16)
         .orderBy(col("doc_id"))),
 
+    "curate_url_canonical" -> ((s, dir) => {
+      // URL canonicalization over deterministically messied URLs
+      // (mixed-case scheme/host, default ports, duplicate slashes,
+      // trailing slash, tracking params, unsorted query, fragment) —
+      // the canonical string is the URL-dedup key; domain is the
+      // per-site aggregation key. Map-only, rides the scan.
+      val id = col("doc_id").cast("string")
+      val messy = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTP://WWW."), col("source"),
+          lit(".Example.COM:80//path//"), id,
+          when(col("doc_id") % 3 === 0, lit(""))
+            .otherwise(lit("/?utm_source=feed&b=2&a=1&gclid=x")),
+          lit("#frag")))
+        .otherwise(concat(lit("HTTPS://"), col("source"),
+          lit(".Example.ORG:443/p/"), id, lit("/"),
+          when(col("doc_id") % 3 === 0, lit("?z=9&utm_medium=email&a=1"))
+            .otherwise(lit("")),
+          lit("#x")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), messy.as("__u"))
+        .select(col("doc_id"),
+          graft.functions.Web.canonicalizeUrl(col("__u")).as("url_canon"),
+          graft.functions.Web.domainOf(col("__u")).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
     "curate_pii_redact" -> ((s, dir) => {
       // the corpus has no natural PII, so synthesize a deterministic
       // contact line per doc (both engines build the identical string)
@@ -2169,6 +2195,53 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
         |    AS BIGINT) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "curate_url_canonical" ->
+      // replays construction + every canonicalization rule with RE2
+      // regexps and list ops (\1 backreference = Spark's $1)
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'HTTP://WWW.' || source || '.Example.COM:80//path//'
+        |        || doc_id ||
+        |        CASE WHEN doc_id % 3 = 0 THEN ''
+        |          ELSE '/?utm_source=feed&b=2&a=1&gclid=x' END || '#frag'
+        |      ELSE 'HTTPS://' || source || '.Example.ORG:443/p/'
+        |        || doc_id || '/' ||
+        |        CASE WHEN doc_id % 3 = 0 THEN '?z=9&utm_medium=email&a=1'
+        |          ELSE '' END || '#x'
+        |    END AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS s
+        |  FROM u),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(s, '^[^:]+://([^/?#]+).*$', 1)) AS hostport,
+        |    regexp_replace(regexp_extract(s,
+        |      '^[^:]+://[^/?#]+([^?#]*).*$', 1), '/{2,}', '/', 'g') AS p0,
+        |    regexp_extract(s, '\?([^#]*)', 1) AS q
+        |  FROM nf),
+        |norm AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |      ELSE hostport END AS host,
+        |    CASE WHEN p0 = '' THEN '/'
+        |      ELSE regexp_replace(p0, '(.)/$', '\1') END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      p -> length(p) > 0 AND NOT regexp_matches(p,
+        |        '^(utm_[a-z]+|fbclid|gclid|msclkid)='))), '&') AS query,
+        |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+        |      '^www\.', '') AS domain
+        |  FROM parts)
+        |SELECT doc_id,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN length(query) > 0 THEN '?' || query ELSE '' END
+        |    AS url_canon,
+        |  domain
+        |FROM norm ORDER BY doc_id""".stripMargin,
 
     "curate_pii_redact" ->
       """SELECT doc_id,

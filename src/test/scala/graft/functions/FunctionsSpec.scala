@@ -780,6 +780,34 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getDecimal(3).doubleValue() === 3.0)
   }
 
+  test("url canonicalization: ports, params, slashes, fragments, www") {
+    import spark.implicits._
+    val cases = Seq(
+      // default ports stripped only for the matching scheme
+      ("HTTP://Host.COM:80/a", "http://host.com/a"),
+      ("https://host.com:443/a", "https://host.com/a"),
+      ("http://host.com:8080/a", "http://host.com:8080/a"),
+      // non-default scheme keeps its port
+      ("ftp://Host.com:80/a", "ftp://host.com:80/a"),
+      // root path normalizes to "/", trailing slash dropped elsewhere
+      ("https://x.com", "https://x.com/"),
+      ("https://x.com/", "https://x.com/"),
+      ("https://x.com/a/b/", "https://x.com/a/b"),
+      ("https://x.com//a///b", "https://x.com/a/b"),
+      // tracking params out, rest sorted; empty query dropped
+      ("https://x.com/p?utm_source=a&z=1&a=2#f", "https://x.com/p?a=2&z=1"),
+      ("https://x.com/p?utm_source=a&gclid=b", "https://x.com/p"),
+      ("https://x.com/p?fbclid=1", "https://x.com/p"))
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), Web.canonicalizeUrl(col("u")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) === want, s"canon($in)") }
+    val doms = Seq("https://WWW.Sub.Host.ORG:443/x", "http://plain.com/a")
+      .toDF("u").select(Web.domainOf(col("u"))).collect().map(_.getString(0))
+    assert(doms.toSeq === Seq("sub.host.org", "plain.com"))
+  }
+
   test("random projection: linear, deterministic, distance-preserving") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
