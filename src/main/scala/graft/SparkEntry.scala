@@ -1121,6 +1121,15 @@ object SparkEntry {
           countDistinct(col("k")).as("n_distinct_k"))
         .orderBy(col("event_type"))),
 
+    "dedup_span_coverage" -> ((s, dir) =>
+      // char-level cross-doc duplicate-span coverage (30-char grams):
+      // sliding grams explode map-side, ≥2-distinct-doc grams survive
+      // a partial-agg'd groupBy, coverage = interval union via the
+      // running-max-end window — no per-character explode
+      Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
+        gramChars = 30)
+        .orderBy(col("doc_id"))),
+
     "dedup_cluster_keep_best" -> ((s, dir) => {
       // canonical selection on top of the cc clusters: keep the
       // longest member (n_chars, ties → min doc_id) of each near-dup
@@ -2467,6 +2476,35 @@ object SparkEntry {
         |    + (((o_orderkey % 1024) >> j) & 1) * (CAST(1 AS BIGINT) << (2 * j + 1))
         |  )) AS BIGINT) AS zval
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "dedup_span_coverage" ->
+      // same gram slide, ≥2-doc filter, and running-max-end interval
+      // union, in DuckDB window form
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 30) AS gram
+        |  FROM documents, unnest(range(1, length(text) - 30 + 2)) t(i)),
+        |d AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.* FROM g SEMI JOIN d USING (gram)),
+        |c AS (
+        |  SELECT doc_id, pos,
+        |    greatest(0, pos + 30 - greatest(pos, coalesce(
+        |      max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))) AS cov
+        |  FROM h),
+        |p AS (
+        |  SELECT doc_id, count(*) AS n_dup_grams, sum(cov) AS dup_chars
+        |  FROM c GROUP BY doc_id)
+        |SELECT d0.doc_id,
+        |  COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+        |  CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  floor(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+        |    / greatest(length(d0.text), 1) * 10000) / 10000 AS dup_frac
+        |FROM documents d0 LEFT JOIN p ON d0.doc_id = p.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
 
     "dedup_cluster_cc" ->
       // the pair pipeline is dedup_ngram_jaccard's; the cluster label is

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -409,6 +410,68 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Cross-document duplicate-span statistics — the character-level
+    * repeated-substring signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — public paper —
+    * approximated with fixed-length char grams instead of a suffix
+    * array): for every document, how much of it is covered by
+    * `gramChars`-length substrings that also occur in ANOTHER
+    * document. High coverage = boilerplate/mirrored content the
+    * passage- and doc-level dedups may miss (they align on token
+    * windows; this catches arbitrary-offset char-level overlap).
+    *
+    * Plan: sliding char grams explode map-side with their start
+    * positions; grams seen in ≥2 distinct docs survive a partial-agg'd
+    * groupBy + semi-join; covered characters are the union length of
+    * the surviving [pos, pos+k) intervals, computed with the classic
+    * running-max-end window per doc (no per-position explode).
+    * Output per document: n_dup_grams, dup_chars, dup_frac.
+    *
+    * Scale: the gram explode carries O(L·k) bytes per doc through the
+    * groupBy shuffle. At 100 TB, set `hashGrams=true` to shuffle an
+    * 8-byte xxhash64 of each gram instead of its text (collision odds
+    * ~n²/2⁶⁴ — fine for statistics; the text variant is what the
+    * byte-exact oracle replays). The interval-union window partitions
+    * by doc — bounded by max document length, same bound as
+    * repetitionStats.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int, hashGrams: Boolean = false): DataFrame = {
+    require(gramChars >= 2, "gramChars must be ≥ 2")
+    val k = gramChars
+    val base = df.select(col(idCol), col(textCol))
+    val grams = base.filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        transform(sequence(lit(1), length(col(textCol)) - k + 1),
+          i => struct(i.as("pos"),
+            col(textCol).substr(i, lit(k)).as("gram"))).as("__gs"))
+      .select(col(idCol), explode_outer(col("__gs")).as("__g"))
+      .filter(col("__g").isNotNull)
+      .select(col(idCol), col("__g.pos").as("__pos"),
+        (if (hashGrams) xxhash64(col("__g.gram"))
+         else col("__g.gram")).as("__gram"))
+    val dupGrams = grams.groupBy(col("__gram"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__gram"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = greatest(lit(0),
+      col("__pos") + k - greatest(col("__pos"),
+        coalesce(max(col("__pos") + k).over(w), lit(0))))
+    val perDoc = grams.join(dupGrams, Seq("__gram"), "left_semi")
+      .withColumn("__cov", covered)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__cov")).as("__c"))
+    base.select(col(idCol), length(col(textCol)).as("__len"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("__c"), lit(0L)).cast("bigint").as("dup_chars"),
+        TextAnalysis.q4(coalesce(col("__c"), lit(0L)).cast("double") /
+          greatest(col("__len"), lit(1))).as("dup_frac"))
   }
 
   /** Canonical-document selection: given near-dup cluster labels

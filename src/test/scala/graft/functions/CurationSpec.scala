@@ -218,6 +218,35 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dupSpanStats: interval union, cross-doc only, hashGrams parity") {
+    import spark.implicits._
+    // docs 1 and 2 share "ABCDEFGH" (8 chars); doc 3 repeats its own
+    // substring but shares nothing cross-doc; doc 4 is short
+    val docs = Seq(
+      (1L, "xxABCDEFGHyy"),
+      (2L, "ABCDEFGHzzzz"),
+      (3L, "ppppQQQQppppQQQQ"),
+      (4L, "ab")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(docs, "doc_id", "text", gramChars = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: grams ABCD..EFGH at pos 3..7 (5 grams), union = [3, 11) = 8 chars
+    assert(out(1)._1 === 5L)
+    assert(out(1)._2 === 8L)
+    // doc 2: same 5 grams at pos 1..5, union = [1, 9) = 8 chars
+    assert(out(2)._2 === 8L)
+    // doc 3: self-repeats only → no cross-doc grams
+    assert(out(3) === ((0L, 0L, 0.0)))
+    // doc 4: shorter than gram size
+    assert(out(4) === ((0L, 0L, 0.0)))
+    // hashed variant computes identical statistics
+    val hashed = Dedup.dupSpanStats(docs, "doc_id", "text", 4,
+      hashGrams = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(hashed === out)
+  }
+
   test("keepBestPerCluster: quality argmax, id tiebreak, singletons") {
     import spark.implicits._
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), // cluster 1: tie 2 vs 3
