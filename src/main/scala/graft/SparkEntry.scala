@@ -699,6 +699,50 @@ object SparkEntry {
             lit(0.9) * col("n_true").cast("double")).as("recall_ok"))
     }),
 
+    "sim_projection_recall" -> ((s, dir) => {
+      // does ANN survive JL compression? Same noised-twin fixture as
+      // sim_ivf_recall, but the search runs entirely in the 16-dim
+      // randomProject space (4× fewer bytes through every shuffle);
+      // recall of the rank-1 twin against full-dim truth must stay
+      // ≥ 0.9 for the oracle hash to match
+      val emb = t(s, dir, "embeddings")
+      val noise = (x: Column, i: Column) =>
+        x.cast("double") + lit(0.04) *
+          (((col("vec_id") * 31 + i * 17) % 19 - 9).cast("double") /
+            lit(9.0))
+      val noised = emb.select((col("vec_id") + 700000L).as("vec_id"),
+        transform(col("embedding"), noise).as("embedding"))
+      val naturals = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val aug = naturals.union(noised)
+      val projCorpus = aug.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 16, 64).as("embedding"))
+      val projQueries = naturals.select(col("vec_id").as("query_id"),
+        Similarity.randomProject(col("embedding"), 16, 64).as("qvec"))
+      val truth = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"),
+          transform(col("embedding"), noise).as("w"))
+        .select(col("vec_id"),
+          (Similarity.dot(col("v"), col("w")) /
+            (Similarity.norm(col("v")) * Similarity.norm(col("w"))))
+            .as("cos"))
+        .filter(col("cos") >= 0.9)
+      val recovered = Similarity.bruteForceTopK(projCorpus, "vec_id",
+          "embedding", projQueries, "query_id", "qvec", k = 1)
+        .filter(col("vec_id") === col("query_id") + 700000L)
+        .select(col("query_id").as("vec_id"))
+      val truthAgg = truth.agg(
+        count(lit(1)).as("n_true"),
+        TextAnalysis.q4(min(col("cos"))).as("min_cos"),
+        TextAnalysis.q4(max(col("cos"))).as("max_cos"))
+      val recAgg = recovered.join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_rec"))
+      truthAgg.crossJoin(recAgg)
+        .select(col("n_true"), col("min_cos"), col("max_cos"),
+          (col("n_rec").cast("double") >=
+            lit(0.9) * col("n_true").cast("double")).as("recall_ok"))
+    }),
+
     "dedup_embedding_cos" -> ((s, dir) => {
       // the synthetic embeddings have no natural near-dups (max pair
       // cosine ≈0.51), so seed exact duplicates (vec_id+10000) — the
@@ -2077,6 +2121,29 @@ object SparkEntry {
       // identical truth side to sim_lsh_recall (exact per-seed twin
       // cosine, fully portable); recall_ok is the assertion the IVF
       // probe path must satisfy for the hashes to match
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)
+        |      + CAST(0.04 AS DOUBLE)
+        |        * (CAST((vec_id * 31 + (i - 1) * 17) % 19 - 9 AS DOUBLE)
+        |           / CAST(9 AS DOUBLE))) AS w
+        |  FROM embeddings),
+        |cosv AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * w[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(w, x -> x * x)))) AS cos
+        |  FROM p)
+        |SELECT COUNT(*) AS n_true,
+        |  floor(MIN(cos) * 10000) / 10000 AS min_cos,
+        |  floor(MAX(cos) * 10000) / 10000 AS max_cos,
+        |  TRUE AS recall_ok
+        |FROM cosv WHERE cos >= 0.9""".stripMargin,
+
+    "sim_projection_recall" ->
+      // identical truth side to sim_ivf_recall; recall_ok asserts the
+      // 16-dim projected search still recovers ≥90% of the twins
       """WITH p AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
