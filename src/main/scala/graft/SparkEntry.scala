@@ -1300,6 +1300,14 @@ object SparkEntry {
           unix_micros(col("ts")), binUs = 3600000000L, "value")
         .orderBy(col("event_type"), col("bucket_us"))),
 
+    "events_interpolate" -> ((s, dir) =>
+      // resample + linear interpolation across empty buckets: both
+      // direction passes share one (event_type, bucket) sort — one
+      // exchange, two adjacent Window nodes
+      graft.operators.Resample.interpolated(events(s, dir), "event_type",
+          unix_micros(col("ts")), binUs = 3600000000L, "value")
+        .orderBy(col("event_type"), col("bucket_us"))),
+
     "profile_orders" -> ((s, dir) =>
       // per-column migration profile: one scan, one single-row agg
       // (exact distinct via Expand), canonical min/max strings
@@ -2688,6 +2696,54 @@ object SparkEntry {
         |    OVER (PARTITION BY event_type ORDER BY bucket_us
         |          ROWS UNBOUNDED PRECEDING) AS last_sum_value
         |FROM filled ORDER BY event_type, bucket_us""".stripMargin,
+
+    "events_interpolate" ->
+      // resample spine + both-direction observed-value windows; the
+      // slope expression groups parens exactly like the Spark side
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 3600000000 * 3600000000 AS bucket_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, bucket_us, COUNT(*) AS n_events,
+        |    CAST(SUM(v) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY event_type, bucket_us),
+        |bounds AS (SELECT MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM e),
+        |spine AS (
+        |  SELECT k.event_type, g.bucket_us
+        |  FROM (SELECT DISTINCT event_type FROM e) k
+        |  CROSS JOIN (SELECT unnest(range(lo, hi + 1, 3600000000))
+        |              AS bucket_us FROM bounds) g),
+        |filled AS (
+        |  SELECT s.event_type, s.bucket_us,
+        |    COALESCE(a.n_events, 0) AS n_events,
+        |    COALESCE(a.sum_value, 0.0) AS sum_value
+        |  FROM spine s LEFT JOIN a
+        |    ON s.event_type = a.event_type AND s.bucket_us = a.bucket_us),
+        |win AS (
+        |  SELECT event_type, bucket_us, n_events, sum_value,
+        |    last_value(CASE WHEN n_events > 0 THEN sum_value END
+        |      IGNORE NULLS) OVER wb AS last_sum_value,
+        |    last_value(CASE WHEN n_events > 0 THEN bucket_us END
+        |      IGNORE NULLS) OVER wb AS prev_b,
+        |    first_value(CASE WHEN n_events > 0 THEN sum_value END
+        |      IGNORE NULLS) OVER wf AS next_v,
+        |    first_value(CASE WHEN n_events > 0 THEN bucket_us END
+        |      IGNORE NULLS) OVER wf AS next_b
+        |  FROM filled
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_us
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY event_type ORDER BY bucket_us
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket_us, n_events, sum_value, last_sum_value,
+        |  floor((CASE WHEN n_events > 0 THEN sum_value
+        |    WHEN last_sum_value IS NULL THEN next_v
+        |    WHEN next_v IS NULL THEN last_sum_value
+        |    ELSE last_sum_value + (next_v - last_sum_value) *
+        |      ((bucket_us - prev_b) / (next_b - prev_b)) END) * 10000)
+        |    / 10000 AS interp_value
+        |FROM win ORDER BY event_type, bucket_us""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,

@@ -68,4 +68,38 @@ object Resample {
       last(when(col("n_events") > 0, col("sum_value")),
         ignoreNulls = true).over(w))
   }
+
+  /** `resample` plus linear interpolation: empty buckets get the
+    * straight line between the surrounding observed buckets
+    * (`interp_value`); before the first / after the last observation
+    * the nearest observed value extends flat. Observed buckets carry
+    * their own sum unchanged.
+    *
+    * Both direction passes are windows over the SAME (key, bucket)
+    * sort, so Catalyst plans one shuffle and two Window nodes back to
+    * back — the backward pass costs no extra exchange. Interpolated
+    * values are floor-quantized (q4 convention) since the slope
+    * arithmetic is double.
+    */
+  def interpolated(df: DataFrame, key: String, tsUs: Column, binUs: Long,
+      value: String): DataFrame = {
+    val base = resample(df, key, tsUs, binUs, value)
+    val obsV = when(col("n_events") > 0, col("sum_value"))
+    val obsB = when(col("n_events") > 0, col("bucket_us"))
+    val wb = Window.partitionBy(col(key)).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key)).orderBy(col("bucket_us"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(obsV, ignoreNulls = true).over(wb)
+    val prevB = last(obsB, ignoreNulls = true).over(wb)
+    val nextV = first(obsV, ignoreNulls = true).over(wf)
+    val nextB = first(obsB, ignoreNulls = true).over(wf)
+    val interp = when(col("n_events") > 0, col("sum_value"))
+      .when(prevV.isNull, nextV)
+      .when(nextV.isNull, prevV)
+      .otherwise(prevV + (nextV - prevV) *
+        ((col("bucket_us") - prevB) / (nextB - prevB)))
+    base.withColumn("interp_value",
+      floor(interp * 10000) / 10000)
+  }
 }

@@ -198,4 +198,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(avg(zSpans.map(_._1)) < 44.0, s"x spans ${zSpans.map(_._1).toSeq}")
     assert(avg(zSpans.map(_._2)) < 44.0, s"y spans ${zSpans.map(_._2).toSeq}")
   }
+
+  test("resample interpolation: line between observations, flat edges") {
+    import spark.implicits._
+    // key k: observations at buckets 0 (v=10) and 30 (v=40); buckets
+    // 10 and 20 are empty → interpolate 20 and 30; key m: single
+    // observation at 20 → flat fill on both edges
+    val df = Seq(
+      ("k", 5L, 10.0), ("k", 35L, 40.0),
+      ("m", 25L, 7.0)).toDF("key", "ts_us", "value")
+    val out = Resample.interpolated(df, "key", col("ts_us"), 10L, "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(out(("k", 0L)) === 10.0)
+    assert(out(("k", 10L)) === 20.0)
+    assert(out(("k", 20L)) === 30.0)
+    assert(out(("k", 30L)) === 40.0)
+    // m observed only at 20: flat 7.0 everywhere
+    Seq(0L, 10L, 20L, 30L).foreach(b => assert(out(("m", b)) === 7.0))
+  }
 }
