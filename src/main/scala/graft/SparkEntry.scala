@@ -182,6 +182,24 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_topk_per_group" -> ((s, dir) => {
+      // top-3 orders by price per market segment: rank + filter plans
+      // as WindowGroupLimit — per-partition top-k BEFORE the shuffle,
+      // so the exchange carries ≤ k rows per group per partition, not
+      // every row (the 100 TB-safe per-group top-k)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
     "q_grouping_sets" -> ((s, dir) =>
       // explicit GROUPING SETS lattice — unlike rollup's prefix chain,
       // the two single-column sets are independent (cube-style slices
@@ -2643,6 +2661,14 @@ object SparkEntry {
         |    FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS "MACHINERY"
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
 
     "q_grouping_sets" ->
       // DuckDB numbers grouping_id bits identically to Spark here:

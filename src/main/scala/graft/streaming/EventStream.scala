@@ -99,6 +99,19 @@ object EventStream {
       .drop("__rkey")
   }
 
+  /** Stream-static enrichment join: every micro-batch joins the
+    * static dimension map-side via broadcast — stateless (no
+    * watermark, no state store), the streaming twin of the batch
+    * dimension join. The dimension is re-resolvable per batch, so a
+    * slowly-changing dim backed by a table picks up updates at each
+    * trigger; at 100 TB-stream scale the only constraint is the dim
+    * fitting the broadcast threshold, which is exactly the batch
+    * rule.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), joinType)
+
   /** Streaming exact dedup with CUSTOM keyed state
     * (flatMapGroupsWithState): the first document per content
     * fingerprint passes, every later duplicate — within a batch or

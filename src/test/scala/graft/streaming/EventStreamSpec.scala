@@ -54,6 +54,41 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stream-static enrichment join equals batch join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_enrich").toFile
+    val chk = Files.createTempDirectory("graft_enrich_chk").toFile
+    try {
+      val batch = Seq((1L, "click", 2.0), (2L, "view", 3.0),
+        (3L, "click", 4.0), (9L, "click", 5.0)) // 9 has no dim row
+        .toDF("user_id", "event_type", "value")
+      batch.write.parquet(dir.getAbsolutePath + "/in")
+      val dim = Seq((1L, "gold"), (2L, "basic"), (3L, "gold"))
+        .toDF("user_id", "tier")
+      val stream = spark.readStream.schema(batch.schema)
+        .parquet(dir.getAbsolutePath + "/in")
+      val q = EventStream.enrich(stream, dim, "user_id")
+        .writeStream.format("memory").queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("enriched")
+        .orderBy("user_id").collect().toSeq
+      val batched = EventStream.enrich(batch, dim, "user_id")
+        .orderBy("user_id").collect().toSeq
+      assert(streamed === batched)
+      assert(streamed.length === 4)
+      assert(streamed.last.isNullAt(3)) // user 9: left join keeps row
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("streaming stateful dedup drops duplicates across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sdedup").toFile
