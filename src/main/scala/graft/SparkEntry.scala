@@ -1354,7 +1354,27 @@ object SparkEntry {
       DiffSync.digestDiff(diffSrc(s, dir), diffTgt(s, dir),
           Seq("o_orderkey"), nBuckets = 64)
         .select(col("o_orderkey"), col(DiffSync.FlagCol).as("row_state"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    "c20_scd2_apply" -> ((s, dir) => {
+      // SCD Type-2 dimension maintenance (Kettle "Dimension
+      // lookup/update", Spark-native): one full-outer join between
+      // the current-version slice and the snapshot — changed keys
+      // close + reopen, new keys open, vanished keys close
+      val ord = t(s, dir, "orders")
+      val dim = ord.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          lit("2025-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current"))
+      val snap = ord.filter(col("o_orderkey") % 10 =!= 4)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.Scd2.apply2(dim, snap, "o_orderkey",
+          Seq("o_totalprice"), lit("2026-01-01"))
+        .orderBy(col("o_orderkey"), col("valid_from"), col("is_current"))
+    })
   )
 
   /** DuckDB oracles. Portability notes: DuckDB regexp_replace needs the
@@ -3043,6 +3063,39 @@ object SparkEntry {
         |         ELSE 'identical' END AS row_state
         |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
         |SELECT o_orderkey, row_state FROM d
-        |WHERE row_state <> 'identical' ORDER BY o_orderkey""".stripMargin
+        |WHERE row_state <> 'identical' ORDER BY o_orderkey""".stripMargin,
+
+    "c20_scd2_apply" ->
+      // full-outer diff on the business key; IS NOT DISTINCT FROM =
+      // Spark's <=> null-safe compare
+      """WITH dim AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    '2025-01-01' AS valid_from,
+        |    CAST(NULL AS VARCHAR) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |snap AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 4),
+        |j AS (
+        |  SELECT d.o_orderkey AS dk, d.o_totalprice AS dv,
+        |    d.valid_from AS vf, s.o_orderkey AS sk, s.o_totalprice AS sv
+        |  FROM dim d FULL OUTER JOIN snap s
+        |    ON d.o_orderkey = s.o_orderkey)
+        |SELECT dk AS o_orderkey, dv AS o_totalprice, vf AS valid_from,
+        |  CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        |FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL
+        |  AND dv IS NOT DISTINCT FROM sv
+        |UNION ALL
+        |SELECT dk, dv, vf, '2026-01-01', FALSE
+        |FROM j WHERE dk IS NOT NULL
+        |  AND (sk IS NULL OR dv IS DISTINCT FROM sv)
+        |UNION ALL
+        |SELECT sk, sv, '2026-01-01', CAST(NULL AS VARCHAR), TRUE
+        |FROM j WHERE sk IS NOT NULL
+        |  AND (dk IS NULL OR dv IS DISTINCT FROM sv)
+        |ORDER BY o_orderkey, valid_from, is_current""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 maintenance — the warehouse-ETL
+  * op the reference's target toolchain ships as Kettle's "Dimension
+  * lookup/update" step (the reference generates Kettle pipelines;
+  * this is the Spark-native version of the step its users reach for
+  * next). Given the dimension's current state and a fresh source
+  * snapshot, emit the new dimension: changed rows close their old
+  * version and open a new one, new keys insert, vanished keys close.
+  *
+  * Scale shape: exactly the DiffSync C15 pattern — ONE full-outer
+  * equi-join on the business key between the CURRENT version slice
+  * and the snapshot (sort-merge, AQE-skew-splittable), history rows
+  * pass through untouched by union. No windows, no per-key state:
+  * version chaining needs only the is_current slice because SCD2
+  * never rewrites closed versions.
+  */
+object Scd2 {
+
+  /** Apply `snapshot` to `dim` as of `ts`.
+    *
+    * `dim` columns: `pk`, `compareCols…`, `valid_from`, `valid_to`,
+    * `is_current`; `snapshot` columns: `pk`, `compareCols…`. Returns
+    * the full new dimension with the same columns.
+    *
+    *  - value change → old version closed (`valid_to = ts`,
+    *    `is_current = false`) + new open version (`valid_from = ts`);
+    *  - new key → open version inserted;
+    *  - key absent from the snapshot → version closed (a disappearance
+    *    IS observable here, unlike the reference's re-sync — same
+    *    semantics as DiffSync's DELETE classification);
+    *  - unchanged → row passes through untouched.
+    *
+    * Comparison is null-safe (`<=>`) per column.
+    */
+  def apply2(dim: DataFrame, snapshot: DataFrame, pk: String,
+      compareCols: Seq[String], ts: Column): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must not be empty")
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    require(meta.forall(dim.columns.contains),
+      s"dim must carry ${meta.mkString(", ")}")
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+    val snap = snapshot.select((col(pk).as("__spk") +:
+      compareCols.map(c => col(c).as(s"__s_$c"))): _*)
+    val joined = current.join(snap, col(pk) === col("__spk"), "full_outer")
+    val same = compareCols.map(c => col(c) <=> col(s"__s_$c"))
+      .reduce(_ && _)
+    val dimCols = dim.columns.map(col).toSeq
+
+    // unchanged current rows (key on both sides, values equal)
+    val unchanged = joined
+      .filter(col(pk).isNotNull && col("__spk").isNotNull && same)
+      .select(dimCols: _*)
+    // closed versions: value changed, or key vanished from the snapshot
+    val closed = joined
+      .filter(col(pk).isNotNull && (col("__spk").isNull || !same))
+      .select(dim.columns.map {
+        case "valid_to" => ts.as("valid_to")
+        case "is_current" => lit(false).as("is_current")
+        case c => col(c)
+      }.toSeq: _*)
+    // opened versions: changed values or brand-new key — from snapshot
+    val opened = joined
+      .filter(col("__spk").isNotNull && (col(pk).isNull || !same))
+      .select(dim.columns.map {
+        case `pk` => col("__spk").as(pk)
+        case "valid_from" => ts.as("valid_from")
+        case "valid_to" => lit(null).cast(dim.schema("valid_to").dataType)
+          .as("valid_to")
+        case "is_current" => lit(true).as("is_current")
+        case c if compareCols.contains(c) => col(s"__s_$c").as(c)
+        case c => col(c)
+      }.toSeq: _*)
+    history.unionByName(unchanged).unionByName(closed).unionByName(opened)
+  }
+}

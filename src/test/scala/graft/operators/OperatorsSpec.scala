@@ -199,6 +199,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(avg(zSpans.map(_._2)) < 44.0, s"y spans ${zSpans.map(_._2).toSeq}")
   }
 
+  test("scd2: change, insert, delete, unchanged, history passthrough") {
+    import spark.implicits._
+    val dim = Seq(
+      // closed history row must pass through untouched
+      (1L, "old", "2024-01-01", Some("2025-01-01"), false),
+      (1L, "a", "2025-01-01", None, true),    // will change to "a2"
+      (2L, "b", "2025-01-01", None, true),    // unchanged
+      (3L, "c", "2025-01-01", None, true))    // vanishes from snapshot
+      .toDF("id", "v", "valid_from", "valid_to", "is_current")
+    val snap = Seq((1L, "a2"), (2L, "b"), (4L, "d")) // 4 is new
+      .toDF("id", "v")
+    val out = Scd2.apply2(dim, snap, "id", Seq("v"), lit("2026-01-01"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)), r.getBoolean(4))).toSet
+    assert(rows === Set(
+      (1L, "old", "2024-01-01", Some("2025-01-01"), false), // history
+      (1L, "a", "2025-01-01", Some("2026-01-01"), false),   // closed
+      (1L, "a2", "2026-01-01", None, true),                 // reopened
+      (2L, "b", "2025-01-01", None, true),                  // unchanged
+      (3L, "c", "2025-01-01", Some("2026-01-01"), false),   // deleted
+      (4L, "d", "2026-01-01", None, true)))                 // inserted
+    // applying the same snapshot again only closes the vanished key's
+    // already-closed chain nothing further: current slice now equals
+    // the snapshot → fixpoint
+    val again = Scd2.apply2(out, snap, "id", Seq("v"), lit("2027-01-01"))
+    assert(again.filter(col("is_current")).count() === 3)
+    assert(again.count() === out.count())
+  }
+
   test("resample interpolation: line between observations, flat edges") {
     import spark.implicits._
     // key k: observations at buckets 0 (v=10) and 30 (v=40); buckets
