@@ -1054,6 +1054,23 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "txt_script_profile" -> ((s, dir) => {
+      // script router over deterministically mixed text: every 4th doc
+      // gains a CJK block, every 4th+2 a Cyrillic block, sized by
+      // doc_id so dominance flips for some docs and not others
+      val mixed = concat(col("text"),
+        when(col("doc_id") % 4 === 1,
+          repeat(lit("文"), (pmod(col("doc_id"), lit(50)) * 10)
+            .cast("int"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 2,
+          repeat(lit("д"), (pmod(col("doc_id"), lit(40)) * 12)
+            .cast("int"))).otherwise(lit("")))
+      graft.functions.TextAnalysis.scriptProfile(
+        t(s, dir, "documents").select(col("doc_id"), mixed.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "txt_gopher_quality" -> ((s, dir) => {
       // Gopher filter battery over a deterministically constructed
       // multiline doc (the corpus text is single-line): even doc_ids
@@ -1355,6 +1372,17 @@ object SparkEntry {
           Seq("o_orderkey"), nBuckets = 64)
         .select(col("o_orderkey"), col(DiffSync.FlagCol).as("row_state"))
         .orderBy(col("o_orderkey"))),
+
+    "c21_sampled_diff" -> ((s, dir) =>
+      // sampled spot-check audit: both sides keep the same
+      // deterministic 1/8 PK-hash slice (portable md5 mod), full
+      // classification on the sliver only — row_state histogram
+      // included so sampling bias would surface as a count shift
+      graft.operators.DiffSync.sampledDiff(diffSrc(s, dir),
+          diffTgt(s, dir), Seq("o_orderkey"), modulus = 8)
+        .groupBy(col(graft.operators.DiffSync.FlagCol).as("row_state"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("row_state"))),
 
     "c20_scd2_apply" -> ((s, dir) => {
       // SCD Type-2 dimension maintenance (Kettle "Dimension
@@ -2397,6 +2425,42 @@ object SparkEntry {
         |    t -> len(list_filter(tk, x -> x = t)))) AS max_tok_freq
         |FROM toks ORDER BY doc_id""".stripMargin,
 
+    "txt_script_profile" ->
+      // same construction (repeat+chr), same RE2 \x{...} classes, 'g'
+      // flag for replace-all, same tie-break CASE chain
+      """WITH m AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 1
+        |      THEN repeat('文', CAST(doc_id % 50 AS INT) * 10)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2
+        |      THEN repeat('д', CAST(doc_id % 40 AS INT) * 12)
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]',
+        |      '', 'g')) AS BIGINT) AS n_cjk,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(t) - length(regexp_replace(t,
+        |      '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic
+        |  FROM m)
+        |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic,
+        |  floor(n_latin / greatest(n_latin + n_cjk + n_cyrillic
+        |    + n_arabic, 1) * 10000) / 10000 AS frac_latin,
+        |  floor(n_cjk / greatest(n_latin + n_cjk + n_cyrillic
+        |    + n_arabic, 1) * 10000) / 10000 AS frac_cjk,
+        |  CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+        |      AND n_latin >= n_arabic THEN 'latin'
+        |    WHEN n_cjk >= n_cyrillic AND n_cjk >= n_arabic THEN 'cjk'
+        |    WHEN n_cyrillic >= n_arabic THEN 'cyrillic'
+        |    ELSE 'arabic' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "txt_gopher_quality" ->
       // replays the doc construction, then every Gopher metric with
       // DuckDB list folds; thresholds apply to the QUANTIZED values,
@@ -3064,6 +3128,32 @@ object SparkEntry {
         |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
         |SELECT o_orderkey, row_state FROM d
         |WHERE row_state <> 'identical' ORDER BY o_orderkey""".stripMargin,
+
+    "c21_sampled_diff" ->
+      // same md5-mod slice on both sides, then the c15 classification
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 4
+        |    AND CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 8 = 0),
+        |tgt AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |    AND CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 8 = 0),
+        |d AS (
+        |  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |    CASE WHEN t.o_orderkey IS NULL THEN 'new'
+        |         WHEN s.o_orderkey IS NULL THEN 'deleted'
+        |         WHEN s.o_custkey IS DISTINCT FROM t.o_custkey
+        |           OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+        |           THEN 'changed'
+        |         ELSE 'identical' END AS row_state
+        |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+        |SELECT row_state, COUNT(*) AS n FROM d
+        |GROUP BY row_state ORDER BY row_state""".stripMargin,
 
     "c20_scd2_apply" ->
       // full-outer diff on the business key; IS NOT DISTINCT FROM =

@@ -76,6 +76,36 @@ object TextAnalysis {
       lit(1.0)), lit(0.0)))
   }
 
+  /** Unicode script composition — the router in front of every
+    * script-sensitive stage (whitespace tokenization is Latin-centric;
+    * docs dominated by unsegmented scripts go to `Dedup.shingles`
+    * instead, per the documented CJK limitation). Counts characters in
+    * the Latin, CJK (Han + kana + Hangul), Cyrillic, and Arabic
+    * blocks (map-only regexp count via replace-diff, codegen'd) and
+    * names the dominant script with a fixed priority tie-break
+    * (latin > cjk > cyrillic > arabic).
+    */
+  def scriptProfile(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), cls, ""))).cast("bigint")
+    val latin = cnt("[A-Za-z\\x{00C0}-\\x{024F}]")
+    val cjk = cnt("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]")
+    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
+    val arab = cnt("[\\x{0600}-\\x{06FF}]")
+    val total = greatest(latin + cjk + cyr + arab, lit(1L)).cast("double")
+    df.select(col(idCol),
+      latin.as("n_latin"), cjk.as("n_cjk"), cyr.as("n_cyrillic"),
+      arab.as("n_arabic"),
+      q4(latin / total).as("frac_latin"),
+      q4(cjk / total).as("frac_cjk"),
+      when(latin >= cjk && latin >= cyr && latin >= arab, lit("latin"))
+        .when(cjk >= cyr && cjk >= arab, lit("cjk"))
+        .when(cyr >= arab, lit("cyrillic"))
+        .otherwise(lit("arabic")).as("dominant"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", appendix A1.1 — public paper): the
     * standard web-corpus filter battery. Per document:

@@ -85,6 +85,30 @@ object DiffSync {
       .select(outPk ++ outVals :+ flag.as(FlagCol): _*)
   }
 
+  /** Sampled spot-check diff — the 100 TB migration-audit shape when
+    * even the digest pass is too much I/O: BOTH sides keep only the
+    * deterministic `1/modulus` PK-hash slice (md5-derived, engine-
+    * portable, so source and target select the SAME keys with no
+    * coordination), then run the full diff classification on the
+    * sample. A clean sample bounds the row-error rate at roughly
+    * 3/sample_size with 95% confidence (rule of three); any hit
+    * escalates to `digestDiff`/`diff` on the affected range.
+    *
+    * The sample filter is a map-side predicate on the scan — at a
+    * bucketed/partitioned store it prunes I/O before the network, and
+    * the diff join shuffles only the sliver.
+    */
+  def sampledDiff(source: DataFrame, target: DataFrame,
+      pkCols: Seq[String], modulus: Int, slot: Int = 0): DataFrame = {
+    require(modulus > 0 && slot >= 0 && slot < modulus,
+      s"need 0 <= slot < modulus, got slot=$slot modulus=$modulus")
+    def keep(df: DataFrame): DataFrame = df.filter(
+      pmod(conv(substring(md5(concat_ws("|",
+          pkCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
+        .cast("bigint"), lit(modulus)) === slot)
+    diff(keep(source), keep(target), pkCols)
+  }
+
   /** Per-bucket digests for Merkle-style change detection: rows hash to
     * `nBuckets` buckets by PK, each bucket aggregates (row count,
     * XOR of full-row hashes). Equal digests ⇒ identical bucket content

@@ -780,6 +780,29 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getDecimal(3).doubleValue() === 3.0)
   }
 
+  test("script profile: counts, dominance, tie priority") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "日本語のテキストです"),
+      (3L, "привет мир"),
+      (4L, "مرحبا"),
+      (5L, "ab 文字"),   // tie 2-2 → latin wins by priority
+      (6L, "123 !?")     // no letters at all
+    ).toDF("id", "text")
+    val out = TextAnalysis.scriptProfile(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[String]("dominant") === "latin")
+    assert(out(2).getAs[String]("dominant") === "cjk")
+    assert(out(3).getAs[String]("dominant") === "cyrillic")
+    assert(out(4).getAs[String]("dominant") === "arabic")
+    assert(out(5).getAs[String]("dominant") === "latin")
+    assert(out(5).getLong(1) === 2L) // n_latin
+    assert(out(5).getLong(2) === 2L) // n_cjk
+    assert(out(6).getLong(1) === 0L)
+    assert(out(6).getAs[String]("dominant") === "latin") // all-zero tie
+  }
+
   test("url canonicalization: ports, params, slashes, fragments, www") {
     import spark.implicits._
     val cases = Seq(

@@ -199,6 +199,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(avg(zSpans.map(_._2)) < 44.0, s"y spans ${zSpans.map(_._2).toSeq}")
   }
 
+  test("sampledDiff: same slice both sides, disjoint slots cover all") {
+    import spark.implicits._
+    val src = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val tgt = (1L to 200L).filter(_ % 5 != 0)
+      .map(i => (i, if (i % 7 == 0) s"x$i" else s"v$i")).toDF("id", "v")
+    val all = (0 until 4).map(slot =>
+      DiffSync.sampledDiff(src, tgt, Seq("id"), modulus = 4, slot = slot)
+        .filter(col(DiffSync.FlagCol) =!= "identical")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet)
+    // slots are disjoint and union to the full unsampled diff
+    assert(all.map(_.size).sum === all.reduce(_ ++ _).size)
+    val full = DiffSync.diff(src, tgt, Seq("id"))
+      .filter(col(DiffSync.FlagCol) =!= "identical")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(all.reduce(_ ++ _) === full)
+  }
+
   test("scd2: change, insert, delete, unchanged, history passthrough") {
     import spark.implicits._
     val dim = Seq(
