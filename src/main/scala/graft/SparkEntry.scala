@@ -1223,6 +1223,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "events_funnel" -> ((s, dir) =>
+      // ordered conversion funnel view → click → purchase: per-step
+      // partial-agg'd mins chained on the user key (partitioning
+      // reused, no windows); unreached steps stay null
+      graft.operators.Sessionize.funnel(events(s, dir), "user_id",
+          unix_micros(col("ts")), "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
     "events_sessionize" -> ((s, dir) =>
       // gap-based sessionization (30-min) + per-session rollup: one
       // shuffle on user_id shared by the windows AND the aggregation
@@ -2862,6 +2871,31 @@ object SparkEntry {
         |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS n_distinct_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_funnel" ->
+      // step-i min constrained to ≥ step-(i−1)'s min, chained joins
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts_us) AS step1_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(ts_us) AS step2_us
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'click' AND ts_us >= step1_us
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(ts_us) AS step3_us
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE event_type = 'purchase' AND ts_us >= step2_us
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, step1_us, step2_us, step3_us,
+        |  CAST(CASE WHEN step3_us IS NOT NULL THEN 3
+        |    WHEN step2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |    AS max_step
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

@@ -38,6 +38,45 @@ object Sessionize {
       .drop("__is_new")
   }
 
+  /** Ordered funnel analysis: for each user, the earliest time each
+    * step was reached IN ORDER (step i counts only at-or-after step
+    * i−1's time) — the product-analytics conversion query, and the
+    * batch shape of streaming pattern detection. Returns one row per
+    * user who reached step 1: (user, step1_us … stepN_us, max_step);
+    * unreached steps are null.
+    *
+    * Plan: one partial-agg'd min per step, chained by equi-joins on
+    * the user key — every join and aggregation clusters on the SAME
+    * key, so AQE reuses the partitioning and each step adds no new
+    * full-data shuffle (the step filters cut the event stream before
+    * its first shuffle). No windows, no per-user state: at 100 TB the
+    * per-step frames are tiny relative to raw events.
+    */
+  def funnel(events: DataFrame, userCol: String, tsUs: Column,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol), tsUs.as("__ts"),
+      col(typeCol).as("__type"))
+    var acc = ev.filter(col("__type") === steps.head)
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("step1_us"))
+    steps.tail.zipWithIndex.foreach { case (st, idx) =>
+      val i = idx + 2
+      val next = ev.filter(col("__type") === st)
+        .join(acc.select(col(userCol), col(s"step${i - 1}_us")),
+          Seq(userCol))
+        .filter(col("__ts") >= col(s"step${i - 1}_us"))
+        .groupBy(col(userCol)).agg(min(col("__ts")).as(s"step${i}_us"))
+      acc = acc.join(next, Seq(userCol), "left")
+    }
+    // ascending wrap so the HIGHEST reached step is the outermost
+    // condition: when(stepN, N).otherwise(when(stepN-1, ...) ...)
+    val maxStep = (2 to steps.length).foldLeft(lit(1L): Column) {
+      (els, i) =>
+        when(col(s"step${i}_us").isNotNull, lit(i.toLong)).otherwise(els)
+    }
+    acc.withColumn("max_step", maxStep)
+  }
+
   /** Per-session rollup: event count, first/last timestamp (µs), exact
     * decimal sum of `valueCol` surfaced as double.
     */

@@ -199,6 +199,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(avg(zSpans.map(_._2)) < 44.0, s"y spans ${zSpans.map(_._2).toSeq}")
   }
 
+  test("funnel: order constraint, null tail, max_step prefers highest") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full in-order funnel
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // user 2: purchase BEFORE click → step3 must not count
+      (2L, 100L, "view"), (2L, 300L, "click"), (2L, 200L, "purchase"),
+      // user 3: view only
+      (3L, 50L, "view"),
+      // user 4: click/purchase but never view → excluded entirely
+      (4L, 10L, "click"), (4L, 20L, "purchase"))
+      .toDF("user_id", "ts_us", "event_type")
+    val out = Sessionize.funnel(ev, "user_id", col("ts_us"),
+      "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((Some(100L), Some(200L), Some(300L), 3L)))
+    assert(out(2L) === ((Some(100L), Some(300L), None, 2L)))
+    assert(out(3L) === ((Some(50L), None, None, 1L)))
+  }
+
   test("sampledDiff: same slice both sides, disjoint slots cover all") {
     import spark.implicits._
     val src = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
