@@ -1352,6 +1352,22 @@ object SparkEntry {
           unix_micros(col("ts")), binUs = 3600000000L, "value")
         .orderBy(col("event_type"), col("bucket_us"))),
 
+    "profile_zscore" -> ((s, dir) =>
+      // per-segment z-score outliers on order totals: exact decimal
+      // moments (partition-order-independent variance), one partial-
+      // agg'd stats shuffle + join-back
+      graft.operators.Profile.zscoreOutliers(
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            col("o_totalprice")),
+        "c_mktsegment", "o_totalprice")
+        .select(col("c_mktsegment"), col("o_orderkey"), col("zscore"),
+          col("is_outlier"))
+        .orderBy(col("o_orderkey"))),
+
     "profile_orders" -> ((s, dir) =>
       // per-column migration profile: one scan, one single-row agg
       // (exact distinct via Expand), canonical min/max strings
@@ -3037,6 +3053,35 @@ object SparkEntry {
         |FROM err JOIN sess ON err.user_id = sess.user_id
         |  AND err.ts_us BETWEEN sess.start_us AND sess.end_us
         |ORDER BY err.event_id""".stripMargin,
+
+    "profile_zscore" ->
+      // exact decimal (n, Σx, Σx²) per group; identical double
+      // arithmetic for mean/var/z on both sides
+      """WITH base AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice IS NOT NULL),
+        |st AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+    |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s,
+        |    -- DuckDB multiply needs w1+w2 <= 38: 19+19 fits exactly,
+        |    -- values identical to Spark's (18,4)x(18,4)
+        |    SUM(CAST(o_totalprice AS DECIMAL(19,4))
+        |      * CAST(o_totalprice AS DECIMAL(19,4))) AS s2
+        |  FROM base GROUP BY c_mktsegment),
+        |z AS (
+        |  SELECT b.c_mktsegment, b.o_orderkey,
+        |    CASE WHEN n > 1 AND (CAST(s2 AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0
+        |      THEN (CAST(o_totalprice AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |        / sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+        |      ELSE 0.0 END AS zr
+        |  FROM base b JOIN st USING (c_mktsegment))
+        |SELECT c_mktsegment, o_orderkey,
+        |  floor(zr * 10000) / 10000 AS zscore,
+        |  abs(floor(zr * 10000) / 10000) > 2.5 AS is_outlier
+        |FROM z ORDER BY o_orderkey""".stripMargin,
 
     "profile_histogram" ->
       """WITH mm AS (

@@ -100,6 +100,47 @@ object Profile {
     * one bucket; nulls are excluded (they're profile()'s n_nonnull
     * business).
     */
+  /** Per-group z-score outlier flags — the migration-audit anomaly
+    * check (a copied column whose distribution shifted) and the
+    * curation outlier filter, in one shape.
+    *
+    * Moments are computed from EXACT decimal sums (n, Σx, Σx²) so the
+    * group variance is the textbook (Σx² − (Σx)²/n)/(n−1) evaluated
+    * identically in any engine — a double Welford accumulation would
+    * be partition-order dependent and engine-specific. The groupBy is
+    * partial-agg'd (three numbers per group per partition through the
+    * shuffle); stats join back broadcast-or-shuffled at AQE's
+    * discretion. Output: one row per input row with the quantized
+    * z-score and the |z| > `threshold` flag; single-row groups get
+    * z = 0 (no sample variance).
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 2.5): DataFrame = {
+    // decimal(18,4): the repo-wide portable cast (ties at scale 4
+    // don't round on this data); its square decimal(37,8) stays under
+    // both engines' 38-digit cap
+    val x = col(valueCol).cast("decimal(18,4)")
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"),
+        sum(x * x).as("__s2"))
+      .select(col(groupCol), col("__n"),
+        (col("__s").cast("double") / col("__n")).as("__mean"),
+        when(col("__n") > 1,
+          (col("__s2").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") /
+              col("__n")) / (col("__n") - 1))
+          .otherwise(lit(0.0)).as("__var"))
+    val z = when(col("__var") > 0,
+      (col(valueCol).cast("double") - col("__mean")) / sqrt(col("__var")))
+      .otherwise(lit(0.0))
+    df.filter(col(valueCol).isNotNull)
+      .join(stats, Seq(groupCol))
+      .withColumn("zscore", floor(z * 10000) / 10000)
+      .withColumn("is_outlier", abs(col("zscore")) > threshold)
+      .drop("__n", "__mean", "__var")
+  }
+
   def histogram(df: DataFrame, colName: String, nBuckets: Int = 10): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val v = col(colName).cast("double")

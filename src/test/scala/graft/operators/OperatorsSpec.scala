@@ -199,6 +199,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(avg(zSpans.map(_._2)) < 44.0, s"y spans ${zSpans.map(_._2).toSeq}")
   }
 
+  test("zscore outliers: flags the planted point, single-row group z=0") {
+    import spark.implicits._
+    val df = (Seq.fill(20)(10.0) ++ Seq(10.5, 9.5, 100.0))
+      .zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "id", "v")
+      .union(Seq(("solo", 99L, 42.0)).toDF("grp", "id", "v"))
+    val out = Profile.zscoreOutliers(df, "grp", "v")
+      .collect().map(r => r.getLong(1) ->
+        (r.getAs[Double]("zscore"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(out(22L)._2, "planted 100.0 must flag")   // the outlier
+    assert(!out(0L)._2 && !out(20L)._2)
+    assert(out(99L) === ((0.0, false)))              // single-row group
+    assert(out.count(_._2._2) === 1)
+  }
+
   test("funnel: order constraint, null tail, max_step prefers highest") {
     import spark.implicits._
     val ev = Seq(
