@@ -735,9 +735,14 @@ object SparkEntry {
       val aug = naturals.union(noised)
       val projCorpus = aug.select(col("vec_id"),
         Similarity.randomProject(col("embedding"), 16, 64).as("embedding"))
-      val projQueries = naturals.select(col("vec_id").as("query_id"),
-        Similarity.randomProject(col("embedding"), 16, 64).as("qvec"))
-      val truth = emb.select(col("vec_id"),
+      // every 10th natural queries (the corpus stays full-size): the
+      // brute-force probe is |queries|×|corpus| pairs — all 5000
+      // naturals would be 50M pairs for no extra statistical power
+      val projQueries = naturals.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"),
+          Similarity.randomProject(col("embedding"), 16, 64).as("qvec"))
+      val truth = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"),
           transform(col("embedding"), noise).as("w"))
         .select(col("vec_id"),
@@ -1397,6 +1402,38 @@ object SparkEntry {
           Seq("o_orderkey"), nBuckets = 64)
         .select(col("o_orderkey"), col(DiffSync.FlagCol).as("row_state"))
         .orderBy(col("o_orderkey"))),
+
+    "c22_incremental_agg" -> ((s, dir) => {
+      // incremental MV maintenance: combine(state(history),
+      // state(delta)) replayed against the oracle's aggregate over
+      // ALL rows — the equivalence IS the gate. Only the delta is
+      // scanned at refresh time; the join is keys-sized.
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      val hist = ord.filter(col("o_orderkey") % 5 < 3)
+      val delta = ord.filter(col("o_orderkey") % 5 >= 3)
+      val I = graft.operators.Incremental
+      I.combine(
+          I.aggState(hist, "o_custkey", Seq("o_totalprice")),
+          I.aggState(delta, "o_custkey", Seq("o_totalprice")),
+          "o_custkey", Seq("o_totalprice"))
+        .select(col("o_custkey"), col("n_rows"),
+          col("sum_o_totalprice").cast("double").as("sum_price"),
+          col("min_o_totalprice").as("min_price"),
+          col("max_o_totalprice").as("max_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "c23_latest_by_key" -> ((s, dir) =>
+      // CDC/upsert compaction: newest event per user via a partial-
+      // agg'd struct-max argmax (map-side combine; no per-key window
+      // a hot key could pin to one task)
+      graft.operators.Incremental.latestByKey(
+        events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), col("value")),
+        "user_id", "ts_us", "event_id", Seq("event_type", "value"))
+        .orderBy(col("user_id"))),
 
     "c21_sampled_diff" -> ((s, dir) =>
       // sampled spot-check audit: both sides keep the same
@@ -2241,8 +2278,9 @@ object SparkEntry {
         |FROM cosv WHERE cos >= 0.9""".stripMargin,
 
     "sim_projection_recall" ->
-      // identical truth side to sim_ivf_recall; recall_ok asserts the
-      // 16-dim projected search still recovers ≥90% of the twins
+      // truth side = sim_ivf_recall's restricted to the every-10th
+      // query slice; recall_ok asserts the 16-dim projected search
+      // still recovers ≥90% of those twins
       """WITH p AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -2250,7 +2288,7 @@ object SparkEntry {
         |      + CAST(0.04 AS DOUBLE)
         |        * (CAST((vec_id * 31 + (i - 1) * 17) % 19 - 9 AS DOUBLE)
         |           / CAST(9 AS DOUBLE))) AS w
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id % 10 = 0),
         |cosv AS (
         |  SELECT vec_id,
         |    list_sum(list_transform(range(1, 65), i -> v[i] * w[i]))
@@ -3207,6 +3245,24 @@ object SparkEntry {
         |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
         |SELECT o_orderkey, row_state FROM d
         |WHERE row_state <> 'identical' ORDER BY o_orderkey""".stripMargin,
+
+    "c22_incremental_agg" ->
+      // the oracle aggregates EVERYTHING in one pass; matching it
+      // proves combine(state, delta) == full rescan
+      """SELECT o_custkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "c23_latest_by_key" ->
+      """SELECT user_id, ts_us, event_id, event_type, value FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    value, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "c21_sampled_diff" ->
       // same md5-mod slice on both sides, then the c15 classification

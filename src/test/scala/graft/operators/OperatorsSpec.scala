@@ -199,6 +199,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(avg(zSpans.map(_._2)) < 44.0, s"y spans ${zSpans.map(_._2).toSeq}")
   }
 
+  test("incremental: combine(state, delta) == full rescan; latestByKey") {
+    import spark.implicits._
+    val full = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0),
+      (2L, -1.0), (4L, 0.0)).zipWithIndex
+      .map { case ((k, v), i) => (i.toLong, k, v) }
+      .toDF("id", "k", "v")
+    val hist = full.filter(col("id") < 3)   // keys 1, 1, 2
+    val delta = full.filter(col("id") >= 3) // keys 3, 2, 4 (new + update)
+    val got = Incremental.combine(
+      Incremental.aggState(hist, "k", Seq("v")),
+      Incremental.aggState(delta, "k", Seq("v")), "k", Seq("v"))
+    val want = Incremental.aggState(full, "k", Seq("v"))
+    assert(got.orderBy("k").collect().toSeq ===
+      want.orderBy("k").collect().toSeq)
+    // latestByKey: ts ties break on the id column
+    val cdc = Seq((1L, 100L, 7L, "a"), (1L, 100L, 9L, "b"),
+      (1L, 50L, 99L, "c"), (2L, 10L, 1L, "d"))
+      .toDF("k", "ts", "id", "payload")
+    val latest = Incremental.latestByKey(cdc, "k", "ts", "id",
+      Seq("payload")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    assert(latest === Map(1L -> ((100L, 9L, "b")),
+      2L -> ((10L, 1L, "d"))))
+  }
+
   test("zscore outliers: flags the planted point, single-row group z=0") {
     import spark.implicits._
     val df = (Seq.fill(20)(10.0) ++ Seq(10.5, 9.5, 100.0))
