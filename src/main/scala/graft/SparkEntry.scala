@@ -735,13 +735,18 @@ object SparkEntry {
       val aug = naturals.union(noised)
       val projCorpus = aug.select(col("vec_id"),
         Similarity.randomProject(col("embedding"), 16, 64).as("embedding"))
-      // every 10th natural queries (the corpus stays full-size): the
-      // brute-force probe is |queries|×|corpus| pairs — all 5000
-      // naturals would be 50M pairs for no extra statistical power
-      val projQueries = naturals.filter(col("vec_id") % 10 === 0)
+      // ~500 query vectors regardless of scale (the corpus stays
+      // full-size): the brute-force probe is |queries|×|corpus| pairs,
+      // so a fixed modulus would grow the probe QUADRATICALLY with SF
+      // (5000 queries × 100k corpus = 500M pairs at sf0.1). The
+      // modulus is n/500, floored at 10 — exactly 10 at sf0.01, which
+      // pins the oracle's `vec_id % 10 = 0` slice; the count() is a
+      // parquet metadata-only job.
+      val qMod = math.max(10L, emb.count() / 500L)
+      val projQueries = naturals.filter(col("vec_id") % qMod === 0)
         .select(col("vec_id").as("query_id"),
           Similarity.randomProject(col("embedding"), 16, 64).as("qvec"))
-      val truth = emb.filter(col("vec_id") % 10 === 0)
+      val truth = emb.filter(col("vec_id") % qMod === 0)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"),
           transform(col("embedding"), noise).as("w"))
@@ -1176,6 +1181,63 @@ object SparkEntry {
           pmod(col("o_custkey"), lit(1024L)),
           pmod(col("o_orderkey"), lit(1024L))), 10).as("zval"))
         .orderBy(col("o_orderkey"))),
+
+    "layout_minmax_prune" -> ((s, dir) => {
+      // zone-map data skipping: per-"file" min/max stats (file = an
+      // orderkey-clustered slice, so l_orderkey envelopes are tight
+      // and disjoint) plus the prune verdict for a range predicate on
+      // the clustered key (skips almost every file) and the same test
+      // on an unclustered column (skips none) — the case for
+      // clustering, measured. Stats are files-sized: the planner
+      // consults them without touching data.
+      val L = graft.operators.Layout
+      L.minMaxStats(t(s, dir, "lineitem"),
+          floor(col("l_orderkey") / 1000).cast("long"),
+          Seq("l_orderkey", "l_extendedprice"))
+        .select(col("file_id"), col("n_rows"),
+          col("min_l_orderkey"), col("max_l_orderkey"),
+          L.canPrune("l_orderkey", lit(10000L), lit(20000L))
+            .as("pruned_clustered"),
+          L.canPrune("l_extendedprice", lit(10000.0), lit(20000.0))
+            .as("pruned_unclustered"))
+        .orderBy(col("file_id"))
+    }),
+
+    "layout_compaction_plan" -> ((s, dir) => {
+      // small-file compaction planning: per-partition file inventory
+      // (size = floor(totalprice) as the deterministic byte proxy —
+      // floor BEFORE the bigint cast, since Spark truncates and DuckDB
+      // rounds on double→bigint), then start-offset binning into
+      // ~6 MB output bins — the window is partitioned per table
+      // partition, so planning parallelizes across partitions
+      val files = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("part"),
+          floor(col("o_orderkey") / 200).cast("long").as("file_id"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("size_bytes"))
+      graft.operators.Layout.compactionPlan(files, Seq("part"),
+          "file_id", "size_bytes", targetSize = 6000000L)
+        .orderBy(col("part"), col("file_id"))
+    }),
+
+    "q_approx_distinct" -> ((s, dir) =>
+      // HLL sketch audit: approx_count_distinct must sit within 6% of
+      // the exact count per group (rsd = 0.02) — the pre-flight a
+      // sketch-only 100 TB profile runs on a slice before dropping
+      // the exact (Expand-heavy) path. Oracle asserts ok = TRUE and
+      // replays the exact counts.
+      graft.operators.Profile.sketchDistinctAudit(
+        events(s, dir), "event_type", "user_id", rsd = 0.02, tol = 0.06)
+        .orderBy(col("event_type"))),
+
+    "q_approx_quantiles" -> ((s, dir) =>
+      // quantile sketch audit: percentile_approx's estimate must land
+      // within its RANK-error contract (1/accuracy), measured as the
+      // fraction of rows ≤ estimate vs the requested p — value error
+      // is unbounded on skewed data, rank error is the guarantee
+      graft.operators.Profile.quantileAudit(
+        t(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.95), accuracy = 100, tol = 0.02)
+        .orderBy(col("p"))),
 
     "dedup_cluster_cc" -> ((s, dir) => {
       // duplicate CLUSTERS from the pairwise LSH+Jaccard edges:
@@ -2716,6 +2778,47 @@ object SparkEntry {
         |    + (((o_orderkey % 1024) >> j) & 1) * (CAST(1 AS BIGINT) << (2 * j + 1))
         |  )) AS BIGINT) AS zval
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "layout_minmax_prune" ->
+      // zone-map stats + the standard envelope-miss skip test
+      """WITH s AS (
+        |  SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS file_id,
+        |    count(*) AS n_rows,
+        |    min(l_orderkey) AS min_l_orderkey,
+        |    max(l_orderkey) AS max_l_orderkey,
+        |    min(l_extendedprice) AS mnp, max(l_extendedprice) AS mxp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT file_id, n_rows, min_l_orderkey, max_l_orderkey,
+        |  (max_l_orderkey < 10000 OR min_l_orderkey > 20000)
+        |    AS pruned_clustered,
+        |  (mxp < 10000.0 OR mnp > 20000.0) AS pruned_unclustered
+        |FROM s ORDER BY file_id""".stripMargin,
+
+    "layout_compaction_plan" ->
+      // start-offset binning replayed as an exclusive prefix sum
+      """WITH f AS (
+        |  SELECT o_orderpriority AS part,
+        |    CAST(floor(o_orderkey / 200.0) AS BIGINT) AS file_id,
+        |    sum(CAST(floor(o_totalprice) AS BIGINT)) AS size_bytes
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT part, file_id, size_bytes,
+        |  CAST(floor((sum(size_bytes) OVER (PARTITION BY part
+        |    ORDER BY file_id) - size_bytes) / 6000000.0) AS BIGINT)
+        |    AS bin
+        |FROM f ORDER BY part, file_id""".stripMargin,
+
+    "q_approx_distinct" ->
+      // the oracle's counts are exact; ok = TRUE asserts the Spark
+      // side's HLL landed inside its error contract
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_quantiles" ->
+      // rank-error contract holds by construction → every p is ok
+      """SELECT CAST(p AS DOUBLE) AS p, TRUE AS ok
+        |FROM unnest([0.25, 0.5, 0.75, 0.95]) t(p)
+        |ORDER BY p""".stripMargin,
 
     "dedup_span_coverage" ->
       // same gram slide, ≥2-doc filter, and running-max-end interval

@@ -36,6 +36,58 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** Per-file min/max column statistics — the data-skipping index a
+    * lakehouse scan prunes against (parquet row-group stats, Delta/
+    * Iceberg file stats, zone maps). One partial-agg'd groupBy on the
+    * file id; the stats table is files-sized, not rows-sized, so the
+    * planner consults it without touching data.
+    *
+    * `statCols` each yield `min_<c>` / `max_<c>`; `n_rows` rides along
+    * (it prices the skip decision).
+    */
+  def minMaxStats(df: DataFrame, fileCol: Column,
+      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "minMaxStats needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(fileCol.as("file_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Can a file be skipped for `lo <= c AND c <= hi`? True iff the
+    * file's [min, max] envelope misses the predicate range entirely —
+    * the standard zone-map test. Plain expression over the stats
+    * table; apply with `stats.withColumn("pruned", canPrune(...))`.
+    * A file whose stats are NULL (all-null column) never prunes —
+    * NULL-safe via coalesce(false).
+    */
+  def canPrune(statCol: String, lo: Column, hi: Column): Column =
+    coalesce(col(s"max_$statCol") < lo || col(s"min_$statCol") > hi,
+      lit(false))
+
+  /** Compaction (bin-packing) plan for the small-file problem: within
+    * each table partition, assign files in `orderCol` order to output
+    * bins of ~`targetSize` bytes via start-offset binning
+    * (bin = floor(exclusive-prefix-sum / target)). Deterministic —
+    * no greedy tie-breaks — and the window is PARTITIONED by the
+    * table partition, so planning 10M files across 10k partitions
+    * parallelizes; only a degenerate single-partition table
+    * serializes. The plan is files-sized; executing it is a
+    * per-bin coalesce-rewrite the caller schedules.
+    */
+  def compactionPlan(files: DataFrame, partCols: Seq[String],
+      orderCol: String, sizeCol: String, targetSize: Long): DataFrame = {
+    require(targetSize > 0, "targetSize must be positive")
+    require(!files.columns.contains("__start"),
+      "input column '__start' collides with the compactionPlan working column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    files
+      .withColumn("__start",
+        sum(col(sizeCol)).over(w) - col(sizeCol))
+      .withColumn("bin", floor(col("__start") / targetSize))
+      .drop("__start")
+  }
+
   /** Rewrite a DataFrame into z-clustered partitions: range-partition
     * by the z-value of `cols`' low `bits` bits, sort within partitions,
     * drop the helper column. Writing the result gives every file a

@@ -157,6 +157,56 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** HLL sketch audit: per-group exact distinct count next to the
+    * approx_count_distinct estimate, with an `ok` flag asserting the
+    * estimate honors its error contract (|approx − exact| ≤ tol·exact).
+    * This is the pre-flight a 100 TB profile run does on a small slice
+    * before trusting the sketch-only path (`profileAuto` past the
+    * Expand width cap): the exact side is the expensive one — run the
+    * audit at sample scale, then ship sketches alone.
+    *
+    * One groupBy computes both counts (exact distinct adds the Expand;
+    * that is the point of auditing on a slice).
+    */
+  def sketchDistinctAudit(df: DataFrame, groupCol: String,
+      valueCol: String, rsd: Double = 0.02,
+      tol: Double = 0.06): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_distinct(col(valueCol)).as("n_exact"),
+        approx_count_distinct(col(valueCol), rsd).as("__apx"))
+      .select(col(groupCol), col("n_exact"),
+        (abs(col("__apx") - col("n_exact")).cast("double") <=
+          lit(tol) * col("n_exact")).as("ok"))
+
+  /** Quantile sketch audit: for each requested percentile p, check the
+    * approx_percentile (Greenwald-Khanna style, 1/accuracy rank error)
+    * value against its contract — the fraction of rows ≤ the estimate
+    * must land in [p − tol, p + tol]. Rank error is the guarantee the
+    * sketch actually makes (value error is unbounded on skewed data),
+    * so that is what the audit measures.
+    *
+    * Two passes: a single-row sketch aggregate (mergeable partials —
+    * this is the 100 TB-cheap half), then one conditional-count pass
+    * over the data for the audit (the half you drop once trust is
+    * established). The sketch row is broadcast; no wide shuffle.
+    */
+  def quantileAudit(df: DataFrame, valueCol: String, ps: Seq[Double],
+      accuracy: Int = 100, tol: Double = 0.02): DataFrame = {
+    require(ps.nonEmpty, "ps must not be empty")
+    val psArr = array(ps.map(lit): _*)
+    val sk = df.agg(
+      percentile_approx(col(valueCol), psArr, lit(accuracy)).as("__vs"))
+    val perP = sk.select(posexplode(col("__vs")).as(Seq("__i", "__v")))
+      .select(element_at(psArr, col("__i") + 1).as("p"), col("__v"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(perP))
+      .groupBy(col("p"))
+      .agg((sum(when(col(valueCol) <= col("__v"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("__frac"))
+      .select(col("p"),
+        (abs(col("__frac") - col("p")) <= lit(tol)).as("ok"))
+  }
+
   /** Migration audit: profiles of source and target, full-outer joined
     * per column, with a per-column verdict. `cols_match = true` means
     * every metric agrees — the column copied intact.

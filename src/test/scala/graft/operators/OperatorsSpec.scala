@@ -199,6 +199,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(avg(zSpans.map(_._2)) < 44.0, s"y spans ${zSpans.map(_._2).toSeq}")
   }
 
+  test("minMaxStats + canPrune: envelope-miss skips, overlap keeps, all-null never prunes") {
+    import spark.implicits._
+    // files 0/1/2 hold v in [0,9]/[10,19]/[20,29]; w is NULL in file 2
+    val df = (0 until 30).map(i => (i / 10, i.toLong,
+      if (i < 20) Some(i.toLong) else None)).toDF("f", "v", "w")
+    val stats = Layout.minMaxStats(df, col("f"), Seq("v", "w"))
+    val pruned = stats.select(col("file_id"),
+        Layout.canPrune("v", lit(12L), lit(15L)).as("pv"),
+        Layout.canPrune("w", lit(100L), lit(200L)).as("pw"))
+      .collect().map(r => r.getInt(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(pruned(0) === ((true, true)))   // v:[0,9] misses [12,15]
+    assert(pruned(1) === ((false, true)))  // v:[10,19] overlaps
+    assert(pruned(2) === ((true, false)))  // w all-null → never prunes
+    val n = stats.filter(col("file_id") === 1).head()
+    assert(n.getAs[Long]("n_rows") === 10L &&
+      n.getAs[Long]("min_v") === 10L && n.getAs[Long]("max_v") === 19L)
+  }
+
+  test("compactionPlan: bins fill to target per partition, partitions independent") {
+    import spark.implicits._
+    // part a: sizes 3,3,3,3 at target 6 → bins 0,0,1,1 (starts 0,3,6,9)
+    // part b: sizes 5,2,5 at target 6 → starts 0,5,7 → bins 0,0,1
+    val files = Seq(("a", 1L, 3L), ("a", 2L, 3L), ("a", 3L, 3L),
+      ("a", 4L, 3L), ("b", 1L, 5L), ("b", 2L, 2L), ("b", 3L, 5L))
+      .toDF("part", "file_id", "size_bytes")
+    val plan = Layout.compactionPlan(files, Seq("part"), "file_id",
+        "size_bytes", 6L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(plan === Map(("a", 1L) -> 0L, ("a", 2L) -> 0L,
+      ("a", 3L) -> 1L, ("a", 4L) -> 1L,
+      ("b", 1L) -> 0L, ("b", 2L) -> 0L, ("b", 3L) -> 1L))
+  }
+
   test("incremental: combine(state, delta) == full rescan; latestByKey") {
     import spark.implicits._
     val full = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0),

@@ -96,6 +96,43 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(same.forall(_.getBoolean(same.head.fieldIndex("cols_match"))))
   }
 
+  test("sketchDistinctAudit: HLL inside contract on real cardinalities, zero-tol flags") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => (i % 4, i % 1000 + (i % 4) * 10000))
+      .toDF("g", "v")
+    val ok = Profile.sketchDistinctAudit(df, "g", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(ok.length === 4)
+    // i ≡ g (mod 4) ⟹ i % 1000 hits exactly the 250 residues ≡ g (mod 4)
+    assert(ok.forall(_._2 === 250L)) // exact side is exact
+    assert(ok.forall(_._3), s"HLL outside 6% of exact: ${ok.toSeq}")
+    // tol = 0 must flag any estimate that isn't spot-on — proves the
+    // flag actually compares (HLL at rsd 0.02 is almost never exact
+    // at cardinality 250)
+    val strict = Profile.sketchDistinctAudit(df, "g", "v", tol = 0.0)
+      .collect().map(_.getBoolean(2))
+    assert(strict.exists(!_))
+  }
+
+  test("quantileAudit: estimates honor rank error; impossible tol flags") {
+    import spark.implicits._
+    // skewed data (the case where VALUE error explodes but rank error
+    // must hold): 99% small values, 1% huge
+    val df = ((1 to 9900).map(_.toDouble) ++
+      (1 to 100).map(_ * 1e6)).toDF("v")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val audit = Profile.quantileAudit(df, "v", ps).collect()
+      .map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
+    assert(audit.keySet === ps.toSet)
+    assert(audit.values.forall(identity), s"rank contract broken: $audit")
+    // a zero-tolerance audit cannot pass everywhere on 10k rows
+    // (fraction ≤ estimate is a multiple of 1/10000, never exactly p
+    // for all four ps)
+    val strict = Profile.quantileAudit(df, "v", ps, tol = 0.0)
+      .collect().map(_.getBoolean(1))
+    assert(strict.exists(!_))
+  }
+
   test("histogram: equi-width buckets, top edge folded, nulls excluded") {
     import spark.implicits._
     // values 0..99 → 10 buckets of exactly 10; value 100 (the max)
