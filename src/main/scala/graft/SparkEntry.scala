@@ -971,6 +971,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    "curate_weighted_sample" -> ((s, dir) =>
+      // A-ES weighted sample: 200 docs drawn proportional to byte
+      // length, without replacement — rank key is map-only, selection
+      // is TakeOrdered; the oracle replays the md5-derived ranks
+      graft.functions.Curation.weightedSample(
+        t(s, dir, "documents")
+          .select(col("doc_id"), octet_length(col("text")).as("w")),
+        "doc_id", "w", k = 200)
+        .orderBy(col("doc_id"))),
+
     "curate_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: docs sharing a 4-gram with the
       // held-out set (doc_id % 37 = 0 here; a real eval suite in
@@ -2380,6 +2390,19 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15))
         |    AS BIGINT) % 10000
         |  < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "curate_weighted_sample" ->
+      // identical A-ES rank: u = (md5_60 + 0.5)/2^60, key = u^(1/w);
+      // the id tiebreak matches the Spark orderBy
+      """SELECT doc_id, w FROM (
+        |  SELECT doc_id, strlen(text) AS w,
+        |    pow((CAST(('0x' || substr(md5('wsample|' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+        |      / 1152921504606846976.0,
+        |      1.0 / strlen(text)) AS k
+        |  FROM documents
+        |  ORDER BY k DESC, doc_id LIMIT 200) t
         |ORDER BY doc_id""".stripMargin,
 
     "curate_decontaminate" ->

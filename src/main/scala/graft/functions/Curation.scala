@@ -60,6 +60,33 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws u ∈ (0,1) from the salted portable hash and ranks
+    * by u^(1/w); the top-k ranks are exactly a weighted sample without
+    * replacement. The rank key is a map-only projection and the top-k
+    * is TakeOrdered (per-partition heaps of k, only k rows per
+    * partition move) — "sample 100k docs proportional to quality" at
+    * 100 TB without a full sort or a global shuffle.
+    *
+    * Rows with w ≤ 0 get rank 0 (pow(u<1, +inf) = 0) and are never
+    * selected — the conventional A-ES treatment of zero weight.
+    * Deterministic and engine-portable: the oracle replays
+    * `pow((md5_60(salt||id) + 0.5) / 2^60, 1/w)` bit-for-bit.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsample|"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!df.columns.contains("__wkey"),
+      "input column '__wkey' collides with the weightedSample working column")
+    val u = (saltedHash60(salt, col(idCol)).cast("double") + lit(0.5)) /
+      lit(math.pow(2, 60))
+    df.withColumn("__wkey",
+        pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}-\\d{4}(-\\d{4})?"
 

@@ -89,6 +89,51 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("watermark drops late data in append mode, emits closed windows once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_late").toFile
+    val chk = Files.createTempDirectory("graft_late_chk").toFile
+    try {
+      def mk(rows: (String, String, Double)*) = rows.map { case (ts, et, v) =>
+        (java.sql.Timestamp.valueOf(ts), et, v)
+      }.toDF("ts", "event_type", "value")
+      // batch 1: one event in the 10:00 window, one at 13:30 that
+      // advances the watermark to 12:30 (delay 1h), closing 10:00-11:00
+      val b1 = mk(("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 13:30:00", "click", 7.0))
+      b1.write.parquet(dir.getAbsolutePath + "/b1")
+      val stream = EventStream.streamingWindowedAgg(spark,
+        dir.getAbsolutePath + "/*", b1.schema,
+        windowDur = "1 hour", watermark = "1 hour")
+      val q = stream.writeStream
+        .format("memory").queryName("lateagg")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      // batch 2: a LATE event for the closed 10:00 window (must be
+      // dropped — the state was evicted) plus an on-time 13:40 event
+      mk(("2024-01-01 10:20:00", "click", 100.0),
+        ("2024-01-01 13:40:00", "click", 2.0))
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("lateagg").collect().map(r =>
+        r.getTimestamp(0).toString -> (r.getLong(2),
+          r.getDecimal(3).doubleValue())).toMap
+      // the 10:00 window was emitted exactly once, WITHOUT the late
+      // event's value=100 — watermark semantics, not best-effort
+      assert(out("2024-01-01 10:00:00.0") === ((1L, 1.0)))
+      // open windows (13:00) are withheld in append mode until closed
+      assert(!out.contains("2024-01-01 13:00:00.0"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("streaming stateful dedup drops duplicates across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sdedup").toFile
