@@ -46,22 +46,28 @@ object Similarity {
     * matrices satisfy the JL distance-preservation bound with the
     * same constants as Gaussian ones, at integer-arithmetic cost.
     *
-    * Map-only (two nested higher-order folds per row, O(k·dims),
-    * whole-stage codegen, no shuffle) — at 100 TB it rides the scan
-    * and cuts every downstream ANN/dedup shuffle by dims/k. Division
-    * by √k (not multiplication by its reciprocal) so the oracle's
-    * `/ sqrt(k)` is the identical IEEE operation.
+    * Map-only — one native codegen'd double loop per row (see
+    * graft.expressions.MatProject), O(k·dims), no shuffle — at 100 TB
+    * it rides the scan and cuts every downstream ANN/dedup shuffle by
+    * dims/k. Division by √k (not multiplication by its reciprocal) so
+    * the oracle's `/ sqrt(k)` is the identical IEEE operation, and
+    * left-to-right accumulation matching the declarative fold —
+    * projected values are bit-identical to both.
     */
   def randomProject(vec: Column, k: Int, dims: Int,
       salt: String = "rp"): Column = {
     require(k > 0 && dims > 0, "k and dims must be positive")
-    // The sign matrix is row-INDEPENDENT: hash it once on the driver
-    // (k·dims md5s) and embed it as a nested literal. The original
-    // per-row md5 inside the lambda cost rows × k × dims hashes —
-    // 100M md5s for a 100k-row corpus at k=16, dims=64; it was 85% of
-    // the projection-recall bench. Same md5 formula, so every sign —
-    // and therefore every projected value — is bit-identical to the
-    // per-row version and to the oracle's SQL replay.
+    exprCol(graft.expressions.MatProject(colExpr(vec),
+      signMatrix(k, dims, salt), math.sqrt(k.toDouble)))
+  }
+
+  /** The JL ±1 sign matrix, hashed once on the driver (k·dims md5s —
+    * row-independent, so hashing per row would cost rows × k × dims
+    * md5s for the identical values). Same md5 formula the oracle
+    * replays, so every sign is engine-portable.
+    */
+  private[functions] def signMatrix(k: Int, dims: Int,
+      salt: String): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(j: Int, i: Int): Double = {
       val hex = md.digest(s"$salt|$j|$i".getBytes("UTF-8"))
@@ -69,8 +75,19 @@ object Similarity {
       if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0)
         1.0 else -1.0
     }
+    Array.tabulate(k, dims)((j, i) => sign(j, i))
+  }
+
+  /** Declarative twin of `randomProject` (interpreted HOF path, k·dims
+    * lambda steps per row) — kept for parity testing against the
+    * codegen kernel.
+    */
+  private[functions] def randomProjectDeclarative(vec: Column, k: Int,
+      dims: Int, salt: String = "rp"): Column = {
+    require(k > 0 && dims > 0, "k and dims must be positive")
+    val m = signMatrix(k, dims, salt)
     val signs = array((0 until k).map(j =>
-      array((0 until dims).map(i => lit(sign(j, i))): _*)): _*)
+      array((0 until dims).map(i => lit(m(j)(i))): _*)): _*)
     transform(sequence(lit(0), lit(k - 1)), j =>
       aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
         (acc, i) => acc + element_at(vec, i + 1).cast("double") *

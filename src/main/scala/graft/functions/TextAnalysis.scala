@@ -259,6 +259,78 @@ object TextAnalysis {
         col("tfidf"), col("rank"))
   }
 
+  /** Okapi BM25 ranked retrieval — top-k documents per query, scored
+    * with the standard robust-IDF variant:
+    * `score(D,Q) = Σ_t ln(1 + (N−df+0.5)/(df+0.5)) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`.
+    *
+    * Plan shape is an inverted index expressed relationally — the
+    * 100 TB story:
+    *  - postings `(doc, dl, term) → tf` are ONE partial-aggregated
+    *    groupBy over the exploded token stream (doc length rides the
+    *    grouping key — functionally dependent on the doc, so it adds
+    *    nothing to the shuffle key's cardinality);
+    *  - the query side broadcasts (queries are human-sized), so the
+    *    postings scan reduces map-side to query-term postings only;
+    *  - per-term document frequencies are semi-joined down to the
+    *    query's terms BEFORE broadcasting — the full vocabulary table
+    *    never moves;
+    *  - N and Σdl come from one scalar aggregate (integer sums —
+    *    exact, so avgdl replays bit-for-bit in any engine).
+    *
+    * Per-term scores are floor-quantized to 9 decimals and summed as
+    * DECIMAL(28,9) so the per-doc total is order-independent; ranking
+    * ties break on the doc id. The emitted `score` is the exact
+    * decimal total floor-quantized to 4 decimals.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val reserved = Seq("term", "tf", "df", "dl", "score", "rank",
+      "__n", "__sumdl", "__s")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input column '$c' collides with a bm25Rank output column"))
+    val postings = df
+      .select(col(idCol), size(tokens(col(textCol))).as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val qterms = queries
+      .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
+        "left_semi")
+    val stats = df
+      .select(size(tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    // association mirrors the oracle SQL exactly: (idf * (tf*(k1+1)))
+    // / (tf + k1*(1 - b + ((b*dl)*n)/sumdl)) — IEEE doubles are
+    // commutative but not associative, so the grouping is the contract
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val tfNum = col("tf").cast("double") * lit(k1 + 1.0)
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") * col("__n") /
+        col("__sumdl").cast("double"))
+    val perTerm = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col(idCol),
+        (floor(idf * tfNum / denom * 1e9) / 1e9)
+          .cast("decimal(28,9)").as("__s"))
+    val totals = perTerm.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__s")).as("__t"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__t").desc, col(idCol).asc)
+    totals.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol),
+        q4(col("__t").cast("double")).as("score"), col("rank"))
+  }
+
   /** Corpus-trained bigram language-model score per document — the
     * classic LM-based quality/fluency pass: score = mean over the
     * doc's bigrams of ln P(w₂|w₁), with P = c(w₁w₂)/c(w₁·) estimated

@@ -297,6 +297,37 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("codegen MatProject is bit-identical to the declarative randomProject") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "v")
+    val cmp = df.select(
+      Similarity.randomProject(col("v"), 16, 64).as("fast"),
+      Similarity.randomProjectDeclarative(col("v"), 16, 64).as("slow"))
+      .collect()
+    cmp.foreach { r =>
+      val fast = r.getSeq[Double](0)
+      val slow = r.getSeq[Double](1)
+      assert(fast.length === 16)
+      fast.zip(slow).foreach { case (f, s) =>
+        assert(java.lang.Double.doubleToLongBits(f) ===
+          java.lang.Double.doubleToLongBits(s))
+      }
+    }
+  }
+
+  test("MatProject fails loudly on a dims mismatch") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      df.select(Similarity.randomProject(col("v"), 4, 64)).collect()
+    }
+    assert(e.getMessage.contains("dims") ||
+      e.getCause != null && e.getCause.getMessage.contains("dims"))
+  }
+
   test("VecDot null/length semantics mirror zip_with") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
