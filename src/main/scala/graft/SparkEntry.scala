@@ -1127,6 +1127,21 @@ object SparkEntry {
         "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    "txt_bm25_rank" -> ((s, dir) => {
+      // Okapi BM25 top-10 per query over an inverted-index-shaped plan:
+      // postings in one partial-agg'd groupBy, query side broadcast,
+      // per-term vocabulary stats semi-joined down to the query's terms
+      // before broadcasting; per-term scores decimal-summed so the
+      // total is order-independent
+      import s.implicits._
+      val queries = Seq((1L, "spark window agg"), (2L, "fast hash join"),
+        (3L, "customer query table")).toDF("query_id", "qtext")
+      graft.functions.TextAnalysis.bm25Rank(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", queries, "query_id", "qtext", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "dedup_passage" -> ((s, dir) =>
       // C4-style passage-level exact dedup: 8-token passages, global
       // first occurrence by (doc_id, idx) survives, documents
@@ -2716,6 +2731,45 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS rank FROM fin)
         |SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "txt_bm25_rank" ->
+      // double-literal discipline: every inexact constant (1.2, its
+      // +1.0) is CAST to DOUBLE BEFORE arithmetic so DuckDB computes
+      // in IEEE doubles like Spark, not in exact DECIMALs (decimal
+      // 1.2+1.0 = 2.2 converts to a DIFFERENT double than double
+      // 1.2+1.0); 0.25/0.75/0.5 are binary-exact either way
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM toks),
+        |q AS (SELECT DISTINCT query_id, term FROM (
+        |  SELECT query_id,
+        |    unnest(regexp_split_to_array(trim(qtext), '\s+')) AS term
+        |  FROM (VALUES (1, 'spark window agg'), (2, 'fast hash join'),
+        |    (3, 'customer query table')) AS v(query_id, qtext))),
+        |sc AS (
+        |  SELECT q.query_id, tfc.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |      (tf + CAST(1.2 AS DOUBLE) *
+        |        (0.25 + CAST(0.75 AS DOUBLE) * dl * n
+        |          / CAST(sumdl AS DOUBLE)))
+        |      * 1e9) / 1e9 AS DECIMAL(28,9)) AS s
+        |  FROM tfc JOIN q USING (term) JOIN dft USING (term)
+        |  CROSS JOIN stats),
+        |agg AS (SELECT query_id, doc_id, SUM(s) AS t FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, t, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY t DESC, doc_id) AS rank FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  floor(CAST(t AS DOUBLE) * 10000) / 10000 AS score,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_passage" ->
       """WITH toks AS (

@@ -297,6 +297,25 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bm25Rank ranks rarer and denser term matches higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare rare common filler filler"),
+      (2L, "rare common filler filler filler"),
+      (3L, "common common filler filler filler"),
+      (4L, "filler filler filler filler filler")).toDF("doc_id", "text")
+    val queries = Seq((10L, "rare common")).toDF("query_id", "qtext")
+    val out = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+      queries, "query_id", "qtext", k = 4)
+      .orderBy(col("rank")).collect()
+    // doc 1 (rare x2) > doc 2 (rare x1) > doc 3 (common only);
+    // doc 4 matches no query term and must be absent
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+    assert(out(1).getDouble(2) > out(2).getDouble(2))
+  }
+
   test("codegen MatProject is bit-identical to the declarative randomProject") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
