@@ -219,6 +219,37 @@ object SparkEntry {
           col("gid"), col("revenue"), col("n_rows"))
         .orderBy(col("gid"), col("st"), col("pri"))),
 
+    "q_cube" -> ((s, dir) =>
+      // full CUBE lattice (all 4 subsets incl. grand total) — the
+      // remaining corner of the rollup/grouping-sets family. Same
+      // single Expand + single shuffle: 4× the map-side rows but
+      // partial-aggregated before the exchange, so the shuffle carries
+      // |groups| rows per partition, not 4×|input|.
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("bigint").as("gid"),
+          dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("gid"), col("revenue"), col("n_rows"))
+        .orderBy(col("gid"), col("st"), col("pri"))),
+
+    "q_unpivot" -> ((s, dir) =>
+      // wide→long melt (Dataset.unpivot → Catalyst Expand): the
+      // inverse of q_pivot_revenue. Map-side only — the 4× row
+      // expansion never shuffles raw; the per-measure partial agg
+      // reduces each partition to 4 rows before the exchange.
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("val")).as("sum_val"))
+        .orderBy(col("measure"))),
+
     "q_window_funcs" -> ((s, dir) => {
       // analytic-function battery over one window spec: lag/lead,
       // ntile, percent_rank, cume_dist all share a single sort+shuffle
@@ -1330,6 +1361,16 @@ object SparkEntry {
       graft.operators.Sessionize.rollup(events(s, dir), "user_id",
         "event_id", unix_micros(col("ts")), gapUs = 1800000000L, "value")
         .orderBy(col("user_id"), col("session_idx"))),
+
+    "events_cohort_retention" -> ((s, dir) =>
+      // daily cohort retention matrix (the fixture spans 30 days —
+      // daily buckets give a dense ~450-cell matrix): one full-data
+      // shuffle on
+      // user_id (min + join + partial-agg'd distinct), then
+      // cohort-cell-sized aggregation and a broadcast size lookup
+      graft.operators.Sessionize.cohortRetention(events(s, dir),
+          "user_id", col("ts"), periodDays = 1)
+        .orderBy(col("cohort_period"), col("period_offset"))),
 
     "events_session_window" -> ((s, dir) =>
       // session_window batch/stream parity gate: the SAME groupBy the
@@ -3010,6 +3051,31 @@ object SparkEntry {
         |  (o_orderstatus), (o_orderpriority))
         |ORDER BY gid, st, pri""".stripMargin,
 
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, st, pri""".stripMargin,
+
+    "q_unpivot" ->
+      // UNION ALL spelling (engine-neutral melt; DuckDB's UNPIVOT
+      // would work too but this pins the semantics explicitly)
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
+
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  LAG(o_totalprice, 1) OVER w AS prev_price,
@@ -3130,6 +3196,32 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+
+    "events_cohort_retention" ->
+      // integral weekly buckets since epoch; DuckDB `//` is integer
+      // division (`/` would be double), floor matches Spark's floor
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(datediff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) / 1) AS INT) AS per
+        |  FROM events),
+        |firsts AS (
+        |  SELECT user_id, MIN(per) AS cohort FROM e GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT f.cohort, e.per - f.cohort AS period_offset,
+        |    e.user_id
+        |  FROM e JOIN firsts f USING (user_id)),
+        |m AS (
+        |  SELECT cohort, period_offset, COUNT(*) AS n_active
+        |  FROM act GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort, n_active AS n_cohort FROM m
+        |  WHERE period_offset = 0)
+        |SELECT m.cohort AS cohort_period, m.period_offset, m.n_active,
+        |  c.n_cohort,
+        |  CAST(m.n_active AS DOUBLE) / c.n_cohort AS retention_rate
+        |FROM m JOIN c ON m.cohort = c.cohort
+        |ORDER BY cohort_period, period_offset""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (

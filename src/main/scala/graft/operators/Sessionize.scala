@@ -90,4 +90,48 @@ object Sessionize {
         max(col("__ts_us")).as("end_us"),
         sum(col(valueCol).cast("decimal(18,4)")).cast("double")
           .as("sum_value"))
+
+  /** Cohort retention matrix: users are grouped into cohorts by the
+    * period (default weekly) of their FIRST event; each (cohort,
+    * period-offset) cell counts the distinct cohort members active in
+    * that later period, plus the cohort size and retention rate.
+    * Periods are integral `floor(days-since-epoch / periodDays)`
+    * buckets — pure integer arithmetic, engine-portable (no timezone
+    * or ISO-week semantics to disagree on).
+    *
+    * Plan shape at 100 TB: the first-event min and the activity
+    * distinct both cluster on the user key — ONE full-data shuffle on
+    * user_id feeds the partial-agg'd min, the join back, and the
+    * (cohort, offset, user) distinct (partial-aggregated, so a user
+    * active 1 000× in a week contributes one row to the exchange).
+    * Everything after the distinct is cohort-count-sized (thousands of
+    * cells, not billions of events), and the cohort-size lookup is a
+    * broadcast self-join on that tiny frame. No windows, no
+    * full-matrix crossjoin.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: Column,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, "periodDays must be > 0")
+    val per = floor(
+      datediff(to_date(tsCol), lit("1970-01-01").cast("date"))
+        / periodDays).cast("int")
+    val e = events.select(col(userCol).as("__u"), per.as("__per"))
+    val firsts = e.groupBy(col("__u")).agg(min(col("__per")).as("__cohort"))
+    val active = e.join(firsts, "__u")
+      .select(col("__cohort"),
+        (col("__per") - col("__cohort")).as("period_offset"), col("__u"))
+      .distinct()
+    val cells = active.groupBy(col("__cohort"), col("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("period_offset") === 0)
+      .select(col("__cohort"), col("n_active").as("n_cohort"))
+    cells.join(broadcast(sizes), "__cohort")
+      .select(
+        col("__cohort").as("cohort_period"),
+        col("period_offset"),
+        col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort"))
+          .as("retention_rate"))
+  }
 }

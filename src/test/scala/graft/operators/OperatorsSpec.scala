@@ -297,6 +297,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) === ((Some(50L), None, None, 1L)))
   }
 
+  test("cohortRetention: cohort by first period, distinct actives, rate") {
+    import spark.implicits._
+    // period = 7 days; day d lands in bucket floor(d/7)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 1).plusDays(day.toLong)
+        .atStartOfDay())
+    val ev = Seq(
+      // cohort 0 (days 0–6): users 1, 2
+      (1L, ts(0)), (1L, ts(1)),          // duplicate week-0 activity
+      (1L, ts(8)),                       // active in offset 1
+      (2L, ts(3)),                       // never returns
+      // cohort 1 (days 7–13): user 3, returns offset 2
+      (3L, ts(9)), (3L, ts(22)))
+      .toDF("user_id", "ts")
+    val out = Sessionize.cohortRetention(ev, "user_id", col("ts"), 7)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((0, 0)) === ((2L, 2L, 1.0)))     // dup activity counts once
+    assert(out((0, 1)) === ((1L, 2L, 0.5)))
+    assert(out((1, 0)) === ((1L, 1L, 1.0)))
+    assert(out((1, 2)) === ((1L, 1L, 1.0)))
+    assert(out.size === 4)                      // no empty cells invented
+    // cohort-size lookup is a broadcast join, not a shuffle
+    val plan = Sessionize.cohortRetention(ev, "user_id", col("ts"), 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("sampledDiff: same slice both sides, disjoint slots cover all") {
     import spark.implicits._
     val src = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
