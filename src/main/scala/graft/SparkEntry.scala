@@ -1285,6 +1285,16 @@ object SparkEntry {
         events(s, dir), "event_type", "user_id", rsd = 0.02, tol = 0.06)
         .orderBy(col("event_type"))),
 
+    "q_approx_topk" -> ((s, dir) =>
+      // frequent-items sketch audit: every user whose event count is
+      // strictly above the 10th-largest count must appear in the
+      // approx_top_k(10) list with an exact estimate (all 150–1500
+      // users tracked). Boundary ties excluded on both sides → the
+      // row set is deterministic.
+      graft.operators.Profile.topKAudit(
+        events(s, dir), "user_id", k = 10)
+        .orderBy(col("item"))),
+
     "q_approx_quantiles" -> ((s, dir) =>
       // quantile sketch audit: percentile_approx's estimate must land
       // within its RANK-error contract (1/accuracy), measured as the
@@ -2931,6 +2941,19 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_topk" ->
+      // exact strict-heavy-hitter set; TRUE pins the Spark sketch's
+      // membership + estimate audit
+      """WITH e AS (
+        |  SELECT user_id AS item, COUNT(*) AS n_exact
+        |  FROM events GROUP BY 1),
+        |kth AS (
+        |  SELECT n_exact AS kc FROM e
+        |  ORDER BY n_exact DESC LIMIT 1 OFFSET 9)
+        |SELECT item, n_exact, TRUE AS in_sketch, TRUE AS est_ok
+        |FROM e, kth WHERE n_exact > kc
+        |ORDER BY item""".stripMargin,
 
     "q_approx_quantiles" ->
       // rank-error contract holds by construction → every p is ok

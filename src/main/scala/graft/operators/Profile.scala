@@ -207,6 +207,48 @@ object Profile {
         (abs(col("__frac") - col("p")) <= lit(tol)).as("ok"))
   }
 
+  /** Heavy-hitters sketch audit: the frequent-items sketch
+    * (`approx_top_k`, mergeable partials — the 100 TB-cheap half) is
+    * checked against exact counts for every UNAMBIGUOUS heavy hitter:
+    * items whose exact count is strictly above the k-th largest count.
+    * Any correct top-k list must contain exactly these items (ties AT
+    * the boundary are legitimately unordered, so they are excluded —
+    * the audit row set is deterministic regardless of how either
+    * engine breaks ties). `in_sketch` asserts membership; `est_ok`
+    * asserts the sketch's estimate is within tol of exact (exact when
+    * maxItemsTracked covers the domain).
+    *
+    * Plan: one partial-agg'd exact groupBy (the expensive audit half),
+    * one single-row sketch aggregate over the same scan, a broadcast
+    * k-th-count threshold, and a broadcast join of the ≤k sketch rows
+    * — no extra wide shuffle beyond the exact count's own.
+    */
+  def topKAudit(df: DataFrame, valueCol: String, k: Int,
+      maxItemsTracked: Int = 65536, tol: Double = 0.0): DataFrame = {
+    require(k > 0 && maxItemsTracked >= k, "need k > 0, tracked >= k")
+    val exact = df.groupBy(col(valueCol).as("item"))
+      .agg(count(lit(1)).as("n_exact"))
+    // k-th largest exact count: TakeOrdered(k) then min — never a full
+    // sort; rows-on-driver is k
+    val kth = exact.orderBy(col("n_exact").desc).limit(k)
+      .agg(min(col("n_exact")).as("__kth"))
+    val apx = df
+      .agg(expr(s"approx_top_k($valueCol, $k, $maxItemsTracked)")
+        .as("__tk"))
+      .select(explode(col("__tk")).as("__e"))
+      .select(col("__e.item").as("item"),
+        col("__e.count").cast("long").as("__est"))
+    exact
+      .join(broadcast(kth))
+      .filter(col("n_exact") > col("__kth"))
+      .join(broadcast(apx), Seq("item"), "left")
+      .select(col("item"), col("n_exact"),
+        col("__est").isNotNull.as("in_sketch"),
+        (col("__est").isNotNull &&
+          abs(col("__est") - col("n_exact")).cast("double") <=
+            lit(tol) * col("n_exact")).as("est_ok"))
+  }
+
   /** Migration audit: profiles of source and target, full-outer joined
     * per column, with a per-column verdict. `cols_match = true` means
     * every metric agrees — the column copied intact.

@@ -133,6 +133,27 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(strict.exists(!_))
   }
 
+  test("topKAudit: strict hitters only, boundary ties excluded, exact ests") {
+    import spark.implicits._
+    // counts: a=5, b=4, c=3, d=3, e=1 → k=4: kth count = 3 (tied c,d)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(3)("d") ++ Seq("e")).toDF("v")
+    val out = Profile.topKAudit(df, "v", k = 4).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // c and d tie AT the boundary → excluded; e below → excluded
+    assert(out.keySet === Set("a", "b"))
+    assert(out("a") === ((5L, true, true)))
+    assert(out("b") === ((4L, true, true)))
+    // k covering the whole domain: every item is above the (absent)
+    // k-th cut only when counts are strictly separated — with k=5 the
+    // kth count is 1 (e), strict hitters are a,b and the tied c,d pair
+    // now sits above it
+    val all = Profile.topKAudit(df, "v", k = 5).collect()
+      .map(_.getString(0)).toSet
+    assert(all === Set("a", "b", "c", "d"))
+  }
+
   test("histogram: equi-width buckets, top edge folded, nulls excluded") {
     import spark.implicits._
     // values 0..99 → 10 buckets of exactly 10; value 100 (the max)
