@@ -1202,6 +1202,17 @@ object SparkEntry {
         "c_custkey", "c_name", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_jaro_winkler" -> ((s, dir) =>
+      // Jaro-Winkler pair verify on a capped part-name slice: the
+      // codegen byte-level kernel must reproduce DuckDB's
+      // jaro_winkler_similarity to the last ulp on every surviving
+      // pair (similarity values are hash-compared at 9 decimals)
+      graft.functions.FuzzyJoin.jaroWinklerPairs(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+          .filter(col("p_partkey") <= 400),
+        "p_partkey", "p_name", minSim = 0.88)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_bloom_semijoin" -> ((s, dir) => {
       // Bloom-prefiltered semi join: membership sketch built
       // distributed, map-side might_contain cuts the big side before
@@ -2860,6 +2871,16 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE a.c_custkey <= 500 AND b.c_custkey <= 500
         |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_jaro_winkler" ->
+      // quadratic ground truth on the capped slice; values must match
+      // the byte-level kernel exactly
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey <= 400 AND b.p_partkey <= 400
+        |  AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_trgm_similarity" ->

@@ -80,6 +80,42 @@ object FuzzyJoin {
     * right_id, dist). Identical ids on both sides are allowed (the
     * sides are independent keyspaces).
     */
+  /** Jaro-Winkler similarity (codegen expression; byte-level, DuckDB-
+    * exact — see expressions.StringSimilarity for pinned semantics).
+    */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.Glue
+    Glue.column(graft.expressions.JaroWinkler(
+      Glue.expression(a), Glue.expression(b)))
+  }
+
+  /** All unordered pairs with jaroWinkler ≥ `minSim`. Candidate
+    * pruning is the sound LENGTH-RATIO bound: with l1 ≤ l2,
+    * jaro ≤ (2 + l1/l2)/3 and jw ≤ 0.6·jaro + 0.4 (prefix ≤ 4, scale
+    * 0.1), so jw ≥ θ forces l1/l2 ≥ 5θ − 4. The self-join's band
+    * predicate carries that bound; pairs outside it never evaluate
+    * the kernel. For θ ≤ 0.8 the bound is vacuous and this IS a
+    * quadratic verify — cap or block the input (this is the
+    * record-linkage verify stage, not a corpus-scale scan; candidate
+    * generation for corpora belongs to the trigram/FastSS indexes).
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+      minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, "minSim must be in (0, 1]")
+    val ratio = math.max(5.0 * minSim - 4.0, 0.0)
+    val a = df.select(col(idCol).as("id_a"), col(strCol).as("__sa"),
+      length(col(strCol)).as("__la"))
+    val b = df.select(col(idCol).as("id_b"), col(strCol).as("__sb"),
+      length(col(strCol)).as("__lb"))
+    a.join(b,
+        col("id_a") < col("id_b") &&
+          least(col("__la"), col("__lb")).cast("double") >=
+            lit(ratio) * greatest(col("__la"), col("__lb")))
+      .withColumn("sim", jaroWinkler(col("__sa"), col("__sb")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   def editDistanceJoin(left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
       maxDist: Int): DataFrame = {
