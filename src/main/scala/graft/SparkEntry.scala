@@ -1202,6 +1202,23 @@ object SparkEntry {
         "c_custkey", "c_name", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_pagerank" -> ((s, dir) => {
+      // fixed-point PageRank (3 iterations) on the customer→supplier
+      // purchase graph: integer-scaled state makes every iteration
+      // bit-exact and summation-order-free — the reproducibility
+      // property a verified 100 TB web-graph weighting run needs.
+      // Suppliers are dangling; their damped mass leaks by design.
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = o.join(l, "o_orderkey").select("src", "dst").distinct()
+      graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst",
+          iters = 3)
+        .orderBy(col("node"))
+    }),
+
     "q_jaro_winkler" -> ((s, dir) =>
       // Jaro-Winkler pair verify on a capped part-name slice: the
       // codegen byte-level kernel must reproduce DuckDB's
@@ -2872,6 +2889,41 @@ object SparkEntry {
         |WHERE a.c_custkey <= 500 AND b.c_custkey <= 500
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pagerank" ->
+      // three unrolled iterations; `//` is DuckDB's truncating integer
+      // division = Spark's `div` on the all-positive operands
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM edges
+        |  UNION SELECT dst FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |pr0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS pr
+        |  FROM nodes),
+        |it1 AS (SELECT e.dst, SUM(p.pr // d.outdeg) AS m
+        |  FROM edges e JOIN pr0 p ON e.src = p.node
+        |  JOIN deg d ON e.src = d.src GROUP BY 1),
+        |pr1 AS (SELECT n.node,
+        |    (15 * (SELECT 1000000000000 // n FROM nn)) // 100
+        |      + (85 * COALESCE(i.m, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN it1 i ON n.node = i.dst),
+        |it2 AS (SELECT e.dst, SUM(p.pr // d.outdeg) AS m
+        |  FROM edges e JOIN pr1 p ON e.src = p.node
+        |  JOIN deg d ON e.src = d.src GROUP BY 1),
+        |pr2 AS (SELECT n.node,
+        |    (15 * (SELECT 1000000000000 // n FROM nn)) // 100
+        |      + (85 * COALESCE(i.m, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN it2 i ON n.node = i.dst),
+        |it3 AS (SELECT e.dst, SUM(p.pr // d.outdeg) AS m
+        |  FROM edges e JOIN pr2 p ON e.src = p.node
+        |  JOIN deg d ON e.src = d.src GROUP BY 1),
+        |pr3 AS (SELECT n.node,
+        |    (15 * (SELECT 1000000000000 // n FROM nn)) // 100
+        |      + (85 * COALESCE(i.m, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN it3 i ON n.node = i.dst)
+        |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
 
     "q_jaro_winkler" ->
       // quadratic ground truth on the capped slice; values must match

@@ -297,6 +297,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) === ((Some(50L), None, None, 1L)))
   }
 
+  test("pageRankFixedPoint: cycle is a fixed point, star leaks dangling") {
+    import spark.implicits._
+    // 3-cycle at scale 300: pr0 = 100, base = 15, next = 15 + 85 = 100
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("s", "d")
+    val prCycle = graft.operators.Graph
+      .pageRankFixedPoint(cycle, "s", "d", iters = 3, scale = 300L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prCycle === Map(0L -> 100L, 1L -> 100L, 2L -> 100L))
+    // star a→{b,c}: pr1 = (15, 57, 57); pr2 = (15, 20, 20) — hand math
+    // with truncating division; sinks keep only base + damped inflow,
+    // dangling mass leaks by design
+    val star = Seq((0L, 1L), (0L, 2L)).toDF("s", "d")
+    def ranks(iters: Int) = graft.operators.Graph
+      .pageRankFixedPoint(star, "s", "d", iters, scale = 300L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(1) === Map(0L -> 15L, 1L -> 57L, 2L -> 57L))
+    assert(ranks(2) === Map(0L -> 15L, 1L -> 20L, 2L -> 20L))
+  }
+
   test("cohortRetention: cohort by first period, distinct actives, rate") {
     import spark.implicits._
     // period = 7 days; day d lands in bucket floor(d/7)
