@@ -1539,6 +1539,22 @@ object SparkEntry {
           col("is_outlier"))
         .orderBy(col("o_orderkey"))),
 
+    "profile_mad_outliers" -> ((s, dir) =>
+      // robust median/MAD outliers per segment — the heavy-tail-safe
+      // twin of profile_zscore; exact medians (audit-scale path),
+      // broadcast join-backs, 4-decimal-floored modified z
+      graft.operators.Profile.madOutliers(
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            col("o_totalprice")),
+        "c_mktsegment", "o_totalprice")
+        .select(col("c_mktsegment"), col("o_orderkey"), col("mad_z"),
+          col("is_outlier"))
+        .orderBy(col("o_orderkey"))),
+
     "profile_orders" -> ((s, dir) =>
       // per-column migration profile: one scan, one single-row agg
       // (exact distinct via Expand), canonical min/max strings
@@ -3459,6 +3475,33 @@ object SparkEntry {
         |FROM err JOIN sess ON err.user_id = sess.user_id
         |  AND err.ts_us BETWEEN sess.start_us AND sess.end_us
         |ORDER BY err.event_id""".stripMargin,
+
+    "profile_mad_outliers" ->
+      // DuckDB median on DOUBLE is quantile_cont(0.5) with the same
+      // a + (b−a)·f interpolation Spark's exact median uses; the
+      // modified z replays identically, floored at 4 decimals
+      """WITH base AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice IS NOT NULL),
+        |med AS (
+        |  SELECT c_mktsegment, median(o_totalprice) AS med
+        |  FROM base GROUP BY c_mktsegment),
+        |dev AS (
+        |  SELECT b.*, m.med FROM base b
+        |  JOIN med m USING (c_mktsegment)),
+        |mad AS (
+        |  SELECT c_mktsegment, median(abs(o_totalprice - med)) AS mad
+        |  FROM dev GROUP BY c_mktsegment),
+        |z AS (
+        |  SELECT d.c_mktsegment, d.o_orderkey,
+        |    floor((CASE WHEN a.mad > 0
+        |      THEN 0.6745 * (d.o_totalprice - d.med) / a.mad
+        |      ELSE 0.0 END) * 10000) / 10000 AS mad_z
+        |  FROM dev d JOIN mad a USING (c_mktsegment))
+        |SELECT c_mktsegment, o_orderkey, mad_z,
+        |  abs(mad_z) > 3.5 AS is_outlier
+        |FROM z ORDER BY o_orderkey""".stripMargin,
 
     "profile_zscore" ->
       // exact decimal (n, Σx, Σx²) per group; identical double

@@ -141,6 +141,39 @@ object Profile {
       .drop("__n", "__mean", "__var")
   }
 
+  /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
+    * of `zscoreOutliers`: one planted 1000× value dilates a stddev
+    * enough to hide real outliers, but moves the median not at all.
+    * Flags |modified z| = |0.6745·(x − med)/MAD| > threshold
+    * (Iglewicz-Hoaglin convention); MAD = 0 (over half the group
+    * identical) flags nothing.
+    *
+    * The exact median is a full-value-multiset aggregate — NOT
+    * partial-aggregable, so this is the audit/slice-scale path (same
+    * contract as the exact half of quantileAudit); at corpus scale
+    * swap `median` for `percentile_approx` and keep the identical
+    * downstream arithmetic. Two group-sized broadcast join-backs, no
+    * per-row window. `mad_z` is floored at 4 decimals like `zscore` —
+    * the two divisions are the only engine-sensitive ulps.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+    val v = col(valueCol).cast("double")
+    val med = base.groupBy(col(groupCol))
+      .agg(median(v).as("__med"))
+    val withMed = base.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(median(abs(v - col("__med"))).as("__mad"))
+    val z = when(col("__mad") > 0,
+      lit(0.6745) * (v - col("__med")) / col("__mad"))
+      .otherwise(lit(0.0))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("mad_z", floor(z * 10000) / 10000)
+      .withColumn("is_outlier", abs(col("mad_z")) > threshold)
+      .drop("__med", "__mad")
+  }
+
   def histogram(df: DataFrame, colName: String, nBuckets: Int = 10): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val v = col(colName).cast("double")

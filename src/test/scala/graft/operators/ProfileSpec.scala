@@ -133,6 +133,31 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(strict.exists(!_))
   }
 
+  test("madOutliers: robust to masking, MAD-0 groups flag nothing") {
+    import spark.implicits._
+    // 1..50 plus a moderate (100) and an extreme (1e6) outlier: the
+    // extreme dilates the stddev so zscore MISSES the moderate one —
+    // the median/MAD path must catch both
+    val vals = (1 to 50).map(_.toDouble) ++ Seq(100.0, 1e6)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "id", "v")
+    val mad = Profile.madOutliers(df, "grp", "v").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    assert(mad(50L) && mad(51L), "MAD must flag moderate AND extreme")
+    assert((0 to 49).forall(i => !mad(i.toLong)))
+    val z = Profile.zscoreOutliers(df, "grp", "v").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    assert(!z(50L), "stddev path is masked by the extreme value")
+    // >half the group identical → MAD = 0 → nothing flags
+    val const = (Seq.fill(9)(5.0) ++ Seq(7.0)).zipWithIndex
+      .map { case (v, i) => ("c", i.toLong, v) }.toDF("grp", "id", "v")
+    assert(Profile.madOutliers(const, "grp", "v").collect()
+      .forall(!_.getAs[Boolean]("is_outlier")))
+  }
+
   test("topKAudit: strict hitters only, boundary ties excluded, exact ests") {
     import spark.implicits._
     // counts: a=5, b=4, c=3, d=3, e=1 → k=4: kth count = 3 (tied c,d)
