@@ -1606,6 +1606,25 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "c24_incremental_join" -> ((s, dir) => {
+      // delta-only join maintenance: Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+      // with both deltas broadcast — historical sides scanned, never
+      // reshuffled. Oracle recomputes the delta as the full new join
+      // minus the old⋈old quadrant (same predicate algebra).
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+      graft.operators.Incremental.joinDelta(
+        o.filter(col("o_orderkey") % 10 < 8),
+        o.filter(col("o_orderkey") % 10 >= 8),
+        l.filter(col("l_linenumber") % 7 < 6),
+        l.filter(col("l_linenumber") % 7 >= 6),
+        Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    }),
+
     "c23_latest_by_key" -> ((s, dir) =>
       // CDC/upsert compaction: newest event per user via a partial-
       // agg'd struct-max argmax (map-side combine; no per-key window
@@ -3666,6 +3685,13 @@ object SparkEntry {
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "c24_incremental_join" ->
+      // delta = every joined row where at least one side is delta
+      """SELECT o_orderkey, o_custkey, l_linenumber, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE NOT (o_orderkey % 10 < 8 AND l_linenumber % 7 < 6)
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
 
     "c23_latest_by_key" ->
       """SELECT user_id, ts_us, event_id, event_type, value FROM (

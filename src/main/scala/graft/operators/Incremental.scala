@@ -64,6 +64,31 @@ object Incremental {
     * one task; the struct max combines map-side). Carries the listed
     * `payloadCols` of the winning row.
     */
+  /** Delta of an inner equi-join under INSERT-ONLY deltas:
+    * Δ(A ⋈ B) = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB — the
+    * materialized-join twin of aggState/combine. Append the returned
+    * rows to the stored A₀ ⋈ B₀ and the result equals joining the
+    * full new inputs (spec-proven; the gate's oracle recomputes the
+    * full join).
+    *
+    * 100 TB shape: the two big-side terms each join a SMALL delta
+    * against a full historical side — the delta is broadcast, so the
+    * historical table is scanned (prunable by partition/zone-map on
+    * the join key) but NEVER reshuffled; the ΔA ⋈ ΔB term is
+    * delta-sized on both sides. Contrast with re-running the view:
+    * a full shuffle of both historical inputs per refresh. Deletes/
+    * updates need keyed retraction (latestByKey compaction upstream);
+    * this operator is the append-stream fast path.
+    */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keys must not be empty")
+    aDelta.hint("broadcast").join(bOld, keys)
+      .unionByName(aOld.join(bDelta.hint("broadcast"), keys))
+      .unionByName(aDelta.join(bDelta.hint("broadcast"), keys))
+  }
+
   def latestByKey(df: DataFrame, keyCol: String, orderCol: String,
       tieCol: String, payloadCols: Seq[String]): DataFrame = {
     val fields = col(orderCol).as("__o") +: col(tieCol).as("__t") +:

@@ -259,6 +259,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       2L -> ((10L, 1L, "d"))))
   }
 
+  test("joinDelta: append equals full re-join; deltas broadcast") {
+    import spark.implicits._
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4"))
+      .toDF("k", "av")
+    val b = Seq((1L, "b1"), (2L, "b2"), (3L, "b3"), (5L, "b5"))
+      .toDF("k", "bv")
+    val (aOld, aDelta) = (a.filter(col("k") <= 2), a.filter(col("k") > 2))
+    val (bOld, bDelta) = (b.filter(col("k") <= 1), b.filter(col("k") > 1))
+    val delta = Incremental.joinDelta(aOld, aDelta, bOld, bDelta, Seq("k"))
+    val stored = aOld.join(bOld, Seq("k")).unionByName(delta)
+    val want = a.join(b, Seq("k"))
+    assert(stored.orderBy("k").collect().toSeq ===
+      want.orderBy("k").collect().toSeq)
+    // k=3 exercises ΔA⋈ΔB, k=2 exercises A₀⋈ΔB, and ΔA⋈B₀ is empty
+    // here — flip the split to hit it too
+    val delta2 = Incremental.joinDelta(
+      a.filter(col("k") > 2), a.filter(col("k") <= 2), bOld, bDelta,
+      Seq("k"))
+    assert(a.filter(col("k") > 2).join(bOld, Seq("k"))
+      .unionByName(delta2).orderBy("k").collect().toSeq ===
+      want.orderBy("k").collect().toSeq)
+    // scale contract: every term is a broadcast join, nothing sort-merges
+    val plan = delta.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"delta join shuffled:\n$plan")
+  }
+
   test("zscore outliers: flags the planted point, single-row group z=0") {
     import spark.implicits._
     val df = (Seq.fill(20)(10.0) ++ Seq(10.5, 9.5, 100.0))
