@@ -1213,7 +1213,10 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"),
           (col("l_suppkey") * 2 + 1).as("dst"))
-      val edges = o.join(l, "o_orderkey").select("src", "dst").distinct()
+      // orders projects to 2 longs — broadcast it so the edge build's
+      // only exchange is the distinct's partial-agg'd shuffle
+      val edges = broadcast(o).join(l, "o_orderkey")
+        .select("src", "dst").distinct()
       graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst",
           iters = 3)
         .orderBy(col("node"))
@@ -1604,6 +1607,27 @@ object SparkEntry {
           col("min_o_totalprice").as("min_price"),
           col("max_o_totalprice").as("max_price"))
         .orderBy(col("o_custkey"))
+    }),
+
+    "c25_scd2_lookup" -> ((s, dir) => {
+      // point-in-time SCD2 lookup: two-version synthetic dimension
+      // over customer (every 3rd key re-versioned at ts 200), facts
+      // from orders with a deterministic ts spanning the boundary —
+      // equi-join on the key, interval predicate as residual filter
+      val cust = t(s, dir, "customer")
+      val v1 = cust.select(col("c_custkey"), col("c_acctbal").as("val"),
+        lit(100L).as("valid_from"),
+        when(col("c_custkey") % 3 === 0, lit(200L))
+          .otherwise(lit(null).cast("long")).as("valid_to"))
+      val v2 = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 10.0).as("val"),
+          lit(200L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val facts = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          (lit(150L) + col("o_orderkey") % 100).as("ts"))
+      graft.operators.Scd2.lookup(v1.unionByName(v2), facts,
+          "c_custkey", "ts")
+        .orderBy(col("o_orderkey"))
     }),
 
     "c24_incremental_join" -> ((s, dir) => {
@@ -3685,6 +3709,28 @@ object SparkEntry {
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "c25_scd2_lookup" ->
+      // same two-version dimension; the interval predicate picks
+      // exactly one version per fact
+      """WITH dim AS (
+        |  SELECT c_custkey, c_acctbal AS val, 100 AS valid_from,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 200 ELSE NULL END
+        |      AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 10.0, 200, NULL
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |f AS (
+        |  SELECT o_orderkey, o_custkey AS c_custkey,
+        |    150 + o_orderkey % 100 AS ts
+        |  FROM orders)
+        |SELECT f.o_orderkey, f.c_custkey, f.ts, d.val, d.valid_from,
+        |  d.valid_to
+        |FROM f JOIN dim d ON f.c_custkey = d.c_custkey
+        |  AND f.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "c24_incremental_join" ->
       // delta = every joined row where at least one side is delta

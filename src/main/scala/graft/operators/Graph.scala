@@ -37,35 +37,51 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the edge list is touched by nodes, outdeg, AND every iteration —
+    // persist it once or the caller's (possibly expensive) edge-build
+    // plan re-runs per iteration
     val e = edges.select(col(srcCol).cast("long").as("__src"),
-      col(dstCol).cast("long").as("__dst"))
+      col(dstCol).cast("long").as("__dst")).persist(lvl)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst")))
-      .distinct()
+      .distinct().persist(lvl)
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
-    val n = nodes.count()
+    // out-degree is folded into the cached edge list ONCE — each
+    // iteration then touches a single static relation; with the rank
+    // frame node-sized relative to edges, AQE broadcasts it and the
+    // only per-iteration exchange left is the partial-agg'd
+    // contribution sum on dst
+    val eDeg = e.join(deg, "__src")
+      .select(col("__src"), col("__dst"), col("__outdeg")).persist(lvl)
+    val n = nodes.count() // also materializes e
     val base = (15L * (scale / n)) / 100L
-    var pr = nodes.withColumn("pr", lit(scale / n))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.withColumn("pr", lit(scale / n)).persist(lvl)
+    val intermediates = scala.collection.mutable.ArrayBuffer(pr)
     (0 until iters).foreach { _ =>
-      val contrib = e
+      val contrib = eDeg
         .join(pr.withColumnRenamed("node", "__src"), "__src")
-        .join(deg, "__src")
         .select(col("__dst"),
           expr("pr div __outdeg").as("__c"))
         .groupBy(col("__dst"))
         .agg(sum(col("__c")).as("__m"))
-      val prev = pr
       pr = nodes
         .join(contrib.withColumnRenamed("__dst", "node"), Seq("node"),
           "left")
         .select(col("node"),
           (lit(base) +
             expr(s"(85 * coalesce(__m, 0L)) div 100")).as("pr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pr.count() // materialize before unpersisting the input lineage
-      prev.unpersist()
+        .persist(lvl)
+      intermediates += pr
     }
-    pr
+    // ONE materializing job computes the whole chain (each iteration's
+    // persist caches as the action sweeps through), then the scaffold
+    // unpersists. Peak storage = iters node-sized frames; for deep
+    // chains (iters ≫ 10) trade this for a count-per-iteration loop
+    // that drops frame i−1 before computing i+1.
+    pr.count()
+    intermediates.dropRight(1).foreach(_.unpersist())
+    e.unpersist(); eDeg.unpersist(); nodes.unpersist()
+    pr // already materialized; final frame stays cached for the caller
   }
 }

@@ -77,4 +77,32 @@ object Scd2 {
       }.toSeq: _*)
     history.unionByName(unchanged).unionByName(closed).unionByName(opened)
   }
+
+  /** Point-in-time (temporal) lookup against an SCD2 dimension: each
+    * fact row joins the dimension version whose
+    * `[valid_from, valid_to)` interval contains the fact's timestamp
+    * (open-ended current versions have `valid_to IS NULL`). The
+    * as-of-history query every warehouse runs against the dimension
+    * `apply2` maintains.
+    *
+    * 100 TB shape: the join key is the EQUALITY on `pk` — Catalyst
+    * plans a hash/SMJ join clustered on pk with the interval predicate
+    * as the join's residual filter, so the shuffle moves each fact
+    * once, NOT once per version (a pure theta/range join would
+    * cross every fact with every version). Version counts per key are
+    * small by construction; the residual filter kills all but one.
+    * Output carries every fact column plus the dimension's non-pk
+    * columns (valid_from doubles as the version tag).
+    */
+  def lookup(dim: DataFrame, facts: DataFrame, pk: String,
+      tsCol: String): DataFrame = {
+    val d = dim.alias("__d")
+    val f = facts.alias("__f")
+    val cond = col(s"__f.$pk") === col(s"__d.$pk") &&
+      col(s"__f.$tsCol") >= col("__d.valid_from") &&
+      (col("__d.valid_to").isNull ||
+        col(s"__f.$tsCol") < col("__d.valid_to"))
+    val dimCols = dim.columns.filter(_ != pk).map(c => col(s"__d.$c"))
+    f.join(d, cond).select(col("__f.*") +: dimCols.toSeq: _*)
+  }
 }

@@ -417,6 +417,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(again.count() === out.count())
   }
 
+  test("scd2 lookup: picks the containing version, equi-keyed plan") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "v1", 100L, Some(200L)),
+      (1L, "v2", 200L, None),
+      (2L, "w1", 100L, None))
+      .toDF("id", "v", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, 150L),  // inside v1
+      (11L, 1L, 200L),  // boundary: valid_from inclusive → v2
+      (12L, 1L, 199L),  // last tick of v1
+      (13L, 2L, 500L),  // open-ended current version
+      (14L, 1L, 50L),   // before all versions → dropped
+      (15L, 9L, 100L))  // unknown key → dropped
+      .toDF("fid", "id", "ts")
+    val out = Scd2.lookup(dim, facts, "id", "ts").collect()
+      .map(r => r.getAs[Long]("fid") -> r.getAs[String]("v")).toMap
+    assert(out === Map(10L -> "v1", 11L -> "v2", 12L -> "v1",
+      13L -> "w1"))
+    // the join must be keyed on the equality, not a nested-loop range
+    val plan = Scd2.lookup(dim, facts, "id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"range-join degenerated:\n$plan")
+  }
+
   test("resample interpolation: line between observations, flat edges") {
     import spark.implicits._
     // key k: observations at buckets 0 (v=10) and 30 (v=40); buckets
