@@ -290,17 +290,20 @@ object TextAnalysis {
       "__n", "__sumdl", "__s")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input column '$c' collides with a bm25Rank output column"))
-    val postings = df
-      .select(col(idCol), size(tokens(col(textCol))).as("dl"),
-        explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val qterms = queries
       .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("term"))
       .distinct()
-    val dfq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // semi-join the exploded token stream on the (broadcast) query
+    // vocabulary BEFORE the tf groupBy: the postings shuffle then
+    // carries only query-term tokens, not the whole corpus — df per
+    // term is unchanged because every doc containing the term survives
+    val postings = df
+      .select(col(idCol), size(tokens(col(textCol))).as("dl"),
+        explode(tokens(col(textCol))).as("term"))
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
         "left_semi")
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val stats = df
       .select(size(tokens(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
@@ -314,9 +317,14 @@ object TextAnalysis {
     val denom = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * col("dl") * col("__n") /
         col("__sumdl").cast("double"))
+    // df (docs containing the term) as a window count over the
+    // semi-joined postings — one row per (doc, term), so count(*)
+    // per term IS the document frequency; this replaces a groupBy
+    // aggregate + broadcast-join pair (two scheduler stages) with a
+    // single shuffle over the already-query-term-only postings
     val perTerm = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col(queryIdCol), col(idCol),
         (floor(idf * tfNum / denom * 1e9) / 1e9)
