@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** pg_trgm-style trigram similarity — the PostgreSQL `similarity()` /
@@ -47,34 +48,66 @@ object Trigram {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** All pairs with trigram similarity ≥ threshold, via the inverted
-    * index (id, trigram) equi-join — the `%` join at corpus scale.
-    * Output: (id_a, id_b, sim) with id_a < id_b, sim floor-quantized
-    * to 4 decimals.
+  /** All pairs with trigram similarity ≥ threshold, via a
+    * prefix-filtered inverted index (AllPairs/PPJoin-style, Bayardo et
+    * al. WWW'07) — the `%` join at corpus scale, EXACT despite the
+    * pruning. Output: (id_a, id_b, sim) with id_a < id_b, sim
+    * floor-quantized to 4 decimals.
+    *
+    * Why a plain inverted index is not enough: corpora with a shared
+    * surface pattern (TPC-H `Customer#000…`, URL prefixes, boilerplate)
+    * put every row under the same hot trigrams, and the candidate
+    * equi-join degenerates to all-pairs. The two classic EXACT filters
+    * fix that:
+    *  - prefix filter: J(a,b) ≥ t ⟹ |a∩b| ≥ ⌈t·|a|⌉, so a pair must
+    *    share at least one of the first `|x| − ⌈t·|x|⌉ + 1` trigrams
+    *    of EACH side under any single global trigram order. Ordering
+    *    by ascending document frequency makes those prefix trigrams
+    *    the rarest ones — hot trigrams land outside every prefix and
+    *    never generate candidates.
+    *  - length filter: J(a,b) ≥ t ⟹ t·|a| ≤ |b| (and symmetrically),
+    *    applied on the candidate join.
+    * Surviving candidates are re-scored from the FULL trigram sets, so
+    * reported sims are exact; the filters only shrink the candidate
+    * set, never the result (the brute-force parity spec asserts this).
     */
   def similarPairs(df: DataFrame, idCol: String, strCol: String,
       threshold: Double, maxDf: Option[Long] = None): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (pairs must share a trigram)")
     val sets = df.select(col(idCol).as("__id"),
       trigrams(col(strCol)).as("__tg"))
-    val index = {
-      val full = sets.select(col("__id"), explode(col("__tg")).as("__t"))
-      maxDf match {
-        case Some(cap) =>
-          // drop ultra-common trigrams from the index: partial-agg'd
-          // df count, broadcast back as a semi-filter
-          val rare = full.groupBy(col("__t"))
-            .agg(count(lit(1)).as("__df"))
-            .filter(col("__df") <= cap)
-            .select(col("__t"))
-          full.join(broadcast(rare), Seq("__t"))
-        case None => full
-      }
+    val full = sets.select(col("__id"), size(col("__tg")).as("__sz"),
+      explode(col("__tg")).as("__t"))
+    // global trigram df — the prefix order key. Trigram vocabulary is
+    // bounded (≤ ~50k over [a-z0-9 ]³), so the df table broadcasts at
+    // any corpus size.
+    val dfTab = full.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val kept = maxDf match {
+      // optional recall-trading stopword cap, as before (df-capped
+      // trigrams leave the index entirely)
+      case Some(cap) => full.join(
+        broadcast(dfTab.filter(col("__df") <= cap)), Seq("__t"))
+      case None => full.join(broadcast(dfTab), Seq("__t"))
     }
-    val l = index.select(col("__t"), col("__id").as("id_a"))
-    val r = index.select(col("__t"), col("__id").as("id_b"))
+    // prefix slice: keep the `sz − ⌈t·sz⌉ + 1` globally-rarest trigrams
+    // of each set. The 1e-9 nudge makes double ceil match mathematical
+    // ceil when t·sz is integral (12.000000000000002 must ceil to 12,
+    // not 13 — a too-short prefix would break exactness; the nudge can
+    // only lengthen the prefix, which is always safe).
+    val rankW = Window.partitionBy(col("__id"))
+      .orderBy(col("__df").asc, col("__t").asc)
+    val prefix = kept
+      .withColumn("__rnk", row_number().over(rankW))
+      .filter(col("__rnk") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+    val l = prefix.select(col("__t"), col("__id").as("id_a"),
+      col("__sz").as("__sza"))
+    val r = prefix.select(col("__t"), col("__id").as("id_b"),
+      col("__sz").as("__szb"))
     val cands = l.join(r, Seq("__t"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__szb") >= lit(threshold) * col("__sza") - lit(1e-9) &&
+        col("__sza") >= lit(threshold) * col("__szb") - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
     // exact re-score from the FULL trigram sets (candidates only), so
