@@ -285,3 +285,105 @@ case class MatProject(child: Expression, planes: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression): MatProject =
     copy(child = newChild)
 }
+
+/** Fused IVF cell assignment: argmin over centroids p of
+  * `‖c_p‖² − 2·v·c_p` (the ‖v‖² term is constant in p), as ONE
+  * codegen'd double loop — numCents × dims multiply-adds per row with
+  * no per-centroid expression overhead. Replaces an
+  * `array_min(array(struct(score, cell), …))` over numCents separate
+  * VecDot expressions on the corpus hot path.
+  *
+  * Parity with the declarative form it replaces: each dot accumulates
+  * left-to-right in IEEE doubles (identical to VecDot), the score is
+  * `normSq − 2.0·dot` (same association), and the argmin compares with
+  * `Double.compare` — the exact total order (`-0.0 < 0.0`, NaN
+  * greatest) Spark's struct ordering gives `array_min`, with ties on
+  * the score keeping the smallest cell index.
+  *
+  * Throws on dimensionality mismatch or null element (same fail-loud
+  * contract as MatProject/SignBits).
+  */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val numCents = centroids.length
+  private val dims = if (centroids.isEmpty) 0 else centroids(0).length
+  private val normSq: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nearest_cell"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell expects array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"nearestCell: vector dims != $dims")
+    var best = Double.PositiveInfinity
+    var cell = 0
+    var p = 0
+    while (p < numCents) {
+      val cent = centroids(p)
+      var s = 0.0
+      var d = 0
+      while (d < dims) {
+        if (vec.isNullAt(d))
+          throw new RuntimeException(s"nearestCell: null element at $d")
+        s += VectorExpressions.elementAt(child.dataType, vec, d) * cent(d)
+        d += 1
+      }
+      val score = normSq(p) - 2.0 * s
+      if (java.lang.Double.compare(score, best) < 0) { best = score; cell = p }
+      p += 1
+    }
+    cell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val normsRef = ctx.addReferenceObj("normSq", normSq, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val score = ctx.freshName("score")
+      val elem = VectorExpressions.elementReader(child.dataType, v, d)
+      s"""
+         |if ($v.numElements() != $dims) {
+         |  throw new RuntimeException("nearestCell: vector dims != $dims");
+         |}
+         |double $best = Double.POSITIVE_INFINITY;
+         |${ev.value} = 0;
+         |for (int $p = 0; $p < $numCents; $p++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $dims; $d++) {
+         |    if ($v.isNullAt($d)) {
+         |      throw new RuntimeException("nearestCell: null element at " + $d);
+         |    }
+         |    $s += $elem * $centsRef[$p][$d];
+         |  }
+         |  double $score = $normsRef[$p] - 2.0 * $s;
+         |  if (java.lang.Double.compare($score, $best) < 0) {
+         |    $best = $score;
+         |    ${ev.value} = $p;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}

@@ -386,21 +386,19 @@ object Similarity {
   }
 
   /** Cell assignment: argmin over centroids of ‖v−c‖² ≡ argmin of
-    * (‖c‖² − 2·v·c) — one codegen'd VecDot per centroid, argmin as a
-    * single array_min over (score, cell) structs.
+    * (‖c‖² − 2·v·c) — ONE fused codegen kernel over all centroids
+    * (graft.expressions.NearestCell) instead of nlist separate VecDot
+    * expressions feeding an array_min: same scores, same `Double
+    * .compare` tie order, nlist× less expression-tree overhead on the
+    * corpus-wide hot path.
     */
   private def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
     // coalesce makes the cell provably non-nullable, so the equi-join
     // downstream infers NO IsNotNull filter on it — without this the
-    // optimizer pushes isnotnull(<whole argmin>) below the projection
-    // and the entire nlist-centroid scoring runs TWICE per corpus row
-    // (once in the filter, once in the project)
+    // optimizer pushes isnotnull(<argmin>) below the projection and
+    // the nlist-centroid scoring runs TWICE per corpus row
     coalesce(
-      array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        val cNormSq = c.map(x => x * x).sum
-        struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(c))).as("score"),
-          lit(i).as("cell"))
-      }: _*)).getField("cell"),
+      exprCol(graft.expressions.NearestCell(colExpr(vec), centroids)),
       lit(-1))
 
   /** The nprobe cells nearest to a query vector, as an array column. */

@@ -337,6 +337,33 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("codegen NearestCell matches the declarative array_min argmin") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftglue.Glue.{column => exprCol, expression => colExpr}
+    val rnd = new scala.util.Random(13)
+    val cents = Array.fill(16)(Array.fill(24)(rnd.nextDouble() * 2 - 1))
+    val rows = (1 to 80).map(i =>
+      (i.toLong, Array.fill(24)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "v")
+    val declarative = array_min(array(cents.zipWithIndex.toIndexedSeq.map {
+      case (c, i) =>
+        val cNormSq = c.map(x => x * x).sum
+        struct((lit(cNormSq) - lit(2.0) * Similarity.dot(col("v"), lit(c)))
+          .as("score"), lit(i).as("cell"))
+    }: _*)).getField("cell")
+    val cmp = df.select(
+      exprCol(graft.expressions.NearestCell(colExpr(col("v")), cents)).as("fast"),
+      declarative.as("slow")).collect()
+    cmp.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // exercise the tie path: two identical centroids must keep the
+    // smaller cell index, matching array_min's struct ordering
+    val tied = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val t = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+      .select(exprCol(graft.expressions.NearestCell(colExpr(col("v")), tied)))
+      .head.getInt(0)
+    assert(t === 0)
+  }
+
   test("MatProject fails loudly on a dims mismatch") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
