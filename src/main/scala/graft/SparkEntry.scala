@@ -936,6 +936,23 @@ object SparkEntry {
           col("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    "mm_phash_neardup" -> ((s, dir) => {
+      // image near-dup via perceptual hash over REAL decoded pixels:
+      // synthetic gray PNGs planted in twin groups of 4 (one pixel
+      // perturbed per twin) → decode → aHash64 → pigeonhole Hamming
+      // pairs (the SAME scale-safe block machinery as text simhash);
+      // the oracle replays the pixel/hash arithmetic and does the
+      // quadratic Hamming join on the small fixture
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val imgs = graft.functions.Multimodal.withSyntheticGrayPng8(
+        docs, "doc_id", twinGroup = 4)
+      val hashed = graft.functions.Multimodal.imageAHash64(imgs, "payload")
+        .select(col("doc_id"), col("ahash"))
+      graft.functions.Dedup.hammingNearDups(
+          hashed, "doc_id", "ahash", numBits = 64, radius = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "mm_decode_png" -> ((s, dir) => {
       // REAL image decode (javax.imageio, pure JVM): synthetic PNGs
       // with id-derived dims are built per partition, every 97th
@@ -2318,6 +2335,39 @@ object SparkEntry {
     "mm_byte_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_phash_neardup" ->
+      // replay of the full chain: pixel formula (twin groups of 4, one
+      // +128 mod 256 pixel perturbation per twin) → aHash bit rule
+      // (64·g ≥ Σg, all integer) → signed-64 hash assembly (bit 63 via
+      // min-bigint addition, two's complement) → quadratic Hamming join
+      """WITH px0 AS (
+        |  SELECT d.doc_id, t.i,
+        |    CAST(('0x' || substr(md5('px|' || (d.doc_id - d.doc_id % 4)
+        |        || '|' || (t.i % 8) || '|' || (t.i // 8)), 1, 15))
+        |      AS BIGINT) % 256 AS g0
+        |  FROM documents d, (SELECT unnest(range(64)) AS i) t),
+        |px AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 4 > 0 AND i // 8 = 0
+        |              AND i % 8 = doc_id % 4 - 1
+        |      THEN (g0 + 128) % 256 ELSE g0 END AS g
+        |  FROM px0),
+        |s AS (SELECT doc_id, SUM(g) AS total FROM px GROUP BY doc_id),
+        |h AS (
+        |  SELECT px.doc_id,
+        |    SUM(CASE WHEN 64 * g >= total AND i < 63
+        |          THEN CAST(1 AS BIGINT) << i ELSE 0 END)::BIGINT
+        |    + CASE WHEN MAX(CASE WHEN i = 63 AND 64 * g >= total
+        |                    THEN 1 ELSE 0 END) = 1
+        |        THEN -9223372036854775807 - 1 ELSE 0 END AS ahash
+        |  FROM px JOIN s ON px.doc_id = s.doc_id
+        |  GROUP BY px.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_decode_png" ->
       // the decoded dims must equal the generator's arithmetic; the

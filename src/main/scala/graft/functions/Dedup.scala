@@ -328,39 +328,59 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       radius: Int = 3): DataFrame = {
-    val numBits = 60
+    val sigs = df
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        exprCol(graft.expressions.PortableSimHash(
+          colExpr(col("__toks")), 60)).as("sig"))
+    hammingNearDups(sigs, idCol, "sig", numBits = 60, radius = radius)
+  }
+
+  /** Pigeonhole Hamming-radius pair search over ANY precomputed
+    * bit-signature column (text simhash, image aHash, audio
+    * fingerprint — the signature source is orthogonal): split the
+    * `numBits` signature into (radius+1) blocks; a pair within
+    * distance ≤ radius must agree exactly on ≥ 1 block, so candidates
+    * come from an equi-join on (block_id, block_value) and the exact
+    * bit_count(xor) check runs on candidates only. Works on signed
+    * 64-bit signatures (the top block masks away sign-extension from
+    * the arithmetic shift).
+    */
+  def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
+      numBits: Int, radius: Int): DataFrame = {
     val blocks = radius + 1
+    require(numBits >= 2 && numBits <= 64, "numBits must be in [2, 64]")
     require(blocks >= 2 && blocks <= numBits,
       s"radius must be in [1, ${numBits - 1}]")
     // Pigeonhole only needs SOME partition into radius+1 blocks; when
     // blocks does not divide numBits the low `rem` blocks are one bit
     // wider (floor/ceil widths), so any radius works — not just
-    // divisors of 60.
+    // divisors of numBits.
     val baseWidth = numBits / blocks
     val rem = numBits % blocks
     // block b covers [offset, offset+width): widths cover all bits once
     val layout = (0 until blocks).scanLeft((0, 0)) { case ((off, w), b) =>
       (off + w, baseWidth + (if (b < rem) 1 else 0))
     }.tail
-    val sigs = df
-      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
-      .select(col(idCol),
-        exprCol(graft.expressions.PortableSimHash(
-          colExpr(col("__toks")), numBits)).as("sig"))
+    // widths are ≤ numBits/2 + 1 ≤ 33 (blocks ≥ 2), so the mask never
+    // overflows; masking also strips the arithmetic shift's
+    // sign-extension on signed signatures
     val bandCols = layout.zipWithIndex.map { case ((offset, width), b) =>
       struct(lit(b).as("block_id"),
-        shiftright(col("sig"), offset).bitwiseAND(lit((1L << width) - 1))
+        shiftright(col(sigCol), offset).bitwiseAND(lit((1L << width) - 1))
           .as("block_value"))
     }
     val bands = sigs
-      .select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("blk"))
-      .select(col(idCol), col("sig"), col("blk.block_id"), col("blk.block_value"))
+      .select(col(idCol), col(sigCol).as("__sig"),
+        explode(array(bandCols: _*)).as("blk"))
+      .select(col(idCol), col("__sig"), col("blk.block_id"),
+        col("blk.block_value"))
     val l = bands.alias("l"); val r = bands.alias("r")
     l.join(r, col("l.block_id") === col("r.block_id") &&
         col("l.block_value") === col("r.block_value") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= radius)
   }

@@ -288,6 +288,150 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic synthetic grayscale-PNG fixture with PLANTED
+    * near-duplicates: ids sharing `id - id % twinGroup` get identical
+    * 8×8 pixel grids except that the j-th twin (j = id % twinGroup > 0)
+    * has pixel (j−1, 0) shifted by +128 mod 256 — so twin groups are a
+    * few perceptual-hash bits apart while unrelated ids differ
+    * everywhere. Pixel values use the repo's portable-hash convention
+    * (replayed by oracles): g(x,y) = md5_60("px|base|x|y") mod 256,
+    * base = id − id mod twinGroup — a LINEAR per-group formula would
+    * make every group's image the same gradient plus a constant, and
+    * constant shifts survive the aHash mean threshold (measured: 7k
+    * false hamming-0 pairs across unrelated groups). TYPE_BYTE_GRAY
+    * PNG round-trips raster samples losslessly, so the decoded lumas
+    * equal this formula exactly. Map-only per-partition generation
+    * like [[withSyntheticPng]].
+    */
+  def withSyntheticGrayPng8(df: DataFrame, idCol: String,
+      twinGroup: Int = 4): DataFrame = {
+    require(twinGroup >= 1, "twinGroup must be >= 1")
+    val schema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def px(base: Long, x: Int, y: Int): Int = {
+        val hex = md.digest(s"px|$base|$x|$y".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+      }
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val base = id - math.floorMod(id, twinGroup.toLong)
+        val j = math.floorMod(id, twinGroup.toLong).toInt
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val g0 = px(base, x, y)
+            val g = if (j > 0 && y == 0 && x == j - 1)
+              math.floorMod(g0 + 128, 256) else g0
+            raster.setSample(x, y, 0, g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint over REAL decoded
+    * pixels: decode (javax.imageio), integer luma per pixel
+    * ((77R+150G+29B)»8; single-band rasters read the sample directly —
+    * no colorspace transform, so gray PNGs hash their exact stored
+    * values), block-mean downsample to an 8×8 grid (block boundaries
+    * ⌊b·dim/8⌋ — any input size), then bit i = y·8+x set iff block
+    * mean ≥ the mean of the 64 block means. Two visually-near images
+    * differ in few bits, so the hash feeds the SAME pigeonhole
+    * Hamming machinery as text simhash (Dedup.hammingNearDups) — the
+    * image-dedup path of the pipeline, scale-safe end to end.
+    *
+    * On an 8×8 input every block is one pixel and the comparison
+    * 64·g ≥ Σg is exact integer arithmetic — engine-replayable, which
+    * is what the gate's oracle does. Partition-batched like every
+    * media kernel here: one decoder per partition, task-completion
+    * close, per-row error channel (`ahash` null + error string), no
+    * task aborts on corrupt payloads.
+    */
+  def imageAHash64(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("ahash", LongType),
+      StructField("ahash_ok", BooleanType),
+      StructField("ahash_error", StringType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        val res: Either[String, Long] =
+          try {
+            if (bytes == null || bytes.isEmpty)
+              throw new IllegalArgumentException("empty payload")
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null)
+              throw new IllegalArgumentException("undecodable image")
+            val w = img.getWidth; val h = img.getHeight
+            val gray = img.getRaster.getNumBands == 1
+            // block sums/counts over the 8×8 grid; integer lumas keep
+            // the means exact doubles on small blocks
+            val sums = new Array[Double](64)
+            val cnts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val bx = x * 8 / w
+                val lum =
+                  if (gray) img.getRaster.getSample(x, y, 0)
+                  else {
+                    val rgb = img.getRGB(x, y)
+                    (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+                      29 * (rgb & 0xff)) >> 8
+                  }
+                val b = by * 8 + bx
+                sums(b) += lum; cnts(b) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val means = Array.tabulate(64)(b =>
+              if (cnts(b) == 0) 0.0 else sums(b) / cnts(b))
+            val total = means.sum
+            var hash = 0L
+            var b = 0
+            while (b < 64) {
+              // mean(b) >= total/64: multiply through by 64 (exact —
+              // power-of-two scaling) so the 8×8 case is pure integers
+              if (means(b) * 64.0 >= total) hash |= 1L << b
+              b += 1
+            }
+            Right(hash)
+          } catch {
+            case e: Exception =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        Row.fromSeq(row.toSeq ++ (res match {
+          case Right(v) => Seq(v, true, null)
+          case Left(m) => Seq(null, false, m)
+        }))
+      }
+    }(enc)
+  }
+
   /** Decode/feature-extract pass: binary column → media_meta struct.
     * `mapPartitions` so a real decoder initializes once per partition;
     * per-row failures become `decode_ok=false` rows, never task aborts

@@ -833,6 +833,89 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L)._2 === false && out(2L)._1 === null)
   }
 
+  test("multimodal: aHash64 equals the integer replay on decoded gray pixels") {
+    import spark.implicits._
+    // independent reimplementation of the fixture's pixel arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def px(base: Long, x: Int, y: Int): Int = {
+      val hex = md.digest(s"px|$base|$x|$y".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+    }
+    def expectedHash(id: Long): Long = {
+      val base = id - id % 4; val j = (id % 4).toInt
+      val g = Array.tabulate(64) { i =>
+        val (x, y) = (i % 8, i / 8)
+        val g0 = px(base, x, y)
+        if (j > 0 && y == 0 && x == j - 1) (g0 + 128) % 256 else g0
+      }
+      val total = g.sum
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (64L * g(i) >= total) acc | (1L << i) else acc)
+    }
+    val ids = Seq(0L, 1L, 7L, 12L).toDF("doc_id")
+    val out = Multimodal.imageAHash64(
+        Multimodal.withSyntheticGrayPng8(ids, "doc_id"), "payload")
+      .select(col("doc_id"), col("ahash"), col("ahash_ok")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(0L, 1L, 7L, 12L).foreach { id =>
+      assert(out(id).getBoolean(2), s"id $id should decode")
+      assert(out(id).getLong(1) === expectedHash(id), s"hash mismatch id $id")
+    }
+    // corrupt payload → null hash + error, never a task abort
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val b = Multimodal.imageAHash64(bad, "payload").collect().head
+    assert(b.get(2) == null && b.getBoolean(3) === false &&
+      b.getString(4) != null)
+  }
+
+  test("multimodal: aHash64 block-means RGB images larger than 8x8") {
+    import spark.implicits._
+    // 16×16 RGB: each 2×2 block averages; constant image → every block
+    // mean equals the global mean → all 64 bits set (>= rule) → -1L
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val flat = Multimodal.imageAHash64(
+      Seq((1L, bos.toByteArray)).toDF("doc_id", "payload"), "payload")
+      .collect().head
+    assert(flat.getLong(2) === -1L)
+    // top half bright, bottom half dark → low 32 bits (rows 0–3) set
+    val img2 = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img2.setRGB(x, y, if (y < 8) 0xffffff else 0x000000)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img2, "png", bos2)
+    val split = Multimodal.imageAHash64(
+      Seq((1L, bos2.toByteArray)).toDF("doc_id", "payload"), "payload")
+      .collect().head
+    assert(split.getLong(2) === 0x00000000ffffffffL)
+  }
+
+  test("hamming near-dups on aHash signatures find planted twins only") {
+    import spark.implicits._
+    val ids = (0L until 16L).toDF("doc_id")
+    val hashed = Multimodal.imageAHash64(
+        Multimodal.withSyntheticGrayPng8(ids, "doc_id"), "payload")
+      .select(col("doc_id"), col("ahash"))
+    val pairs = Dedup.hammingNearDups(hashed, "doc_id", "ahash",
+        numBits = 64, radius = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // brute-force truth over the same signatures
+    val sigs = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = for {
+      a <- 0L until 16L; b <- (a + 1) until 16L
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 6
+    } yield (a, b, d)
+    assert(pairs.toSet === truth.toSet)
+    // twins (same group of 4) are all found; the fixture plants them close
+    val sameGroup = truth.filter { case (a, b, _) => a / 4 == b / 4 }
+    assert(sameGroup.size === 4 * 6)
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
