@@ -1029,6 +1029,19 @@ object SparkEntry {
         "doc_id", "w", k = 200)
         .orderBy(col("doc_id"))),
 
+    "curate_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: every document scored for likeness to
+      // the target slice (doc_id % 7 = 0 standing in for a curated
+      // domain sample) via hashed unigram+bigram bucket log-ratios;
+      // bucket tables broadcast, per-doc sums decimal — the oracle
+      // replays the md5 buckets and quantized ln ratios exactly
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.functions.Curation.dsirLogWeights(
+          docs, docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", buckets = 8192)
+        .orderBy(col("doc_id"))
+    }),
+
     "curate_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: docs sharing a 4-gram with the
       // held-out set (doc_id % 37 = 0 here; a real eval suite in
@@ -2607,6 +2620,39 @@ object SparkEntry {
         |  FROM documents
         |  ORDER BY k DESC, doc_id LIMIT 200) t
         |ORDER BY doc_id""".stripMargin,
+
+    "curate_dsir_weights" ->
+      // full replay: md5 buckets, add-one-smoothed counts, ln of the
+      // exact rational quantized to 9 decimals, decimal per-doc sums
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(list_concat(tk,
+        |    CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END)) AS g
+        |  FROM toks),
+        |gb AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('dsir|' || g), 1, 15)) AS BIGINT)
+        |      % 8192 AS b
+        |  FROM gr WHERE g <> ''),
+        |tc AS (SELECT b, count(*) AS ct FROM gb WHERE doc_id % 7 = 0 GROUP BY b),
+        |rc AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+        |tt AS (SELECT count(*) AS nt FROM gb WHERE doc_id % 7 = 0),
+        |rt AS (SELECT count(*) AS nr FROM gb),
+        |lam AS (
+        |  SELECT rc.b,
+        |    floor(ln(CAST((COALESCE(tc.ct, 0) + 1) * (rt.nr + 8192) AS DOUBLE)
+        |           / CAST((rc.cr + 1) * (tt.nt + 8192) AS DOUBLE)) * 1e9)
+        |      / 1e9 AS lam
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b, tt, rt)
+        |SELECT gb.doc_id, count(*) AS n_grams,
+        |  floor(CAST(SUM(CAST(lam AS DECIMAL(28,9))) AS DOUBLE) * 1e4) / 1e4
+        |    AS log_w
+        |FROM gb JOIN lam ON gb.b = lam.b
+        |GROUP BY gb.doc_id ORDER BY gb.doc_id""".stripMargin,
 
     "curate_decontaminate" ->
       """WITH toks AS (

@@ -261,6 +261,77 @@ object Curation {
           greatest(col("n_grams"), lit(1))).as("overlap"))
   }
 
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw-corpus document by how
+    * target-like its hashed n-gram features are —
+    * log w(doc) = Σ_grams [ln p_target(bucket(g)) − ln p_raw(bucket(g))]
+    * with unigram+bigram features hashed into `buckets` buckets and
+    * add-one-smoothed bucket probabilities. Sampling ∝ exp(log w)
+    * (e.g. via [[weightedSample]]) then selects raw data matching the
+    * target distribution.
+    *
+    * Scale shape: both corpora stream once through a map-only
+    * tokenize→gram→bucket projection; bucket counts partial-aggregate
+    * to ≤ `buckets` rows per side (the shuffle carries buckets ×
+    * partitions rows, never gram occurrences); the per-bucket
+    * log-ratio table (≤ `buckets` rows) broadcast-joins back onto the
+    * raw gram stream, and the per-doc sum is one partial-agg'd groupBy
+    * on the doc id. Nothing is ever driver-side or O(corpus) beyond
+    * the scans.
+    *
+    * Portability: the bucket is the repo's salted 60-bit md5 hash mod
+    * `buckets`; each bucket's log-ratio is ln of an exactly-computed
+    * rational ((c_t+1)(N_r+B) / ((c_r+1)(N_t+B)) — integer products
+    * < 2⁵³, cast to double, one IEEE divide) floor-quantized to 9
+    * decimals; per-doc totals sum those as DECIMAL(28,9) — order-
+    * independent and replayable in any engine with md5 + ln.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 8192,
+      salt: String = "dsir|"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(!Set("n_grams", "log_w").contains(idCol),
+      s"idCol '$idCol' collides with a dsirLogWeights output column")
+    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val toks = TextAnalysis.tokens(lower(trim(col(textCol))))
+      val bigrams = when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      df.select(keep :+ toks.as("__toks"): _*)
+        .select(keep :+ explode(concat(col("__toks"), bigrams)).as("__g"): _*)
+        .filter(col("__g") =!= "")
+        .select(keep :+ (saltedHash60(salt, col("__g")) % buckets).as("__b"): _*)
+    }
+    val rawGrams = gramBuckets(raw, Seq(col(idCol)))
+    val tgtGrams = gramBuckets(target, Seq.empty)
+    val rawCounts = rawGrams.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgtCounts = tgtGrams.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rawTotal = rawGrams.agg(count(lit(1)).as("__nr"))
+    val tgtTotal = tgtGrams.agg(count(lit(1)).as("__nt"))
+    // every raw gram's bucket is in rawCounts by construction, so a
+    // left join from rawCounts covers the full stream; target-absent
+    // buckets smooth to c_t = 0
+    val lam = rawCounts
+      .join(tgtCounts, Seq("__b"), "left")
+      .crossJoin(broadcast(rawTotal)).crossJoin(broadcast(tgtTotal))
+      .select(col("__b"),
+        (floor(log(
+          ((coalesce(col("__ct"), lit(0L)) + 1) *
+            (col("__nr") + buckets)).cast("double") /
+          ((col("__cr") + 1) * (col("__nt") + buckets)).cast("double"))
+          * 1e9) / 1e9).as("__lam"))
+    rawGrams
+      .join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__lam").cast("decimal(28,9)")).as("__s"))
+      .select(col(idCol), col("n_grams"),
+        TextAnalysis.q4(col("__s").cast("double")).as("log_w"))
+  }
+
   /** Greedy-free sequence packing (concat-then-chunk): documents are
     * hash-sharded, laid end-to-end within each shard in id order, and
     * the resulting token stream is cut into fixed `budget`-token

@@ -264,6 +264,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       42L -> (42L, true)))
   }
 
+  test("dsirLogWeights ranks target-like docs above off-domain docs") {
+    import spark.implicits._
+    // target domain: cooking text; raw corpus has one cooking doc, one
+    // astronomy doc, one mixed — importance order must follow likeness
+    val target = Seq(
+      (100L, "simmer the garlic butter sauce slowly"),
+      (101L, "whisk butter garlic into the warm sauce"),
+      (102L, "season the sauce then simmer garlic")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "simmer garlic butter sauce"),
+      (2L, "neutron star collapse emits gravitational waves"),
+      (3L, "simmer the telescope sauce")).toDF("doc_id", "text")
+    val out = graft.functions.Curation
+      .dsirLogWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(3L) && out(3L) > out(2L),
+      s"expected cooking > mixed > astronomy, got $out")
+    // every raw doc is scored exactly once
+    assert(out.size === 3)
+    // reserved output names are guarded
+    val bad = raw.withColumnRenamed("doc_id", "log_w")
+    assertThrows[IllegalArgumentException] {
+      graft.functions.Curation.dsirLogWeights(bad, target, "log_w", "text")
+    }
+  }
+
   test("sessionize: gap starts new session; rollup aggregates per session") {
     import spark.implicits._
     val gap = 1800000000L // 30 min in µs
