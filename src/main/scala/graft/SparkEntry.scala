@@ -1203,6 +1203,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "txt_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical top-20 fused with dense-ANN
+      // cosine top-20 by reciprocal-rank fusion (k=60). Query ids sit
+      // outside the doc-id range so the dense self-match filter never
+      // fires; dense query vectors are anchor-document embeddings
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = t(s, dir, "embeddings")
+      val queries = Seq((1001L, "spark window agg"), (1002L, "fast hash join"),
+        (1003L, "customer query table")).toDF("query_id", "qtext")
+      val lex = graft.functions.TextAnalysis.bm25Rank(
+        docs, "doc_id", "text", queries, "query_id", "qtext", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val anchors = Seq((1001L, 10L), (1002L, 20L), (1003L, 30L))
+        .toDF("query_id", "anchor")
+      val qvecs = anchors.join(emb, col("anchor") === col("vec_id"))
+        .select(col("query_id"), col("embedding").as("qvec"))
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        qvecs, "query_id", "qvec", k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.functions.TextAnalysis.rrfFuse(Seq(lex, dense),
+          "query_id", "doc_id", "rank", kConst = 60, topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "dedup_passage" -> ((s, dir) =>
       // C4-style passage-level exact dedup: 8-token passages, global
       // first occurrence by (doc_id, idx) survives, documents
@@ -3003,6 +3028,71 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
         |  floor(CAST(t AS DOUBLE) * 10000) / 10000 AS score,
         |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "txt_hybrid_rrf" ->
+      // lexical leg = the txt_bm25_rank chain at k=20; dense leg = the
+      // sim_ann_bruteforce cosine rank with anchor-embedding queries;
+      // fusion = floor-quantized 1/(60+rank) summed as DECIMAL(28,9)
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+        |  GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM toks),
+        |q AS (SELECT DISTINCT query_id, term FROM (
+        |  SELECT query_id,
+        |    unnest(regexp_split_to_array(trim(qtext), '\s+')) AS term
+        |  FROM (VALUES (1001, 'spark window agg'), (1002, 'fast hash join'),
+        |    (1003, 'customer query table')) AS v(query_id, qtext))),
+        |sc AS (
+        |  SELECT q.query_id, tfc.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |      (tf + CAST(1.2 AS DOUBLE) *
+        |        (0.25 + CAST(0.75 AS DOUBLE) * dl * n
+        |          / CAST(sumdl AS DOUBLE)))
+        |      * 1e9) / 1e9 AS DECIMAL(28,9)) AS s
+        |  FROM tfc JOIN q USING (term) JOIN dft USING (term)
+        |  CROSS JOIN stats),
+        |agg AS (SELECT query_id, doc_id, SUM(s) AS t FROM sc GROUP BY 1, 2),
+        |llist AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY t DESC, doc_id) AS rank FROM agg)
+        |  WHERE rank <= 20),
+        |aq AS (SELECT * FROM (VALUES (1001, 10), (1002, 20), (1003, 30))
+        |  v(query_id, anchor)),
+        |dq AS (SELECT aq.query_id, e.embedding AS qvec
+        |  FROM aq JOIN embeddings e ON e.vec_id = aq.anchor),
+        |dscored AS (
+        |  SELECT dq.query_id, e.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(dq.qvec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(dq.qvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN dq),
+        |dlist AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+        |  FROM dscored) WHERE rank <= 20),
+        |u AS (SELECT * FROM llist UNION ALL SELECT * FROM dlist),
+        |f AS (
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(floor(1.0 / CAST(60 + rank AS DOUBLE) * 1e9) / 1e9
+        |      AS DECIMAL(28,9))) AS s,
+        |    COUNT(*) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, s, n_lists, ROW_NUMBER() OVER (
+        |  PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank FROM f)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  floor(CAST(s AS DOUBLE) * 1e9) / 1e9 AS rrf_score,
+        |  n_lists, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_passage" ->

@@ -15,6 +15,46 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    * ranked retrieval lists — the standard hybrid-search combiner
+    * (BM25 + dense ANN, or any mix of retrievers): each list
+    * contributes 1/(kConst + rank) for every (query, doc) it ranks,
+    * contributions sum, and the fused top-k re-ranks on the total.
+    * Rank-based (score scales never need calibrating across
+    * retrievers), and kConst=60 is the published default.
+    *
+    * Scale shape: inputs are already per-query top-k lists (k rows per
+    * query per retriever), so the union + groupBy shuffle carries
+    * O(queries × k × lists) rows — independent of corpus size; the
+    * re-rank window is per-query over ≤ k·lists rows and plans with
+    * WindowGroupLimit. Portability: each contribution is
+    * floor-quantized to 9 decimals and summed as DECIMAL(28,9), so
+    * totals are order-independent and engine-replayable.
+    */
+  def rrfFuse(lists: Seq[DataFrame], queryCol: String, docCol: String,
+      rankCol: String, kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kConst > 0 && topK > 0, "kConst and topK must be positive")
+    val unioned = lists
+      .map(_.select(col(queryCol), col(docCol),
+        col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    val contrib = floor(lit(1.0) /
+      (lit(kConst.toDouble) + col("__r").cast("double")) * 1e9) / 1e9
+    val fused = unioned
+      .select(col(queryCol), col(docCol),
+        contrib.cast("decimal(28,9)").as("__c"))
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("__s").desc, col(docCol).asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(queryCol), col(docCol),
+        (floor(col("__s").cast("double") * 1e9) / 1e9).as("rrf_score"),
+        col("n_lists"), col("rank"))
+  }
+
   /** Quantize a double to 4 decimals via floor — unlike round(), floor
     * is a pure IEEE-double operation with no decimal-string tie
     * semantics, so Spark and any oracle engine produce bit-identical

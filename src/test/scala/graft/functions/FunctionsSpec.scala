@@ -160,6 +160,32 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs(Some(100L)) === brute)
   }
 
+  test("rrfFuse: docs in both lists outrank single-list docs; exact contributions") {
+    import spark.implicits._
+    // query 1: doc 10 is rank 3 in BOTH lists; doc 20 is rank 1 in one
+    // list only — 2/(60+3) > 1/(60+1), so consensus wins
+    val lex = Seq((1L, 10L, 3), (1L, 20L, 1), (1L, 30L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 10L, 3), (1L, 40L, 1), (1L, 30L, 5))
+      .toDF("query_id", "doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(lex, dense),
+        "query_id", "doc_id", "rank", kConst = 60, topK = 10)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    def c(rank: Int): Double = math.floor(1.0 / (60.0 + rank) * 1e9) / 1e9
+    // doc 30: ranks 2 and 5 in the two lists → also two contributions
+    assert(out(10L)._2 === 2L && out(30L)._2 === 2L)
+    assert(out(20L)._2 === 1L && out(40L)._2 === 1L)
+    // fused order: 10 (2/63 ≈ .03175) > 30 (1/62+1/65 ≈ .03151) — both
+    // beat every single-list doc
+    assert(out(10L)._3 === 1 && out(30L)._3 === 2)
+    assert(out(20L)._3 === 3 && out(40L)._3 === 4) // 1/(61) ties → doc asc
+    // score is the floor-quantized decimal sum, bit-exact
+    assert(math.abs(out(10L)._1 - (c(3) + c(3))) < 1e-12)
+    assert(math.abs(out(40L)._1 - c(1)) < 1e-12)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     import spark.implicits._
     val df = Seq(("A  B\tC"), ("a b c")).toDF("text")
