@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      // 64-bit loudness fingerprint over REAL decoded PCM: synthetic
+      // WAVs (sample values a pure function of the id), decoded by
+      // javax.sound, 64 windows thresholded against the global mean
+      // |sample| — all integer cross-products, so the oracle replays
+      // the fingerprint from the sample formula alone
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val wavs = graft.functions.Multimodal.withSyntheticWav(docs, "doc_id")
+      graft.functions.Multimodal.audioFingerprint64(wavs, "payload")
+        .select(col("doc_id"), col("n_samples"), col("afp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_decode_wav" -> ((s, dir) => {
       // REAL audio decode (javax.sound.sampled, pure JVM): synthetic
       // PCM WAVs with id-derived params are built per partition, every
@@ -2420,6 +2433,40 @@ object SparkEntry {
         |    AS n_frames,
         |  doc_id % 97 <> 0 AS decode_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_fingerprint" ->
+      // sample replay: s(i) = (id·31 + i·7) mod 65536 − 32768 over
+      // n = frames·channels interleaved samples; window of sample i is
+      // ⌈64(i+1)/n⌉−1 (the ⌊w·n/64⌋ boundary layout inverted); bit w
+      // set iff winSum·n ≥ total·winCnt; bit 63 via min-bigint addition
+      """WITH params AS (
+        |  SELECT doc_id,
+        |    (50 + (doc_id * 13) % 200) * (1 + doc_id % 2) AS n
+        |  FROM documents),
+        |samp AS (
+        |  SELECT p.doc_id, p.n, t.i,
+        |    abs((p.doc_id * 31 + t.i * 7) % 65536 - 32768) AS a,
+        |    (64 * (t.i + 1) + p.n - 1) // p.n - 1 AS w
+        |  FROM params p JOIN (SELECT unnest(range(500)) AS i) t
+        |    ON t.i < p.n),
+        |tot AS (SELECT doc_id, MAX(n) AS n, SUM(a) AS total
+        |        FROM samp GROUP BY doc_id),
+        |win AS (SELECT doc_id, w, SUM(a) AS winsum, COUNT(*) AS wincnt
+        |        FROM samp GROUP BY doc_id, w),
+        |bits AS (
+        |  SELECT win.doc_id, win.w
+        |  FROM win JOIN tot ON win.doc_id = tot.doc_id
+        |  WHERE win.winsum * tot.n >= tot.total * win.wincnt),
+        |fp AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(CASE WHEN w < 63
+        |      THEN CAST(1 AS BIGINT) << w END), 0)::BIGINT
+        |    + CASE WHEN MAX(CASE WHEN w = 63 THEN 1 ELSE 0 END) = 1
+        |        THEN -9223372036854775807 - 1 ELSE 0 END AS afp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_samples, fp.afp
+        |FROM params p JOIN fp ON p.doc_id = fp.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "mm_decode_wav" ->
       // params must equal the generator's arithmetic; every 89th

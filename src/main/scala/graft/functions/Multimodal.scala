@@ -168,6 +168,93 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint over REAL decoded PCM samples — the
+    * audio twin of [[imageAHash64]]: decode (javax.sound.sampled),
+    * take |sample| over the interleaved 16-bit stream, split into 64
+    * windows (boundaries ⌊w·n/64⌋), and set bit w iff the window's
+    * mean |sample| ≥ the GLOBAL mean |sample| — thresholding against
+    * the global mean keeps every comparison a pure integer cross-
+    * product (winSum·n ≥ totalSum·winCnt; both sides ≤ 512·n², inside
+    * signed 64-bit up to n ≈ 1.3e8 samples ≈ 25 min of 44.1 kHz
+    * stereo), so the fingerprint is engine-replayable from the sample
+    * formula alone.
+    * Empty windows (streams shorter than 64 samples) leave their bit
+    * unset. Loudness-profile near-dups then ride the SAME pigeonhole
+    * Hamming machinery as image/text signatures.
+    *
+    * Same partition-batched media contract: per-row error channel
+    * (null fingerprint + message), no task aborts on corrupt payloads.
+    */
+  def audioFingerprint64(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("n_samples", LongType),
+      StructField("afp", LongType),
+      StructField("afp_ok", BooleanType),
+      StructField("afp_error", StringType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        val res: Either[String, (Long, Long)] =
+          try {
+            if (bytes == null || bytes.isEmpty)
+              throw new IllegalArgumentException("empty payload")
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16)
+                throw new IllegalArgumentException(
+                  s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+              val big = fmt.isBigEndian
+              // drain the full stream; 16-bit frames → |sample| array
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var r = ais.read(buf)
+              while (r > 0) { bos.write(buf, 0, r); r = ais.read(buf) }
+              val data = bos.toByteArray
+              val n = data.length / 2
+              val abs = new Array[Long](n)
+              var i = 0
+              while (i < n) {
+                val lo = data(2 * i + (if (big) 1 else 0)) & 0xff
+                val hi = data(2 * i + (if (big) 0 else 1))
+                val s = (hi << 8) | lo
+                abs(i) = math.abs(s.toLong)
+                i += 1
+              }
+              val total = abs.sum
+              var fp = 0L
+              var w = 0
+              while (w < 64) {
+                val from = w * n / 64; val to = (w + 1) * n / 64
+                if (to > from) {
+                  var winSum = 0L; var j = from
+                  while (j < to) { winSum += abs(j); j += 1 }
+                  // window mean >= global mean, integer cross-product
+                  if (winSum * n >= total * (to - from)) fp |= 1L << w
+                }
+                w += 1
+              }
+              Right((n.toLong, fp))
+            } finally ais.close()
+          } catch {
+            case e: Exception =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        Row.fromSeq(row.toSeq ++ (res match {
+          case Right((n, fp)) => Seq(n, fp, true, null)
+          case Left(m) => Seq(null, null, false, m)
+        }))
+      }
+    }(enc)
+  }
+
   /** Audio decode pass: binary column → audio_meta struct, identical
     * partition-batched shape to [[decodeMeta]] (one decoder per
     * partition, task-completion close, per-row error channel).

@@ -942,6 +942,56 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(sameGroup.size === 4 * 6)
   }
 
+  test("multimodal: audio fingerprint thresholds decoded windows exactly") {
+    import spark.implicits._
+    // hand-built mono WAV: 64 silent samples then 64 at +1000 → the
+    // loud half sets exactly the high 32 window bits
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val halfLoud = wav(Array.tabulate(128)(i => if (i < 64) 0 else 1000))
+    val out = Multimodal.audioFingerprint64(
+      Seq((1L, halfLoud), (2L, Array[Byte](9, 9, 9))).toDF("id", "payload"),
+      "payload").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) === 128L)
+    assert(out(1L).getLong(3) === 0xffffffff00000000L)
+    assert(out(1L).getBoolean(4))
+    // corrupt payload → error channel, not a task abort
+    assert(out(2L).get(3) == null && !out(2L).getBoolean(4))
+    // synthetic fixture replay: kernel output equals the independent
+    // integer reimplementation of the sample/window arithmetic
+    val ids = Seq(3L, 10L, 11L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprint64(
+        Multimodal.withSyntheticWav(ids, "doc_id"), "payload")
+      .select(col("doc_id"), col("n_samples"), col("afp")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq(3L, 10L, 11L).foreach { id =>
+      val n = ((50 + (id * 13) % 200) * (1 + id % 2)).toInt
+      val a = Array.tabulate(n)(i =>
+        math.abs(math.floorMod(id * 31 + i * 7, 65536L) - 32768L))
+      val total = a.sum
+      var fp = 0L
+      for (w <- 0 until 64) {
+        val from = w * n / 64; val to = (w + 1) * n / 64
+        if (to > from) {
+          val winSum = a.slice(from, to).sum
+          if (winSum * n >= total * (to - from)) fp |= 1L << w
+        }
+      }
+      assert(fps(id) === (n.toLong, fp), s"id $id")
+    }
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
