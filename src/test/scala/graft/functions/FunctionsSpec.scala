@@ -992,6 +992,35 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("new-op plan shapes: RRF group-limit, DSIR broadcast, hamming equi-join") {
+    import spark.implicits._
+    // rrfFuse: the per-query re-rank must plan the two-phase
+    // WindowGroupLimit (partial top-k BEFORE the exchange). The lists
+    // must be bigger than topK — Catalyst correctly drops the
+    // group-limit when the input's known maxRows already fits it
+    val lst = spark.range(50).select((col("id") % 2).as("query_id"),
+      col("id").as("doc_id"), (col("id") / 2 + 1).cast("int").as("rank"))
+    val rrfPlan = TextAnalysis.rrfFuse(Seq(lst, lst),
+      "query_id", "doc_id", "rank").queryExecution.executedPlan.toString
+    assert(rrfPlan.contains("WindowGroupLimit"), rrfPlan)
+    // dsirLogWeights: the bucket-stats join back onto the raw gram
+    // stream must broadcast (the ≤buckets-row side), never SMJ the
+    // corpus-sized side
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val dsirPlan = graft.functions.Curation
+      .dsirLogWeights(docs, docs.limit(1), "doc_id", "text", buckets = 64)
+      .queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin"), dsirPlan)
+    // hammingNearDups: candidates come from an equi-join on block
+    // columns — a cartesian/broadcast-nested-loop product would be the
+    // quadratic plan the pigeonhole exists to avoid
+    val sigs = Seq((1L, 5L), (2L, 7L)).toDF("id", "sig")
+    val hamPlan = Dedup.hammingNearDups(sigs, "id", "sig", 64, 3)
+      .queryExecution.executedPlan.toString
+    assert(!hamPlan.contains("CartesianProduct") &&
+      !hamPlan.contains("BroadcastNestedLoopJoin"), hamPlan)
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
