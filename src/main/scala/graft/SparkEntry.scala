@@ -33,6 +33,14 @@ object SparkEntry {
         // (~1.7e18) exceed a double's 53-bit mantissa: the rounded
         // quotient drifts ±1 µs, which the µs-exact oracles catch
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet loads as
+        // NTZ; every downstream operator (unix_micros, session_window,
+        // range joins) wants an instant. The session timezone is
+        // pinned to UTC, so this cast maps wall-clock to the identical
+        // instant the old INT64-nanos fixtures produced — and the
+        // DuckDB oracles (naive timestamps throughout) stay exact.
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
@@ -943,7 +951,11 @@ object SparkEntry {
       // pairs (the SAME scale-safe block machinery as text simhash);
       // the oracle replays the pixel/hash arithmetic and does the
       // quadratic Hamming join on the small fixture
+      // the id list reads as ONE parquet split (tiny file) — without a
+      // fan-out repartition every decode runs on a single core; at
+      // real scale the scan itself provides the parallelism
       val docs = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(col("doc_id"))
       val imgs = graft.functions.Multimodal.withSyntheticGrayPng8(
         docs, "doc_id", twinGroup = 4)
       val hashed = graft.functions.Multimodal.imageAHash64(imgs, "payload")

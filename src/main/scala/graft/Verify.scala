@@ -16,8 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long,
-      // converted to timestamp in SparkEntry
+      // events.parquet ts arrives as INT64 TIMESTAMP(NANOS) in some
+      // driver generations (read as long under this legacy conf) and
+      // TIMESTAMP(MICROS, NTZ) in others — SparkEntry.events()
+      // normalizes both to a UTC instant
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -305,11 +305,19 @@ object Curation {
         .filter(col("__g") =!= "")
         .select(keep :+ (saltedHash60(salt, col("__g")) % buckets).as("__b"): _*)
     }
-    val rawGrams = gramBuckets(raw, Seq(col(idCol)))
+    // ONE tokenize pass over the raw corpus: per-doc bucket counts are
+    // the working set (≤ min(grams, buckets) rows per doc), persisted
+    // because both the global bucket counts and the per-doc weight sum
+    // derive from them — uncached, the tokenize+explode would run
+    // twice over the big side (MEMORY_AND_DISK, LRU-evictable, same
+    // convention as decontaminateBloom's gram cache).
+    val rawPerDoc = gramBuckets(raw, Seq(col(idCol)))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtGrams = gramBuckets(target, Seq.empty)
-    val rawCounts = rawGrams.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val rawCounts = rawPerDoc.groupBy(col("__b")).agg(sum(col("__n")).as("__cr"))
     val tgtCounts = tgtGrams.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val rawTotal = rawGrams.agg(count(lit(1)).as("__nr"))
+    val rawTotal = rawPerDoc.agg(sum(col("__n")).as("__nr"))
     val tgtTotal = tgtGrams.agg(count(lit(1)).as("__nt"))
     // every raw gram's bucket is in rawCounts by construction, so a
     // left join from rawCounts covers the full stream; target-absent
@@ -323,11 +331,18 @@ object Curation {
             (col("__nr") + buckets)).cast("double") /
           ((col("__cr") + 1) * (col("__nt") + buckets)).cast("double"))
           * 1e9) / 1e9).as("__lam"))
-    rawGrams
+    // Σ over occurrences of λ(bucket) == Σ over (doc, bucket) of
+    // n·λ(bucket). Operand precisions are TIGHT — |λ| < 10³ at 9
+    // decimals is decimal(12,9), n < 10¹⁰ is decimal(10,0) — so the
+    // product type is decimal(23,9) and stays EXACT; a loose (20,0) ×
+    // (28,9) would overflow precision 38 and Spark silently drops
+    // scale (the rounding showed up as an oracle hash mismatch)
+    rawPerDoc
       .join(broadcast(lam), Seq("__b"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("__lam").cast("decimal(28,9)")).as("__s"))
+      .agg(sum(col("__n")).as("n_grams"),
+        sum(col("__n").cast("decimal(10,0)") *
+          col("__lam").cast("decimal(12,9)")).as("__s"))
       .select(col(idCol), col("n_grams"),
         TextAnalysis.q4(col("__s").cast("double")).as("log_w"))
   }

@@ -370,11 +370,17 @@ object Dedup {
         shiftright(col(sigCol), offset).bitwiseAND(lit((1L << width) - 1))
           .as("block_value"))
     }
+    // the self-join references the signature pipeline from BOTH sides —
+    // uncached, the upstream signature computation (a tokenizer pass, a
+    // media decode, …) runs twice. The persisted frame is two longs per
+    // row plus the id; MEMORY_AND_DISK, LRU-evictable (same convention
+    // as decontaminateBloom's gram cache).
     val bands = sigs
       .select(col(idCol), col(sigCol).as("__sig"),
         explode(array(bandCols: _*)).as("blk"))
       .select(col(idCol), col("__sig"), col("blk.block_id"),
         col("blk.block_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.alias("l"); val r = bands.alias("r")
     l.join(r, col("l.block_id") === col("r.block_id") &&
         col("l.block_value") === col("r.block_value") &&

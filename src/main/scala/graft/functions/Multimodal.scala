@@ -78,6 +78,11 @@ object Multimodal {
     */
   object ImageIoDecoderFactory extends MediaDecoderFactory {
     def open(): MediaDecoder = new MediaDecoder {
+      // the default ImageIO stream cache is a TEMP FILE per encode/
+      // decode — measured ~2 s of pure filesystem churn per 5k images;
+      // heap-backed streams make the codec CPU-bound (JVM-global flag,
+      // idempotent, set once per opened decoder)
+      javax.imageio.ImageIO.setUseCache(false)
       def decode(bytes: Array[Byte]): (String, Int, Int, Int) = {
         if (bytes == null || bytes.isEmpty)
           throw new IllegalArgumentException("empty payload")
@@ -348,6 +353,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // heap-backed streams
       rows.map { row =>
         val id = row.getLong(idIdx)
         val w = (8 + math.floorMod(id, 16L)).toInt
@@ -399,18 +405,22 @@ object Multimodal {
       .encoderFor(schema)
     df.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      // first 15 hex chars parsed base-16 == the digest's first 8
+      // bytes big-endian shifted right 4 bits — same 60-bit value the
+      // oracle computes, without per-byte "%02x" string formatting
+      // (measured 1.8 s of pure format cost per 5k images)
       def px(base: Long, x: Int, y: Int): Int = {
-        val hex = md.digest(s"px|$base|$x|$y".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+        val d = md.digest(s"px|$base|$x|$y".getBytes("UTF-8"))
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+        ((v >>> 4) % 256).toInt
       }
       rows.map { row =>
         val id = row.getLong(idIdx)
         val base = id - math.floorMod(id, twinGroup.toLong)
         val j = math.floorMod(id, twinGroup.toLong).toInt
-        val img = new java.awt.image.BufferedImage(8, 8,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
+        val pixels = Array.ofDim[Byte](8, 8)
         var y = 0
         while (y < 8) {
           var x = 0
@@ -418,16 +428,58 @@ object Multimodal {
             val g0 = px(base, x, y)
             val g = if (j > 0 && y == 0 && x == j - 1)
               math.floorMod(g0 + 128, 256) else g0
-            raster.setSample(x, y, 0, g)
+            pixels(y)(x) = g.toByte
             x += 1
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+        Row.fromSeq(row.toSeq :+ encodeGrayPng(pixels))
       }
     }(enc)
+  }
+
+  /** Minimal 8-bit grayscale PNG encoder (signature + IHDR + one IDAT
+    * of filter-0 rows + IEND). ImageIO.write pays a synchronized
+    * writer-registry scan and stream setup PER IMAGE — at millions of
+    * fixture images that lock serializes all 32 threads; this encoder
+    * is pure local arithmetic. Decoders (including the gate's REAL
+    * ImageIO read-back) see a byte-exact lossless gray image.
+    */
+  private[graft] def encodeGrayPng(
+      pixels: Array[Array[Byte]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val crc = new java.util.zip.CRC32
+    val out = new java.io.ByteArrayOutputStream()
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(body.length).array()
+      out.write(len, 0, 4)
+      val tb = tag.getBytes("US-ASCII")
+      crc.reset(); crc.update(tb); crc.update(body)
+      out.write(tb, 0, 4); out.write(body, 0, body.length)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    out.write(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a), 0, 8)
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // gray, depth 8
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    val raw = new Array[Byte](h * (w + 1)) // filter byte 0 + row
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pixels(y), 0, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished())
+      bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", bos.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Average-hash (aHash) perceptual fingerprint over REAL decoded
@@ -457,6 +509,27 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // heap-backed streams
+      // ImageIO.read does a synchronized registry scan + reader
+      // construction PER CALL — across 32 threads that lock is the
+      // decode bottleneck. One PNG reader per partition, re-targeted
+      // per image (setInput resets reader state); non-PNG payloads
+      // fall back to the general path.
+      val pngReader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pngReader.dispose()))
+      val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)
+      def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+        if (bytes.length > 4 && bytes.take(4).sameElements(pngMagic)) {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            pngReader.setInput(iis, true, true)
+            pngReader.read(0)
+          } finally iis.close()
+        } else
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       rows.map { row =>
         val bytes = row.get(binIdx) match {
           case b: Array[Byte] => b
@@ -466,8 +539,7 @@ object Multimodal {
           try {
             if (bytes == null || bytes.isEmpty)
               throw new IllegalArgumentException("empty payload")
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
+            val img = readImage(bytes)
             if (img == null)
               throw new IllegalArgumentException("undecodable image")
             val w = img.getWidth; val h = img.getHeight

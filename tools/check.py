@@ -89,9 +89,17 @@ def main():
                     print(f"   only-spark : {x[:200]}")
                 for x in list(only_o)[:2]:
                     print(f"   only-oracle: {x[:200]}")
+    # a query that FAILED in Verify writes no parquet dir at all — that
+    # absence must fail the check loudly, not shrink the denominator
+    # (12 events-family failures hid this way when the testdata's ts
+    # type changed under us)
+    absent = sorted(set(oracles) - set(names))
+    for name in absent:
+        print(f"ABSENT    {name}: oracle present but no Verify output")
     print(f"\n== {n_match} match, {n_mismatch} mismatch, "
-          f"{n_rowsonly} rows-only, {len(names)} total")
-    sys.exit(1 if n_mismatch else 0)
+          f"{n_rowsonly} rows-only, {len(absent)} absent, "
+          f"{len(names)} present of {len(oracles)} oracled")
+    sys.exit(1 if (n_mismatch or absent) else 0)
 
 
 if __name__ == "__main__":
