@@ -438,6 +438,52 @@ object Multimodal {
     }(enc)
   }
 
+  /** The aHash kernel over one decoded image: integer luma per pixel
+    * (single-band non-palette rasters read the raw sample — no
+    * colorspace transform; palette-indexed images go through getRGB,
+    * where a gray palette's (g,g,g) luma (77g+150g+29g)»8 recovers g
+    * EXACTLY — reading the raster there would hash palette INDICES),
+    * ⌊b·dim/8⌋ block-mean grid, bit b set iff block mean ≥ the mean
+    * of the 64 block means (comparison scaled by 64 — exact
+    * power-of-two — so 8×8 inputs are pure integer arithmetic).
+    */
+  private[graft] def ahash64Of(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val gray = img.getRaster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+    val sums = new Array[Double](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val lum =
+          if (gray) img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+              29 * (rgb & 0xff)) >> 8
+          }
+        val b = by * 8 + bx
+        sums(b) += lum; cnts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(b =>
+      if (cnts(b) == 0) 0.0 else sums(b) / cnts(b))
+    val total = means.sum
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (means(b) * 64.0 >= total) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
   /** Minimal 8-bit grayscale PNG encoder (signature + IHDR + one IDAT
     * of filter-0 rows + IEND). ImageIO.write pays a synchronized
     * writer-registry scan and stream setup PER IMAGE — at millions of
@@ -542,43 +588,7 @@ object Multimodal {
             val img = readImage(bytes)
             if (img == null)
               throw new IllegalArgumentException("undecodable image")
-            val w = img.getWidth; val h = img.getHeight
-            val gray = img.getRaster.getNumBands == 1
-            // block sums/counts over the 8×8 grid; integer lumas keep
-            // the means exact doubles on small blocks
-            val sums = new Array[Double](64)
-            val cnts = new Array[Long](64)
-            var y = 0
-            while (y < h) {
-              val by = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val bx = x * 8 / w
-                val lum =
-                  if (gray) img.getRaster.getSample(x, y, 0)
-                  else {
-                    val rgb = img.getRGB(x, y)
-                    (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
-                      29 * (rgb & 0xff)) >> 8
-                  }
-                val b = by * 8 + bx
-                sums(b) += lum; cnts(b) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val means = Array.tabulate(64)(b =>
-              if (cnts(b) == 0) 0.0 else sums(b) / cnts(b))
-            val total = means.sum
-            var hash = 0L
-            var b = 0
-            while (b < 64) {
-              // mean(b) >= total/64: multiply through by 64 (exact —
-              // power-of-two scaling) so the 8×8 case is pure integers
-              if (means(b) * 64.0 >= total) hash |= 1L << b
-              b += 1
-            }
-            Right(hash)
+            Right(ahash64Of(img))
           } catch {
             case e: Exception =>
               Left(Option(e.getMessage).getOrElse(e.getClass.getName))
