@@ -1205,9 +1205,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "txt_tfidf_top" -> ((s, dir) =>
-      // per-doc top-3 TF-IDF terms: one pass, df via a term-partitioned
-      // window over the tf table, corpus size via a 1-row broadcast;
-      // ranking on the floor-quantized score with a term tie-break
+      // per-doc top-3 TF-IDF terms: df from a partial-agg'd groupBy of
+      // the tf table, shuffle-joined back (never broadcast — the df
+      // table spans the whole corpus vocabulary), corpus size via a
+      // 1-row broadcast; ranking on the floor-quantized score with a
+      // term tie-break
       graft.functions.TextAnalysis.tfidfTopTerms(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", k = 3)
@@ -1230,18 +1232,21 @@ object SparkEntry {
 
     "txt_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 lexical top-20 fused with dense-ANN
-      // cosine top-20 by reciprocal-rank fusion (k=60). Query ids sit
-      // outside the doc-id range so the dense self-match filter never
-      // fires; dense query vectors are anchor-document embeddings
+      // cosine top-20 by reciprocal-rank fusion (k=60). Query ids are
+      // >= 10_000_000 — outside EVERY fixture's vec_id range (sf0.1
+      // reaches vec_id 1999) and clear of the planted-ANN +k*100000
+      // ids, so the dense self-match filter never fires at any SF;
+      // dense query vectors are anchor-document embeddings
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val emb = t(s, dir, "embeddings")
-      val queries = Seq((1001L, "spark window agg"), (1002L, "fast hash join"),
-        (1003L, "customer query table")).toDF("query_id", "qtext")
+      val queries = Seq((10000001L, "spark window agg"),
+        (10000002L, "fast hash join"),
+        (10000003L, "customer query table")).toDF("query_id", "qtext")
       val lex = graft.functions.TextAnalysis.bm25Rank(
         docs, "doc_id", "text", queries, "query_id", "qtext", k = 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
-      val anchors = Seq((1001L, 10L), (1002L, 20L), (1003L, 30L))
+      val anchors = Seq((10000001L, 10L), (10000002L, 20L), (10000003L, 30L))
         .toDF("query_id", "anchor")
       val qvecs = anchors.join(emb, col("anchor") === col("vec_id"))
         .select(col("query_id"), col("embedding").as("qvec"))
@@ -3105,8 +3110,9 @@ object SparkEntry {
         |q AS (SELECT DISTINCT query_id, term FROM (
         |  SELECT query_id,
         |    unnest(regexp_split_to_array(trim(qtext), '\s+')) AS term
-        |  FROM (VALUES (1001, 'spark window agg'), (1002, 'fast hash join'),
-        |    (1003, 'customer query table')) AS v(query_id, qtext))),
+        |  FROM (VALUES (10000001, 'spark window agg'),
+        |    (10000002, 'fast hash join'),
+        |    (10000003, 'customer query table')) AS v(query_id, qtext))),
         |sc AS (
         |  SELECT q.query_id, tfc.doc_id,
         |    CAST(floor(
@@ -3123,8 +3129,8 @@ object SparkEntry {
         |  SELECT query_id, doc_id, row_number() OVER (
         |    PARTITION BY query_id ORDER BY t DESC, doc_id) AS rank FROM agg)
         |  WHERE rank <= 20),
-        |aq AS (SELECT * FROM (VALUES (1001, 10), (1002, 20), (1003, 30))
-        |  v(query_id, anchor)),
+        |aq AS (SELECT * FROM (VALUES (10000001, 10), (10000002, 20),
+        |  (10000003, 30)) v(query_id, anchor)),
         |dq AS (SELECT aq.query_id, e.embedding AS qvec
         |  FROM aq JOIN embeddings e ON e.vec_id = aq.anchor),
         |dscored AS (
@@ -3227,7 +3233,7 @@ object SparkEntry {
         |    (15 * (SELECT 1000000000000 // n FROM nn)) // 100
         |      + (85 * COALESCE(i.m, 0)) // 100 AS pr
         |  FROM nodes n LEFT JOIN it3 i ON n.node = i.dst)
-        |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
 
     "q_jaro_winkler" ->
       // quadratic ground truth on the capped slice; values must match
@@ -3304,7 +3310,8 @@ object SparkEntry {
       """WITH f AS (
         |  SELECT o_orderpriority AS part,
         |    CAST(floor(o_orderkey / 200.0) AS BIGINT) AS file_id,
-        |    sum(CAST(floor(o_totalprice) AS BIGINT)) AS size_bytes
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS size_bytes
         |  FROM orders GROUP BY 1, 2)
         |SELECT part, file_id, size_bytes,
         |  CAST(floor((sum(size_bytes) OVER (PARTITION BY part
@@ -3498,12 +3505,11 @@ object SparkEntry {
         |  SELECT event_type, bucket_us, COUNT(*) AS n_events,
         |    CAST(SUM(v) AS DOUBLE) AS sum_value
         |  FROM e GROUP BY event_type, bucket_us),
-        |bounds AS (SELECT MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM e),
+        |bounds AS (SELECT event_type, MIN(bucket_us) AS lo,
+        |    MAX(bucket_us) AS hi FROM a GROUP BY event_type),
         |spine AS (
-        |  SELECT k.event_type, g.bucket_us
-        |  FROM (SELECT DISTINCT event_type FROM e) k
-        |  CROSS JOIN (SELECT unnest(range(lo, hi + 1, 3600000000))
-        |              AS bucket_us FROM bounds) g),
+        |  SELECT event_type, unnest(range(lo, hi + 1, 3600000000))
+        |    AS bucket_us FROM bounds),
         |filled AS (
         |  SELECT s.event_type, s.bucket_us,
         |    COALESCE(a.n_events, 0) AS n_events,
@@ -3528,12 +3534,11 @@ object SparkEntry {
         |  SELECT event_type, bucket_us, COUNT(*) AS n_events,
         |    CAST(SUM(v) AS DOUBLE) AS sum_value
         |  FROM e GROUP BY event_type, bucket_us),
-        |bounds AS (SELECT MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM e),
+        |bounds AS (SELECT event_type, MIN(bucket_us) AS lo,
+        |    MAX(bucket_us) AS hi FROM a GROUP BY event_type),
         |spine AS (
-        |  SELECT k.event_type, g.bucket_us
-        |  FROM (SELECT DISTINCT event_type FROM e) k
-        |  CROSS JOIN (SELECT unnest(range(lo, hi + 1, 3600000000))
-        |              AS bucket_us FROM bounds) g),
+        |  SELECT event_type, unnest(range(lo, hi + 1, 3600000000))
+        |    AS bucket_us FROM bounds),
         |filled AS (
         |  SELECT s.event_type, s.bucket_us,
         |    COALESCE(a.n_events, 0) AS n_events,
@@ -3566,7 +3571,8 @@ object SparkEntry {
 
     "events_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS n_distinct_k

@@ -237,7 +237,11 @@ object Multimodal {
               var fp = 0L
               var w = 0
               while (w < 64) {
-                val from = w * n / 64; val to = (w + 1) * n / 64
+                // Long boundary math: w*n overflows Int past ~33.5M
+                // samples (w·n > Int.MaxValue), well inside the
+                // documented n ≈ 1.3e8 envelope
+                val from = (w.toLong * n / 64).toInt
+                val to = ((w + 1).toLong * n / 64).toInt
                 if (to > from) {
                   var winSum = 0L; var j = from
                   while (j < to) { winSum += abs(j); j += 1 }

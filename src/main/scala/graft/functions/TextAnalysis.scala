@@ -30,6 +30,11 @@ object TextAnalysis {
     * WindowGroupLimit. Portability: each contribution is
     * floor-quantized to 9 decimals and summed as DECIMAL(28,9), so
     * totals are order-independent and engine-replayable.
+    *
+    * Input contract: each list should carry one row per (query, doc);
+    * a retriever that emits duplicates is defensively collapsed to its
+    * best (minimum) rank per (query, doc) so neither the contribution
+    * sum nor `n_lists` (count of lists ranking the doc) is inflated.
     */
   def rrfFuse(lists: Seq[DataFrame], queryCol: String, docCol: String,
       rankCol: String, kConst: Int = 60, topK: Int = 10): DataFrame = {
@@ -37,7 +42,9 @@ object TextAnalysis {
     require(kConst > 0 && topK > 0, "kConst and topK must be positive")
     val unioned = lists
       .map(_.select(col(queryCol), col(docCol),
-        col(rankCol).cast("long").as("__r")))
+          col(rankCol).cast("long").as("__r"))
+        .groupBy(col(queryCol), col(docCol))
+        .agg(min(col("__r")).as("__r")))
       .reduce(_ unionByName _)
     val contrib = floor(lit(1.0) /
       (lit(kConst.toDouble) + col("__r").cast("double")) * 1e9) / 1e9
@@ -261,12 +268,16 @@ object TextAnalysis {
     * aggregated groupBy of the tf table (map-side combine collapses a
     * stopword's rows before the shuffle — a `term`-partitioned WINDOW
     * would instead route every "the" row to ONE task, and windows
-    * cannot be skew-split). The tiny (term, df) table broadcast-joins
-    * back onto tf. The df branch re-runs the map-side tokenize +
-    * partial agg (column pruning makes its exchange narrower than the
-    * tf one, so exchange reuse cannot apply — verified in the final
-    * AQE plan); both passes are map-side and skew-safe, and callers
-    * can persist the tf table to trade memory for the second pass.
+    * cannot be skew-split). The (term, df) table then joins back onto
+    * tf with a plain shuffle hash/sort-merge join on `term` — NOT a
+    * broadcast: df spans the whole corpus vocabulary, which grows with
+    * the corpus (heaps' law) and at 100 TB is a multi-GB relation that
+    * would OOM the driver if broadcast; the shuffle join is AQE
+    * skew-splittable on hot stopword terms. The df branch re-runs the
+    * map-side tokenize + partial agg (column pruning makes its
+    * exchange narrower than the tf one, so exchange reuse cannot
+    * apply); both passes are map-side and skew-safe, and callers can
+    * persist the tf table to trade memory for the second pass.
     * N rides in via a 1-row broadcast (parquet count(*) is
     * metadata-only). Ranking uses the floor-QUANTIZED score with a
     * term tie-break so ordering is reproducible across engines (a raw
@@ -282,7 +293,10 @@ object TextAnalysis {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val withDf = tf.join(broadcast(dfTable), Seq("term"))
+    // unbounded-size side: force the shuffle join even if a small test
+    // fixture would auto-broadcast, so the tested plan IS the 100 TB plan
+    val withDf = tf.hint("shuffle_merge")
+      .join(dfTable.hint("shuffle_merge"), Seq("term"))
     val n = df.agg(count(lit(1)).as("__n"))
     // floor-quantize to 6 decimals (same rationale as q4: pure IEEE
     // ops, no decimal-string tie semantics) BEFORE ranking so the

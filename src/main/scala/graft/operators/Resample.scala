@@ -13,22 +13,26 @@ import org.apache.spark.sql.expressions.Window
   * forward-filled "last seen" value.
   *
   * Scale shape (100 TB): the only full-data shuffle is the (key,
-  * bucket) aggregate with map-side partial aggregation. The spine is a
-  * generated dimension of |keys| x |buckets| rows — tiny relative to
-  * the fact side (it is the *output* grid) — built from two 1-row
-  * aggregates and the distinct key set, so densification joins
-  * aggregate-vs-spine, never touching raw rows again. The forward-fill
-  * window partitions on the key: state per partition is one running
-  * value, no buffering.
+  * bucket) aggregate with map-side partial aggregation. The spine is
+  * generated from PER-KEY bounds (a groupBy over the already-
+  * aggregated table, not the raw rows), so its size is Σ_key (key's
+  * own bucket span) — a single long-lived key cannot force every
+  * sparse key's grid to span the full time range, which with global
+  * bounds would explode the spine to |keys| × |total buckets| rows.
+  * Densification joins aggregate-vs-spine, never touching raw rows
+  * again. The forward-fill window partitions on the key: state per
+  * partition is one running value, no buffering.
   */
 object Resample {
 
   /** Resample `df` onto a `binUs`-wide grid of `tsUs` per `key`.
     *
     * Output: (key, bucket_us, n_events, sum_value, last_sum_value)
-    * where empty buckets have n_events=0/sum_value=0.0 and
+    * for every bucket between each key's OWN first and last
+    * observation; empty buckets have n_events=0/sum_value=0.0 and
     * last_sum_value forward-fills the most recent non-empty bucket's
-    * sum (null before the first observation for that key).
+    * sum (each key's first spine bucket is observed by construction,
+    * so last_sum_value is never null).
     *
     * Sums go through DECIMAL(18,4) so results are exact and
     * engine-portable.
@@ -47,12 +51,13 @@ object Resample {
       .agg(count(lit(1)).as("n_events"),
         sum(col("v")).cast("double").as("sum_value"))
 
-    // 1-row bounds x distinct keys -> exploded grid. sequence() is
-    // bounded by the output grid size, not the input row count.
-    val bounds = binned.agg(min(col("bucket_us")).as("lo"),
-      max(col("bucket_us")).as("hi"))
-    val spine = binned.select(col(key)).distinct()
-      .crossJoin(bounds)
+    // per-key bounds over the ALREADY-AGGREGATED table (small: one row
+    // per observed slot) -> exploded grid. sequence() is bounded by
+    // each key's own span, so the spine is O(Σ per-key buckets) even
+    // when one long-lived key coexists with millions of short-lived
+    // ones.
+    val spine = agg.groupBy(col(key))
+      .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
       .select(col(key),
         explode(sequence(col("lo"), col("hi"), lit(binUs)))
           .as("bucket_us"))

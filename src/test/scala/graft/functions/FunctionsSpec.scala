@@ -1019,6 +1019,19 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!hamPlan.contains("CartesianProduct") &&
       !hamPlan.contains("BroadcastNestedLoopJoin"), hamPlan)
+    // tfidfTopTerms: the (term, df) table spans the whole corpus
+    // vocabulary — it must SHUFFLE-join back onto tf, never broadcast
+    // (a multi-GB broadcast at 100 TB). The only broadcast in the plan
+    // is the 1-row corpus-count N.
+    val docs2 = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val tfidfExec = TextAnalysis.tfidfTopTerms(docs2, "doc_id", "text")
+      .queryExecution.executedPlan
+    val tfidfPlan = tfidfExec.toString
+    assert(tfidfPlan.contains("SortMergeJoin") ||
+      tfidfPlan.contains("ShuffledHashJoin"), tfidfPlan)
+    val bhjLines = tfidfPlan.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(bhjLines.isEmpty, s"vocab df table must not broadcast:\n$tfidfPlan")
   }
 
   test("multimodal: frame sampling explodes by stride") {

@@ -446,8 +446,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
   test("resample interpolation: line between observations, flat edges") {
     import spark.implicits._
     // key k: observations at buckets 0 (v=10) and 30 (v=40); buckets
-    // 10 and 20 are empty → interpolate 20 and 30; key m: single
-    // observation at 20 → flat fill on both edges
+    // 10 and 20 are empty → interpolated; key m: single observation at
+    // 20 → its spine is exactly that one bucket (per-key bounds)
     val df = Seq(
       ("k", 5L, 10.0), ("k", 35L, 40.0),
       ("m", 25L, 7.0)).toDF("key", "ts_us", "value")
@@ -458,7 +458,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("k", 10L)) === 20.0)
     assert(out(("k", 20L)) === 30.0)
     assert(out(("k", 30L)) === 40.0)
-    // m observed only at 20: flat 7.0 everywhere
-    Seq(0L, 10L, 20L, 30L).foreach(b => assert(out(("m", b)) === 7.0))
+    // m's grid spans m's own observations only — no rows padded out to
+    // k's range
+    assert(out(("m", 20L)) === 7.0)
+    assert(out.keys.count(_._1 == "m") == 1)
+  }
+
+  test("resample spine is per-key bounded, not keys x global range") {
+    import spark.implicits._
+    // one long-lived key (buckets 0..999) plus 200 single-bucket keys:
+    // a global-bounds spine would be 201 x 1000 = 201,000 rows; the
+    // per-key spine must stay O(sum of per-key spans) = 1000 + 200
+    val longLived = (0L until 1000L).map(b => ("hot", b * 10L, 1.0))
+    val shortLived = (0 until 200).map(i => (s"k$i", 40L, 2.0))
+    val df = (longLived ++ shortLived).toDF("key", "ts_us", "value")
+    val out = Resample.resample(df, "key", col("ts_us"), 10L, "value")
+    assert(out.count() == 1200L)
+    // short-lived keys contribute exactly their own observed bucket
+    assert(out.filter(col("key") === "k7").count() == 1L)
+    assert(out.filter(col("key") === "hot").count() == 1000L)
   }
 }
