@@ -218,7 +218,8 @@ object ConfFile {
       beforeFile = p.get("b"),
       afterFile = p.get("a"),
       unsureFile = p.get("u"),
-      kettleDir = p.get("kettle"),
+      // CLI -k and conf-file "kettle directory" name the same setting
+      kettleDir = p.get("k").orElse(p.get("kettle")),
       colMapFile = p.get("col_map_file"),
       colMapHeader = p.get("col_map_file_header").exists(boolOf),
       colMapDelimiter = p.getOrElse("col_map_file_delimiter", "\t"),

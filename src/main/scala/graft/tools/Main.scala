@@ -10,10 +10,13 @@ import java.nio.file.{Files, Paths}
   * option matrix, CLI winning over conf, then parse → convert → emit
   * before/after/unsure (+ col map).
   *
-  * The `kettle directory` parameter is accepted for conf-file
-  * compatibility but only acknowledged with a note: the Kettle jobs
-  * are replaced by the Spark operators (graft.operators.*), which read
-  * the same Config (parallelism, ignore errors, sort size).
+  * The `kettle directory` parameter triggers KettleEmitter: per-table
+  * `.ktr` transformations + `migration.kjb`/`incremental.kjb`
+  * (pl:923–1352), matching the reference's entry-point-2/3 file
+  * outputs. The Spark operators (graft.operators.*) execute the same
+  * dataflow natively from the same Config (parallelism, ignore
+  * errors, sort size) — the artifacts serve users with an existing
+  * PDI scheduler.
   */
 object Main {
 
@@ -47,9 +50,6 @@ object Main {
       System.err.println("Missing -b/-a/-u output files")
       System.err.println(usage); sys.exit(2); return
     }
-    job.kettleDir.foreach(_ => System.err.println(
-      "note: kettle directory set — data movement runs on Spark " +
-        "(graft.operators), no Kettle jobs are generated"))
     val cat =
       try new TsqlParser(job.config).parseFile(Paths.get(dump))
       catch {
@@ -57,6 +57,20 @@ object Main {
           System.err.println(s"parse error: ${e.getMessage}"); sys.exit(1)
           return
       }
+    job.kettleDir.foreach { dir =>
+      val emitter = new graft.emit.KettleEmitter(job.config,
+        job.sqlServer, job.postgres)
+      val written = emitter.writeTo(Paths.get(dir), cat)
+      cat.allTables.collect {
+        case (sn, t) if t.pk.forall(_.cols.isEmpty) =>
+          // parity with pl:1164: PK-less tables fall back to full copy
+          System.err.println(
+            s"$sn/${t.name} has no PK. Cannot create an incremental transformation")
+      }
+      System.err.println(s"kettle: ${written.size} files written to $dir " +
+        "(artifacts only — data movement also runs natively on Spark " +
+        "via graft.operators)")
+    }
     val out = new PgDdlEmitter(job.config).emit(cat)
     def write(path: String, content: String): Unit = {
       val p = Paths.get(path)
