@@ -550,6 +550,34 @@ object SparkEntry {
         numHashes = 16, bands = 4, ngramN = 3, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_script_routed" -> ((s, dir) => {
+      // script-routed dedup composition: docs with doc_id % 100 ∈
+      // {96, 97} are replaced by planted 30-char pure-CJK twins over a
+      // 20-char alphabet (a twin pair shares base = floor(id/2); the
+      // odd twin perturbs position 15). The planted docs are
+      // whitespace-free, so the word route sees ONE token and word
+      // n-grams miss the near-dup — the router must send them down the
+      // char-shingle path. Everything else keeps the corpus text and
+      // routes to word n-grams (same params as dedup_ngram_jaccard).
+      val alpha = "日月山川水火木金土人心手口目耳車門馬魚鳥"
+      val isCjk = col("doc_id") % 100 === 96 || col("doc_id") % 100 === 97
+      val base = floor(col("doc_id") / lit(2.0)).cast("long")
+      val chars = (0 until 30).map { i =>
+        val perturb =
+          if (i == 15) when(col("doc_id") % 2 === 1, lit(3L)).otherwise(lit(0L))
+          else lit(0L)
+        val idx = pmod(base * 7 + lit(i.toLong * 13) + perturb, lit(20L))
+          .cast("int")
+        lit(alpha).substr(idx + 1, lit(1))
+      }
+      val text2 = when(isCjk, concat(chars: _*)).otherwise(col("text"))
+      Dedup.scriptRoutedNearDups(
+        t(s, dir, "documents").select(col("doc_id"), text2.as("text")),
+        "doc_id", "text", wordThreshold = 0.15, charThreshold = 0.5,
+        wordN = 3, charK = 3, numHashes = 16, bands = 8, portable = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dedup_simhash_hamming" -> ((s, dir) =>
       // pigeonhole blocks: pairs within Hamming distance 3 of the
       // 60-bit portable simhash; the oracle replays blocks, xor and
@@ -1715,6 +1743,34 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "c26_incremental_join_cdc" -> ((s, dir) => {
+      // retraction-capable join maintenance: mixed insert/update/delete
+      // CDC batches on BOTH sides of a stored orders⋈customer join —
+      // stale rows drop via broadcast anti-joins on the touched keys,
+      // touched slices re-derive from the upserted payloads; must equal
+      // the oracle's full rejoin of the CDC-applied inputs
+      val a0 = t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+        col("o_orderkey"), col("o_totalprice"))
+      val b0 = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        col("c_name"), col("c_acctbal"))
+      val j0 = a0.join(b0, Seq("custkey"))
+      val aCdc = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 4)
+        .select(when(col("o_orderkey") % 10 === 4, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("o_custkey").as("custkey"), col("o_orderkey"),
+          (col("o_totalprice") + 1).as("o_totalprice"))
+      val bCdc = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 2 || col("c_custkey") % 7 === 3)
+        .select(when(col("c_custkey") % 7 === 3, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("c_custkey").as("custkey"),
+          concat(col("c_name"), lit("*")).as("c_name"), col("c_acctbal"))
+      graft.operators.Incremental.joinDeltaCdc(j0, a0, b0, aCdc, bCdc,
+          Seq("custkey"), "o_orderkey", "custkey", "op")
+        .orderBy(col("o_orderkey"))
+    }),
+
     "c24_incremental_join" -> ((s, dir) => {
       // delta-only join maintenance: Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
       // with both deltas broadcast — historical sides scanned, never
@@ -2140,6 +2196,114 @@ object SparkEntry {
         |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 AS jaccard
         |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_script_routed" ->
+      // planted CJK twins + routing + both portable minhash paths
+      // replayed end to end: char 3-shingles for CJK-dominant docs,
+      // word 3-grams for the rest
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 100 IN (96, 97) THEN
+        |      array_to_string(list_transform(range(0, 30), i ->
+        |        substr('日月山川水火木金土人心手口目耳車門馬魚鳥',
+        |          CAST((doc_id // 2 * 7 + i * 13 +
+        |            CASE WHEN doc_id % 2 = 1 AND i = 15 THEN 3 ELSE 0 END)
+        |            % 20 AS INT) + 1, 1)), '')
+        |    ELSE text END AS text
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, text,
+        |    length(text) - length(regexp_replace(text,
+        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS n_latin,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]', '', 'g'))
+        |      AS n_cjk,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyr,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arab
+        |  FROM docs),
+        |routed AS (
+        |  SELECT doc_id, text,
+        |    floor(CAST(n_cjk AS DOUBLE)
+        |      / greatest(n_latin + n_cjk + n_cyr + n_arab, 1) * 10000)
+        |      / 10000 >= 0.3 AS is_cjk
+        |  FROM cnt),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM routed WHERE NOT is_cjk),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
+        |  FROM hp),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
+        |  FROM sig, range(0, 8) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |    AND l.doc_id < r.doc_id),
+        |wscored AS (
+        |  SELECT c.id_a, c.id_b, 'word' AS route,
+        |    floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+        |      greatest(len(a.ngrams) + len(b.ngrams)
+        |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 AS jaccard
+        |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id),
+        |cnorm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nm
+        |  FROM routed WHERE is_cjk),
+        |csh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(nm) - 2, 1) + 1),
+        |    i -> substr(nm, CAST(i AS INT), 3))) AS sh
+        |  FROM cnorm),
+        |chp AS (
+        |  SELECT doc_id, list_transform(sh, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM csh),
+        |csig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
+        |  FROM chp),
+        |cbands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
+        |  FROM csig, range(0, 8) t(b)),
+        |ccands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM cbands l JOIN cbands r
+        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |    AND l.doc_id < r.doc_id),
+        |cscored AS (
+        |  SELECT c.id_a, c.id_b, 'cjk' AS route,
+        |    floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      greatest(len(a.sh) + len(b.sh)
+        |        - len(list_intersect(a.sh, b.sh)), 1) * 10000) / 10000 AS jaccard
+        |  FROM ccands c JOIN csh a ON c.id_a = a.doc_id JOIN csh b ON c.id_b = b.doc_id)
+        |SELECT id_a, id_b, route, jaccard FROM cscored WHERE jaccard >= 0.5
+        |UNION ALL
+        |SELECT id_a, id_b, route, jaccard FROM wscored WHERE jaccard >= 0.15
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_allpairs" ->
@@ -3981,6 +4145,25 @@ object SparkEntry {
         |FROM f JOIN dim d ON f.c_custkey = d.c_custkey
         |  AND f.ts >= d.valid_from
         |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "c26_incremental_join_cdc" ->
+      // full rejoin of the CDC-applied sides: upserts patch the
+      // payload, deletes drop the key — the incremental maintenance
+      // must reproduce this exactly
+      """WITH a1 AS (
+        |  SELECT o_custkey AS custkey, o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 4),
+        |b1 AS (
+        |  SELECT c_custkey AS custkey,
+        |    CASE WHEN c_custkey % 7 = 2 THEN c_name || '*' ELSE c_name END
+        |      AS c_name,
+        |    c_acctbal
+        |  FROM customer WHERE c_custkey % 7 <> 3)
+        |SELECT a1.custkey, o_orderkey, o_totalprice, c_name, c_acctbal
+        |FROM a1 JOIN b1 ON a1.custkey = b1.custkey
         |ORDER BY o_orderkey""".stripMargin,
 
     "c24_incremental_join" ->

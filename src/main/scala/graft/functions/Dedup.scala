@@ -228,6 +228,58 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Script-routed near-dup pairs — the composed router in front of
+    * script-sensitive dedup: documents whose CJK character share is at
+    * least `cjkFracMin` take the CHAR-shingle MinHash-LSH path
+    * (whitespace tokenization collapses unsegmented scripts into one
+    * "token", so word n-grams cannot see a one-character edit), all
+    * other documents take the word-n-gram MinHash-LSH path. Each route
+    * verifies its LSH candidates with the exact Jaccard over its own
+    * gram sets; outputs union with a `route` tag ("cjk" | "word").
+    * Cross-route pairs are impossible by construction — a document is
+    * tokenized exactly one way.
+    *
+    * 100 TB shape: routing is a map-only predicate on the scan
+    * (TextAnalysis.cjkFraction); both routes keep the bucketed
+    * equi-join candidate shape (band hash), and verification touches
+    * candidates only. `portable = true` (md5-derived hashes) lets an
+    * external SQL oracle replay both routes end to end.
+    */
+  def scriptRoutedNearDups(df: DataFrame, idCol: String, textCol: String,
+      wordThreshold: Double, charThreshold: Double, wordN: Int = 3,
+      charK: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      cjkFracMin: Double = 0.3, portable: Boolean = false): DataFrame = {
+    val routed = df.select(col(idCol), col(textCol),
+      (TextAnalysis.cjkFraction(col(textCol)) >= cjkFracMin).as("__cjk"))
+    val cjkDocs = routed.filter(col("__cjk")).drop("__cjk")
+    val wordDocs = routed.filter(!col("__cjk")).drop("__cjk")
+    def verified(cands: DataFrame, sets: DataFrame, thr: Double,
+        route: String): DataFrame = cands
+      .join(sets.select(col(idCol).as("id_a"), col("__g").as("__ga")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__g").as("__gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).as("__inter"),
+        size(col("__ga")).as("__na"), size(col("__gb")).as("__nb"))
+      .select(col("id_a"), col("id_b"), lit(route).as("route"),
+        TextAnalysis.q4(col("__inter").cast("double") /
+          greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
+          .as("jaccard"))
+      .filter(col("jaccard") >= thr)
+    val cjkPairs = verified(
+      minhashCandidatesChars(cjkDocs, idCol, textCol, charK, numHashes,
+        bands, portable),
+      cjkDocs.select(col(idCol), shingles(col(textCol), charK).as("__g")),
+      charThreshold, "cjk")
+    val wordPairs = verified(
+      minhashCandidates(wordDocs, idCol, textCol, numHashes, bands, wordN,
+        portable),
+      wordDocs
+        .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+        .select(col(idCol), wordNgramsFromTokens(col("__t"), wordN).as("__g")),
+      wordThreshold, "word")
+    cjkPairs.unionByName(wordPairs)
+  }
+
   /** Unblocked exact all-pairs n-gram Jaccard — ground-truth twin for
     * the LSH path. O(n²): only for bounded samples/audits, never the
     * full-corpus hot path.

@@ -132,15 +132,33 @@ object TextAnalysis {
     * names the dominant script with a fixed priority tie-break
     * (latin > cjk > cyrillic > arabic).
     */
+  val LatinClass = "[A-Za-z\\x{00C0}-\\x{024F}]"
+  val CjkClass = "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]"
+  val CyrillicClass = "[\\x{0400}-\\x{04FF}]"
+  val ArabicClass = "[\\x{0600}-\\x{06FF}]"
+
+  private def scriptCount(text: Column, cls: String): Column =
+    (length(text) - length(regexp_replace(text, cls, ""))).cast("bigint")
+
+  /** CJK share of the scripted characters — the routing predicate in
+    * front of script-sensitive tokenization (same formula as
+    * [[scriptProfile]]'s `frac_cjk`). Map-only, codegen'd.
+    */
+  def cjkFraction(text: Column): Column = {
+    val cjk = scriptCount(text, CjkClass)
+    val total = greatest(scriptCount(text, LatinClass) + cjk +
+      scriptCount(text, CyrillicClass) + scriptCount(text, ArabicClass),
+      lit(1L)).cast("double")
+    q4(cjk / total)
+  }
+
   def scriptProfile(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def cnt(cls: String): Column =
-      (length(col(textCol)) -
-        length(regexp_replace(col(textCol), cls, ""))).cast("bigint")
-    val latin = cnt("[A-Za-z\\x{00C0}-\\x{024F}]")
-    val cjk = cnt("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]")
-    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
-    val arab = cnt("[\\x{0600}-\\x{06FF}]")
+    def cnt(cls: String): Column = scriptCount(col(textCol), cls)
+    val latin = cnt(LatinClass)
+    val cjk = cnt(CjkClass)
+    val cyr = cnt(CyrillicClass)
+    val arab = cnt(ArabicClass)
     val total = greatest(latin + cjk + cyr + arab, lit(1L)).cast("double")
     df.select(col(idCol),
       latin.as("n_latin"), cjk.as("n_cjk"), cyr.as("n_cyrillic"),

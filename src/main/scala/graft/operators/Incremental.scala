@@ -89,6 +89,52 @@ object Incremental {
       .unionByName(aDelta.join(bDelta.hint("broadcast"), keys))
   }
 
+  /** Incremental maintenance of a materialized inner equi-join under
+    * MIXED insert/update/delete CDC deltas — the retraction-capable
+    * extension of [[joinDelta]], matching `latestByKey`'s CDC
+    * semantics: each side's delta is a COMPACTED change batch (one row
+    * per side-key, e.g. via latestByKey) carrying `opCol` = "delete"
+    * for tombstones and an upserted payload otherwise.
+    *
+    * Maintenance identity (key-based, not signed-multiset): with
+    * touched(Δ) = every side-key present in the delta (upsert OR
+    * delete),
+    *
+    *   J₁ =   J₀ ⋉̸ touched(ΔA) ⋉̸ touched(ΔB)      (drop stale rows)
+    *        ∪ ΔA⁺ ⋈ (B₀ ⋉̸ touched(ΔB))            (re-derive touched-A)
+    *        ∪ (A₀ ⋉̸ touched(ΔA)) ⋈ ΔB⁺            (re-derive touched-B)
+    *        ∪ ΔA⁺ ⋈ ΔB⁺                            (both touched)
+    *
+    * equals the full rejoin of the CDC-applied sides (spec-proven; the
+    * gate's oracle recomputes the full join). An update retracts its
+    * old join rows via the anti-join and re-derives from the new
+    * payload — no tombstone bookkeeping in the stored view.
+    *
+    * 100 TB shape: J₀, A₀ and B₀ are only ever SCANNED — the touched
+    * key sets and upsert batches are delta-sized and broadcast, so the
+    * anti-joins and the two re-derive joins are map-side; the stored
+    * join and both historical inputs are never reshuffled. Contrast
+    * with a full refresh: shuffling both inputs per batch.
+    */
+  def joinDeltaCdc(jOld: DataFrame, aOld: DataFrame, bOld: DataFrame,
+      aCdc: DataFrame, bCdc: DataFrame, joinKeys: Seq[String],
+      aKey: String, bKey: String, opCol: String = "op"): DataFrame = {
+    require(joinKeys.nonEmpty, "joinKeys must not be empty")
+    val aTouched = aCdc.select(col(aKey)).distinct()
+    val bTouched = bCdc.select(col(bKey)).distinct()
+    val aUp = aCdc.filter(col(opCol) =!= "delete").drop(opCol)
+    val bUp = bCdc.filter(col(opCol) =!= "delete").drop(opCol)
+    val aSurvivors = aOld.join(aTouched.hint("broadcast"), Seq(aKey), "left_anti")
+    val bSurvivors = bOld.join(bTouched.hint("broadcast"), Seq(bKey), "left_anti")
+    val kept = jOld
+      .join(aTouched.hint("broadcast"), Seq(aKey), "left_anti")
+      .join(bTouched.hint("broadcast"), Seq(bKey), "left_anti")
+    kept
+      .unionByName(aUp.hint("broadcast").join(bSurvivors, joinKeys))
+      .unionByName(aSurvivors.join(bUp.hint("broadcast"), joinKeys))
+      .unionByName(aUp.hint("broadcast").join(bUp, joinKeys))
+  }
+
   def latestByKey(df: DataFrame, keyCol: String, orderCol: String,
       tieCol: String, payloadCols: Seq[String]): DataFrame = {
     val fields = col(orderCol).as("__o") +: col(tieCol).as("__t") +:

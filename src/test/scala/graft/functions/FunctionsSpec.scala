@@ -1034,6 +1034,32 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(bhjLines.isEmpty, s"vocab df table must not broadcast:\n$tfidfPlan")
   }
 
+  test("script-routed dedup: CJK twins caught by char route, missed by word route") {
+    import spark.implicits._
+    // two CJK near-dups differing in ONE character, no whitespace —
+    // word tokenization sees a single differing token; plus a latin
+    // near-dup pair the word route must still find
+    val cjkA = "深夜の東京は雨が降り続け街の灯りが濡れた路面に揺れて見えた"
+    val cjkB = cjkA.replace('雨', '雪')
+    val latA = "the quick brown fox jumps over the lazy dog again and again today"
+    val latB = "the quick brown fox jumps over the lazy dog again and again now"
+    val df = Seq((1L, cjkA), (2L, cjkB), (10L, latA), (11L, latB),
+      (20L, "totally unrelated latin content words here about databases"))
+      .toDF("doc_id", "text")
+    val routed = Dedup.scriptRoutedNearDups(df, "doc_id", "text",
+      wordThreshold = 0.5, charThreshold = 0.5, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(routed.contains((1L, 2L, "cjk")), s"CJK twin missed: $routed")
+    assert(routed.contains((10L, 11L, "word")), s"latin twin missed: $routed")
+    assert(routed.size == 2, s"unexpected pairs: $routed")
+    // the word-only pipeline cannot see the CJK twin (one token per
+    // doc → disjoint single-gram sets) — the reason the router exists
+    val wordOnly = Dedup.ngramJaccardPairsLsh(df, "doc_id", "text",
+      threshold = 0.1, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!wordOnly.contains((1L, 2L)), s"word route should miss CJK: $wordOnly")
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")

@@ -464,6 +464,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.keys.count(_._1 == "m") == 1)
   }
 
+  test("joinDeltaCdc: mixed insert/update/delete equals full rejoin") {
+    import spark.implicits._
+    val a0 = Seq((1L, 10L, 5.0), (1L, 11L, 6.0), (2L, 12L, 7.0),
+      (3L, 13L, 8.0)).toDF("k", "aid", "av")
+    val b0 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "bv")
+    val j0 = a0.join(b0, Seq("k"))
+    // A: update aid 10 (new value + key move 1→2), delete aid 12,
+    // insert new aid 14; delete of a nonexistent aid is a no-op row
+    val aCdc = Seq(
+      ("upsert", 2L, 10L, 50.0), ("delete", 0L, 12L, 0.0),
+      ("upsert", 3L, 14L, 9.0), ("delete", 0L, 99L, 0.0))
+      .toDF("op", "k", "aid", "av")
+    // B: update k=3's payload, delete k=2, insert new k=4 (no A match)
+    val bCdc = Seq(("upsert", 3L, "z2"), ("delete", 2L, "y"),
+      ("upsert", 4L, "w")).toDF("op", "k", "bv")
+    val out = Incremental.joinDeltaCdc(j0, a0, b0, aCdc, bCdc,
+      Seq("k"), "aid", "k", "op")
+    // ground truth: full rejoin of the CDC-applied sides
+    val a1 = Seq((2L, 10L, 50.0), (1L, 11L, 6.0), (3L, 13L, 8.0),
+      (3L, 14L, 9.0)).toDF("k", "aid", "av")
+    val b1 = Seq((1L, "x"), (3L, "z2"), (4L, "w")).toDF("k", "bv")
+    val expected = a1.join(b1, Seq("k"))
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty,
+      s"got ${out.collect().mkString(",")} " +
+        s"want ${expected.collect().mkString(",")}")
+    // the stored join and historical sides must never reshuffle: every
+    // join in the plan is broadcast-built (anti on touched keys,
+    // re-derive on broadcast upserts)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("resample spine is per-key bounded, not keys x global range") {
     import spark.implicits._
     // one long-lived key (buckets 0..999) plus 200 single-bucket keys:
