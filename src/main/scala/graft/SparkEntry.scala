@@ -906,6 +906,30 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    "skew_unsalted_join_zipf" -> ((s, dir) => {
+      // the UNSALTED twin of skew_salted_join_zipf, pinned to a plain
+      // shuffle join (no broadcast, no salt): the 70%-hot key lands on
+      // ONE reduce task — the bench records the skew penalty the salted
+      // plan removes. Identical result, identical oracle.
+      val big = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 10 < 7, lit(0L))
+          .otherwise(col("o_custkey") % 25).as("hot_key"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,3)").as("price"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("hot_key"),
+          col("n_name"))
+      // AQE's skew-join mitigation stays ON (default) — the measured
+      // gap vs the salted twin is therefore the honest residual, not a
+      // strawman with the optimizer disabled
+      big.hint("shuffle_merge").join(dim.hint("shuffle_merge"),
+          Seq("hot_key"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .orderBy(col("n_name"))
+    }),
+
     "curate_documents" -> ((s, dir) => {
       // the composed training-data curation pipeline: length + quality
       // filters, then near-duplicate removal (LSH candidates + exact
@@ -2689,6 +2713,19 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "skew_salted_join_zipf" ->
+      """WITH big AS (
+        |  SELECT CAST(CASE WHEN o_orderkey % 10 < 7 THEN 0
+        |         ELSE o_custkey % 25 END AS BIGINT) AS hot_key,
+        |    CAST(o_totalprice AS DECIMAL(18,3)) AS price
+        |  FROM orders)
+        |SELECT n.n_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM big b JOIN nation n ON b.hot_key = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "skew_unsalted_join_zipf" ->
+      // identical semantics to the salted twin — the gate asserts the
+      // unsalted plan still answers correctly; BENCH records its cost
       """WITH big AS (
         |  SELECT CAST(CASE WHEN o_orderkey % 10 < 7 THEN 0
         |         ELSE o_custkey % 25 END AS BIGINT) AS hot_key,

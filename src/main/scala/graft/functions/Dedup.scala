@@ -461,9 +461,8 @@ object Dedup {
     * the lineage so plan size stays constant across rounds. The
     * fixpoint (min id per component) is unique, so the result is
     * deterministic regardless of how many rounds ran. For graphs with
-    * long chains at extreme scale, the same loop accepts the
-    * large-star/small-star edge rewriting (Kiveris et al.) — dedup
-    * graphs don't need it.
+    * long chains at extreme scale, use [[connectedComponentsStar]],
+    * which converges in O(log²) rounds instead of O(diameter).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -488,6 +487,84 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star edge
+    * rewriting (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond" — public paper): each round, large-star
+    * hooks every neighbor larger than a node onto the node's minimum
+    * neighborhood member, small-star collapses the smaller neighbors
+    * onto it. The edge set contracts toward a star forest in
+    * O(log²) rounds REGARDLESS of component diameter — the variant
+    * for chain-shaped duplicate families (boilerplate series,
+    * crawl-date mirrors) where min-label propagation needs
+    * O(diameter) rounds. Same output contract as
+    * [[connectedComponents]]: (id, cluster_id = component minimum),
+    * so the two are interchangeable and cross-checked in the spec.
+    *
+    * Each round is two groupBy-min shuffles over the current edge set
+    * (which only shrinks); convergence compares a count + order-
+    * independent hash checksum instead of materializing a diff.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = directed.groupBy(col("u")).agg(min(col("v")).as("m"))
+      directed.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal sum: order-independent and overflow-free (a plain long
+      // sum of xxhash64 values trips ANSI overflow)
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("h")).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val raw = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    // node set BEFORE dropping self-loops: a (v, v) edge still names a
+    // node that must come out labeled (as its own singleton component)
+    val allNodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
+    var e = raw
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var sig = checksum(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      e = next; sig = nextSig
+      i += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint is a star forest: every non-root points at its
+    // component minimum; roots (and isolated nodes) label themselves
+    allNodes.join(e, col("id") === col("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
   }
 
   /** Cross-document duplicate-span statistics — the character-level

@@ -1060,6 +1060,26 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!wordOnly.contains((1L, 2L)), s"word route should miss CJK: $wordOnly")
   }
 
+  test("connectedComponentsStar: 1k chain in logarithmic rounds, equals min-label") {
+    import spark.implicits._
+    // a 1000-node chain has diameter 999 — min-label propagation would
+    // need ~999 rounds; the star rewriting must converge within 15
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Dedup.connectedComponentsStar(chain, "a", "b", maxIter = 15)
+    assert(star.count() === 1000L)
+    assert(star.filter(col("cluster_id") =!= 0L).isEmpty,
+      "every chain node must label to the component minimum 0")
+    // interchangeability: identical labels to min-label propagation on
+    // a multi-component graph (chain + cycle + pair + isolated-ish)
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (30L, 30L)).toDF("a", "b")
+    val viaStar = Dedup.connectedComponentsStar(g, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLabel = Dedup.connectedComponents(g, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStar === viaLabel)
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
