@@ -2239,19 +2239,12 @@ object SparkEntry {
         |cnt AS (
         |  SELECT doc_id, text,
         |    length(text) - length(regexp_replace(text,
-        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS n_latin,
-        |    length(text) - length(regexp_replace(text,
         |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]', '', 'g'))
-        |      AS n_cjk,
-        |    length(text) - length(regexp_replace(text,
-        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyr,
-        |    length(text) - length(regexp_replace(text,
-        |      '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arab
+        |      AS n_cjk
         |  FROM docs),
         |routed AS (
         |  SELECT doc_id, text,
-        |    floor(CAST(n_cjk AS DOUBLE)
-        |      / greatest(n_latin + n_cjk + n_cyr + n_arab, 1) * 10000)
+        |    floor(CAST(n_cjk AS DOUBLE) / greatest(length(text), 1) * 10000)
         |      / 10000 >= 0.3 AS is_cjk
         |  FROM cnt),
         |toks AS (

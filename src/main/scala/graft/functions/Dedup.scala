@@ -239,8 +239,8 @@ object Dedup {
     * Cross-route pairs are impossible by construction — a document is
     * tokenized exactly one way.
     *
-    * 100 TB shape: routing is a map-only predicate on the scan
-    * (TextAnalysis.cjkFraction); both routes keep the bucketed
+    * 100 TB shape: routing is a map-only single-regex predicate on the
+    * scan (TextAnalysis.cjkCharShare); both routes keep the bucketed
     * equi-join candidate shape (band hash), and verification touches
     * candidates only. `portable = true` (md5-derived hashes) lets an
     * external SQL oracle replay both routes end to end.
@@ -250,7 +250,7 @@ object Dedup {
       charK: Int = 3, numHashes: Int = 16, bands: Int = 8,
       cjkFracMin: Double = 0.3, portable: Boolean = false): DataFrame = {
     val routed = df.select(col(idCol), col(textCol),
-      (TextAnalysis.cjkFraction(col(textCol)) >= cjkFracMin).as("__cjk"))
+      (TextAnalysis.cjkCharShare(col(textCol)) >= cjkFracMin).as("__cjk"))
     val cjkDocs = routed.filter(col("__cjk")).drop("__cjk")
     val wordDocs = routed.filter(!col("__cjk")).drop("__cjk")
     def verified(cands: DataFrame, sets: DataFrame, thr: Double,

@@ -140,9 +140,10 @@ object TextAnalysis {
   private def scriptCount(text: Column, cls: String): Column =
     (length(text) - length(regexp_replace(text, cls, ""))).cast("bigint")
 
-  /** CJK share of the scripted characters — the routing predicate in
-    * front of script-sensitive tokenization (same formula as
-    * [[scriptProfile]]'s `frac_cjk`). Map-only, codegen'd.
+  /** CJK share of the scripted characters — same formula as
+    * [[scriptProfile]]'s `frac_cjk`. Map-only, codegen'd; costs FOUR
+    * regex passes (one per script class) — use [[cjkCharShare]] when
+    * the consumer re-evaluates the routing column per downstream scan.
     */
   def cjkFraction(text: Column): Column = {
     val cjk = scriptCount(text, CjkClass)
@@ -151,6 +152,16 @@ object TextAnalysis {
       lit(1L)).cast("double")
     q4(cjk / total)
   }
+
+  /** CJK share of ALL characters — the cheap routing predicate (ONE
+    * regex pass vs cjkFraction's four). Unsegmented CJK text is nearly
+    * all CJK code points, so a ≥0.3 cut routes identically in
+    * practice while costing a quarter as much in pipelines whose
+    * lazy DAG re-evaluates the router once per downstream consumer.
+    */
+  def cjkCharShare(text: Column): Column =
+    q4(scriptCount(text, CjkClass) /
+      greatest(length(text), lit(1)).cast("double"))
 
   def scriptProfile(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog._
 import graft.convert.{Config, Identifiers}
+import graft.sources.Tables
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
@@ -50,6 +51,44 @@ object MigrationRunner {
 
   final case class TableResult(schema: String, table: String, rows: Long,
       seconds: Double, error: Option[String])
+
+  /** Per-table JDBC read PLAN — the automatic template choice the
+    * reference makes per table (pl:949–963): consult
+    * `Tables.partitionHint` (single integral PK + LOB payload or
+    * `-use_pk_if_possible` opt-in); eligible tables read
+    * range-partitioned on the PK with `-pi` slices (Spark's native
+    * equivalent of the modulo-sliced parallel TableInput), everything
+    * else reads as one stream. LOB tables also drop the JDBC fetch
+    * size 10× — their rows are fat, and a 10k-row fetch buffer of
+    * multi-MB LOBs is an executor OOM, the same reasoning behind the
+    * reference's dedicated LOB template.
+    *
+    * `boundsOf` abstracts the min/max(pk) scalar probe (a 1-row JDBC
+    * query in production; the spec drives it from the fixture) — the
+    * bounds must come from the SOURCE, not a guess, or Spark puts
+    * everything outside [lower, upper] into the two edge partitions.
+    */
+  def plannedRead(spark: SparkSession, job: graft.convert.ConfFile.Job,
+      table: TableDef,
+      boundsOf: (TableDef, String) => Option[(Long, Long)],
+      specOverride: Option[Tables.JdbcSpec] = None): DataFrame = {
+    val base = specOverride.getOrElse(Tables.specFromJob(job,
+      s"${table.origSchema}.${table.name}"))
+    val spec0 = if (table.hasLobs)
+      base.copy(fetchSize = math.max(1, base.fetchSize / 10)) else base
+    val spec = Tables.partitionHint(table, job.config) match {
+      case Some(pkCol) if job.config.parallelismIn > 1 =>
+        boundsOf(table, pkCol) match {
+          case Some((lo, hi)) if hi >= lo =>
+            spec0.copy(partitionColumn = Some(pkCol),
+              numPartitions = job.config.parallelismIn,
+              lowerBound = Some(lo), upperBound = Some(hi))
+          case _ => spec0
+        }
+      case _ => spec0
+    }
+    Tables.jdbc(spark, spec)
+  }
 
   /** Run every table's copy as a Spark job. `parallelism` > 1 submits
     * jobs concurrently (each job still uses all executors for its own

@@ -3,6 +3,7 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.SparkTestBase
+import graft.sources.Tables
 import java.sql.DriverManager
 
 /** End-to-end JDBC integration against embedded Derby (ships with
@@ -61,6 +62,43 @@ class JdbcIntegrationSpec extends AnyFunSuite with SparkTestBase {
       buf.toSeq
     }
     assert(after === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("plannedRead: LOB+int-PK table reads range-partitioned with -pi slices") {
+    withConn { c =>
+      c.createStatement().executeUpdate(
+        "CREATE TABLE lob_t (id BIGINT NOT NULL PRIMARY KEY, payload VARCHAR(100))")
+      val ps = c.prepareStatement("INSERT INTO lob_t VALUES (?, ?)")
+      (1L to 200L).foreach { i =>
+        ps.setLong(1, i); ps.setString(2, s"blob$i"); ps.executeUpdate()
+      }
+      ps.close()
+    }
+    import graft.catalog._
+    import org.apache.spark.sql.types._
+    val lobTable = TableDef("lob_t", "app",
+      cols = Vector(
+        ColumnDef("id", 1, SqlType("bigint"), "bigint", LongType, notNull = true),
+        ColumnDef("payload", 2, SqlType("varbinary", isMax = true), "bytea",
+          BinaryType)),
+      constraints = Vector(PrimaryKey(Some("pk_lob"), Seq("id"))),
+      hasLobs = true)
+    val job = graft.convert.ConfFile.toJob(Map("pi" -> "4", "sd" -> "x"))
+    val boundsOf = (_: TableDef, pk: String) => withConn { c =>
+      val rs = c.createStatement()
+        .executeQuery(s"SELECT MIN($pk), MAX($pk) FROM lob_t")
+      rs.next(); Some((rs.getLong(1), rs.getLong(2)))
+    }
+    val spec = Tables.JdbcSpec(url, "lob_t", "", "")
+    val df = MigrationRunner.plannedRead(spark, job, lobTable, boundsOf,
+      specOverride = Some(spec))
+    assert(df.rdd.getNumPartitions === 4, "expected -pi range partitions")
+    assert(df.count() === 200L)
+    // a PK-less table reads as one stream regardless of -pi
+    val noPk = lobTable.copy(constraints = Vector.empty)
+    val one = MigrationRunner.plannedRead(spark, job, noPk, boundsOf,
+      specOverride = Some(spec))
+    assert(one.rdd.getNumPartitions === 1)
   }
 
   test("P12: writeJdbcIgnoringErrors survives constraint-violating rows") {
