@@ -1163,6 +1163,21 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", nShards = 16)
         .orderBy(col("doc_id"))),
 
+    "curate_strip_boilerplate" -> ((s, dir) => {
+      // C4-style template stripping: every doc gains its source's
+      // footer line (25/25 docs → boilerplate, dropped) and every 5th
+      // doc a shared rare line (5/25 = 20% < 60% → kept); the original
+      // text line is unique per doc and must survive byte-identically
+      val planted = concat(col("text"),
+        lit("\n"), lit("visit "), col("source"), lit(" for more"),
+        when(col("doc_id") % 5 === 0, lit("\nrare line")).otherwise(lit("")))
+      graft.functions.Curation.stripBoilerplateLines(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), planted.as("text")),
+        "doc_id", "text", "source", minDocs = 10, minFrac = 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
     "curate_url_canonical" -> ((s, dir) => {
       // URL canonicalization over deterministically messied URLs
       // (mixed-case scheme/host, default ports, duplicate slashes,
@@ -3025,6 +3040,48 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
         |    AS BIGINT) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "curate_strip_boilerplate" ->
+      // replays planting, per-source line document-frequency, the
+      // minDocs/minFrac cut, anti-join strip, and ORDER BY pos
+      // reassembly
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'visit ' || source || ' for more' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'rare line'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, source, string_split(text, chr(10)) AS parts
+        |  FROM docs),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |    CAST(generate_subscripts(parts, 1) AS INT) AS pos,
+        |    unnest(parts) AS line
+        |  FROM ls),
+        |linedf AS (
+        |  SELECT source, line, COUNT(*) AS n_with FROM (
+        |    SELECT DISTINCT source, line, doc_id FROM lines)
+        |  GROUP BY 1, 2),
+        |srcdocs AS (SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY 1),
+        |boiler AS (
+        |  SELECT l.source, l.line
+        |  FROM linedf l JOIN srcdocs s ON l.source = s.source
+        |  WHERE s.n_docs >= 10 AND CAST(l.n_with AS DOUBLE) >= s.n_docs * 0.6),
+        |kept AS (
+        |  SELECT li.* FROM lines li
+        |  ANTI JOIN boiler b ON li.source = b.source AND li.line = b.line),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  COALESCE(r.text, '') AS text,
+        |  CAST(COALESCE(r.n_kept, 0) AS INT) AS n_lines_kept,
+        |  CAST(len(string_split(d.text, chr(10)))
+        |    - COALESCE(r.n_kept, 0) AS INT) AS n_lines_dropped
+        |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "curate_url_canonical" ->
       // replays construction + every canonicalization rule with RE2

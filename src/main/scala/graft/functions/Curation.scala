@@ -464,4 +464,63 @@ object Curation {
         when(size(col("__toks")) === 0, lit(null).cast("int"))
           .otherwise(runMax).as("max_tok_freq"))
   }
+
+  /** Source-level boilerplate line removal (the C4 pipeline's
+    * template-stripping pass, Raffel et al. 2020 §2.2 — public paper):
+    * a line occurring in at least `minFrac` of a source's documents
+    * (for sources with at least `minDocs` documents) is boilerplate —
+    * navigation, cookie banners, copyright footers — and every
+    * occurrence is dropped from that source's documents. Line identity
+    * is exact text within the SAME source only: a sentence that is
+    * boilerplate on one site stays intact elsewhere.
+    *
+    * Output: (id, source, text-with-lines-removed, n_lines_kept,
+    * n_lines_dropped); documents reduced to nothing survive with
+    * empty text (downstream length filters decide their fate).
+    *
+    * 100 TB shape: lines explode map-side with their positions; the
+    * (source, line) document-frequency count partial-aggregates (a
+    * universal footer collapses to one row per map task before the
+    * exchange); the strip is an anti-join on (source, line) — AQE
+    * broadcasts the boilerplate side when it is small, and the join
+    * key leads with `source` so a dominant site skew-splits. The only
+    * corpus-wide shuffle is the per-document reassembly, keyed by the
+    * UNIQUE doc id — perfectly uniform, never skewed. Reassembly
+    * sorts on the materialized line position, so output text is
+    * byte-deterministic.
+    */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minDocs: Int = 10,
+      minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, "minFrac must be in (0, 1]")
+    val lines = df.select(col(idCol), col(sourceCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    // document frequency per (source, line): dedupe within doc first so
+    // a line repeated inside one document counts once
+    val lineDf = lines.select(col(sourceCol), col("__line"), col(idCol))
+      .distinct()
+      .groupBy(col(sourceCol), col("__line"))
+      .agg(count(lit(1)).as("__n_with"))
+    val srcDocs = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n_docs"))
+    val boiler = lineDf.join(srcDocs, sourceCol)
+      .filter(col("__n_docs") >= minDocs &&
+        col("__n_with").cast("double") >= col("__n_docs") * minFrac)
+      .select(col(sourceCol), col("__line"))
+    val kept = lines.join(boiler, Seq(sourceCol, "__line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol), col(sourceCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line"))))
+        .as("__ls"))
+      .select(col(idCol), col(sourceCol),
+        array_join(transform(col("__ls"), s => s.getField("__line")), "\n")
+          .as("__text"),
+        size(col("__ls")).as("n_lines_kept"))
+    df.select(col(idCol), col(sourceCol),
+        size(split(col(textCol), "\n")).as("__n0"))
+      .join(rebuilt.drop(sourceCol), Seq(idCol), "left")
+      .select(col(idCol), col(sourceCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        coalesce(col("n_lines_kept"), lit(0)).as("n_lines_kept"),
+        (col("__n0") - coalesce(col("n_lines_kept"), lit(0)))
+          .as("n_lines_dropped"))
+  }
 }

@@ -1080,6 +1080,28 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaStar === viaLabel)
   }
 
+  test("stripBoilerplateLines: per-source frequency cut, order, empty docs") {
+    import spark.implicits._
+    // source A (3 docs ≥ minDocs=3): "footer" in all 3 → dropped;
+    // "half" in 2/3 ≈ 0.67 ≥ 0.5 → dropped; unique lines stay in order.
+    // Doc 3 is footer-only → must survive as empty text. Source B has
+    // only 1 doc (< minDocs) → nothing stripped even though its line
+    // is 100% frequent.
+    val df = Seq(
+      (1L, "A", "alpha\nfooter\nhalf\nomega"),
+      (2L, "A", "beta\nhalf\nfooter"),
+      (3L, "A", "footer"),
+      (4L, "B", "footer")).toDF("id", "src", "text")
+    val out = Curation.stripBoilerplateLines(df, "id", "text", "src",
+      minDocs = 3, minFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) === (("alpha\nomega", 2, 2)))
+    assert(out(2L) === (("beta", 1, 2)))
+    assert(out(3L) === (("", 0, 1)))
+    assert(out(4L) === (("footer", 1, 0)))
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
