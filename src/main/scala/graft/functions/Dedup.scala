@@ -172,9 +172,13 @@ object Dedup {
         else xxhash64(comps: _*)
       struct(lit(b).as("band_id"), bandHash.as("band_hash"))
     }
+    // the self-join references the shingle+minhash pipeline from BOTH
+    // sides — uncached it runs twice (hammingNearDups convention); the
+    // persisted frame is (id, band_id, band_hash) per band, LRU-evictable
     val bandsDf = staged
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bandsDf.alias("l"); val r = bandsDf.alias("r")
     l.join(r, col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -192,7 +196,10 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, ngramN: Int = 3,
       portable: Boolean = false): DataFrame = {
+    // persist across the self-join (hammingNearDups convention): the
+    // tokenize→gram→minhash pipeline would otherwise run twice
     val b = lshBands(df, idCol, textCol, numHashes, bands, ngramN, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.alias("l"); val r = b.alias("r")
     l.join(r, col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
