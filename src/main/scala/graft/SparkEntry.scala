@@ -665,6 +665,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_pq" -> ((s, dir) => {
+      // product-quantization ADC top-5 (Jégou 2011): m=8 subspaces ×
+      // k=16 id-stride codebooks over the 64-dim embeddings; corpus
+      // scores as 8 integer table lookups over its codes — vectors are
+      // never read at query time. Distances carried as nano-unit longs
+      // so encode, LUT and totals replay exactly in the oracle.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val books = Similarity.pqBooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", books, k = 5)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("dist_nano"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       // banded sign-LSH scale path. Fixture: plant 5 perturbed copies
       // per query (cos ≈0.9989–0.99996, portable integer-noise formula)
@@ -2531,6 +2551,43 @@ object SparkEntry {
         |  FROM q)
         |SELECT vec_id, cand_label AS pred_label, cos_q AS cos_sim
         |FROM pred WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "sim_ann_pq" ->
+      // replays id-stride codebooks, per-subspace argmin encode (tie →
+      // smallest code), the query LUT, and the integer ADC total
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |books AS (
+        |  SELECT vec_id // 11 AS code, v FROM emb
+        |  WHERE vec_id % 11 = 0 AND vec_id < 16 * 11),
+        |sub AS (SELECT * FROM range(0, 8) t(j)),
+        |penc AS (
+        |  SELECT e.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      pow(e.v[CAST(s.j*8+i AS INT)] - b.v[CAST(s.j*8+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM emb e, sub s, books b),
+        |codes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM penc) WHERE rn = 1),
+        |qlut AS (
+        |  SELECT vec_id AS query_id, j, code, d FROM penc
+        |  WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT l.query_id, c.vec_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS dist_nano
+        |  FROM codes c JOIN qlut l ON c.j = l.j AND c.code = l.code
+        |  WHERE l.query_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, dist_nano, ROW_NUMBER() OVER (
+        |  PARTITION BY query_id ORDER BY dist_nano, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank,
+        |  vec_id AS neighbor_id, dist_nano
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ann_quantized" ->
       // int8 codes are exact integral doubles on both engines, so the

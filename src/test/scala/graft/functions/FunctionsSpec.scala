@@ -1102,6 +1102,45 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L) === (("footer", 1, 0)))
   }
 
+  test("PQ: codebook shape, exact self-distance, cluster recovery") {
+    import spark.implicits._
+    // two well-separated clusters whose prototypes are exactly the
+    // stride-sampled codebook vectors (ids 0, 1 with stride 1):
+    // members encode to their prototype, so ADC ranks same-cluster
+    // members first and an external copy of a prototype has distance 0
+    def v(base: Double, eps: Double) =
+      Seq(base + eps, base - eps, base + eps, base - eps)
+    val corpus = (
+      Seq((0L, v(0.0, 0.0)), (1L, v(10.0, 0.0))) ++
+      (2L to 6L).map(i => (i, v(0.0, 0.01 * i))) ++
+      (10L to 14L).map(i => (i, v(10.0, 0.01 * i)))
+    ).toDF("id", "vec")
+    val books = Similarity.pqBooks(corpus, "id", "vec",
+      m = 2, k = 2, dims = 4, stride = 1L)
+    assert(books.length == 2 && books(0).length == 2 &&
+      books(0)(0).length == 2)
+    val queries = Seq((100L, v(0.0, 0.0)), (101L, v(10.0, 0.0)))
+      .toDF("qid", "qvec")
+    val top = Similarity.pqTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", books, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    val q0 = top.filter(_._1 == 100L).sortBy(_._4).map(_._2)
+    val q1 = top.filter(_._1 == 101L).sortBy(_._4).map(_._2)
+    // every returned neighbor of each prototype query is in its cluster
+    assert(q0.toSet.subsetOf((Seq(0L) ++ (2L to 6L)).toSet), q0.mkString(","))
+    assert(q1.toSet.subsetOf((Seq(1L) ++ (10L to 14L)).toSet), q1.mkString(","))
+    // the prototype itself is rank 1 with EXACT zero ADC distance
+    // (its codes select itself; the LUT entry is the true distance 0)
+    val d0 = top.filter(t => t._1 == 100L && t._2 == 0L).head._3
+    assert(d0 === 0L)
+    // the corpus side of the scoring join must carry codes, not vectors
+    val plan = Similarity.pqTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", books, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
