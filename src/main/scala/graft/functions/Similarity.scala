@@ -652,4 +652,42 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-PQ: the standard composed large-scale index (coarse quantizer
+    * prunes, product codes score). Corpus rows carry (cell, codes) —
+    * the raw vector is read once at index time; queries probe their
+    * `nprobe` nearest cells via the equi-join and ADC-score only the
+    * probed cells' codes. At 100 TB this multiplies the two savings:
+    * IVF touches nprobe/nlist of the corpus, PQ reads 32× fewer bytes
+    * of what it touches. No gate oracle — the coarse centroid
+    * selection's driver-side farthest-point pass is not SQL-
+    * expressible — so correctness rides the spec (cluster recovery +
+    * agreement with pqTopK when every cell is probed) and the
+    * components' own gates (sim_ann_ivf, sim_ann_pq).
+    */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nprobe: Int = 4): DataFrame = {
+    val m = books.length
+    val c = corpus.select(col(corpusId),
+      pqEncode(col(corpusVec), books).as("__codes"),
+      cellOf(col(corpusVec), centroids).as("__cell"))
+    val q = queries
+      .select(col(queryId), pqLut(col(queryVec), books).as("__lut"),
+        probeCells(col(queryVec), centroids, nprobe).as("__probes"))
+      .select(col(queryId), col("__lut"),
+        explode(col("__probes").getField("cell")).as("__cell"))
+    val score = (0 until m).map { j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col("__codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val joined = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId), score.as("dist_nano"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist_nano").asc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1141,6 +1141,38 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("IVF-PQ: probed-cell ADC agrees with flat PQ at full probe") {
+    import spark.implicits._
+    def v(base: Double, eps: Double) =
+      Seq(base + eps, base - eps, base + eps, base - eps)
+    val corpus = (
+      Seq((0L, v(0.0, 0.0)), (1L, v(10.0, 0.0))) ++
+      (2L to 6L).map(i => (i, v(0.0, 0.01 * i))) ++
+      (10L to 14L).map(i => (i, v(10.0, 0.01 * i)))
+    ).toDF("id", "vec")
+    val books = Similarity.pqBooks(corpus, "id", "vec",
+      m = 2, k = 2, dims = 4, stride = 1L)
+    val cents = Array(Array(0.0, 0.0, 0.0, 0.0), Array(10.0, 10.0, 10.0, 10.0))
+    val queries = Seq((100L, v(0.0, 0.0)), (101L, v(10.0, 0.0)))
+      .toDF("qid", "qvec")
+    // nprobe = all cells → must equal the flat PQ ranking exactly
+    val full = Similarity.ivfPqTopK(corpus, "id", "vec", queries,
+      "qid", "qvec", k = 4, cents, books, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val flat = Similarity.pqTopK(corpus, "id", "vec", queries,
+      "qid", "qvec", books, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(full === flat)
+    // nprobe = 1 restricts candidates to the query's own cell
+    val one = Similarity.ivfPqTopK(corpus, "id", "vec", queries,
+      "qid", "qvec", k = 10, cents, books, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.filter(_._1 == 100L).map(_._2).toSet
+      .subsetOf((Seq(0L) ++ (2L to 6L)).toSet))
+    assert(one.filter(_._1 == 101L).map(_._2).toSet
+      .subsetOf((Seq(1L) ++ (10L to 14L)).toSet))
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
