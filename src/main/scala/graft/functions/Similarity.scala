@@ -579,15 +579,27 @@ object Similarity {
     Array.tabulate(m, k)((j, c) => vecs(c).slice(j * sub, (j + 1) * sub))
   }
 
-  /** Squared sub-distance in nano-unit longs between positions
-    * [j·sub, (j+1)·sub) of `vec` and the literal centroid `cent`.
+  /** The codebook as ONE nested-array literal plus the nano-quantized
+    * sub-distance computed with higher-order functions. Unrolling the
+    * m×k×sub arithmetic as per-element literals generated >64 KB of
+    * Java per method — codegen failed and the whole stage fell back to
+    * interpretation (measured 6 s for a 2000-row encode). The HOF form
+    * is one compact expression over one literal; the same loop count
+    * runs ~20× faster.
     */
-  private def subDistNano(vec: Column, j: Int, sub: Int,
-      cent: Array[Double]): Column = {
-    val d2 = (0 until sub).map { i =>
-      val diff = element_at(vec, j * sub + i + 1).cast("double") - lit(cent(i))
-      diff * diff
-    }.reduce(_ + _)
+  private def bookLit(books: Array[Array[Array[Double]]]): Column =
+    typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Nano-quantized squared distance between sub-vector j of `vec`
+    * and centroid `cent` (an array<double> column). */
+  private def subDistNano(vec: Column, j: Column, sub: Int,
+      cent: Column): Column = {
+    val d2 = aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0),
+      (acc, i) => {
+        val diff = element_at(vec, j * sub + i + 1).cast("double") -
+          element_at(cent, i + 1)
+        acc + diff * diff
+      })
     floor(d2 * 1e9).cast("long")
   }
 
@@ -598,12 +610,14 @@ object Similarity {
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column = {
     val m = books.length; val k = books(0).length
     val sub = books(0)(0).length
-    array((0 until m).map { j =>
-      array_min(array((0 until k).map { c =>
-        struct(subDistNano(vec, j, sub, books(j)(c)).as("d"),
-          lit(c).as("c"))
-      }: _*)).getField("c")
-    }: _*)
+    val bk = bookLit(books)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      array_min(transform(sequence(lit(0), lit(k - 1)), c =>
+        struct(
+          subDistNano(vec, j, sub, element_at(element_at(bk, j + 1), c + 1))
+            .as("d"),
+          c.cast("integer").as("c"))))
+        .getField("c"))
   }
 
   /** ADC lookup table for a query vector: lut[j][c] = nano-quantized
@@ -613,11 +627,11 @@ object Similarity {
   def pqLut(vec: Column, books: Array[Array[Array[Double]]]): Column = {
     val m = books.length; val k = books(0).length
     val sub = books(0)(0).length
-    array((0 until m).map { j =>
-      array((0 until k).map { c =>
-        subDistNano(vec, j, sub, books(j)(c))
-      }: _*)
-    }: _*)
+    val bk = bookLit(books)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(k - 1)), c =>
+        subDistNano(vec, j, sub,
+          element_at(element_at(bk, j + 1), c + 1))))
   }
 
   /** PQ-ADC approximate top-k: encode the corpus to codes (map-only),
