@@ -22,6 +22,7 @@ object Main {
 
   private val usage =
     """usage: graft.tools.Main [-conf <conf_file>] -f <dump> -b <before> -a <after> -u <unsure>
+      |  [-k <kettle_output_dir>]
       |  [-i] [-num] [-nr] [-keep_identifier_case | -camel_to_snake]
       |  [-drop_rowversion] [-use_identity_column] [-relabel_schemas 'a=>b;c=>d']
       |  [-validate_constraints yes|after|no] [-skip_citext_length_check]
