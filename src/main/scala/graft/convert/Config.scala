@@ -44,6 +44,20 @@ final case class Config(
     if (s == schema && relabelDbo && schema.equalsIgnoreCase("dbo")) "public"
     else s
   }
+
+  /** `-use_pk_if_possible` membership — ONE matcher for both the
+    * Kettle artifact path and the Spark read planner (pl:502–524):
+    * "1" (the reference's boolean form) or "*" allows every table;
+    * otherwise a comma/semicolon/space separated list of bare or
+    * schema-qualified table names, case-insensitive.
+    */
+  def usePkAllowed(schema: String, table: String): Boolean = {
+    val allow = usePkIfPossible.trim
+    allow == "1" || allow == "*" || allow
+      .split("[,;\\s]+").map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .exists(e => e == table.toLowerCase ||
+        e == s"${schema.toLowerCase}.${table.toLowerCase}")
+  }
 }
 
 sealed trait IdentifierCase

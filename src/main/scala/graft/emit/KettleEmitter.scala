@@ -75,8 +75,15 @@ final class KettleEmitter(conf: Config,
   }
 
   /** Target-side column expression for the incremental compare read
-    * (postgres_convert_column, pl:467–485): render uuid/date/tstz as
-    * the same text the source side ships so MergeRows compares equal.
+    * (postgres_convert_column, pl:467–485): render uuid/date as the
+    * same text the source side ships so MergeRows compares equal.
+    * The tstz format string is reproduced VERBATIM from the reference
+    * (pl:473) including its quirks — `HH` is 12-hour in to_char and
+    * `.US+00` differs from style-121's 7-digit fraction — so a
+    * datetimeoffset column re-syncs every row, exactly as the
+    * reference's artifacts do. Artifact parity wins over fixing the
+    * comparison: users migrating from the reference get identical
+    * files.
     */
   private[emit] def postgresCol(c: ColumnDef): String = {
     val b = fmt(c.name)
@@ -92,16 +99,14 @@ final class KettleEmitter(conf: Config,
 
   private def orderedCols(t: TableDef): Seq[ColumnDef] = t.cols.sortBy(_.pos)
 
-  /** `-use_pk_if_possible` gate (pl:502–524): "1"/"*" allows every
-    * table, otherwise a word-boundary schema.table list match.
+  /** `-use_pk_if_possible` gate (pl:502–524): Config.usePkAllowed is
+    * the single matcher shared with the Spark read planner
+    * (Tables.partitionHint) — one flag, one meaning on both paths.
     */
-  private def pkSortAllowed(schema: String, t: TableDef): Boolean = {
-    val allow = conf.usePkIfPossible.trim
-    val listed = allow == "1" || allow == "*" ||
-      ("""(?i)(^|[,;\s])""" + java.util.regex.Pattern.quote(s"$schema.${t.name}") +
-        """($|[,;\s])""").r.findFirstIn(allow).isDefined
-    listed && Identifiers.isPkSortOrderSafe(t)
-  }
+  private def pkSortAllowed(schema: String, t: TableDef): Boolean =
+    (conf.usePkAllowed(schema, t.name) ||
+      conf.usePkAllowed(t.origSchema, t.name)) &&
+      Identifiers.isPkSortOrderSafe(t)
 
   /** LOB modulo-slice eligibility (pl:949–957): haslobs + single
     * int-family PK column. */

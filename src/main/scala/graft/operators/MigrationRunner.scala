@@ -72,8 +72,11 @@ object MigrationRunner {
       table: TableDef,
       boundsOf: (TableDef, String) => Option[(Long, Long)],
       specOverride: Option[Tables.JdbcSpec] = None): DataFrame = {
+    // bracket-quote the MSSQL identifiers (reference convention,
+    // KettleEmitter parity): an unquoted name with a space or reserved
+    // word would make the generated SELECT invalid T-SQL
     val base = specOverride.getOrElse(Tables.specFromJob(job,
-      s"${table.origSchema}.${table.name}"))
+      s"[${table.origSchema}].[${table.name}]"))
     val spec0 = if (table.hasLobs)
       base.copy(fetchSize = math.max(1, base.fetchSize / 10)) else base
     val spec = Tables.partitionHint(table, job.config) match {

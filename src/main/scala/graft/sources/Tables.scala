@@ -36,9 +36,13 @@ object Tables {
 
   /** C3/C17 partition-column choice from the catalog: a table is
     * range-partitionable when it has a single-column integral PK, and
-    * the conf's `use pk if possible` ("*" or a comma list of table
-    * names) or a LOB payload opts it in — the reference's template
-    * selection (pl:949–962, 4105–4133) as one predicate.
+    * the conf's `use pk if possible` or a LOB payload opts it in —
+    * the reference's template selection (pl:949–962, 4105–4133) as
+    * one predicate. The opt-in accepts every form the reference and
+    * KettleEmitter accept: "1"/"*" (all tables), bare table names, or
+    * schema-qualified `schema.table` entries (comma/semicolon/space
+    * separated, case-insensitive) — one flag, one meaning on both the
+    * artifact and the Spark read path.
     */
   def partitionHint(table: graft.catalog.TableDef,
       conf: graft.convert.Config): Option[String] = {
@@ -49,9 +53,11 @@ object Tables {
             .exists(c.pgType.startsWith)).map(_.name)
       case _ => None
     }
-    val wanted = table.hasLobs || conf.usePkIfPossible.trim == "*" ||
-      conf.usePkIfPossible.split(",").map(_.trim.toLowerCase)
-        .contains(table.name.toLowerCase)
+    // match under the source OR the relabeled target schema qualifier
+    // (the reference matches the target name; users know either)
+    val wanted = table.hasLobs ||
+      conf.usePkAllowed(table.origSchema, table.name) ||
+      conf.usePkAllowed(conf.relabel(table.origSchema), table.name)
     eligible.filter(_ => wanted)
   }
 

@@ -1218,6 +1218,19 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(5).getLong(2) === 2L) // n_cjk
     assert(out(6).getLong(1) === 0L)
     assert(out(6).getAs[String]("dominant") === "latin") // all-zero tie
+    // cjkFraction must equal scriptProfile's frac_cjk (same formula,
+    // scripted-characters denominator); cjkCharShare divides by ALL
+    // characters, so the space in "ab 文字" dilutes it (2/5 vs 2/4)
+    val frac = df.select(col("id"),
+      TextAnalysis.cjkFraction(col("text")).as("f"),
+      TextAnalysis.cjkCharShare(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    (1L to 6L).foreach(i =>
+      assert(frac(i)._1 === out(i).getAs[Double]("frac_cjk"),
+        s"cjkFraction diverged from frac_cjk for id $i"))
+    assert(frac(5L)._1 === 0.5)
+    assert(frac(5L)._2 === 0.4)
   }
 
   test("url canonicalization: ports, params, slashes, fragments, www") {
