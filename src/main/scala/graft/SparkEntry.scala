@@ -1760,6 +1760,34 @@ object SparkEntry {
         .select(col("o_orderkey"), col(DiffSync.FlagCol).as("row_state"))
         .orderBy(col("o_orderkey"))),
 
+    "c27_incremental_agg_cdc" -> ((s, dir) => {
+      // retraction-capable aggregate maintenance: mixed upsert (every
+      // o_orderkey % 10 == 3, price+1, with a KEY MOVE to custkey+1
+      // when % 20 == 3) and delete (% 10 == 4) CDC on the orders
+      // fact; only the touched keys' rows re-aggregate — must equal
+      // the oracle's full re-aggregation of the CDC-applied table
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      val I = graft.operators.Incremental
+      val state0 = I.aggState(ord, "o_custkey", Seq("o_totalprice"))
+      val cdc = ord
+        .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 4)
+        .select(
+          when(col("o_orderkey") % 10 === 4, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("o_orderkey"),
+          when(col("o_orderkey") % 20 === 3, col("o_custkey") + 1)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          (col("o_totalprice") + 1).as("o_totalprice"))
+      I.aggStateCdc(ord, state0, cdc, "o_custkey", "o_orderkey",
+          Seq("o_totalprice"))
+        .select(col("o_custkey"), col("n_rows"),
+          col("sum_o_totalprice").cast("double").as("sum_price"),
+          col("min_o_totalprice").as("min_price"),
+          col("max_o_totalprice").as("max_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "c22_incremental_agg" -> ((s, dir) => {
       // incremental MV maintenance: combine(state(history),
       // state(delta)) replayed against the oracle's aggregate over
@@ -4258,6 +4286,21 @@ object SparkEntry {
         |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
         |SELECT o_orderkey, row_state FROM d
         |WHERE row_state <> 'identical' ORDER BY o_orderkey""".stripMargin,
+
+    "c27_incremental_agg_cdc" ->
+      // full re-aggregation of the CDC-applied fact table — the
+      // key-scoped rebuild must reproduce it exactly, min/max included
+      """WITH a1 AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 3 THEN o_custkey + 1
+        |              ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 10 <> 4)
+        |SELECT o_custkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  MIN(v) AS min_price,
+        |  MAX(v) AS max_price
+        |FROM a1 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "c22_incremental_agg" ->
       // the oracle aggregates EVERYTHING in one pass; matching it

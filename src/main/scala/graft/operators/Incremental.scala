@@ -135,6 +135,49 @@ object Incremental {
       .unionByName(aUp.hint("broadcast").join(bUp, joinKeys))
   }
 
+  /** Incremental maintenance of the per-key aggregate state under
+    * MIXED insert/update/delete row-level CDC — the aggregation twin
+    * of [[joinDeltaCdc]]. Deletes break pure state folding (min/max
+    * are not subtractable), so maintenance is key-scoped rebuild:
+    *
+    *  - touched keys = keys appearing in the delta ∪ the OLD keys of
+    *    updated/deleted rows (an update can move a row between keys;
+    *    found by a broadcast semi-join of the history on the delta's
+    *    row ids — a scan, prunable, never a shuffle of history);
+    *  - untouched keys keep their state rows verbatim (anti-join);
+    *  - touched keys re-aggregate from their CDC-applied rows only:
+    *    history restricted to touched keys (broadcast semi-join)
+    *    minus touched row ids, plus the upserted rows.
+    *
+    * Cost scales with the delta's key footprint, not with history:
+    * the rebuild aggregates only the touched keys' rows. Exactness is
+    * total — including min/max — because touched keys recompute from
+    * scratch; this is the classic key-scoped-recompute answer to
+    * non-subtractable aggregates in incremental view maintenance.
+    *
+    * `cdc` carries (opCol, rowIdCol, keyCol, value columns) with one
+    * row per rowId (compact upstream via [[latestByKey]]); opCol =
+    * "delete" marks tombstones.
+    */
+  def aggStateCdc(dataOld: DataFrame, state: DataFrame, cdc: DataFrame,
+      keyCol: String, rowIdCol: String, valueCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val touchedRows = cdc.select(col(rowIdCol)).distinct()
+    val oldKeysOfTouched = dataOld
+      .join(touchedRows.hint("broadcast"), Seq(rowIdCol), "left_semi")
+      .select(col(keyCol))
+    val touchedKeys = cdc.select(col(keyCol))
+      .unionByName(oldKeysOfTouched).distinct()
+    val upserts = cdc.filter(col(opCol) =!= "delete").drop(opCol)
+    val rebuiltRows = dataOld
+      .join(touchedKeys.hint("broadcast"), Seq(keyCol), "left_semi")
+      .join(touchedRows.hint("broadcast"), Seq(rowIdCol), "left_anti")
+      .unionByName(upserts.select(dataOld.columns.map(col): _*))
+    val rebuiltState = aggState(rebuiltRows, keyCol, valueCols)
+    state.join(touchedKeys.hint("broadcast"), Seq(keyCol), "left_anti")
+      .unionByName(rebuiltState)
+  }
+
   def latestByKey(df: DataFrame, keyCol: String, orderCol: String,
       tieCol: String, payloadCols: Seq[String]): DataFrame = {
     val fields = col(orderCol).as("__o") +: col(tieCol).as("__t") +:

@@ -497,6 +497,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("aggStateCdc: deletes fix min/max, key moves rebuild both keys") {
+    import spark.implicits._
+    val data = Seq(
+      (10L, 1L, 5.0), (11L, 1L, 9.0), (12L, 1L, 7.0), // key 1
+      (20L, 2L, 4.0), (21L, 2L, 6.0),                 // key 2
+      (30L, 3L, 8.0)                                   // key 3 (untouched)
+    ).toDF("rid", "k", "v")
+    val I = Incremental
+    val state0 = I.aggState(data, "k", Seq("v"))
+    // delete the MAX of key 1 (min/max must recompute, not fold);
+    // move rid 20 from key 2 to key 4 with a new value; delete rid 21
+    // so key 2 disappears entirely
+    val cdc = Seq(
+      ("delete", 11L, 1L, 0.0),
+      ("upsert", 20L, 4L, 4.5),
+      ("delete", 21L, 2L, 0.0)).toDF("op", "rid", "k", "v")
+    val out = I.aggStateCdc(data, state0, cdc, "k", "rid", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue(), r.getDouble(3),
+          r.getDouble(4))).toMap
+    // ground truth: full re-aggregation of the CDC-applied rows
+    assert(out(1L) === ((2L, 12.0, 5.0, 7.0)), "max must drop to 7")
+    assert(!out.contains(2L), "emptied key must vanish")
+    assert(out(3L) === ((1L, 8.0, 8.0, 8.0)), "untouched key intact")
+    assert(out(4L) === ((1L, 4.5, 4.5, 4.5)), "moved row creates key")
+    // history must never reshuffle: all maintenance joins broadcast
+    val plan = I.aggStateCdc(data, state0, cdc, "k", "rid", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("resample spine is per-key bounded, not keys x global range") {
     import spark.implicits._
     // one long-lived key (buckets 0..999) plus 200 single-bucket keys:
