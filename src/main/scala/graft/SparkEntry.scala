@@ -1100,6 +1100,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_frame_sample" -> ((s, dir) => {
+      // video-style frame sampling over a REAL multi-frame container:
+      // synthetic GVID payloads (indexed gray PNG frames, count and
+      // pixels id-derived) → stride-3 sample that decodes ONLY the
+      // sampled frames → per-frame aHash64. The oracle replays frame
+      // count, sampled indices and the pixel/hash arithmetic.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(col("doc_id")) // tiny single-split fixture fan-out
+      val vids = graft.functions.Multimodal.withSyntheticVideo(docs, "doc_id")
+      graft.functions.Multimodal.frameSampleAHash(vids, "payload", every = 3)
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("ahash"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // ---------------- extension operators: corpus curation ------------
     "curate_split_train_test" -> ((s, dir) =>
       // deterministic md5-bucket split: stable under corpus growth,
@@ -1196,6 +1210,24 @@ object SparkEntry {
           .select(col("doc_id"), col("source"), planted.as("text")),
         "doc_id", "text", "source", minDocs = 10, minFrac = 0.6)
         .orderBy(col("doc_id"))
+    }),
+
+    "curate_mixture_sample" -> ((s, dir) => {
+      // temperature-scaled source mixing (α = 0.5, budget 300):
+      // per-source weight n^α/Σn^α realized as an exact integer
+      // keep-rate-per-million, then the deterministic salted-hash
+      // Bernoulli keep — the oracle replays weights, rates and the
+      // per-source kept counts bit-for-bit
+      val docs = t(s, dir, "documents")
+      val rates = graft.functions.Curation.temperatureMixture(
+        docs, "source", alpha = 0.5, budget = 300L)
+      val kept = graft.functions.Curation.applyMixture(
+          docs, "doc_id", "source", alpha = 0.5, budget = 300L)
+        .groupBy(col("source")).agg(count(lit(1)).as("kept_docs"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("w_q"), col("rate_ppm"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"))
+        .orderBy(col("source"))
     }),
 
     "curate_url_canonical" -> ((s, dir) => {
@@ -2685,6 +2717,42 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "mm_frame_sample" ->
+      // replay of the container fixture + sampling + per-frame aHash:
+      // n_frames = 6 + id mod 5, sampled indices ≡ 0 (mod 3), frame
+      // seed id·100+idx feeding the same md5 pixel formula and integer
+      // aHash bit rule (incl. two's-complement bit 63) as mm_phash
+      """WITH d AS (
+        |  SELECT doc_id, CAST(6 + doc_id % 5 AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_frames,
+        |    CAST(unnest(range(n_frames)) AS INT) AS frame_idx
+        |  FROM d),
+        |sf AS (SELECT * FROM f WHERE frame_idx % 3 = 0),
+        |px AS (
+        |  SELECT sf.doc_id, sf.frame_idx, t.i,
+        |    CAST(('0x' || substr(md5('px|' || (sf.doc_id * 100 + sf.frame_idx)
+        |        || '|' || (t.i % 8) || '|' || (t.i // 8)), 1, 15))
+        |      AS BIGINT) % 256 AS g
+        |  FROM sf, (SELECT unnest(range(64)) AS i) t),
+        |s AS (SELECT doc_id, frame_idx, SUM(g) AS total
+        |  FROM px GROUP BY 1, 2),
+        |h AS (
+        |  SELECT px.doc_id, px.frame_idx,
+        |    SUM(CASE WHEN 64 * g >= total AND i < 63
+        |          THEN CAST(1 AS BIGINT) << i ELSE 0 END)::BIGINT
+        |    + CASE WHEN MAX(CASE WHEN i = 63 AND 64 * g >= total
+        |                    THEN 1 ELSE 0 END) = 1
+        |        THEN -9223372036854775807 - 1 ELSE 0 END AS ahash
+        |  FROM px JOIN s ON px.doc_id = s.doc_id
+        |    AND px.frame_idx = s.frame_idx
+        |  GROUP BY px.doc_id, px.frame_idx)
+        |SELECT sf.doc_id, sf.frame_idx, sf.n_frames, h.ahash
+        |FROM sf JOIN h ON sf.doc_id = h.doc_id
+        |  AND sf.frame_idx = h.frame_idx
+        |ORDER BY sf.doc_id, sf.frame_idx""".stripMargin,
+
     "mm_phash_neardup" ->
       // replay of the full chain: pixel formula (twin groups of 4, one
       // +128 mod 256 pixel perturbation per twin) → aHash bit rule
@@ -3167,6 +3235,36 @@ object SparkEntry {
         |    - COALESCE(r.n_kept, 0) AS INT) AS n_lines_dropped
         |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "curate_mixture_sample" ->
+      // α-sampling replay: w_q = ⌊√n·10^6⌋ (IEEE sqrt — exact on both
+      // engines), rate = min(10^6, ⌊budget·10^6·w_q / (Σw_q·n)⌋) via
+      // exact HUGEINT integer division, kept = salted-md5 bucket
+      // under the rate; every output cast back to BIGINT
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w_q
+        |  FROM c),
+        |t AS (SELECT SUM(w_q) AS w_sum FROM w),
+        |r AS (
+        |  SELECT source, n_docs, w_q,
+        |    CAST(least(CAST(1000000 AS HUGEINT),
+        |      (CAST(300 AS HUGEINT) * 1000000 * w_q)
+        |        // (CAST((SELECT w_sum FROM t) AS HUGEINT) * n_docs))
+        |      AS BIGINT) AS rate_ppm
+        |  FROM w),
+        |k AS (
+        |  SELECT d.source, COUNT(*) AS kept_docs
+        |  FROM documents d JOIN r ON d.source = r.source
+        |  WHERE CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 1000000 < r.rate_ppm
+        |  GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.w_q, r.rate_ppm,
+        |  COALESCE(k.kept_docs, 0) AS kept_docs
+        |FROM r LEFT JOIN k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
 
     "curate_url_canonical" ->
       // replays construction + every canonicalization rule with RE2

@@ -523,4 +523,66 @@ object Curation {
         (col("__n0") - coalesce(col("n_lines_kept"), lit(0)))
           .as("n_lines_dropped"))
   }
+
+  /** Temperature-scaled source mixture (the multilingual α-sampling
+    * rule, Conneau & Lample 2019 / Raffel et al. 2020 §3.4.3 — public
+    * papers): source `i` with `n_i` documents gets mixture weight
+    * `n_i^α / Σ_j n_j^α`; α < 1 up-samples the tail sources a raw
+    * proportional mix would drown. Output per source: document count,
+    * the quantized weight numerator, and the per-million keep rate
+    * that realizes `weight_i · budget` expected documents.
+    *
+    * Engine-portable by construction: `n^α` is quantized to an
+    * integer numerator `w_q = ⌊n^α · 10^6⌋` BEFORE normalization, so
+    * the weight sum is an exact integer and the rate arithmetic is
+    * exact DECIMAL division — the only float op is `n^α` itself, and
+    * at α = 0.5 that is IEEE-exact `sqrt` on every engine. Rates cap
+    * at 10^6 (a source is never over-sampled past keeping everything;
+    * budget beyond that flows nowhere — this is filtering, not
+    * replication).
+    *
+    * 100 TB shape: one partial-aggregated count per source (a few
+    * hundred rows out of any corpus), driver-free normalization via a
+    * 1-row cross join, and the result is a broadcast-sized rate table.
+    */
+  def temperatureMixture(df: DataFrame, srcCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val wRaw = if (alpha == 0.5) sqrt(col("n_docs"))
+      else pow(col("n_docs"), lit(alpha))
+    val weighted = counts.withColumn("w_q",
+      floor(wRaw * lit(1000000L)).cast("long"))
+    val total = weighted.agg(sum(col("w_q")).as("__w_sum"))
+    weighted.crossJoin(broadcast(total))
+      // integral `div` on DECIMAL(38,0): exact ⌊num/den⌋ with no
+      // intermediate rounding — the oracle's HUGEINT `//` replays it
+      // bit-for-bit (plain decimal `/` rounds HALF_UP at result
+      // scale, which can cross an integer boundary under floor())
+      .withColumn("__num",
+        lit(budget).cast("decimal(38,0)") * lit(1000000L) * col("w_q"))
+      .withColumn("__den",
+        col("__w_sum").cast("decimal(38,0)") * col("n_docs"))
+      .select(col(srcCol), col("n_docs"), col("w_q"),
+        least(lit(1000000L),
+          expr("__num div __den").cast("long")).as("rate_ppm"))
+  }
+
+  /** Realize a [[temperatureMixture]]: keep a document iff its salted
+    * hash bucket (per-million) falls under its source's keep rate.
+    * Deterministic, stable under corpus growth (a document's fate
+    * never depends on other documents' ids), and map-only past the
+    * broadcast of the tiny rate table — the 100 TB mixing pass is
+    * one scan.
+    */
+  def applyMixture(df: DataFrame, idCol: String, srcCol: String,
+      alpha: Double, budget: Long, salt: String = "mix|"): DataFrame = {
+    val rates = temperatureMixture(df, srcCol, alpha, budget)
+      .select(col(srcCol), col("rate_ppm"))
+    df.join(broadcast(rates), srcCol)
+      .filter(saltedHash60(salt, col(idCol)) % 1000000L < col("rate_ppm"))
+      .drop("rate_ppm")
+  }
 }

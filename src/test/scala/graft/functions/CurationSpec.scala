@@ -328,4 +328,62 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
   }
+
+  test("temperatureMixture: α=1 is proportional, α<1 up-samples the tail") {
+    import spark.implicits._
+    val corpus = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    // α=1: every source keeps the same fraction budget/Σn
+    val prop = Curation.temperatureMixture(corpus, "source", 1.0, 500L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(prop("big") === prop("small"))
+    assert(prop("big") === 500L * 1000000L / 1000L)
+    // α=0.5 (budget low enough that no source caps): the small source's
+    // keep rate strictly exceeds the big one's
+    val sq = Curation.temperatureMixture(corpus, "source", 0.5, 300L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sq("small")._3 > sq("big")._3)
+    assert(sq("big")._2 === math.floor(math.sqrt(900.0) * 1e6).toLong)
+    // expected kept = Σ rate·n/10^6 stays within rounding of the budget
+    val expected = sq.values.map(v => v._3 * v._1 / 1000000.0).sum
+    assert(math.abs(expected - 300.0) < 2.0, s"expected ≈ budget, got $expected")
+    // once a source caps at 10^6 the residual budget does NOT
+    // redistribute (mixing filters, it never replicates): at budget
+    // 500 `small` caps (keeps all 100) and `big` carries only its own
+    // α-share — expected kept is 375 + 100, short of the budget
+    val sq500 = Curation.temperatureMixture(corpus, "source", 0.5, 500L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(sq500("small")._2 === 1000000L)
+    val expected500 = sq500.values.map(v => v._2 * v._1 / 1000000.0).sum
+    assert(math.abs(expected500 - 475.0) < 2.0, s"got $expected500")
+    // a budget beyond the corpus caps every rate at 10^6, never above
+    val capped = Curation.temperatureMixture(corpus, "source", 0.5, 100000L)
+      .collect().map(_.getLong(3))
+    assert(capped.forall(_ === 1000000L))
+  }
+
+  test("applyMixture: deterministic hash subset honoring per-source rates") {
+    import spark.implicits._
+    val corpus = ((0L until 400L).map(i => (i, "a")) ++
+      (400L until 500L).map(i => (i, "b"))).toDF("doc_id", "source")
+    val kept = Curation.applyMixture(corpus, "doc_id", "source", 0.5, 200L)
+    val again = Curation.applyMixture(corpus, "doc_id", "source", 0.5, 200L)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(ids.subsetOf((0L until 500L).toSet))
+    // schema passes through minus nothing (rate col dropped)
+    assert(kept.columns.toSet === Set("doc_id", "source"))
+    // per-source keep counts concentrate near rate·n/10^6
+    val rates = Curation.temperatureMixture(corpus, "source", 0.5, 200L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (src, (n, ppm)) =>
+      val exp = ppm * n / 1000000.0
+      assert(math.abs(bySrc.getOrElse(src, 0L) - exp) <= 4 * math.sqrt(exp) + 3,
+        s"$src kept ${bySrc.getOrElse(src, 0L)} vs expected $exp")
+    }
+  }
 }

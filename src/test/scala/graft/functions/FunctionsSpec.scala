@@ -1314,6 +1314,88 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4).getLong(1) === 0L)
     (2 to 8).foreach(i => assert(!out(4).isNullAt(i), s"col $i null"))
   }
+
+  test("multimodal: frame sampling hashes exactly the strided frames") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def px(seed: Long, x: Int, y: Int): Int = {
+      val hex = md.digest(s"px|$seed|$x|$y".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+    }
+    def frameHash(id: Long, f: Int): Long = {
+      val g = Array.tabulate(64)(i => px(id * 100L + f, i % 8, i / 8))
+      val total = g.sum
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (64L * g(i) >= total) acc | (1L << i) else acc)
+    }
+    val ids = Seq(0L, 3L, 9L).toDF("doc_id")
+    val vids = Multimodal.withSyntheticVideo(ids, "doc_id")
+    // stride 1 = every frame; count and every hash replayed exactly
+    val all = Multimodal.frameSampleAHash(vids, "payload", every = 1)
+      .select("doc_id", "frame_idx", "n_frames", "ahash", "frame_ok")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    Seq(0L, 3L, 9L).foreach { id =>
+      val n = (6 + id % 5).toInt
+      assert(all.count(_._1._1 == id) === n, s"id $id frame count")
+      (0 until n).foreach { f =>
+        val r = all((id, f))
+        assert(r.getInt(2) === n)
+        assert(r.getBoolean(4), s"frame ($id,$f) should decode")
+        assert(r.getLong(3) === frameHash(id, f), s"hash ($id,$f)")
+      }
+    }
+    // stride 3 decodes only indices ≡ 0 (mod 3)
+    val strided = Multimodal.frameSampleAHash(vids, "payload", every = 3)
+      .select("doc_id", "frame_idx").collect()
+    assert(strided.forall(_.getInt(1) % 3 == 0))
+    assert(strided.count(_.getLong(0) == 9L) === 4) // n=10 → 0,3,6,9
+  }
+
+  test("multimodal: corrupt and truncated frames error per-row, not per-task") {
+    import spark.implicits._
+    def frame(body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(body.length).array() ++ body
+    val good = Multimodal.withSyntheticVideo(
+        Seq(5L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    // container with [good-png, garbage, good-png]: one error row for
+    // the garbage frame, real hashes for its neighbors
+    val goodPng = {
+      val bb = java.nio.ByteBuffer.wrap(good)
+      val len0 = bb.getInt(8)
+      good.slice(12, 12 + len0)
+    }
+    val mixed = "GVID".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4).putInt(3).array() ++
+      frame(goodPng) ++ frame(Array[Byte](9, 9, 9)) ++ frame(goodPng)
+    val sel = Seq("doc_id", "frame_idx", "n_frames", "ahash", "frame_ok",
+      "frame_error")
+    val rows = Multimodal.frameSampleAHash(
+        Seq((1L, mixed)).toDF("doc_id", "payload"), "payload", every = 1)
+      .select(sel.head, sel.tail: _*).collect().sortBy(_.getInt(1))
+    assert(rows.length === 3)
+    assert(rows(0).getBoolean(4) && rows(2).getBoolean(4))
+    assert(!rows(1).getBoolean(4) && rows(1).get(3) == null)
+    assert(rows(0).getLong(3) === rows(2).getLong(3))
+    // truncated payload: frames before the cut decode, then one
+    // truncation marker row
+    val cut = good.dropRight(5)
+    val t = Multimodal.frameSampleAHash(
+        Seq((2L, cut)).toDF("doc_id", "payload"), "payload", every = 1)
+      .select(sel.head, sel.tail: _*).collect().sortBy(_.getInt(1))
+    val nFrames = (6 + 5 % 5)
+    assert(t.length === nFrames) // last frame replaced by the marker
+    assert(t.dropRight(1).forall(_.getBoolean(4)))
+    assert(!t.last.getBoolean(4) &&
+      t.last.getString(5).startsWith("truncated"))
+    // non-container payload → single error row
+    val bad = Multimodal.frameSampleAHash(
+        Seq((3L, Array[Byte](1, 2))).toDF("doc_id", "payload"),
+        "payload", every = 1)
+      .select(sel.head, sel.tail: _*).collect()
+    assert(bad.length === 1 && !bad.head.getBoolean(4))
+  }
 }
 
 /** Instrumented decoder factory (top-level object so executors in
