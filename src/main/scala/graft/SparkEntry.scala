@@ -614,6 +614,20 @@ object SparkEntry {
         "label", "embedding")
         .orderBy(col("label"), col("dim"))),
 
+    "sim_perceptron_train" -> ((s, dir) => {
+      // distributed quality-classifier training: 3 full-batch
+      // perceptron epochs on integer-quantized embeddings (labels
+      // 0–4 = +1 vs 5–9 = −1) — all-integer arithmetic, so the
+      // trained weights replay bit-for-bit in the oracle's 3
+      // unrolled iterations
+      val emb = t(s, dir, "embeddings")
+        .select(when(col("label") < 5, lit(1L)).otherwise(lit(-1L)).as("y"),
+          col("embedding"))
+      Similarity.perceptronTrain(emb, "embedding", "y",
+          dims = 64, iters = 3)
+        .orderBy(col("dim"))
+    }),
+
     "sim_nearest_centroid" -> ((s, dir) => {
       // nearest-centroid classification composed from labelCentroids:
       // centroid vectors reassembled per label (tiny → broadcast), one
@@ -2571,6 +2585,46 @@ object SparkEntry {
         |SELECT label, dim, n_vectors,
         |  floor(CAST(s AS DOUBLE) / n_vectors * 10000) / 10000 AS centroid
         |FROM agg ORDER BY label, dim""".stripMargin,
+
+    "sim_perceptron_train" ->
+      // 3 unrolled batch-perceptron epochs in exact integer
+      // arithmetic: quantize features once, epoch 1 updates on every
+      // row (w=0 ⇒ margin 0 ≤ 0), epochs 2–3 on rows with
+      // y·(w·x) ≤ 0; every SUM cast to BIGINT (HUGEINT hash gotcha)
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |dims AS (SELECT CAST(unnest(range(64)) AS INT) AS dim),
+        |w1 AS (
+        |  SELECT d.dim, CAST(SUM(e.y * e.xq[d.dim + 1]) AS BIGINT) AS w
+        |  FROM e, dims d GROUP BY 1),
+        |m2 AS (
+        |  SELECT e.vec_id,
+        |    e.y * CAST(SUM(w1.w * e.xq[w1.dim + 1]) AS BIGINT) AS m
+        |  FROM e, w1 GROUP BY e.vec_id, e.y),
+        |d2 AS (
+        |  SELECT d.dim, CAST(SUM(e.y * e.xq[d.dim + 1]) AS BIGINT) AS dw
+        |  FROM e, m2, dims d
+        |  WHERE e.vec_id = m2.vec_id AND m2.m <= 0 GROUP BY 1),
+        |w2 AS (
+        |  SELECT w1.dim, w1.w + COALESCE(d2.dw, 0) AS w
+        |  FROM w1 LEFT JOIN d2 ON w1.dim = d2.dim),
+        |m3 AS (
+        |  SELECT e.vec_id,
+        |    e.y * CAST(SUM(w2.w * e.xq[w2.dim + 1]) AS BIGINT) AS m
+        |  FROM e, w2 GROUP BY e.vec_id, e.y),
+        |d3 AS (
+        |  SELECT d.dim, CAST(SUM(e.y * e.xq[d.dim + 1]) AS BIGINT) AS dw
+        |  FROM e, m3, dims d
+        |  WHERE e.vec_id = m3.vec_id AND m3.m <= 0 GROUP BY 1),
+        |w3 AS (
+        |  SELECT w2.dim, w2.w + COALESCE(d3.dw, 0) AS w
+        |  FROM w2 LEFT JOIN d3 ON w2.dim = d3.dim)
+        |SELECT dim, CAST(w AS BIGINT) AS weight
+        |FROM w3 ORDER BY dim""".stripMargin,
 
     "sim_nearest_centroid" ->
       // cosine against the q4-quantized centroids (exact decimals →

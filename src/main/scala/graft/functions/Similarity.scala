@@ -117,6 +117,63 @@ object Similarity {
         TextAnalysis.q4(col("__s").cast("double") / col("n_vectors"))
           .as("centroid"))
 
+  /** Distributed training of a linear classifier by full-batch
+    * perceptron over integer-quantized embeddings — the
+    * quality-classifier trainer of a curation pipeline (label a few
+    * thousand docs, train, score the corpus with [[col]]-level dot
+    * products).
+    *
+    * All-integer by construction: features quantize to
+    * `⌊x · scale⌋` longs once up front, so every margin, update and
+    * weight is exact 64-bit arithmetic — iteration results are
+    * partition-order invariant and an engine oracle replays training
+    * bit-for-bit (same trick as the integer-fixed-point PageRank).
+    * The update rule is the classic batch perceptron: rows with
+    * `y·(w·x) ≤ 0` contribute `y·x` to Δw each epoch.
+    *
+    * 100 TB shape: one corpus scan per epoch — margins are map-side
+    * higher-order array expressions against the broadcast 1-row
+    * weight vector, the update partial-aggregates to `dims` rows
+    * before the exchange, and the new weight vector reassembles
+    * declaratively (map + sequence, no driver collect). Epoch count
+    * is the only sequential dimension.
+    *
+    * `yCol` must be ±1 longs. Returns (dim, weight) — `dims` rows.
+    */
+  def perceptronTrain(df: DataFrame, vecCol: String, yCol: String,
+      dims: Int, iters: Int, scale: Long = 1000L): DataFrame = {
+    require(iters >= 1 && dims >= 1, "iters and dims must be positive")
+    val xq = df.select(col(yCol).cast("long").as("__y"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(scale)).cast("long")).as("__xq"))
+      .persist()
+    val spark = df.sparkSession
+    var w = spark.range(1)
+      .select(array((0 until dims).map(_ => lit(0L)): _*).as("__w"))
+    for (_ <- 1 to iters) {
+      val margin = xq.crossJoin(broadcast(w))
+        .withColumn("__m", col("__y") *
+          aggregate(zip_with(col("__xq"), col("__w"), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v))
+      val delta = margin.filter(col("__m") <= 0)
+        .select(col("__y"), posexplode(col("__xq")).as(Seq("__d", "__x")))
+        .groupBy(col("__d"))
+        .agg(sum(col("__y") * col("__x")).as("__dw"))
+      // dense Δw vector: absent dims are zero (map + sequence keeps
+      // the reassembly declarative — no collect, no row explosion)
+      val dwRow = delta
+        .agg(map_from_entries(collect_list(struct(col("__d"), col("__dw"))))
+          .as("__map"))
+        .select(transform(sequence(lit(0), lit(dims - 1)),
+          // try_element_at: a missing dim is zero, and ANSI mode must
+          // not throw on the absent map key
+          d => coalesce(try_element_at(col("__map"), d), lit(0L))).as("__dw"))
+      w = w.crossJoin(broadcast(dwRow))
+        .select(zip_with(col("__w"), col("__dw"), _ + _).as("__w"))
+    }
+    w.select(posexplode(col("__w")).as(Seq("dim", "weight")))
+  }
+
   /** Brute-force exact top-k neighbors for every query vector.
     *
     * queries × corpus cross join — correct at any scale when `queries`

@@ -1315,6 +1315,41 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     (2 to 8).foreach(i => assert(!out(4).isNullAt(i), s"col $i null"))
   }
 
+  test("perceptronTrain: exact integer replay, converges on separable data") {
+    import spark.implicits._
+    // 2-D separable toy task: class +1 clusters at x≈+1, class −1 at
+    // x≈−1 (y-dim is noise). 3 epochs must produce a w with positive
+    // first component that classifies every row correctly.
+    val rows = (0 until 20).map { i =>
+      val y = if (i % 2 == 0) 1L else -1L
+      val x0 = y * 1.0 + (i % 5 - 2) * 0.05
+      val x1 = (i % 7 - 3) * 0.1
+      (y, Seq(x0.toFloat, x1.toFloat))
+    }
+    val df = rows.toDF("y", "vec")
+    val w = Similarity.perceptronTrain(df, "vec", "y", dims = 2, iters = 3)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    // independent integer replay of the same 3 epochs
+    val xq = rows.map { case (y, v) =>
+      (y, v.map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    }
+    var wRef = Array(0L, 0L)
+    for (_ <- 1 to 3) {
+      val upd = Array(0L, 0L)
+      xq.foreach { case (y, x) =>
+        val m = y * (wRef(0) * x(0) + wRef(1) * x(1))
+        if (m <= 0) { upd(0) += y * x(0); upd(1) += y * x(1) }
+      }
+      wRef = Array(wRef(0) + upd(0), wRef(1) + upd(1))
+    }
+    assert(w.toSeq === wRef.toSeq)
+    assert(w(0) > 0)
+    // every row classified correctly after convergence
+    assert(xq.forall { case (y, x) =>
+      y * (w(0) * x(0) + w(1) * x(1)) > 0
+    })
+  }
+
   test("multimodal: frame sampling hashes exactly the strided frames") {
     import spark.implicits._
     val md = java.security.MessageDigest.getInstance("MD5")
