@@ -628,6 +628,24 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    "sim_perceptron_classify" -> ((s, dir) => {
+      // end-to-end train→score: the trained weights broadcast back
+      // over the corpus as a map-side integer dot product; per true
+      // label, how many rows the classifier keeps (score > 0) — the
+      // corpus-filtering pass of a quality classifier, all exact
+      val emb = t(s, dir, "embeddings")
+        .select(col("label"),
+          when(col("label") < 5, lit(1L)).otherwise(lit(-1L)).as("y"),
+          col("embedding"))
+      val w = Similarity.perceptronTrain(emb, "embedding", "y",
+        dims = 64, iters = 3)
+      Similarity.scoreLinear(emb, "embedding", w, dims = 64)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("label"))
+    }),
+
     "sim_nearest_centroid" -> ((s, dir) => {
       // nearest-centroid classification composed from labelCentroids:
       // centroid vectors reassembled per label (tiny → broadcast), one
@@ -2625,6 +2643,50 @@ object SparkEntry {
         |  FROM w2 LEFT JOIN d3 ON w2.dim = d3.dim)
         |SELECT dim, CAST(w AS BIGINT) AS weight
         |FROM w3 ORDER BY dim""".stripMargin,
+
+    "sim_perceptron_classify" ->
+      // same 3 unrolled epochs, then one scoring pass: per true
+      // label, rows with positive trained score (all exact integers)
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |dims AS (SELECT CAST(unnest(range(64)) AS INT) AS dim),
+        |w1 AS (
+        |  SELECT d.dim, CAST(SUM(e.y * e.xq[d.dim + 1]) AS BIGINT) AS w
+        |  FROM e, dims d GROUP BY 1),
+        |m2 AS (
+        |  SELECT e.vec_id,
+        |    e.y * CAST(SUM(w1.w * e.xq[w1.dim + 1]) AS BIGINT) AS m
+        |  FROM e, w1 GROUP BY e.vec_id, e.y),
+        |d2 AS (
+        |  SELECT d.dim, CAST(SUM(e.y * e.xq[d.dim + 1]) AS BIGINT) AS dw
+        |  FROM e, m2, dims d
+        |  WHERE e.vec_id = m2.vec_id AND m2.m <= 0 GROUP BY 1),
+        |w2 AS (
+        |  SELECT w1.dim, w1.w + COALESCE(d2.dw, 0) AS w
+        |  FROM w1 LEFT JOIN d2 ON w1.dim = d2.dim),
+        |m3 AS (
+        |  SELECT e.vec_id,
+        |    e.y * CAST(SUM(w2.w * e.xq[w2.dim + 1]) AS BIGINT) AS m
+        |  FROM e, w2 GROUP BY e.vec_id, e.y),
+        |d3 AS (
+        |  SELECT d.dim, CAST(SUM(e.y * e.xq[d.dim + 1]) AS BIGINT) AS dw
+        |  FROM e, m3, dims d
+        |  WHERE e.vec_id = m3.vec_id AND m3.m <= 0 GROUP BY 1),
+        |w3 AS (
+        |  SELECT w2.dim, w2.w + COALESCE(d3.dw, 0) AS w
+        |  FROM w2 LEFT JOIN d3 ON w2.dim = d3.dim),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(SUM(w3.w * e.xq[w3.dim + 1]) AS BIGINT) AS score
+        |  FROM e, w3 GROUP BY e.vec_id, e.label)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM scored GROUP BY label ORDER BY label""".stripMargin,
 
     "sim_nearest_centroid" ->
       // cosine against the q4-quantized centroids (exact decimals →

@@ -174,6 +174,33 @@ object Similarity {
     w.select(posexplode(col("__w")).as(Seq("dim", "weight")))
   }
 
+  /** Score a corpus with a trained linear model: the integer dot
+    * product of each row's quantized features against a (dim, weight)
+    * table from [[perceptronTrain]] — the corpus-wide filtering pass
+    * of a trained quality classifier (`score > 0` = keep).
+    *
+    * The weight table reassembles declaratively into a 1-row array
+    * and broadcasts; scoring is a map-side higher-order expression —
+    * at 100 TB this is one scan with no shuffle. Same `scale` as
+    * training, same exact integer arithmetic.
+    */
+  def scoreLinear(df: DataFrame, vecCol: String, weights: DataFrame,
+      dims: Int, scale: Long = 1000L): DataFrame = {
+    val wRow = weights
+      .agg(map_from_entries(collect_list(
+        struct(col("dim"), col("weight")))).as("__map"))
+      .select(transform(sequence(lit(0), lit(dims - 1)),
+        d => coalesce(try_element_at(col("__map"), d), lit(0L))).as("__w"))
+    df.crossJoin(broadcast(wRow))
+      .withColumn("score",
+        aggregate(zip_with(
+            transform(col(vecCol),
+              x => floor(x.cast("double") * lit(scale)).cast("long")),
+            col("__w"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+      .drop("__w")
+  }
+
   /** Brute-force exact top-k neighbors for every query vector.
     *
     * queries × corpus cross join — correct at any scale when `queries`

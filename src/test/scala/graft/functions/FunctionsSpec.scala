@@ -1348,6 +1348,18 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(xq.forall { case (y, x) =>
       y * (w(0) * x(0) + w(1) * x(1)) > 0
     })
+    // scoreLinear reproduces the same integer dot products map-side
+    val weights = Similarity.perceptronTrain(df, "vec", "y",
+      dims = 2, iters = 3)
+    val scored = Similarity.scoreLinear(
+        df.withColumn("rid", monotonically_increasing_id()),
+        "vec", weights, dims = 2)
+      .select(col("y"), col("score")).collect()
+    assert(scored.length === 20)
+    scored.foreach { r =>
+      assert(r.getLong(1) != 0L && (r.getLong(0) * r.getLong(1)) > 0,
+        s"row with y=${r.getLong(0)} scored ${r.getLong(1)}")
+    }
   }
 
   test("multimodal: frame sampling hashes exactly the strided frames") {
