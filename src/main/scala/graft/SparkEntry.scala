@@ -1852,6 +1852,41 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "c28_incremental_distinct" -> ((s, dir) => {
+      // mergeable-sketch distinct counting: per-priority HLL state on
+      // history unioned with a delta sketch; the unioned estimate
+      // must be IDENTICAL under a completely different batch split
+      // (register-max ⇒ partition-invariant — the 100 TB contract:
+      // sketch every file, union later, arrival order irrelevant)
+      // and within 6% of exact. NOT compared against a direct-agg
+      // estimate: direct sketches use HIP, which union cannot
+      // preserve — a real integration trap, pinned here.
+      val P = graft.operators.Profile
+      def unionEst(a: DataFrame, b: DataFrame) = P.estimateDistinct(
+        P.mergeDistinctSketches(
+          P.distinctSketch(a, "o_orderpriority", "o_custkey"),
+          P.distinctSketch(b, "o_orderpriority", "o_custkey"),
+          "o_orderpriority"),
+        "o_orderpriority")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_custkey"))
+      val merged = unionEst(ord.filter(col("o_orderkey") % 7 =!= 0),
+          ord.filter(col("o_orderkey") % 7 === 0))
+        .withColumnRenamed("n_est", "n_inc")
+      val alt = unionEst(ord.filter(col("o_orderkey") % 2 === 0),
+          ord.filter(col("o_orderkey") % 2 =!= 0))
+        .withColumnRenamed("n_est", "n_alt")
+      val exact = ord.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact.join(merged, Seq("o_orderpriority"))
+        .join(alt, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          (col("n_inc") === col("n_alt")).as("split_invariant"),
+          (abs(col("n_inc") - col("n_exact")).cast("double") <=
+            lit(0.06) * col("n_exact")).as("est_ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "c22_incremental_agg" -> ((s, dir) => {
       // incremental MV maintenance: combine(state(history),
       // state(delta)) replayed against the oracle's aggregate over
@@ -4500,6 +4535,15 @@ object SparkEntry {
         |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
         |SELECT o_orderkey, row_state FROM d
         |WHERE row_state <> 'identical' ORDER BY o_orderkey""".stripMargin,
+
+    "c28_incremental_distinct" ->
+      // the split-invariance and within-6% assertions run Spark-side
+      // (sketch bytes aren't oracle-replayable); the oracle pins the
+      // exact counts and expects both booleans to hold everywhere
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  TRUE AS split_invariant, TRUE AS est_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c27_incremental_agg_cdc" ->
       // full re-aggregation of the CDC-applied fact table — the

@@ -211,6 +211,36 @@ object Profile {
         (abs(col("__apx") - col("n_exact")).cast("double") <=
           lit(tol) * col("n_exact")).as("ok"))
 
+  /** Mergeable distinct-count state: one Datasketches HLL sketch per
+    * group, materialized as a binary column — the 100 TB pattern for
+    * incremental / partition-wise distinct counting: sketch each
+    * ingest batch (or file, or partition) once, persist the
+    * group-keyed sketch table, and answer "distinct so far" forever
+    * after by unioning states instead of re-scanning history. HLL
+    * union is register-wise max, so a unioned estimate is a function
+    * of the item SET only — identical no matter how the data was
+    * split into batches (asserted by the c28 gate against a second,
+    * different partitioning). Caveat: a direct single-pass sketch
+    * estimates via HIP, which unions cannot preserve — so compare
+    * unioned estimates with unioned estimates, never with a
+    * direct-agg estimate (they differ once past sparse mode).
+    */
+  def distinctSketch(df: DataFrame, groupCol: String, valueCol: String,
+      lgk: Int = 14): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgk)).as("sketch"))
+
+  /** Union two group-keyed sketch tables (missing groups pass
+    * through — `hll_union_agg` of a single sketch is that sketch). */
+  def mergeDistinctSketches(a: DataFrame, b: DataFrame,
+      groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol))
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
+  def estimateDistinct(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.select(col(groupCol),
+      hll_sketch_estimate(col("sketch")).as("n_est"))
+
   /** Quantile sketch audit: for each requested percentile p, check the
     * approx_percentile (Greenwald-Khanna style, 1/accuracy rank error)
     * value against its contract — the fraction of rows ≤ the estimate

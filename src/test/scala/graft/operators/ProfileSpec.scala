@@ -195,4 +195,42 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(hc.length === 1 && hc.head.getInt(0) === 0 &&
       hc.head.getLong(1) === 3L)
   }
+
+  test("distinct sketches: union is split-invariant, accurate, group-safe") {
+    import spark.implicits._
+    // 30k rows; g alternates with i so each group sees the 5k values
+    // of its parity class — deep into HLL estimation mode, where the
+    // union-vs-direct trap is live
+    val df = (0 until 30000).map(i => (s"g${i % 2}", i % 10000))
+      .toDF("g", "v")
+    def unionEst(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Profile.estimateDistinct(
+        Profile.mergeDistinctSketches(
+          Profile.distinctSketch(a, "g", "v"),
+          Profile.distinctSketch(b, "g", "v"), "g"), "g")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySeven = unionEst(df.filter(col("v") % 7 === 0),
+      df.filter(col("v") % 7 =!= 0))
+    val byThree = unionEst(df.filter(col("v") % 3 === 0),
+      df.filter(col("v") % 3 =!= 0))
+    // identical estimates no matter how the data was batched
+    assert(bySeven === byThree)
+    // and within HLL tolerance of the truth
+    bySeven.values.foreach(est =>
+      assert(math.abs(est - 5000L) <= 300, s"estimate $est"))
+    // a group present on one side only passes through the union
+    val lop = unionEst(df.filter(col("g") === "g0"),
+      df.filter(col("g") === "g1"))
+    assert(lop.keySet === Set("g0", "g1"))
+    // the HIP trap (direct sketches estimate via HIP, unions via the
+    // composite estimator — they CAN differ, as the sf0.1 gate build
+    // showed) means direct estimates may not equal unioned ones; the
+    // direct path must still be accurate on its own
+    val direct = Profile.estimateDistinct(
+        Profile.distinctSketch(df, "g", "v"), "g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.values.foreach(est =>
+      assert(math.abs(est - 5000L) <= 300, s"direct estimate $est"))
+  }
 }
