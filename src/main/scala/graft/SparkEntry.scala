@@ -1887,6 +1887,49 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "q_theta_segments" -> ((s, dir) => {
+      // theta-sketch set algebra on pre-aggregated segment state:
+      // distinct-customer overlap and difference between the hot
+      // (priority 1–2) and cold order segments, estimated from two
+      // compact sketches — no distinct-join over raw history. The
+      // oracle pins exact counts; booleans assert each estimate
+      // lands within theta tolerance of exact.
+      val T = graft.functions.Theta
+      val seg = t(s, dir, "orders").select(
+        when(col("o_orderpriority") <= "2-HIGH", lit("hot"))
+          .otherwise(lit("cold")).as("seg"),
+        col("o_custkey"))
+      val sk = seg.groupBy(col("seg"))
+        .agg(T.thetaSketchAgg(col("o_custkey")).as("sk"))
+      val pair = sk.filter(col("seg") === "hot").select(col("sk").as("sk_h"))
+        .crossJoin(sk.filter(col("seg") === "cold").select(col("sk").as("sk_c")))
+        .select(T.thetaEstimate(col("sk_h")).as("e_hot"),
+          T.thetaEstimate(col("sk_c")).as("e_cold"),
+          T.thetaIntersectEstimate(col("sk_h"), col("sk_c")).as("e_inter"),
+          T.thetaDiffEstimate(col("sk_h"), col("sk_c")).as("e_diff"))
+      val hot = seg.filter(col("seg") === "hot")
+        .select(col("o_custkey")).distinct()
+      val cold = seg.filter(col("seg") === "cold")
+        .select(col("o_custkey")).distinct()
+      val exact = hot.agg(count(lit(1)).as("n_hot"))
+        .crossJoin(cold.agg(count(lit(1)).as("n_cold")))
+        .crossJoin(hot.join(cold, Seq("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n_inter")))
+      // tolerance scales with the SET the sketch sampled, not the
+      // answer: a tiny A\B between two huge segments has absolute
+      // error ~ |A|/√k (theta keeps k samples of A, few land in the
+      // sliver), so 6%-of-answer would be an impossible bar
+      def ok(est: Column, exact: Column, scale: Column) =
+        abs(est - exact).cast("double") <= lit(0.06) * scale + lit(1.0)
+      exact.crossJoin(pair)
+        .select(col("n_hot"), col("n_cold"), col("n_inter"),
+          ok(col("e_hot"), col("n_hot"), col("n_hot")).as("hot_ok"),
+          ok(col("e_cold"), col("n_cold"), col("n_cold")).as("cold_ok"),
+          ok(col("e_inter"), col("n_inter"), col("n_inter")).as("inter_ok"),
+          ok(col("e_diff"), col("n_hot") - col("n_inter"), col("n_hot"))
+            .as("diff_ok"))
+    }),
+
     "c22_incremental_agg" -> ((s, dir) => {
       // incremental MV maintenance: combine(state(history),
       // state(delta)) replayed against the oracle's aggregate over
@@ -4535,6 +4578,25 @@ object SparkEntry {
         |  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey)
         |SELECT o_orderkey, row_state FROM d
         |WHERE row_state <> 'identical' ORDER BY o_orderkey""".stripMargin,
+
+    "q_theta_segments" ->
+      // exact segment cardinalities + always-true tolerance booleans;
+      // the sketch estimates themselves live Spark-side only (theta
+      // bytes aren't oracle-replayable) — a drifting estimate flips
+      // a boolean and fails the hash compare
+      """WITH seg AS (
+        |  SELECT CASE WHEN o_orderpriority <= '2-HIGH' THEN 'hot'
+        |              ELSE 'cold' END AS seg, o_custkey
+        |  FROM orders),
+        |h AS (SELECT DISTINCT o_custkey FROM seg WHERE seg = 'hot'),
+        |c AS (SELECT DISTINCT o_custkey FROM seg WHERE seg = 'cold')
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_hot,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_cold,
+        |  (SELECT CAST(COUNT(*) AS BIGINT)
+        |     FROM h JOIN c USING (o_custkey)) AS n_inter,
+        |  TRUE AS hot_ok, TRUE AS cold_ok,
+        |  TRUE AS inter_ok, TRUE AS diff_ok""".stripMargin,
 
     "c28_incremental_distinct" ->
       // the split-invariance and within-6% assertions run Spark-side

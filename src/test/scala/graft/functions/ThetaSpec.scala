@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class ThetaSpec extends AnyFunSuite with SparkTestBase {
+
+  test("theta sketches: set algebra on mergeable state, split-invariant") {
+    import spark.implicits._
+    // A = [0, 6000), B = [4000, 10000): |A∩B| = 2000, |A\B| = 4000 —
+    // past k = 4096, so estimation mode is live on the unions
+    val rows = (0 until 6000).map(i => ("a", i.toLong)) ++
+      (4000 until 10000).map(i => ("b", i.toLong))
+    val df = rows.toDF("seg", "v").repartition(8) // partial-state merges
+    val sk = df.groupBy("seg")
+      .agg(Theta.thetaSketchAgg(col("v")).as("sk"))
+    val pair = sk.filter(col("seg") === "a").select(col("sk").as("ska"))
+      .crossJoin(sk.filter(col("seg") === "b").select(col("sk").as("skb")))
+      .select(Theta.thetaEstimate(col("ska")).as("ea"),
+        Theta.thetaEstimate(col("skb")).as("eb"),
+        Theta.thetaUnionEstimate(col("ska"), col("skb")).as("eu"),
+        Theta.thetaIntersectEstimate(col("ska"), col("skb")).as("ei"),
+        Theta.thetaDiffEstimate(col("ska"), col("skb")).as("ed"))
+      .collect().head
+    def within(est: Long, exact: Long, tolOf: Long): Unit =
+      assert(math.abs(est - exact) <= 0.06 * tolOf + 1,
+        s"estimate $est vs exact $exact")
+    within(pair.getLong(0), 6000, 6000)
+    within(pair.getLong(1), 6000, 6000)
+    within(pair.getLong(2), 10000, 10000)
+    within(pair.getLong(3), 2000, 6000)
+    within(pair.getLong(4), 4000, 6000)
+    // merge invariance is EXACT for theta (state = k smallest hashes,
+    // a pure function of the item set): any partitioning of the same
+    // rows yields byte-identical estimates
+    val est1 = Theta.thetaEstimate(col("sk"))
+    val one = df.repartition(1).groupBy("seg")
+      .agg(Theta.thetaSketchAgg(col("v")).as("sk"))
+      .select(col("seg"), est1.as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val many = df.repartition(13).groupBy("seg")
+      .agg(Theta.thetaSketchAgg(col("v")).as("sk"))
+      .select(col("seg"), est1.as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one === many)
+  }
+}
