@@ -536,6 +536,23 @@ object SparkEntry {
         threshold = 0.15, n = 3, numHashes = 16, bands = 8, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      // incremental ingest dedup: history (doc_id % 5 ≠ 0) ships a
+      // PERSISTED band index; the delta batch (doc_id % 5 = 0) is the
+      // only thing tokenized/hashed; result must equal the
+      // full-corpus LSH+verify restricted to pairs touching the delta
+      // (the oracle runs the full pipeline and filters)
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val index = Dedup.lshBands(history, "doc_id", "text",
+        numHashes = 16, bands = 8, ngramN = 3, portable = true)
+      Dedup.nearDupDelta(index, history, delta, "doc_id", "text",
+          threshold = 0.15, n = 3, numHashes = 16, bands = 8,
+          portable = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dedup_ngram_allpairs" -> ((s, dir) =>
       // ground-truth twin on a BOUNDED audit sample (first 200 ids —
       // constant cost at any sf): unblocked exact all-pairs Jaccard,
@@ -2425,6 +2442,51 @@ object SparkEntry {
         |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 AS jaccard
         |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_incremental_lsh" ->
+      // the full-corpus LSH+verify pipeline restricted to pairs
+      // touching the delta batch (doc_id % 5 = 0) — the incremental
+      // path must reproduce it exactly without re-hashing history
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
+        |  FROM hp),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
+        |  FROM sig, range(0, 8) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |    AND l.doc_id < r.doc_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+        |      greatest(len(a.ngrams) + len(b.ngrams)
+        |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 AS jaccard
+        |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM scored
+        |WHERE jaccard >= 0.15 AND (id_a % 5 = 0 OR id_b % 5 = 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_script_routed" ->

@@ -208,6 +208,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup maintenance — dedup a NEW ingest batch
+    * against a corpus WITHOUT re-deduping the corpus. `index` is the
+    * persisted band table of history ([[lshBands]] output written to
+    * parquet at a prior ingest); only the delta is tokenized and
+    * hashed, candidates are delta-bands ⋈ (index ∪ delta-bands) on
+    * the band key — every pair involves a delta doc by construction,
+    * delta×delta pairs orient/dedup via least/greatest — and exact
+    * n-gram Jaccard verification re-reads history texts ONLY for the
+    * colliding ids (semi-join before gram computation; with an
+    * id-partitioned corpus that read is partition-prunable).
+    *
+    * Result equals the full-corpus [[ngramJaccardPairsLsh]] restricted
+    * to pairs touching the delta (gate-asserted): at 100 TB the daily
+    * ingest pays delta-sized hashing + collision-sized verification
+    * instead of a corpus-wide re-shuffle.
+    */
+  def nearDupDelta(index: DataFrame, history: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, threshold: Double, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 8,
+      portable: Boolean = false): DataFrame = {
+    val dBands = lshBands(delta, idCol, textCol, numHashes, bands, n,
+        portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allBands = index.unionByName(dBands)
+    val cands = dBands.alias("l")
+      .join(allBands.alias("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col(s"l.$idCol") =!= col(s"r.$idCol"))
+      .select(least(col(s"l.$idCol"), col(s"r.$idCol")).as("id_a"),
+        greatest(col(s"l.$idCol"), col(s"r.$idCol")).as("id_b"))
+      .distinct()
+    val ids = cands.select(col("id_a").as(idCol))
+      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+    val sets = history.select(col(idCol), col(textCol))
+      .unionByName(delta.select(col(idCol), col(textCol)))
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__ng"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__ng_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__ng_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ng_a"), col("__ng_b"))).as("__inter"),
+        size(col("__ng_a")).as("__na"), size(col("__ng_b")).as("__nb"))
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.q4(col("__inter").cast("double") /
+          greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup pairs: MinHash-LSH candidate generation + exact n-gram
     * Jaccard verification — THE scale path for corpus-level dedup. The
     * expensive set intersection only touches LSH candidates (linear in

@@ -1315,6 +1315,40 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     (2 to 8).foreach(i => assert(!out(4).isNullAt(i), s"col $i null"))
   }
 
+  test("nearDupDelta equals full-corpus LSH restricted to delta pairs") {
+    import spark.implicits._
+    // corpus with planted twins straddling the history/delta split:
+    // 40 base docs; ids 10 and 11 share text (11 is delta), 20 and 25
+    // share text (both delta at %5), 13 and 14 share (both history)
+    val base = (0L until 40L).map(i =>
+      (i, s"alpha bravo charlie delta echo foxtrot golf hotel unique$i token$i"))
+    val twin = Map(11L -> 10L, 25L -> 20L, 14L -> 13L)
+    val docs = base.map { case (i, t) =>
+      (i, twin.get(i).map(j => base(j.toInt)._2).getOrElse(t))
+    }.toDF("doc_id", "text")
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // the index round-trips through parquet — it IS a stored artifact
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-index").toString
+    Dedup.lshBands(history, "doc_id", "text", 16, 8, 3, portable = true)
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val inc = Dedup.nearDupDelta(index, history, delta, "doc_id", "text",
+        threshold = 0.5, n = 3, numHashes = 16, bands = 8, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text",
+        threshold = 0.5, n = 3, numHashes = 16, bands = 8, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(inc === full)
+    // the history-history twin (13, 14) must NOT appear; the
+    // straddling twin (10, 11) and delta-delta twin (20, 25) must
+    assert(!inc.contains((13L, 14L)))
+    assert(inc.contains((10L, 11L)) === (11L % 5 == 0 || 10L % 5 == 0))
+    assert(inc.contains((20L, 25L)))
+  }
+
   test("perceptronTrain: exact integer replay, converges on separable data") {
     import spark.implicits._
     // 2-D separable toy task: class +1 clusters at x≈+1, class −1 at

@@ -45,4 +45,35 @@ class ThetaSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(one === many)
   }
+
+  test("sketch state survives a parquet round-trip (theta and HLL)") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = (0 until 5000).map(i => ("g" + i % 2, (i % 3000).toLong))
+      .toDF("g", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sketch-rt").toString
+    // theta: persisted state unions with a fresh delta sketch
+    val theta = df.groupBy("g").agg(Theta.thetaSketchAgg(col("v")).as("sk"))
+    theta.write.mode("overwrite").parquet(s"$dir/theta")
+    val thetaBack = spark.read.parquet(s"$dir/theta")
+    val live = theta.select(col("g"), Theta.thetaEstimate(col("sk")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stored = thetaBack
+      .select(col("g"), Theta.thetaEstimate(col("sk")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(live === stored)
+    // HLL: stored state participates in a union exactly like live state
+    val hll = Profile.distinctSketch(df, "g", "v")
+    hll.write.mode("overwrite").parquet(s"$dir/hll")
+    val hllBack = spark.read.parquet(s"$dir/hll")
+    val delta = Profile.distinctSketch(
+      (5000 until 6000).map(i => ("g" + i % 2, (i % 3500).toLong))
+        .toDF("g", "v"), "g", "v")
+    def unioned(state: org.apache.spark.sql.DataFrame) =
+      Profile.estimateDistinct(
+        Profile.mergeDistinctSketches(state, delta, "g"), "g")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unioned(hll) === unioned(hllBack))
+  }
 }
