@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{Curation, Dedup, TextAnalysis}
+
+/** CLI: the full LLM training-data curation pipeline, end to end, on
+  * the fixture corpus — quality filter → PII redaction → exact dedup
+  * → near-dup clustering with keep-best → benchmark decontamination →
+  * temperature-scaled source mixing → sequence packing into shards.
+  * Every stage is one of the library's gated operators; this tool
+  * exists to show (and smoke-test) that they COMPOSE: the output of
+  * each stage is the literal input of the next, and the whole run
+  * prints a funnel of per-stage survivor counts.
+  *
+  * Usage: runMain graft.tools.CurationDemo [sfDir] [outDir]
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-curation").toString)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def stage(name: String, n: Long): Unit =
+      println(f"[curate] $name%-28s $n%8d docs")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    stage("ingest", docs.count())
+
+    // 1. quality gate: Gopher stats conjunction (word count, ratios)
+    val quality = TextAnalysis.gopherQualityStats(docs, "doc_id", "text")
+      .filter(col("passes"))
+      .select(col("doc_id"))
+    val qualified = docs.join(quality, "doc_id")
+    stage("quality filter", qualified.count())
+
+    // 2. PII redaction (map-only projection)
+    val redacted = qualified.withColumn("text",
+      Curation.piiRedact(col("text")))
+
+    // 3. exact dedup: the min-id doc per identical fingerprint survives
+    val exactKept = Dedup.exactGroups(redacted, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val exact = redacted.join(exactKept, "doc_id")
+    stage("exact dedup", exact.count())
+
+    // 4. near-dup: LSH pairs → connected components → keep best (by
+    // length as the quality proxy) per duplicate cluster
+    val pairs = Dedup.ngramJaccardPairsLsh(exact, "doc_id", "text",
+      threshold = 0.6, n = 3, numHashes = 16, bands = 8)
+    val clusters = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+    val scored = exact.withColumn("q", length(col("text")))
+    val best = Dedup.keepBestPerCluster(scored, "doc_id", clusters, "q")
+      .filter(col("kept")).select(col("doc_id"))
+    val deduped = exact.join(best, "doc_id")
+    stage("near-dup keep-best", deduped.count())
+
+    // 5. decontamination against a tiny synthetic benchmark built
+    // from a slice of the corpus itself (worst case: guaranteed hits)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text"))
+    val dirty = Curation.decontaminate(deduped, bench, "doc_id", "text")
+      .select(col("doc_id"))
+    val clean = deduped.join(dirty, Seq("doc_id"), "left_anti")
+    stage("decontaminated", clean.count())
+
+    // 6. temperature-scaled source mixing at alpha = 0.5
+    val budget = math.max(1L, clean.count() * 2 / 3)
+    val mixed = Curation.applyMixture(clean, "doc_id", "source",
+      alpha = 0.5, budget = budget)
+    stage("mixture sample", mixed.count())
+
+    // 7. pack into fixed-budget shards and write partitioned output
+    val packed = Curation.packSequences(mixed, "doc_id", "text",
+      budget = 4096, nShards = 8)
+    graft.sources.Writers.writePartitioned(
+      packed.join(mixed.select(col("doc_id"), col("source"), col("text")),
+        "doc_id"),
+      s"$outDir/shards", Seq("shard"))
+    val shards = spark.read.parquet(s"$outDir/shards")
+    stage("packed+written", shards.count())
+    println(s"[curate] shards at $outDir/shards: " +
+      shards.select(col("shard")).distinct().count() + " shard dirs")
+  }
+}
