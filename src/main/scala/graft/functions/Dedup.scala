@@ -240,6 +240,9 @@ object Dedup {
       .select(least(col(s"l.$idCol"), col(s"r.$idCol")).as("id_a"),
         greatest(col(s"l.$idCol"), col(s"r.$idCol")).as("id_b"))
       .distinct()
+      // collision-sized; referenced twice (id semi-join + final join) —
+      // without this the whole band join runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
     val sets = history.select(col(idCol), col(textCol))
