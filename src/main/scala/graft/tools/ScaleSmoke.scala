@@ -93,6 +93,28 @@ object ScaleSmoke {
         s"   (pairs: $p1/$p2/$p3, ann: $p4, rows: $p5/$p6/$p7)")
       docs.unpersist(); emb.unpersist()
     }
+    // Incremental dedup scale claim: FIXED delta batch against a
+    // GROWING history whose band index is prebuilt (the production
+    // shape — the index is a stored artifact). Incremental cost must
+    // stay near-flat while the full-corpus pipeline grows with the
+    // corpus: the delta pays its own hashing + collision-sized
+    // verification only.
+    println(f"${"factor"}%-7s ${"history"}%-8s ${"fullLsh"}%-9s ${"incLsh"}%-9s")
+    factors.foreach { f =>
+      val hist = docsAt(docs0, f).filter(col("doc_id") % 5 =!= 0).cache()
+      val nh = hist.count()
+      val delta = docs0.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val index = Dedup.lshBands(hist, "doc_id", "text", 16, 8, 3).cache()
+      index.count()
+      val (nInc, tInc) = timed(Dedup.nearDupDelta(
+        index, hist, delta, "doc_id", "text", threshold = 0.5).count())
+      val (nFull, tFull) = timed(Dedup.ngramJaccardPairsLsh(
+        hist.unionByName(delta), "doc_id", "text", threshold = 0.5).count())
+      println(f"$f%-7d $nh%-8d $tFull%-9.2f $tInc%-9.2f" +
+        s"  (pairs full: $nFull, delta-touching: $nInc)")
+      hist.unpersist(); index.unpersist()
+    }
     spark.stop()
     sys.exit(0)
   }
