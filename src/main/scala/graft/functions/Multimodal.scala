@@ -870,7 +870,10 @@ object Multimodal {
               if (off + 4 > bytes.length) truncated = true
               else {
                 val len = bb.getInt(off)
-                if (len < 0 || off + 4 + len > bytes.length) truncated = true
+                // overflow-safe bound: `off + 4 + len` wraps negative
+                // for a corrupt len near Int.MaxValue and would slip
+                // past the guard into an out-of-bounds header read
+                if (len < 0 || len > bytes.length - off - 4) truncated = true
                 else {
                   if (f % every == 0) {
                     val cell =

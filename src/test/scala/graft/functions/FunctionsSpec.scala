@@ -1476,6 +1476,20 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
         "payload", every = 1)
       .select(sel.head, sel.tail: _*).collect()
     assert(bad.length === 1 && !bad.head.getBoolean(4))
+    // corrupt frame length near Int.MaxValue: `off + 4 + len` wraps
+    // negative — must surface as a truncation row, never a task abort
+    val evil = "GVID".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4).putInt(2).array() ++
+      frame(goodPng) ++
+      java.nio.ByteBuffer.allocate(4).putInt(Int.MaxValue - 2).array() ++
+      Array[Byte](1, 2, 3)
+    val ev = Multimodal.frameSampleAHash(
+        Seq((4L, evil)).toDF("doc_id", "payload"), "payload", every = 1)
+      .select(sel.head, sel.tail: _*).collect().sortBy(_.getInt(1))
+    assert(ev.length === 2)
+    assert(ev(0).getBoolean(4))
+    assert(!ev(1).getBoolean(4) &&
+      ev(1).getString(5).startsWith("truncated"))
   }
 }
 
