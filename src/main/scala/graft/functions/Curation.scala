@@ -580,9 +580,13 @@ object Curation {
   def applyMixture(df: DataFrame, idCol: String, srcCol: String,
       alpha: Double, budget: Long, salt: String = "mix|"): DataFrame = {
     val rates = temperatureMixture(df, srcCol, alpha, budget)
-      .select(col(srcCol), col("rate_ppm"))
-    df.join(broadcast(rates), srcCol)
+      .select(col(srcCol).as("__mix_src"), col("rate_ppm"))
+    // null-safe join: temperatureMixture's groupBy gives a NULL
+    // source its own rate row, and a plain equi-join would silently
+    // drop every null-source document (null never equals null) while
+    // its weight still deflated the other sources' rates
+    df.join(broadcast(rates), col(srcCol) <=> col("__mix_src"))
       .filter(saltedHash60(salt, col(idCol)) % 1000000L < col("rate_ppm"))
-      .drop("rate_ppm")
+      .drop("__mix_src", "rate_ppm")
   }
 }

@@ -208,6 +208,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-Jaccard verification of candidate pairs against per-id
+    * gram sets — THE single implementation behind
+    * [[ngramJaccardPairsLsh]], [[scriptRoutedNearDups]] and
+    * [[nearDupDelta]]: their documented equality contracts (the
+    * incremental gate asserts bit-exact agreement with the full
+    * pipeline) depend on this block not forking.
+    */
+  private[functions] def verifyJaccardPairs(cands: DataFrame,
+      sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double): DataFrame = cands
+    .join(sets.select(col(idCol).as("id_a"), col(setCol).as("__ga")), "id_a")
+    .join(sets.select(col(idCol).as("id_b"), col(setCol).as("__gb")), "id_b")
+    .select(col("id_a"), col("id_b"),
+      size(array_intersect(col("__ga"), col("__gb"))).as("__inter"),
+      size(col("__ga")).as("__na"), size(col("__gb")).as("__nb"))
+    .select(col("id_a"), col("id_b"),
+      TextAnalysis.q4(col("__inter").cast("double") /
+        greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
+        .as("jaccard"))
+    .filter(col("jaccard") >= threshold)
+
   /** Incremental near-dup maintenance — dedup a NEW ingest batch
     * against a corpus WITHOUT re-deduping the corpus. `index` is the
     * persisted band table of history ([[lshBands]] output written to
@@ -250,17 +271,7 @@ object Dedup {
       .join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__ng"))
-    cands
-      .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__ng_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__ng_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("__ng_a"), col("__ng_b"))).as("__inter"),
-        size(col("__ng_a")).as("__na"), size(col("__ng_b")).as("__nb"))
-      .select(col("id_a"), col("id_b"),
-        TextAnalysis.q4(col("__inter").cast("double") /
-          greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccardPairs(cands, sets, idCol, "__ng", threshold)
   }
 
   /** Near-dup pairs: MinHash-LSH candidate generation + exact n-gram
@@ -277,17 +288,7 @@ object Dedup {
     val sets = df
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__ng"))
-    cands
-      .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__ng_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__ng_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("__ng_a"), col("__ng_b"))).as("__inter"),
-        size(col("__ng_a")).as("__na"), size(col("__ng_b")).as("__nb"))
-      .select(col("id_a"), col("id_b"),
-        TextAnalysis.q4(col("__inter").cast("double") /
-          greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccardPairs(cands, sets, idCol, "__ng", threshold)
   }
 
   /** Script-routed near-dup pairs — the composed router in front of
@@ -316,17 +317,10 @@ object Dedup {
     val cjkDocs = routed.filter(col("__cjk")).drop("__cjk")
     val wordDocs = routed.filter(!col("__cjk")).drop("__cjk")
     def verified(cands: DataFrame, sets: DataFrame, thr: Double,
-        route: String): DataFrame = cands
-      .join(sets.select(col(idCol).as("id_a"), col("__g").as("__ga")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("__g").as("__gb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("__ga"), col("__gb"))).as("__inter"),
-        size(col("__ga")).as("__na"), size(col("__gb")).as("__nb"))
-      .select(col("id_a"), col("id_b"), lit(route).as("route"),
-        TextAnalysis.q4(col("__inter").cast("double") /
-          greatest(col("__na") + col("__nb") - col("__inter"), lit(1)))
-          .as("jaccard"))
-      .filter(col("jaccard") >= thr)
+        route: String): DataFrame =
+      verifyJaccardPairs(cands, sets, idCol, "__g", thr)
+        .select(col("id_a"), col("id_b"), lit(route).as("route"),
+          col("jaccard"))
     val cjkPairs = verified(
       minhashCandidatesChars(cjkDocs, idCol, textCol, charK, numHashes,
         bands, portable),

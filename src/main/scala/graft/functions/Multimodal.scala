@@ -822,13 +822,17 @@ object Multimodal {
   def frameSampleAHash(df: DataFrame, binCol: String,
       every: Int): DataFrame = {
     require(every >= 1, "frame stride must be >= 1")
-    val schema = StructType(df.schema.fields ++ Seq(
+    val binIdx = df.schema.fieldIndex(binCol)
+    // the container payload does NOT survive into the output: per-
+    // frame rows would otherwise each carry the whole multi-MB blob
+    // (frames-per-doc copies through every downstream shuffle)
+    val keptIdx = df.schema.fields.indices.filter(_ != binIdx)
+    val schema = StructType(keptIdx.map(df.schema.fields) ++ Seq(
       StructField("frame_idx", IntegerType),
       StructField("n_frames", IntegerType),
       StructField("ahash", LongType),
       StructField("frame_ok", BooleanType),
       StructField("frame_error", StringType)))
-    val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
     df.mapPartitions { rows =>
@@ -850,7 +854,7 @@ object Multimodal {
           case b: Array[Byte] => b
           case _ => null
         }
-        val base = row.toSeq
+        val base = keptIdx.map(row.get)
         def badContainer(msg: String) =
           Iterator.single(Row.fromSeq(
             base ++ Seq(null, null, null, false, msg)))

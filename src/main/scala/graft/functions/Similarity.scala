@@ -168,8 +168,14 @@ object Similarity {
           // try_element_at: a missing dim is zero, and ANSI mode must
           // not throw on the absent map key
           d => coalesce(try_element_at(col("__map"), d), lit(0L))).as("__dw"))
+      // localCheckpoint severs lineage: without it the epoch subtree
+      // (which embeds w twice — margin crossJoin + this zip_with) is
+      // re-embedded per epoch and the logical plan doubles each
+      // round, hanging the analyzer past ~15 epochs. The checkpoint
+      // is a 1-row job — same convention as connectedComponentsStar.
       w = w.crossJoin(broadcast(dwRow))
         .select(zip_with(col("__w"), col("__dw"), _ + _).as("__w"))
+        .localCheckpoint()
     }
     w.select(posexplode(col("__w")).as(Seq("dim", "weight")))
   }

@@ -14,11 +14,16 @@ import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Uni
   *
   * Unlike HLL (whose direct sketches carry a HIP estimator that
   * unions cannot preserve — see Profile.distinctSketch), a theta
-  * sketch's state is purely the k smallest item hashes: every
-  * estimate is a function of the item SET alone, so direct, unioned
-  * and re-partitioned sketches agree exactly (spec-asserted), and
-  * sketches built per-file at ingest compose with sketches built
-  * per-batch at query time.
+  * sketch in exact mode is purely the retained item hashes: below
+  * the union gadget's purge threshold (~2k entries at the default
+  * k = 4096), direct, unioned and re-partitioned sketches agree
+  * EXACTLY (spec-asserted at 6k distinct/group). Deep in estimation
+  * mode, intermediate purges make θ — and thus the exact retained
+  * set — mildly merge-order dependent: estimates stay within the
+  * published error bounds under any partitioning, but bit-equality
+  * assertions must not cross the purge threshold (the
+  * q_theta_segments gate therefore asserts TOLERANCE booleans, not
+  * estimate equality, at sf0.1's ~15k-distinct segments).
   *
   * The aggregation is a typed [[Aggregator]] (ObjectHashAggregate
   * keeps the live Union object per group in memory; Java

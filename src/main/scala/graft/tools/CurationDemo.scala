@@ -29,16 +29,20 @@ object CurationDemo {
 
     def stage(name: String, n: Long): Unit =
       println(f"[curate] $name%-28s $n%8d docs")
+    // each stage frame is consumed 2-3 times (its own count + the
+    // next stage's input); persist-at-stage keeps the funnel linear
+    // instead of re-running the whole upstream pipeline per reuse
+    def persisted(df: org.apache.spark.sql.DataFrame) = df.persist()
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("source"), col("text"))
+    val docs = persisted(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")))
     stage("ingest", docs.count())
 
     // 1. quality gate: Gopher stats conjunction (word count, ratios)
     val quality = TextAnalysis.gopherQualityStats(docs, "doc_id", "text")
       .filter(col("passes"))
       .select(col("doc_id"))
-    val qualified = docs.join(quality, "doc_id")
+    val qualified = persisted(docs.join(quality, "doc_id"))
     stage("quality filter", qualified.count())
 
     // 2. PII redaction (map-only projection)
@@ -48,7 +52,7 @@ object CurationDemo {
     // 3. exact dedup: the min-id doc per identical fingerprint survives
     val exactKept = Dedup.exactGroups(redacted, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
-    val exact = redacted.join(exactKept, "doc_id")
+    val exact = persisted(redacted.join(exactKept, "doc_id"))
     stage("exact dedup", exact.count())
 
     // 4. near-dup: LSH pairs → connected components → keep best (by
@@ -59,7 +63,7 @@ object CurationDemo {
     val scored = exact.withColumn("q", length(col("text")))
     val best = Dedup.keepBestPerCluster(scored, "doc_id", clusters, "q")
       .filter(col("kept")).select(col("doc_id"))
-    val deduped = exact.join(best, "doc_id")
+    val deduped = persisted(exact.join(best, "doc_id"))
     stage("near-dup keep-best", deduped.count())
 
     // 5. decontamination against a tiny synthetic benchmark built
@@ -68,13 +72,13 @@ object CurationDemo {
       .select(col("doc_id"), col("text"))
     val dirty = Curation.decontaminate(deduped, bench, "doc_id", "text")
       .select(col("doc_id"))
-    val clean = deduped.join(dirty, Seq("doc_id"), "left_anti")
+    val clean = persisted(deduped.join(dirty, Seq("doc_id"), "left_anti"))
     stage("decontaminated", clean.count())
 
     // 6. temperature-scaled source mixing at alpha = 0.5
     val budget = math.max(1L, clean.count() * 2 / 3)
-    val mixed = Curation.applyMixture(clean, "doc_id", "source",
-      alpha = 0.5, budget = budget)
+    val mixed = persisted(Curation.applyMixture(clean, "doc_id", "source",
+      alpha = 0.5, budget = budget))
     stage("mixture sample", mixed.count())
 
     // 7. pack into fixed-budget shards and write partitioned output
