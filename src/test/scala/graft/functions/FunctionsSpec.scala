@@ -1396,6 +1396,20 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("perceptronTrain survives many epochs (lineage is checkpointed)") {
+    import spark.implicits._
+    // regression: before the per-epoch localCheckpoint the weight
+    // plan doubled per epoch (w embedded in margin AND update), so 18
+    // epochs built a ~2^18-node plan and hung the analyzer
+    val df = (0 until 20).map { i =>
+      val y = if (i % 2 == 0) 1L else -1L
+      (y, Seq((y * 1.0).toFloat, (i % 3 - 1) * 0.1f))
+    }.toDF("y", "vec")
+    val w = Similarity.perceptronTrain(df, "vec", "y", dims = 2, iters = 18)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(w(0) > 0) // converged on the separable toy task
+  }
+
   test("multimodal: frame sampling hashes exactly the strided frames") {
     import spark.implicits._
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -46,6 +46,20 @@ class ThetaSpec extends AnyFunSuite with SparkTestBase {
     assert(one === many)
   }
 
+  test("theta estimation mode: tolerance holds past the purge threshold") {
+    import spark.implicits._
+    // 20k distinct values — well past the union gadget's ~7.6k purge
+    // point, where exact split-invariance is no longer guaranteed
+    // (merge-order-dependent θ); the contract that DOES hold there is
+    // the published error bound, asserted here at 3σ
+    val df = (0 until 20000).map(i => ("g", i.toLong)).toDF("g", "v")
+      .repartition(16)
+    val est = df.groupBy("g").agg(Theta.thetaSketchAgg(col("v")).as("sk"))
+      .select(Theta.thetaEstimate(col("sk"))).collect().head.getLong(0)
+    // RSE ≈ 1/√k = 1/64 at k = 4096 → 3σ ≈ 4.7%
+    assert(math.abs(est - 20000L) <= 0.047 * 20000, s"estimate $est")
+  }
+
   test("sketch state survives a parquet round-trip (theta and HLL)") {
     import spark.implicits._
     import graft.operators.Profile
