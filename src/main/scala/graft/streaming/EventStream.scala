@@ -185,4 +185,57 @@ object EventStream {
         }
         graft.operators.DiffSync.applyToJdbc(flagged, pkCols, target)
       }
+
+  /** Streaming near-dup CANDIDATE pairs — the streaming twin of
+    * `Dedup.nearDupDelta`'s candidate stage. Arriving docs explode
+    * into LSH bands map-side (the same lshBands kernel as batch);
+    * state is keyed by band bucket and holds the ids seen there, so
+    * each arrival emits one pair per prior bucket member — exactly
+    * the pairs the batch band self-join produces over the stream's
+    * prefix (parity-spec'd). Verification stays downstream (exact
+    * Jaccard needs both texts; a foreachBatch join against the
+    * corpus, as in the batch pipeline).
+    *
+    * A pair that collides in several bands is emitted once per band
+    * (the batch path dedups with distinct(); streaming consumers
+    * dedup on apply — idempotent upserts make repeats harmless).
+    * `maxBucket` bounds state per bucket: a pathological boilerplate
+    * bucket (thousands of near-identical docs) would otherwise grow
+    * state AND emit quadratically; members past the cap stop
+    * accumulating — the standard degenerate-bucket guard, mirroring
+    * what a batch pipeline achieves by stop-word-ing such clusters.
+    */
+  def streamingNearDupCandidates(stream: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 16, bands: Int = 8,
+      ngramN: Int = 3, maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val banded = graft.functions.Dedup.lshBands(
+        stream.select(col(idCol).cast("long").as("__id"),
+          col(textCol).as("__text")),
+        "__id", "__text", numHashes, bands, ngramN)
+      .select(concat_ws("|", col("band_id"), col("band_hash")).as("bucket"),
+        col("__id").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+    banded.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (bucket: String, rows: Iterator[(String, Long)],
+          state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) => {
+        var seen = state.getOption.getOrElse(Seq.empty)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        // deterministic within-batch order: ids ascending
+        rows.map(_._2).toSeq.distinct.sorted.foreach { id =>
+          if (!seen.contains(id)) {
+            seen.foreach(s =>
+              out += ((math.min(s, id), math.max(s, id))))
+            if (seen.size < maxBucket) seen = seen :+ id
+          }
+        }
+        state.update(seen)
+        out.iterator
+      })
+      .toDF("id_a", "id_b")
+  }
 }

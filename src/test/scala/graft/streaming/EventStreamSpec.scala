@@ -265,4 +265,50 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       rm(dir); rm(chk)
     }
   }
+
+  test("streaming near-dup candidates equal the batch band self-join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snd").toFile
+    val chk = Files.createTempDirectory("graft_snd_chk").toFile
+    try {
+      def doc(i: Long, tail: String) =
+        (i, s"alpha bravo charlie delta echo foxtrot golf $tail")
+      // twins WITHIN batch 1 (1,2), ACROSS batches (3 <-> 11), and
+      // WITHIN batch 2 (12,13); everything else unique
+      val b1 = Seq(doc(1, "twin one"), doc(2, "twin one"),
+        doc(3, "cross twin"), doc(4, "unique four"), doc(5, "unique five"))
+        .toDF("doc_id", "text")
+      val b2 = Seq(doc(11, "cross twin"), doc(12, "late twin"),
+        doc(13, "late twin"), doc(14, "unique fourteen"))
+        .toDF("doc_id", "text")
+      b1.write.parquet(dir.getAbsolutePath + "/b1")
+      val stream = spark.readStream.schema(b1.schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingNearDupCandidates(
+          stream, "doc_id", "text")
+        .writeStream.format("memory").queryName("snd")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      b2.write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("snd").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch truth: the band self-join over the full prefix
+      val batchPairs = graft.functions.Dedup.minhashCandidates(
+          b1.unionByName(b2), "doc_id", "text",
+          numHashes = 16, bands = 8, ngramN = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batchPairs)
+      // the planted twins all surface, across batch boundaries too
+      assert(Set((1L, 2L), (3L, 11L), (12L, 13L)).subsetOf(streamed))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
 }
