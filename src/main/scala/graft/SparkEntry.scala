@@ -1279,6 +1279,39 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "curate_contamination_sketch" -> ((s, dir) => {
+      // sketch-based contamination triage: per-source gram counts and
+      // benchmark-overlap estimates from theta state (no corpus-vs-
+      // bench gram join); booleans assert the estimates land within
+      // theta tolerance of the exact truths the oracle pins
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val est = graft.functions.Curation.contaminationSketchReport(
+        corpus, "source", bench, "text", n = 4)
+      def grams(df: org.apache.spark.sql.DataFrame, keys: Seq[Column]) =
+        df.select((keys :+ explode(Dedup.wordNgramsFromTokens(
+          TextAnalysis.tokens(lower(trim(col("text")))), 4)).as("g")): _*)
+      val segD = grams(corpus, Seq(col("source"))).distinct()
+      val benchD = grams(bench, Seq.empty).distinct()
+      val nG = segD.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val nB = benchD.agg(count(lit(1)).as("__n_bench"))
+      val ov = segD.join(benchD, "g")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_overlap"))
+      def ok(e: Column, exact: Column, scale: Column) =
+        abs(e - exact).cast("double") <= lit(0.06) * scale + lit(1.0)
+      est.join(nG, "source").join(ov, Seq("source"), "left")
+        .crossJoin(broadcast(nB))
+        .select(col("source"), col("n_grams"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          ok(col("est_grams"), col("n_grams"), col("n_grams"))
+            .as("grams_ok"),
+          ok(col("est_overlap"), coalesce(col("n_overlap"), lit(0L)),
+            col("n_grams") + col("__n_bench")).as("overlap_ok"))
+        .orderBy(col("source"))
+    }),
+
     "curate_url_canonical" -> ((s, dir) => {
       // URL canonicalization over deterministically messied URLs
       // (mixed-case scheme/host, default ports, duplicate slashes,
@@ -3521,6 +3554,41 @@ object SparkEntry {
         |  COALESCE(k.kept_docs, 0) AS kept_docs
         |FROM r LEFT JOIN k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+
+    "curate_contamination_sketch" ->
+      // exact per-source gram/overlap truths + always-true tolerance
+      // booleans (theta bytes aren't oracle-replayable; a drifting
+      // estimate flips a boolean and fails the hash compare)
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(tk) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(ngrams) AS g FROM ng WHERE doc_id % 37 = 0)),
+        |seg AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(ngrams) AS g FROM ng
+        |    WHERE doc_id % 37 <> 0)),
+        |ngc AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM seg GROUP BY 1),
+        |ov AS (
+        |  SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM seg s JOIN bench b ON s.g = b.g GROUP BY 1)
+        |SELECT n.source, n.n_grams,
+        |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  TRUE AS grams_ok, TRUE AS overlap_ok
+        |FROM ngc n LEFT JOIN ov o ON n.source = o.source
+        |ORDER BY n.source""".stripMargin,
 
     "curate_url_canonical" ->
       // replays construction + every canonicalization rule with RE2

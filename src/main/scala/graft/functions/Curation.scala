@@ -570,6 +570,39 @@ object Curation {
           expr("__num div __den").cast("long")).as("rate_ppm"))
   }
 
+  /** Per-segment benchmark-contamination report from THETA SKETCHES:
+    * estimate |grams(segment) ∩ grams(benchmark)| per corpus segment
+    * without ever joining the corpus gram stream against the
+    * benchmark. Each side aggregates its (hashed) n-grams into
+    * per-segment theta state — one partial-agg'd pass, set-semantic
+    * (duplicate gram updates are idempotent, no distinct needed) —
+    * and the overlap estimate runs on the handful of post-aggregation
+    * sketch rows. The 100 TB question this answers cheaply: "which
+    * sources overlap the eval suite, and by how much" — triage BEFORE
+    * the exact per-document [[decontaminate]] pass, whose gram join
+    * only then needs to touch the flagged sources.
+    *
+    * Returns (segCol, est_grams, est_overlap) — estimates, not
+    * exacts; tolerance is the theta error bound (the gate checks
+    * against exact truth with set-size-scaled tolerances).
+    */
+  def contaminationSketchReport(corpus: DataFrame, segCol: String,
+      bench: DataFrame, textCol: String, n: Int = 4): DataFrame = {
+    def gramStream(df: DataFrame, keyCols: Seq[Column]) =
+      df.select((keyCols :+ explode(Dedup.wordNgramsFromTokens(
+        TextAnalysis.tokens(lower(trim(col(textCol)))), n)).as("__g")): _*)
+    val segSk = gramStream(corpus, Seq(col(segCol)))
+      .groupBy(col(segCol))
+      .agg(Theta.thetaSketchAgg(xxhash64(col("__g"))).as("__sk"))
+    val benchSk = gramStream(bench, Seq.empty)
+      .agg(Theta.thetaSketchAgg(xxhash64(col("__g"))).as("__skb"))
+    segSk.crossJoin(broadcast(benchSk))
+      .select(col(segCol),
+        Theta.thetaEstimate(col("__sk")).as("est_grams"),
+        Theta.thetaIntersectEstimate(col("__sk"), col("__skb"))
+          .as("est_overlap"))
+  }
+
   /** Realize a [[temperatureMixture]]: keep a document iff its salted
     * hash bucket (per-million) falls under its source's keep rate.
     * Deterministic, stable under corpus growth (a document's fate
