@@ -112,6 +112,24 @@ object SparkEntry {
     (corpus, queries)
   }
 
+  /** Structured WordPiece vocab whose greedy longest-match result has a
+    * closed form the DuckDB oracle replays exactly: whole words (beat
+    * letterwise starts at position 0 by longest-match), all single
+    * letters as start AND continuation pieces (so no a–z word ever
+    * UNKs), plus "##ing" (so greedy mid-word matching is observable —
+    * leftmost non-overlapping 'ing' consumption ≡ regexp_replace 'g').
+    * No 1-letter whole words, so the oracle's max-prefix-length rule
+    * is unambiguous.
+    */
+  private val wordpieceWholeWords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "is", "that", "for", "it", "with",
+    "as", "on", "be", "by", "this", "are", "or", "from", "at", "not",
+    "ing")
+  private val wordpieceVocab: Seq[String] = {
+    val letters = ('a' to 'z').map(_.toString)
+    wordpieceWholeWords ++ letters ++ letters.map("##" + _) :+ "##ing"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- aggregation / join / window headliners ----------
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
@@ -490,6 +508,29 @@ object SparkEntry {
         TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"),
         length(col("text")).as("n_chars_measured"))
         .orderBy(col("doc_id"))),
+
+    "txt_wordpiece" -> ((s, dir) => {
+      // REAL greedy longest-match WordPiece (expressions.WordpieceTokenize,
+      // codegen'd, vocab as one per-partition reference object) over the
+      // structured vocab above; per-doc piece counts. Map-only until the
+      // per-doc partial-agg'd groupBy — the 100 TB tokenization pass
+      // shape. The UNK count is a pinned invariant (a-z words can never
+      // fail against a vocab containing every single letter).
+      val words = t(s, dir, "documents").select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as("word"))
+      words
+        .withColumn("p",
+          TextAnalysis.wordpiecePieces(col("word"), wordpieceVocab))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(size(col("p")).cast("long")).as("n_pieces"),
+          sum(when(size(col("p")) === 1, 1L).otherwise(0L)).as("n_single"),
+          sum(when(col("p") === array(lit("[UNK]")), 1L).otherwise(0L))
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
 
     "txt_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2375,6 +2416,37 @@ object SparkEntry {
         |  floor(greatest(least((len_score + least(stopword_ratio * 5, 1.0)
         |    - least(punct_ratio * 5, 1.0)) / 2, 1.0), 0.0) * 10000) / 10000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Greedy WordPiece closed form: the start piece is the longest
+    // whole-word vocab prefix (else one letter); the tail consumes
+    // "##ing" exactly where leftmost non-overlapping regexp
+    // replacement finds 'ing' (greedy char-scan ≡ leftmost-nonoverlap
+    // because both resume AFTER each 3-char hit) and one letter
+    // everywhere else, so tail pieces = length after collapsing each
+    // 'ing' to one char.
+    "txt_wordpiece" ->
+      s"""WITH wv(piece) AS (VALUES ${wordpieceWholeWords
+            .map(w => s"('$w')").mkString(", ")}),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |pref AS (
+        |  SELECT doc_id, word,
+        |    coalesce((SELECT max(length(v.piece)) FROM wv v
+        |              WHERE starts_with(t.word, v.piece)), 1) AS p
+        |  FROM toks t),
+        |np AS (
+        |  SELECT doc_id,
+        |    1 + length(regexp_replace(substr(word, p + 1), 'ing', '#', 'g'))
+        |      AS n
+        |  FROM pref)
+        |SELECT doc_id,
+        |  count(*) AS n_words,
+        |  CAST(sum(n) AS BIGINT) AS n_pieces,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+        |  CAST(0 AS BIGINT) AS n_unk
+        |FROM np GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_lang_id" ->
       """WITH v AS (

@@ -77,6 +77,24 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Real greedy longest-match WordPiece segmentation of one pre-split
+    * word against a fixed vocabulary (Wu et al. 2016) — the exact
+    * algorithm, not the heuristic estimate below. Returns the piece
+    * array ("##"-marked continuations); a word with no greedy
+    * segmentation collapses to ["[UNK]"]. The vocab ships as one
+    * per-partition reference object inside whole-stage codegen
+    * (graft.expressions.WordpieceTokenize), so a 30k-piece production
+    * vocab costs one hash-set per executor, not per row.
+    */
+  def wordpiecePieces(word: Column, vocab: Seq[String]): Column =
+    exprColumn(graft.expressions.WordpieceTokenize(
+      columnExpr(word), vocab))
+
+  private def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftglue.Glue.column(e)
+  private def columnExpr(c: Column) =
+    org.apache.spark.sql.graftglue.Glue.expression(c)
+
   /** BPE-ish subword count estimate: words + digit runs + punctuation
     * marks each count as a token boundary; approximates tokenizer
     * inflation over plain word count with portable string ops.
