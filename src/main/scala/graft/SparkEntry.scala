@@ -802,6 +802,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ivf_append" -> ((s, dir) => {
+      // IVF index-as-tables append path: the quantizer is trained on
+      // the BASE corpus only and frozen; base assignments form the
+      // stored index; the planted near-copies arrive later as a DELTA
+      // that assigns against the frozen centroids (map-only on the
+      // delta) and unions in — history never recomputes. Search reads
+      // the stored cell ids (ivfTopKIndexed — no corpus-wide argmin).
+      // The planted copies are ~0.002-amplitude perturbations of
+      // their query, so they assign into the query's own probe set
+      // and the top-5 equals the brute-force oracle — if and only if
+      // the appended assignments are correct.
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val base = corpus.filter(col("vec_id") < 100000L)
+      val delta = corpus.filter(col("vec_id") >= 100000L)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", 16)
+      val index = Similarity.ivfAssignments(base, "vec_id", "embedding", cents)
+        .union(Similarity.ivfAssignments(delta, "vec_id", "embedding", cents))
+      Similarity.ivfTopKIndexed(index, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_lsh_recall" -> ((s, dir) => {
       // recall gate on PERTURBED near-duplicates (cos ≈0.98, not
       // copies): every vector gets a noised twin; banded sign-LSH must
@@ -3328,6 +3351,7 @@ object SparkEntry {
 
     "sim_ann_lsh" -> plantedAnnOracle,
     "sim_ann_ivf" -> plantedAnnOracle,
+    "sim_ivf_append" -> plantedAnnOracle,
 
     "sim_lsh_recall" ->
       // the truth side (exact cosine of every seed against its noised

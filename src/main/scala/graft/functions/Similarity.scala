@@ -500,6 +500,58 @@ object Similarity {
         lit(i).as("cell"))
     }: _*)), 1, nprobe)
 
+  // ------------------------------------------------------------------
+  // IVF index persistence — the index IS two plain tables (centroids:
+  // nlist rows; assignments: one compact cell id per vector), so it
+  // stores/ships as parquet and appends without touching history:
+  // new vectors assign against the SAME stored centroids and union in.
+  // ------------------------------------------------------------------
+
+  /** The corpus half of a persistable IVF index: each vector tagged
+    * with its nearest-centroid cell. Map-only over the corpus scan; at
+    * ingest time run it on the DELTA only and append — historical
+    * assignments never recompute (the quantizer is frozen; retrain =
+    * rebuild, the standard IVF contract).
+    */
+  def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      cellOf(col(vecCol), centroids).as("cell"))
+
+  /** The quantizer half as a table (cell, centroid) — nlist rows. */
+  def centroidsTable(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+  }
+
+  /** Rehydrate a stored quantizer. O(nlist·dims) to the driver — KBs
+    * regardless of corpus size, same bound as ivfCentroids itself.
+    */
+  def centroidsFromTable(df: DataFrame): Array[Array[Double]] =
+    df.select(col("cell"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** IVF top-k over a PRE-ASSIGNED index table (`cellCol` already
+    * present — e.g. read back from parquet, possibly with appended
+    * deltas): skips the corpus-wide argmin entirely; only queries
+    * score against centroids. The candidate join stays the equi-join
+    * on the stored cell id, which a cell-partitioned store turns into
+    * a pruned scan of nprobe/nlist of the data.
+    */
+  def ivfTopKIndexed(index: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 4, cellCol: String = "cell"): DataFrame = {
+    val c = index.select(col(corpusId), col(corpusVec),
+      norm(col(corpusVec)).as("__cn"),
+      col(cellCol).as("__cell"))
+    topKFromCells(c, corpusId, corpusVec, queries, queryId, queryVec,
+      k, centroids, nprobe)
+  }
+
   /** IVF approximate top-k: corpus bucketed once by nearest centroid,
     * queries explode into their `nprobe` probe cells, and the
     * candidate join is a plain equi-join on the cell id — the same
@@ -513,6 +565,14 @@ object Similarity {
     val c = corpus.select(col(corpusId), col(corpusVec),
       norm(col(corpusVec)).as("__cn"),
       cellOf(col(corpusVec), centroids).as("__cell"))
+    topKFromCells(c, corpusId, corpusVec, queries, queryId, queryVec,
+      k, centroids, nprobe)
+  }
+
+  private def topKFromCells(c: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
     val q = queries
       .select(col(queryId), col(queryVec), norm(col(queryVec)).as("__qn"),
         probeCells(col(queryVec), centroids, nprobe).as("__probes"))

@@ -655,6 +655,60 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(all === bf)
   }
 
+  test("IVF index persists as tables, appends deltas, searches identically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (1L to 150L).map(i =>
+      (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val delta = base.filter(_._1 % 15 == 0).map { case (id, v) =>
+      (id + 5000L, v.map(x => x + 0.004 * (if (x > 0) 1 else -1)))
+    }
+    val baseDf = base.toDF("vec_id", "embedding")
+    val deltaDf = delta.toDF("vec_id", "embedding")
+    val queries = base.filter(_._1 % 15 == 0).toDF("query_id", "qvec")
+    val cents = Similarity.ivfCentroids(baseDf, "vec_id", "embedding", 6)
+
+    // centroid table round-trips the quantizer exactly
+    val back = Similarity.centroidsFromTable(
+      Similarity.centroidsTable(spark, cents))
+    assert(back.length === cents.length)
+    cents.indices.foreach(i => assert(back(i).sameElements(cents(i))))
+
+    // appended assignments == full rebuild under the frozen quantizer
+    val full = Similarity.ivfAssignments(baseDf.union(deltaDf),
+      "vec_id", "embedding", cents)
+    val appended = Similarity.ivfAssignments(baseDf, "vec_id", "embedding", cents)
+      .union(Similarity.ivfAssignments(deltaDf, "vec_id", "embedding", cents))
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellsOf(appended) === cellsOf(full))
+
+    // parquet round-trip of BOTH tables; indexed search over the
+    // stored+appended index equals the direct in-memory ivfTopK
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.centroidsTable(spark, cents)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    appended.write.mode("overwrite").parquet(s"$dir/assignments")
+    val storedCents = Similarity.centroidsFromTable(
+      spark.read.parquet(s"$dir/centroids"))
+    val storedIndex = spark.read.parquet(s"$dir/assignments")
+    def topSet2(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    val indexed = topSet2(Similarity.ivfTopKIndexed(storedIndex,
+      "vec_id", "embedding", queries, "query_id", "qvec",
+      k = 2, storedCents, nprobe = 3))
+    val direct = topSet2(Similarity.ivfTopK(baseDf.union(deltaDf),
+      "vec_id", "embedding", queries, "query_id", "qvec",
+      k = 2, cents, nprobe = 3))
+    assert(indexed === direct)
+    // the appended near-copy is each query's rank-1 neighbor
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      assert(indexed.contains((q, 1, q + 5000L)), s"query $q missing delta twin")
+    }
+  }
+
   test("int8 quantization: codes integral in [-127,127], extremes hit ±127") {
     import spark.implicits._
     val d = Seq(
