@@ -807,6 +807,38 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(CountingDecoderFactory.closes.get() == 2)
   }
 
+  test("multimodal: native-handle seam frees every handle even when the task dies") {
+    import spark.implicits._
+    // success path: handles freed, no use-after-free, one per partition
+    NativeHandleDecoderFactory.reset()
+    val ok = Seq((1L, "a".getBytes("UTF-8")), (2L, "b".getBytes("UTF-8")),
+      (3L, "c".getBytes("UTF-8")), (4L, "d".getBytes("UTF-8")))
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.decodeMeta(ok, "payload", NativeHandleDecoderFactory)
+      .collect()
+    assert(out.forall(_.getStruct(2).getString(0) == "native-mock"))
+    assert(NativeHandleDecoderFactory.opens.get() == 2)
+    assert(NativeHandleDecoderFactory.closes.get() == 2)
+    assert(NativeHandleDecoderFactory.live.isEmpty)
+
+    // crash path: a LinkageError (native-bridge failure shape) escapes
+    // the per-row error channel by design and kills the task — the
+    // task-completion listener must still free the partition's handle
+    NativeHandleDecoderFactory.reset()
+    val bad = Seq((1L, "fine".getBytes("UTF-8")),
+      (2L, "CRASH".getBytes("UTF-8")), (3L, "fine".getBytes("UTF-8")))
+      .toDF("id", "payload").repartition(1)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(bad, "payload", NativeHandleDecoderFactory)
+        .collect()
+    }
+    assert(NativeHandleDecoderFactory.opens.get() >= 1)
+    assert(NativeHandleDecoderFactory.closes.get()
+      == NativeHandleDecoderFactory.opens.get(),
+      "task failure leaked a native handle")
+    assert(NativeHandleDecoderFactory.live.isEmpty)
+  }
+
   test("multimodal: ImageIO decoder reads real PNG/BMP, flags corrupt bytes") {
     import spark.implicits._
     // real encoded images via the JDK writers — PNG and BMP — plus a
@@ -1564,6 +1596,41 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
 /** Instrumented decoder factory (top-level object so executors in
   * local mode share the counters with the test).
   */
+/** JNI-shaped mock: every open() "allocates a native handle" (an entry
+  * in a process-wide table, like a malloc'd codec context) that only
+  * close() frees. A payload of "CRASH" raises a LinkageError — the
+  * shape of a real native-bridge failure, which the per-row Exception
+  * channel deliberately does NOT absorb — so the task dies and only
+  * the task-completion listener stands between the handle and a leak.
+  */
+object NativeHandleDecoderFactory
+    extends graft.functions.Multimodal.MediaDecoderFactory {
+  val nextHandle = new java.util.concurrent.atomic.AtomicLong(0)
+  val live: java.util.Set[java.lang.Long] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0); live.clear() }
+  def open(): graft.functions.Multimodal.MediaDecoder = {
+    opens.incrementAndGet()
+    val handle = java.lang.Long.valueOf(nextHandle.incrementAndGet())
+    live.add(handle)
+    new graft.functions.Multimodal.MediaDecoder {
+      def decode(bytes: Array[Byte]): (String, Int, Int, Int) = {
+        if (!live.contains(handle))
+          throw new IllegalStateException("use after free")
+        if (bytes != null && new String(bytes, "UTF-8") == "CRASH")
+          throw new LinkageError("simulated native codec crash")
+        ("native-mock", 4, 4, 1)
+      }
+      override def close(): Unit = {
+        if (live.remove(handle)) closes.incrementAndGet()
+        ()
+      }
+    }
+  }
+}
+
 object CountingDecoderFactory extends graft.functions.Multimodal.MediaDecoderFactory {
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val closes = new java.util.concurrent.atomic.AtomicInteger(0)
