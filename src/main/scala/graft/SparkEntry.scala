@@ -577,6 +577,25 @@ object SparkEntry {
         threshold = 0.15, n = 3, numHashes = 16, bands = 8, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_containment" -> ((s, dir) => {
+      // directed near-superset detection (doc quoted/embedded in a
+      // longer doc — the case Jaccard-targeted LSH structurally
+      // misses). Fixture plants an extended copy (original + fixed
+      // tail) of every 40th doc; originals are ≥0.9-contained in
+      // their extensions. The prefix filter (rarest-gram inverted
+      // index) must be lossless: the oracle computes ground truth
+      // over ALL gram-sharing pairs, so any candidate the filter
+      // dropped would hash-mismatch.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tail = " quarterly compliance appendix retained for archival reference only"
+      val extended = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat(col("text"), lit(tail)).as("text"))
+      Dedup.containmentPairs(docs.union(extended), "doc_id", "text",
+          threshold = 0.9, n = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dedup_incremental_lsh" -> ((s, dir) => {
       // incremental ingest dedup: history (doc_id % 5 ≠ 0) ships a
       // PERSISTED band index; the delta batch (doc_id % 5 = 0) is the
@@ -2571,6 +2590,46 @@ object SparkEntry {
         |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.15
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Ground truth for the prefix-filtered containment search: exact
+    // directed containment over EVERY pair sharing at least one gram
+    // (any pair with containment ≥ 0.9 > 0 shares a gram, so this is
+    // the complete qualifying set — losslessness of the Spark side's
+    // prefix filter is exactly what the hash match proves).
+    "dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id,
+        |    text || ' quarterly compliance appendix retained for archival reference only' AS text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM docs),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |nz AS (SELECT doc_id, ngrams FROM ng WHERE len(ngrams) > 0),
+        |g AS (SELECT doc_id, unnest(ngrams) AS gram FROM nz),
+        |shared AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+        |scored AS (
+        |  SELECT s.id_a, s.id_b,
+        |    floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+        |      / len(a.ngrams) * 10000) / 10000 AS containment,
+        |    CAST(len(a.ngrams) AS BIGINT) AS n_a,
+        |    CAST(len(b.ngrams) AS BIGINT) AS n_b
+        |  FROM shared s
+        |  JOIN nz a ON s.id_a = a.doc_id
+        |  JOIN nz b ON s.id_b = b.doc_id)
+        |SELECT id_a, id_b, containment, n_a, n_b FROM scored
+        |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_incremental_lsh" ->
       // the full-corpus LSH+verify pipeline restricted to pairs

@@ -336,6 +336,64 @@ object Dedup {
     cjkPairs.unionByName(wordPairs)
   }
 
+  /** Directed containment near-superset pairs: (a, b) where
+    * |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold — document a is
+    * (nearly) CONTAINED in b. The case symmetric Jaccard structurally
+    * misses: a short document quoted inside a long one has
+    * |A∩B|/|A∪B| ≈ |A|/|B| → 0, and MinHash-LSH (which targets
+    * Jaccard) won't even surface it as a candidate.
+    *
+    * Candidate generation is the prefix-filter principle (AllPairs /
+    * PPJoin, Bayardo et al. 2007, adapted to asymmetric containment):
+    * containment ≥ t means a misses at most ⌊(1−t)·|A|⌋ of its own
+    * grams from b, so ANY (⌊(1−t)·|A|⌋+1)-subset of A's grams must
+    * hit b — take the RAREST grams (by global document frequency) so
+    * the inverted-index postings the prefix joins are the shortest
+    * ones. The filter is lossless by construction (a tiny float slack
+    * guards the ⌊·⌋ boundary, only ever ADDING a candidate); exact
+    * containment then scores candidates only.
+    *
+    * 100 TB shape: gram df is a vocabulary-sized SHUFFLE join (never
+    * broadcast — the tfidfTopTerms lesson); the prefix⋈index join is
+    * a plain equi-join on the gram whose key distribution is driven
+    * by the rarest-gram prefix side; the only per-doc window is
+    * bounded by a single document's gram count.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must be in (0, 1]")
+    val sets = df
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), wordNgramsFromTokens(col("__toks"), n).as("__ng"))
+      .filter(size(col("__ng")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = sets.select(col(idCol), size(col("__ng")).as("__cnt"),
+      explode(col("__ng")).as("__gram"))
+    val dfTab = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("__df"), col("__gram"))
+    val prefix = grams.join(dfTab, Seq("__gram"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <=
+        floor(col("__cnt") * lit(1.0 - threshold) + lit(1e-4)) + 1)
+      .select(col(idCol).as("id_a"), col("__gram"))
+    val index = grams.select(col(idCol).as("id_b"), col("__gram"))
+    val cands = prefix.join(index, Seq("__gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__ga")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextAnalysis.q4(
+          size(array_intersect(col("__ga"), col("__gb"))).cast("double") /
+            size(col("__ga"))).as("containment"),
+        size(col("__ga")).cast("long").as("n_a"),
+        size(col("__gb")).cast("long").as("n_b"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Unblocked exact all-pairs n-gram Jaccard — ground-truth twin for
     * the LSH path. O(n²): only for bounded samples/audits, never the
     * full-corpus hot path.

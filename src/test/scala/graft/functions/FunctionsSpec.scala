@@ -520,6 +520,42 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs: lossless prefix filter equals all-pairs truth") {
+    import spark.implicits._
+    // w1..w12 distinct tokens. doc 1 (12 tokens → 10 grams) is fully
+    // contained in doc 2 (doc 1 + tail). doc 3 shares exactly 9 of
+    // doc 1's 10 grams (drops the last token) — containment 9/10,
+    // the exact ⌊(1−t)·n⌋ float-boundary case at t = 0.9. doc 4 is
+    // disjoint. doc 5 is a short quote (3 tokens → 1 gram) inside
+    // doc 2 — the Jaccard-invisible case.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " t1 t2 t3 t4"),
+      (3L, (1 to 11).map(i => s"w$i").mkString(" ")),
+      (4L, "x1 x2 x3 x4 x5 x6"),
+      (5L, "w3 w4 w5")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 0.9, 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth by brute force over all directed pairs
+    val sets = docs.select(col("doc_id"),
+        Dedup.wordNgrams(col("text"), 3).as("ng"))
+      .as[(Long, Seq[String])].collect().toMap
+    val truth = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      c = math.floor(inter.toDouble / sets(a).size * 10000) / 10000
+      if c >= 0.9
+    } yield (a, b)).toSet
+    assert(got === truth)
+    // the boundary pair (3 shares 9/9 of its grams with 1? no — check
+    // direction 1→3: 9 of 10) and the quote 5→2 must both be present
+    assert(got.contains((1L, 2L)) && got.contains((5L, 2L)))
+    assert(got.contains((1L, 3L)) === (sets(1L).toSet
+      .intersect(sets(3L).toSet).size.toDouble / sets(1L).size >= 0.9))
+  }
+
   test("LSH-verified jaccard equals all-pairs on high-similarity docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight again"
