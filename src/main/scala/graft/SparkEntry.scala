@@ -1321,6 +1321,15 @@ object SparkEntry {
         budget = 512, nShards = 16)
         .orderBy(col("doc_id"))),
 
+    "curate_length_buckets" -> ((s, dir) =>
+      // length-bucketed dynamic batching: pad-to = next multiple of 32
+      // tokens, batches of 8 within each (shard, bucket) — per-doc
+      // padding waste bounded by the step, not the global max length
+      graft.functions.Curation.lengthBuckets(
+        t(s, dir, "documents"), "doc_id", "text",
+        step = 32, batchSize = 8, nShards = 4)
+        .orderBy(col("doc_id"))),
+
     "curate_shuffle_shard" -> ((s, dir) =>
       // deterministic md5-order global shuffle into 16 shards with
       // within-shard positions — the epoch-reshuffleable training
@@ -3624,6 +3633,25 @@ object SparkEntry {
         |  (cum - n_tokens) // 512 AS pack_first,
         |  greatest(cum - 1, cum - n_tokens) // 512 AS pack_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "curate_length_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('lenbkt|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 4 AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |bk AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    ((n_tokens + 31) // 32) * 32 AS bucket_bound
+        |  FROM base)
+        |SELECT doc_id, shard, n_tokens, bucket_bound,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY shard, bucket_bound
+        |    ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_in_bucket,
+        |  bucket_bound - n_tokens AS pad_waste
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     "curate_shuffle_shard" ->
       """WITH b AS (

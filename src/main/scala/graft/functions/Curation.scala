@@ -385,6 +385,43 @@ object Curation {
           .as("pack_last"))
   }
 
+  /** Length-bucketed dynamic batching: documents pad to the smallest
+    * multiple of `step` ≥ their token count (integer arithmetic — no
+    * float log2 boundary ambiguity) and batch WITHIN their (shard,
+    * bucket): batches hold length-homogeneous docs, so padding waste
+    * per doc is bounded by `step` instead of by the global max length
+    * — the standard dynamic-batching layout for inference/training
+    * over variable-length text (fairseq/HF `group_by_length`).
+    *
+    * Scale shape: bucket assignment and waste are MAP-ONLY (pushable
+    * to the scan); the only window partitions by (shard, bucket) —
+    * the same salted-shard bound as [[packSequences]], so one viral
+    * length bucket never funnels to a single task. Total waste =
+    * sum(pad_waste) is a partial-agg'd follow-up, and batch ids are
+    * deterministic and stable per shard.
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String,
+      step: Int, batchSize: Int, nShards: Int,
+      salt: String = "lenbkt|"): DataFrame = {
+    require(step > 0 && batchSize > 0 && nShards > 0,
+      "step, batchSize and nShards must be positive")
+    require(!Set("shard", "n_tokens", "bucket_bound", "batch_in_bucket",
+      "pad_waste", "__rn").contains(idCol),
+      s"idCol '$idCol' collides with a lengthBuckets output column")
+    val base = df.select(col(idCol),
+        (saltedHash60(salt, col(idCol)) % nShards).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket_bound",
+        expr(s"((n_tokens + ${step - 1}) div $step) * $step"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bucket_bound")).orderBy(col(idCol))
+    base.withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("bucket_bound"),
+        expr(s"CAST((__rn - 1) div $batchSize AS BIGINT)")
+          .as("batch_in_bucket"),
+        (col("bucket_bound") - col("n_tokens")).as("pad_waste"))
+  }
+
   /** Deterministic global training-order shuffle + sharding: order is
     * md5(salt || id) — uniform, seedable via salt, reproducible on any
     * engine with bit-exact md5. Emits (id, shard, pos): shard = high

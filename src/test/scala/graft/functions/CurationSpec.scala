@@ -386,4 +386,38 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         s"$src kept ${bySrc.getOrElse(src, 0L)} vs expected $exp")
     }
   }
+
+  test("lengthBuckets: bound semantics, batch capacity, partition invariance") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, (1L to (i % 37 + 1)).map(j => s"t$j").mkString(" "))) :+
+      (201L, "")
+    val df = docs.toDF("doc_id", "text")
+    val out = Curation.lengthBuckets(df, "doc_id", "text",
+      step = 8, batchSize = 4, nShards = 3).collect()
+    out.foreach { r =>
+      val (n, bound, waste) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bucket_bound"), r.getAs[Long]("pad_waste"))
+      // bound = smallest multiple of step >= n; waste < step
+      assert(bound % 8 == 0 && bound >= n && (n == 0 || bound - n < 8))
+      assert(waste == bound - n)
+    }
+    // no batch exceeds batchSize docs
+    val sizes = out.groupBy(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("bucket_bound"), r.getAs[Long]("batch_in_bucket")))
+      .map(_._2.length)
+    assert(sizes.forall(_ <= 4) && sizes.exists(_ == 4))
+    // empty doc: zero tokens, zero bound, zero waste
+    val empty = out.find(_.getAs[Long]("doc_id") == 201L).get
+    assert(empty.getAs[Long]("n_tokens") == 0 &&
+      empty.getAs[Long]("bucket_bound") == 0 &&
+      empty.getAs[Long]("pad_waste") == 0)
+    // deterministic under a different physical layout
+    val again = Curation.lengthBuckets(df.repartition(7), "doc_id", "text",
+      step = 8, batchSize = 4, nShards = 3).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("batch_in_bucket"))).toSet
+    assert(key(out) === key(again))
+  }
 }
