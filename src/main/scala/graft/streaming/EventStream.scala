@@ -147,6 +147,68 @@ object EventStream {
       .toDF("doc_id", "text", "fp")
   }
 
+  /** Streaming exact dedup with EVENT-TIME TTL state eviction — the
+    * unbounded-stream variant of [[streamingExactDedup]], whose state
+    * grows forever (one entry per distinct fingerprint ever seen; at
+    * 100 TB/day of ingest that is not a deployable contract). Here a
+    * fingerprint's state expires `ttlMs` after the LAST sighting's
+    * event time (sliding TTL — duplicates keep the entry alive), so
+    * state size is bounded by the distinct fingerprints inside one
+    * TTL horizon, and a re-arrival after expiry intentionally passes
+    * again: dedup is exact WITHIN the horizon, the standard bounded-
+    * state trade-off.
+    *
+    * Mechanics: the operator applies the watermark itself
+    * (`watermarkDelay` on `tsCol` — EventTimeTimeout requires one);
+    * eviction fires via GroupState.setTimeoutTimestamp when the
+    * watermark passes last-seen + TTL in a batch where that
+    * fingerprint receives no new rows (Spark invokes timed-out groups
+    * with hasTimedOut=true; a group with fresh data is never marked
+    * timed out, which is exactly the sliding-TTL refresh).
+    */
+  def streamingExactDedupTtl(stream: DataFrame, idCol: String,
+      textCol: String, tsCol: String, ttlMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        graft.functions.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      // watermark AFTER the projection: a cast/alias strips the
+      // event-time tag, so tagging tsCol upstream would leave the
+      // grouped plan without a watermarked column
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, String, java.sql.Timestamp, String)]
+      .groupByKey(_._4)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (fp: String, rows: Iterator[(Long, String, java.sql.Timestamp, String)],
+          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val batch = rows.toSeq
+          val maxTs = batch.map(_._3.getTime).max
+          val out =
+            if (state.exists) Iterator.empty
+            else {
+              val keeper = batch.minBy(_._1)
+              Iterator.single((keeper._1, keeper._2, fp))
+            }
+          state.update(math.max(state.getOption.getOrElse(Long.MinValue), maxTs))
+          // timeout must sit strictly above the current watermark
+          state.setTimeoutTimestamp(math.max(state.get + ttlMs,
+            state.getCurrentWatermarkMs() + 1))
+          out
+        })
+      .toDF("doc_id", "text", "fp")
+  }
+
   /** Map a CDC operation column onto the DiffSync flag vocabulary:
     * delete markers → "deleted" (tombstone rows need only their PK
     * columns populated), everything else → "changed" (upsert).

@@ -173,6 +173,59 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("TTL dedup: duplicates drop within the horizon, state expires after it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ttl").toFile
+    val chk = Files.createTempDirectory("graft_ttl_chk").toFile
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    try {
+      Seq((1L, "alpha beta gamma", ts("10:00")),
+        (2L, "delta epsilon zeta", ts("10:00")))
+        .toDF("doc_id", "text", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingExactDedupTtl(stream, "doc_id", "text",
+          "ts", ttlMs = 30L * 60 * 1000, watermarkDelay = "10 minutes")
+        .writeStream.format("memory").queryName("ttldedup")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      def ids = spark.table("ttldedup").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L))
+      // in-horizon duplicate suppressed; high-ts row drags the
+      // watermark to 11:50, past doc 1's timeout (10:05 + 30 min)
+      Seq((3L, "alpha beta gamma", ts("10:05")),
+        (9L, "zz yy xx", ts("12:00")))
+        .toDF("doc_id", "text", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      assert(ids === Set(1L, 2L, 9L))
+      // a batch with no rows for the fingerprint lets the timeout
+      // fire: state for doc 1's content is evicted here
+      Seq((10L, "unrelated filler doc", ts("12:05")))
+        .toDF("doc_id", "text", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b3")
+      q.processAllAvailable()
+      assert(ids === Set(1L, 2L, 9L, 10L))
+      // past the horizon the same content passes again (bounded-state
+      // contract: exact dedup WITHIN the TTL, re-admission after)
+      Seq((11L, "alpha beta gamma", ts("12:10")))
+        .toDF("doc_id", "text", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b4")
+      q.processAllAvailable()
+      q.stop()
+      assert(ids === Set(1L, 2L, 9L, 10L, 11L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("streaming interval join equals batch result with bounded state") {
     import spark.implicits._
     val ldir = Files.createTempDirectory("graft_sj_l").toFile
