@@ -1321,6 +1321,20 @@ object SparkEntry {
         budget = 512, nShards = 16)
         .orderBy(col("doc_id"))),
 
+    "curate_split_leakage_safe" -> ((s, dir) => {
+      // leakage-safe split: hash the near-dup CLUSTER representative,
+      // not the doc — no near-dup pair may straddle train/test (the
+      // silent eval-contamination path). Edges = the portable
+      // LSH+Jaccard pipeline; oracle replays reachability + md5
+      // bucketing.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text",
+        threshold = 0.15, n = 3, numHashes = 16, bands = 8,
+        portable = true)
+      graft.functions.Curation.leakageSafeSplit(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     "curate_length_buckets" -> ((s, dir) =>
       // length-bucketed dynamic batching: pad-to = next multiple of 32
       // tokens, batches of 8 within each (shard, bucket) — per-doc
@@ -3633,6 +3647,24 @@ object SparkEntry {
         |  (cum - n_tokens) // 512 AS pack_first,
         |  greatest(cum - 1, cum - n_tokens) // 512 AS pack_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "curate_split_leakage_safe" ->
+      // cc reachability (shared prefix) + singleton fill-in, then the
+      // splitAssign md5 bucket keyed on the cluster representative
+      (ccReachSql + """,
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |bk AS (SELECT doc_id, cluster_id,
+        |  CAST(('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM lab)
+        |SELECT doc_id, cluster_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin),
 
     "curate_length_buckets" ->
       """WITH base AS (

@@ -43,6 +43,38 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe split: [[splitAssign]] hashes each document
+    * independently, so two near-duplicate documents can land on
+    * opposite sides of the train/test boundary — the classic silent
+    * eval-contamination path (a test doc whose near-copy was trained
+    * on). Here the hash key is the near-dup CLUSTER representative
+    * (min id of the connected component over the supplied pair edges;
+    * docs in no pair are their own singleton cluster), so every
+    * member of a duplicate cluster moves as one unit and no pair ever
+    * straddles a split.
+    *
+    * `pairs` is any near-dup edge list — ngramJaccardPairsLsh,
+    * containmentPairs, hammingNearDups — with id_a/id_b columns.
+    * Scale: clustering cost is the CC iteration on the PAIR graph
+    * (collision-sized, not corpus-sized); membership stays stable
+    * under corpus growth exactly when the cluster representative does.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 90, validPct: Int = 5,
+      salt: String = "split|"): DataFrame = {
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val bucket = saltedHash60(salt, col("cluster_id")) % 100
+    labeled.select(col(idCol), col("cluster_id"), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test").as("split"))
+  }
+
   /** Deterministic stratified sample: keep a row iff its 4-digit hash
     * bucket falls under the stratum's rate (per-10000). Rates are a
     * literal when()-chain, so the filter is codegen'd and pushed to the

@@ -387,6 +387,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("leakageSafeSplit: clusters move as one unit; singletons match splitAssign") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 is one cluster; 10-11 another; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Curation.leakageSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(3))).toMap
+    // every cluster member shares the representative's split
+    assert(Set(out(1L), out(2L), out(3L)).size === 1)
+    assert(out(1L)._1 === 1L)
+    assert(Set(out(10L), out(11L)).size === 1)
+    // singletons: identical to the per-doc splitAssign
+    val plain = Curation.splitAssign(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (1L to 300L).filterNot(Set(1L, 2L, 3L, 10L, 11L)).foreach { i =>
+      assert(out(i)._2 === plain(i), s"singleton $i diverged")
+    }
+    // all three splits actually occur at n=300
+    assert(out.values.map(_._2).toSet === Set("train", "valid", "test"))
+  }
+
   test("lengthBuckets: bound semantics, batch capacity, partition invariance") {
     import spark.implicits._
     val docs = (1L to 200L).map(i =>
