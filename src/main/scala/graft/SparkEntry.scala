@@ -1321,6 +1321,14 @@ object SparkEntry {
         budget = 512, nShards = 16)
         .orderBy(col("doc_id"))),
 
+    "curate_negative_sample" -> ((s, dir) =>
+      // contrastive-training negatives: k consecutive positions after
+      // a salted-hash offset in the per-shard md5 permutation —
+      // deterministic, distinct, no global sort, equi-join probe
+      graft.functions.Curation.negativeSample(
+        t(s, dir, "documents"), "doc_id", k = 4, nShards = 16)
+        .orderBy(col("query_id"), col("neg_rank"))),
+
     "curate_split_leakage_safe" -> ((s, dir) => {
       // leakage-safe split: hash the near-dup CLUSTER representative,
       // not the doc — no near-dup pair may straddle train/test (the
@@ -3647,6 +3655,38 @@ object SparkEntry {
         |  (cum - n_tokens) // 512 AS pack_first,
         |  greatest(cum - 1, cum - n_tokens) // 512 AS pack_last
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "curate_negative_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5('neg|perm|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |perm AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 16 AS shard, h
+        |  FROM b),
+        |pp AS (
+        |  SELECT doc_id, shard,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |      AS BIGINT) AS pos
+        |  FROM perm),
+        |cnt AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM pp GROUP BY shard),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    CAST(('0x' || substr(md5('neg|shard|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 16 AS shard,
+        |    CAST(('0x' || substr(md5('neg|pos|' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |probe AS (
+        |  SELECT q.query_id, q.shard, CAST(t.i AS BIGINT) AS neg_rank,
+        |    ((q.h + t.i) % c.n_s) + 1 AS pos
+        |  FROM q JOIN cnt c ON q.shard = c.shard, range(0, 4) t(i))
+        |SELECT p.query_id, p.neg_rank, pp.doc_id AS neg_id
+        |FROM probe p
+        |JOIN pp ON p.shard = pp.shard AND p.pos = pp.pos
+        |WHERE pp.doc_id <> p.query_id
+        |ORDER BY query_id, neg_rank""".stripMargin,
 
     "curate_split_leakage_safe" ->
       // cc reachability (shared prefix) + singleton fill-in, then the

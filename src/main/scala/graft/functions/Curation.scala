@@ -454,6 +454,44 @@ object Curation {
         (col("bucket_bound") - col("n_tokens")).as("pad_waste"))
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * query document draws `k` pseudo-random corpus documents — the
+    * in-batch/random negatives of embedding-model training — without
+    * any randomness source: negatives are the k consecutive positions
+    * after a salted-hash offset inside the query's assigned shard of
+    * the [[shuffleAssign]] permutation (hash order ≡ random order, so
+    * a contiguous run is an iid-looking draw; consecutive positions
+    * cannot collide, giving k distinct negatives whenever the shard
+    * holds ≥ k docs).
+    *
+    * Scale shape: the permutation is shuffleAssign's per-shard window
+    * (no global sort), shard sizes are an nShards-row broadcast, and
+    * the probe is a plain equi-join on (shard, pos) — queries × k
+    * rows against the corpus-sized position table. The query doc
+    * itself is filtered if it happens to land in its own draw (≤ 1
+    * of the k rows, deterministically — consumers see k or k−1).
+    */
+  def negativeSample(docs: DataFrame, idCol: String, k: Int,
+      nShards: Int = 16, salt: String = "neg|"): DataFrame = {
+    require(k > 0 && nShards > 0, "k and nShards must be positive")
+    val perm = shuffleAssign(docs, idCol, nShards, salt + "perm|")
+      .withColumnRenamed(idCol, "neg_id")
+    val counts = perm.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_s"))
+    val probes = docs.select(col(idCol).as("query_id"),
+        (saltedHash60(salt + "shard|", col(idCol)) % nShards).as("shard"),
+        saltedHash60(salt + "pos|", col(idCol)).as("__h"))
+      .join(broadcast(counts), Seq("shard"))
+      .select(col("query_id"), col("shard"), col("__h"), col("n_s"),
+        explode(sequence(lit(0), lit(k - 1))).as("__i"))
+      .select(col("query_id"), col("shard"),
+        col("__i").cast("long").as("neg_rank"),
+        ((col("__h") + col("__i")) % col("n_s") + 1).as("pos"))
+    probes.join(perm, Seq("shard", "pos"))
+      .filter(col("neg_id") =!= col("query_id"))
+      .select(col("query_id"), col("neg_rank"), col("neg_id"))
+  }
+
   /** Deterministic global training-order shuffle + sharding: order is
     * md5(salt || id) — uniform, seedable via salt, reproducible on any
     * engine with bit-exact md5. Emits (id, shard, pos): shard = high

@@ -387,6 +387,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("negativeSample: k distinct non-self negatives, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Curation.negativeSample(docs, "doc_id", k = 5, nShards = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet === (1L to 400L).toSet)
+    byQuery.foreach { case (q, rows) =>
+      val negs = rows.map(_._3)
+      assert(negs.length >= 4 && negs.length <= 5, s"query $q: ${negs.length}")
+      assert(negs.distinct.length === negs.length, s"query $q repeated a negative")
+      assert(!negs.contains(q), s"query $q sampled itself")
+    }
+    // mostly k (self-collision odds ≈ k/n per query)
+    assert(byQuery.values.count(_.length == 5) > 380)
+    // bit-deterministic under a different layout
+    val again = Curation.negativeSample(docs.repartition(7), "doc_id",
+      k = 5, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === out.toSet)
+  }
+
   test("leakageSafeSplit: clusters move as one unit; singletons match splitAssign") {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
