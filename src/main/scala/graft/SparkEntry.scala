@@ -1321,6 +1321,22 @@ object SparkEntry {
         budget = 512, nShards = 16)
         .orderBy(col("doc_id"))),
 
+    "curate_pack_wordpiece" -> ((s, dir) => {
+      // packing budgeted in REAL subword tokens: per-doc length =
+      // Σ over words of the wordpiece piece count (map-side transform
+      // + aggregate — the tokenizer runs inside the scan projection),
+      // fed into the same per-shard running-sum pack layout
+      val np = aggregate(
+        transform(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+          w => size(TextAnalysis.wordpiecePieces(w, wordpieceVocab))
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      graft.functions.Curation.packSequencesBy(
+        t(s, dir, "documents"), "doc_id", np,
+        budget = 256, nShards = 16, salt = "packwp|")
+        .orderBy(col("doc_id"))
+    }),
+
     "curate_negative_sample" -> ((s, dir) =>
       // contrastive-training negatives: k consecutive positions after
       // a salted-hash offset in the per-shard md5 permutation —
@@ -3654,6 +3670,44 @@ object SparkEntry {
         |  cum - n_tokens AS start_offset,
         |  (cum - n_tokens) // 512 AS pack_first,
         |  greatest(cum - 1, cum - n_tokens) // 512 AS pack_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // wordpiece closed form (see txt_wordpiece) composed with the
+    // pack_sequences window replay; wordless docs pack at length 0
+    "curate_pack_wordpiece" ->
+      s"""WITH wv(piece) AS (VALUES ${wordpieceWholeWords
+            .map(w => s"('$w')").mkString(", ")}),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |pref AS (
+        |  SELECT doc_id, word,
+        |    coalesce((SELECT max(length(v.piece)) FROM wv v
+        |              WHERE starts_with(t.word, v.piece)), 1) AS p
+        |  FROM toks t),
+        |np AS (
+        |  SELECT doc_id,
+        |    1 + length(regexp_replace(substr(word, p + 1), 'ing', '#', 'g'))
+        |      AS n
+        |  FROM pref),
+        |per AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS np
+        |  FROM np GROUP BY doc_id),
+        |d AS (
+        |  SELECT dd.doc_id,
+        |    CAST(('0x' || substr(md5('packwp|' || CAST(dd.doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 16 AS shard,
+        |    COALESCE(per.np, 0) AS n_tokens
+        |  FROM documents dd LEFT JOIN per ON dd.doc_id = per.doc_id),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens,
+        |  cum - n_tokens AS start_offset,
+        |  (cum - n_tokens) // 256 AS pack_first,
+        |  greatest(cum - 1, cum - n_tokens) // 256 AS pack_last
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "curate_negative_sample" ->

@@ -395,6 +395,18 @@ object Curation {
     * depends on partitioning or execution order.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, nShards: Int, salt: String = "pack|"): DataFrame =
+    packSequencesBy(df, idCol,
+      TextAnalysis.tokenCount(col(textCol)).cast("long"),
+      budget, nShards, salt)
+
+  /** [[packSequences]] with an arbitrary per-doc length measure —
+    * e.g. `size(wordpiecePieces(...))` summed over words, so packing
+    * budgets count REAL subword tokens instead of whitespace words
+    * (what the training job actually pays for). The measure must be a
+    * deterministic map-side expression over the row.
+    */
+  def packSequencesBy(df: DataFrame, idCol: String, lenCol: Column,
       budget: Int, nShards: Int, salt: String = "pack|"): DataFrame = {
     require(budget > 0 && nShards > 0, "budget and nShards must be positive")
     // the id column survives into the output alongside these generated
@@ -407,7 +419,7 @@ object Curation {
       .rowsBetween(Long.MinValue, 0)
     df.select(col(idCol),
         (saltedHash60(salt, col(idCol)) % nShards).as("shard"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        lenCol.cast("long").as("n_tokens"))
       .withColumn("__end", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("shard"), col("n_tokens"),
         (col("__end") - col("n_tokens")).as("start_offset"),
