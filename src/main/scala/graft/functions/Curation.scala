@@ -707,9 +707,15 @@ object Curation {
     */
   def contaminationSketchReport(corpus: DataFrame, segCol: String,
       bench: DataFrame, textCol: String, n: Int = 4): DataFrame = {
+    // tokens STAGED as a materialized column before the n-gram lambda:
+    // inlining the split() re-evaluates it once per element access
+    // (the n× re-tokenize trap wordNgramsFromTokens documents; cost
+    // was ~10 s of the sf0.1 bench before staging)
     def gramStream(df: DataFrame, keyCols: Seq[Column]) =
-      df.select((keyCols :+ explode(Dedup.wordNgramsFromTokens(
-        TextAnalysis.tokens(lower(trim(col(textCol)))), n)).as("__g")): _*)
+      df.select((keyCols :+
+          TextAnalysis.tokens(lower(trim(col(textCol)))).as("__toks")): _*)
+        .select((keyCols :+ explode(
+          Dedup.wordNgramsFromTokens(col("__toks"), n)).as("__g")): _*)
     val segSk = gramStream(corpus, Seq(col(segCol)))
       .groupBy(col(segCol))
       .agg(Theta.thetaSketchAgg(xxhash64(col("__g"))).as("__sk"))
