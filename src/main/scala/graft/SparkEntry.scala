@@ -423,6 +423,59 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "events_ohlc" -> ((s, dir) =>
+      // OHLC bars per (type, hour): open/close via min_by/max_by on the
+      // (ts, event_id) struct — PARTIAL-AGGREGABLE argmin/argmax, not a
+      // per-bucket window (hot buckets stay map-side combinable); the
+      // oracle pins the same firsts/lasts with row_number
+      events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+          col("ts"), col("event_id"), col("value"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n_events"))
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(col("event_type"), col("bucket"))),
+
+    "events_twap" -> ((s, dir) => {
+      // time-weighted average price: weight = µs until the next event
+      // of the same type (exact integers from unix_micros; the last
+      // event carries no interval). The weighted sum accumulates in
+      // DECIMAL (partition-order independent); only the final division
+      // happens in doubles, identically in both engines.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("dt",
+          (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts"))))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("sum_dt_us"),
+          sum(col("value").cast("decimal(10,2)") * col("dt")).as("__vdt"))
+        .select(col("event_type"), col("n_intervals"), col("sum_dt_us"),
+          TextAnalysis.q4(col("__vdt").cast("double") /
+            col("sum_dt_us").cast("double")).as("twap"))
+        .orderBy(col("event_type"))
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      // INTERSECT ALL bag semantics (Dataset.intersectAll) — the §2.D
+      // set operator set_except's twin: multiplicity = min of the two
+      // sides' counts
+      val a = diffSrc(s, dir).select(col("o_custkey"))
+      val b = diffTgt(s, dir).select(col("o_custkey"))
+      a.intersectAll(b)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "events_window" -> ((s, dir) =>
       // streaming-parity windowed aggregation (batch semantics == the
       // Structured Streaming plan in graft.streaming.EventStream)
@@ -2450,6 +2503,48 @@ object SparkEntry {
         |EXCEPT ALL
         |SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "events_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  max(value) AS high, min(value) AS low,
+        |  count(*) AS n_events
+        |FROM r GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "events_twap" ->
+      """WITH d AS (
+        |  SELECT event_type, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dt
+        |  FROM events),
+        |f AS (SELECT * FROM d WHERE dt IS NOT NULL)
+        |SELECT event_type,
+        |  count(*) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS sum_dt_us,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(10,2)) * dt) AS DOUBLE)
+        |    / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) * 10000) / 10000 AS twap
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "set_intersect" ->
+      """WITH i AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 10 <> 4
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 10 <> 3)
+        |SELECT o_custkey, count(*) AS n FROM i
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
