@@ -423,6 +423,40 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "profile_correlation" -> ((s, dir) =>
+      // per-group Pearson r from exact decimal moments — six numbers
+      // per group through the shuffle, doubles only in the final
+      // fixed IEEE expression both engines replay
+      graft.operators.Profile.correlation(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+        "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
+    "events_moving_avg" -> ((s, dir) => {
+      // 3-hour moving average per event type with a RANGE frame over
+      // the integer hour index (gap-aware: missing hours shrink the
+      // window, unlike a ROWS frame) — pre-aggregated to hourly rows
+      // first, so the window runs over buckets, never raw events
+      val hourly = events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000")
+            .as("hour_idx"),
+          col("value"))
+        .groupBy(col("event_type"), col("hour_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,3)")).as("__sv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+        .rangeBetween(-2, 0)
+      hourly
+        .withColumn("mov_n", sum(col("n_events")).over(w))
+        .withColumn("mov_avg",
+          TextAnalysis.q4(sum(col("__sv")).over(w).cast("double") /
+            col("mov_n").cast("double")))
+        .select(col("event_type"), col("hour_idx"), col("n_events"),
+          col("mov_n"), col("mov_avg"))
+        .orderBy(col("event_type"), col("hour_idx"))
+    }),
+
     "events_ohlc" -> ((s, dir) =>
       // OHLC bars per (type, hour): open/close via min_by/max_by on the
       // (ts, event_id) struct — PARTIAL-AGGREGABLE argmin/argmax, not a
@@ -2503,6 +2537,52 @@ object SparkEntry {
         |EXCEPT ALL
         |SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "profile_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+        |    -- DECIMAL(19,4) operands force int128 product storage in
+        |    -- DuckDB (an 18-digit product would overflow int64);
+        |    -- values are identical — both engines' sums are exact
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))
+        |      * CAST(l_quantity AS DECIMAL(19,4))) AS sx2,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS sy2
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cov,
+        |    CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS vx,
+        |    CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS vy
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n > 1 AND vx > 0 AND vy > 0
+        |    THEN floor(cov / sqrt(vx * vy) * 10000) / 10000
+        |    ELSE NULL END AS corr
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    "events_moving_avg" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour_idx,
+        |    count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(18,3))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_idx, n_events,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS mov_n,
+        |  floor(CAST(sum(sv) OVER w AS DOUBLE)
+        |    / CAST(CAST(sum(n_events) OVER w AS BIGINT) AS DOUBLE)
+        |    * 10000) / 10000 AS mov_avg
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, hour_idx""".stripMargin,
 
     "events_ohlc" ->
       """WITH e AS (

@@ -141,6 +141,39 @@ object Profile {
       .drop("__n", "__mean", "__var")
   }
 
+  /** Per-group Pearson correlation from the same exact-decimal moment
+    * machinery as [[zscoreOutliers]]: (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate as decimals (partial-agg'd, partition-order
+    * independent), and only the final covariance/variance/sqrt
+    * arithmetic runs in doubles — one fixed IEEE expression sequence
+    * any engine reproduces bit-for-bit from the same exact sums.
+    * Degenerate groups (either variance 0, or n < 2) report NULL.
+    * Six numbers per group per partition through the shuffle.
+    */
+  def correlation(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,4)")
+    val y = col(yCol).cast("decimal(18,4)")
+    def d(c: Column) = c.cast("double")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+        sum(x * x).as("__sx2"), sum(y * y).as("__sy2"))
+      .select(col(groupCol), col("n"),
+        (d(col("__sxy")) - d(col("__sx")) * d(col("__sy")) / col("n"))
+          .as("__cov"),
+        (d(col("__sx2")) - d(col("__sx")) * d(col("__sx")) / col("n"))
+          .as("__vx"),
+        (d(col("__sy2")) - d(col("__sy")) * d(col("__sy")) / col("n"))
+          .as("__vy"))
+      .select(col(groupCol), col("n"),
+        when(col("n") > 1 && col("__vx") > 0 && col("__vy") > 0,
+          floor(col("__cov") / sqrt(col("__vx") * col("__vy")) * 10000)
+            / 10000)
+          .otherwise(lit(null).cast("double")).as("corr"))
+  }
+
   /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
     * of `zscoreOutliers`: one planted 1000× value dilates a stddev
     * enough to hide real outliers, but moves the median not at all.

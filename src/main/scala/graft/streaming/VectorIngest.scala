@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.functions.Similarity
+
+/** Streaming ANN index maintenance — the continuous twin of
+  * [[graft.functions.Similarity.ivfAssignments]]'s batch append path:
+  * arriving vectors assign against the FROZEN quantizer (map-only per
+  * micro-batch; the codegen'd NearestCell argmin) and append to the
+  * stored assignment table. History never recomputes; searches via
+  * `ivfTopKIndexed` over the store see each batch as soon as its
+  * files commit.
+  *
+  * Retraining is deliberately out of band: the quantizer is immutable
+  * here (the standard IVF contract — reassigning history is a batch
+  * rebuild), so the ingest job stays stateless. [[cellStats]] is the
+  * drift monitor that tells you WHEN to rebuild: cell-count imbalance
+  * growing past the build-time profile means the data distribution
+  * moved away from the centroids.
+  */
+object VectorIngest {
+
+  /** foreachBatch writer: assign each micro-batch against `centroids`
+    * and append to the parquet assignment table at `indexDir`,
+    * partitioned by cell so `ivfTopKIndexed` probes become pruned
+    * scans of nprobe/nlist of the files.
+    */
+  def streamingIvfIngest(stream: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], indexDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.ivfAssignments(batch, idCol, vecCol, centroids)
+          .write.mode("append").partitionBy("cell").parquet(indexDir)
+      }
+
+  /** Per-cell occupancy of an assignment table plus the imbalance
+    * factor (cell count / mean count) — the retrain trigger signal.
+    * One partial-agg'd groupBy on the compact cell id; the mean joins
+    * back as a 1-row broadcast.
+    */
+  def cellStats(index: DataFrame, cellCol: String = "cell"): DataFrame = {
+    val counts = index.groupBy(col(cellCol)).agg(count(lit(1)).as("n_vecs"))
+    val mean = counts.agg(avg(col("n_vecs")).as("__mean"))
+    counts.crossJoin(broadcast(mean))
+      .select(col(cellCol), col("n_vecs"),
+        graft.functions.TextAnalysis.q4(
+          col("n_vecs").cast("double") / col("__mean")).as("imbalance"))
+  }
+}

@@ -173,6 +173,64 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming IVF ingest appends assignments identical to the batch path") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_vi_src").toFile
+    val idx = Files.createTempDirectory("graft_vi_idx").toFile
+    val chk = Files.createTempDirectory("graft_vi_chk").toFile
+    try {
+      val rnd = new scala.util.Random(7)
+      def vecs(ids: Range) = ids.map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      val b1 = vecs(1 to 60)
+      val b2 = vecs(61 to 120)
+      val cents = graft.functions.Similarity.ivfCentroids(
+        b1.toDF("vec_id", "embedding"), "vec_id", "embedding", 4)
+      b1.toDF("vec_id", "embedding")
+        .write.parquet(src.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(src.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(src.getAbsolutePath + "/*")
+      val q = VectorIngest.streamingIvfIngest(stream, "vec_id", "embedding",
+          cents, idx.getAbsolutePath, chk.getAbsolutePath).start()
+      q.processAllAvailable()
+      b2.toDF("vec_id", "embedding")
+        .write.parquet(src.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      // the streamed store equals the batch assignment of all vectors
+      val stored = spark.read.parquet(idx.getAbsolutePath)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val direct = graft.functions.Similarity.ivfAssignments(
+        (b1 ++ b2).toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(stored === direct)
+      // searches over the store find the streamed vectors
+      val queries = b2.take(3).map { case (id, v) => (id + 100000L, v) }
+        .toDF("query_id", "qvec")
+      val hits = graft.functions.Similarity.ivfTopKIndexed(
+          spark.read.parquet(idx.getAbsolutePath), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 1, cents, nprobe = 4)
+        .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id"))
+        .toMap
+      // each query is an exact copy of a streamed vector → rank-1 self
+      assert(hits === Map(100061L -> 61L, 100062L -> 62L, 100063L -> 63L))
+      // drift report: counts sum to corpus size, imbalance centered on 1
+      val stats = VectorIngest.cellStats(spark.read.parquet(idx.getAbsolutePath))
+        .collect()
+      assert(stats.map(_.getAs[Long]("n_vecs")).sum === 120L)
+      val imb = stats.map(_.getAs[Double]("imbalance"))
+      assert(imb.forall(x => x > 0) && math.abs(imb.sum / imb.length - 1.0) < 0.01)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(src); rm(idx); rm(chk)
+    }
+  }
+
   test("TTL dedup: duplicates drop within the horizon, state expires after it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl").toFile
