@@ -373,7 +373,11 @@ object Dedup {
     val dfTab = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
     val wDoc = Window.partitionBy(col(idCol))
       .orderBy(col("__df"), col("__gram"))
-    val prefix = grams.join(dfTab, Seq("__gram"))
+    // the df table spans the corpus vocabulary — force the shuffle
+    // join so a small test corpus can't bake in a broadcast shape
+    // that would OOM at 100 TB (the tfidfTopTerms convention)
+    val prefix = grams.hint("shuffle_merge")
+      .join(dfTab.hint("shuffle_merge"), Seq("__gram"))
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <=
         floor(col("__cnt") * lit(1.0 - threshold) + lit(1e-4)) + 1)

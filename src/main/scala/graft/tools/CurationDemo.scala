@@ -81,11 +81,20 @@ object CurationDemo {
       alpha = 0.5, budget = budget))
     stage("mixture sample", mixed.count())
 
+    // 6b. leakage-safe eval split: the near-dup pair graph from stage 4
+    // keys the split, so no duplicate pair straddles train/test; only
+    // the train slice continues into packing
+    val split = Curation.leakageSafeSplit(mixed, "doc_id", pairs)
+    val train = persisted(mixed.join(
+      split.filter(col("split") === "train").select(col("doc_id")),
+      "doc_id"))
+    stage("train split (leak-safe)", train.count())
+
     // 7. pack into fixed-budget shards and write partitioned output
-    val packed = Curation.packSequences(mixed, "doc_id", "text",
+    val packed = Curation.packSequences(train, "doc_id", "text",
       budget = 4096, nShards = 8)
     graft.sources.Writers.writePartitioned(
-      packed.join(mixed.select(col("doc_id"), col("source"), col("text")),
+      packed.join(train.select(col("doc_id"), col("source"), col("text")),
         "doc_id"),
       s"$outDir/shards", Seq("shard"))
     val shards = spark.read.parquet(s"$outDir/shards")

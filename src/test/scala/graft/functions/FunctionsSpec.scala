@@ -1154,6 +1154,23 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     val bhjLines = tfidfPlan.linesIterator
       .filter(_.contains("BroadcastHashJoin")).toSeq
     assert(bhjLines.isEmpty, s"vocab df table must not broadcast:\n$tfidfPlan")
+    // containmentPairs: candidate generation must stay an equi-join
+    // (no cartesian / nested-loop), and the hinted gram-df join must
+    // plan as a sort-merge (the corpus-vocabulary side never
+    // broadcasts — the shuffle_merge hint makes that structural)
+    val contPlan = Dedup.containmentPairs(docs2, "doc_id", "text", 0.9, 3)
+      .queryExecution.executedPlan.toString
+    assert(!contPlan.contains("CartesianProduct") &&
+      !contPlan.contains("BroadcastNestedLoopJoin"), contPlan)
+    assert(contPlan.contains("SortMergeJoin"),
+      s"gram-df join must be the hinted sort-merge:\n$contPlan")
+    // negativeSample: the ONLY broadcast is the nShards-row count
+    // table; the probe ⋈ permutation join must not be a product
+    val negPlan = graft.functions.Curation
+      .negativeSample(docs2, "doc_id", k = 1, nShards = 2)
+      .queryExecution.executedPlan.toString
+    assert(!negPlan.contains("CartesianProduct") &&
+      !negPlan.contains("BroadcastNestedLoopJoin"), negPlan)
   }
 
   test("script-routed dedup: CJK twins caught by char route, missed by word route") {

@@ -85,6 +85,39 @@ class WordpieceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: non-UNK segmentations round-trip; continuations are ##-marked") {
+    val rnd = new scala.util.Random(42)
+    def randWord(n: Int, alphabet: String) =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // vocab over {a,b,c} but words over {a,b,c,d}: any word containing
+    // 'd' must UNK, everything else must round-trip
+    def randWordFull(n: Int) = randWord(n, "abcd")
+    val vocabPieces = (1 to 30).map(_ => randWord(rnd.nextInt(3) + 1, "abc"))
+      .distinct.filter(_.nonEmpty)
+    val v = vocabPieces ++ vocabPieces.map("##" + _)
+    val expr = graft.expressions.WordpieceTokenize(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), v)
+    var unks = 0
+    (1 to 500).foreach { _ =>
+      val w = randWordFull(rnd.nextInt(12))
+      val arr = expr.tokenizeWord(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      val pieces = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      if (pieces == Seq("[UNK]")) unks += 1
+      else {
+        assert(pieces.map(_.stripPrefix("##")).mkString === w,
+          s"word $w -> $pieces")
+        if (pieces.length > 1) {
+          assert(!pieces.head.startsWith("##"))
+          assert(pieces.tail.forall(_.startsWith("##")), s"$w -> $pieces")
+        }
+      }
+    }
+    // the random vocab genuinely exercises both outcomes
+    assert(unks > 0 && unks < 500)
+  }
+
   test("gate vocab: closed form = 1 whole-word piece or letters with ##ing collapse") {
     // Mirrors the txt_wordpiece oracle's arithmetic on hand-checked words.
     val letters = ('a' to 'z').map(_.toString)
