@@ -619,6 +619,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "txt_chunk_tokens" -> ((s, dir) =>
+      // RAG chunking: 64-token windows, stride 48 (16-token overlap);
+      // map-only explode from the scan, md5 fingerprints key
+      // chunk-level dedup/embedding joins downstream
+      TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        size = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     "txt_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -906,6 +914,24 @@ object SparkEntry {
         queries, "query_id", "qvec", k = 5, cents, nprobe = 4)
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_mean_pool" -> ((s, dir) => {
+      // chunk-then-embed pooling: groups of 4 consecutive vectors
+      // mean-pool into one parent vector (exact decimal per-dim sums;
+      // declarative sorted reassembly). The gate re-explodes the
+      // pooled array so the oracle also pins the dim ORDER of the
+      // assembly, not just the values.
+      val emb = t(s, dir, "embeddings")
+        .select(expr("vec_id div 4").as("parent_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      Similarity.meanPool(emb, "parent_id", "embedding")
+        .select(col("parent_id"), col("n_chunks"),
+          posexplode(col("pooled")))
+        .select(col("parent_id"), col("n_chunks"),
+          col("pos").cast("long").as("dim"),
+          TextAnalysis.q4(col("col")).as("pooled"))
+        .orderBy(col("parent_id"), col("dim"))
     }),
 
     "sim_ivf_append" -> ((s, dir) => {
@@ -2664,6 +2690,25 @@ object SparkEntry {
         |  length(text) AS n_chars_measured
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "txt_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |nz AS (
+        |  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        |ch AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(range(0, CASE WHEN n > 16 THEN (n - 16 + 47) // 48
+        |      ELSE 1 END)) AS chunk_id
+        |  FROM nz)
+        |SELECT doc_id, chunk_id,
+        |  chunk_id * 48 AS start_token,
+        |  CAST(len(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+        |    AS chunk_tokens,
+        |  md5(array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
+        |    AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
     "txt_quality" ->
       """WITH base AS (
         |  SELECT doc_id, text,
@@ -3642,6 +3687,19 @@ object SparkEntry {
     "sim_ann_lsh" -> plantedAnnOracle,
     "sim_ann_ivf" -> plantedAnnOracle,
     "sim_ivf_append" -> plantedAnnOracle,
+
+    "sim_mean_pool" ->
+      """WITH p AS (
+        |  SELECT vec_id // 4 AS parent_id, embedding FROM embeddings),
+        |x AS (
+        |  SELECT parent_id, d - 1 AS dim,
+        |    CAST(embedding[d] AS DOUBLE) AS v
+        |  FROM p, range(1, 65) t(d))
+        |SELECT parent_id,
+        |  count(*) AS n_chunks, dim,
+        |  floor(CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*)
+        |    * 10000) / 10000 AS pooled
+        |FROM x GROUP BY parent_id, dim ORDER BY parent_id, dim""".stripMargin,
 
     "sim_lsh_recall" ->
       // the truth side (exact cosine of every seed against its noised

@@ -117,6 +117,27 @@ object Similarity {
         TextAnalysis.q4(col("__s").cast("double") / col("n_vectors"))
           .as("centroid"))
 
+  /** Mean-pool chunk embeddings back to one parent vector — the
+    * aggregation step of chunk-then-embed pipelines (a document's
+    * vector = element-wise mean of its chunks'). Same exact-decimal
+    * accumulation and (group, dim)-partial-agg shape as
+    * [[labelCentroids]], then a declarative reassembly: sort_array of
+    * (dim, mean) structs → transform extract — deterministic dim
+    * order, no collect, no UDF. Output: (group, n_chunks, pooled
+    * array<double>).
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("col").cast("double").cast("decimal(27,10)")).as("__s"))
+      .select(col(groupCol), col("pos"), col("__n"),
+        (col("__s").cast("double") / col("__n")).as("__m"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_chunks"),
+        transform(array_sort(collect_list(struct(col("pos"), col("__m")))),
+          s => s.getField("__m")).as("pooled"))
+
   /** Distributed training of a linear classifier by full-batch
     * perceptron over integer-quantized embeddings — the
     * quality-classifier trainer of a curation pipeline (label a few

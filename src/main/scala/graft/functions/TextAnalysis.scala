@@ -105,6 +105,44 @@ object TextAnalysis {
     tokenCount(text) + punct
   }
 
+  /** Sliding-window token chunking with overlap — the RAG/embedding
+    * preprocessing shape: chunk i covers tokens [i·stride, i·stride +
+    * size); consecutive chunks share (size − stride) tokens so no
+    * semantic boundary is lost to a hard cut. Documents shorter than
+    * the overlap produce exactly one chunk; empty documents none.
+    * Chunk count = max(1, ⌈(n − overlap)/stride⌉) — every token is
+    * covered and the last chunk is the only short one.
+    *
+    * Map-only: tokens materialize once per row, chunks explode from a
+    * sequence — at 100 TB this is scan-side row generation with no
+    * shuffle; the emitted md5 fingerprint keys downstream chunk-level
+    * dedup/embedding joins. Output: (id, chunk_id, start_token,
+    * chunk_tokens, chunk_md5).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val overlap = size - stride
+    df.select(col(idCol), tokens(lower(col(textCol))).as("__toks"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__nc",
+        when(col("__n") > overlap,
+          expr(s"(__n - $overlap + ${stride - 1}) div $stride"))
+          .otherwise(lit(1)))
+      .withColumn("__ci", explode(sequence(lit(0), col("__nc") - 1)))
+      .withColumn("chunk_id", col("__ci").cast("long"))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_token"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(size)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"), col("start_token"),
+        org.apache.spark.sql.functions.size(col("__chunk")).cast("long")
+          .as("chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+  }
+
   /** Count non-overlapping occurrences of `needle` via replace —
     * portable to any SQL engine (no regexp_count needed).
     */
