@@ -423,6 +423,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "curate_quota_sample" -> ((s, dir) =>
+      // per-source quota: at most 20 docs per source in deterministic
+      // salted-hash order — plans as WindowGroupLimit (per-partition
+      // top-k before the exchange)
+      graft.functions.Curation.quotaSample(
+        t(s, dir, "documents"), "doc_id", "source", cap = 20)
+        .orderBy(col("doc_id"))),
+
+    "profile_ks_drift" -> ((s, dir) => {
+      // distribution-drift audit over the diff fixture: target
+      // perturbs o_totalprice (+1.0 on keys %7=0) and drops/adds
+      // different key slices, so the exact discrete KS distance is
+      // small but nonzero — the shape-change signal a mean/variance
+      // audit would miss
+      graft.operators.Profile.ksDrift(
+        diffSrc(s, dir), diffTgt(s, dir), "o_totalprice")
+    }),
+
     "profile_correlation" -> ((s, dir) =>
       // per-group Pearson r from exact decimal moments — six numbers
       // per group through the shuffle, doubles only in the final
@@ -2563,6 +2581,43 @@ object SparkEntry {
         |EXCEPT ALL
         |SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "curate_quota_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS pick_rank
+        |  FROM documents)
+        |SELECT doc_id, source, pick_rank FROM r
+        |WHERE pick_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    "profile_ks_drift" ->
+      """WITH src AS (
+        |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 10 <> 4),
+        |tgt AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |    ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |u AS (
+        |  SELECT v, 1 AS s, 0 AS t FROM src WHERE v IS NOT NULL
+        |  UNION ALL
+        |  SELECT v, 0 AS s, 1 AS t FROM tgt WHERE v IS NOT NULL),
+        |pv AS (
+        |  SELECT v, CAST(sum(s) AS BIGINT) AS cs, CAST(sum(t) AS BIGINT) AS ct
+        |  FROM u GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(cs) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fs,
+        |    CAST(sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ft
+        |  FROM pv),
+        |tot AS (
+        |  SELECT CAST(sum(s) AS BIGINT) AS n_src, CAST(sum(t) AS BIGINT) AS n_tgt
+        |  FROM u)
+        |SELECT n_src, n_tgt,
+        |  floor(max(abs(CAST(fs AS DOUBLE) / CAST(n_src AS DOUBLE)
+        |    - CAST(ft AS DOUBLE) / CAST(n_tgt AS DOUBLE))) * 10000) / 10000 AS ks
+        |FROM cum, tot GROUP BY n_src, n_tgt""".stripMargin,
 
     "profile_correlation" ->
       """WITH m AS (

@@ -43,6 +43,24 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Per-stratum quota sampling: keep at most `cap` documents per
+    * stratum, chosen in deterministic salted-hash order (hash order ≡
+    * uniform random order, stable under corpus growth until the quota
+    * fills). The rank filter plans as WindowGroupLimit — per-partition
+    * top-k heaps BEFORE the exchange, so a viral stratum ships cap
+    * rows per partition, not its whole membership.
+    */
+  def quotaSample(df: DataFrame, idCol: String, strataCol: String,
+      cap: Int, salt: String = "quota|"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.select(col(idCol), col(strataCol))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= cap)
+  }
+
   /** Leakage-safe split: [[splitAssign]] hashes each document
     * independently, so two near-duplicate documents can land on
     * opposite sides of the train/test boundary — the classic silent

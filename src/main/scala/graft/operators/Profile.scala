@@ -174,6 +174,43 @@ object Profile {
           .otherwise(lit(null).cast("double")).as("corr"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance — the distribution-drift
+    * audit for a migrated/synced column: D = max over observed values
+    * of |F̂_src − F̂_tgt| (empirical CDFs evaluated at every distinct
+    * value, the exact discrete KS statistic). Catches shape changes
+    * (truncation, unit drift, default-fill) that mean/variance audits
+    * miss. Counts are exact integers; only the final two divisions and
+    * the |·| max run in doubles, identically in any engine.
+    *
+    * The cumulative window is ordered over DISTINCT values with no
+    * partition key — audit/slice-scale contract (same as the exact
+    * median in [[madOutliers]]): at corpus scale, bucket values first
+    * and accept bucket-resolution D.
+    */
+  def ksDrift(src: DataFrame, tgt: DataFrame, valueCol: String): DataFrame = {
+    val both = src.select(col(valueCol).as("__v"), lit(1L).as("__s"),
+        lit(0L).as("__t"))
+      .unionByName(tgt.select(col(valueCol).as("__v"), lit(0L).as("__s"),
+        lit(1L).as("__t")))
+      .filter(col("__v").isNotNull)
+    val totals = both.agg(sum(col("__s")).as("n_src"),
+      sum(col("__t")).as("n_tgt"))
+    val perValue = both.groupBy(col("__v"))
+      .agg(sum(col("__s")).as("__cs"), sum(col("__t")).as("__ct"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perValue
+      .select(col("__v"), sum(col("__cs")).over(w).as("__fs"),
+        sum(col("__ct")).over(w).as("__ft"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_src"), col("n_tgt"),
+        abs(col("__fs").cast("double") / col("n_src").cast("double") -
+          col("__ft").cast("double") / col("n_tgt").cast("double"))
+          .as("__d"))
+      .groupBy(col("n_src"), col("n_tgt"))
+      .agg((floor(max(col("__d")) * 10000) / 10000).as("ks"))
+  }
+
   /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
     * of `zscoreOutliers`: one planted 1000× value dilates a stddev
     * enough to hide real outliers, but moves the median not at all.
