@@ -1552,10 +1552,8 @@ object SparkEntry {
       val est = graft.functions.Curation.contaminationSketchReport(
         corpus, "source", bench, "text", n = 4)
       def grams(df: org.apache.spark.sql.DataFrame, keys: Seq[Column]) =
-        df.select((keys :+ TextAnalysis.tokens(lower(trim(col("text"))))
-            .as("__toks")): _*)
-          .select((keys :+ explode(Dedup.wordNgramsFromTokens(
-            col("__toks"), 4)).as("g")): _*)
+        df.select((keys :+ explode(
+          Dedup.wordNgramsNative(col("text"), 4)).as("g")): _*)
       // truth side: distinct gram sets persist across their two uses
       // (bench: total + overlap probe) and the per-source total and
       // overlap fold into ONE left join + aggregation — the original

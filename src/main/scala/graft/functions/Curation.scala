@@ -725,15 +725,12 @@ object Curation {
     */
   def contaminationSketchReport(corpus: DataFrame, segCol: String,
       bench: DataFrame, textCol: String, n: Int = 4): DataFrame = {
-    // tokens STAGED as a materialized column before the n-gram lambda:
-    // inlining the split() re-evaluates it once per element access
-    // (the n× re-tokenize trap wordNgramsFromTokens documents; cost
-    // was ~10 s of the sf0.1 bench before staging)
+    // native single-pass gram kernel: the declarative transform feeds
+    // a Generate here, where the interpreted lambda re-tokenizes per
+    // element (the 12 s-vs-0.6 s trap — see expressions.WordNgrams)
     def gramStream(df: DataFrame, keyCols: Seq[Column]) =
-      df.select((keyCols :+
-          TextAnalysis.tokens(lower(trim(col(textCol)))).as("__toks")): _*)
-        .select((keyCols :+ explode(
-          Dedup.wordNgramsFromTokens(col("__toks"), n)).as("__g")): _*)
+      df.select((keyCols :+ explode(
+        Dedup.wordNgramsNative(col(textCol), n)).as("__g")): _*)
     val segSk = gramStream(corpus, Seq(col(segCol)))
       .groupBy(col(segCol))
       .agg(Theta.thetaSketchAgg(xxhash64(col("__g"))).as("__sk"))

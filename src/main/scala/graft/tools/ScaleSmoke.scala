@@ -93,6 +93,31 @@ object ScaleSmoke {
         s"   (pairs: $p1/$p2/$p3, ann: $p4, rows: $p5/$p6/$p7)")
       docs.unpersist(); emb.unpersist()
     }
+    // Round-6 second-session paths: directed containment (prefix
+    // filter over the rarest-gram inverted index), RAG token chunking
+    // (map-only explode), and wordpiece tokenization (codegen'd
+    // greedy matcher). All three must grow ~linearly.
+    println(f"${"factor"}%-7s ${"docs"}%-7s ${"contain"}%-9s ${"chunk"}%-9s ${"wordpiece"}%-9s")
+    factors.foreach { f =>
+      val docs = docsAt(docs0, f).cache()
+      val nd = docs.count()
+      val (c1, tCont) = timed(Dedup.containmentPairs(
+        docs, "doc_id", "text", threshold = 0.9, n = 3).count())
+      val (c2, tChunk) = timed(graft.functions.TextAnalysis.chunkTokens(
+        docs, "doc_id", "text", size = 64, stride = 48).count())
+      val letters = ('a' to 'z').map(_.toString)
+      val vocab = Seq("the", "and", "ing") ++ letters ++
+        letters.map("##" + _) :+ "##ing"
+      val (c3, tWp) = timed(docs.select(
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .as("w"))
+        .select(graft.functions.TextAnalysis.wordpiecePieces(col("w"), vocab)
+          .as("p"))
+        .agg(sum(size(col("p")))).collect().head.getLong(0))
+      println(f"$f%-7d $nd%-7d $tCont%-9.2f $tChunk%-9.2f $tWp%-9.2f" +
+        s"   (pairs: $c1, chunks: $c2, pieces: $c3)")
+      docs.unpersist()
+    }
     // Incremental dedup scale claim: FIXED delta batch against a
     // GROWING history whose band index is prebuilt (the production
     // shape — the index is a stored artifact). Incremental cost must

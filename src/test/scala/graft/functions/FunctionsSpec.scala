@@ -520,6 +520,29 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("native WordNgrams is bit-identical to the declarative gram pipeline") {
+    import spark.implicits._
+    val docs = Seq(
+      "The quick brown FOX jumps over the lazy dog",
+      "a b c a b c a b c",            // duplicate grams → distinct order
+      "one two",                      // shorter than n → whole doc
+      "single",
+      "",                             // empty → one empty gram
+      "   padded   whitespace   ",
+      "x " * 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(2, 3, 4).foreach { n =>
+      val declarative = docs.select(col("doc_id"),
+        Dedup.wordNgrams(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val native = docs.select(col("doc_id"),
+        Dedup.wordNgramsNative(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native === declarative, s"n=$n")
+    }
+  }
+
   test("containmentPairs: lossless prefix filter equals all-pairs truth") {
     import spark.implicits._
     // w1..w12 distinct tokens. doc 1 (12 tokens → 10 grams) is fully
