@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{PortableMinHash, PortableSimHash, SignBits, VecDot}
+import graft.expressions.{PortableMinHash, PortableSimHash, SignBits, VecDot, WordNgrams, WordpieceTokenize}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users (and external
@@ -20,6 +20,10 @@ import graft.expressions.{PortableMinHash, PortableSimHash, SignBits, VecDot}
   * - `portable_simhash(tokens)`   — 60-bit md5 SimHash
   * - `zorder_value(bits, c₁, c₂, …)` — Morton z-value of the columns'
   *   low `bits` bits (see operators.Layout)
+  * - `word_ngrams(text, n)`       — single-pass distinct word n-grams
+  * - `wordpiece_tokenize(word, 'p1,p2,…')` — greedy longest-match
+  *   WordPiece pieces of one word against a comma-separated vocab
+  *   literal
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -54,6 +58,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("portable_simhash"),
       new ExpressionInfo(classOf[PortableSimHash].getName, "portable_simhash"),
       (children: Seq[Expression]) => PortableSimHash(children.head, 60)))
+
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        val n = if (children.length > 1)
+          intLit(children(1), "word_ngrams n") else 3
+        WordNgrams(children.head, n)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("wordpiece_tokenize"),
+      new ExpressionInfo(classOf[WordpieceTokenize].getName,
+        "wordpiece_tokenize"),
+      (children: Seq[Expression]) => {
+        val vocab = children(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          case other => throw new IllegalArgumentException(
+            s"wordpiece_tokenize vocab must be a string literal, got $other")
+        }
+        WordpieceTokenize(children.head, vocab)
+      }))
 
     ext.injectFunction((FunctionIdentifier("zorder_value"),
       new ExpressionInfo(graft.operators.Layout.getClass.getName, "zorder_value"),

@@ -50,6 +50,19 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 60))
   }
 
+  test("word_ngrams / wordpiece_tokenize callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  word_ngrams('The quick brown fox', 3) AS g,
+        |  wordpiece_tokenize('running', 'runn,run,##ing,##ning') AS p,
+        |  wordpiece_tokenize('zzz', 'runn,##ing') AS u
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) ===
+      Seq("the quick brown", "quick brown fox"))
+    assert(r.getSeq[String](1) === Seq("runn", "##ing"))
+    assert(r.getSeq[String](2) === Seq("[UNK]"))
+  }
+
   test("zorder_value callable from SQL, equals the Column API") {
     val r = spark.sql(
       "SELECT zorder_value(10, 3L, 5L) AS z, zorder_value(2, 3L, 3L, 3L) AS z3")
