@@ -934,6 +934,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_margin_mine" -> ((s, dir) => {
+      // ratio-margin bitext mining: German-doc vectors query the
+      // English-doc slice; a pair is mined only when the best match
+      // beats the runner-up by ≥ 1.05× — the hubness-suppressing
+      // criterion of margin scoring (a raw cosine threshold admits
+      // hub vectors that are everyone's neighbor)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val byLang = emb.join(docs, emb("vec_id") === docs("doc_id"))
+      val src = byLang.filter(col("lang") === "de")
+        .select(col("vec_id").as("src_id"), col("embedding").as("qvec"))
+      val tgt = byLang.filter(col("lang") === "en")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.marginTopPairs(tgt, "vec_id", "embedding",
+          src, "src_id", "qvec", marginThreshold = 1.05)
+        .orderBy(col("src_id"))
+    }),
+
     "sim_mean_pool" -> ((s, dir) => {
       // chunk-then-embed pooling: groups of 4 consecutive vectors
       // mean-pool into one parent vector (exact decimal per-dim sums;
@@ -3740,6 +3760,37 @@ object SparkEntry {
     "sim_ann_lsh" -> plantedAnnOracle,
     "sim_ann_ivf" -> plantedAnnOracle,
     "sim_ivf_append" -> plantedAnnOracle,
+
+    "sim_margin_mine" ->
+      """WITH emb AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    d.lang
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |src AS (SELECT vec_id AS src_id, v AS q FROM emb WHERE lang = 'de'),
+        |tgt AS (SELECT vec_id, v FROM emb WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT s.src_id, t.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> t.v[i] * s.q[i]))
+        |    / (sqrt(list_sum(list_transform(t.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(s.q, x -> x * x)))) AS cos
+        |  FROM src s CROSS JOIN tgt t),
+        |ranked AS (
+        |  SELECT src_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY src_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored),
+        |agg AS (
+        |  SELECT src_id,
+        |    max(CASE WHEN rank = 1 THEN vec_id END) AS tgt_id,
+        |    max(CASE WHEN rank = 1 THEN cos END) AS c1,
+        |    max(CASE WHEN rank = 2 THEN cos END) AS c2
+        |  FROM ranked WHERE rank <= 2 GROUP BY src_id)
+        |SELECT src_id, tgt_id,
+        |  floor(c1 * 10000) / 10000 AS cos_top,
+        |  floor(c1 / greatest(c2, 1e-9) * 10000) / 10000 AS margin,
+        |  floor(c1 / greatest(c2, 1e-9) * 10000) / 10000 >= 1.05 AS mined
+        |FROM agg ORDER BY src_id""".stripMargin,
 
     "sim_mean_pool" ->
       """WITH p AS (

@@ -281,6 +281,34 @@ object Similarity {
     }
   }
 
+  /** Margin-based cross-corpus mining (the ratio-margin criterion of
+    * Artetxe & Schwenk 2019, the bitext-mining scorer behind
+    * CCMatrix-style parallel-corpus construction): for every source
+    * vector, its best target match plus margin = cos₁/cos₂ — a match
+    * only counts when it beats the runner-up by the margin factor,
+    * which suppresses the hubness false positives a raw cosine
+    * threshold admits. `mined` flags margin ≥ threshold.
+    *
+    * Candidate scoring here is the exact brute-force top-2 (slice the
+    * source side to bound it — the recall-measurement contract of
+    * [[bruteForceTopK]]); at corpus scale swap in [[ivfTopKIndexed]]
+    * candidates and keep the identical margin arithmetic.
+    */
+  def marginTopPairs(tgt: DataFrame, tgtId: String, tgtVec: String,
+      src: DataFrame, srcId: String, srcVec: String,
+      marginThreshold: Double): DataFrame = {
+    val top2 = bruteForceTopK(tgt, tgtId, tgtVec, src, srcId, srcVec, k = 2)
+    val margin = col("__c1") / greatest(col("__c2"), lit(1e-9))
+    top2.groupBy(col(srcId))
+      .agg(max(when(col("rank") === 1, col(tgtId))).as("__best"),
+        max(when(col("rank") === 1, col("cos"))).as("__c1"),
+        max(when(col("rank") === 2, col("cos"))).as("__c2"))
+      .select(col(srcId), col("__best").as("tgt_id"),
+        TextAnalysis.q4(col("__c1")).as("cos_top"),
+        TextAnalysis.q4(margin).as("margin"),
+        (TextAnalysis.q4(margin) >= marginThreshold).as("mined"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for sign-LSH:
     * plane `p`, dimension `d` → uniform in [-1, 1], derived from a
     * driver-side hash so executors need no shared state and results
