@@ -645,6 +645,26 @@ object SparkEntry {
         size = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    "txt_wordpiece_fertility" -> ((s, dir) => {
+      // per-language subword fertility (pieces per word) — THE metric
+      // for how well a tokenizer's vocab fits each language slice of
+      // a corpus (high fertility = wasted sequence length). Exact
+      // integer counts per language; one double division at the end.
+      val words = t(s, dir, "documents").select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as("word"))
+      words
+        .withColumn("np",
+          size(TextAnalysis.wordpiecePieces(col("word"), wordpieceVocab))
+            .cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          TextAnalysis.q4(col("n_pieces").cast("double") /
+            col("n_words").cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     "txt_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1747,6 +1767,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "txt_rbo_lists" -> ((s, dir) => {
+      // rank-biased overlap between the lexical and dense top-20
+      // lists (same lists txt_hybrid_rrf fuses): one equi-join on
+      // (query, doc) + a frozen-decimal weight lookup per shared doc
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = t(s, dir, "embeddings")
+      val queries = Seq((10000001L, "spark window agg"),
+        (10000002L, "fast hash join"),
+        (10000003L, "customer query table")).toDF("query_id", "qtext")
+      val lex = graft.functions.TextAnalysis.bm25Rank(
+        docs, "doc_id", "text", queries, "query_id", "qtext", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val anchors = Seq((10000001L, 10L), (10000002L, 20L), (10000003L, 30L))
+        .toDF("query_id", "anchor")
+      val qvecs = anchors.join(emb, col("anchor") === col("vec_id"))
+        .select(col("query_id"), col("embedding").as("qvec"))
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        qvecs, "query_id", "qvec", k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.functions.TextAnalysis.rboOverlap(lex, dense,
+          "query_id", "doc_id", "rank", p = 0.9, k = 20)
+        .orderBy(col("query_id"))
+    }),
+
     "dedup_passage" -> ((s, dir) =>
       // C4-style passage-level exact dedup: 8-token passages, global
       // first occurrence by (doc_id, idx) survives, documents
@@ -2410,6 +2455,60 @@ object SparkEntry {
     * bit-for-bit) — the exact oracle both approximate ANN paths
     * (banded sign-LSH, IVF) must equal on this fixture.
     */
+  /** Shared oracle prefix: the lexical BM25 top-20 (`llist`) and
+    * dense cosine top-20 (`dlist`) retrieval lists of the hybrid
+    * gates — txt_hybrid_rrf fuses them, txt_rbo_lists compares them.
+    */
+  private val hybridListsSqlPrefix: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |tfc AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM toks),
+      |q AS (SELECT DISTINCT query_id, term FROM (
+      |  SELECT query_id,
+      |    unnest(regexp_split_to_array(trim(qtext), '\s+')) AS term
+      |  FROM (VALUES (10000001, 'spark window agg'),
+      |    (10000002, 'fast hash join'),
+      |    (10000003, 'customer query table')) AS v(query_id, qtext))),
+      |sc AS (
+      |  SELECT q.query_id, tfc.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+      |      (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      |      (tf + CAST(1.2 AS DOUBLE) *
+      |        (0.25 + CAST(0.75 AS DOUBLE) * dl * n
+      |          / CAST(sumdl AS DOUBLE)))
+      |      * 1e9) / 1e9 AS DECIMAL(28,9)) AS s
+      |  FROM tfc JOIN q USING (term) JOIN dft USING (term)
+      |  CROSS JOIN stats),
+      |agg AS (SELECT query_id, doc_id, SUM(s) AS t FROM sc GROUP BY 1, 2),
+      |llist AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY t DESC, doc_id) AS rank FROM agg)
+      |  WHERE rank <= 20),
+      |aq AS (SELECT * FROM (VALUES (10000001, 10), (10000002, 20),
+      |  (10000003, 30)) v(query_id, anchor)),
+      |dq AS (SELECT aq.query_id, e.embedding AS qvec
+      |  FROM aq JOIN embeddings e ON e.vec_id = aq.anchor),
+      |dscored AS (
+      |  SELECT dq.query_id, e.vec_id AS doc_id,
+      |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(dq.qvec[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(e.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(dq.qvec,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings e CROSS JOIN dq),
+      |dlist AS (SELECT query_id, doc_id, rank FROM (
+      |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+      |  FROM dscored) WHERE rank <= 20)""".stripMargin
+
   private val plantedAnnOracle: String =
     """WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
@@ -2781,6 +2880,30 @@ object SparkEntry {
         |  md5(array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '))
         |    AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "txt_wordpiece_fertility" ->
+      s"""WITH wv(piece) AS (VALUES ${wordpieceWholeWords
+            .map(w => s"('$w')").mkString(", ")}),
+        |toks AS (
+        |  SELECT lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |pref AS (
+        |  SELECT lang, word,
+        |    coalesce((SELECT max(length(v.piece)) FROM wv v
+        |              WHERE starts_with(t.word, v.piece)), 1) AS p
+        |  FROM toks t),
+        |np AS (
+        |  SELECT lang,
+        |    1 + length(regexp_replace(substr(word, p + 1), 'ing', '#', 'g'))
+        |      AS n
+        |  FROM pref)
+        |SELECT lang,
+        |  count(*) AS n_words,
+        |  CAST(sum(n) AS BIGINT) AS n_pieces,
+        |  floor(CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS fertility
+        |FROM np GROUP BY lang ORDER BY lang""".stripMargin,
 
     "txt_quality" ->
       """WITH base AS (
@@ -4511,54 +4634,7 @@ object SparkEntry {
       // lexical leg = the txt_bm25_rank chain at k=20; dense leg = the
       // sim_ann_bruteforce cosine rank with anchor-embedding queries;
       // fusion = floor-quantized 1/(60+rank) summed as DECIMAL(28,9)
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
-        |  FROM documents),
-        |tfc AS (
-        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
-        |  GROUP BY 1, 2, 3),
-        |dft AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
-        |stats AS (SELECT COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM toks),
-        |q AS (SELECT DISTINCT query_id, term FROM (
-        |  SELECT query_id,
-        |    unnest(regexp_split_to_array(trim(qtext), '\s+')) AS term
-        |  FROM (VALUES (10000001, 'spark window agg'),
-        |    (10000002, 'fast hash join'),
-        |    (10000003, 'customer query table')) AS v(query_id, qtext))),
-        |sc AS (
-        |  SELECT q.query_id, tfc.doc_id,
-        |    CAST(floor(
-        |      ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |      (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-        |      (tf + CAST(1.2 AS DOUBLE) *
-        |        (0.25 + CAST(0.75 AS DOUBLE) * dl * n
-        |          / CAST(sumdl AS DOUBLE)))
-        |      * 1e9) / 1e9 AS DECIMAL(28,9)) AS s
-        |  FROM tfc JOIN q USING (term) JOIN dft USING (term)
-        |  CROSS JOIN stats),
-        |agg AS (SELECT query_id, doc_id, SUM(s) AS t FROM sc GROUP BY 1, 2),
-        |llist AS (SELECT query_id, doc_id, rank FROM (
-        |  SELECT query_id, doc_id, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY t DESC, doc_id) AS rank FROM agg)
-        |  WHERE rank <= 20),
-        |aq AS (SELECT * FROM (VALUES (10000001, 10), (10000002, 20),
-        |  (10000003, 30)) v(query_id, anchor)),
-        |dq AS (SELECT aq.query_id, e.embedding AS qvec
-        |  FROM aq JOIN embeddings e ON e.vec_id = aq.anchor),
-        |dscored AS (
-        |  SELECT dq.query_id, e.vec_id AS doc_id,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(dq.qvec[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(e.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(dq.qvec,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings e CROSS JOIN dq),
-        |dlist AS (SELECT query_id, doc_id, rank FROM (
-        |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
-        |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
-        |  FROM dscored) WHERE rank <= 20),
+      (hybridListsSqlPrefix + """,
         |u AS (SELECT * FROM llist UNION ALL SELECT * FROM dlist),
         |f AS (
         |  SELECT query_id, doc_id,
@@ -4571,7 +4647,28 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
         |  floor(CAST(s AS DOUBLE) * 1e9) / 1e9 AS rrf_score,
         |  n_lists, CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // same two lists, compared instead of fused: weight literals come
+    // from TextAnalysis.rboWeights — the SAME frozen 12-decimal
+    // strings the Spark side sums (IEEE pow is not cross-engine
+    // reproducible; frozen constants are)
+    "txt_rbo_lists" ->
+      (hybridListsSqlPrefix + s""",
+        |w(m, wt) AS (VALUES ${graft.functions.TextAnalysis
+          .rboWeights(0.9, 20).zipWithIndex
+          .map { case (s0, i) => s"(${i + 1}, '$s0')" }.mkString(", ")}),
+        |joint AS (
+        |  SELECT l.query_id, l.doc_id,
+        |    greatest(l.rank, d.rank) AS m
+        |  FROM llist l JOIN dlist d USING (query_id, doc_id)),
+        |per AS (
+        |  SELECT query_id, COUNT(*) AS n_joint,
+        |    SUM(CAST(w.wt AS DECIMAL(16,12))) AS s
+        |  FROM joint JOIN w ON joint.m = w.m GROUP BY query_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, n_joint,
+        |  floor(CAST(s AS DOUBLE) * ${1.0 - 0.9} * 10000) / 10000 AS rbo
+        |FROM per ORDER BY query_id""".stripMargin),
 
     "dedup_passage" ->
       """WITH toks AS (

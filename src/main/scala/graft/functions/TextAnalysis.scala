@@ -62,6 +62,46 @@ object TextAnalysis {
         col("n_lists"), col("rank"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) between two top-k
+    * rankings per query — the standard top-weighted similarity of two
+    * retrieval lists (e.g. lexical vs dense): RBO@k = (1−p) Σ_{d≤k}
+    * p^(d−1)·|A_:d ∩ B_:d|/d. Restructured per shared doc: a doc
+    * first present in both prefixes at depth m contributes
+    * W(m) = Σ_{d=m..k} p^(d−1)/d, so the whole metric is ONE
+    * equi-join on (query, doc) + a weight lookup + a per-query sum.
+    * The weights are pre-quantized 12-decimal DECIMAL literals
+    * ([[rboWeights]]) — the sum is exact and engine-replayable; an
+    * oracle must embed the SAME literals (IEEE pow is not
+    * cross-engine reproducible, frozen constants are).
+    */
+  def rboOverlap(listA: DataFrame, listB: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, p: Double = 0.9,
+      k: Int = 20): DataFrame = {
+    val wLits = array(rboWeights(p, k).map(s =>
+      expr(s"CAST('$s' AS DECIMAL(16,12))")): _*)
+    listA.alias("a")
+      .join(listB.alias("b"), Seq(queryCol, docCol))
+      .select(col(queryCol),
+        greatest(col(s"a.$rankCol"), col(s"b.$rankCol")).as("__m"))
+      .select(col(queryCol), element_at(wLits, col("__m")).as("__w"))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_joint"), sum(col("__w")).as("__s"))
+      .select(col(queryCol), col("n_joint"),
+        (floor(col("__s").cast("double") * lit(1.0 - p) * 10000) / 10000)
+          .as("rbo"))
+  }
+
+  /** W(m) = Σ_{d=m..k} p^(d−1)/d, floor-quantized to 12 decimals and
+    * stringified — the frozen weight table [[rboOverlap]] and its
+    * oracles share.
+    */
+  def rboWeights(p: Double, k: Int): Seq[String] =
+    (1 to k).map { m =>
+      val w = (m to k).map(d => math.pow(p, d - 1) / d).sum
+      java.math.BigDecimal.valueOf(w)
+        .setScale(12, java.math.RoundingMode.FLOOR).toPlainString
+    }
+
   /** Quantize a double to 4 decimals via floor — unlike round(), floor
     * is a pure IEEE-double operation with no decimal-string tie
     * semantics, so Spark and any oracle engine produce bit-identical
