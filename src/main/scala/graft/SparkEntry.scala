@@ -1768,26 +1768,23 @@ object SparkEntry {
     }),
 
     "txt_rbo_lists" -> ((s, dir) => {
-      // rank-biased overlap between the lexical and dense top-20
-      // lists (same lists txt_hybrid_rrf fuses): one equi-join on
-      // (query, doc) + a frozen-decimal weight lookup per shared doc
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // rank-biased overlap between the EXACT cosine top-20 and its
+      // int8-QUANTIZED top-20 for the same queries — RBO as the
+      // rank-damage meter of quantization (overlap is structurally
+      // high at any SF, so the gate never degenerates to 0 rows):
+      // one (query, doc) equi-join + frozen-decimal weight lookups
       val emb = t(s, dir, "embeddings")
-      val queries = Seq((10000001L, "spark window agg"),
-        (10000002L, "fast hash join"),
-        (10000003L, "customer query table")).toDF("query_id", "qtext")
-      val lex = graft.functions.TextAnalysis.bm25Rank(
-        docs, "doc_id", "text", queries, "query_id", "qtext", k = 20)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-      val anchors = Seq((10000001L, 10L), (10000002L, 20L), (10000003L, 30L))
-        .toDF("query_id", "anchor")
-      val qvecs = anchors.join(emb, col("anchor") === col("vec_id"))
-        .select(col("query_id"), col("embedding").as("qvec"))
-      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        qvecs, "query_id", "qvec", k = 20)
+      val embD = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = embD.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(embD, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 20)
         .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
-      graft.functions.TextAnalysis.rboOverlap(lex, dense,
+      val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.functions.TextAnalysis.rboOverlap(exact, quant,
           "query_id", "doc_id", "rank", p = 0.9, k = 20)
         .orderBy(col("query_id"))
     }),
@@ -4649,26 +4646,71 @@ object SparkEntry {
         |  n_lists, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
-    // same two lists, compared instead of fused: weight literals come
-    // from TextAnalysis.rboWeights — the SAME frozen 12-decimal
-    // strings the Spark side sums (IEEE pow is not cross-engine
-    // reproducible; frozen constants are)
+    // exact vs int8-quantized dense rankings compared by RBO: weight
+    // literals come from TextAnalysis.rboWeights — the SAME frozen
+    // 12-decimal strings the Spark side sums (IEEE pow is not
+    // cross-engine reproducible; frozen constants are)
     "txt_rbo_lists" ->
-      (hybridListsSqlPrefix + s""",
+      s"""WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0.0)
+        |         ELSE list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * 127 / mx + 0.5)) END AS q
+        |  FROM base),
+        |nq AS (
+        |  SELECT vec_id, q,
+        |    sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
+        |  FROM qz),
+        |qqueries AS (
+        |  SELECT vec_id AS query_id, q AS qq, qn AS qqn FROM nq
+        |  WHERE vec_id % 50 = 0),
+        |qscored AS (
+        |  SELECT qs.query_id, nq.vec_id,
+        |    CASE WHEN nq.qn * qs.qqn = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(range(1, len(nq.q) + 1),
+        |           i -> nq.q[i] * qs.qq[i])) / (nq.qn * qs.qqn) END AS cos
+        |  FROM nq CROSS JOIN qqueries qs WHERE nq.vec_id <> qs.query_id),
+        |qlist AS (SELECT query_id, vec_id, rank FROM (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM qscored) WHERE rank <= 20),
+        |dbase AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |eqs AS (SELECT vec_id AS query_id, v AS qv FROM dbase
+        |  WHERE vec_id % 50 = 0),
+        |escored AS (
+        |  SELECT e.query_id, d.vec_id,
+        |    list_sum(list_transform(range(1, len(d.v) + 1),
+        |      i -> d.v[i] * e.qv[i]))
+        |    / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(e.qv, x -> x * x)))) AS cos
+        |  FROM dbase d CROSS JOIN eqs e WHERE d.vec_id <> e.query_id),
+        |elist AS (SELECT query_id, vec_id, rank FROM (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM escored) WHERE rank <= 20),
         |w(m, wt) AS (VALUES ${graft.functions.TextAnalysis
           .rboWeights(0.9, 20).zipWithIndex
           .map { case (s0, i) => s"(${i + 1}, '$s0')" }.mkString(", ")}),
         |joint AS (
-        |  SELECT l.query_id, l.doc_id,
-        |    greatest(l.rank, d.rank) AS m
-        |  FROM llist l JOIN dlist d USING (query_id, doc_id)),
+        |  SELECT e.query_id, e.vec_id,
+        |    greatest(e.rank, q.rank) AS m
+        |  FROM elist e JOIN qlist q USING (query_id, vec_id)),
         |per AS (
         |  SELECT query_id, COUNT(*) AS n_joint,
         |    SUM(CAST(w.wt AS DECIMAL(16,12))) AS s
         |  FROM joint JOIN w ON joint.m = w.m GROUP BY query_id)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, n_joint,
+        |SELECT query_id, n_joint,
         |  floor(CAST(s AS DOUBLE) * ${1.0 - 0.9} * 10000) / 10000 AS rbo
-        |FROM per ORDER BY query_id""".stripMargin),
+        |FROM per ORDER BY query_id""".stripMargin,
 
     "dedup_passage" ->
       """WITH toks AS (
