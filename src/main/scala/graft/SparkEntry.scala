@@ -441,6 +441,15 @@ object SparkEntry {
         diffSrc(s, dir), diffTgt(s, dir), "o_totalprice")
     }),
 
+    "profile_source_cards" -> ((s, dir) =>
+      // one-row-per-source data cards: volume, mean length, dominant
+      // language (count argmax, ties to the smaller lang), exact-dup
+      // rate against the WHOLE corpus (cross-source dups count)
+      graft.operators.Profile.sourceCards(
+        t(s, dir, "documents"), "source", "doc_id", "text", "lang",
+        "n_chars")
+        .orderBy(col("source"))),
+
     "profile_correlation" -> ((s, dir) =>
       // per-group Pearson r from exact decimal moments — six numbers
       // per group through the shuffle, doubles only in the final
@@ -2732,6 +2741,37 @@ object SparkEntry {
         |  floor(max(abs(CAST(fs AS DOUBLE) / CAST(n_src AS DOUBLE)
         |    - CAST(ft AS DOUBLE) / CAST(n_tgt AS DOUBLE))) * 10000) / 10000 AS ks
         |FROM cum, tot GROUP BY n_src, n_tgt""".stripMargin,
+
+    "profile_source_cards" ->
+      """WITH fp AS (
+        |  SELECT source, doc_id, lang, n_chars,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |dups AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1),
+        |flagged AS (
+        |  SELECT fp.source, fp.lang, fp.n_chars,
+        |    CASE WHEN d.f IS NULL THEN 0 ELSE 1 END AS dup
+        |  FROM fp LEFT JOIN dups d ON fp.f = d.f),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    CAST(sum(dup) AS BIGINT) AS dup_docs
+        |  FROM flagged GROUP BY source),
+        |lc AS (SELECT source, lang, count(*) AS c
+        |  FROM flagged GROUP BY source, lang),
+        |tl AS (
+        |  SELECT source, lang AS top_lang, c AS top_lang_docs FROM (
+        |    SELECT source, lang, c, ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+        |    FROM lc) WHERE rn = 1)
+        |SELECT b.source, b.n_docs,
+        |  floor(CAST(b.chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS mean_chars,
+        |  tl.top_lang, tl.top_lang_docs, b.dup_docs,
+        |  floor(CAST(b.dup_docs AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+        |    * 10000) / 10000 AS dup_rate
+        |FROM base b JOIN tl ON b.source = tl.source
+        |ORDER BY b.source""".stripMargin,
 
     "profile_correlation" ->
       """WITH m AS (

@@ -141,6 +141,55 @@ object Profile {
       .drop("__n", "__mean", "__var")
   }
 
+  /** Per-source corpus "data cards" — the one-row-per-source summary a
+    * training-data report leads with: volume, mean length, dominant
+    * language, and the exact-duplicate rate (docs whose normalized
+    * fingerprint appears more than once ANYWHERE in the corpus —
+    * cross-source duplication counts against both sources).
+    *
+    * Shapes: counts/means partial-aggregate per source; the dominant
+    * language is a per-source row_number over the (source, lang)
+    * count table (sources × langs rows — report-sized, not
+    * corpus-sized); dup detection is one groupBy on the 16-byte
+    * fingerprint joined back as a boolean.
+    */
+  def sourceCards(docs: DataFrame, srcCol: String, idCol: String,
+      textCol: String, langCol: String, charsCol: String): DataFrame = {
+    val fp = graft.functions.TextAnalysis.fingerprint(col(textCol))
+    val withFp = docs.select(col(srcCol), col(idCol), col(langCol),
+      col(charsCol), fp.as("__fp"))
+    val dupFps = withFp.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__nfp")).filter(col("__nfp") > 1)
+      .select(col("__fp"))
+    val flagged = withFp.join(dupFps.withColumn("__dup", lit(1L)),
+        Seq("__fp"), "left")
+      .select(col(srcCol), col(langCol), col(charsCol),
+        coalesce(col("__dup"), lit(0L)).as("__dup"))
+    val base = flagged.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol).cast("long")).as("__chars"),
+        sum(col("__dup")).as("dup_docs"))
+    val langCounts = flagged.groupBy(col(srcCol), col(langCol))
+      .agg(count(lit(1)).as("__lc"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(col("__lc").desc, col(langCol).asc)
+    val topLang = langCounts
+      .withColumn("__rn", row_number().over(wSrc))
+      .filter(col("__rn") === 1)
+      .select(col(srcCol), col(langCol).as("top_lang"),
+        col("__lc").as("top_lang_docs"))
+    base.join(topLang, Seq(srcCol))
+      .select(col(srcCol), col("n_docs"),
+        graft.functions.TextAnalysis.q4(
+          col("__chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"),
+        col("top_lang"), col("top_lang_docs"), col("dup_docs"),
+        graft.functions.TextAnalysis.q4(
+          col("dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+  }
+
   /** Per-group Pearson correlation from the same exact-decimal moment
     * machinery as [[zscoreOutliers]]: (n, Σx, Σy, Σxy, Σx², Σy²)
     * accumulate as decimals (partial-agg'd, partition-order
