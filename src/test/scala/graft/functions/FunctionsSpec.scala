@@ -579,6 +579,37 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .intersect(sets(3L).toSet).size.toDouble / sets(1L).size >= 0.9))
   }
 
+  test("containmentPairs property: equals brute force on random overlapping docs") {
+    import spark.implicits._
+    // random docs built from a small token pool so substantial gram
+    // sharing happens by chance; plus explicit prefix-embeddings
+    val rnd = new scala.util.Random(9)
+    val pool = (1 to 40).map(i => s"w$i")
+    def randDoc(len: Int) =
+      (1 to len).map(_ => pool(rnd.nextInt(pool.length))).mkString(" ")
+    val bases = (1L to 40L).map(i => (i, randDoc(6 + rnd.nextInt(20))))
+    val embedded = bases.filter(_._1 % 7 == 0).map { case (id, t) =>
+      (id + 500L, t + " " + randDoc(3))
+    }
+    val docs = (bases ++ embedded).toDF("doc_id", "text")
+    Seq(0.7, 0.9, 1.0).foreach { thr =>
+      val got = Dedup.containmentPairs(docs, "doc_id", "text", thr, 3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.select(col("doc_id"),
+          Dedup.wordNgramsNative(col("text"), 3).as("ng"))
+        .as[(Long, Seq[String])].collect().toMap
+      val truth = (for {
+        a <- sets.keys; b <- sets.keys
+        if a != b && sets(a).nonEmpty
+        inter = sets(a).toSet.intersect(sets(b).toSet).size
+        c = math.floor(inter.toDouble / sets(a).size * 10000) / 10000
+        if c >= thr
+      } yield (a, b)).toSet
+      assert(got === truth, s"threshold $thr")
+    }
+  }
+
   test("LSH-verified jaccard equals all-pairs on high-similarity docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight again"
