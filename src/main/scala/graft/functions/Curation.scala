@@ -500,6 +500,12 @@ object Curation {
     * rows against the corpus-sized position table. The query doc
     * itself is filtered if it happens to land in its own draw (≤ 1
     * of the k rows, deterministically — consumers see k or k−1).
+    *
+    * Contract: the query's probe shard is drawn with a DIFFERENT salt
+    * than the permutation's shard assignment, so on corpora much
+    * smaller than ~10·nShards docs a probe shard can be empty and
+    * those queries emit no negatives (deterministically). Size
+    * nShards to the corpus; k ≤ min shard size keeps draws distinct.
     */
   def negativeSample(docs: DataFrame, idCol: String, k: Int,
       nShards: Int = 16, salt: String = "neg|"): DataFrame = {

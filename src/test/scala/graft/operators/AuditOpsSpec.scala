@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit truths for the round-6 audit/mining operators (their gates
+  * pin oracle parity; these pin hand-computed semantics).
+  */
+class AuditOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("ksDrift: hand-computed D on small samples; identical samples → 0") {
+    import spark.implicits._
+    // src = {1,2,3,4}, tgt = {3,4,5,6}: empirical CDFs diverge most
+    // at v=2 (F_src=0.5, F_tgt=0) → D = 0.5
+    val src = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val tgt = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Profile.ksDrift(src, tgt, "v").collect().head
+    assert(r.getAs[Long]("n_src") === 4L && r.getAs[Long]("n_tgt") === 4L)
+    assert(r.getAs[Double]("ks") === 0.5)
+    // identical distributions → D = 0
+    val same = Profile.ksDrift(src, src, "v").collect().head
+    assert(same.getAs[Double]("ks") === 0.0)
+    // disjoint supports → D = 1
+    val far = Seq(100.0, 101.0).toDF("v")
+    assert(Profile.ksDrift(src, far, "v").collect().head
+      .getAs[Double]("ks") === 1.0)
+  }
+
+  test("marginTopPairs: margins from hand-built geometry; mined flag") {
+    import spark.implicits._
+    // target vectors: t1 along x, t2 along y, t3 at 45°.
+    val tgt = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 1.0))).toDF("vec_id", "v")
+    // q1 nearly along x: cos(t1)=~1, cos(t3)=~0.72 → margin ≈ 1.38
+    // q2 at 45°: cos(t3)=1, cos(t1)=cos(t2)=0.7071 → margin ≈ 1.414
+    val src = Seq(
+      (10L, Seq(0.99, 0.05)), (11L, Seq(1.0, 1.0))).toDF("src_id", "q")
+    val out = graft.functions.Similarity.marginTopPairs(
+        tgt, "vec_id", "v", src, "src_id", "q", marginThreshold = 1.4)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        (r.getAs[Long]("tgt_id"), r.getAs[Double]("margin"),
+          r.getAs[Boolean]("mined"))).toMap
+    assert(out(10L)._1 === 1L)
+    assert(!out(10L)._3 && out(10L)._2 < 1.4)
+    assert(out(11L)._1 === 3L)
+    assert(out(11L)._3 && math.abs(out(11L)._2 - 1.4142) < 0.001)
+  }
+
+  test("quotaSample: caps per stratum, hash-order stability under growth") {
+    import spark.implicits._
+    val docs = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 110L).map(i => (i, "b"))).toDF("doc_id", "s")
+    val out = graft.functions.Curation.quotaSample(docs, "doc_id", "s", 15)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byS = out.groupBy(_._2)
+    assert(byS("a").length === 15)       // capped
+    assert(byS("b").length === 10)       // under quota: all kept
+    assert(out.forall(_._3 <= 15))
+    // growth stability: adding docs never evicts an already-chosen doc
+    // whose hash rank was strictly inside the quota... (new docs can
+    // displace boundary picks; the SET of ranks stays 1..cap). Check
+    // determinism instead: same picks on a different layout.
+    val again = graft.functions.Curation.quotaSample(
+      docs.repartition(7), "doc_id", "s", 15)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again === out.toSet)
+  }
+
+  test("sourceCards: cross-source duplicate counts against both sources") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sA", "en", 10L, "same text"),
+      (2L, "sB", "en", 10L, "same   TEXT"),   // ws/case dup of 1
+      (3L, "sA", "de", 20L, "unique one"),
+      (4L, "sA", "en", 30L, "unique two"))
+      .toDF("doc_id", "source", "lang", "n_chars", "text")
+    val cards = Profile.sourceCards(docs, "source", "doc_id", "text",
+        "lang", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("dup_docs"),
+          r.getAs[String]("top_lang"))).toMap
+    assert(cards("sA") === ((3L, 1L, "en")))
+    assert(cards("sB") === ((1L, 1L, "en")))
+  }
+}
