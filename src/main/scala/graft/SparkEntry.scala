@@ -1525,6 +1525,19 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", k = 4, nShards = 16)
         .orderBy(col("query_id"), col("neg_rank"))),
 
+    "curate_split_containment_safe" -> ((s, dir) => {
+      // the nastier leakage mode: a test doc QUOTED inside a train doc
+      // (directed containment) — invisible to Jaccard edges. Same
+      // cluster-representative hash split, edges = containmentPairs.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.containmentPairs(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        threshold = 0.9, n = 3)
+      graft.functions.Curation.leakageSafeSplit(docs, "doc_id", pairs,
+          salt = "splitc|")
+        .orderBy(col("doc_id"))
+    }),
+
     "curate_split_leakage_safe" -> ((s, dir) => {
       // leakage-safe split: hash the near-dup CLUSTER representative,
       // not the doc — no near-dup pair may straddle train/test (the
@@ -4247,6 +4260,53 @@ object SparkEntry {
         |JOIN pp ON p.shard = pp.shard AND p.pos = pp.pos
         |WHERE pp.doc_id <> p.query_id
         |ORDER BY query_id, neg_rank""".stripMargin,
+
+    "curate_split_containment_safe" ->
+      // ground-truth containment pairs (all gram-sharing pairs ≥ 0.9)
+      // → symmetric reachability → cluster-representative md5 bucket
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |nz AS (SELECT doc_id, ngrams FROM ng WHERE len(ngrams) > 0),
+        |gr AS (SELECT doc_id, unnest(ngrams) AS gram FROM nz),
+        |shared AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+        |sc AS (
+        |  SELECT s.id_a, s.id_b
+        |  FROM shared s
+        |  JOIN nz a ON s.id_a = a.doc_id JOIN nz b ON s.id_b = b.doc_id
+        |  WHERE floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE)
+        |    / len(a.ngrams) * 10000) / 10000 >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM sc
+        |  UNION ALL SELECT id_b, id_a FROM sc),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |bk AS (SELECT doc_id, cluster_id,
+        |  CAST(('0x' || substr(md5('splitc|' || CAST(cluster_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM lab)
+        |SELECT doc_id, cluster_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     "curate_split_leakage_safe" ->
       // cc reachability (shared prefix) + singleton fill-in, then the
