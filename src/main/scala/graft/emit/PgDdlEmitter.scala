@@ -20,9 +20,7 @@ import graft.convert._
   * (pl:2593–2601).
   */
 final class PgDdlEmitter(conf: Config = Config()) {
-
-  final case class Output(before: String, after: String, unsure: String,
-      colMap: String, warnings: Seq[String])
+  import PgDdlEmitter.Output
 
   private def fmt(s: String): String = Identifiers.format(s, conf)._1
   private def qual(schema: String, name: String): String =
@@ -289,4 +287,11 @@ final class PgDdlEmitter(conf: Config = Config()) {
   }
 
   private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+}
+
+object PgDdlEmitter {
+  /** Emitted script set (moved out of the class so the case-class
+    * type test needs no outer reference). */
+  final case class Output(before: String, after: String, unsure: String,
+      colMap: String, warnings: Seq[String])
 }

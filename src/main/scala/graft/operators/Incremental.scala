@@ -172,7 +172,7 @@ object Incremental {
     val rebuiltRows = dataOld
       .join(touchedKeys.hint("broadcast"), Seq(keyCol), "left_semi")
       .join(touchedRows.hint("broadcast"), Seq(rowIdCol), "left_anti")
-      .unionByName(upserts.select(dataOld.columns.map(col): _*))
+      .unionByName(upserts.select(dataOld.columns.toIndexedSeq.map(col): _*))
     val rebuiltState = aggState(rebuiltRows, keyCol, valueCols)
     state.join(touchedKeys.hint("broadcast"), Seq(keyCol), "left_anti")
       .unionByName(rebuiltState)
