@@ -431,6 +431,12 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "source", cap = 20)
         .orderBy(col("doc_id"))),
 
+    "profile_ks_drift_bucketed" -> ((s, dir) =>
+      // the corpus-scale KS path: 64 equal-width bins over combined
+      // bounds — cum pass over ≤64 rows, never per distinct value
+      graft.operators.Profile.ksDriftBucketed(
+        diffSrc(s, dir), diffTgt(s, dir), "o_totalprice", buckets = 64)),
+
     "profile_ks_drift" -> ((s, dir) => {
       // distribution-drift audit over the diff fixture: target
       // perturbs o_totalprice (+1.0 on keys %7=0) and drops/adds
@@ -2727,6 +2733,41 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, pick_rank FROM r
         |WHERE pick_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    "profile_ks_drift_bucketed" ->
+      """WITH src AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 10 <> 4),
+        |tgt AS (
+        |  SELECT CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |    ELSE o_totalprice END AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |u AS (
+        |  SELECT v, 1 AS s, 0 AS t FROM src WHERE v IS NOT NULL
+        |  UNION ALL
+        |  SELECT v, 0 AS s, 1 AS t FROM tgt WHERE v IS NOT NULL),
+        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM u),
+        |binned AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(63, CAST(floor((v - lo) / (hi - lo) * 64) AS BIGINT))
+        |    END AS bin, s, t
+        |  FROM u, bounds),
+        |pb AS (
+        |  SELECT bin, CAST(sum(s) AS BIGINT) AS cs,
+        |    CAST(sum(t) AS BIGINT) AS ct
+        |  FROM binned GROUP BY bin),
+        |cum AS (
+        |  SELECT bin,
+        |    CAST(sum(cs) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fs,
+        |    CAST(sum(ct) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ft
+        |  FROM pb),
+        |tot AS (SELECT CAST(sum(s) AS BIGINT) AS n_src,
+        |  CAST(sum(t) AS BIGINT) AS n_tgt FROM u)
+        |SELECT n_src, n_tgt,
+        |  floor(max(abs(CAST(fs AS DOUBLE) / CAST(n_src AS DOUBLE)
+        |    - CAST(ft AS DOUBLE) / CAST(n_tgt AS DOUBLE))) * 10000) / 10000
+        |    AS ks_bucketed
+        |FROM cum, tot GROUP BY n_src, n_tgt""".stripMargin,
 
     "profile_ks_drift" ->
       """WITH src AS (

@@ -260,6 +260,50 @@ object Profile {
       .agg((floor(max(col("__d")) * 10000) / 10000).as("ks"))
   }
 
+  /** Corpus-scale variant of [[ksDrift]]: values pre-bucket into
+    * `buckets` equal-width bins over the COMBINED min/max (a 1-row
+    * broadcast), so the cumulative pass runs over at most `buckets`
+    * rows instead of every distinct value — the unpartitioned window
+    * becomes a report-sized detail. D is computed at bucket
+    * resolution: a LOWER bound of the exact statistic that converges
+    * as buckets grow (bucket edges only ever merge CDF evaluation
+    * points). Bin arithmetic is a fixed double expression any engine
+    * replays.
+    */
+  def ksDriftBucketed(src: DataFrame, tgt: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    val both = src.select(col(valueCol).cast("double").as("__v"),
+        lit(1L).as("__s"), lit(0L).as("__t"))
+      .unionByName(tgt.select(col(valueCol).cast("double").as("__v"),
+        lit(0L).as("__s"), lit(1L).as("__t")))
+      .filter(col("__v").isNotNull)
+    val bounds = both.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = both.crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(buckets - 1).cast("long"),
+            floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * buckets).cast("long"))).as("__bin"),
+        col("__s"), col("__t"))
+    val perBin = binned.groupBy(col("__bin"))
+      .agg(sum(col("__s")).as("__cs"), sum(col("__t")).as("__ct"))
+    val totals = binned.agg(sum(col("__s")).as("n_src"),
+      sum(col("__t")).as("n_tgt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBin
+      .select(col("__bin"), sum(col("__cs")).over(w).as("__fs"),
+        sum(col("__ct")).over(w).as("__ft"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_src"), col("n_tgt"),
+        abs(col("__fs").cast("double") / col("n_src").cast("double") -
+          col("__ft").cast("double") / col("n_tgt").cast("double"))
+          .as("__d"))
+      .groupBy(col("n_src"), col("n_tgt"))
+      .agg((floor(max(col("__d")) * 10000) / 10000).as("ks_bucketed"))
+  }
+
   /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
     * of `zscoreOutliers`: one planted 1000× value dilates a stddev
     * enough to hide real outliers, but moves the median not at all.

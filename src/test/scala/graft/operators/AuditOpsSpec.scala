@@ -27,6 +27,25 @@ class AuditOpsSpec extends AnyFunSuite with SparkTestBase {
       .getAs[Double]("ks") === 1.0)
   }
 
+  test("ksDriftBucketed: lower-bounds exact D, converges with buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val src = (1 to 400).map(_ => rnd.nextDouble() * 100).toDF("v")
+    val tgt = (1 to 400).map(_ => rnd.nextDouble() * 100 + 15).toDF("v")
+    val exact = Profile.ksDrift(src, tgt, "v").collect().head
+      .getAs[Double]("ks")
+    val coarse = Profile.ksDriftBucketed(src, tgt, "v", 8).collect().head
+      .getAs[Double]("ks_bucketed")
+    val fine = Profile.ksDriftBucketed(src, tgt, "v", 512).collect().head
+      .getAs[Double]("ks_bucketed")
+    assert(coarse <= exact + 1e-9)
+    assert(fine <= exact + 1e-9)
+    assert(fine >= coarse - 1e-9)          // refinement never loses
+    assert(exact - fine < 0.02)            // 512 bins ≈ exact here
+    // a planted shift this large must be visible even at 8 bins
+    assert(coarse > 0.05)
+  }
+
   test("marginTopPairs: margins from hand-built geometry; mined flag") {
     import spark.implicits._
     // target vectors: t1 along x, t2 along y, t3 at 45°.
