@@ -1531,6 +1531,45 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", k = 4, nShards = 16)
         .orderBy(col("query_id"), col("neg_rank"))),
 
+    "curate_contamination_matrix" -> ((s, dir) => {
+      // source × benchmark overlap triage: three synthetic eval
+      // suites (bench_id = doc_id % 3 over the held-out slice), per
+      // cell a theta intersection estimate checked against the exact
+      // truth within tolerance — the "which sources leak into which
+      // evals" answer, no corpus-vs-bench gram join
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") % 3).as("bench_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val est = graft.functions.Curation.contaminationSketchMatrix(
+        corpus, "source", bench, "bench_id", "text", n = 4)
+      def grams(df: org.apache.spark.sql.DataFrame, keys: Seq[Column]) =
+        df.select((keys :+ explode(
+          Dedup.wordNgramsNative(col("text"), 4)).as("g")): _*)
+      val segD = grams(corpus, Seq(col("source"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val benchD = grams(bench, Seq(col("bench_id"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nG = segD.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val nB = benchD.groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("__n_bench"))
+      val ov = segD.join(benchD, "g")
+        .groupBy(col("source"), col("bench_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      def ok(e: Column, exact: Column, scale: Column) =
+        abs(e - exact).cast("double") <= lit(0.06) * scale + lit(1.0)
+      est.join(nG, "source")
+        .join(broadcast(nB), "bench_id")
+        .join(ov, Seq("source", "bench_id"), "left")
+        .select(col("source"), col("bench_id"), col("n_grams"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          ok(col("est_grams"), col("n_grams"), col("n_grams"))
+            .as("grams_ok"),
+          ok(col("est_overlap"), coalesce(col("n_overlap"), lit(0L)),
+            col("n_grams") + col("__n_bench")).as("overlap_ok"))
+        .orderBy(col("source"), col("bench_id"))
+    }),
+
     "curate_split_containment_safe" -> ((s, dir) => {
       // the nastier leakage mode: a test doc QUOTED inside a train doc
       // (directed containment) — invisible to Jaccard edges. Same
@@ -4505,6 +4544,42 @@ object SparkEntry {
         |  TRUE AS grams_ok, TRUE AS overlap_ok
         |FROM ngc n LEFT JOIN ov o ON n.source = o.source
         |ORDER BY n.source""".stripMargin,
+
+    "curate_contamination_matrix" ->
+      // exact (source × benchmark) truths + always-true tolerance
+      // booleans; full matrix via cross join of the marginals
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(tk) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT doc_id % 3 AS bench_id, g FROM (
+        |    SELECT doc_id, unnest(ngrams) AS g FROM ng WHERE doc_id % 37 = 0)),
+        |seg AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(ngrams) AS g FROM ng
+        |    WHERE doc_id % 37 <> 0)),
+        |ngc AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM seg GROUP BY 1),
+        |bid AS (SELECT DISTINCT bench_id FROM bench),
+        |ov AS (
+        |  SELECT s.source, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM seg s JOIN bench b ON s.g = b.g GROUP BY 1, 2)
+        |SELECT n.source, bid.bench_id, n.n_grams,
+        |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  TRUE AS grams_ok, TRUE AS overlap_ok
+        |FROM ngc n CROSS JOIN bid
+        |LEFT JOIN ov o ON n.source = o.source AND bid.bench_id = o.bench_id
+        |ORDER BY n.source, bid.bench_id""".stripMargin,
 
     "curate_url_canonical" ->
       // replays construction + every canonicalization rule with RE2

@@ -749,6 +749,34 @@ object Curation {
           .as("est_overlap"))
   }
 
+  /** Source × benchmark contamination MATRIX — [[contaminationSketchReport]]
+    * with the benchmark side also segmented (one eval suite per
+    * `benchSegCol` value): every (source, benchmark) cell gets an
+    * overlap estimate from the two pre-aggregated sketches, so "which
+    * sources leak into which benchmarks" is answered without a single
+    * corpus-vs-bench gram join. Cells = sources × benchmarks (the
+    * benchmark sketch table broadcasts); estimate arithmetic runs on
+    * post-aggregation rows only.
+    */
+  def contaminationSketchMatrix(corpus: DataFrame, segCol: String,
+      bench: DataFrame, benchSegCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    def gramStream(df: DataFrame, keyCols: Seq[Column]) =
+      df.select((keyCols :+ explode(
+        Dedup.wordNgramsNative(col(textCol), n)).as("__g")): _*)
+    val segSk = gramStream(corpus, Seq(col(segCol)))
+      .groupBy(col(segCol))
+      .agg(Theta.thetaSketchAgg(xxhash64(col("__g"))).as("__sk"))
+    val benchSk = gramStream(bench, Seq(col(benchSegCol)))
+      .groupBy(col(benchSegCol))
+      .agg(Theta.thetaSketchAgg(xxhash64(col("__g"))).as("__skb"))
+    segSk.crossJoin(broadcast(benchSk))
+      .select(col(segCol), col(benchSegCol),
+        Theta.thetaEstimate(col("__sk")).as("est_grams"),
+        Theta.thetaIntersectEstimate(col("__sk"), col("__skb"))
+          .as("est_overlap"))
+  }
+
   /** Realize a [[temperatureMixture]]: keep a document iff its salted
     * hash bucket (per-million) falls under its source's keep rate.
     * Deterministic, stable under corpus growth (a document's fate
