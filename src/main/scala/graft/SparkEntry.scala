@@ -431,6 +431,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "source", cap = 20)
         .orderBy(col("doc_id"))),
 
+    "profile_psi_drift" -> ((s, dir) =>
+      // the monitoring-standard PSI over the same 64-bin layout as
+      // the bucketed KS; Laplace-smoothed shares, ln terms quantized
+      // and decimal-summed (the BM25 convention)
+      graft.operators.Profile.psiDrift(
+        diffSrc(s, dir), diffTgt(s, dir), "o_totalprice", buckets = 64)),
+
     "profile_ks_drift_bucketed" -> ((s, dir) =>
       // the corpus-scale KS path: 64 equal-width bins over combined
       // bounds — cum pass over ≤64 rows, never per distinct value
@@ -2772,6 +2779,43 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, pick_rank FROM r
         |WHERE pick_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    "profile_psi_drift" ->
+      """WITH src AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 10 <> 4),
+        |tgt AS (
+        |  SELECT CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |    ELSE o_totalprice END AS DOUBLE) AS v
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |u AS (
+        |  SELECT v, 1 AS s, 0 AS t FROM src WHERE v IS NOT NULL
+        |  UNION ALL
+        |  SELECT v, 0 AS s, 1 AS t FROM tgt WHERE v IS NOT NULL),
+        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM u),
+        |binned AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(63, CAST(floor((v - lo) / (hi - lo) * 64) AS BIGINT))
+        |    END AS bin, s, t
+        |  FROM u, bounds),
+        |pb AS (
+        |  SELECT bin, CAST(sum(s) AS BIGINT) AS cs,
+        |    CAST(sum(t) AS BIGINT) AS ct
+        |  FROM binned GROUP BY bin),
+        |tot AS (SELECT CAST(sum(s) AS BIGINT) AS n_src,
+        |  CAST(sum(t) AS BIGINT) AS n_tgt FROM u),
+        |terms AS (
+        |  SELECT n_src, n_tgt,
+        |    CAST(floor(
+        |      (CAST(cs + 1 AS DOUBLE) / CAST(n_src + 64 AS DOUBLE)
+        |        - CAST(ct + 1 AS DOUBLE) / CAST(n_tgt + 64 AS DOUBLE))
+        |      * ln((CAST(cs + 1 AS DOUBLE) / CAST(n_src + 64 AS DOUBLE))
+        |        / (CAST(ct + 1 AS DOUBLE) / CAST(n_tgt + 64 AS DOUBLE)))
+        |      * 1e9) / 1e9 AS DECIMAL(28,9)) AS term
+        |  FROM pb, tot)
+        |SELECT n_src, n_tgt,
+        |  floor(CAST(sum(term) AS DOUBLE) * 10000) / 10000 AS psi
+        |FROM terms GROUP BY n_src, n_tgt""".stripMargin,
 
     "profile_ks_drift_bucketed" ->
       """WITH src AS (

@@ -304,6 +304,47 @@ object Profile {
       .agg((floor(max(col("__d")) * 10000) / 10000).as("ks_bucketed"))
   }
 
+  /** Population stability index over the same equal-width binning as
+    * [[ksDriftBucketed]] — the monitoring-standard drift score
+    * (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); rule of thumb: <0.1 stable,
+    * >0.25 shifted). Laplace-smoothed bin shares (+1 per bin) keep
+    * empty bins finite. Each bin term floor-quantizes to 9 decimals
+    * and sums as DECIMAL — the BM25-oracle convention that makes a
+    * ln()-bearing score order-independent and engine-replayable.
+    */
+  def psiDrift(src: DataFrame, tgt: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    val both = src.select(col(valueCol).cast("double").as("__v"),
+        lit(1L).as("__s"), lit(0L).as("__t"))
+      .unionByName(tgt.select(col(valueCol).cast("double").as("__v"),
+        lit(0L).as("__s"), lit(1L).as("__t")))
+      .filter(col("__v").isNotNull)
+    val bounds = both.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = both.crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(buckets - 1).cast("long"),
+            floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * buckets).cast("long"))).as("__bin"),
+        col("__s"), col("__t"))
+    val perBin = binned.groupBy(col("__bin"))
+      .agg(sum(col("__s")).as("__cs"), sum(col("__t")).as("__ct"))
+    val totals = binned.agg(sum(col("__s")).as("n_src"),
+      sum(col("__t")).as("n_tgt"))
+    val p = (col("__cs") + 1).cast("double") /
+      (col("n_src") + buckets).cast("double")
+    val q = (col("__ct") + 1).cast("double") /
+      (col("n_tgt") + buckets).cast("double")
+    perBin.crossJoin(broadcast(totals))
+      .select(col("n_src"), col("n_tgt"),
+        (floor((p - q) * log(p / q) * 1e9) / 1e9)
+          .cast("decimal(28,9)").as("__term"))
+      .groupBy(col("n_src"), col("n_tgt"))
+      .agg((floor(sum(col("__term")).cast("double") * 10000) / 10000)
+        .as("psi"))
+  }
+
   /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin
     * of `zscoreOutliers`: one planted 1000× value dilates a stddev
     * enough to hide real outliers, but moves the median not at all.
