@@ -431,6 +431,21 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "source", cap = 20)
         .orderBy(col("doc_id"))),
 
+    "profile_impute_mean" -> ((s, dir) => {
+      // data repair: plant NULLs on keys %13=0, refill with the
+      // priority-group mean from exact decimal sums (quantized filled
+      // values, auditable was_imputed flag)
+      val holes = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_orderkey") % 13 === 0, lit(null))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.operators.Profile.imputeGroupMean(holes,
+          "o_orderpriority", "o_totalprice")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice_filled"), col("was_imputed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "profile_psi_drift" -> ((s, dir) =>
       // the monitoring-standard PSI over the same 64-bin layout as
       // the bucketed KS; Laplace-smoothed shares, ln terms quantized
@@ -2779,6 +2794,24 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, pick_rank FROM r
         |WHERE pick_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    "profile_impute_mean" ->
+      """WITH holes AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |      ELSE o_totalprice END AS v
+        |  FROM orders),
+        |means AS (
+        |  SELECT o_orderpriority,
+        |    floor(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) * 10000) / 10000 AS m
+        |  FROM holes WHERE v IS NOT NULL GROUP BY o_orderpriority)
+        |SELECT h.o_orderkey, h.o_orderpriority,
+        |  COALESCE(CAST(h.v AS DOUBLE), m.m) AS o_totalprice_filled,
+        |  (h.v IS NULL AND m.m IS NOT NULL) AS was_imputed
+        |FROM holes h LEFT JOIN means m
+        |  ON h.o_orderpriority = m.o_orderpriority
+        |ORDER BY h.o_orderkey""".stripMargin,
 
     "profile_psi_drift" ->
       """WITH src AS (

@@ -304,6 +304,32 @@ object Profile {
       .agg((floor(max(col("__d")) * 10000) / 10000).as("ks_bucketed"))
   }
 
+  /** Group-mean imputation — the data-repair step after a migration
+    * audit finds a column with holes: NULLs fill with their group's
+    * mean computed from EXACT decimal sums (deterministic across
+    * engines/partitionings; the filled value is floor-quantized to 4
+    * decimals so replay is exact), non-null values pass through
+    * untouched, and `was_imputed` keeps the repair auditable. Groups
+    * that are entirely NULL stay NULL (no global fallback — that is a
+    * policy decision, not a default).
+    */
+  def imputeGroupMean(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,4)")
+    val means = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"))
+      .select(col(groupCol),
+        graft.functions.TextAnalysis.q4(
+          col("__s").cast("double") / col("__n")).as("__mean"))
+    df.join(means, Seq(groupCol), "left")
+      .withColumn("was_imputed",
+        col(valueCol).isNull && col("__mean").isNotNull)
+      .withColumn(valueCol + "_filled",
+        coalesce(col(valueCol).cast("double"), col("__mean")))
+      .drop("__mean")
+  }
+
   /** Population stability index over the same equal-width binning as
     * [[ksDriftBucketed]] — the monitoring-standard drift score
     * (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); rule of thumb: <0.1 stable,
