@@ -66,8 +66,25 @@ object SyncDemo {
       .filter(col(DiffSync.FlagCol) =!= "identical").count()
     println(s"post-sync differences: $diffsLeft " +
       (if (diffsLeft == 0) "(SYNC OK)" else "(SYNC FAILED)"))
+
+    // distribution audit closes the loop: post-sync KS and PSI must
+    // be exactly 0. (The pre-sync perturbation here is deliberately
+    // distribution-INVISIBLE — +5 on ~13% of thousand-scale values
+    // barely moves any rank — which is precisely the division of
+    // labor: the row-level diff catches value edits, the drift audit
+    // catches shape changes a row diff can't see on append-only or
+    // sampled targets.)
+    val postKs = graft.operators.Profile
+      .ksDrift(src, after, "o_totalprice").collect().head.getAs[Double]("ks")
+    val postPsi = graft.operators.Profile
+      .psiDrift(src, after, "o_totalprice", 32).collect().head
+      .getAs[Double]("psi")
+    println(f"distribution audit: post-sync KS = $postKs%.4f, " +
+      f"PSI = $postPsi%.4f " +
+      (if (postKs == 0.0 && postPsi == 0.0) "(AUDIT OK)"
+       else "(AUDIT FAILED)"))
     conn.close()
     spark.stop()
-    if (diffsLeft != 0) sys.exit(1)
+    if (diffsLeft != 0 || postKs != 0.0) sys.exit(1)
   }
 }
