@@ -71,6 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordpieceTokenize].getName,
         "wordpiece_tokenize"),
       (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "wordpiece_tokenize(word, 'piece1,piece2,…') takes exactly 2 arguments")
         val vocab = children(1) match {
           case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
             s.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
