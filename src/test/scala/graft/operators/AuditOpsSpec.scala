@@ -87,6 +87,33 @@ class AuditOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(again === out.toSet)
   }
 
+  test("rboOverlap: identical lists hit the 1 - p^k closed form; shifts decay") {
+    import spark.implicits._
+    val list = (1 to 20).map(d => (1L, d.toLong * 100, d)).toDF(
+      "query_id", "doc_id", "rank")
+    val same = graft.functions.TextAnalysis.rboOverlap(
+        list, list, "query_id", "doc_id", "rank", p = 0.9, k = 20)
+      .collect().head
+    assert(same.getAs[Long]("n_joint") === 20L)
+    // RBO of identical top-k lists = (1-p)·Σ p^(d-1) = 1 - p^k;
+    // frozen floor-quantized weights land just below the exact value
+    val exact = 1.0 - math.pow(0.9, 20)
+    val got = same.getAs[Double]("rbo")
+    assert(got <= exact && exact - got < 1e-3, s"$got vs $exact")
+    // one-position rotation loses top-weighted mass but stays high
+    val shifted = (1 to 20).map(d => (1L, (d % 20 + 1).toLong * 100, d))
+      .toDF("query_id", "doc_id", "rank")
+    val rot = graft.functions.TextAnalysis.rboOverlap(
+        list, shifted, "query_id", "doc_id", "rank", p = 0.9, k = 20)
+      .collect().head.getAs[Double]("rbo")
+    assert(rot < got && rot > 0.5)
+    // disjoint lists: no shared docs → no output row for the query
+    val other = (1 to 20).map(d => (1L, d.toLong + 9000, d)).toDF(
+      "query_id", "doc_id", "rank")
+    assert(graft.functions.TextAnalysis.rboOverlap(
+      list, other, "query_id", "doc_id", "rank").count() === 0L)
+  }
+
   test("sourceCards: cross-source duplicate counts against both sources") {
     import spark.implicits._
     val docs = Seq(
