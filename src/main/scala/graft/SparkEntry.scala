@@ -512,6 +512,14 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_idx"))
     }),
 
+    "events_transitions" -> ((s, dir) =>
+      // per-user lag-1 behavioral transition matrix with exact counts
+      // and row-normalized probabilities — the Markov complement of
+      // the fixed-order funnel
+      graft.operators.Sessionize.transitionMatrix(events(s, dir),
+        "user_id", "event_type", col("ts"), "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+
     "events_ohlc" -> ((s, dir) =>
       // OHLC bars per (type, hour): open/close via min_by/max_by on the
       // (ts, event_id) struct — PARTIAL-AGGREGABLE argmin/argmax, not a
@@ -2988,6 +2996,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
         |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, hour_idx""".stripMargin,
+
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  floor(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 10000) / 10000
+        |    AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "events_ohlc" ->
       """WITH e AS (

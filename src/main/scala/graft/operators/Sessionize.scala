@@ -109,6 +109,38 @@ object Sessionize {
     * broadcast self-join on that tiny frame. No windows, no
     * full-matrix crossjoin.
     */
+  /** First-order behavioral transition matrix: for every user, each
+    * event's type paired with the NEXT event's type (lag-1 over the
+    * per-user timeline), aggregated to (from_type, to_type) counts
+    * and row-normalized probabilities — the Markov-chain complement
+    * of [[funnel]] (funnel checks ONE prescribed order; this measures
+    * every observed order). Each user's last event has no successor
+    * and drops out.
+    *
+    * Shape: one window partitioned by user (bounded by a user's
+    * events), then a types²-sized partial-agg'd groupBy; the per-from
+    * totals join back on the tiny matrix frame. Probabilities are
+    * exact count ratios floor-quantized to 4 decimals.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: Column, idCol: String): DataFrame = {
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"), tsCol.as("__ts"),
+        col(idCol).as("__id"))
+      .withColumn("to_type", lead(col("from_type"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol)).orderBy(col("__ts"), col("__id"))))
+      .filter(col("to_type").isNotNull)
+    val cells = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    cells.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n").cast("double") / col("__tot").cast("double")
+          * 10000) / 10000).as("p"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String, tsCol: Column,
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, "periodDays must be > 0")
