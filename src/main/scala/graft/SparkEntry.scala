@@ -147,6 +147,20 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q_window_ranks" -> ((s, dir) => {
+      // the statistical window-rank family: ntile quartiles,
+      // percent_rank, cume_dist — all pure count arithmetic over the
+      // same (group, order) window, engine-identical by construction
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          TextAnalysis.q4(percent_rank().over(w)).as("pct_rank"),
+          TextAnalysis.q4(cume_dist().over(w)).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -2701,6 +2715,16 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  floor(percent_rank() OVER w * 10000) / 10000 AS pct_rank,
+        |  floor(cume_dist() OVER w * 10000) / 10000 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
