@@ -526,6 +526,13 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_idx"))
     }),
 
+    "events_top_paths" -> ((s, dir) =>
+      // top-10 length-3 behavioral paths: per-user lead windows →
+      // global partial-agg'd counts → TakeOrdered (the path-mining
+      // complement of the transition matrix)
+      graft.operators.Sessionize.topPaths(events(s, dir),
+        "user_id", "event_type", col("ts"), "event_id", n = 3, k = 10)),
+
     "events_transitions" -> ((s, dir) =>
       // per-user lag-1 behavioral transition matrix with exact counts
       // and row-normalized probabilities — the Markov complement of
@@ -3020,6 +3027,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
         |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, hour_idx""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH p AS (
+        |  SELECT event_type AS t0,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
+        |    count(*) AS n_paths
+        |  FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT path, n_paths FROM c
+        |ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
 
     "events_transitions" ->
       """WITH p AS (

@@ -141,6 +141,36 @@ object Sessionize {
           * 10000) / 10000).as("p"))
   }
 
+  /** Top length-`n` event paths: every user's consecutive event-type
+    * n-gram (lead windows over the per-user timeline), counted
+    * globally and top-k'd — "what do users actually DO in sequence",
+    * the path-mining complement of [[transitionMatrix]] (n = 2) and
+    * [[funnel]] (one prescribed path). Paths ending inside another
+    * user never form (the window partitions by user).
+    *
+    * Shape: per-user window (bounded by a user's events) → map-side
+    * concat → types^n-bounded partial-agg'd count → TakeOrdered k.
+    */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: Column, idCol: String, n: Int = 3, k: Int = 10): DataFrame = {
+    require(n >= 2 && k >= 1, "need n >= 2 and k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("__ts"), col("__id"))
+    val base = events.select(col(userCol), col(typeCol).as("__t0"),
+      tsCol.as("__ts"), col(idCol).as("__id"))
+    val withSteps = (1 until n).foldLeft(base) { (df, i) =>
+      df.withColumn(s"__t$i", lead(col("__t0"), i).over(w))
+    }
+    withSteps
+      .filter((1 until n).map(i => col(s"__t$i").isNotNull)
+        .reduce(_ && _))
+      .select(concat_ws(" > ",
+        (0 until n).map(i => col(s"__t$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(k)
+  }
+
   def cohortRetention(events: DataFrame, userCol: String, tsCol: Column,
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, "periodDays must be > 0")
