@@ -445,6 +445,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "source", cap = 20)
         .orderBy(col("doc_id"))),
 
+    "profile_benford" -> ((s, dir) =>
+      // forensic leading-digit audit of o_totalprice vs the Benford
+      // expectation (string-safe digit extraction, quantized shares)
+      graft.operators.Profile.benfordAudit(
+        t(s, dir, "orders"), "o_totalprice")
+        .orderBy(col("digit"))),
+
     "profile_impute_mean" -> ((s, dir) => {
       // data repair: plant NULLs on keys %13=0, refill with the
       // priority-group mean from exact decimal sums (quantized filled
@@ -2833,6 +2840,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, pick_rank FROM r
         |WHERE pick_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    "profile_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(abs(CAST(o_totalprice AS DOUBLE)))
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND CAST(floor(abs(CAST(o_totalprice AS DOUBLE))) AS BIGINT) >= 1),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        |SELECT digit, n,
+        |  floor(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 10000) / 10000
+        |    AS obs_share,
+        |  floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 10000)
+        |    / 10000 AS exp_share,
+        |  floor(abs(
+        |    floor(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 10000) / 10000
+        |    - floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 10000)
+        |      / 10000) * 10000) / 10000 AS dev
+        |FROM c, tot ORDER BY digit""".stripMargin,
 
     "profile_impute_mean" ->
       """WITH holes AS (

@@ -304,6 +304,31 @@ object Profile {
       .agg((floor(max(col("__d")) * 10000) / 10000).as("ks_bucketed"))
   }
 
+  /** Benford leading-digit audit — the forensic screen for fabricated
+    * or unit-mangled numeric columns: naturally-grown magnitudes
+    * follow P(d) = log₁₀(1 + 1/d); a flat or spiked digit histogram
+    * flags synthetic fills, truncation, or currency-unit mistakes the
+    * row diff can't see. The leading digit extracts via BIGINT →
+    * string (exact decimal formatting in any engine — float log10 of
+    * exact powers is an off-by-one trap), shares and expectations are
+    * floor-quantized doubles from exact counts.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val iv = floor(abs(col(valueCol).cast("double"))).cast("bigint")
+    val digits = df.filter(col(valueCol).isNotNull && iv >= 1)
+      .select(substring(iv.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("__tot"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (floor(col("n").cast("double") / col("__tot").cast("double")
+          * 10000) / 10000).as("obs_share"),
+        (floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)) * 10000) / 10000).as("exp_share"))
+      .withColumn("dev",
+        floor(abs(col("obs_share") - col("exp_share")) * 10000) / 10000)
+  }
+
   /** Group-mean imputation — the data-repair step after a migration
     * audit finds a column with holes: NULLs fill with their group's
     * mean computed from EXACT decimal sums (deterministic across
