@@ -83,6 +83,11 @@ object TextAnalysis {
       .join(listB.alias("b"), Seq(queryCol, docCol))
       .select(col(queryCol),
         greatest(col(s"a.$rankCol"), col(s"b.$rankCol")).as("__m"))
+      // docs first co-present deeper than k contribute nothing to
+      // RBO@k — and the filter keeps element_at inside the weight
+      // array when callers pass lists longer than k (ANSI errors on
+      // out-of-range element_at)
+      .filter(col("__m") <= k)
       .select(col(queryCol), element_at(wLits, col("__m")).as("__w"))
       .groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_joint"), sum(col("__w")).as("__s"))
