@@ -114,6 +114,26 @@ class AuditOpsSpec extends AnyFunSuite with SparkTestBase {
       list, other, "query_id", "doc_id", "rank").count() === 0L)
   }
 
+  test("benfordAudit: log-uniform data fits, uniform data deviates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // log-uniform magnitudes across 4 decades — Benford by construction
+    val benford = (1 to 4000).map(_ =>
+      math.pow(10.0, rnd.nextDouble() * 4)).toDF("v")
+    val fit = Profile.benfordAudit(benford, "v").collect()
+    assert(fit.map(_.getAs[Int]("digit")).sorted.toSeq === (1 to 9))
+    assert(fit.map(_.getAs[Double]("dev")).max < 0.03)
+    // digit-1 share must dominate (≈0.301)
+    val d1 = fit.find(_.getAs[Int]("digit") == 1).get
+    assert(math.abs(d1.getAs[Double]("obs_share") - 0.301) < 0.03)
+    // uniform [1, 10): every leading digit equally likely → digit 1 at
+    // ~0.111 vs expected 0.301 → dev ≈ 0.19
+    val uniform = (1 to 4000).map(_ => 1.0 + rnd.nextDouble() * 9).toDF("v")
+    val flat = Profile.benfordAudit(uniform, "v").collect()
+    val flatD1 = flat.find(_.getAs[Int]("digit") == 1).get
+    assert(flatD1.getAs[Double]("dev") > 0.1)
+  }
+
   test("sourceCards: cross-source duplicate counts against both sources") {
     import spark.implicits._
     val docs = Seq(
