@@ -209,6 +209,51 @@ object EventStream {
       .toDF("doc_id", "text", "fp")
   }
 
+  /** Streaming twin of `Sessionize.transitionMatrix`'s pair stage:
+    * per-user keyed state holds the LAST event (type + event time),
+    * and each arrival emits one (from_type, to_type) transition —
+    * the same pairs the batch lag-1 window produces over the stream's
+    * prefix (parity-spec'd), delivered incrementally. Downstream, a
+    * streaming or batch count over the emitted pairs maintains the
+    * live transition matrix. State is one (type, ts) per user.
+    *
+    * Within a micro-batch, a user's events process in (ts, id) order,
+    * so cross-batch and intra-batch transitions chain identically to
+    * the batch window. Out-of-order ARRIVAL across batches (an event
+    * older than the user's stored last) would mis-chain — feed this
+    * from a source in per-user order or after watermark-sorted
+    * ingestion, the same contract as any lag-based CDC stage.
+    */
+  def streamingTransitions(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("eid"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+          state: org.apache.spark.sql.streaming.GroupState[(String, Long, Long)]) => {
+        val ordered = rows.toSeq.sortBy(r => (r._3.getTime, r._4))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String)]
+        var last = state.getOption
+        ordered.foreach { case (_, t, ts, id) =>
+          last.foreach { case (prevT, _, _) => out += ((user, prevT, t)) }
+          last = Some((t, ts.getTime, id))
+        }
+        last.foreach(state.update)
+        out.iterator
+      })
+      .toDF("user_id", "from_type", "to_type")
+  }
+
   /** Map a CDC operation column onto the DiffSync flag vocabulary:
     * delete markers → "deleted" (tombstone rows need only their PK
     * columns populated), everything else → "changed" (upsert).

@@ -173,6 +173,58 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming transitions equal the batch lag-1 pairs over the prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_str").toFile
+    val chk = Files.createTempDirectory("graft_str_chk").toFile
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2026-01-01 10:00:${sec}%02d")
+    try {
+      // batch 1: user 1 chains a->b->c (+ intra-batch order shuffle),
+      // user 2 starts with one event (no transition yet)
+      Seq((3L, 1L, "c", ts(30)), (1L, 1L, "a", ts(10)),
+        (2L, 1L, "b", ts(20)), (4L, 2L, "x", ts(15)))
+        .toDF("event_id", "user_id", "etype", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingTransitions(stream,
+          "user_id", "etype", "ts", "event_id")
+        .writeStream.format("memory").queryName("stransitions")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      def got = spark.table("stransitions").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === Map((1L, "a", "b") -> 1, (1L, "b", "c") -> 1))
+      // batch 2: cross-batch chaining for both users
+      Seq((5L, 1L, "a", ts(40)), (6L, 2L, "y", ts(45)),
+        (7L, 2L, "x", ts(50)))
+        .toDF("event_id", "user_id", "etype", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      // equals the BATCH transition pairs over the full prefix
+      val all = spark.read.parquet(dir.getAbsolutePath + "/*")
+      val batch = graft.operators.Sessionize.transitionMatrix(
+          all, "user_id", "etype", col("ts"), "event_id")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val streamed = spark.table("stransitions").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(streamed === batch)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("streaming IVF ingest appends assignments identical to the batch path") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_vi_src").toFile
