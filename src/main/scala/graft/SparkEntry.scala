@@ -783,6 +783,18 @@ object SparkEntry {
         threshold = 0.15, n = 3, numHashes = 16, bands = 8, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_evidence" -> ((s, dir) => {
+      // auditable dedup decisions: each verified near-dup pair carries
+      // its shared-gram count and the first 3 shared grams (lexical
+      // order — engine-independent) as a reviewable evidence string
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text",
+        threshold = 0.15, n = 3, numHashes = 16, bands = 8,
+        portable = true)
+      Dedup.explainPairs(pairs, docs, "doc_id", "text", n = 3, topK = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       // directed near-superset detection (doc quoted/embedded in a
       // longer doc — the case Jaccard-targeted LSH structurally
@@ -3366,6 +3378,53 @@ object SparkEntry {
         |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 AS jaccard
         |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the dedup_ngram_jaccard pipeline + per-pair evidence: sorted
+    // shared grams, count, and the first-3 string
+    "dedup_evidence" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
+        |  FROM hp),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*2+1] AS VARCHAR) || '|' || CAST(sg[b*2+2] AS VARCHAR) AS band_hash
+        |  FROM sig, range(0, 8) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |    AND l.doc_id < r.doc_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    floor(CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+        |      greatest(len(a.ngrams) + len(b.ngrams)
+        |        - len(list_intersect(a.ngrams, b.ngrams)), 1) * 10000) / 10000 AS jaccard,
+        |    list_sort(list_intersect(a.ngrams, b.ngrams)) AS shared
+        |  FROM cands c JOIN ng a ON c.id_a = a.doc_id JOIN ng b ON c.id_b = b.doc_id)
+        |SELECT id_a, id_b, jaccard,
+        |  CAST(len(shared) AS BIGINT) AS n_shared,
+        |  array_to_string(shared[1:3], ' | ') AS evidence
+        |FROM scored WHERE jaccard >= 0.15
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Ground truth for the prefix-filtered containment search: exact

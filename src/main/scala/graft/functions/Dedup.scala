@@ -413,6 +413,29 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Evidence extraction for near-dup pair decisions: each (id_a,
+    * id_b) pair gains its shared-gram count and the first `topK`
+    * shared grams (lexicographic — deterministic regardless of the
+    * engines' intersection order) joined into one reviewable string.
+    * The human-audit step between "the pipeline says duplicate" and
+    * "delete a document": reviewers see WHY, not just a score.
+    * Pair-sized cost — gram sets join only onto the pair frame.
+    */
+  def explainPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, topK: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol), wordNgramsNative(col(textCol), n)
+      .as("__ng"))
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("__ng").as("__ga")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__ng").as("__gb")), "id_b")
+      .withColumn("__shared",
+        array_sort(array_intersect(col("__ga"), col("__gb"))))
+      .withColumn("n_shared", size(col("__shared")).cast("long"))
+      .withColumn("evidence",
+        concat_ws(" | ", slice(col("__shared"), 1, topK)))
+      .drop("__ga", "__gb", "__shared")
+  }
+
   /** Unblocked exact all-pairs n-gram Jaccard — ground-truth twin for
     * the LSH path. O(n²): only for bounded samples/audits, never the
     * full-corpus hot path.
