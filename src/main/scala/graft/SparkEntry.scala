@@ -2913,6 +2913,10 @@ object SparkEntry {
         |  SELECT bin, CAST(sum(s) AS BIGINT) AS cs,
         |    CAST(sum(t) AS BIGINT) AS ct
         |  FROM binned GROUP BY bin),
+        |allbins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(64)),
+        |pbf AS (
+        |  SELECT b.bin, COALESCE(cs, 0) AS cs, COALESCE(ct, 0) AS ct
+        |  FROM allbins b LEFT JOIN pb ON b.bin = pb.bin),
         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS n_src,
         |  CAST(sum(t) AS BIGINT) AS n_tgt FROM u),
         |terms AS (
@@ -2923,7 +2927,7 @@ object SparkEntry {
         |      * ln((CAST(cs + 1 AS DOUBLE) / CAST(n_src + 64 AS DOUBLE))
         |        / (CAST(ct + 1 AS DOUBLE) / CAST(n_tgt + 64 AS DOUBLE)))
         |      * 1e9) / 1e9 AS DECIMAL(28,9)) AS term
-        |  FROM pb, tot)
+        |  FROM pbf, tot)
         |SELECT n_src, n_tgt,
         |  floor(CAST(sum(term) AS DOUBLE) * 10000) / 10000 AS psi
         |FROM terms GROUP BY n_src, n_tgt""".stripMargin,

@@ -36,10 +36,17 @@ case class WordNgrams(child: Expression, n: Int)
       s"word_ngrams expects a string column, got ${child.dataType}")
 
   def ngrams(text: UTF8String): ArrayData = {
-    // mirror lower(trim(text)) then split("\s+", -1): Java's split on
-    // an empty string yields [""], same as Spark's split — an empty
-    // doc therefore produces ONE empty gram, not an empty array
-    val toks = text.toString.toLowerCase.trim.split("\\s+", -1)
+    // mirror split(trim(lower(text)), "\s+", -1) EXACTLY:
+    //  - lower via UTF8String.toLowerCase (locale-independent ASCII
+    //    fast path — Java's String.toLowerCase is default-locale
+    //    sensitive, e.g. Turkish dotless i);
+    //  - trim via UTF8String.trim(), which strips ONLY ' ' (0x20) —
+    //    Java's String.trim strips all chars <= 0x20, so tab/newline
+    //    padding would diverge from the declarative pipeline (the
+    //    declarative path keeps a leading/trailing empty token there);
+    //  - split with limit -1 keeps trailing empties, same as Spark's
+    //    split; an empty doc yields [""] → ONE empty gram.
+    val toks = text.toLowerCase.trim().toString.split("\\s+", -1)
     if (toks.length >= n) {
       // first-occurrence order, like array_distinct
       val seen = new java.util.LinkedHashSet[String]()

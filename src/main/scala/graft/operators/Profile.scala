@@ -359,7 +359,10 @@ object Profile {
     * [[ksDriftBucketed]] — the monitoring-standard drift score
     * (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); rule of thumb: <0.1 stable,
     * >0.25 shifted). Laplace-smoothed bin shares (+1 per bin) keep
-    * empty bins finite. Each bin term floor-quantizes to 9 decimals
+    * empty bins finite, and ALL `buckets` bins enter the sum — bins
+    * empty on both sides still contribute when n_src ≠ n_tgt, per
+    * the standard all-bins definition. Each bin term floor-quantizes
+    * to 9 decimals
     * and sums as DECIMAL — the BM25-oracle convention that makes a
     * ln()-bearing score order-independent and engine-replayable.
     */
@@ -383,11 +386,23 @@ object Profile {
       .agg(sum(col("__s")).as("__cs"), sum(col("__t")).as("__ct"))
     val totals = binned.agg(sum(col("__s")).as("n_src"),
       sum(col("__t")).as("n_tgt"))
+    // Materialize ALL `buckets` bin ids (sequence off the 1-row totals
+    // frame) and zero-fill bins empty on both sides: the smoothing
+    // denominators assume every bin exists, so a doubly-empty bin
+    // still carries a nonzero (p−q)·ln(p/q) term whenever
+    // n_src ≠ n_tgt — omitting it deviates from the standard
+    // all-bins PSI definition.
+    val allBins = totals.select(col("n_src"), col("n_tgt"),
+      explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("__bin"))
+    val filled = allBins.join(broadcast(perBin), Seq("__bin"), "left")
+      .select(col("n_src"), col("n_tgt"),
+        coalesce(col("__cs"), lit(0L)).as("__cs"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
     val p = (col("__cs") + 1).cast("double") /
       (col("n_src") + buckets).cast("double")
     val q = (col("__ct") + 1).cast("double") /
       (col("n_tgt") + buckets).cast("double")
-    perBin.crossJoin(broadcast(totals))
+    filled
       .select(col("n_src"), col("n_tgt"),
         (floor((p - q) * log(p / q) * 1e9) / 1e9)
           .cast("decimal(28,9)").as("__term"))

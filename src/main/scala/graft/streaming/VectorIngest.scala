@@ -23,10 +23,30 @@ import graft.functions.Similarity
   */
 object VectorIngest {
 
+  /** One micro-batch's idempotent write: assignments land under
+    * `ingest_batch=<batchId>/cell=<cell>/` via DYNAMIC partition
+    * overwrite, so a replayed batch (foreachBatch is at-least-once —
+    * after a failure/restart the last uncommitted batch re-runs)
+    * REPLACES its own partitions instead of appending duplicate rows.
+    * Without this, a duplicated vec_id would occupy multiple top-k
+    * slots in `ivfTopKIndexed` (row_number over (cos, id)) and
+    * displace legitimate neighbors. Only the replayed batch's
+    * partitions are touched — history partitions are never rewritten.
+    */
+  def ingestBatch(batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], indexDir: String,
+      batchId: Long): Unit =
+    Similarity.ivfAssignments(batch, idCol, vecCol, centroids)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "cell").parquet(indexDir)
+
   /** foreachBatch writer: assign each micro-batch against `centroids`
-    * and append to the parquet assignment table at `indexDir`,
-    * partitioned by cell so `ivfTopKIndexed` probes become pruned
-    * scans of nprobe/nlist of the files.
+    * and write to the parquet assignment table at `indexDir`,
+    * partitioned by (ingest_batch, cell) so `ivfTopKIndexed` probes
+    * become pruned scans of nprobe/nlist of the files and batch
+    * replays stay idempotent (see [[ingestBatch]]).
     */
   def streamingIvfIngest(stream: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], indexDir: String,
@@ -35,9 +55,8 @@ object VectorIngest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("10 seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.ivfAssignments(batch, idCol, vecCol, centroids)
-          .write.mode("append").partitionBy("cell").parquet(indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, idCol, vecCol, centroids, indexDir, batchId)
       }
 
   /** Per-cell occupancy of an assignment table plus the imbalance

@@ -85,6 +85,6 @@ object SyncDemo {
        else "(AUDIT FAILED)"))
     conn.close()
     spark.stop()
-    if (diffsLeft != 0 || postKs != 0.0) sys.exit(1)
+    if (diffsLeft != 0 || postKs != 0.0 || postPsi != 0.0) sys.exit(1)
   }
 }

@@ -529,6 +529,8 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       "single",
       "",                             // empty → one empty gram
       "   padded   whitespace   ",
+      "\tTab\tPadded body here\n",    // Spark trim strips ONLY 0x20 —
+      "\n\n lines \r\n mixed \t",     // tabs/newlines survive as empty toks
       "x " * 200).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

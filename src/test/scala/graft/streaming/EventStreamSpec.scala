@@ -259,6 +259,15 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .select("vec_id", "cell").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(stored === direct)
+      // foreachBatch is at-least-once: simulate a post-restart REPLAY
+      // of the second micro-batch (same batchId) — dynamic partition
+      // overwrite must leave the store byte-identical, no dup rows
+      VectorIngest.ingestBatch(b2.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, idx.getAbsolutePath, batchId = 1L)
+      val replayed = spark.read.parquet(idx.getAbsolutePath)
+      assert(replayed.count() === 120L)
+      assert(replayed.groupBy("vec_id").count()
+        .filter(col("count") > 1).count() === 0L)
       // searches over the store find the streamed vectors
       val queries = b2.take(3).map { case (id, v) => (id + 100000L, v) }
         .toDF("query_id", "qvec")
