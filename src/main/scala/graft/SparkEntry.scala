@@ -1263,6 +1263,34 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: paraphrase twins planted in EMBEDDING space — every
+      // vec_id % 20 == 0 gains a +50000 twin with dim 1 nudged by
+      // +0.001 (cos ≈ 1−1e-8 vs natural max pair cos ≈ 0.51), the
+      // "same meaning, different words" shape n-gram MinHash provably
+      // misses (the twin shares no text). The within-cell restriction
+      // is a no-op ON THIS FIXTURE (a 0.001 nudge never crosses a
+      // cell boundary — twins co-assign with their origin), so the
+      // brute-force oracle's pair list equals the cell-join's, and
+      // the planted clusters are (origin, twin) cliques whose CC
+      // label is min-over-neighbors. Quality vec_id % 7 makes the
+      // kept representative vary per pair.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twins = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 50000).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.001)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val aug = emb.union(twins)
+        .withColumn("quality", (col("vec_id") % 7).cast("int"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+      Dedup.semanticDedup(aug, "vec_id", "embedding", "quality",
+          cents, threshold = 0.9)
+        .select(col("vec_id"), col("cluster_id"), col("quality"),
+          col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     "skew_salted_agg" -> ((s, dir) =>
       // skew-safe two-phase aggregation: the salted plan MUST produce
       // exactly the plain GROUP BY's results — which is precisely what
@@ -3995,6 +4023,50 @@ object SparkEntry {
         |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, floor(cos * 10000) / 10000 AS cos_sim
         |FROM pairs WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_semantic" ->
+      // brute-force ground truth over the planted-twin fixture: the
+      // fixture guarantees every >=0.9 pair is a within-cell
+      // (origin, twin) clique, so min-over-neighbors IS the CC label
+      // and the oracle needs no iteration; winner per cluster by
+      // (quality, -id) via a single max_by key
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |twins AS (
+        |  SELECT vec_id + 50000 AS vec_id,
+        |    list_concat([e[1] + 0.001], e[2:]) AS e
+        |  FROM emb WHERE vec_id % 20 = 0),
+        |aug AS (
+        |  SELECT vec_id, e, CAST(vec_id % 7 AS INT) AS quality FROM emb
+        |  UNION ALL
+        |  SELECT vec_id, e, CAST(vec_id % 7 AS INT) AS quality FROM twins),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+        |      i -> a.e[i] * b.e[i]))
+        |    / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.9),
+        |nbrs AS (
+        |  SELECT id_a AS id, id_b AS nb FROM pairs
+        |  UNION ALL SELECT id_b AS id, id_a AS nb FROM pairs),
+        |lab AS (
+        |  SELECT id, least(id, min(nb)) AS cluster_id
+        |  FROM nbrs GROUP BY id),
+        |labeled AS (
+        |  SELECT a.vec_id, COALESCE(l.cluster_id, a.vec_id) AS cluster_id,
+        |    a.quality
+        |  FROM aug a LEFT JOIN lab l ON a.vec_id = l.id),
+        |win AS (
+        |  SELECT cluster_id,
+        |    max_by(vec_id, quality * 100000000 - vec_id) AS keep_id
+        |  FROM labeled GROUP BY cluster_id)
+        |SELECT f.vec_id, f.cluster_id, f.quality,
+        |  f.vec_id = w.keep_id AS kept
+        |FROM labeled f JOIN win w ON f.cluster_id = w.cluster_id
+        |ORDER BY f.vec_id""".stripMargin,
 
     "mm_byte_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size

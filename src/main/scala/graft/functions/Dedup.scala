@@ -855,6 +855,59 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Within-cell high-cosine pair search — the candidate stage of
+    * [[semanticDedup]], exposed so specs can assert its plan shape:
+    * vectors assign to a coarse-quantizer cell (map-only against the
+    * frozen centroids), and the ONLY join is the self-equi-join on the
+    * compact cell id — never a corpus all-pairs. Cosine evaluates on
+    * colliding pairs only.
+    */
+  def semanticPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = Similarity.ivfAssignments(
+        vecs.select(col(idCol), col(vecCol)), idCol, vecCol, centroids)
+      .withColumn("__n", Similarity.norm(col(vecCol)))
+    val l = assigned.alias("l"); val r = assigned.alias("r")
+    val denom = col("l.__n") * col("r.__n")
+    l.join(r, col("l.cell") === col("r.cell") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        when(denom === 0, lit(0.0))
+          .otherwise(
+            Similarity.dot(col(s"l.$vecCol"), col(s"r.$vecCol")) / denom)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public paper): cluster the embedding space with
+    * a coarse quantizer (the IVF cell assignment), search for
+    * high-cosine pairs only WITHIN a cell (the paper's
+    * within-cluster restriction), collapse pairs into duplicate
+    * clusters (CC), and keep the highest-quality representative per
+    * cluster (ties toward the smallest id).
+    *
+    * This is the dedup family token n-grams cannot express:
+    * paraphrase twins share no n-grams (Jaccard 0, MinHash-invisible)
+    * yet sit at cosine ≈ 1 in embedding space.
+    *
+    * 100 TB shape: grow nlist with the corpus so cells stay bounded
+    * (the paper scales its cluster count the same way) — the pair
+    * stage is an equi-join on the cell id (Σ m² over cell sizes m,
+    * never n²), the quantizer is O(nlist·dims) on the driver, CC
+    * touches only above-threshold pairs, and the keep-best argmax is
+    * a partial-agg'd groupBy. Input must carry (id, vec, quality);
+    * output is (id, cluster_id, quality, kept) for every input row.
+    */
+  def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
+      qualityCol: String, centroids: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val pairs = semanticPairs(docs, idCol, vecCol, centroids, threshold)
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    keepBestPerCluster(docs, idCol, clusters, qualityCol)
+  }
+
   /** Passage-level exact dedup (the C4/RefinedWeb substring cleaner):
     * split each document into fixed-size token passages, keep only the
     * globally FIRST occurrence of each passage (ordered by (doc, idx)),

@@ -1700,6 +1700,62 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!ev(1).getBoolean(4) &&
       ev(1).getString(5).startsWith("truncated"))
   }
+
+  test("semanticDedup catches paraphrase twins MinHash cannot see; " +
+      "pair search stays a cell equi-join") {
+    import spark.implicits._
+    // two paraphrase pairs with DISJOINT token sets (zero shared
+    // n-grams → n-gram Jaccard 0, structurally invisible to MinHash)
+    // whose embeddings sit at cosine ≈ 1; docs 5/6 are unrelated
+    val texts = Seq(
+      (1L, "the automobile accelerated rapidly down the highway"),
+      (2L, "a car sped quickly along that road"),
+      (3L, "physicians recommend drinking water every morning"),
+      (4L, "doctors advise consuming fluids at dawn"),
+      (5L, "quarterly earnings exceeded analyst expectations"),
+      (6L, "volcanic eruptions reshape island geology"))
+      .toDF("doc_id", "text")
+    // hand-built embeddings: paraphrase pairs share a direction with a
+    // tiny nudge; unrelated docs get orthogonal directions
+    def vec(axis: Int, nudge: Double): Seq[Double] =
+      Seq.tabulate(8)(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == (axis + 1) % 8) nudge else 0.0))
+    val embs = Seq(
+      (1L, vec(0, 0.0)), (2L, vec(0, 0.01)),
+      (3L, vec(2, 0.0)), (4L, vec(2, 0.01)),
+      (5L, vec(4, 0.0)), (6L, vec(6, 0.0)))
+      .toDF("doc_id", "embedding")
+    // MinHash sees NOTHING: no shared grams → no shared band anywhere
+    val mh = graft.functions.Dedup.minhashCandidates(
+      texts, "doc_id", "text", numHashes = 16, bands = 8, ngramN = 2)
+    assert(mh.isEmpty, "disjoint-token paraphrases must be MinHash-invisible")
+    // semantic dedup pairs exactly the paraphrase twins
+    val docs = embs.join(texts, "doc_id")
+      .withColumn("quality", length(col("text")).cast("int"))
+    val cents = graft.functions.Similarity.ivfCentroids(
+      embs, "doc_id", "embedding", 4)
+    val pairs = graft.functions.Dedup.semanticPairs(
+      docs, "doc_id", "embedding", cents, threshold = 0.95)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (3L, 4L)))
+    // plan shape: the candidate join is an equi-join on the cell id —
+    // no cartesian / nested-loop anywhere in the pair search
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic pair search degenerated to all-pairs:\n$plan")
+    assert(plan.contains("cell"), s"join keys lost the cell id:\n$plan")
+    // end-to-end: one survivor per paraphrase pair, best quality kept
+    // (doc 1 has the longer text of pair (1,2); doc 3 of pair (3,4))
+    val kept = graft.functions.Dedup.semanticDedup(
+        docs, "doc_id", "embedding", "quality", cents, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("kept"))).toMap
+    assert(kept(1L) === ((1L, true)) && kept(2L) === ((1L, false)))
+    assert(kept(3L) === ((3L, true)) && kept(4L) === ((3L, false)))
+    assert(kept(5L) === ((5L, true)) && kept(6L) === ((6L, true)))
+  }
 }
 
 /** Instrumented decoder factory (top-level object so executors in
