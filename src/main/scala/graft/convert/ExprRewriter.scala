@@ -22,17 +22,131 @@ object ExprRewriter {
   case object Sparksql extends Dialect
 
   /** Rewrite a T-SQL scalar expression/predicate. `rename` is the
-    * identifier policy applied to every `[bracketed]` identifier.
+    * identifier policy applied to every `[bracketed]` identifier AND
+    * every bare identifier that is not a keyword, function call, or
+    * type name — so `-keep_identifier_case` / `-camel_to_snake`
+    * conversions stay consistent between a table's DDL and the
+    * expressions that reference its columns (real-PG replay caught
+    * unquoted/unsnaked references breaking under those policies).
+    *
+    * String literals are MASKED for the whole pipeline: the function
+    * rewrites can no longer corrupt literal content (a source literal
+    * `'isnull('` used to come out `'COALESCE('`), and T-SQL `N'…'`
+    * national literals lose their prefix (neither PostgreSQL nor
+    * Spark SQL accepts it).
     */
   def rewrite(expr: String, dialect: Dialect = Pg,
       rename: String => String = identity): String = {
-    var s = expr
-    // [ident] → policy-renamed identifier (pl:616–618)
-    s = """\[([^\]]+)\]""".r.replaceAllIn(s,
-      m => java.util.regex.Matcher.quoteReplacement(rename(m.group(1))))
-    s = rewriteFunctions(s, dialect)
-    s
+    val (masked, lits) = maskLiterals(expr)
+    unmask(rewriteMasked(masked, dialect, rename), lits)
   }
+
+  /** Full view-body translation (pl:1857–1886): literal masking, the
+    * identifier policy, function rewrites, the `dbo.` schema relabel
+    * (applied while literals are masked, so a literal containing
+    * "dbo." survives), then `+` → `||` concat inference on the
+    * unmasked text (literal-driven, so it must see real quotes).
+    */
+  def rewriteViewBody(body: String, dialect: Dialect,
+      rename: String => String, dboTarget: String): String = {
+    val (masked, lits) = maskLiterals(body)
+    var s = rewriteMasked(masked, dialect, rename)
+    s = s.replaceAll("(?i)\\bdbo\\.",
+      java.util.regex.Matcher.quoteReplacement(dboTarget + "."))
+    rewriteConcat(unmask(s, lits))
+  }
+
+  private def rewriteMasked(masked: String, dialect: Dialect,
+      rename: String => String): String =
+    rewriteFunctions(renameIdents(masked, rename), dialect)
+
+  private val litRe = """(?i)(?<![\w$])N'(?:[^']|'')*'|'(?:[^']|'')*'""".r
+
+  /** Replace every string literal with an unparseable sentinel; the
+    * T-SQL `N` prefix is dropped here (PG/Spark have no such literal).
+    */
+  private[convert] def maskLiterals(s: String): (String, Vector[String]) = {
+    val lits = Vector.newBuilder[String]
+    var idx = -1
+    val masked = litRe.replaceAllIn(s, m => {
+      idx += 1
+      val raw = m.matched
+      lits += (if (raw.charAt(0) == 'N' || raw.charAt(0) == 'n')
+        raw.substring(1) else raw)
+      "\uE000" + idx + "\uE001"
+    })
+    (masked, lits.result())
+  }
+
+  private[convert] def unmask(s: String, lits: Vector[String]): String =
+    """\uE000(\d+)\uE001""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+
+  // keywords/type names a bare-identifier pass must leave alone; the
+  // type names also keep CAST(x AS INT)-style targets unquoted under
+  // -keep_identifier_case (they are mapped by rewriteCastTypes instead)
+  private val bareStoplist: Set[String] = Set(
+    "all", "and", "any", "as", "asc", "between", "by", "case", "cast",
+    "check", "column", "constraint", "create", "cross", "current",
+    "current_date", "current_time", "current_timestamp", "current_user",
+    "default", "desc", "distinct", "else", "end", "escape", "except",
+    "exists", "false", "first", "following", "for", "foreign", "from",
+    "full", "grant", "group", "having", "if", "ilike", "in", "initially",
+    "inner", "intersect", "into", "is", "join", "last", "left", "like",
+    "limit", "natural", "not", "null", "nulls", "offset", "on", "only",
+    "or", "order", "outer", "over", "partition", "preceding", "primary",
+    "range", "references", "right", "row", "rows", "select", "table",
+    "then", "to", "top", "true", "unbounded", "union", "unique", "user",
+    "using", "when", "where", "with",
+    // day/month/etc so DATEADD/DATEPART unit tokens stay verbatim
+    "day", "month", "year", "hour", "minute", "second", "week",
+    "dd", "d", "mm", "m", "yy", "yyyy", "hh", "mi", "n", "ss", "s",
+    "wk", "ww",
+    // type names (T-SQL and PG/Spark targets)
+    "int", "integer", "bigint", "smallint", "tinyint", "bit", "decimal",
+    "numeric", "money", "smallmoney", "float", "real", "double",
+    "precision", "date", "datetime", "datetime2", "smalldatetime",
+    "datetimeoffset", "time", "timestamp", "char", "nchar", "varchar",
+    "nvarchar", "text", "ntext", "binary", "varbinary", "image",
+    "uniqueidentifier", "xml", "sysname", "boolean", "interval", "uuid",
+    "bytea", "citext", "string", "max")
+
+  // ONE alternation so each source character is classified once:
+  // [bracketed] and "double-quoted" forms are identifiers wholesale
+  // (their content renames; never re-scanned as bare words — a second
+  // pass used to turn an already-quoted "VERSION" into ""VERSION"");
+  // bare words go through the stoplist/call filter
+  private val identRe =
+    """\[[^\]]+\]|"[^"]*"|[A-Za-z_][A-Za-z0-9_$#]*""".r
+
+  /** Apply the identifier policy (pl:616–618 extended): `[bracketed]`
+    * and `"quoted"` identifiers rename unconditionally; bare words
+    * rename unless they are keywords, type names, or function calls
+    * (a word followed by `(`). Without the bare-word arm,
+    * `-keep_identifier_case` emits a quoted "T3309" table but a view
+    * body referencing unquoted T3309 (which PG folds to t3309), and
+    * `-camel_to_snake` renames a column while expressions keep the
+    * camel form.
+    */
+  private def renameIdents(s: String, rename: String => String): String =
+    identRe.replaceAllIn(s, m => {
+      val tok = m.matched
+      val out =
+        if (tok.charAt(0) == '[')
+          rename(tok.substring(1, tok.length - 1))
+        else if (tok.charAt(0) == '"')
+          rename(tok.substring(1, tok.length - 1))
+        else {
+          val isCall = {
+            var i = m.end
+            while (i < s.length && s.charAt(i) == ' ') i += 1
+            i < s.length && s.charAt(i) == '('
+          }
+          if (isCall || bareStoplist.contains(tok.toLowerCase)) tok
+          else rename(tok)
+        }
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
 
   private val isnullRe = """(?i)\bISNULL\s*\(""".r
   private val getdateRe = """(?i)\bGETDATE\s*\(\s*\)""".r
@@ -59,7 +173,86 @@ object ExprRewriter {
     s = rewriteDatepart(s, dialect)
     s = rewriteDateadd(s, dialect)
     s = rewriteConvert(s, dialect)
+    s = rewriteCastTypes(s, dialect)
     s
+  }
+
+  /** Map a T-SQL type expression inside CAST/CONVERT to the target
+    * dialect (the B1 table restricted to cast-legal names,
+    * pl:295–434) — `CAST(x AS NVARCHAR(15))` must become
+    * `varchar(15)`: PostgreSQL has no nvarchar and the real-PG replay
+    * rejects it. Unknown names pass through untouched.
+    */
+  private[convert] def mapCastType(t: String, dialect: Dialect): String = {
+    val m = """^\s*([A-Za-z_][\w]*)\s*(?:\(\s*([^)]*?)\s*\))?\s*$""".r
+    t match {
+      case m(name, args) =>
+        val a = Option(args).map(_.trim).filter(_.nonEmpty)
+        def withArgs(base: String) = a match {
+          case Some(x) if !x.equalsIgnoreCase("max") => s"$base($x)"
+          case _ => base
+        }
+        name.toLowerCase match {
+          case "nvarchar" | "varchar" => withArgs("varchar")
+          case "nchar" | "char" => withArgs("char")
+          case "ntext" | "text" =>
+            if (dialect == Pg) "text" else "string"
+          case "sysname" => "varchar(128)"
+          case "datetime" | "datetime2" | "smalldatetime" => "timestamp"
+          case "datetimeoffset" =>
+            if (dialect == Pg) "timestamp with time zone" else "timestamp"
+          case "tinyint" => "smallint"
+          case "bit" => "boolean"
+          case "money" => "numeric(19,4)"
+          case "smallmoney" => "numeric(10,4)"
+          case "float" =>
+            if (dialect == Pg) "double precision" else "double"
+          case "uniqueidentifier" =>
+            if (dialect == Pg) "uuid" else "string"
+          case "binary" | "varbinary" | "image" =>
+            if (dialect == Pg) "bytea" else "binary"
+          case _ => t.trim
+        }
+      case _ => t.trim
+    }
+  }
+
+  /** `CAST(x AS <tsql-type>)` → same cast with the mapped type. The
+    * expression side was already rewritten by the rewriteCall
+    * recursion; only the type token after the LAST top-level AS maps.
+    */
+  private def rewriteCastTypes(s: String, dialect: Dialect): String =
+    rewriteCall(s, "cast", dialect) {
+      case Seq(one) =>
+        splitLastTopLevelAs(one) match {
+          case Some((e, t)) => s"CAST($e AS ${mapCastType(t, dialect)})"
+          case None => s"CAST($one)"
+        }
+      case args => s"CAST(${args.mkString(", ")})"
+    }
+
+  /** Split "expr AS type" on the last depth-0 AS keyword. */
+  private[convert] def splitLastTopLevelAs(
+      s: String): Option[(String, String)] = {
+    var depth = 0; var i = 0; var last = -1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'a' | 'A' if depth == 0 =>
+          val isAs = i + 1 < s.length &&
+            (s.charAt(i + 1) == 's' || s.charAt(i + 1) == 'S') &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
+              s.charAt(i - 1) != '_') &&
+            (i + 2 >= s.length || !Character.isLetterOrDigit(s.charAt(i + 2)) &&
+              s.charAt(i + 2) != '_')
+          if (isAs) last = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (last < 0) None
+    else Some((s.substring(0, last).trim, s.substring(last + 2).trim))
   }
 
   /** CHARINDEX(sub, str) → POSITION(sub IN str) (pl:593). Spark SQL also
@@ -103,8 +296,8 @@ object ExprRewriter {
     */
   private def rewriteConvert(s: String, dialect: Dialect): String =
     rewriteCall(s, "convert", dialect) {
-      case Seq(tpe, x) => s"CAST($x AS ${tpe.trim})"
-      case Seq(tpe, x, _) => s"CAST($x AS ${tpe.trim})"
+      case Seq(tpe, x) => s"CAST($x AS ${mapCastType(tpe, dialect)})"
+      case Seq(tpe, x, _) => s"CAST($x AS ${mapCastType(tpe, dialect)})"
       case args => s"CONVERT(${args.mkString(", ")})"
     }
 

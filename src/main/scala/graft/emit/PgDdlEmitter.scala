@@ -106,7 +106,9 @@ final class PgDdlEmitter(conf: Config = Config()) {
         }.getOrElse("")
         s"  $cn ${c.pgType}$identityClause$nn$gen"
       }
-      val checkLines = t.cols.sortBy(_.pos).flatMap(_.generatedCheck)
+      val checkLines = t.cols.sortBy(_.pos)
+        .flatMap(c => c.generatedCheck.map(
+          _.format(Identifiers.format(c.name, conf)._1)))
         .map(chk => s"  CHECK ($chk)")
       before ++= s"CREATE TABLE ${qual(sn, t.name)} (\n"
       before ++= (colLines ++ checkLines).mkString(",\n")
@@ -255,8 +257,17 @@ final class PgDdlEmitter(conf: Config = Config()) {
               s"${fmt(c.name)} IS ${lit(cm)};\n")
         }
         t.indexes.toSeq.sortBy(_._1).foreach { case (_, ix) =>
-          ix.comment.foreach(cm =>
-            after ++= s"COMMENT ON INDEX ${fmt(ix.name)} IS ${lit(cm)};\n")
+          ix.comment.foreach { cm =>
+            // schema-qualified (an unqualified name breaks under -nr,
+            // where the index lives outside the search_path), and
+            // routed to the SAME script tier as its CREATE INDEX — a
+            // filtered index is created in unsure.sql, so its comment
+            // in after.sql would reference a missing relation
+            val sql = s"COMMENT ON INDEX ${qual(sn, ix.name)} IS ${lit(cm)};\n"
+            if (ix.disabled) unsure ++= s"-- index disabled in source: $sql"
+            else if (ix.where.isDefined) unsure ++= sql
+            else after ++= sql
+          }
         }
       }
     }

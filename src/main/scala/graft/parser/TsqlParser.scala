@@ -338,7 +338,10 @@ final class TsqlParser(conf: Config = Config()) {
       cat = cat.updateTable(schema, table) { tt =>
         val t2 = tt.withCol(ColumnDef(colName, pos, st, conv.pgType,
           conv.sparkType, notNull, default, identity,
-          generatedCheck = conv.generatedCheck.map(_.format(colName))))
+          // the %s placeholder stays — the EMITTER fills it with the
+          // policy-formatted name (a camel_to_snake or keep-case run
+          // would otherwise CHECK a column that no longer exists)
+          generatedCheck = conv.generatedCheck))
         (if (isLob) t2.copy(hasLobs = true) else t2)
       }
       identity.foreach { id => // IDENTITY → sequence record (pl:1451–1481)
@@ -364,7 +367,7 @@ final class TsqlParser(conf: Config = Config()) {
   private def addComputedColumn(schema: String, table: String, name: String,
       pos: Int, expr: String, persisted: Boolean, notNull: Boolean): Unit = {
     val translated = ExprRewriter.rewrite(expr, ExprRewriter.Pg,
-      n => Identifiers.rename(n, conf))
+      n => Identifiers.format(n, conf)._1)
     cat = cat.warn(s"computed column $schema.$table.$name declared varchar; " +
       s"formula kept as comment (reference parity, pl:1576–1616)")
     cat = cat.updateTable(schema, table)(_.withCol(ColumnDef(
@@ -448,7 +451,7 @@ final class TsqlParser(conf: Config = Config()) {
       case _ if addCheckRe.findFirstIn(body).isDefined => // A23
         val cm = addCheckRe.findFirstMatchIn(body).get
         val pred = ExprRewriter.rewrite(cm.group(2), ExprRewriter.Pg,
-          n => Identifiers.rename(n, conf))
+          n => Identifiers.format(n, conf)._1)
         addConstraint(schema, table, Check(
           Option(cm.group(1)).map(unbr).filter(Identifiers.constraintNameValid),
           pred, unsure = true))
@@ -487,7 +490,7 @@ final class TsqlParser(conf: Config = Config()) {
         val include = Option(m.group(6)).map(splitCols).getOrElse(Nil)
         val where = Option(m.group(7)).map(_.trim).filter(_.nonEmpty)
           .map(w => ExprRewriter.rewrite(w, ExprRewriter.Pg,
-            n => Identifiers.rename(n, conf)))
+            n => Identifiers.format(n, conf)._1))
         cat = cat.updateTable(schema, table) { t =>
           t.copy(indexes = t.indexes + (name -> IndexDef(
             name, unique = m.group(1) != null, cols = cols,
@@ -507,12 +510,11 @@ final class TsqlParser(conf: Config = Config()) {
     case viewRe(sch, name, colList, query) =>
       val schema = relabel(unbr(Option(sch).getOrElse("dbo")))
       val vn = unbr(name)
-      // translate body: brackets, functions, + concat, schema prefixes
-      var q = ExprRewriter.rewrite(query.trim, ExprRewriter.Pg,
-        n => Identifiers.rename(n, conf))
-      q = ExprRewriter.rewriteConcat(q)
-      // dbo. prefix relabel in FROM/JOIN clauses (pl:1877–1886)
-      q = q.replaceAll("(?i)\\bdbo\\.", relabel("dbo") + ".")
+      // translate body: brackets + bare identifiers under the policy
+      // (quote-aware — keep_identifier_case must quote what the DDL
+      // quoted), functions, dbo. relabel (pl:1877–1886), + concat
+      val q = ExprRewriter.rewriteViewBody(query.trim, ExprRewriter.Pg,
+        n => Identifiers.format(n, conf)._1, relabel("dbo"))
       val cols = Option(colList).map(c =>
         c.substring(1, c.length - 1)).map(splitCols).getOrElse(Nil)
       val colsSql = if (cols.nonEmpty)

@@ -89,8 +89,17 @@ class ConvertSpec extends AnyFunSuite {
     assert(rw("datepart(year, d)") === "date_part('year', d)")
     assert(rw("DATEADD(day, 2, d)") === "(d + (2) * INTERVAL '1 day')")
     assert(rw("CONVERT(INT, x)") === "CAST(x AS INT)")
-    assert(rw("CONVERT(NVARCHAR(15), x)") === "CAST(x AS NVARCHAR(15))")
+    // the cast TARGET type maps through B1 — PostgreSQL has no
+    // nvarchar; real-PG replay rejected the untranslated form
+    assert(rw("CONVERT(NVARCHAR(15), x)") === "CAST(x AS varchar(15))")
     assert(rw("CONVERT(varchar(50), x, 120)") === "CAST(x AS varchar(50))")
+    assert(rw("CAST(x AS NVARCHAR(15))") === "CAST(x AS varchar(15))")
+    assert(rw("CAST(x AS datetime)") === "CAST(x AS timestamp)")
+    assert(ExprRewriter.rewrite("CAST(x AS ntext)", ExprRewriter.Sparksql)
+      === "CAST(x AS string)")
+    // literals are masked: function rewrites cannot corrupt them, and
+    // the T-SQL N'…' prefix drops
+    assert(rw("a + 'isnull(' + N'x'") === "a + 'isnull(' + 'x'")
   }
 
   test("B6: nested calls rewrite inside-out") {
@@ -112,9 +121,9 @@ class ConvertSpec extends AnyFunSuite {
 
   test("B6: dialect threads into nested rewrites") {
     assert(ExprRewriter.rewrite("CONVERT(VARCHAR(36), NEWID())",
-      ExprRewriter.Sparksql) === "CAST(uuid() AS VARCHAR(36))")
+      ExprRewriter.Sparksql) === "CAST(uuid() AS varchar(36))")
     assert(ExprRewriter.rewrite("CONVERT(VARCHAR(36), NEWID())")
-      === "CAST(gen_random_uuid() AS VARCHAR(36))")
+      === "CAST(gen_random_uuid() AS varchar(36))")
   }
 
   test("B7: bracketed identifiers renamed by policy") {

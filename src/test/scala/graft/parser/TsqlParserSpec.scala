@@ -178,7 +178,9 @@ class TsqlParserSpec extends AnyFunSuite {
     assert(sd.viewOrder === Vector("V2", "V6"))
     val v2 = sd.views("V2").sql
     assert(v2.contains("||"))
-    assert(v2.contains("CAST(B1.C2 AS NVARCHAR(15))"))
+    // identifiers follow the (default lowercase) policy and the cast
+    // target maps to a PG type — the real-PG replay gate needs both
+    assert(v2.contains("CAST(b1.c2 AS varchar(15))"))
     assert(!v2.toLowerCase.contains("dbo."))
     val v6 = sd.views("V6").sql
     assert(v6.contains("INTERVAL '1 day'"))
