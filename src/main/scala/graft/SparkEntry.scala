@@ -1954,6 +1954,31 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "sim_rbo_pq" -> ((s, dir) => {
+      // the ANN-quality audit the recall gates can't give: RBO@20
+      // between exact cosine ranking and the PQ ADC ranking — a
+      // ranked-overlap number per query instead of rank-1 recall.
+      // Both rankings replay in the oracle (brute-force cosine;
+      // id-stride codebooks + integer ADC), and the RBO weights are
+      // the same frozen 12-decimal literals as txt_rbo_lists.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val books = Similarity.pqBooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", books, k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.functions.TextAnalysis.rboOverlap(exact, pq,
+          "query_id", "doc_id", "rank", p = 0.9, k = 20)
+        .orderBy(col("query_id"))
+    }),
+
     "dedup_passage" -> ((s, dir) =>
       // C4-style passage-level exact dedup: 8-token passages, global
       // first occurrence by (doc_id, idx) survives, documents
@@ -5230,6 +5255,70 @@ object SparkEntry {
         |  SELECT e.query_id, e.vec_id,
         |    greatest(e.rank, q.rank) AS m
         |  FROM elist e JOIN qlist q USING (query_id, vec_id)),
+        |per AS (
+        |  SELECT query_id, COUNT(*) AS n_joint,
+        |    SUM(CAST(w.wt AS DECIMAL(16,12))) AS s
+        |  FROM joint JOIN w ON joint.m = w.m GROUP BY query_id)
+        |SELECT query_id, n_joint,
+        |  floor(CAST(s AS DOUBLE) * ${1.0 - 0.9} * 10000) / 10000 AS rbo
+        |FROM per ORDER BY query_id""".stripMargin,
+
+    "sim_rbo_pq" ->
+      // exact brute-force top-20 (as txt_rbo_lists) vs the PQ ADC
+      // top-20 (as sim_ann_pq), joined through the same frozen
+      // 12-decimal RBO weight table
+      s"""WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |eqs AS (SELECT vec_id AS query_id, v AS qv FROM emb
+        |  WHERE vec_id % 50 = 0),
+        |escored AS (
+        |  SELECT e.query_id, d.vec_id,
+        |    list_sum(list_transform(range(1, len(d.v) + 1),
+        |      i -> d.v[i] * e.qv[i]))
+        |    / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(e.qv, x -> x * x)))) AS cos
+        |  FROM emb d CROSS JOIN eqs e WHERE d.vec_id <> e.query_id),
+        |elist AS (SELECT query_id, vec_id, rank FROM (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM escored) WHERE rank <= 20),
+        |books AS (
+        |  SELECT vec_id // 11 AS code, v FROM emb
+        |  WHERE vec_id % 11 = 0 AND vec_id < 16 * 11),
+        |sub AS (SELECT * FROM range(0, 8) t(j)),
+        |penc AS (
+        |  SELECT e.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      pow(e.v[CAST(s.j*8+i AS INT)] - b.v[CAST(s.j*8+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM emb e, sub s, books b),
+        |codes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM penc) WHERE rn = 1),
+        |qlut AS (
+        |  SELECT vec_id AS query_id, j, code, d FROM penc
+        |  WHERE vec_id % 50 = 0),
+        |pscored AS (
+        |  SELECT l.query_id, c.vec_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS dist_nano
+        |  FROM codes c JOIN qlut l ON c.j = l.j AND c.code = l.code
+        |  WHERE l.query_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |plist AS (SELECT query_id, vec_id, rank FROM (
+        |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY dist_nano, vec_id) AS rank
+        |  FROM pscored) WHERE rank <= 20),
+        |w(m, wt) AS (VALUES ${graft.functions.TextAnalysis
+          .rboWeights(0.9, 20).zipWithIndex
+          .map { case (s0, i) => s"(${i + 1}, '$s0')" }.mkString(", ")}),
+        |joint AS (
+        |  SELECT e.query_id, e.vec_id,
+        |    greatest(e.rank, q.rank) AS m
+        |  FROM elist e JOIN plist q USING (query_id, vec_id)),
         |per AS (
         |  SELECT query_id, COUNT(*) AS n_joint,
         |    SUM(CAST(w.wt AS DECIMAL(16,12))) AS s

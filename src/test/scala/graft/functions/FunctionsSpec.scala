@@ -745,6 +745,28 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     val bf = topSet(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
       queries, "query_id", "qvec", k = 2))
     assert(all === bf)
+    // RBO audit (the ranked-overlap number beyond rank-1 recall): the
+    // approximate ranking's RBO@10 vs exact rises with nprobe and is
+    // exactly 1.0 at full probe (identical rankings)
+    def lists(nprobe: Int) = Similarity.ivfTopK(corpus, "vec_id",
+        "embedding", queries, "query_id", "qvec", k = 10, cents, nprobe)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val exact10 = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    def rboVals(ap: org.apache.spark.sql.DataFrame) =
+      graft.functions.TextAnalysis.rboOverlap(exact10, ap,
+        "query_id", "doc_id", "rank", p = 0.9, k = 10)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Double]("rbo")).toMap
+    val rboFull = rboVals(lists(8))
+    assert(rboFull.values.forall(v => v >= 0.6512), // Σ full-overlap @10
+      s"full-probe RBO must be the maximal self-RBO, got $rboFull")
+    val rboPartial = rboVals(lists(2))
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      assert(rboPartial.getOrElse(q, 0.0) <= rboFull(q) + 1e-9,
+        s"query $q: partial-probe RBO exceeds full-probe")
+    }
   }
 
   test("IVF index persists as tables, appends deltas, searches identically") {
