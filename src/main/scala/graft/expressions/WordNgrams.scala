@@ -87,3 +87,129 @@ case class WordNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(
       newChild: Expression): WordNgrams = copy(child = newChild)
 }
+
+private[expressions] object WordTok {
+  /** Spark-exact tokenization: optional UTF8String.toLowerCase
+    * (locale-independent), UTF8String.trim (0x20 only), then
+    * split("\s+", -1) — identical to
+    * `split(trim([lower(]text[)]), "\s+")`.
+    */
+  def tokens(text: UTF8String, lowercase: Boolean): Array[String] = {
+    val t = if (lowercase) text.toLowerCase else text
+    t.trim().toString.split("\\s+", -1)
+  }
+}
+
+/** ALL word n-grams of a text column (every occurrence, original
+  * order — the non-distinct stream an LM/DSIR feature counter needs,
+  * where [[WordNgrams]] deduplicates for set semantics). Exactly the
+  * declarative
+  * `transform(sequence(0, size(toks)−n), i → concat_ws(" ", toks[i+1..i+n]))`
+  * over `split(trim([lower(]text[)]), "\s+")` with `size(toks) < n`
+  * collapsing to an empty array — but tokenized ONCE per row: the
+  * declarative form's `element_at(split(…), i)` lambda re-tokenizes
+  * per element on the interpreted Generate path (the PlanLint trap).
+  */
+case class WordNgramsAll(child: Expression, n: Int, lowercase: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_ngrams_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams_all expects a string column, got ${child.dataType}")
+
+  def ngrams(text: UTF8String): ArrayData = {
+    val toks = WordTok.tokens(text, lowercase)
+    val count = toks.length - n + 1
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](count)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ngrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgramsAll", this,
+      classOf[WordNgramsAll].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.ngrams($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgramsAll = copy(child = newChild)
+}
+
+/** Non-overlapping `p`-token chunks of a text column in order (the
+  * passage splitter) — exactly the declarative
+  * `transform(sequence(0, max(ceil(size(toks)/p)−1, 0)), i → concat_ws(" ", slice(toks, i·p+1, p)))`
+  * over `split(trim(text), "\s+")` (at least ONE chunk — an empty doc
+  * yields [""]), tokenized once per row instead of once per chunk.
+  */
+case class WordChunks(child: Expression, p: Int)
+    extends UnaryExpression {
+  require(p >= 1, "p must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_chunks expects a string column, got ${child.dataType}")
+
+  def chunks(text: UTF8String): ArrayData = {
+    val toks = WordTok.tokens(text, lowercase = false)
+    val count = math.max((toks.length + p - 1) / p, 1)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i * p
+      val end = math.min(j + p, toks.length)
+      while (j < end) {
+        if (j > i * p) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    chunks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordChunks", this,
+      classOf[WordChunks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.chunks($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordChunks = copy(child = newChild)
+}

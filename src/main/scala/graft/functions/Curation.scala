@@ -343,18 +343,18 @@ object Curation {
     require(buckets > 0, "buckets must be positive")
     require(!Set("n_grams", "log_w").contains(idCol),
       s"idCol '$idCol' collides with a dsirLogWeights output column")
-    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val toks = TextAnalysis.tokens(lower(trim(col(textCol))))
-      val bigrams = when(size(col("__toks")) >= 2,
-        transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => concat_ws(" ", element_at(col("__toks"), i),
-            element_at(col("__toks"), i + 1))))
-        .otherwise(array().cast("array<string>"))
-      df.select(keep :+ toks.as("__toks"): _*)
-        .select(keep :+ explode(concat(col("__toks"), bigrams)).as("__g"): _*)
+    def gramBuckets(df: DataFrame, keep: Seq[Column]): DataFrame =
+      // native single-pass gram kernels: the declarative
+      // element_at(split(…), i) lambda re-tokenized per element on
+      // the interpreted Generate path (PlanLint trap); the kernels
+      // are bit-identical (unigram stream = token array, bigram
+      // stream = sliding windows, empty for < 2 tokens)
+      df.select(keep :+ explode(concat(
+          TextAnalysis.wordNgramsAllNative(col(textCol), 1, lowercase = true),
+          TextAnalysis.wordNgramsAllNative(col(textCol), 2, lowercase = true)))
+          .as("__g"): _*)
         .filter(col("__g") =!= "")
         .select(keep :+ (saltedHash60(salt, col("__g")) % buckets).as("__b"): _*)
-    }
     // ONE tokenize pass over the raw corpus: per-doc bucket counts are
     // the working set (≤ min(grams, buckets) rows per doc), persisted
     // because both the global bucket counts and the per-doc weight sum

@@ -935,14 +935,11 @@ object Dedup {
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input column '$c' collides with a passageDedup column"))
     val p = passageTokens
-    val toks = df.select(col(idCol),
-      TextAnalysis.tokens(col(textCol)).as("__toks"))
-    val passages = toks.select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0),
-            greatest(ceil(size(col("__toks")) / lit(p.toDouble)).cast("int") - 1,
-              lit(0))),
-          i => concat_ws(" ", slice(col("__toks"), i * p + 1, lit(p))))))
+    // native chunk kernel: the declarative slice(split(…)) lambda
+    // re-tokenized per passage on the interpreted Generate path
+    // (PlanLint trap) — O(tokens²/p) per doc; the kernel is one pass
+    val passages = df.select(col(idCol),
+        posexplode(TextAnalysis.wordChunksNative(col(textCol), p)))
       .withColumnRenamed("pos", "__idx")
       .withColumnRenamed("col", "__passage")
     val firsts = passages.groupBy(col("__passage"))
@@ -954,9 +951,9 @@ object Dedup {
         array_sort(collect_list(struct(col("__idx"), col("__passage")))),
         s => s.getField("__passage")), " ").as("clean_text"),
       count(lit(1)).as("n_kept"))
-    val totals = toks.select(col(idCol),
-      greatest(ceil(size(col("__toks")) / lit(p.toDouble)).cast("int"),
-        lit(1)).cast("long").as("n_passages"))
+    val totals = df.select(col(idCol),
+      size(TextAnalysis.wordChunksNative(col(textCol), p))
+        .cast("long").as("n_passages"))
     totals.join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -140,6 +140,22 @@ object TextAnalysis {
   private def columnExpr(c: Column) =
     org.apache.spark.sql.graftglue.Glue.expression(c)
 
+  /** Non-distinct word n-gram stream as ONE native kernel —
+    * bit-identical to the declarative sliding-window `transform`, but
+    * safe to feed a Generate: the declarative form re-tokenizes per
+    * element on the interpreted path (the PlanLint trap,
+    * expressions.WordNgrams doc). n=1 is exactly the token array.
+    */
+  def wordNgramsAllNative(text: Column, n: Int, lowercase: Boolean): Column =
+    exprColumn(graft.expressions.WordNgramsAll(columnExpr(text), n, lowercase))
+
+  /** Non-overlapping p-token chunk array (≥ 1 chunk) as ONE native
+    * kernel — the passage splitter, Generate-safe like
+    * [[wordNgramsAllNative]].
+    */
+  def wordChunksNative(text: Column, p: Int): Column =
+    exprColumn(graft.expressions.WordChunks(columnExpr(text), p))
+
   /** BPE-ish subword count estimate: words + digit runs + punctuation
     * marks each count as a token boundary; approximates tokenizer
     * inflation over plain word count with portable string ops.
@@ -543,18 +559,15 @@ object TextAnalysis {
       "__c12", "__c1", "__lp")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input column '$c' collides with a bigramLmScore column"))
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    // non-distinct bigram stream: every occurrence counts in an LM
-    val bg = toks.select(col(idCol),
-      explode(when(size(col("__toks")) >= 2,
-        transform(sequence(lit(0), size(col("__toks")) - 2),
-          i => struct(
-            concat_ws(" ", element_at(col("__toks"), i + 1),
-              element_at(col("__toks"), i + 2)).as("__bg"),
-            element_at(col("__toks"), i + 1).as("__w1"))))
-        .otherwise(array().cast("array<struct<__bg:string,__w1:string>>")))
-        .as("__e"))
-      .select(col(idCol), col("__e.__bg").as("__bg"), col("__e.__w1").as("__w1"))
+    // non-distinct bigram stream: every occurrence counts in an LM.
+    // Native kernel (Generate-safe, see wordNgramsAllNative); tokens
+    // contain no whitespace by construction, so the bigram's first
+    // word recovers exactly via substring_index on the single space
+    val bg = df.select(col(idCol),
+        explode(wordNgramsAllNative(col(textCol), 2, lowercase = false))
+          .as("__bg"))
+      .select(col(idCol), col("__bg"),
+        substring_index(col("__bg"), " ", 1).as("__w1"))
     val c12 = bg.groupBy(col("__bg")).agg(count(lit(1)).as("__c12"))
     val c1 = bg.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
     val scoredRows = bg
@@ -569,7 +582,7 @@ object TextAnalysis {
       count(lit(1)).as("n_bigrams"),
       sum(col("__lp")).as("__s"))
     // docs with < 2 tokens have no bigrams: keep them, score 0
-    toks.select(col(idCol)).join(agg, Seq(idCol), "left")
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         q4(coalesce(col("__s").cast("double") / col("n_bigrams"), lit(0.0)))

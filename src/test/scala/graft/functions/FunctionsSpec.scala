@@ -545,6 +545,54 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("native WordNgramsAll/WordChunks are bit-identical to the " +
+      "declarative stream forms") {
+    import spark.implicits._
+    val docs = Seq(
+      "The quick brown FOX jumps over the lazy dog",
+      "a b c a b c a b c",            // duplicates KEPT (non-distinct)
+      "one two", "single", "",
+      "   padded   whitespace   ",
+      "\tTab\tPadded body here\n",
+      "x " * 50).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // all-ngrams vs the declarative sliding window over split tokens
+    Seq((1, true), (2, true), (2, false), (3, false)).foreach {
+      case (n, lc) =>
+        val base = if (lc) lower(trim(col("text"))) else trim(col("text"))
+        val toks = split(base, "\\s+")
+        val declarative = docs.select(col("doc_id"),
+            when(size(toks) >= n,
+              transform(sequence(lit(0), size(toks) - n),
+                i => concat_ws(" ",
+                  (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+              .otherwise(array().cast("array<string>")).as("g"))
+          .as[(Long, Seq[String])].collect().toMap
+        val native = docs.select(col("doc_id"),
+            graft.functions.TextAnalysis
+              .wordNgramsAllNative(col("text"), n, lc).as("g"))
+          .as[(Long, Seq[String])].collect().toMap
+        assert(native === declarative, s"n=$n lowercase=$lc")
+    }
+    // chunks vs the declarative slice windows
+    Seq(2, 5, 8).foreach { p =>
+      val toks = split(trim(col("text")), "\\s+")
+      val declarative = docs.select(col("doc_id"),
+          transform(
+            sequence(lit(0),
+              greatest(ceil(size(toks) / lit(p.toDouble)).cast("int") - 1,
+                lit(0))),
+            i => concat_ws(" ", slice(toks, i * p + 1, lit(p)))).as("c"))
+        .as[(Long, Seq[String])].collect().toMap
+      val native = docs.select(col("doc_id"),
+          graft.functions.TextAnalysis
+            .wordChunksNative(col("text"), p).as("c"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native === declarative, s"p=$p")
+    }
+  }
+
   test("containmentPairs: lossless prefix filter equals all-pairs truth") {
     import spark.implicits._
     // w1..w12 distinct tokens. doc 1 (12 tokens → 10 grams) is fully
