@@ -254,6 +254,112 @@ object EventStream {
       .toDF("user_id", "from_type", "to_type")
   }
 
+  /** Streaming funnel twin of [[graft.operators.Sessionize.funnel]]:
+    * per-user keyed state holds ONLY the earliest reached timestamp
+    * per step (steps.length longs — bounded regardless of event
+    * volume). Each micro-batch folds the user's new events through
+    * the same per-step min computation as batch (step k admits an
+    * event only at-or-after step k−1's time), in step order, so a
+    * single pass is exact. Emits the user's updated
+    * (step times, max_step) whenever it changes — consumers upsert.
+    *
+    * Contract: event-time-ordered arrival across batches (the same
+    * assumption as [[streamingTransitions]]'s last-event state). With
+    * in-order arrival a later batch can only ever SET a later step
+    * from later events; it can never need an event that an earlier
+    * batch discarded, so the stream result equals the batch funnel
+    * over the stream's prefix (parity-spec'd). Ties exactly on a
+    * batch boundary are the documented exception.
+    */
+  def streamingFunnel(stream: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"), col(tsUsCol).cast("long").as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+    val UNSET = Long.MaxValue
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, String, Long)],
+          state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) => {
+        val s = state.getOption.getOrElse(Array.fill(steps.length)(UNSET))
+        val before = s.clone()
+        // per-step mins from this batch, in step order: step k's gate
+        // (s(k-1)) is final before step k evaluates — same fixpoint as
+        // the batch operator's sequential step joins
+        val evs = rows.toArray
+        var k = 0
+        while (k < steps.length) {
+          var i = 0
+          while (i < evs.length) {
+            val (_, t, ts) = evs(i)
+            if (stepIdx.get(t).contains(k) &&
+                (k == 0 || (s(k - 1) != UNSET && ts >= s(k - 1))) &&
+                ts < s(k)) s(k) = ts
+            i += 1
+          }
+          k += 1
+        }
+        if (java.util.Arrays.equals(before, s)) Iterator.empty
+        else {
+          state.update(s)
+          val maxStep = s.lastIndexWhere(_ != UNSET) + 1
+          Iterator.single((user,
+            s.toSeq.map(v => if (v == UNSET) None else Some(v)),
+            maxStep.toLong))
+        }
+      })
+      .toDF("user_id", "steps_us", "max_step")
+  }
+
+  /** Streaming cohort-activity twin of
+    * [[graft.operators.Sessionize.cohortRetention]]: per-user state =
+    * (cohort period, offsets already emitted) — bounded by the number
+    * of periods in the horizon, never by event volume. Each first
+    * sighting of a (user, period-offset) emits one delta row
+    * (cohort_period, period_offset, user_id); a downstream counter
+    * maintains the retention matrix additively (n_active per cell =
+    * count of deltas), so the aggregate equals the batch operator on
+    * the stream's prefix (parity-spec'd). In-order arrival fixes the
+    * cohort at the user's true first event, as in batch.
+    */
+  def streamingCohortActivity(stream: DataFrame, userCol: String,
+      tsCol: String, periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, "periodDays must be > 0")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val per = floor(
+      datediff(to_date(col(tsCol).cast("timestamp")),
+        lit("1970-01-01").cast("date")) / periodDays).cast("int")
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"), per.as("__per"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, Int)],
+          state: org.apache.spark.sql.streaming.GroupState[(Int, Set[Int])]) => {
+        val pers = rows.map(_._2).toArray
+        if (pers.isEmpty) Iterator.empty
+        else {
+          val (cohort, seen) = state.getOption
+            .getOrElse((pers.min, Set.empty[Int]))
+          val fresh = pers.map(_ - cohort).filter(o => !seen.contains(o))
+            .distinct.sorted
+          state.update((cohort, seen ++ fresh))
+          fresh.iterator.map(o => (cohort, o, user))
+        }
+      })
+      .toDF("cohort_period", "period_offset", "user_id")
+  }
+
   /** Map a CDC operation column onto the DiffSync flag vocabulary:
     * delete markers → "deleted" (tombstone rows need only their PK
     * columns populated), everything else → "changed" (upsert).

@@ -225,6 +225,120 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming funnel equals the batch funnel over the prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sfn").toFile
+    val chk = Files.createTempDirectory("graft_sfn_chk").toFile
+    val steps = Seq("signup", "activate", "purchase")
+    try {
+      // batch 1: user 1 reaches step 2 (events out of order in the
+      // batch), user 2 reaches step 1, user 3 has ONLY a late-step
+      // event (never enters the funnel — no step-1 time to gate on)
+      Seq((1L, 1L, "activate", 20L), (2L, 1L, "signup", 10L),
+        (3L, 2L, "signup", 15L), (4L, 3L, "purchase", 5L))
+        .toDF("event_id", "user_id", "etype", "ts_us")
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingFunnel(stream,
+          "user_id", "etype", "ts_us", steps)
+        .writeStream.format("memory").queryName("sfunnel")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      // batch 2: user 1 completes, user 2 advances, user 3 signs up
+      // AFTER its stray purchase (purchase stays unreachable — batch
+      // semantics: step 3 needs ts >= step 2's time)
+      Seq((5L, 1L, "purchase", 30L), (6L, 2L, "activate", 25L),
+        (7L, 3L, "signup", 35L))
+        .toDF("event_id", "user_id", "etype", "ts_us")
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      // last (most-complete) emission per user == batch funnel row
+      val streamed = spark.table("sfunnel").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[java.lang.Long](1).map(Option(_).map(_.toLong)),
+          r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.maxBy(_._2.count(_.isDefined))).toMap
+      val batch = graft.operators.Sessionize.funnel(
+          spark.read.parquet(dir.getAbsolutePath + "/*"),
+          "user_id", col("ts_us"), "etype", steps)
+        .collect()
+        .map(r => r.getAs[Long]("user_id") -> (
+          (1 to steps.length).map(i =>
+            Option(r.getAs[java.lang.Long](s"step${i}_us")).map(_.toLong)),
+          r.getAs[Long]("max_step"))).toMap
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (u, (stepsUs, maxStep)) =>
+        val (_, sSteps, sMax) = streamed(u)
+        assert(sSteps === stepsUs, s"user $u step times")
+        assert(sMax === maxStep, s"user $u max_step")
+      }
+      // and the state-only carry means user 3's purchase was dropped,
+      // not resurrected: max_step 1, purchase slot empty
+      assert(streamed(3L)._3 === 1L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
+  test("streaming cohort activity deltas equal the batch retention cells") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sco").toFile
+    val chk = Files.createTempDirectory("graft_sco_chk").toFile
+    def ts(day: String) = java.sql.Timestamp.valueOf(s"2026-01-$day 12:00:00")
+    try {
+      // week-sized periods; batch 1: users 1,2 first-seen in week A
+      Seq((1L, ts("01")), (2L, ts("02")), (1L, ts("03")))
+        .toDF("user_id", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingCohortActivity(stream,
+          "user_id", "ts", periodDays = 7)
+        .writeStream.format("memory").queryName("scohort")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      // batch 2: user 1 returns next week (new offset), user 2 repeats
+      // week A (no new delta), user 3 first-seen next week (own cohort)
+      Seq((1L, ts("09")), (2L, ts("04")), (3L, ts("10")))
+        .toDF("user_id", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      // one delta per first (user, offset) sighting — counts per cell
+      // equal the batch retention matrix's n_active on the prefix
+      val deltas = spark.table("scohort").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      assert(deltas.length === deltas.distinct.length, "duplicate deltas")
+      val streamedCells = deltas.groupBy(d => (d._1, d._2)).view
+        .mapValues(_.length.toLong).toMap
+      val batchCells = graft.operators.Sessionize.cohortRetention(
+          spark.read.parquet(dir.getAbsolutePath + "/*"),
+          "user_id", col("ts"), periodDays = 7)
+        .collect()
+        .map(r => (r.getAs[Int]("cohort_period"),
+          r.getAs[Int]("period_offset")) -> r.getAs[Long]("n_active"))
+        .toMap
+      assert(streamedCells === batchCells)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("streaming IVF ingest appends assignments identical to the batch path") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_vi_src").toFile
