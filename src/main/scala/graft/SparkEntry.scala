@@ -4753,12 +4753,19 @@ object SparkEntry {
         |bk AS (
         |  SELECT doc_id, shard, n_tokens,
         |    ((n_tokens + 31) // 32) * 32 AS bucket_bound
-        |  FROM base)
-        |SELECT doc_id, shard, n_tokens, bucket_bound,
-        |  CAST((ROW_NUMBER() OVER (PARTITION BY shard, bucket_bound
-        |    ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_in_bucket,
-        |  bucket_bound - n_tokens AS pad_waste
-        |FROM bk ORDER BY doc_id""".stripMargin,
+        |  FROM base),
+        |batched AS (
+        |  SELECT doc_id, shard, n_tokens, bucket_bound,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY shard, bucket_bound
+        |      ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_in_bucket
+        |  FROM bk)
+        |SELECT doc_id, shard, n_tokens, bucket_bound, batch_in_bucket,
+        |  bucket_bound - n_tokens AS pad_waste,
+        |  MAX(n_tokens) OVER (PARTITION BY shard, bucket_bound,
+        |    batch_in_bucket) AS batch_max_tokens,
+        |  MAX(n_tokens) OVER (PARTITION BY shard, bucket_bound,
+        |    batch_in_bucket) - n_tokens AS pad_waste_batch_max
+        |FROM batched ORDER BY doc_id""".stripMargin,
 
     "curate_shuffle_shard" ->
       """WITH b AS (

@@ -468,7 +468,8 @@ object Curation {
     require(step > 0 && batchSize > 0 && nShards > 0,
       "step, batchSize and nShards must be positive")
     require(!Set("shard", "n_tokens", "bucket_bound", "batch_in_bucket",
-      "pad_waste", "__rn").contains(idCol),
+      "pad_waste", "batch_max_tokens", "pad_waste_batch_max", "__rn")
+      .contains(idCol),
       s"idCol '$idCol' collides with a lengthBuckets output column")
     val base = df.select(col(idCol),
         (saltedHash60(salt, col(idCol)) % nShards).as("shard"),
@@ -477,11 +478,23 @@ object Curation {
         expr(s"((n_tokens + ${step - 1}) div $step) * $step"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"), col("bucket_bound")).orderBy(col(idCol))
+    // batch-max accounting rides the SAME (shard, bucket) hash
+    // partitioning (the batch key is a superset — no second exchange,
+    // just a sort): a consumer that pads each batch to its own max
+    // wastes pad_waste_batch_max ≤ pad_waste per doc; the bucket
+    // bound stays the worst-case guarantee
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bucket_bound"), col("batch_in_bucket"))
     base.withColumn("__rn", row_number().over(w))
+      .withColumn("batch_in_bucket",
+        expr(s"CAST((__rn - 1) div $batchSize AS BIGINT)"))
+      .withColumn("batch_max_tokens", max(col("n_tokens")).over(wb))
       .select(col(idCol), col("shard"), col("n_tokens"), col("bucket_bound"),
-        expr(s"CAST((__rn - 1) div $batchSize AS BIGINT)")
-          .as("batch_in_bucket"),
-        (col("bucket_bound") - col("n_tokens")).as("pad_waste"))
+        col("batch_in_bucket"),
+        (col("bucket_bound") - col("n_tokens")).as("pad_waste"),
+        col("batch_max_tokens"),
+        (col("batch_max_tokens") - col("n_tokens"))
+          .as("pad_waste_batch_max"))
   }
 
   /** Deterministic negative sampling for contrastive training: each

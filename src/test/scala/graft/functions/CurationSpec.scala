@@ -457,6 +457,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.getAs[Long]("n_tokens") == 0 &&
       empty.getAs[Long]("bucket_bound") == 0 &&
       empty.getAs[Long]("pad_waste") == 0)
+    // batch-max accounting: the batch's max is the true pad-to if the
+    // consumer pads per batch; waste is never worse than the bucket
+    // bound's, and equals max − n within each batch
+    out.groupBy(r => (r.getAs[Long]("shard"),
+      r.getAs[Long]("bucket_bound"), r.getAs[Long]("batch_in_bucket")))
+      .foreach { case (_, rows) =>
+        val mx = rows.map(_.getAs[Long]("n_tokens")).max
+        rows.foreach { r =>
+          assert(r.getAs[Long]("batch_max_tokens") == mx)
+          assert(r.getAs[Long]("pad_waste_batch_max") ==
+            mx - r.getAs[Long]("n_tokens"))
+          assert(r.getAs[Long]("pad_waste_batch_max") <=
+            r.getAs[Long]("pad_waste"))
+        }
+      }
+    // the batch-max window rides the bucket window's partitioning:
+    // exactly ONE exchange in the whole plan
+    val plan = Curation.lengthBuckets(df, "doc_id", "text",
+      step = 8, batchSize = 4, nShards = 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"batch-max accounting added an exchange:\n$plan")
     // deterministic under a different physical layout
     val again = Curation.lengthBuckets(df.repartition(7), "doc_id", "text",
       step = 8, batchSize = 4, nShards = 3).collect()
