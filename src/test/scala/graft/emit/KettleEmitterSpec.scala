@@ -177,6 +177,72 @@ class KettleEmitterSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental sortable-PK decision: golden structural diff " +
+      "(int PK → DB-side ORDER BY, text PK → SortRows; pl:968–981)") {
+    // a collation-safe single-int-PK table must select the DB-side
+    // ORDER BY template (no SortRows/SortedMerge steps at all); a
+    // text-PK table must sort engine-side — the golden fixtures pin
+    // the full step graph of both variants, diffed structurally
+    // (step name/type/SQL + hop edges), not textually
+    val dump = Files.createTempFile("graft_kgold", ".sql")
+    Files.writeString(dump,
+      """CREATE TABLE [dbo].[tint](
+        |	[id] [int] NOT NULL,
+        |	[val] [varchar](50) NULL,
+        | CONSTRAINT [PK_tint] PRIMARY KEY CLUSTERED
+        |(
+        |	[id] ASC
+        |)
+        |)
+        |GO
+        |CREATE TABLE [dbo].[ttext](
+        |	[code] [varchar](20) NOT NULL,
+        |	[val] [int] NULL,
+        | CONSTRAINT [PK_ttext] PRIMARY KEY CLUSTERED
+        |(
+        |	[code] ASC
+        |)
+        |)
+        |GO
+        |""".stripMargin)
+    try {
+      val conf = Config(usePkIfPossible = "*")
+      val cat = new TsqlParser(conf).parseFile(dump)
+      val files = new KettleEmitter(conf, sqlServerParams, pgParams)
+        .emit(cat, "/tmp/kettle")
+
+      def structure(x: String): (Seq[(String, String, String)],
+          Seq[(String, String)]) = {
+        val root = scala.xml.XML.loadString(x)
+        val steps = (root \\ "step").map { s =>
+          ((s \ "name").text, (s \ "type").text,
+            (s \ "sql").text.split("\\s+").mkString(" ").trim)
+        }
+        val hops = (root \\ "hop").map { h =>
+          ((h \ "from").text, (h \ "to").text)
+        }
+        (steps, hops)
+      }
+      for (name <- Seq("incremental-public-tint.ktr",
+          "incremental-public-ttext.ktr")) {
+        val goldenPath = Paths.get("src/test/resources/golden").resolve(name)
+        val (gSteps, gHops) = structure(Files.readString(goldenPath))
+        val (eSteps, eHops) = structure(files(name))
+        assert(eSteps === gSteps, s"$name: step graph drifted from golden")
+        assert(eHops === gHops, s"$name: hop graph drifted from golden")
+      }
+      // and the behavioral core, independent of the fixture bytes:
+      val tint = files("incremental-public-tint.ktr")
+      assert(tint.contains("ORDER BY id") &&
+        !tint.contains("<type>SortRows</type>") &&
+        !tint.contains("<type>SortedMerge</type>"))
+      val ttext = files("incremental-public-ttext.ktr")
+      assert(!ttext.contains("ORDER BY") &&
+        ttext.contains("<type>SortRows</type>") &&
+        ttext.contains("<type>SortedMerge</type>"))
+    } finally Files.delete(dump)
+  }
+
   test("connection options: ssl + stringtype attributes appear when set") {
     val conf = Config(stringtypeUnspecified = true)
     val p = Paths.get("/root/reference/regression/issue_59.sql")
