@@ -1829,6 +1829,23 @@ object SparkEntry {
       // top-20 (ties break on the token)
       graft.functions.Curation.topTokens(t(s, dir, "documents"), "text", 20)),
 
+    "txt_bpe_pairs" -> ((s, dir) =>
+      // BPE training round-1 statistics: adjacent char-pair counts
+      // over the word-frequency table (the corpus is scanned once;
+      // pair work is vocab-sized), top-20 with deterministic ties
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text",
+        topK = 20)),
+
+    "txt_bpe_merges" -> ((s, dir) =>
+      // full BPE merge training, 8 rounds: per round one vocab-sized
+      // partial-agg'd pair count + a 1-row TakeOrdered to the driver
+      // + a map-side greedy merge (native kernel). The oracle unrolls
+      // all 8 rounds in SQL, reproducing the left-to-right greedy
+      // pairing with the run-parity rule — so the hash match proves
+      // pair stats, argmax ties AND merge application round by round
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 8)
+        .orderBy(col("rank"))),
+
     "txt_repetition" -> ((s, dir) =>
       graft.functions.Curation.repetitionStats(
         t(s, dir, "documents"), "doc_id", "text")
@@ -4980,6 +4997,90 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\d{3}-\d{4}(-\d{4})?', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents) GROUP BY w),
+        |v0 AS (
+        |  SELECT w, f, list_transform(range(1, len(w) + 1),
+        |    i -> w[CAST(i AS INT)]) AS s
+        |  FROM words),
+        |e0 AS (
+        |  SELECT w, f, generate_subscripts(s, 1) AS pos, unnest(s) AS sym
+        |  FROM v0),
+        |x0 AS (
+        |  SELECT w, f, pos, sym,
+        |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        |  FROM e0),
+        |p0 AS (
+        |  SELECT sym || ' ' || nxt AS pr, CAST(SUM(f) AS BIGINT) AS n
+        |  FROM x0 WHERE nxt IS NOT NULL GROUP BY 1)
+        |SELECT string_split(pr, ' ')[1] AS sym_a,
+        |  string_split(pr, ' ')[2] AS sym_b, n
+        |FROM p0 ORDER BY n DESC, pr ASC LIMIT 20""".stripMargin,
+
+    "txt_bpe_merges" -> {
+      // 8 unrolled BPE rounds; each round: pair stats (x/p), argmax
+      // with the same (count desc, pair asc) tie rule as the
+      // operator (m), greedy-match selection via the run-parity rule
+      // (st/g/c — within a run of consecutive match starts, every
+      // other start from the first; exactly BpeMergePair's
+      // left-to-right scan), drop the consumed b's (d), reassemble (v)
+      val rounds = (1 to 8).map { k =>
+        val prev = k - 1
+        s"""e$k AS (
+           |  SELECT w, f, generate_subscripts(s, 1) AS pos, unnest(s) AS sym
+           |  FROM v$prev),
+           |x$k AS (
+           |  SELECT w, f, pos, sym,
+           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           |  FROM e$k),
+           |p$k AS (
+           |  SELECT sym || ' ' || nxt AS pr, CAST(SUM(f) AS BIGINT) AS n
+           |  FROM x$k WHERE nxt IS NOT NULL GROUP BY 1),
+           |m$k AS (
+           |  SELECT string_split(pr, ' ')[1] AS a,
+           |    string_split(pr, ' ')[2] AS b, n
+           |  FROM p$k ORDER BY n DESC, pr ASC LIMIT 1),
+           |st$k AS (
+           |  SELECT x.w, x.f, x.pos, x.sym, x.nxt,
+           |    CASE WHEN x.sym = m.a AND x.nxt = m.b THEN 1 ELSE 0 END AS st
+           |  FROM x$k x, m$k m),
+           |g$k AS (
+           |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, st
+           |    ORDER BY pos) AS grp
+           |  FROM st$k),
+           |c$k AS (
+           |  SELECT *, CASE WHEN st = 1 AND
+           |      (pos - MIN(pos) OVER (PARTITION BY w, grp, st)) % 2 = 0
+           |    THEN 1 ELSE 0 END AS chosen
+           |  FROM g$k),
+           |d$k AS (
+           |  SELECT *, COALESCE(LAG(chosen) OVER (PARTITION BY w
+           |    ORDER BY pos), 0) AS dropme
+           |  FROM c$k),
+           |v$k AS (
+           |  SELECT w, f, list(CASE WHEN chosen = 1 THEN sym || nxt
+           |    ELSE sym END ORDER BY pos) AS s
+           |  FROM d$k WHERE dropme = 0 GROUP BY w, f)""".stripMargin
+      }.mkString(",\n")
+      val finalSel = (1 to 8).map(k =>
+        s"SELECT $k AS rank, a AS sym_a, b AS sym_b, n FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |    FROM documents) GROUP BY w),
+         |v0 AS (
+         |  SELECT w, f, list_transform(range(1, len(w) + 1),
+         |    i -> w[CAST(i AS INT)]) AS s
+         |  FROM words),
+         |$rounds
+         |$finalSel
+         |ORDER BY rank""".stripMargin
+    },
 
     "txt_top_tokens" ->
       """SELECT token, cnt FROM (

@@ -156,6 +156,94 @@ object TextAnalysis {
   def wordChunksNative(text: Column, p: Int): Column =
     exprColumn(graft.expressions.WordChunks(columnExpr(text), p))
 
+  // ------------------------------------------------------------------
+  // BPE tokenizer training (Sennrich et al. 2016 — public paper): the
+  // corpus-scale induction step of a subword tokenizer. The corpus is
+  // scanned ONCE into a word-frequency table; every subsequent merge
+  // round works on the VOCAB (distinct words — orders of magnitude
+  // smaller), the standard practice that makes BPE training tractable
+  // at any corpus size.
+  // ------------------------------------------------------------------
+
+  /** Word-frequency table over lowercase [a-z]+ words — the single
+    * corpus-sized pass of BPE training. Partial-agg'd groupBy; the
+    * letters-only extraction keeps every downstream symbol free of
+    * whitespace/regex metacharacters (symbols join on single spaces).
+    */
+  private def bpeWordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(expr(
+        s"regexp_extract_all(lower(`$textCol`), '[a-z]+', 0)")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+
+  /** Adjacent-symbol pair counts for the CURRENT segmentation —
+    * round-k statistics of BPE training. Symbols ride as a
+    * space-joined string so the Generate-safe native bigram kernel
+    * ([[wordNgramsAllNative]]) produces the pair stream; counts are
+    * weighted by word frequency and partial-aggregate to ≤ |pairs|
+    * rows. `symsCol` must hold array<string> symbols.
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("__f"),
+        explode(wordNgramsAllNative(
+          array_join(col("__s"), " "), 2, lowercase = false)).as("__p"))
+      .groupBy(col("__p")).agg(sum(col("__f")).as("n"))
+
+  /** Top adjacent character-pair counts over the word-frequency table
+    * — BPE training round 1's statistics as an auditable report.
+    * Deterministic order: count desc, pair asc.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame =
+    pairCounts(bpeWordFreq(df, textCol)
+        .select(col("__w"), col("__f"), split(col("__w"), "").as("__s")))
+      .select(substring_index(col("__p"), " ", 1).as("sym_a"),
+        substring_index(col("__p"), " ", -1).as("sym_b"), col("n"))
+      .orderBy(col("n").desc, col("sym_a").asc, col("sym_b").asc)
+      .limit(topK)
+
+  /** Full BPE merge training: `nMerges` rounds of (count pairs →
+    * take the argmax (count desc, pair asc) → apply the merge
+    * left-to-right greedily via the native [[graft.expressions.BpeMergePair]]
+    * kernel). Returns the merge table (rank, sym_a, sym_b, n) — the
+    * artifact a BPE tokenizer IS.
+    *
+    * Scale shape: ONE corpus scan builds the word-freq table; each
+    * round is a vocab-sized pair count (partial-agg'd) plus a 1-row
+    * TakeOrdered to the driver (bounded like the IVF centroid
+    * hydration) and a map-side merge rewrite; `localCheckpoint`
+    * truncates the growing per-round lineage (the connected-components
+    * convention). Driver never holds more than one (pair, count) row.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = bpeWordFreq(df, textCol)
+      .select(col("__w"), col("__f"), split(col("__w"), "").as("__s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("n").desc, col("__p").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        val n = top.head.getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, a, b, n))
+        vocab = vocab.withColumn("__s", exprColumn(
+            graft.expressions.BpeMergePair(columnExpr(col("__s")), a, b)))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "sym_a", "sym_b", "n")
+  }
+
   /** BPE-ish subword count estimate: words + digit runs + punctuation
     * marks each count as a token boundary; approximates tokenizer
     * inflation over plain word count with portable string ops.

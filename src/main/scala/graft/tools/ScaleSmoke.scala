@@ -43,9 +43,18 @@ object ScaleSmoke {
       base.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
         (if (c == 0) transform(col("embedding"), x => x.cast("double"))
          else transform(col("embedding"), (x, i) =>
-           x.cast("double") + lit(0.5) *
-             (((col("vec_id") * 13 + i * 7 + lit(c)) % 17 - 8).cast("double") /
-               lit(8.0)))).as("embedding"))
+           // hash noise, not modular-ramp noise: earlier affine
+           // formulas ((vid·a + i·b + c·d) % m) made every copy's
+           // noise a phase-shifted ramp over the dim index —
+           // effectively rank-1, so cross-copy cosines stayed high
+           // and the 16×/32× sweeps read superlinear while the
+           // detectors were correctly pairing the fixture's own
+           // accidental near-dups (% 17 even made c and c+17 exact
+           // copies). xxhash64 per (vec, dim, copy) decorrelates all
+           // copies: cross-copy cos ≈ 0.6, below every threshold.
+           x.cast("double") + lit(0.8) *
+             ((pmod(xxhash64(col("vec_id"), i, lit(c)), lit(1001L))
+               .cast("double") - 500.0) / 500.0))).as("embedding"))
     }.reduce(_ union _)
 
   def main(args: Array[String]): Unit = {
@@ -117,6 +126,61 @@ object ScaleSmoke {
       println(f"$f%-7d $nd%-7d $tCont%-9.2f $tChunk%-9.2f $tWp%-9.2f" +
         s"   (pairs: $c1, chunks: $c2, pieces: $c3)")
       docs.unpersist()
+    }
+    // Round-7 paths: PQ ADC search (books trained once on the base —
+    // quantizer size is corpus-independent), IVF frozen-quantizer
+    // append + indexed search (delta is FIXED size; append cost must
+    // stay flat while the store grows), boilerplate stripping (two
+    // partial-agg'd passes over the line stream), and semantic dedup
+    // (cell equi-join pair search; planted twins scale k× with the
+    // copies). All must grow ~linearly with the corpus — except the
+    // IVF append column, which must stay ~flat.
+    println(f"${"factor"}%-7s ${"vecs"}%-7s ${"pq"}%-9s ${"ivfapp"}%-9s ${"boiler"}%-9s ${"semdedup"}%-9s")
+    factors.foreach { f =>
+      val emb = embAt(emb0, f).cache()
+      val ne = emb.count()
+      val docs = docsAt(docs0, f).cache()
+      docs.count()
+      val emb0d = emb0.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb0d.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val books = Similarity.pqBooks(emb0d, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64)
+      val (n1, tPq) = timed(Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", books, k = 5).count())
+      // frozen quantizer from the base; store = the grown corpus,
+      // pre-assigned (a stored artifact); timed work = assign a
+      // FIXED-size delta + search the combined index
+      val cents = Similarity.ivfCentroids(emb0d, "vec_id", "embedding", 16)
+      val store = Similarity.ivfAssignments(emb, "vec_id", "embedding", cents)
+        .cache()
+      store.count()
+      val delta = emb0d.select((col("vec_id") + 90000000L).as("vec_id"),
+        col("embedding"))
+      val (n2, tApp) = timed {
+        val appended = store.unionByName(
+          Similarity.ivfAssignments(delta, "vec_id", "embedding", cents))
+        Similarity.ivfTopKIndexed(appended, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, nprobe = 4).count()
+      }
+      val (n3, tBoiler) = timed(graft.functions.Curation
+        .stripBoilerplateLines(
+          docs.withColumn("source", (col("doc_id") % 20).cast("string")),
+          "doc_id", "text", "source", minDocs = 5, minFrac = 0.6).count())
+      val (n4, tSem) = timed {
+        val aug = emb.unionByName(
+          emb.filter(col("vec_id") % 20 === 0)
+            .select((col("vec_id") + 50000000L).as("vec_id"),
+              concat(array(element_at(col("embedding"), 1) + lit(0.001)),
+                slice(col("embedding"), 2, 63)).as("embedding")))
+          .withColumn("quality", (col("vec_id") % 7).cast("int"))
+        Dedup.semanticDedup(aug, "vec_id", "embedding", "quality",
+          cents, threshold = 0.9).filter(!col("kept")).count()
+      }
+      println(f"$f%-7d $ne%-7d $tPq%-9.2f $tApp%-9.2f $tBoiler%-9.2f $tSem%-9.2f" +
+        s"   (ann: $n1/$n2, docs kept: $n3, dropped dups: $n4)")
+      emb.unpersist(); docs.unpersist(); store.unpersist()
     }
     // Incremental dedup scale claim: FIXED delta batch against a
     // GROWING history whose band index is prebuilt (the production

@@ -1771,6 +1771,51 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       ev(1).getString(5).startsWith("truncated"))
   }
 
+  test("BPE: greedy merge kernel + hand-computed training rounds") {
+    import spark.implicits._
+    // the kernel's left-to-right greedy on overlapping chains
+    def mergeOf(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("s")
+        .select(org.apache.spark.sql.graftglue.Glue.column(
+          graft.expressions.BpeMergePair(
+            org.apache.spark.sql.graftglue.Glue.expression(col("s")),
+            a, b)).as("m"))
+        .as[Seq[String]].collect().head
+    assert(mergeOf(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(mergeOf(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(mergeOf(Seq("x", "a", "b", "a", "b"), "a", "b")
+      === Seq("x", "ab", "ab"))
+    assert(mergeOf(Seq("a", "b", "c"), "b", "c") === Seq("a", "bc"))
+    assert(mergeOf(Seq("q"), "a", "b") === Seq("q"))
+    // training on the BPE paper's shape: "low" ×5, "lower" ×2,
+    // "newest" ×6, "widest" ×3 — first merges are hand-computable:
+    // round 1: pair counts include (e,s)=9, (s,t)=9, (w,e)=8(hmm)...
+    // verified by hand below against the deterministic tie rule
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.functions.TextAnalysis.bpeTrain(docs, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // counts: es appears in newest(6) + widest(3) = 9; st likewise 9;
+    // tie (9, "e s") < (9, "s t") lexicographically → round 1 = (e,s).
+    // round 2: (es,t) count 9 wins (ties under 9 none).
+    assert(merges(0) === ((1, "e", "s", 9L)))
+    assert(merges(1) === ((2, "es", "t", 9L)))
+    // round 3: remaining pairs all ≤ 8: (l,o)=7, (o,w)=7, (n,e)=6,
+    // (w,est)=6, (e,w)=6... max is 7; tie ("l o" vs "o w") → (l,o)
+    assert(merges(2) === ((3, "l", "o", 7L)))
+    assert(merges(3)._1 === 4)
+    // the merge table is deterministic under a different layout
+    val again = graft.functions.TextAnalysis.bpeTrain(
+        docs.repartition(5), "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(again.toSeq === merges.toSeq)
+  }
+
   test("semanticDedup catches paraphrase twins MinHash cannot see; " +
       "pair search stays a cell equi-join") {
     import spark.implicits._
