@@ -318,6 +318,46 @@ object EventStream {
       .toDF("user_id", "steps_us", "max_step")
   }
 
+  /** Streaming path-ngram twin of
+    * [[graft.operators.Sessionize.topPaths]]'s per-user path stream:
+    * state = the user's last n−1 event types (bounded — n strings per
+    * user); each arrival completes one length-n path, emitted as the
+    * same " > "-joined string the batch operator counts. A downstream
+    * additive counter + top-k reproduces topPaths over the stream's
+    * prefix (parity-spec'd). Same in-order-arrival contract as
+    * [[streamingTransitions]] (whose n = 2 this generalizes).
+    */
+  def streamingPathNgrams(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 2, "need n >= 2")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("eid"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+          state: org.apache.spark.sql.streaming.GroupState[List[String]]) => {
+        val ordered = rows.toSeq.sortBy(r => (r._3.getTime, r._4))
+        var window = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        ordered.foreach { case (_, t, _, _) =>
+          window = (window :+ t).takeRight(n)
+          if (window.length == n) out += ((user, window.mkString(" > ")))
+        }
+        state.update(window)
+        out.iterator
+      })
+      .toDF("user_id", "path")
+  }
+
   /** Streaming cohort-activity twin of
     * [[graft.operators.Sessionize.cohortRetention]]: per-user state =
     * (cohort period, offsets already emitted) — bounded by the number

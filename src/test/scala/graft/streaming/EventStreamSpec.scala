@@ -225,6 +225,55 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming path ngrams equal the batch topPaths counts over the prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_spn").toFile
+    val chk = Files.createTempDirectory("graft_spn_chk").toFile
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2026-01-01 10:00:${sec}%02d")
+    try {
+      // batch 1: user 1 walks a->b->c->a (2 complete 3-paths), user 2
+      // has only 2 events (no path yet)
+      Seq((1L, 1L, "a", ts(10)), (2L, 1L, "b", ts(20)),
+        (3L, 1L, "c", ts(30)), (4L, 1L, "a", ts(40)),
+        (5L, 2L, "x", ts(15)), (6L, 2L, "y", ts(25)))
+        .toDF("event_id", "user_id", "etype", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingPathNgrams(stream,
+          "user_id", "etype", "ts", "event_id", n = 3)
+        .writeStream.format("memory").queryName("spaths")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      // batch 2: cross-batch window carry — user 2's third event
+      // completes a path whose first two events arrived in batch 1
+      Seq((7L, 2L, "z", ts(35)), (8L, 1L, "b", ts(50)))
+        .toDF("event_id", "user_id", "etype", "ts")
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("spaths").collect()
+        .map(_.getString(1)).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      // batch truth: count the same length-3 paths over the prefix
+      val batch = graft.operators.Sessionize.topPaths(
+          spark.read.parquet(dir.getAbsolutePath + "/*"),
+          "user_id", "etype", col("ts"), "event_id", n = 3, k = 100)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+      assert(streamed("x > y > z") === 1L) // the cross-batch carry
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("streaming funnel equals the batch funnel over the prefix") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sfn").toFile
