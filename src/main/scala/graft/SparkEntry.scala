@@ -1895,6 +1895,29 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "txt_nb_train" -> ((s, dir) =>
+      // multinomial NB trained distributed on the even-id half of the
+      // corpus (lang as the label): the dense smoothed (term × label)
+      // log-likelihood model — one partial-agg'd wordcount exchange,
+      // model join forced to shuffle (vocab-sized side)
+      TextAnalysis.naiveBayesTrain(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "lang", "text")
+        .orderBy(col("label"), col("term"))),
+
+    "txt_nb_classify" -> ((s, dir) => {
+      // the trained model classifying the held-out odd-id half:
+      // per-term contributions floor-quantized and DECIMAL-summed
+      // (order-independent), OOV terms on the per-label smoothed
+      // default, argmax ties on the label — fully engine-replayable
+      val train = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      val test = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+      TextAnalysis.naiveBayesClassify(test, "doc_id", "text",
+        TextAnalysis.naiveBayesTrain(train, "lang", "text"),
+        TextAnalysis.naiveBayesPriors(train, "lang", "text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "txt_tfidf_top" -> ((s, dir) =>
       // per-doc top-3 TF-IDF terms: df from a partial-agg'd groupBy of
       // the tf table, shuffle-joined back (never broadcast — the df
@@ -5224,6 +5247,85 @@ object SparkEntry {
         |    / 10000 AS lm_score
         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "txt_nb_train" ->
+      // dense Laplace-smoothed multinomial NB model replayed from the
+      // same wordcount: every (term, label) cell, observed or not
+      """WITH toks AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |counts AS (
+        |  SELECT label, term, COUNT(*) AS cnt FROM toks WHERE term <> ''
+        |  GROUP BY label, term),
+        |lt AS (SELECT label, SUM(cnt) AS lt FROM counts GROUP BY label),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM counts)
+        |SELECT l.label, tm.term, COALESCE(c.cnt, 0) AS cnt,
+        |  floor(ln((COALESCE(c.cnt, 0) + 1.0) / (l.lt + v.v)) * 1e9)
+        |    / 1e9 AS logp
+        |FROM (SELECT DISTINCT term FROM counts) tm
+        |CROSS JOIN lt l CROSS JOIN v
+        |LEFT JOIN counts c ON c.label = l.label AND c.term = tm.term
+        |ORDER BY l.label, tm.term""".stripMargin,
+
+    "txt_nb_classify" ->
+      // full replay: model + priors + OOV defaults from the train
+      // half, quantized-DECIMAL score sum, argmax with label tie-break
+      """WITH train AS (
+        |  SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |toks AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM train),
+        |counts AS (
+        |  SELECT label, term, COUNT(*) AS cnt FROM toks WHERE term <> ''
+        |  GROUP BY label, term),
+        |lt AS (SELECT label, SUM(cnt) AS lt FROM counts GROUP BY label),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM counts),
+        |model AS (
+        |  SELECT l.label, tm.term,
+        |    floor(ln((COALESCE(c.cnt, 0) + 1.0) / (l.lt + v.v)) * 1e9)
+        |      / 1e9 AS logp
+        |  FROM (SELECT DISTINCT term FROM counts) tm
+        |  CROSS JOIN lt l CROSS JOIN v
+        |  LEFT JOIN counts c ON c.label = l.label AND c.term = tm.term),
+        |nd AS (SELECT lang AS label, COUNT(*) AS nd FROM train
+        |  GROUP BY lang),
+        |n AS (SELECT COUNT(*) AS n FROM train),
+        |priors AS (
+        |  SELECT l.label,
+        |    CAST(floor(ln(CAST(nd.nd AS DOUBLE) / n.n) * 1e9) AS BIGINT)
+        |      AS prior_nanos,
+        |    floor(ln(1.0 / (l.lt + v.v)) * 1e9) / 1e9 AS oov_logp
+        |  FROM lt l JOIN nd ON nd.label = l.label
+        |  CROSS JOIN v CROSS JOIN n),
+        |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |    FROM test) u
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |contrib AS (
+        |  SELECT tf.doc_id, p.label,
+        |    SUM(CAST(floor(tf.tf * COALESCE(m.logp, p.oov_logp) * 1e9)
+        |      AS BIGINT)) AS s
+        |  FROM tf CROSS JOIN priors p
+        |  LEFT JOIN model m ON m.term = tf.term AND m.label = p.label
+        |  GROUP BY tf.doc_id, p.label),
+        |scored AS (
+        |  SELECT d.doc_id, p.label,
+        |    p.prior_nanos + COALESCE(c.s, 0) AS nanos
+        |  FROM test d CROSS JOIN priors p
+        |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.label = p.label)
+        |SELECT doc_id, label AS pred_label,
+        |  CAST(nanos AS DOUBLE) / 1e9 AS score
+        |FROM (
+        |  SELECT doc_id, label, nanos,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY nanos DESC, label ASC) AS rnk
+        |  FROM scored) WHERE rnk = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "txt_tfidf_top" ->
       """WITH toks AS (

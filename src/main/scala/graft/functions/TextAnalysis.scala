@@ -695,4 +695,142 @@ object TextAnalysis {
     array_min(transform(sequence(lit(1), n),
       i => md5(norm.substr(i, lit(k)))))
   }
+
+  /** Multinomial Naive Bayes trainer — the fastText/CCNet-style linear
+    * text classifier shape used as a quality / language filter in
+    * LLM-corpus pipelines, trained fully distributed.
+    *
+    * Returns the DENSE (term × label) model: for every vocabulary term
+    * and every label, the Laplace-smoothed log-likelihood
+    * `logp = ln((cnt + 1) / (label_tokens + V))`, floor-quantized to
+    * 9 decimals so the model (and any score summed from it) is
+    * engine-replayable. Densifying costs vocab × labels rows — labels
+    * are a human-scale dimension, so this is ~vocab-sized — and makes
+    * classification a single left join with a per-label OOV default.
+    *
+    * Plan shape at 100 TB: token counts are ONE partial-aggregated
+    * wordcount groupBy (map-side combine before the only corpus-sized
+    * exchange); label totals and vocabulary size are tiny aggregates of
+    * the count table; the dense grid joins the count table on
+    * (label, term) with a forced shuffle join — the model spans the
+    * vocabulary, so a fixture-scale broadcast would lie about the plan.
+    */
+  def naiveBayesTrain(df: DataFrame, labelCol: String, textCol: String)
+      : DataFrame = {
+    val reserved = Seq("label", "term", "cnt", "logp")
+    reserved.foreach(c => require(!df.columns.contains(c) || c == labelCol,
+      s"input column '$c' collides with a naiveBayesTrain output column"))
+    val toks = df.select(col(labelCol).as("label"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val labelTotals = counts.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("__lt"))
+    val vsize = counts.select(col("term")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val dense = counts.select(col("term")).distinct()
+      .crossJoin(broadcast(labelTotals))
+    dense.hint("shuffle_merge")
+      .join(counts.hint("shuffle_merge"), Seq("label", "term"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("logp",
+        floor(log((col("cnt") + lit(1.0)) /
+          (col("__lt").cast("double") + col("__v").cast("double"))) * 1e9)
+          / 1e9)
+      .select(col("label"), col("term"), col("cnt"), col("logp"))
+  }
+
+  /** Per-label classification constants for [[naiveBayesTrain]]'s
+    * model: the log prior `ln(n_label / n_docs)` and the OOV default
+    * log-likelihood `ln(1 / (label_tokens + V))` a test-time term
+    * absent from the training vocabulary scores under Laplace
+    * smoothing. Both floor-quantized to 9 decimals. Label-count rows —
+    * always broadcastable.
+    */
+  def naiveBayesPriors(df: DataFrame, labelCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(labelCol).as("label"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val labelTotals = counts.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("__lt"))
+    val vsize = counts.select(col("term")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val docTotals = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nd"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    // prior also ships as INTEGER nano-units (floor on a double column
+    // is already a long in Spark): re-deriving nanos from the
+    // quantized double via another floor(x·1e9) can land one unit low
+    // when the /1e9·1e9 round-trip dips just below the integer —
+    // classification sums nanos, so they must come from the single
+    // original floor
+    docTotals.join(labelTotals, Seq("label"))
+      .crossJoin(broadcast(vsize)).crossJoin(broadcast(n))
+      .select(col("label"),
+        floor(log(col("__nd").cast("double") / col("__n")) * 1e9)
+          .as("prior_nanos"),
+        (floor(log(col("__nd").cast("double") / col("__n")) * 1e9) / 1e9)
+          .as("prior_logp"),
+        (floor(log(lit(1.0) /
+          (col("__lt").cast("double") + col("__v").cast("double"))) * 1e9)
+          / 1e9).as("oov_logp"))
+  }
+
+  /** Multinomial Naive Bayes classification: argmax over labels of
+    * `prior + Σ_t tf(t) · logp(t | label)`, with OOV terms falling
+    * back to the label's smoothed default. Deterministic and
+    * engine-replayable end to end: every per-term contribution is
+    * floor-quantized to 9 decimals and summed as DECIMAL(28,9)
+    * (order-independent), and the argmax breaks score ties on the
+    * label string ascending.
+    *
+    * Plan shape: the tf table is one partial-agg'd groupBy of the
+    * exploded token stream; the (doc, term) stream crossJoins the
+    * BROADCAST per-label constants (labels are human-scale) and
+    * left-joins the model on (term, label) with a forced shuffle join
+    * (the model spans the vocabulary). Scores aggregate per
+    * (doc, label); the final argmax window partitions by doc over
+    * ≤ |labels| rows — skew-free. Docs with no tokens classify on the
+    * prior alone via the docs × labels base.
+    *
+    * Why INTEGER nano-units, not DECIMAL: each `floor(tf·logp·1e9)` is
+    * already an exact integer (a Spark long), and integer sums are
+    * order-independent AND engine-exact. Summing the /1e9 doubles as
+    * DECIMAL(28,9) instead was observed to drift 1e-9 against DuckDB —
+    * the double→decimal cast rounds the shortest-repr string, and two
+    * engines can disagree on the last digit for values a floor
+    * boundary apart.
+    */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, priors: DataFrame): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val contrib = tf.crossJoin(broadcast(
+        priors.select(col("label"), col("oov_logp"))))
+      .hint("shuffle_merge")
+      .join(model.hint("shuffle_merge").select(
+        col("term"), col("label"), col("logp")), Seq("term", "label"), "left")
+      .withColumn("__c",
+        floor(col("__tf") * coalesce(col("logp"), col("oov_logp")) * 1e9))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("__c")).as("__s"))
+    val base = docs.select(col(idCol)).crossJoin(broadcast(
+      priors.select(col("label"), col("prior_nanos"))))
+    val scored = base.join(contrib, Seq(idCol, "label"), "left")
+      .withColumn("__nanos",
+        col("prior_nanos") + coalesce(col("__s"), lit(0L)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__nanos").desc, col("label").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        (col("__nanos").cast("double") / 1e9).as("score"))
+  }
 }

@@ -1871,6 +1871,62 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept(3L) === ((3L, true)) && kept(4L) === ((3L, false)))
     assert(kept(5L) === ((5L, true)) && kept(6L) === ((6L, true)))
   }
+
+  test("naive Bayes: hand-computed model, OOV fallback, prior-only empty doc") {
+    import spark.implicits._
+    val train = Seq(
+      ("spam", "buy cheap pills buy"),
+      ("spam", "cheap pills now"),
+      ("ham", "meeting notes attached"),
+      ("ham", "notes from the meeting"),
+      ("ham", "the meeting moved")).toDF("y", "text")
+    val model = TextAnalysis.naiveBayesTrain(train, "y", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // vocab = {buy cheap pills now meeting notes attached from the moved} = 10
+    // spam tokens = 7, ham tokens = 10
+    assert(model.size === 20) // dense: 10 terms x 2 labels
+    assert(model(("spam", "buy"))._1 === 2L)
+    assert(model(("ham", "buy"))._1 === 0L)
+    // ln((2+1)/(7+10)) floor-quantized
+    assert(model(("spam", "buy"))._2 ===
+      math.floor(math.log(3.0 / 17.0) * 1e9) / 1e9)
+    assert(model(("ham", "buy"))._2 ===
+      math.floor(math.log(1.0 / 20.0) * 1e9) / 1e9)
+
+    val priors = TextAnalysis.naiveBayesPriors(train, "y", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(priors("spam")._1 ===
+      math.floor(math.log(2.0 / 5.0) * 1e9).toLong)
+    assert(priors("ham")._3 === // 10 ham tokens + V=10
+      math.floor(math.log(1.0 / 20.0) * 1e9) / 1e9)
+
+    val test = Seq(
+      (1L, "cheap pills"),          // clear spam
+      (2L, "meeting notes"),        // clear ham
+      (3L, "zzz qqq"),              // all-OOV: priors + OOV defaults
+      (4L, "")).toDF("doc_id", "text") // empty: prior only -> ham (3/5)
+    val m = TextAnalysis.naiveBayesTrain(train, "y", "text")
+    val p = TextAnalysis.naiveBayesPriors(train, "y", "text")
+    val out = TextAnalysis.naiveBayesClassify(test, "doc_id", "text", m, p)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "spam")
+    assert(out(2L) === "ham")
+    assert(out(4L) === "ham")
+    // all-OOV doc: ham has larger prior AND larger (less negative) OOV
+    // default (bigger denominator side: ln(1/30) < ln(1/27)? compute:
+    // spam oov = 1/(7+10), ham oov = 1/(10+10) -> spam larger; decided
+    // by the exact nano sums either way — replay them:
+    val nanos = (lbl: String, terms: Int) =>
+      priors(lbl)._1 + terms *
+        math.floor(1 * (math.floor(math.log(1.0 /
+          (if (lbl == "spam") 17 else 20)) * 1e9) / 1e9) * 1e9).toLong
+    val expected3 = if (nanos("spam", 2) > nanos("ham", 2) ||
+      (nanos("spam", 2) == nanos("ham", 2) && "ham" > "spam")) "spam"
+      else "ham"
+    assert(out(3L) === expected3)
+  }
 }
 
 /** Instrumented decoder factory (top-level object so executors in
