@@ -1895,6 +1895,21 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "txt_char_entropy" -> ((s, dir) =>
+      // compression-proxy quality signal: per-doc Shannon entropy in
+      // bits over the code-point distribution — ONE native map-only
+      // kernel (no explode, no shuffle); nano-bit integer sum for
+      // engine-exact replay; the oracle replays the explode+groupBy
+      // formulation and must agree bit-for-bit
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.charEntropy(col("text")).as("__ce"))
+        .select(col("doc_id"),
+          col("__ce.n_chars").as("n_chars_used"),
+          col("__ce.n_distinct").as("n_distinct_chars"),
+          (col("__ce.entropy_nanos").cast("double") / 1e9).as("entropy_bits"))
+        .orderBy(col("doc_id"))),
+
     "txt_nb_train" -> ((s, dir) =>
       // multinomial NB trained distributed on the even-id half of the
       // corpus (lang as the label): the dense smoothed (term × label)
@@ -5247,6 +5262,35 @@ object SparkEntry {
         |    / 10000 AS lm_score
         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "txt_char_entropy" ->
+      // explode+groupBy replay of the native per-row kernel: same
+      // operation order ((p*ln p)/ln 2)*1e9, floored per char, BIGINT
+      // sum — so agreement is exact, not approximate
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, ch, COUNT(*) AS cnt FROM chars WHERE ch <> ''
+        |  GROUP BY doc_id, ch),
+        |tot AS (
+        |  SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS k FROM cc
+        |  GROUP BY doc_id),
+        |terms AS (
+        |  SELECT c.doc_id,
+        |    CAST(floor((c.cnt / t.n) * ln(c.cnt / t.n) / ln(2) * 1e9)
+        |      AS BIGINT) AS term
+        |  FROM cc c JOIN tot t USING (doc_id)),
+        |sums AS (
+        |  SELECT doc_id, SUM(term) AS s FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_chars_used,
+        |  CAST(COALESCE(t.k, 0) AS BIGINT) AS n_distinct_chars,
+        |  CAST(-COALESCE(s.s, 0) AS DOUBLE) / 1e9 AS entropy_bits
+        |FROM documents d
+        |LEFT JOIN tot t ON t.doc_id = d.doc_id
+        |LEFT JOIN sums s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "txt_nb_train" ->
       // dense Laplace-smoothed multinomial NB model replayed from the

@@ -696,6 +696,17 @@ object TextAnalysis {
       i => md5(norm.substr(i, lit(k)))))
   }
 
+  /** Character-entropy quality stats per row (struct of n_chars,
+    * n_distinct, entropy_nanos) — see
+    * [[graft.expressions.CharEntropy]]: a map-only native kernel, no
+    * explode, no shuffle; nano-bit integer entropy for engine-exact
+    * replay. Gibberish and binary-paste detection signal.
+    */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.graftglue.Glue.column(
+      graft.expressions.CharEntropy(
+        org.apache.spark.sql.graftglue.Glue.expression(text)))
+
   /** Multinomial Naive Bayes trainer — the fastText/CCNet-style linear
     * text classifier shape used as a quality / language filter in
     * LLM-corpus pipelines, trained fully distributed.

@@ -1872,6 +1872,34 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept(5L) === ((5L, true)) && kept(6L) === ((6L, true)))
   }
 
+  test("char entropy: hand values, code points, empty and null text") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "aaaa"),          // one symbol: 0 bits
+      (2, "ab"),            // two equiprobable: exactly 1 bit
+      (3, "aabb"),          // still 1 bit
+      (4, ""),              // empty: all zeros
+      (5, "😀😀a") // emoji = ONE code point, twice
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.charEntropy(col("text")).as("ce"))
+      .select(col("id"), col("ce.n_chars"), col("ce.n_distinct"),
+        col("ce.entropy_nanos"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1) === ((4L, 1L, 0L)))
+    // p=0.5 twice: each term floor(0.5*ln(.5)/ln2*1e9) = floor(-5e8)
+    assert(out(2) === ((2L, 2L, 1000000000L)))
+    assert(out(3) === ((4L, 2L, 1000000000L)))
+    assert(out(4) === ((0L, 0L, 0L)))
+    // 2 emoji + 1 'a' = 3 code points, 2 distinct (NOT 5 UTF-16 units)
+    assert(out(5)._1 === 3L && out(5)._2 === 2L)
+    // null text -> null struct, not a crash
+    val nulls = Seq((6, null: String)).toDF("id", "text")
+      .select(TextAnalysis.charEntropy(col("text")).as("ce")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("naive Bayes: hand-computed model, OOV fallback, prior-only empty doc") {
     import spark.implicits._
     val train = Seq(
