@@ -2083,6 +2083,20 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "q_triangles" -> ((s, dir) => {
+      // per-node triangle counts on the parts-co-ordered graph
+      // (market-basket projection, basket-size capped) via
+      // degree-ordered orientation — each triangle generated exactly
+      // once at its lowest-(degree,id) apex, candidate fan-out
+      // O(E^1.5) instead of hub-quadratic; the oracle replays with
+      // the simple id orientation, which must agree node for node
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem").filter(col("l_orderkey") <= 3000),
+        "l_orderkey", "l_partkey", maxGroupSize = 8)
+      graft.operators.Graph.triangleCounts(edges, "u", "v")
+        .orderBy(col("node"))
+    }),
+
     "q_jaro_winkler" -> ((s, dir) =>
       // Jaro-Winkler pair verify on a capped part-name slice: the
       // codegen byte-level kernel must reproduce DuckDB's
@@ -5620,6 +5634,30 @@ object SparkEntry {
         |WHERE a.c_custkey <= 500 AND b.c_custkey <= 500
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_triangles" ->
+      // id-orientation replay: per-node triangle counts are
+      // orientation-independent, so the simple a<b<c enumeration must
+      // equal the degree-oriented distributed plan exactly
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey <= 3000),
+        |small AS (SELECT g FROM items GROUP BY g HAVING COUNT(*) <= 8),
+        |kept AS (SELECT items.g, items.i FROM items JOIN small USING (g)),
+        |edges AS (
+        |  SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.i < b.i),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
+        |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b AS node FROM tri
+        |  UNION ALL SELECT c AS node FROM tri)
+        |SELECT node, COUNT(*) AS n_triangles FROM nodes
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "q_pagerank" ->
       // three unrolled iterations; `//` is DuckDB's truncating integer

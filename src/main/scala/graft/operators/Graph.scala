@@ -84,4 +84,78 @@ object Graph {
     e.unpersist(); eDeg.unpersist(); nodes.unpersist()
     pr // already materialized; final frame stays cached for the caller
   }
+
+  /** Distinct undirected co-occurrence edges (u < v) from an
+    * (item, group) relation — two items are linked when they share a
+    * group (market-basket projection: parts co-ordered, users
+    * co-sessioned). The self-join fans out per group as basket², so
+    * `maxGroupSize` caps pathological baskets FIRST (count + semi-join
+    * filter) — the standard guard that keeps the projection linear in
+    * realistic basket-size distributions at any corpus scale.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 1000): DataFrame = {
+    val items = df.select(col(groupCol).cast("long").as("__g"),
+      col(itemCol).cast("long").as("__i")).distinct()
+    val small = items.groupBy(col("__g")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxGroupSize).select(col("__g"))
+    val kept = items.join(small, "__g")
+    kept.as("a").join(kept.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
+      .select(col("a.__i").as("u"), col("b.__i").as("v"))
+      .distinct()
+  }
+
+  /** Per-node triangle participation counts over a distinct
+    * undirected (u < v) edge list — the classic clustering/community
+    * signal (and a spam-farm detector on link graphs).
+    *
+    * Degree-ordered orientation (Cohen / MapReduce triangle counting):
+    * every edge is re-oriented from its lower-(degree, id) endpoint to
+    * the higher one, so each wedge is generated at its lowest-degree
+    * apex — the self-join fan-out is Σ d_oriented(v)² which is
+    * O(E^1.5) worst case instead of Σ d(v)² (quadratic at hub nodes).
+    * Wedges close against the oriented edge list with an equi-join.
+    * Every triangle is produced exactly ONCE regardless of
+    * orientation, so per-node counts replay with the simple id
+    * orientation in the oracle.
+    *
+    * Plan: degree = one partial-agg'd groupBy; orientation = map-only
+    * after one shuffle join of edges⋈degree (both endpoints); wedge +
+    * closure are equi-joins on node keys. No driver state.
+    */
+  def triangleCounts(edges: DataFrame, uCol: String, vCol: String)
+      : DataFrame = {
+    val e = edges.select(col(uCol).cast("long").as("u"),
+      col(vCol).cast("long").as("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    // orient by (degree, id): lower endpoint -> higher endpoint
+    val oriented = e
+      .join(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("__d", "__du"), "u")
+      .join(deg.withColumnRenamed("node", "v")
+        .withColumnRenamed("__d", "__dv"), "v")
+      .select(
+        when(col("__du") < col("__dv") ||
+            (col("__du") === col("__dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(col("__du") < col("__dv") ||
+            (col("__du") === col("__dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+    // wedges at the low apex; order the two far endpoints so each
+    // candidate closure is probed once
+    val w = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"),
+        col("e2.t").as("c"))
+    // closure: (b, c) present in EITHER orientation
+    val closed = w.join(
+      oriented.select(col("s").as("b"), col("t").as("c"))
+        .unionAll(oriented.select(col("t").as("b"), col("s").as("c"))),
+      Seq("b", "c"))
+    closed.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

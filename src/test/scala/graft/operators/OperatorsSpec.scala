@@ -342,6 +342,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(ranks(2) === Map(0L -> 15L, 1L -> 20L, 2L -> 20L))
   }
 
+  test("triangleCounts: K4, path, star; co-occurrence cap drops big baskets") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in exactly 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("u", "v")
+    val tk4 = graft.operators.Graph.triangleCounts(k4, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tk4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path 1-2-3-4 and star 1->{2,3,4}: triangle-free -> empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(graft.operators.Graph.triangleCounts(path, "u", "v")
+      .count() === 0L)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    assert(graft.operators.Graph.triangleCounts(star, "u", "v")
+      .count() === 0L)
+    // co-occurrence: basket (g=10) of {1,2,3} -> 3 edges; oversized
+    // basket (g=20, 4 items > cap 3) contributes NOTHING; duplicate
+    // item rows collapse before pairing
+    val baskets = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L),
+      (20L, 5L), (20L, 6L), (20L, 7L), (20L, 8L)).toDF("g", "i")
+    val edges = graft.operators.Graph
+      .coOccurrenceEdges(baskets, "g", "i", maxGroupSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("cohortRetention: cohort by first period, distinct actives, rate") {
     import spark.implicits._
     // period = 7 days; day d lands in bucket floor(d/7)
