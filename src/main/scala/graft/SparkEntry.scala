@@ -1039,6 +1039,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ivf_hier" -> ((s, dir) => {
+      // two-level quantizer assignment (the IVF scale path's OWN
+      // scale path: ~O(sqrt(nlist)) centroid dots per vector, for the
+      // nlist ∝ corpus contract): centroids grouped under 4
+      // super-centroids, corpus assigned at wprobe=1, search over the
+      // two-level index. The planted ~0.002-perturbation copies
+      // quantize like their query under ANY deterministic quantizer,
+      // so top-5 must still equal the brute-force oracle — exactly
+      // the sim_ann_ivf/sim_ivf_append contract
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      val (supers, members) = Similarity.ivfGroups(cents, 4)
+      val index = Similarity.ivfAssignmentsTwoLevel(corpus, "vec_id",
+        "embedding", cents, supers, members, wprobe = 1)
+      Similarity.ivfTopKIndexed(index, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_margin_mine" -> ((s, dir) => {
       // ratio-margin bitext mining: German-doc vectors query the
       // English-doc slice; a pair is mined only when the best match
@@ -4416,6 +4436,7 @@ object SparkEntry {
 
     "sim_ann_lsh" -> plantedAnnOracle,
     "sim_ann_ivf" -> plantedAnnOracle,
+    "sim_ivf_hier" -> plantedAnnOracle,
     "sim_ivf_append" -> plantedAnnOracle,
 
     "sim_margin_mine" ->

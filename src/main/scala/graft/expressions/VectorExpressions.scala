@@ -387,3 +387,125 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): NearestCell =
     copy(child = newChild)
 }
+
+/** Two-level (hierarchical) nearest-centroid assignment — the IVF
+  * coarse quantizer's own scale path. Flat [[NearestCell]] costs
+  * O(nlist·dims) per vector; with the contract nlist ∝ corpus that
+  * term turns corpus-quadratic. Here the nlist centroids are
+  * pre-grouped under `ngroups ≈ √nlist` super-centroids: a vector
+  * scores the super-centroids first, then only the member centroids
+  * of its `wprobe` nearest groups — O((ngroups + wprobe·nlist/ngroups)
+  * ·dims) ≈ O(√nlist·dims). This is the standard two-level k-means /
+  * IMI construction (Babenko & Lempitsky 2012's inverted multi-index
+  * is the product-space version of the same idea).
+  *
+  * Exactness contract: with `wprobe == ngroups` every centroid is
+  * scanned and the result — including ties, which break to the LOWER
+  * GLOBAL cell id — is identical to flat [[NearestCell]] (flat's
+  * strict `<` keeps the first = lowest index on ties; here the
+  * explicit (score, id) order restores that under any group
+  * visitation order). With small wprobe the assignment is
+  * approximate in exactly the IVF sense: wrong only when the true
+  * cell's group is not among the wprobe nearest by super-centroid.
+  */
+case class NearestCellTwoLevel(child: Expression,
+    superCents: Array[Array[Double]], members: Array[Array[Int]],
+    centroids: Array[Array[Double]], wprobe: Int)
+    extends UnaryExpression {
+  require(superCents.length == members.length,
+    "one member list per super-centroid")
+  require(wprobe >= 1 && wprobe <= superCents.length,
+    "wprobe must be in [1, ngroups]")
+
+  private val ngroups = superCents.length
+  private val dims = if (centroids.isEmpty) 0 else centroids(0).length
+  private val superNormSq: Array[Double] =
+    superCents.map(c => c.map(x => x * x).sum)
+  private val normSq: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nearest_cell_two_level"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell_two_level expects array<float|double>, got $other")
+    }
+
+  def assign(v: Any): Int = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"nearestCellTwoLevel: vector dims != $dims")
+    val x = new Array[Double](dims)
+    var d = 0
+    while (d < dims) {
+      if (vec.isNullAt(d))
+        throw new RuntimeException(s"nearestCellTwoLevel: null element at $d")
+      x(d) = VectorExpressions.elementAt(child.dataType, vec, d)
+      d += 1
+    }
+    // level 1: score super-centroids
+    val superScore = new Array[Double](ngroups)
+    var g = 0
+    while (g < ngroups) {
+      val c = superCents(g)
+      var s = 0.0; var i = 0
+      while (i < dims) { s += x(i) * c(i); i += 1 }
+      superScore(g) = superNormSq(g) - 2.0 * s
+      g += 1
+    }
+    // wprobe nearest groups by (score, group id): selection pass per
+    // probe — wprobe is small by construction
+    val taken = new Array[Boolean](ngroups)
+    var best = Double.PositiveInfinity
+    var bestCell = Int.MaxValue
+    var p = 0
+    while (p < wprobe) {
+      var bg = -1
+      var bgs = Double.PositiveInfinity
+      g = 0
+      while (g < ngroups) {
+        if (!taken(g) && java.lang.Double.compare(superScore(g), bgs) < 0) {
+          bgs = superScore(g); bg = g
+        }
+        g += 1
+      }
+      taken(bg) = true
+      // level 2: scan this group's member cells
+      val mem = members(bg)
+      var m = 0
+      while (m < mem.length) {
+        val cellId = mem(m)
+        val c = centroids(cellId)
+        var s = 0.0; var i = 0
+        while (i < dims) { s += x(i) * c(i); i += 1 }
+        val score = normSq(cellId) - 2.0 * s
+        val cmp = java.lang.Double.compare(score, best)
+        if (cmp < 0 || (cmp == 0 && cellId < bestCell)) {
+          best = score; bestCell = cellId
+        }
+        m += 1
+      }
+      p += 1
+    }
+    bestCell
+  }
+
+  override def nullSafeEval(input: Any): Any = assign(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCellTwoLevel", this,
+      classOf[NearestCellTwoLevel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.assign($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCellTwoLevel = copy(child = newChild)
+}

@@ -903,4 +903,70 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Group a trained quantizer's centroids under `ngroups`
+    * super-centroids for two-level assignment: greedy farthest-point
+    * selection over the CENTROID array picks the supers (same
+    * deterministic rule as ivfCentroids — first centroid seeds, ties
+    * keep the first), then every centroid joins its nearest super
+    * (ties → lower super id). Pure driver math over O(nlist·dims)
+    * values — KBs; the quantizer is already driver-resident.
+    * Returns (superCentroids, memberCellIds) with member lists in
+    * ascending global cell id.
+    */
+  def ivfGroups(centroids: Array[Array[Double]], ngroups: Int)
+      : (Array[Array[Double]], Array[Array[Int]]) = {
+    require(ngroups >= 1 && ngroups <= centroids.length,
+      "ngroups must be in [1, nlist]")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minD = centroids.map(c => d2(c, centroids(0)))
+    while (chosen.size < ngroups) {
+      var best = 0; var bestD = -1.0; var i = 0
+      while (i < centroids.length) {
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      chosen += best
+      i = 0
+      while (i < centroids.length) {
+        val d = d2(centroids(i), centroids(best))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    val supers = chosen.map(centroids(_).clone()).toArray
+    val members = Array.fill(ngroups)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    centroids.indices.foreach { c =>
+      var bg = 0; var bd = d2(centroids(c), supers(0)); var g = 1
+      while (g < ngroups) {
+        val d = d2(centroids(c), supers(g))
+        if (d < bd) { bd = d; bg = g }
+        g += 1
+      }
+      members(bg) += c
+    }
+    (supers, members.map(_.sorted.toArray))
+  }
+
+  /** [[ivfAssignments]] through the two-level quantizer — same output
+    * schema (id, vec, cell), ~O(√nlist) centroid dots per vector
+    * instead of nlist. `wprobe == ngroups` is EXACTLY flat assignment
+    * (spec-pinned); small wprobe is the IVF approximation. Map-only:
+    * the grouped quantizer rides the closure, never a join.
+    */
+  def ivfAssignmentsTwoLevel(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      superCents: Array[Array[Double]], members: Array[Array[Int]],
+      wprobe: Int = 1): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      coalesce(
+        exprCol(graft.expressions.NearestCellTwoLevel(colExpr(col(vecCol)),
+          superCents, members, centroids, wprobe)),
+        lit(-1)).as("cell"))
 }

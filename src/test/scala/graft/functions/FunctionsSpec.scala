@@ -1872,6 +1872,46 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept(5L) === ((5L, true)) && kept(6L) === ((6L, true)))
   }
 
+  test("two-level IVF assignment: full probe == flat exactly, groups partition") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus, dims=4
+    val corpus = (0L until 200L).map { i =>
+      (i, Seq.tabulate(4)(d => ((i * 31 + d * 17) % 19 - 9).toDouble / 9.0))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 12)
+    val (supers, members) = Similarity.ivfGroups(cents, 4)
+    // groups PARTITION the cells: every cell in exactly one group
+    assert(members.flatten.sorted.toSeq === (0 until cents.length))
+    // wprobe == ngroups scans every centroid -> bit-identical to flat
+    // (including tie behavior: lower global cell id wins, as flat's
+    // first-scanned-wins does)
+    val flat = Similarity.ivfAssignments(corpus, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val full = Similarity.ivfAssignmentsTwoLevel(corpus, "vec_id",
+        "embedding", cents, supers, members, wprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(full === flat)
+    // crafted tie: two IDENTICAL centroids in different groups; the
+    // lower cell id must win under full probe, matching flat
+    val tieCents = Array(Array(1.0, 0.0), Array(1.0, 0.0),
+      Array(-1.0, 0.0), Array(0.0, 1.0))
+    val (ts, tm) = Similarity.ivfGroups(tieCents, 4)
+    val one = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfAssignmentsTwoLevel(one, "vec_id", "embedding",
+        tieCents, ts, tm, wprobe = 4)
+      .collect().head.getInt(2)
+    val flatGot = Similarity.ivfAssignments(one, "vec_id", "embedding",
+      tieCents).collect().head.getInt(2)
+    assert(got === 0 && flatGot === 0)
+    // wprobe=1 agreement stays high on smooth data (approximation
+    // quality floor, not exactness)
+    val w1 = Similarity.ivfAssignmentsTwoLevel(corpus, "vec_id",
+        "embedding", cents, supers, members, wprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val agree = flat.count { case (k, v) => w1(k) == v }
+    assert(agree >= 160, s"two-level wprobe=1 agreement too low: $agree/200")
+  }
+
   test("char entropy: hand values, code points, empty and null text") {
     import spark.implicits._
     val df = Seq(
