@@ -1831,6 +1831,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "curate_k_anonymity" -> ((s, dir) =>
+      // release screen before a record-level export: any
+      // (nation, segment) combination shared by fewer than k=10
+      // customers re-identifies its members; one partial-agg'd
+      // groupBy, combination-sized output
+      graft.functions.Curation.kAnonymityAudit(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     "curate_pii_redact" -> ((s, dir) => {
       // the corpus has no natural PII, so synthesize a deterministic
       // contact line per doc (both engines build the identical string)
@@ -5059,6 +5068,12 @@ object SparkEntry {
         |    AS url_canon,
         |  domain
         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "curate_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+        |  COUNT(*) < 10 AS violates
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "curate_pii_redact" ->
       """SELECT doc_id,

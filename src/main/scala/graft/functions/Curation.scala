@@ -809,4 +809,27 @@ object Curation {
       .filter(saltedHash60(salt, col(idCol)) % 1000000L < col("rate_ppm"))
       .drop("__mix_src", "rate_ppm")
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple — the release
+    * screen run before any record-level corpus or metadata export:
+    * every row whose quasi-identifier combination is shared by fewer
+    * than k rows is re-identifiable at confidence 1/count. Returns the
+    * per-combination audit (the quasi-identifier columns, their group
+    * size, and `violates`), so callers can suppress, generalize, or
+    * drop the violating groups.
+    *
+    * Nulls are grouped as their own value (null IS a disclosing value
+    * when rare — a null birthday in a table of non-nulls identifies).
+    * Plan: ONE partial-agg'd groupBy on the tuple — the audit costs a
+    * wordcount at any scale, and the output is combination-sized, not
+    * row-sized.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Int)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, "k < 2 makes every row trivially anonymous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("violates", col("group_size") < k)
+  }
 }

@@ -487,4 +487,22 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         r.getAs[Long]("batch_in_bucket"))).toSet
     assert(key(out) === key(again))
   }
+
+  test("kAnonymityAudit: group sizes, violations, null as a value") {
+    import spark.implicits._
+    val df = Seq(
+      ("NY", "a"), ("NY", "a"), ("NY", "a"),   // size 3: ok at k=3
+      ("SF", "b"), ("SF", "b"),                // size 2: violates
+      (null: String, "c")                      // null QI, size 1: violates
+    ).toDF("city", "plan")
+    val out = Curation.kAnonymityAudit(df, Seq("city", "plan"), k = 3)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("∅"),
+        r.getString(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(("NY", "a")) === ((3L, false)))
+    assert(out(("SF", "b")) === ((2L, true)))
+    assert(out(("∅", "c")) === ((1L, true)))
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymityAudit(df, Seq.empty, k = 3)
+    }
+  }
 }
