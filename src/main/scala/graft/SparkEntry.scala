@@ -1452,6 +1452,19 @@ object SparkEntry {
           col("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    "mm_chunk_cdc" -> ((s, dir) =>
+      // content-defined (rolling-hash) chunking — the edit-resilient
+      // twin of mm_chunk_fixed: boundaries depend only on the local
+      // 16-wide window, so chunk hashes survive upstream insertions
+      // and chunk-level dedup dedups recrawled blobs; single-pass
+      // native kernel for the spans, declarative substr+md5 for the
+      // hashes
+      graft.functions.Multimodal.chunkContentDefined(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("chunk_len"), col("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "mm_phash_neardup" -> ((s, dir) => {
       // image near-dup via perceptual hash over REAL decoded pixels:
       // synthetic gray PNGs planted in twin groups of 4 (one pixel
@@ -4327,6 +4340,51 @@ object SparkEntry {
         |       ELSE CAST(50 + (doc_id * 13) % 200 AS BIGINT) END AS frames,
         |  doc_id % 89 <> 0 AS decode_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_chunk_cdc" ->
+      // windowed-lag replay of the rolling hash: 16 lagged code-point
+      // terms with precomputed 31^j mod 1e9+7 coefficients, exact
+      // BIGINT arithmetic; mask boundaries (H % 64 = 0) UNION the
+      // terminal boundary, chunks cut between consecutive boundaries
+      """WITH cp AS (
+        |  SELECT doc_id, text,
+        |    generate_subscripts(regexp_split_to_array(text, ''), 1) AS pos,
+        |    unnest(regexp_split_to_array(text, '')) AS ch
+        |  FROM documents),
+        |vals AS (
+        |  SELECT doc_id, text, pos, CAST(ord(ch) AS BIGINT) AS b FROM cp),
+        |hs AS (
+        |  SELECT doc_id, text, pos,
+        |    (b * 1 + lag(b, 1) OVER w * 31 + lag(b, 2) OVER w * 961
+        |     + lag(b, 3) OVER w * 29791 + lag(b, 4) OVER w * 923521
+        |     + lag(b, 5) OVER w * 28629151
+        |     + lag(b, 6) OVER w * 887503681
+        |     + lag(b, 7) OVER w * 512613922
+        |     + lag(b, 8) OVER w * 891031477
+        |     + lag(b, 9) OVER w * 621975598
+        |     + lag(b, 10) OVER w * 281243405
+        |     + lag(b, 11) OVER w * 718545499
+        |     + lag(b, 12) OVER w * 274910315
+        |     + lag(b, 13) OVER w * 522219709
+        |     + lag(b, 14) OVER w * 188810867
+        |     + lag(b, 15) OVER w * 853136842) % 1000000007 AS h
+        |  FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |bounds AS (
+        |  SELECT doc_id, text, pos FROM hs WHERE pos >= 16 AND h % 64 = 0
+        |  UNION
+        |  SELECT doc_id, text, length(text) AS pos FROM documents
+        |  WHERE length(text) >= 1),
+        |chunks AS (
+        |  SELECT doc_id, text, pos AS e,
+        |    COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+        |      AS sprev,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+        |      AS chunk_idx
+        |  FROM bounds)
+        |SELECT doc_id, chunk_idx, sprev + 1 AS chunk_start,
+        |  e - sprev AS chunk_len,
+        |  md5(substr(text, sprev + 1, e - sprev)) AS chunk_hash
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "mm_chunk_fixed" ->
       """WITH ex AS (

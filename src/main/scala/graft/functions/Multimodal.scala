@@ -732,6 +732,30 @@ object Multimodal {
       .withColumn("chunk_hash", md5(col("chunk")))
       .drop("chunk")
 
+  /** Content-defined chunking — [[chunkFixed]]'s edit-resilient twin
+    * (see [[graft.expressions.ContentChunks]]): boundaries from a
+    * w-wide polynomial rolling hash, so an insertion shifts only the
+    * chunks up to the first boundary past the edit and every later
+    * chunk hash is PRESERVED — the property that lets recrawled /
+    * re-encoded blobs share chunk-level dedup work. The kernel emits
+    * (start, len) spans in one pass; span text + hash are cut
+    * declaratively (codegen'd explode, no shuffle, no UDF).
+    */
+  def chunkContentDefined(df: DataFrame, payloadCol: String,
+      window: Int = 16, prime: Long = 31L, modulus: Long = 1000000007L,
+      divisor: Long = 64L, remainder: Long = 0L): DataFrame =
+    df.withColumn("__spans",
+        org.apache.spark.sql.graftglue.Glue.column(
+          graft.expressions.ContentChunks(
+            org.apache.spark.sql.graftglue.Glue.expression(col(payloadCol)),
+            window, prime, modulus, divisor, remainder)))
+      .select(col("*"), posexplode(col("__spans")).as(Seq("chunk_idx", "__s")))
+      .withColumn("chunk_start", col("__s.start"))
+      .withColumn("chunk_len", col("__s.len"))
+      .withColumn("chunk_hash",
+        md5(expr(s"substring($payloadCol, chunk_start, chunk_len)")))
+      .drop("__spans", "__s")
+
   /** Byte-level feature extraction that IS runnable here (no codec):
     * payload size, xxhash64 content id, entropy-ish distinct-byte
     * ratio — the cheap pre-filter columns a media pipeline computes

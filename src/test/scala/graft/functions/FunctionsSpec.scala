@@ -1872,6 +1872,50 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept(5L) === ((5L, true)) && kept(6L) === ((6L, true)))
   }
 
+  test("content-defined chunking: spans tile the text, edits resync, " +
+      "fixed chunking does not") {
+    import spark.implicits._
+    // aperiodic content (a periodic string makes every window hash
+    // repeat with the period — boundaries all-or-nothing); any
+    // polynomial mod 26 is periodic, so mix via a Knuth multiply
+    val base = (1 to 400).map { i =>
+      ('a' + (((i * 2654435761L) >>> 13) % 26)).toChar
+    }.mkString
+    val edited = "INSERTED!" + base // 9-char prefix insertion
+    val df = Seq((1L, base), (2L, edited), (3L, "")).toDF("id", "text")
+    val out = graft.functions.Multimodal
+      .chunkContentDefined(df, "text")
+      .collect()
+      .groupBy(_.getAs[Long]("id"))
+    // spans TILE each text exactly: contiguous, 1-based, full cover
+    Seq(1L, 2L).foreach { id =>
+      val spans = out(id).sortBy(_.getAs[Int]("chunk_idx"))
+        .map(r => (r.getAs[Int]("chunk_start"), r.getAs[Int]("chunk_len")))
+      assert(spans.head._1 === 1)
+      spans.sliding(2).foreach {
+        case Array((s1, l1), (s2, _)) => assert(s2 === s1 + l1)
+        case _ =>
+      }
+      val n = if (id == 1L) base.length else edited.length
+      assert(spans.last._1 + spans.last._2 - 1 === n)
+    }
+    assert(!out.contains(3L)) // empty payload -> no chunk rows
+    // CDC property: after the first boundary past the edit, chunk
+    // hashes RESYNC — the tail chunks of base reappear in edited
+    val h1 = out(1L).map(_.getAs[String]("chunk_hash"))
+    val h2 = out(2L).map(_.getAs[String]("chunk_hash")).toSet
+    assert(out(1L).length >= 3, "fixture should produce several chunks")
+    assert(h1.tail.forall(h2.contains),
+      "all post-resync chunk hashes must survive the insertion")
+    // fixed chunking loses EVERY chunk hash under the same edit
+    val fixed = graft.functions.Multimodal.chunkFixed(
+        df.filter(col("id") =!= 3L), "text", 64)
+      .collect().groupBy(_.getAs[Long]("id"))
+    val f1 = fixed(1L).map(_.getAs[String]("chunk_hash")).toSet
+    val f2 = fixed(2L).map(_.getAs[String]("chunk_hash")).toSet
+    assert((f1 intersect f2).isEmpty)
+  }
+
   test("two-level IVF assignment: full probe == flat exactly, groups partition") {
     import spark.implicits._
     // deterministic pseudo-random corpus, dims=4
