@@ -499,10 +499,22 @@ object Similarity {
     * the property that makes a trained quantizer usable in verified
     * pipelines. Empty cells keep their previous centroid. The per-iter
     * collect is nlist×dims values (a few KB).
+    *
+    * `oversample` selects the INIT geometry and matters more than the
+    * iteration count: ≥ 2 runs greedy farthest-point over the sampled
+    * candidates — maximal coverage of CLUSTERED data, but on weakly
+    * clustered (noise-dominated, high-dim) data it picks hypercube
+    * corners and one near-center seed cell captures nearly the whole
+    * corpus (measured: 16,568 of 16,800 vectors in one cell at
+    * nlist=128), a mass imbalance Lloyd cannot undo in few sweeps.
+    * `oversample = 1` keeps the deterministic hash-ordered sample
+    * itself as the init — sampled ∝ data mass, so cell occupancy
+    * starts balanced (the k-means++/k-means‖ rationale).
     */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 3): Array[Array[Double]] = {
-    var cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+      nlist: Int, iters: Int = 3, oversample: Int = 8)
+      : Array[Array[Double]] = {
+    var cents = ivfCentroids(corpus, idCol, vecCol, nlist, oversample)
     val dims = cents.head.length
     val doubled = corpus.select(
       transform(col(vecCol), x => x.cast("double")).as("__v"))

@@ -182,15 +182,23 @@ object ScaleSmoke {
       // grown corpus at nlist = 16·f to honor the contract, OUTSIDE
       // the timed block: quantizer training is a stored artifact
       // (same treatment as pqBooks/the IVF store above), and its
-      // O(n·nlist) selection cost would otherwise re-introduce an f²
-      // term that production amortizes. The IVF-append stage keeps
-      // its FROZEN base quantizer — that is ITS contract. With
-      // nlist ∝ f a planted twin can land across a cell boundary
-      // (799 vs 800 dups at 32×) — the coarse-quantization recall
-      // loss the SemDeDup paper itself accepts.
-      val semCents = Similarity.ivfCentroids(
+      // O(n·nlist) cost would otherwise re-introduce an f² term that
+      // production amortizes. The IVF-append stage keeps its FROZEN
+      // base quantizer — that is ITS contract.
+      //
+      // ivfTrain with SAMPLE init (oversample=1), NOT farthest-point:
+      // on this heavy-noise fixture farthest-point picks 127
+      // hypercube corners and the seed cell captures 16,568 of
+      // 16,800 vectors (measured) — the within-cell pair join then
+      // does m² ≈ 274M candidate work (the f=8 stage took 50 s), and
+      // corner-init Lloyd cannot rebalance in few sweeps. Sample
+      // init draws centroids ∝ data mass, so occupancy starts
+      // balanced (SemDeDup itself is k-means clustering). With
+      // nlist ∝ f a planted twin can land across a cell boundary —
+      // the coarse-quantization recall loss the paper accepts.
+      val semCents = Similarity.ivfTrain(
         aug.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", 16 * f)
+        "vec_id", "embedding", 16 * f, iters = 2, oversample = 1)
       val (n4, tSem) = timed {
         Dedup.semanticDedup(aug, "vec_id", "embedding", "quality",
           semCents, threshold = 0.9).filter(!col("kept")).count()
