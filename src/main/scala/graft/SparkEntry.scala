@@ -1043,16 +1043,20 @@ object SparkEntry {
       // two-level quantizer assignment (the IVF scale path's OWN
       // scale path: ~O(sqrt(nlist)) centroid dots per vector, for the
       // nlist ∝ corpus contract): centroids grouped under 4
-      // super-centroids, corpus assigned at wprobe=1, search over the
+      // super-centroids, corpus assigned at wprobe=2, search over the
       // two-level index. The planted ~0.002-perturbation copies
       // quantize like their query under ANY deterministic quantizer,
       // so top-5 must still equal the brute-force oracle — exactly
-      // the sim_ann_ivf/sim_ivf_append contract
+      // the sim_ann_ivf/sim_ivf_append contract. wprobe=2 (not 1):
+      // at sf0.1 a handful of the 1000 queries' copies sat on a
+      // supergroup knife edge at wprobe=1 and quantized into a cell
+      // outside the query's flat nprobe=4 probe set — the exact
+      // approximation mode the wprobe knob exists to buy back
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
       val (supers, members) = Similarity.ivfGroups(cents, 4)
       val index = Similarity.ivfAssignmentsTwoLevel(corpus, "vec_id",
-        "embedding", cents, supers, members, wprobe = 1)
+        "embedding", cents, supers, members, wprobe = 2)
       Similarity.ivfTopKIndexed(index, "vec_id", "embedding",
           queries, "query_id", "qvec", k = 5, cents, nprobe = 4)
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))

@@ -229,6 +229,38 @@ object ScaleSmoke {
         s"  (pairs full: $nFull, delta-touching: $nInc)")
       hist.unpersist(); index.unpersist()
     }
+    // Round-7 second-session paths: NB classification (model/priors
+    // prebuilt from the BASE corpus — stored artifacts; timed work =
+    // tf scan + shuffle join against the vocab-sized model), CDC
+    // chunking + chunk-hash dedup counts (single-pass kernel +
+    // wordcount), char entropy (pure map-only projection). All three
+    // must grow ~linearly with the corpus.
+    println(f"${"factor"}%-7s ${"docs"}%-7s ${"nbclass"}%-9s ${"cdcchunk"}%-9s ${"entropy"}%-9s")
+    val nbModel = graft.functions.TextAnalysis.naiveBayesTrain(
+      docs0, "lang", "text").cache()
+    nbModel.count()
+    val nbPriors = graft.functions.TextAnalysis.naiveBayesPriors(
+      docs0, "lang", "text").cache()
+    nbPriors.count()
+    factors.foreach { f =>
+      val docs = docsAt(docs0, f).cache()
+      val nd = docs.count()
+      val (s1, tNb) = timed(graft.functions.TextAnalysis
+        .naiveBayesClassify(docs, "doc_id", "text", nbModel, nbPriors)
+        .count())
+      val (s2, tCdc) = timed(graft.functions.Multimodal
+        .chunkContentDefined(docs.select(col("doc_id"), col("text")), "text")
+        .groupBy(col("chunk_hash")).agg(count(lit(1)))
+        .count())
+      val (s3, tEnt) = timed(docs
+        .select(graft.functions.TextAnalysis.charEntropy(col("text"))
+          .as("ce"))
+        .agg(sum(col("ce.entropy_nanos"))).collect().head.getLong(0))
+      println(f"$f%-7d $nd%-7d $tNb%-9.2f $tCdc%-9.2f $tEnt%-9.2f" +
+        s"   (classified: $s1, distinct chunks: $s2, nanos: $s3)")
+      docs.unpersist()
+    }
+    nbModel.unpersist(); nbPriors.unpersist()
     spark.stop()
     sys.exit(0)
   }
