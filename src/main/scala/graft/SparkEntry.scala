@@ -2129,6 +2129,28 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "q_label_prop" -> ((s, dir) => {
+      // seeded label propagation on the customer↔supplier purchase
+      // graph: supplier nations are the seed labels, two synchronous
+      // rounds spread them to customers (integer edge-multiplicity
+      // votes, ties to the smaller label, seeds clamped) — the
+      // graph-based semi-supervised labeler for propagating
+      // domain/quality labels over interaction graphs; the oracle
+      // unrolls both rounds in SQL
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = broadcast(o).join(l, "o_orderkey").select("src", "dst")
+      val seeds = t(s, dir, "supplier")
+        .select((col("s_suppkey") * 2 + 1).as("node"),
+          col("s_nationkey").as("nation"))
+      graft.operators.Graph.labelPropagate(edges, "src", "dst",
+          seeds, "node", "nation", iters = 2)
+        .orderBy(col("node"))
+    }),
+
     "q_triangles" -> ((s, dir) => {
       // per-node triangle counts on the parts-co-ordered graph
       // (market-basket projection, basket-size capped) via
@@ -5732,6 +5754,52 @@ object SparkEntry {
         |WHERE a.c_custkey <= 500 AND b.c_custkey <= 500
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_label_prop" ->
+      // two unrolled synchronous rounds: integer multiplicity votes,
+      // argmax with smaller-label ties, seeds clamped via COALESCE
+      """WITH e AS (
+        |  SELECT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |und AS (
+        |  SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+        |nodes AS (SELECT DISTINCT s AS node FROM und),
+        |seeds AS (
+        |  SELECT s_suppkey * 2 + 1 AS node,
+        |    CAST(s_nationkey AS BIGINT) AS lbl
+        |  FROM supplier),
+        |l0 AS (
+        |  SELECT n.node, seeds.lbl AS label FROM nodes n
+        |  LEFT JOIN seeds ON seeds.node = n.node),
+        |v1 AS (
+        |  SELECT und.d, l0.label AS nl, COUNT(*) AS votes
+        |  FROM und JOIN l0 ON l0.node = und.s
+        |  WHERE l0.label IS NOT NULL GROUP BY und.d, l0.label),
+        |a1 AS (
+        |  SELECT d AS node, nl FROM (
+        |    SELECT d, nl, ROW_NUMBER() OVER (PARTITION BY d
+        |      ORDER BY votes DESC, nl ASC) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |l1 AS (
+        |  SELECT l0.node, COALESCE(seeds.lbl, a1.nl, l0.label) AS label
+        |  FROM l0
+        |  LEFT JOIN seeds ON seeds.node = l0.node
+        |  LEFT JOIN a1 ON a1.node = l0.node),
+        |v2 AS (
+        |  SELECT und.d, l1.label AS nl, COUNT(*) AS votes
+        |  FROM und JOIN l1 ON l1.node = und.s
+        |  WHERE l1.label IS NOT NULL GROUP BY und.d, l1.label),
+        |a2 AS (
+        |  SELECT d AS node, nl FROM (
+        |    SELECT d, nl, ROW_NUMBER() OVER (PARTITION BY d
+        |      ORDER BY votes DESC, nl ASC) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |l2 AS (
+        |  SELECT l1.node, COALESCE(seeds.lbl, a2.nl, l1.label) AS label
+        |  FROM l1
+        |  LEFT JOIN seeds ON seeds.node = l1.node
+        |  LEFT JOIN a2 ON a2.node = l1.node)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
 
     "q_triangles" ->
       // id-orientation replay: per-node triangle counts are

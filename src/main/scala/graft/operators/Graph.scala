@@ -166,4 +166,68 @@ object Graph {
     closed.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Seeded synchronous label propagation — the graph-based
+    * semi-supervised labeler (spread domain / quality / topic labels
+    * from a labeled seed set over a similarity or interaction graph;
+    * Zhu & Ghahramani 2002 / Raghavan 2007 family). Deterministic by
+    * construction, like the other Graph operators: votes are INTEGER
+    * edge counts, a node adopts the label with the highest vote
+    * (ties → smaller label), seeds are clamped, and iterations are
+    * synchronous — so the result is bit-identical across engines and
+    * partitionings and a SQL oracle can unroll the rounds.
+    *
+    * `edges` is an undirected adjacency given as (src, dst) pairs
+    * (both directions are expanded internally; parallel edges vote
+    * with their multiplicity). `seeds` is (node, label) with long
+    * labels. Unreached nodes end with null.
+    *
+    * Plan shape per iteration: ONE partial-agg'd shuffle (the
+    * (node, label) vote count); the argmax window partitions per node
+    * over ≤ |labels| rows; the labels frame persists per round
+    * (lineage would otherwise replay all prior rounds per action) —
+    * the pageRank convention.
+    */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+    val und = e0.unionAll(e0.select(col("__d").as("__s"),
+      col("__s").as("__d"))).persist(lvl)
+    val nodes = und.select(col("__s").as("node")).distinct().persist(lvl)
+    val seed = seeds.select(col(seedNodeCol).cast("long").as("node"),
+      col(seedLabelCol).cast("long").as("__seed")).persist(lvl)
+    var labels = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label"), col("__seed"))
+      .persist(lvl)
+    labels.count()
+    val intermediates = scala.collection.mutable.ArrayBuffer(labels)
+    (0 until iters).foreach { _ =>
+      val votes = und
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("__s"), col("label").as("__nl")), "__s")
+        .groupBy(col("__d"), col("__nl"))
+        .agg(count(lit(1)).as("__votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__d"))
+        .orderBy(col("__votes").desc, col("__nl").asc)
+      val adopted = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__d").as("node"), col("__nl").as("__adopt"))
+      labels = labels.select(col("node"), col("label"), col("__seed"))
+        .join(adopted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), col("__adopt"), col("label")).as("label"),
+          col("__seed"))
+        .persist(lvl)
+      intermediates += labels
+      labels.count()
+    }
+    intermediates.dropRight(1).foreach(_.unpersist())
+    und.unpersist(); nodes.unpersist(); seed.unpersist()
+    labels.select(col("node"), col("label"))
+  }
 }

@@ -368,6 +368,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(edges === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("labelPropagate: multiplicity votes, ties, clamped seeds, 2-hop reach") {
+    import spark.implicits._
+    // 1(seed A=10) =2 edges= 3;  2(seed B=20) -1 edge- 3 : node 3 takes A
+    // 4(seed A=10) -1- 5; 2 -1- 5 : tie at node 5 -> smaller label 10
+    // 3 -1- 6 : node 6 unlabeled after round 1 (3 had no label yet),
+    //           labeled in round 2 (2-hop reach)
+    // 7 -1- 8 : no seed anywhere -> both stay null
+    val edges = Seq((1L, 3L), (1L, 3L), (2L, 3L), (4L, 5L), (2L, 5L),
+      (3L, 6L), (7L, 8L)).toDF("s", "d")
+    val seeds = Seq((1L, 10L), (2L, 20L), (4L, 10L)).toDF("n", "lbl")
+    def run(iters: Int) = graft.operators.Graph
+      .labelPropagate(edges, "s", "d", seeds, "n", "lbl", iters)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val r1 = run(1)
+    assert(r1(3L) === Some(10L)) // 2 votes A beat 1 vote B
+    assert(r1(5L) === Some(10L)) // 1-1 tie -> smaller label
+    assert(r1(6L) === None)      // neighbor 3 was unlabeled at round 0
+    assert(r1(7L) === None && r1(8L) === None)
+    assert(r1(1L) === Some(10L) && r1(2L) === Some(20L)) // seeds clamp
+    val r2 = run(2)
+    assert(r2(6L) === Some(10L)) // 2-hop reach via node 3
+    assert(r2(3L) === Some(10L) && r2(5L) === Some(10L))
+    // seeds stay clamped even with contrary neighbor votes: node 2's
+    // only neighbors vote A after round 1, but 2 keeps B
+    assert(r2(2L) === Some(20L))
+  }
+
   test("cohortRetention: cohort by first period, distinct actives, rate") {
     import spark.implicits._
     // period = 7 days; day d lands in bucket floor(d/7)
