@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Property tests for the round-7 native kernels: each kernel is
+  * checked against an INDEPENDENT driver-side reference
+  * implementation on deterministically sampled random inputs, plus
+  * the structural invariants that define the operator.
+  */
+class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
+
+  /** Deterministic sampler (same convention as ConvertSpec — the
+    * scalatestplus bridge is not on the offline classpath).
+    */
+  private def samples[A](gen: Gen[A], n: Int = 60): Seq[A] =
+    (1 to n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 300)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", " ", "\t", ".", "!"),
+      1 -> Gen.oneOf("é", "ü", "中", "文", "😀"))) // incl emoji
+  } yield cs.mkString
+
+  test("property: CharEntropy equals reference on random unicode text") {
+    import spark.implicits._
+    def ref(s: String): (Long, Long, Long) = {
+      val cps = s.codePoints().toArray
+      val n = cps.length.toLong
+      if (n == 0) (0L, 0L, 0L)
+      else {
+        val counts = cps.groupBy(identity).view.mapValues(_.length.toLong)
+        val nanos = counts.values.map { c =>
+          val p = c.toDouble / n.toDouble
+          math.floor(p * math.log(p) / math.log(2.0) * 1e9).toLong
+        }.sum
+        (n, counts.size.toLong, -nanos)
+      }
+    }
+    val texts = samples(textGen).distinct
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.charEntropy(col("text")).as("ce"))
+      .collect()
+      .map(r => r.getLong(0) -> {
+        val s = r.getStruct(1); (s.getLong(0), s.getLong(1), s.getLong(2))
+      }).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === ref(t), s"mismatch for ${t.take(40)}")
+    }
+    // invariants: entropy within [0, n*log2(distinct)] nano-bits (+1
+    // per-term floor slack), permutation invariance
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (n, k, e) = got(i.toLong)
+      assert(e >= 0L)
+      if (k > 0)
+        assert(e <= (n * math.log(k.toDouble) / math.log(2.0) * 1e9)
+          .toLong + k)
+    }
+    val perm = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, new String(t.codePoints().toArray.sorted
+        .flatMap(Character.toChars), 0,
+        t.codePoints().toArray.sorted.flatMap(Character.toChars).length))
+    }.toDF("id", "text")
+      .select(col("id"), TextAnalysis.charEntropy(col("text")).as("ce"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).getLong(2)).toMap
+    texts.indices.foreach { i =>
+      assert(perm(i.toLong) === got(i.toLong)._3,
+        "entropy must be order-invariant in the character stream")
+    }
+  }
+
+  test("property: ContentChunks boundaries equal reference; spans tile") {
+    import spark.implicits._
+    val w = 16; val p = 31L; val m = 1000000007L; val d = 64L
+    def ref(s: String): Seq[(Int, Int)] = {
+      val cps = s.codePoints().toArray.map(_.toLong)
+      val n = cps.length
+      if (n == 0) return Seq.empty
+      val coef = Array.iterate(1L, w)(c => c * p % m)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var prev = 0
+      for (i <- w to n) {
+        var h = 0L
+        for (j <- 0 until w) h = (h + cps(i - 1 - j) * coef(j)) % m
+        if (h % d == 0L) { out += ((prev + 1, i - prev)); prev = i }
+      }
+      if (prev < n) out += ((prev + 1, n - prev))
+      out.toSeq
+    }
+    val texts = samples(textGen).distinct
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = graft.functions.Multimodal.chunkContentDefined(got, "text")
+      .collect()
+      .groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("chunk_idx"))
+        .map(r => (r.getAs[Int]("chunk_start"), r.getAs[Int]("chunk_len")))
+        .toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val spans = rows.getOrElse(i.toLong, Seq.empty)
+      assert(spans === ref(t), s"boundary mismatch for ${t.take(40)}")
+      // tiling invariant: contiguous from 1, covers every code point
+      val n = t.codePoints().toArray.length
+      if (n == 0) assert(spans.isEmpty)
+      else {
+        assert(spans.head._1 === 1)
+        spans.sliding(2).foreach {
+          case Seq((s1, l1), (s2, _)) => assert(s2 === s1 + l1)
+          case _ =>
+        }
+        assert(spans.map(_._2).sum === n)
+      }
+    }
+  }
+
+  test("property: two-level full probe equals flat on random vectors") {
+    import spark.implicits._
+    val vecGen = for {
+      dims <- Gen.const(6)
+      nVec <- Gen.choose(20, 60)
+      seedv <- Gen.choose(1, 1000000)
+    } yield (nVec, seedv)
+    samples(vecGen, 12).distinct.foreach { case (nVec, seedv) =>
+      val corpus = (0L until nVec.toLong).map { i =>
+        (i, Seq.tabulate(6)(dd =>
+          (((i + seedv) * 2654435761L + dd * 40503L) % 2001 - 1000)
+            .toDouble / 1000.0))
+      }.toDF("vec_id", "embedding")
+      val nlist = 8
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", nlist)
+      Seq(1, 2, 3).foreach { ng =>
+        val (supers, members) = Similarity.ivfGroups(cents, ng)
+        assert(members.flatten.sorted.toSeq === (0 until cents.length))
+        val flat = Similarity
+          .ivfAssignments(corpus, "vec_id", "embedding", cents)
+          .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+        val full = Similarity.ivfAssignmentsTwoLevel(corpus, "vec_id",
+            "embedding", cents, supers, members, wprobe = ng)
+          .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+        assert(full === flat,
+          s"full-probe two-level diverged from flat (ngroups=$ng)")
+      }
+    }
+  }
+}
