@@ -467,6 +467,16 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "profile_top_movers" -> ((s, dir) =>
+      // WHICH vocabulary moved between two snapshots (PSI/KS give the
+      // scalar): Laplace-smoothed share log-ratio per union-vocab
+      // token in integer nanos, top-20 by |ratio| with token
+      // tie-break; even/odd doc halves stand in for the snapshots
+      graft.operators.Profile.tokenDriftMovers(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "text", k = 20)),
+
     "profile_psi_drift" -> ((s, dir) =>
       // the monitoring-standard PSI over the same 64-bin layout as
       // the bucketed KS; Laplace-smoothed shares, ln terms quantized
@@ -3080,6 +3090,37 @@ object SparkEntry {
         |FROM holes h LEFT JOIN means m
         |  ON h.o_orderpriority = m.o_orderpriority
         |ORDER BY h.o_orderkey""".stripMargin,
+
+    "profile_top_movers" ->
+      """WITH cs AS (
+        |  SELECT token, COUNT(*) AS cnt_src FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS token
+        |    FROM documents WHERE doc_id % 2 = 0) u
+        |  WHERE token <> '' GROUP BY token),
+        |ct AS (
+        |  SELECT token, COUNT(*) AS cnt_tgt FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS token
+        |    FROM documents WHERE doc_id % 2 = 1) u
+        |  WHERE token <> '' GROUP BY token),
+        |j AS (
+        |  SELECT COALESCE(cs.token, ct.token) AS token,
+        |    COALESCE(cs.cnt_src, 0) AS cnt_src,
+        |    COALESCE(ct.cnt_tgt, 0) AS cnt_tgt
+        |  FROM cs FULL OUTER JOIN ct ON cs.token = ct.token),
+        |tot AS (
+        |  SELECT SUM(cnt_src) AS ns, SUM(cnt_tgt) AS nt, COUNT(*) AS v
+        |  FROM j),
+        |scored AS (
+        |  SELECT token, cnt_src, cnt_tgt,
+        |    CAST(floor(ln(((cnt_src + 1.0) * CAST(nt + v AS DOUBLE))
+        |      / ((cnt_tgt + 1.0) * CAST(ns + v AS DOUBLE))) * 1e9)
+        |      AS BIGINT) AS nanos
+        |  FROM j CROSS JOIN tot)
+        |SELECT token, cnt_src, cnt_tgt,
+        |  CAST(nanos AS DOUBLE) / 1e9 AS log_ratio
+        |FROM scored ORDER BY abs(nanos) DESC, token ASC LIMIT 20""".stripMargin,
 
     "profile_psi_drift" ->
       """WITH src AS (

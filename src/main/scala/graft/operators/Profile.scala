@@ -600,4 +600,45 @@ object Profile {
           Seq(col(s"s.$m").as(s"src_$m"), col(s"t.$m").as(s"tgt_$m"))) :+
         allMatch.as("cols_match")): _*)
   }
+
+  /** Token-frequency drift "top movers" between two corpus snapshots —
+    * the monitoring question behind every recrawl/refresh: WHICH
+    * vocabulary moved, not just how much (PSI/KS give the scalar).
+    * Laplace-smoothed share log-ratio per token over the UNION
+    * vocabulary,
+    * `ln(((cnt_src+1)·(n_tgt+V)) / ((cnt_tgt+1)·(n_src+V)))`, carried
+    * as INTEGER nano-units (the engine-exact discipline), top-k by
+    * |ratio| with (|ratio| desc, token asc) determinism. Positive =
+    * token fell out of the new snapshot; negative = it surged in.
+    *
+    * Plan: one partial-agg'd wordcount per side, a full outer join on
+    * the token (both sides span the vocabulary — shuffle join), two
+    * 1-row aggregates broadcast, TakeOrdered top-k. No driver state.
+    */
+  def tokenDriftMovers(src: DataFrame, tgt: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    import graft.functions.TextAnalysis.tokens
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val joined = counts(src).withColumnRenamed("cnt", "cnt_src")
+      .hint("shuffle_merge")
+      .join(counts(tgt).withColumnRenamed("cnt", "cnt_tgt")
+        .hint("shuffle_merge"), Seq("token"), "full")
+      .na.fill(0L, Seq("cnt_src", "cnt_tgt"))
+    val tot = joined.agg(sum(col("cnt_src")).as("__ns"),
+      sum(col("cnt_tgt")).as("__nt"), count(lit(1)).as("__v"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("__nanos", floor(
+        log(((col("cnt_src") + lit(1.0)) *
+            (col("__nt") + col("__v")).cast("double")) /
+          ((col("cnt_tgt") + lit(1.0)) *
+            (col("__ns") + col("__v")).cast("double"))) * 1e9))
+      .withColumn("log_ratio", col("__nanos").cast("double") / 1e9)
+      .orderBy(abs(col("__nanos")).desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("cnt_src"), col("cnt_tgt"),
+        col("log_ratio"))
+  }
 }

@@ -233,4 +233,28 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     direct.values.foreach(est =>
       assert(math.abs(est - 5000L) <= 300, s"direct estimate $est"))
   }
+
+  test("tokenDriftMovers: surge and drop rank first, stable vocab last") {
+    import spark.implicits._
+    val src = Seq((1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta gamma")).toDF("id", "text")
+    val tgt = Seq((3L, "beta beta gamma delta delta delta"),
+      (4L, "beta gamma delta")).toDF("id", "text")
+    val out = Profile.tokenDriftMovers(src, tgt, "text", k = 4).collect()
+    val byTok = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // alpha: 4 -> 0 (dropped, positive ratio); delta: 0 -> 4 (surged,
+    // negative); both must outrank beta/gamma
+    assert(byTok.contains("alpha") && byTok.contains("delta"))
+    assert(byTok("alpha")._3 > 0 && byTok("delta")._3 < 0)
+    assert(byTok("alpha")._1 === 4L && byTok("alpha")._2 === 0L)
+    val order = out.map(_.getString(0)).toSeq
+    assert(order.indexOf("alpha") < order.indexOf("gamma"))
+    assert(order.indexOf("delta") < order.indexOf("gamma"))
+    // NOT a tie: floor is toward −∞, so the negative (surging) mover
+    // carries one extra nano of magnitude than its mirror-image drop
+    // (|floor(−x·1e9)| = |floor(x·1e9)|+1 off grid) — delta outranks
+    // alpha by exactly that nano
+    assert(order.indexOf("delta") < order.indexOf("alpha"))
+  }
 }
