@@ -35,7 +35,7 @@ object CurationDemo {
     def persisted(df: org.apache.spark.sql.DataFrame) = df.persist()
 
     val docs = persisted(spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), col("lang"), col("text")))
     stage("ingest", docs.count())
 
     // 1. quality gate: Gopher stats conjunction (word count, ratios)
@@ -45,8 +45,38 @@ object CurationDemo {
     val qualified = persisted(docs.join(quality, "doc_id"))
     stage("quality filter", qualified.count())
 
+    // 1b. char-entropy gibberish screen (round 7): the map-only
+    // kernel — drop anything under 2 bits of code-point entropy
+    // (single-symbol runs, binary-paste artifacts)
+    val lively = persisted(qualified.filter(
+      TextAnalysis.charEntropy(col("text"))
+        .getField("entropy_nanos") > 2000000000L))
+    stage("entropy screen", lively.count())
+
+    // 1c. NB label-consistency screen (round 7): train the
+    // multinomial NB language model on the corpus' own tags, keep
+    // docs whose prediction agrees with their tag — the cheap
+    // mislabeled-document detector
+    val nbModel = TextAnalysis.naiveBayesTrain(lively, "lang", "text")
+    val nbPriors = TextAnalysis.naiveBayesPriors(lively, "lang", "text")
+    val consistent = TextAnalysis
+      .naiveBayesClassify(lively, "doc_id", "text", nbModel, nbPriors)
+      .select(col("doc_id"), col("pred_label"))
+    // localCheckpoint, not persist: persist caches DATA but keeps the
+    // full ANALYZED plan, and every downstream self-join (LSH bands,
+    // CC symmetrize) textually DUPLICATES it — with the NB stage's
+    // own multi-reference plan in the chain, the train-split frame's
+    // treeString reached 1.45 GB and Spark's cache-name construction
+    // (CachedRDDBuilder.cachedName stringifies the plan) OOM'd. A
+    // stage-boundary lineage cut is the composition contract for deep
+    // pipelines; production uses reliable checkpoints, same idea.
+    val tagged = lively.join(consistent, "doc_id")
+      .filter(col("lang") === col("pred_label")).drop("pred_label")
+      .localCheckpoint()
+    stage("NB lang-consistent", tagged.count())
+
     // 2. PII redaction (map-only projection)
-    val redacted = qualified.withColumn("text",
+    val redacted = tagged.withColumn("text",
       Curation.piiRedact(col("text")))
 
     // 3. exact dedup: the min-id doc per identical fingerprint survives
@@ -101,5 +131,14 @@ object CurationDemo {
     stage("packed+written", shards.count())
     println(s"[curate] shards at $outDir/shards: " +
       shards.select(col("shard")).distinct().count() + " shard dirs")
+
+    // 8. k-anonymity release audit (round 7) over the shard export's
+    // quasi-identifiers — the screen run before anything ships
+    val audit = Curation.kAnonymityAudit(
+      shards.select(col("source"), col("shard")), Seq("source", "shard"),
+      k = 3)
+    val bad = audit.filter(col("violates")).count()
+    println(s"[curate] k-anonymity audit (source x shard, k=3): " +
+      s"${audit.count()} combos, $bad violating")
   }
 }
