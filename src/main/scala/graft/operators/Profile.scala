@@ -616,15 +616,28 @@ object Profile {
     * 1-row aggregates broadcast, TakeOrdered top-k. No driver state.
     */
   def tokenDriftMovers(src: DataFrame, tgt: DataFrame, textCol: String,
-      k: Int = 20): DataFrame = {
+      k: Int = 20): DataFrame =
+    scoreDriftCounts(tokenCounts(src, textCol), tokenCounts(tgt, textCol), k)
+
+  /** The wordcount half of [[tokenDriftMovers]] — (token, cnt). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
     import graft.functions.TextAnalysis.tokens
-    def counts(df: DataFrame) = df
-      .select(explode(tokens(lower(col(textCol)))).as("token"))
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val joined = counts(src).withColumnRenamed("cnt", "cnt_src")
+  }
+
+  /** The scoring half of [[tokenDriftMovers]], over pre-aggregated
+    * (token, cnt) frames — also the seam the STREAMING drift monitor
+    * plugs into: the live side's counts come from streaming state
+    * ([[graft.streaming.EventStream.streamingTokenCounts]]) while the
+    * reference side is a stored artifact.
+    */
+  def scoreDriftCounts(src: DataFrame, tgt: DataFrame, k: Int)
+      : DataFrame = {
+    val joined = src.withColumnRenamed("cnt", "cnt_src")
       .hint("shuffle_merge")
-      .join(counts(tgt).withColumnRenamed("cnt", "cnt_tgt")
+      .join(tgt.withColumnRenamed("cnt", "cnt_tgt")
         .hint("shuffle_merge"), Seq("token"), "full")
       .na.fill(0L, Seq("cnt_src", "cnt_tgt"))
     val tot = joined.agg(sum(col("cnt_src")).as("__ns"),

@@ -491,4 +491,42 @@ object EventStream {
       })
       .toDF("id_a", "id_b")
   }
+
+  /** Streaming twin of the batch wordcount behind
+    * `Profile.tokenDriftMovers` — the live half of a corpus drift
+    * monitor: cumulative token counts as keyed state, one UPDATE row
+    * (token, cnt) per token per micro-batch that touched it. A
+    * downstream consumer joins the LATEST count per token (counts are
+    * monotone, so max == latest) against a stored reference count
+    * table through `Profile.scoreDriftCounts` and gets exactly the
+    * batch operator's movers over the stream prefix — the parity
+    * contract the spec pins.
+    *
+    * State is one long per distinct token (vocabulary-bounded — the
+    * same asymptote as the batch wordcount's shuffle); no timeout:
+    * drift monitoring WANTS the full running distribution. For
+    * unbounded vocabularies (URLs, ids) feed a normalized/hashed
+    * token stream instead.
+    */
+  def streamingTokenCounts(stream: DataFrame, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(explode(graft.functions.TextAnalysis.tokens(
+        lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .as[String]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        OM.Update(), GroupStateTimeout.NoTimeout())(
+        (token: String, rows: Iterator[String],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          val cum = state.getOption.getOrElse(0L) + rows.size
+          state.update(cum)
+          Iterator.single((token, cum))
+        })
+      .toDF("token", "cnt")
+  }
 }

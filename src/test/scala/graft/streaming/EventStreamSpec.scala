@@ -646,4 +646,57 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       rm(dir); rm(chk)
     }
   }
+
+  test("streaming token counts feed the batch drift scorer exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sdrift").toFile
+    val chk = Files.createTempDirectory("graft_sdrift_chk").toFile
+    try {
+      val ref = Seq((1L, "alpha alpha beta gamma"),
+        (2L, "alpha beta")).toDF("id", "text")
+      // batch 1 / batch 2 of the live stream
+      Seq((10L, "beta beta delta")).toDF("id", "text")
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingTokenCounts(stream, "text")
+        .writeStream.format("memory").queryName("sdrift")
+        .outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      Seq((11L, "delta delta gamma"), (12L, "beta"))
+        .toDF("id", "text")
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      // latest count per token (monotone -> max) == prefix wordcount
+      val live = spark.table("sdrift")
+        .groupBy(col("token")).agg(max(col("cnt")).as("cnt"))
+      val prefix = spark.read.parquet(dir.getAbsolutePath + "/*")
+      val expectCounts = graft.operators.Profile
+        .tokenCounts(prefix, "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val liveCounts = live.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(liveCounts === expectCounts)
+      // and the scorer over (stored reference, live counts) == the
+      // batch operator end to end
+      val viaStream = graft.operators.Profile.scoreDriftCounts(
+          graft.operators.Profile.tokenCounts(ref, "text"), live, k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val viaBatch = graft.operators.Profile.tokenDriftMovers(
+          ref, prefix, "text", k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(viaStream === viaBatch)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
 }
