@@ -1466,6 +1466,21 @@ object SparkEntry {
           col("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    "dedup_chunk_overlap" -> ((s, dir) => {
+      // blob-level near-dup via shared CDC chunks: every 10th doc
+      // gets a prefix-edited twin planted — exact doc-hash dedup and
+      // fixed chunking both miss it, but CDC boundaries resync after
+      // the edit so the twin shares nearly all chunks; candidates are
+      // an equi-join on the chunk hash behind a stop-chunk guard
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("EDITED PREFIX "), col("text")).as("text"))
+      graft.functions.Multimodal.chunkOverlapPairs(
+        docs.unionByName(twins), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "mm_chunk_cdc" -> ((s, dir) =>
       // content-defined (rolling-hash) chunking — the edit-resilient
       // twin of mm_chunk_fixed: boundaries depend only on the local
@@ -4407,6 +4422,78 @@ object SparkEntry {
         |       ELSE CAST(50 + (doc_id * 13) % 200 AS BIGINT) END AS frames,
         |  doc_id % 89 <> 0 AS decode_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_chunk_overlap" ->
+      // the CDC hash replay over the twinned corpus, then distinct
+      // (doc, chunk-md5), stop-chunk guard, hash equi-join pairs,
+      // overlap vs the smaller side
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'EDITED PREFIX ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cp AS (
+        |  SELECT doc_id, text,
+        |    generate_subscripts(regexp_split_to_array(text, ''), 1) AS pos,
+        |    unnest(regexp_split_to_array(text, '')) AS ch
+        |  FROM corpus),
+        |vals AS (
+        |  SELECT doc_id, text, pos, CAST(ord(ch) AS BIGINT) AS b FROM cp),
+        |hs AS (
+        |  SELECT doc_id, text, pos,
+        |    (b * 1 + lag(b, 1) OVER w * 31 + lag(b, 2) OVER w * 961
+        |     + lag(b, 3) OVER w * 29791 + lag(b, 4) OVER w * 923521
+        |     + lag(b, 5) OVER w * 28629151
+        |     + lag(b, 6) OVER w * 887503681
+        |     + lag(b, 7) OVER w * 512613922
+        |     + lag(b, 8) OVER w * 891031477
+        |     + lag(b, 9) OVER w * 621975598
+        |     + lag(b, 10) OVER w * 281243405
+        |     + lag(b, 11) OVER w * 718545499
+        |     + lag(b, 12) OVER w * 274910315
+        |     + lag(b, 13) OVER w * 522219709
+        |     + lag(b, 14) OVER w * 188810867
+        |     + lag(b, 15) OVER w * 853136842) % 1000000007 AS h
+        |  FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |bounds AS (
+        |  SELECT doc_id, text, pos FROM hs WHERE pos >= 16 AND h % 64 = 0
+        |  UNION
+        |  SELECT doc_id, text, length(text) AS pos FROM corpus
+        |  WHERE length(text) >= 1),
+        |spans AS (
+        |  SELECT doc_id, text, pos AS e,
+        |    COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0)
+        |      AS sprev
+        |  FROM bounds),
+        |chunks AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(substr(text, sprev + 1, e - sprev)) AS chunk_hash
+        |  FROM spans),
+        |sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+        |keep AS (
+        |  SELECT chunk_hash FROM chunks GROUP BY chunk_hash
+        |  HAVING COUNT(*) <= 100),
+        |pruned AS (
+        |  SELECT c.doc_id, c.chunk_hash FROM chunks c
+        |  JOIN keep USING (chunk_hash)),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    COUNT(*) AS shared_chunks
+        |  FROM pruned a JOIN pruned b ON a.chunk_hash = b.chunk_hash
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT s.id_a, s.id_b, s.shared_chunks,
+        |  sa.n_chunks AS n_chunks_a, sb.n_chunks AS n_chunks_b,
+        |  CAST(s.shared_chunks AS DOUBLE)
+        |    / least(sa.n_chunks, sb.n_chunks) AS overlap
+        |FROM shared s
+        |JOIN sizes sa ON sa.doc_id = s.id_a
+        |JOIN sizes sb ON sb.doc_id = s.id_b
+        |WHERE CAST(s.shared_chunks AS DOUBLE)
+        |    / least(sa.n_chunks, sb.n_chunks) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_chunk_cdc" ->
       // windowed-lag replay of the rolling hash: 16 lagged code-point

@@ -756,6 +756,56 @@ object Multimodal {
         md5(expr(s"substring($payloadCol, chunk_start, chunk_len)")))
       .drop("__spans", "__s")
 
+  /** Blob-level near-dup pairs via shared content-defined chunks —
+    * the file-dedup shape (backup systems, recrawl stores): two blobs
+    * pair when the smaller one shares ≥ `threshold` of its DISTINCT
+    * chunk hashes with the other. Because CDC boundaries resync after
+    * edits, a prefix-/mid-edited copy still shares almost all chunks
+    * — the case fixed chunking (and doc-hash exact dedup) misses.
+    *
+    * Scale shape — the dedup-family candidate discipline: candidates
+    * come from an EQUI-JOIN on the chunk hash, never all-pairs; a
+    * stop-chunk guard drops hashes appearing in more than `maxDf`
+    * blobs first (shared boilerplate headers would otherwise fan out
+    * quadratically — same role as lshBands' maxBucket and the
+    * rarest-gram prefix filter); verification counts shared hashes
+    * per candidate pair only. Both joins are forced shuffle so the
+    * fixture-scale plan IS the production plan.
+    */
+  def chunkOverlapPairs(df: DataFrame, idCol: String, payloadCol: String,
+      threshold: Double = 0.5, maxDf: Int = 100, window: Int = 16)
+      : DataFrame = {
+    val chunks = chunkContentDefined(
+        df.select(col(idCol), col(payloadCol)), payloadCol, window = window)
+      .select(col(idCol).as("__id"), col("chunk_hash")).distinct()
+    val sizes = chunks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n_chunks"))
+    val keep = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("chunk_hash"))
+    val pruned = chunks.hint("shuffle_merge")
+      .join(keep.hint("shuffle_merge"), Seq("chunk_hash"))
+    val shared = pruned.select(col("chunk_hash"), col("__id").as("id_a"))
+      .hint("shuffle_merge")
+      .join(pruned.select(col("chunk_hash"), col("__id").as("id_b"))
+        .hint("shuffle_merge"), Seq("chunk_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    shared
+      .join(sizes.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__n_chunks", "n_chunks_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__n_chunks", "n_chunks_b"), Seq("id_b"))
+      .withColumn("overlap",
+        col("shared_chunks").cast("double") /
+          least(col("n_chunks_a"), col("n_chunks_b")).cast("double"))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared_chunks"),
+        col("n_chunks_a"), col("n_chunks_b"), col("overlap"))
+  }
+
   /** Byte-level feature extraction that IS runnable here (no codec):
     * payload size, xxhash64 content id, entropy-ish distinct-byte
     * ratio — the cheap pre-filter columns a media pipeline computes

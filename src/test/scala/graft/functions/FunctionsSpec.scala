@@ -1916,6 +1916,41 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert((f1 intersect f2).isEmpty)
   }
 
+  test("chunkOverlapPairs: edited twin pairs, stop-chunk guard kills boilerplate") {
+    import spark.implicits._
+    val base = (1 to 500).map { i =>
+      ('a' + (((i * 2654435761L) >>> 13) % 26)).toChar
+    }.mkString
+    val other = (1 to 500).map { i =>
+      ('a' + (((i * 1099511628211L) >>> 17) % 26)).toChar
+    }.mkString
+    val df = Seq(
+      (1L, base),
+      (2L, "XYZ " + base),        // prefix-edited twin of 1
+      (3L, other),                 // unrelated
+      (4L, base.reverse)           // unrelated content, same chars
+    ).toDF("id", "text")
+    val pairs = graft.functions.Multimodal
+      .chunkOverlapPairs(df, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("overlap")).toMap
+    assert(pairs.contains((1L, 2L)), "edited twin must pair")
+    assert(pairs((1L, 2L)) > 0.6)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // stop-chunk guard: a chunk shared by MORE than maxDf blobs
+    // produces no candidates at all
+    val boiler = (1L to 10L).map(i => (i, base)).toDF("id", "text")
+    val guarded = graft.functions.Multimodal
+      .chunkOverlapPairs(boiler, "id", "text", threshold = 0.5, maxDf = 5)
+    assert(guarded.count() === 0L,
+      "chunks above the df cap must generate no pairs")
+    // ...and with the cap open, all 45 identical pairs appear at 1.0
+    val open = graft.functions.Multimodal
+      .chunkOverlapPairs(boiler, "id", "text", threshold = 0.5, maxDf = 100)
+    assert(open.count() === 45L)
+  }
+
   test("two-level IVF assignment: full probe == flat exactly, groups partition") {
     import spark.implicits._
     // deterministic pseudo-random corpus, dims=4
