@@ -536,6 +536,30 @@ object Similarity {
     cents
   }
 
+  /** Quantizer health in one row: cell occupancy spread over the
+    * corpus — n_cells trained vs used, max/mean occupancy and their
+    * ratio (the imbalance number). The semdedup sweep's giant-cell
+    * pathology (one cell holding 16,568 of 16,800 vectors behind a
+    * 50 s pair join) is a 126× imbalance — visible here instantly,
+    * invisible in timings until the join runs. Run it after every
+    * quantizer (re)train; `VectorIngest.cellStats` is the streaming
+    * twin of the same signal.
+    */
+  def ivfOccupancyStats(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val occ = ivfAssignments(corpus, idCol, vecCol, centroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    occ.agg(
+      lit(centroids.length).as("n_cells"),
+      count(lit(1)).as("n_cells_used"),
+      sum(col("__n")).as("n_vectors"),
+      max(col("__n")).as("max_occupancy"),
+      (sum(col("__n")).cast("double") / count(lit(1))).as("mean_occupancy"),
+      (max(col("__n")).cast("double") /
+        (sum(col("__n")).cast("double") / count(lit(1))))
+        .as("imbalance"))
+  }
+
   /** Cell assignment: argmin over centroids of ‖v−c‖² ≡ argmin of
     * (‖c‖² − 2·v·c) — ONE fused codegen kernel over all centroids
     * (graft.expressions.NearestCell) instead of nlist separate VecDot

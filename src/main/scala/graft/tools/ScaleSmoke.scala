@@ -199,6 +199,13 @@ object ScaleSmoke {
       val semCents = Similarity.ivfTrain(
         aug.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", 16 * f, iters = 2, oversample = 1)
+      // quantizer health BEFORE trusting the timing: the corner-init
+      // pathology was a 126x imbalance here — one number, no join
+      val occ = Similarity.ivfOccupancyStats(
+        aug.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", semCents).collect().head
+      println(f"[occupancy] f=$f nlist=${16 * f} used=${occ.getLong(1)} " +
+        f"max=${occ.getLong(3)} imbalance=${occ.getDouble(5)}%.1f")
       val (n4, tSem) = timed {
         Dedup.semanticDedup(aug, "vec_id", "embedding", "quality",
           semCents, threshold = 0.9).filter(!col("kept")).count()

@@ -1916,6 +1916,29 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert((f1 intersect f2).isEmpty)
   }
 
+  test("ivfOccupancyStats: balanced vs captured-cell quantizers") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map { i =>
+      (i, Seq((i % 10).toDouble, (i / 10).toDouble))
+    }.toDF("vec_id", "embedding")
+    // two far centroids splitting the 10x10 grid in half: balanced
+    val balanced = Array(Array(2.0, 4.5), Array(7.0, 4.5))
+    val b = Similarity.ivfOccupancyStats(corpus, "vec_id", "embedding",
+      balanced).collect().head
+    assert(b.getInt(0) === 2 && b.getLong(1) === 2L)
+    assert(b.getLong(2) === 100L && b.getLong(3) === 50L)
+    assert(b.getDouble(5) === 1.0)
+    // one near centroid + one far outlier: capture — every vector in
+    // cell 0, cell 1 empty, imbalance == n_used==1 so max/mean == 1?
+    // no: mean is over USED cells; with one used cell max==mean —
+    // the capture signal is n_cells_used << n_cells plus max == n
+    val captured = Array(Array(4.5, 4.5), Array(1000.0, 1000.0))
+    val c = Similarity.ivfOccupancyStats(corpus, "vec_id", "embedding",
+      captured).collect().head
+    assert(c.getInt(0) === 2 && c.getLong(1) === 1L)
+    assert(c.getLong(3) === 100L)
+  }
+
   test("chunkOverlapPairs: edited twin pairs, stop-chunk guard kills boilerplate") {
     import spark.implicits._
     val base = (1 to 500).map { i =>
