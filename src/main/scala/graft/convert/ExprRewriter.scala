@@ -116,8 +116,12 @@ object ExprRewriter {
   // (their content renames; never re-scanned as bare words — a second
   // pass used to turn an already-quoted "VERSION" into ""VERSION"");
   // bare words go through the stoplist/call filter
+  // The bare-word arm needs a left-boundary guard: without it the scan
+  // matches the alphabetic TAIL of numeric/hex literals ('1E9' → 'E9',
+  // '0xFF' → 'xFF'), and under -keep_identifier_case the tail gets
+  // quoted, corrupting expressions to 1"E9".
   private val identRe =
-    """\[[^\]]+\]|"[^"]*"|[A-Za-z_][A-Za-z0-9_$#]*""".r
+    """\[[^\]]+\]|"[^"]*"|(?<![0-9A-Za-z_$#])[A-Za-z_][A-Za-z0-9_$#]*""".r
 
   /** Apply the identifier policy (pl:616–618 extended): `[bracketed]`
     * and `"quoted"` identifiers rename unconditionally; bare words
@@ -139,7 +143,9 @@ object ExprRewriter {
         else {
           val isCall = {
             var i = m.end
-            while (i < s.length && s.charAt(i) == ' ') i += 1
+            // any whitespace (tab/newline in multi-line view bodies),
+            // not just 0x20 — 'SUM\n(x)' is still a call
+            while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
             i < s.length && s.charAt(i) == '('
           }
           if (isCall || bareStoplist.contains(tok.toLowerCase)) tok

@@ -23,8 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `H(i) = Σ_{j=0..w−1} b_{i−j} · pʲ  mod M` for i ≥ w; position i is
   * a boundary iff `H(i) mod D == r`; n is always a terminal boundary.
   * Chunk k spans (prevBoundary, boundary]. All arithmetic is exact
-  * 64-bit integer — products are ≤ 65535·(M−1) < 2⁵³ and the window
-  * sum stays far under 2⁶³ — so any engine replays it bit-for-bit.
+  * 64-bit integer — code points reach 0x10FFFF (&lt; 2²¹) and coefficients
+  * are &lt; M ≤ 2³⁰ (enforced), so each product is &lt; 2⁵¹, and the
+  * accumulator is reduced mod M after every addition so it never
+  * exceeds M + 2⁵¹ &lt; 2⁵² — comfortably inside 64-bit (and the BIGINT
+  * oracle), so any engine replays it bit-for-bit.
   *
   * Returns array<struct<start, len>> with 1-based code-point offsets
   * (consumers cut the chunk text with substr(start, len) and hash it
@@ -34,6 +37,8 @@ case class ContentChunks(child: Expression, w: Int, p: Long, m: Long,
     d: Long, r: Long) extends UnaryExpression {
   require(w >= 2, "window must be >= 2")
   require(m > 1 && d > 1 && r >= 0 && r < d, "need M > 1, 0 <= r < D")
+  // keeps every code-point · coefficient product < 2^51 (see scaladoc)
+  require(m <= (1L << 30), "modulus must be <= 2^30 for exact 64-bit math")
 
   private val coef: Array[Long] = {
     val c = new Array[Long](w)

@@ -796,9 +796,10 @@ object TextAnalysis {
     * `prior + Σ_t tf(t) · logp(t | label)`, with OOV terms falling
     * back to the label's smoothed default. Deterministic and
     * engine-replayable end to end: every per-term contribution is
-    * floor-quantized to 9 decimals and summed as DECIMAL(28,9)
-    * (order-independent), and the argmax breaks score ties on the
-    * label string ascending.
+    * floor-quantized to integer nano-units (`floor(x·1e9)`, a BIGINT)
+    * and summed as BIGINT (order-independent and engine-exact — see
+    * the "Why INTEGER nano-units" paragraph below), and the argmax
+    * breaks score ties on the label string ascending.
     *
     * Plan shape: the tf table is one partial-agg'd groupBy of the
     * exploded token stream; the (doc, term) stream crossJoins the

@@ -198,8 +198,16 @@ object Graph {
     val und = e0.unionAll(e0.select(col("__d").as("__s"),
       col("__s").as("__d"))).persist(lvl)
     val nodes = und.select(col("__s").as("node")).distinct().persist(lvl)
+    // one label per node, deterministically: duplicate (node, label)
+    // seed rows would fan out through the left join below, duplicating
+    // the node's rows and multiplying its votes every round; a
+    // conflicting pair (node, l1)/(node, l2) resolves to min(label) —
+    // the same tie convention as vote adoption. Partial-agg'd groupBy,
+    // seed-sized.
     val seed = seeds.select(col(seedNodeCol).cast("long").as("node"),
-      col(seedLabelCol).cast("long").as("__seed")).persist(lvl)
+      col(seedLabelCol).cast("long").as("__seed"))
+      .groupBy(col("node")).agg(min(col("__seed")).as("__seed"))
+      .persist(lvl)
     var labels = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"), col("__seed"))
       .persist(lvl)

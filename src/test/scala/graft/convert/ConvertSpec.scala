@@ -131,6 +131,27 @@ class ConvertSpec extends AnyFunSuite {
       === "mycol > (10)")
   }
 
+  test("B7: numeric/hex literal tails are not identifiers") {
+    // a quoting rename (the -keep_identifier_case shape) must not
+    // quote the alphabetic tail of 1E9 / 0xFF into 1"E9" / 0"xFF"
+    def q(s: String) = "\"" + s + "\""
+    assert(ExprRewriter.rewrite("x > 1E9", rename = q) === q("x") + " > 1E9")
+    assert(ExprRewriter.rewrite("Mask & 0xFF", rename = q)
+      === q("Mask") + " & 0xFF")
+    assert(ExprRewriter.rewrite("a + 12abc", rename = q)
+      === q("a") + " + 12abc")
+  }
+
+  test("B7: call detection skips any whitespace before the paren") {
+    // SUM\n(x) in a multi-line view body is still a call — the name
+    // must not be renamed/quoted
+    def q(s: String) = "\"" + s + "\""
+    assert(ExprRewriter.rewrite("SUM\n(Amount)", rename = q)
+      === "SUM\n(" + q("Amount") + ")")
+    assert(ExprRewriter.rewrite("SUM\t(Amount)", rename = q)
+      === "SUM\t(" + q("Amount") + ")")
+  }
+
   test("string concat rewriting (view bodies)") {
     assert(ExprRewriter.rewriteConcat("a + '|' + b") === "a || '|' || b")
     assert(ExprRewriter.rewriteConcat("c1 + c2") === "c1 + c2") // numeric stays

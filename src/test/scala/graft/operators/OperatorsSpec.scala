@@ -396,6 +396,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(r2(2L) === Some(20L))
   }
 
+  test("labelPropagate: duplicate/conflicting seed rows do not skew votes") {
+    import spark.implicits._
+    // node 1 seeded A, node 2 seeded B; both vote at node 3. Node 1's
+    // seed row is TRIPLED — without seed dedup the left join fans node
+    // 1 out 3×, its vote outweighs 2's, and node 3 flips from B to A.
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 3L)).toDF("s", "d")
+    val seeds = Seq((1L, 10L), (1L, 10L), (1L, 10L), (2L, 20L))
+      .toDF("n", "lbl")
+    val r = graft.operators.Graph
+      .labelPropagate(edges, "s", "d", seeds, "n", "lbl", 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(r(3L) === Some(20L)) // 2 real votes B beat 1 real vote A
+    // conflicting seeds for one node resolve deterministically to min
+    val seeds2 = Seq((1L, 30L), (1L, 10L)).toDF("n", "lbl")
+    val r2 = graft.operators.Graph
+      .labelPropagate(edges, "s", "d", seeds2, "n", "lbl", 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(r2(1L) === Some(10L))
+  }
+
   test("cohortRetention: cohort by first period, distinct actives, rate") {
     import spark.implicits._
     // period = 7 days; day d lands in bucket floor(d/7)
