@@ -2004,6 +2004,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "txt_nb_ngram" -> ((s, dir) => {
+      // NB with the fastText feature shape (unigrams + word bigrams)
+      // on planted docs ONLY n-gram features can classify: label 'f'
+      // is a doc's own token stream, label 'r' the SAME tokens
+      // reversed — unigram bags are identical between the labels BY
+      // CONSTRUCTION (a bag erases order), so a unigram model scores
+      // every test doc to a tie and the prior decides; bigrams encode
+      // order and separate the two. Same nano-unit replay discipline
+      // as txt_nb_classify; the bigram stream is the native
+      // WordNgramsAll kernel (never an interpreted-Generate lambda).
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+      val revText = concat_ws(" ",
+        reverse(split(trim(col("text")), "\\s+")))
+      val train = docs.select(col("doc_id"), lit("f").as("lbl"),
+          col("text"))
+        .unionByName(docs.select(col("doc_id"), lit("r").as("lbl"),
+          revText.as("text")))
+      val test = t(s, dir, "documents").filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("text"))
+      val testBoth = test.select((col("doc_id") * 2).as("test_id"),
+          col("text"))
+        .unionByName(test.select((col("doc_id") * 2 + 1).as("test_id"),
+          revText.as("text")))
+      val feats = TextAnalysis.nbUnionFeatures(Seq(
+        TextAnalysis.nbUnigramFeatures,
+        TextAnalysis.nbWordNgramFeatures(2)))
+      TextAnalysis.naiveBayesClassify(testBoth, "test_id", "text",
+        TextAnalysis.naiveBayesTrain(train, "lbl", "text", feats),
+        TextAnalysis.naiveBayesPriors(train, "lbl", "text", feats),
+        feats)
+        .orderBy(col("test_id"))
+    }),
+
     "txt_tfidf_top" -> ((s, dir) =>
       // per-doc top-3 TF-IDF terms: df from a partial-agg'd groupBy of
       // the tf table, shuffle-joined back (never broadcast — the df
@@ -5632,6 +5666,114 @@ object SparkEntry {
         |      ORDER BY nanos DESC, label ASC) AS rnk
         |  FROM scored) WHERE rnk = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "txt_nb_ngram" ->
+      // full replay of the unigram+bigram NB on the planted
+      // reversed-token corpus: the bigram stream is arr[i]||' '||arr[i+1]
+      // over generate_subscripts (the lateral-free DuckDB fan-out);
+      // reversed text via string_agg(tok ORDER BY i DESC) — no
+      // list_reverse dependency
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |rev AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i DESC) AS text
+        |  FROM (
+        |    SELECT doc_id, generate_subscripts(arr, 1) AS i,
+        |      unnest(arr) AS tok
+        |    FROM (SELECT doc_id,
+        |            regexp_split_to_array(trim(text), '\s+') AS arr
+        |          FROM base)) u
+        |  GROUP BY doc_id),
+        |train AS (
+        |  SELECT doc_id, 'f' AS label, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'r' AS label, text FROM rev),
+        |tarr AS (
+        |  SELECT label,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM train),
+        |feats AS (
+        |  SELECT label, term FROM (
+        |    SELECT label, unnest(arr) AS term FROM tarr) u
+        |  WHERE term <> ''
+        |  UNION ALL
+        |  SELECT label, arr[i] || ' ' || arr[i + 1] AS term FROM (
+        |    SELECT label, arr, generate_subscripts(arr, 1) AS i
+        |    FROM tarr) b
+        |  WHERE i < len(arr)),
+        |counts AS (
+        |  SELECT label, term, COUNT(*) AS cnt FROM feats
+        |  GROUP BY label, term),
+        |lt AS (SELECT label, SUM(cnt) AS lt FROM counts GROUP BY label),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM counts),
+        |model AS (
+        |  SELECT l.label, tm.term,
+        |    floor(ln((COALESCE(c.cnt, 0) + 1.0) / (l.lt + v.v)) * 1e9)
+        |      / 1e9 AS logp
+        |  FROM (SELECT DISTINCT term FROM counts) tm
+        |  CROSS JOIN lt l CROSS JOIN v
+        |  LEFT JOIN counts c ON c.label = l.label AND c.term = tm.term),
+        |nd AS (SELECT label, COUNT(*) AS nd FROM train GROUP BY label),
+        |n AS (SELECT COUNT(*) AS n FROM train),
+        |priors AS (
+        |  SELECT l.label,
+        |    CAST(floor(ln(CAST(nd.nd AS DOUBLE) / n.n) * 1e9) AS BIGINT)
+        |      AS prior_nanos,
+        |    floor(ln(1.0 / (l.lt + v.v)) * 1e9) / 1e9 AS oov_logp
+        |  FROM lt l JOIN nd ON nd.label = l.label
+        |  CROSS JOIN v CROSS JOIN n),
+        |tbase AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+        |trev AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i DESC) AS text
+        |  FROM (
+        |    SELECT doc_id, generate_subscripts(arr, 1) AS i,
+        |      unnest(arr) AS tok
+        |    FROM (SELECT doc_id,
+        |            regexp_split_to_array(trim(text), '\s+') AS arr
+        |          FROM tbase)) u
+        |  GROUP BY doc_id),
+        |test AS (
+        |  SELECT doc_id * 2 AS test_id, text FROM tbase
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS test_id, text FROM trev),
+        |qarr AS (
+        |  SELECT test_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM test),
+        |qfeats AS (
+        |  SELECT test_id, term FROM (
+        |    SELECT test_id, unnest(arr) AS term FROM qarr) u
+        |  WHERE term <> ''
+        |  UNION ALL
+        |  SELECT test_id, arr[i] || ' ' || arr[i + 1] AS term FROM (
+        |    SELECT test_id, arr, generate_subscripts(arr, 1) AS i
+        |    FROM qarr) b
+        |  WHERE i < len(arr)),
+        |tf AS (
+        |  SELECT test_id, term, COUNT(*) AS tf FROM qfeats
+        |  GROUP BY test_id, term),
+        |contrib AS (
+        |  SELECT tf.test_id, p.label,
+        |    SUM(CAST(floor(tf.tf * COALESCE(m.logp, p.oov_logp) * 1e9)
+        |      AS BIGINT)) AS s
+        |  FROM tf CROSS JOIN priors p
+        |  LEFT JOIN model m ON m.term = tf.term AND m.label = p.label
+        |  GROUP BY tf.test_id, p.label),
+        |scored AS (
+        |  SELECT d.test_id, p.label,
+        |    p.prior_nanos + COALESCE(c.s, 0) AS nanos
+        |  FROM test d CROSS JOIN priors p
+        |  LEFT JOIN contrib c ON c.test_id = d.test_id
+        |    AND c.label = p.label)
+        |SELECT test_id, label AS pred_label,
+        |  CAST(nanos AS DOUBLE) / 1e9 AS score
+        |FROM (
+        |  SELECT test_id, label, nanos,
+        |    ROW_NUMBER() OVER (PARTITION BY test_id
+        |      ORDER BY nanos DESC, label ASC) AS rnk
+        |  FROM scored) WHERE rnk = 1
+        |ORDER BY test_id""".stripMargin,
 
     "txt_tfidf_top" ->
       """WITH toks AS (

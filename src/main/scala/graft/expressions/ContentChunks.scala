@@ -32,13 +32,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns array<struct<start, len>> with 1-based code-point offsets
   * (consumers cut the chunk text with substr(start, len) and hash it
   * declaratively); empty input → empty array.
+  *
+  * `minLen`/`maxLen` add the PRODUCTION clamp (LBFS §"chunking" /
+  * FastCDC): the pure mask degrades on boundary DROUGHTS — a
+  * low-entropy payload (repeated filler, zero runs) whose window
+  * values never hit the mask emits one giant chunk, and a
+  * pathological payload can emit a chunk per code point. The clamp
+  * bounds both ends: a mask hit closer than `minLen` to the previous
+  * boundary is IGNORED, and a chunk reaching `maxLen` is FORCED to
+  * close regardless of the mask. Forced boundaries lose the
+  * resync-after-edit property for the droughty span only — the
+  * standard CDC trade. Defaults (1, MaxValue) are exactly the
+  * unclamped contract, which the SQL oracle replays; the clamped
+  * variant is sequential per blob (each boundary depends on the
+  * previous ACCEPTED boundary) and is therefore gated by a
+  * kernel-vs-driver-reference property spec instead.
   */
 case class ContentChunks(child: Expression, w: Int, p: Long, m: Long,
-    d: Long, r: Long) extends UnaryExpression {
+    d: Long, r: Long, minLen: Int = 1, maxLen: Int = Int.MaxValue)
+    extends UnaryExpression {
   require(w >= 2, "window must be >= 2")
   require(m > 1 && d > 1 && r >= 0 && r < d, "need M > 1, 0 <= r < D")
   // keeps every code-point · coefficient product < 2^51 (see scaladoc)
   require(m <= (1L << 30), "modulus must be <= 2^30 for exact 64-bit math")
+  require(minLen >= 1 && maxLen >= minLen,
+    "need 1 <= minLen <= maxLen")
 
   private val coef: Array[Long] = {
     val c = new Array[Long](w)
@@ -76,13 +94,19 @@ case class ContentChunks(child: Expression, w: Int, p: Long, m: Long,
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var prev = 0
-    var idx = w
+    var idx = 1
     while (idx <= n) {
-      var h = 0L
-      var j = 0
-      while (j < w) { h = (h + b(idx - j) * coef(j)) % m; j += 1 }
-      if (h % d == r) {
-        out += new GenericInternalRow(Array[Any](prev + 1, idx - prev))
+      val len = idx - prev
+      // mask hits before minLen are ignored; positions < w have no
+      // full window and can only close via the maxLen force
+      val maskHit = len >= minLen && idx >= w && {
+        var h = 0L
+        var j = 0
+        while (j < w) { h = (h + b(idx - j) * coef(j)) % m; j += 1 }
+        h % d == r
+      }
+      if (maskHit || len == maxLen) {
+        out += new GenericInternalRow(Array[Any](prev + 1, len))
         prev = idx
       }
       idx += 1

@@ -423,6 +423,18 @@ case class NearestCellTwoLevel(child: Expression,
     superCents.map(c => c.map(x => x * x).sum)
   private val normSq: Array[Double] =
     centroids.map(c => c.map(x => x * x).sum)
+  // per-thread scratch: assign() runs once per corpus row on the hot
+  // path — allocating x/superScore/taken per row measurably drags the
+  // Lloyd sweep (ThreadLocal because codegen may share this reference
+  // object across a task thread pool)
+  @transient private lazy val scratch =
+    new ThreadLocal[(Array[Double], Array[Double], Array[Boolean])] {
+      override def initialValue() = (new Array[Double](dims),
+        new Array[Double](ngroups), new Array[Boolean](ngroups))
+    }
+  @transient private lazy val isFloat =
+    child.dataType == ArrayType(FloatType, containsNull = true) ||
+    child.dataType == ArrayType(FloatType, containsNull = false)
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
@@ -442,16 +454,16 @@ case class NearestCellTwoLevel(child: Expression,
     val vec = v.asInstanceOf[ArrayData]
     if (vec.numElements() != dims)
       throw new RuntimeException(s"nearestCellTwoLevel: vector dims != $dims")
-    val x = new Array[Double](dims)
+    val (x, superScore, taken) = scratch.get()
+    java.util.Arrays.fill(taken, false)
     var d = 0
     while (d < dims) {
       if (vec.isNullAt(d))
         throw new RuntimeException(s"nearestCellTwoLevel: null element at $d")
-      x(d) = VectorExpressions.elementAt(child.dataType, vec, d)
+      x(d) = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
       d += 1
     }
     // level 1: score super-centroids
-    val superScore = new Array[Double](ngroups)
     var g = 0
     while (g < ngroups) {
       val c = superCents(g)
@@ -462,7 +474,6 @@ case class NearestCellTwoLevel(child: Expression,
     }
     // wprobe nearest groups by (score, group id): selection pass per
     // probe — wprobe is small by construction
-    val taken = new Array[Boolean](ngroups)
     var best = Double.PositiveInfinity
     var bestCell = Int.MaxValue
     var p = 0

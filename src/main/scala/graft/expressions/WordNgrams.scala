@@ -213,3 +213,62 @@ case class WordChunks(child: Expression, p: Int)
   override protected def withNewChildInternal(
       newChild: Expression): WordChunks = copy(child = newChild)
 }
+
+/** ALL character n-grams of the whitespace-normalized lowercase text
+  * (every occurrence, original order) — the fastText/CCNet feature
+  * stream for language-and-quality Naive Bayes filters. Exactly the
+  * declarative
+  * `transform(sequence(1, len−n+1), i → substr(norm, i, n))` over
+  * `norm = regexp_replace(lower(trim(text)), "\s+", " ")` (the
+  * [[graft.functions.Dedup.shingles]] normalization, non-distinct) —
+  * but normalized ONCE per row: the declarative lambda re-runs the
+  * regexp per element on the interpreted Generate path (the PlanLint
+  * trap). Offsets are CODE POINTS (what Spark's substr and DuckDB's
+  * substr both count), so the stream replays in the oracle. Text with
+  * fewer than n code points yields an empty array.
+  */
+case class CharNgramsAll(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_ngrams_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams_all expects a string column, got ${child.dataType}")
+
+  def ngrams(text: UTF8String): ArrayData = {
+    // UTF8String.toLowerCase / .trim() for exact parity with the
+    // declarative lower(trim(text)) (see WordNgrams.ngrams' rationale)
+    val norm = text.toLowerCase.trim().toString.replaceAll("\\s+", " ")
+    val cps = norm.codePoints().toArray
+    val count = cps.length - n + 1
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = UTF8String.fromString(
+          new String(cps, i, n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ngrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgramsAll", this,
+      classOf[CharNgramsAll].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.ngrams($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharNgramsAll = copy(child = newChild)
+}

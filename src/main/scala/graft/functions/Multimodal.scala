@@ -743,12 +743,13 @@ object Multimodal {
     */
   def chunkContentDefined(df: DataFrame, payloadCol: String,
       window: Int = 16, prime: Long = 31L, modulus: Long = 1000000007L,
-      divisor: Long = 64L, remainder: Long = 0L): DataFrame =
+      divisor: Long = 64L, remainder: Long = 0L,
+      minLen: Int = 1, maxLen: Int = Int.MaxValue): DataFrame =
     df.withColumn("__spans",
         org.apache.spark.sql.graftglue.Glue.column(
           graft.expressions.ContentChunks(
             org.apache.spark.sql.graftglue.Glue.expression(col(payloadCol)),
-            window, prime, modulus, divisor, remainder)))
+            window, prime, modulus, divisor, remainder, minLen, maxLen)))
       .select(col("*"), posexplode(col("__spans")).as(Seq("chunk_idx", "__s")))
       .withColumn("chunk_start", col("__s.start"))
       .withColumn("chunk_len", col("__s.len"))

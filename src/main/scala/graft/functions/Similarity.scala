@@ -514,26 +514,302 @@ object Similarity {
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3, oversample: Int = 8)
       : Array[Array[Double]] = {
-    var cents = ivfCentroids(corpus, idCol, vecCol, nlist, oversample)
-    val dims = cents.head.length
-    val doubled = corpus.select(
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
-    (0 until iters).foreach { _ =>
-      val assigned = doubled.select(
-        cellOf(col("__v"), cents).as("__cell"),
-        posexplode(col("__v")).as(Seq("__d", "__x")))
-      val means = assigned
-        .groupBy(col("__cell"), col("__d"))
-        .agg((sum(col("__x").cast("decimal(28,14)")) /
-          count(lit(1))).cast("double").as("__m"))
+    val init = ivfCentroids(corpus, idCol, vecCol, nlist, oversample)
+    lloydRefine(corpus.select(
+        transform(col(vecCol), x => x.cast("double")).as("__v")),
+      init, iters, cents => cellOf(col("__v"), cents))._1
+  }
+
+  /** One Lloyd convergence snapshot: how far centroids moved in an
+    * iteration. `movedCells`/`maxMoveSq`/`meanMoveSq` cover the cells
+    * that received vectors; `emptyCells` counts cells that kept their
+    * previous centroid (no assigned vectors). A converged quantizer
+    * shows maxMoveSq → 0; a pathological init shows persistently
+    * large moves with many empty cells — the numeric twin of
+    * [[ivfOccupancyStats]]'s imbalance signal.
+    */
+  final case class LloydIterStats(iter: Int, movedCells: Int,
+      emptyCells: Int, maxMoveSq: Double, meanMoveSq: Double)
+
+  /** The shared Lloyd loop behind [[ivfTrain]] and
+    * [[ivfTrainTwoLevel]]: assign (via the caller-chosen kernel) →
+    * exact DECIMAL mean per (cell, dim) → apply, `iters` times,
+    * recording per-iteration movement stats. The ONLY degree of
+    * freedom between callers is the assignment column — so
+    * two-level-at-full-probe training is bit-identical to flat
+    * training by construction (the means path is literally the same
+    * code).
+    */
+  private def lloydRefine(doubled: DataFrame,
+      init: Array[Array[Double]], iters: Int,
+      assign: Array[Array[Double]] => Column)
+      : (Array[Array[Double]], Seq[LloydIterStats]) = {
+    var cents = init
+    val dims = if (init.isEmpty) 0 else init(0).length
+    val stats = scala.collection.mutable.ArrayBuffer.empty[LloydIterStats]
+    (0 until iters).foreach { it =>
+      // per-cell means as ONE hash aggregate with dims decimal-sum
+      // columns — NOT a posexplode: exploding (cell, dim, x) multiplied
+      // the shuffle by dims× (the means exchange dominated the whole
+      // sweep and drowned the assignment-kernel win this trainer
+      // exists for). Per-dim `sum(element_at(v,d)::decimal)` is the
+      // same exact, order-independent accumulation — trained centroids
+      // are bit-identical to the exploded form — but the exchange
+      // carries nlist rows of partial sums per partition instead of
+      // n·dims rows.
+      val aggs = (0 until dims).map(d =>
+        (sum(element_at(col("__v"), d + 1).cast("decimal(28,14)")) /
+          count(lit(1))).cast("double").as(s"__m$d"))
+      val means = doubled.select(assign(cents).as("__cell"), col("__v"))
+        .groupBy(col("__cell"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = cents.map(_.clone())
       means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        val cell = r.getInt(0)
+        var d = 0
+        while (d < dims) {
+          next(cell)(d) = r.getDouble(d + 1)
+          d += 1
+        }
       }
+      val touched = means.map(_.getInt(0)).distinct
+      val moves = touched.map { c =>
+        var s = 0.0; var d = 0
+        while (d < cents(c).length) {
+          val dx = next(c)(d) - cents(c)(d); s += dx * dx; d += 1
+        }
+        s
+      }
+      stats += LloydIterStats(it,
+        movedCells = moves.count(_ > 0.0),
+        emptyCells = cents.length - touched.length,
+        maxMoveSq = if (moves.isEmpty) 0.0 else moves.max,
+        meanMoveSq = if (moves.isEmpty) 0.0 else moves.sum / moves.length)
       cents = next
     }
-    cents
+    (cents, stats.toSeq)
+  }
+
+  /** Movement stats as a table, for reporting next to
+    * [[ivfOccupancyStats]] (driver-side rows — the stats are already
+    * O(iters)).
+    */
+  def lloydStatsTable(spark: org.apache.spark.sql.SparkSession,
+      stats: Seq[LloydIterStats]): DataFrame = {
+    import spark.implicits._
+    stats.toDF()
+  }
+
+  /** Scalable quantizer training — the production path once the
+    * SemDeDup contract sets nlist ∝ corpus. Flat [[ivfTrain]] pays
+    * O(n·nlist·dims) per Lloyd sweep (corpus-QUADRATIC under that
+    * contract); this trainer removes both factors of the blowup:
+    *
+    *  - **Two-level assignment in the Lloyd loop**: each sweep
+    *    regroups the current centroids under `ngroups ≈ √nlist`
+    *    super-centroids ([[ivfGroups]] — driver math, KBs) and
+    *    assigns through [[graft.expressions.NearestCellTwoLevel]]:
+    *    O((ngroups + wprobe·nlist/ngroups)·dims) ≈ O(√nlist·dims)
+    *    per row instead of O(nlist·dims). With `wprobe == ngroups`
+    *    the assignment — and therefore the whole training run — is
+    *    BIT-IDENTICAL to flat (spec-pinned); small wprobe is the
+    *    standard IVF approximation, which inside Lloyd only perturbs
+    *    which local optimum the (itself heuristic) refinement lands
+    *    on.
+    *  - **Bounded training sample**: `sampleSize > 0` refines on the
+    *    hash-ordered deterministic sample of that many rows (the
+    *    [[centroidCandidates]] TakeOrdered shape — never a full sort,
+    *    never O(corpus) to the driver). Training cost then depends on
+    *    nlist ALONE, not the corpus: the FAISS convention of
+    *    O(100)·nlist training points per centroid. The full corpus is
+    *    touched only by the final [[ivfAssignments]] /
+    *    [[ivfAssignmentsTwoLevel]] pass, whose O(n·√nlist) is the
+    *    index-build floor.
+    *
+    * Honest asymptotics under nlist ∝ n: sampled two-level training
+    * costs O(nlist^1.5·dims) total — the two-level bound (a log-depth
+    * centroid tree would reach O(nlist·log nlist); not built, no
+    * gate needs it yet). The sweep in ScaleSmoke prints both paths so
+    * the flat-vs-two-level gap is measured, not asserted.
+    *
+    * Init: `"sample"` = [[ivfCentroids]] with `oversample` (the
+    * [[ivfTrain]] default geometry); `"kmeanspar"` = deterministic
+    * k-means‖ ([[kmeansParInit]]).
+    *
+    * Returns the trained centroids plus per-iteration movement stats
+    * ([[LloydIterStats]]) — report them next to [[ivfOccupancyStats]].
+    */
+  def ivfTrainTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3, oversample: Int = 1,
+      ngroups: Int = 0, wprobe: Int = 2, sampleSize: Int = 0,
+      init: String = "sample")
+      : (Array[Array[Double]], Seq[LloydIterStats]) = {
+    require(nlist > 0, "nlist must be > 0")
+    val ng0 = if (ngroups > 0) ngroups
+      else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val train =
+      if (sampleSize <= 0) corpus.select(col(idCol), col(vecCol))
+      else corpus.select(col(idCol), col(vecCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(sampleSize)
+    val initCents = init match {
+      case "sample" => ivfCentroids(train, idCol, vecCol, nlist, oversample)
+      case "kmeanspar" => kmeansParInit(train, idCol, vecCol, nlist)
+      case other => throw new IllegalArgumentException(
+        s"unknown init '$other' (want sample | kmeanspar)")
+    }
+    val doubled = train.select(
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    lloydRefine(doubled, initCents, iters, cents => {
+      val ng = math.min(ng0, cents.length)
+      val (sup, mem) = ivfGroups(cents, ng)
+      coalesce(
+        exprCol(graft.expressions.NearestCellTwoLevel(
+          colExpr(col("__v")), sup, mem, cents, math.min(wprobe, ng))),
+        lit(-1))
+    })
+  }
+
+  /** Deterministic k-means‖ init (Bahmani et al. 2012, "Scalable
+    * k-means++" — public paper): instead of one sample-everything
+    * pass, `rounds` passes each draw ~`l` points with probability
+    * ∝ their squared distance to the centers chosen so far, giving
+    * k-means++-quality coverage with O(rounds) scans. Every
+    * "random" draw is the md5-hash convention (seed-free,
+    * engine-portable): row r is selected in round t iff
+    * u(r,t)·φ < l·d²(r)·2⁶⁰, where u(r,t) is the row's 60-bit md5
+    * fraction and φ = Σ d² — all factors exact integers (nano-quantized
+    * distances summed as BIGINT, order-independent) combined with
+    * single IEEE multiplies, so selection is bit-deterministic across
+    * engines and partitionings.
+    *
+    * Scale shape: per round ONE aggregate (φ) + one filtered collect
+    * whose expected size is l (hard-capped at 4l by the same
+    * TakeOrdered hash-order bound as [[centroidCandidates]] — the
+    * driver never holds O(corpus)). Distance scoring reuses the flat
+    * [[graft.expressions.NearestCell]] kernel plus a d² recompute
+    * against the argmin centroid — codegen'd, no UDF. Candidate
+    * weights (needed for the final reduction) come from one more
+    * NearestCell pass; the weighted reduction to nlist runs on the
+    * driver over ≤ 4l·rounds+1 candidates: greedy weighted
+    * farthest-point (deterministic: ties → lowest candidate index)
+    * followed by 3 driver-side weighted Lloyd sweeps — the standard
+    * k-means‖ recluster step at O(candidates·nlist·dims) driver
+    * flops, KB-scale inputs.
+    */
+  def kmeansParInit(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, l: Int = 0, rounds: Int = 5): Array[Array[Double]] = {
+    require(nlist > 0, "nlist must be > 0")
+    val ell = if (l > 0) l else 2 * nlist
+    val doubled = corpus.select(col(idCol).cast("string").as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    def toArr(row: org.apache.spark.sql.Row, i: Int): Array[Double] =
+      row.getSeq[Double](i).toArray
+    // seed: the hash-smallest row (same rule as centroidCandidates)
+    var centers = scala.collection.mutable.ArrayBuffer(
+      toArr(doubled.orderBy(md5(col("__id")), col("__id"))
+        .limit(1).collect().head, 1))
+    def d2Col(cents: Array[Array[Double]]): Column = {
+      // d²(x, nearest center): argmin via the codegen'd NearestCell,
+      // then ‖x‖² + ‖c‖² − 2·x·c against that one centroid. Clamped
+      // at 0 (fp cancellation can dip a hair below).
+      val cell = cellOf(col("__v"), cents)
+      val centArr = element_at(
+        typedLit(cents.map(_.toSeq).toSeq), cell + 1)
+      val cNormSq = element_at(
+        typedLit(cents.map(c => c.map(x => x * x).sum).toSeq), cell + 1)
+      greatest(lit(0.0),
+        dot(col("__v"), col("__v")) + cNormSq -
+          lit(2.0) * dot(col("__v"), centArr))
+    }
+    (0 until rounds).foreach { t =>
+      val cents = centers.toArray
+      val scored = doubled.select(col("__id"), col("__v"),
+        floor(d2Col(cents) * 1e9).cast("long").as("__d2n"))
+      val phi = scored.agg(sum(col("__d2n"))).collect().head
+      val phiN = if (phi.isNullAt(0)) 0L else phi.getLong(0)
+      if (phiN > 0L) {
+        // u(r,t) in [0, 2^60): first 15 md5 hex chars of id#round
+        val u = conv(substring(md5(concat_ws("#", col("__id"),
+          lit(t.toString))), 1, 15), 16, 10).cast("long")
+        val picked = scored
+          .filter(u.cast("double") * lit(phiN.toDouble) <
+            lit(ell.toDouble) * col("__d2n").cast("double") *
+              lit(math.pow(2.0, 60)))
+          .orderBy(md5(col("__id")), col("__id"))
+          .limit(4 * ell)
+          .collect()
+        picked.foreach(r => centers += toArr(r, 1))
+      }
+    }
+    val cand = centers.toArray
+    if (cand.length <= nlist) cand
+    else {
+      // weights: corpus points nearest to each candidate (one
+      // NearestCell pass; missing cells weigh 0)
+      val w = new Array[Long](cand.length)
+      doubled.select(cellOf(col("__v"), cand).as("__cell"))
+        .groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+        .collect().foreach(r => w(r.getInt(0)) = r.getLong(1))
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      // greedy weighted farthest-point: seed = heaviest candidate
+      var seedIdx = 0
+      cand.indices.foreach(i => if (w(i) > w(seedIdx)) seedIdx = i)
+      val chosen = scala.collection.mutable.ArrayBuffer(seedIdx)
+      val taken = new Array[Boolean](cand.length)
+      taken(seedIdx) = true
+      val minD = cand.map(c => d2(c, cand(seedIdx)))
+      while (chosen.size < nlist) {
+        var best = -1; var bestScore = -1.0
+        var i = 0
+        while (i < cand.length) {
+          if (!taken(i)) {
+            val score = w(i).toDouble * minD(i)
+            if (score > bestScore) { bestScore = score; best = i }
+          }
+          i += 1
+        }
+        chosen += best
+        taken(best) = true
+        i = 0
+        while (i < cand.length) {
+          val d = d2(cand(i), cand(best))
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+      }
+      // 3 weighted Lloyd sweeps over the candidates (driver-side,
+      // deterministic single-threaded fixed-order arithmetic)
+      var cur = chosen.map(cand(_).clone()).toArray
+      (0 until 3).foreach { _ =>
+        val sums = Array.fill(cur.length)(
+          new Array[Double](cand(0).length))
+        val cnts = new Array[Long](cur.length)
+        cand.indices.foreach { i =>
+          var bc = 0; var bd = d2(cand(i), cur(0)); var c = 1
+          while (c < cur.length) {
+            val d = d2(cand(i), cur(c))
+            if (d < bd) { bd = d; bc = c }
+            c += 1
+          }
+          var j = 0
+          while (j < cand(i).length) {
+            sums(bc)(j) += w(i).toDouble * cand(i)(j); j += 1
+          }
+          cnts(bc) += w(i)
+        }
+        cur = cur.indices.map { c =>
+          if (cnts(c) == 0L) cur(c)
+          else sums(c).map(_ / cnts(c).toDouble)
+        }.toArray
+      }
+      cur
+    }
   }
 
   /** Quantizer health in one row: cell occupancy spread over the

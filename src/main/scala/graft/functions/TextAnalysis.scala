@@ -707,9 +707,49 @@ object TextAnalysis {
       graft.expressions.CharEntropy(
         org.apache.spark.sql.graftglue.Glue.expression(text)))
 
+  // ------------------------------------------------------------------
+  // Naive Bayes feature streams — the pluggable front of the NB
+  // pipeline. Each is text → array<string> of feature OCCURRENCES
+  // (non-distinct; the multinomial counts occurrences). All are
+  // single-pass native kernels or plain column functions — no
+  // interpreted-Generate lambdas — and each is SQL-replayable so the
+  // trained model and classifications stay oracle-gated.
+  // ------------------------------------------------------------------
+
+  /** Word unigrams — the original [[naiveBayesTrain]] stream:
+    * `split(trim(lower(text)), "\s+")` (empties filtered downstream).
+    */
+  val nbUnigramFeatures: Column => Column = t => tokens(lower(t))
+
+  /** Word n-grams (n=2 bigrams capture local ORDER — the signal
+    * unigram bags erase; see the txt_nb_ngram gate's planted
+    * reversed-token docs). Space-joined, so n≥2 grams can never
+    * collide with unigrams in a union stream.
+    */
+  def nbWordNgramFeatures(n: Int): Column => Column =
+    t => wordNgramsAllNative(t, n, lowercase = true)
+
+  /** Character n-grams of the whitespace-normalized lowercase text —
+    * the fastText/CCNet subword shape that classifies morphology and
+    * script (robust to OOV words). Native kernel:
+    * [[graft.expressions.CharNgramsAll]].
+    */
+  def nbCharNgramFeatures(n: Int): Column => Column =
+    t => exprColumn(graft.expressions.CharNgramsAll(columnExpr(t), n))
+
+  /** Union of feature streams (fastText trains on
+    * unigrams + bigrams + char n-grams concatenated into one bag).
+    */
+  def nbUnionFeatures(fs: Seq[Column => Column]): Column => Column =
+    t => concat(fs.map(f => f(t)): _*)
+
   /** Multinomial Naive Bayes trainer — the fastText/CCNet-style linear
     * text classifier shape used as a quality / language filter in
     * LLM-corpus pipelines, trained fully distributed.
+    *
+    * `features` selects the feature stream (default: word unigrams —
+    * the original behavior); the same function value must be passed
+    * to [[naiveBayesPriors]] and [[naiveBayesClassify]].
     *
     * Returns the DENSE (term × label) model: for every vocabulary term
     * and every label, the Laplace-smoothed log-likelihood
@@ -726,13 +766,14 @@ object TextAnalysis {
     * (label, term) with a forced shuffle join — the model spans the
     * vocabulary, so a fixture-scale broadcast would lie about the plan.
     */
-  def naiveBayesTrain(df: DataFrame, labelCol: String, textCol: String)
+  def naiveBayesTrain(df: DataFrame, labelCol: String, textCol: String,
+      features: Column => Column = nbUnigramFeatures)
       : DataFrame = {
     val reserved = Seq("label", "term", "cnt", "logp")
     reserved.foreach(c => require(!df.columns.contains(c) || c == labelCol,
       s"input column '$c' collides with a naiveBayesTrain output column"))
     val toks = df.select(col(labelCol).as("label"),
-        explode(tokens(lower(col(textCol)))).as("term"))
+        explode(features(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val counts = toks.groupBy(col("label"), col("term"))
       .agg(count(lit(1)).as("cnt"))
@@ -760,10 +801,11 @@ object TextAnalysis {
     * smoothing. Both floor-quantized to 9 decimals. Label-count rows —
     * always broadcastable.
     */
-  def naiveBayesPriors(df: DataFrame, labelCol: String, textCol: String)
+  def naiveBayesPriors(df: DataFrame, labelCol: String, textCol: String,
+      features: Column => Column = nbUnigramFeatures)
       : DataFrame = {
     val toks = df.select(col(labelCol).as("label"),
-        explode(tokens(lower(col(textCol)))).as("term"))
+        explode(features(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val counts = toks.groupBy(col("label"), col("term"))
       .agg(count(lit(1)).as("cnt"))
@@ -819,9 +861,10 @@ object TextAnalysis {
     * boundary apart.
     */
   def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, priors: DataFrame): DataFrame = {
+      model: DataFrame, priors: DataFrame,
+      features: Column => Column = nbUnigramFeatures): DataFrame = {
     val tf = docs.select(col(idCol),
-        explode(tokens(lower(col(textCol)))).as("term"))
+        explode(features(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
     val contrib = tf.crossJoin(broadcast(

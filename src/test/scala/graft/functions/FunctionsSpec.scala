@@ -744,6 +744,78 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(centers.map(nearest).distinct.size === 3)
   }
 
+  test("ivfTrainTwoLevel: sampled training, movement stats converge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.fill(8)(5f), Array.fill(8)(-5f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5f else -5f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 60
+    } yield (ci * 100L + j, c.map(_ + rnd.nextFloat() * 0.5f))
+    val df = rows.toDF("vec_id", "embedding")
+    // oversample=8 (farthest-point init) — this fixture IS clustered,
+    // the geometry where farthest-point coverage is right
+    val (trained, stats) = Similarity.ivfTrainTwoLevel(df, "vec_id",
+      "embedding", nlist = 3, iters = 4, oversample = 8, wprobe = 1,
+      sampleSize = 120)
+    // sampled + wprobe=1 training still separates the clusters
+    def nearest(v: Array[Float]): Int =
+      trained.zipWithIndex.minBy { case (c, _) =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum }._2
+    assert(centers.map(nearest).distinct.size === 3)
+    // movement stats: one row per iteration; on tight clusters the
+    // centroids settle — the last iteration moves (far) less than the
+    // first
+    assert(stats.length === 4)
+    assert(stats.last.maxMoveSq < stats.head.maxMoveSq ||
+      stats.last.maxMoveSq < 1e-6)
+    // deterministic across partitionings (hash-ordered sample +
+    // decimal means)
+    val (trained2, _) = Similarity.ivfTrainTwoLevel(df.repartition(11),
+      "vec_id", "embedding", nlist = 3, iters = 4, oversample = 8,
+      wprobe = 1, sampleSize = 120)
+    assert(trained.map(_.toSeq).toSeq === trained2.map(_.toSeq).toSeq)
+    // stats table renders
+    val tbl = Similarity.lloydStatsTable(spark, stats).collect()
+    assert(tbl.length === 4)
+  }
+
+  test("kmeansParInit: deterministic, nlist centroids, balanced start") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // four tight clusters; k-means|| must place exactly one seed near
+    // each (farthest-point over NOISE picks corners — the pathology
+    // this init exists to avoid; here data IS clustered so both
+    // coverage and balance are checkable)
+    val centers = Seq(
+      Array.fill(8)(6f), Array.fill(8)(-6f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 6f else -6f),
+      Array.tabulate(8)(i => if (i % 2 == 0) -6f else 6f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 50
+    } yield (ci * 1000L + j, c.map(_ + rnd.nextFloat() * 0.4f))
+    val df = rows.toDF("vec_id", "embedding")
+    val init = Similarity.kmeansParInit(df, "vec_id", "embedding",
+      nlist = 4)
+    assert(init.length === 4 && init.forall(_.length === 8))
+    // each true cluster is covered by a DISTINCT init centroid
+    def nearest(v: Array[Float]): Int =
+      init.zipWithIndex.minBy { case (c, _) =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum }._2
+    assert(centers.map(c => nearest(c)).distinct.size === 4)
+    // deterministic across partitioning layouts
+    val init2 = Similarity.kmeansParInit(df.repartition(13), "vec_id",
+      "embedding", nlist = 4)
+    assert(init.map(_.toSeq).toSeq === init2.map(_.toSeq).toSeq)
+    // and usable as the ivfTrainTwoLevel init
+    val (trained, _) = Similarity.ivfTrainTwoLevel(df, "vec_id",
+      "embedding", nlist = 4, iters = 2, init = "kmeanspar")
+    assert(trained.length === 4)
+  }
+
   test("ivfCentroids: nlist-row TakeOrdered selection, never a full-corpus collect") {
     import spark.implicits._
     val df = (1L to 5000L).map(i => (i, Array.fill(8)(i.toFloat % 7)))
@@ -2096,6 +2168,66 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       (nanos("spam", 2) == nanos("ham", 2) && "ham" > "spam")) "spam"
       else "ham"
     assert(out(3L) === expected3)
+  }
+
+  test("NB n-gram features: word order separable only with bigrams") {
+    import spark.implicits._
+    // label f = the token stream, label r = SAME tokens reversed:
+    // unigram bags identical between labels by construction
+    val fwd = Seq("red green blue", "one two three four",
+      "cat dog bird fish")
+    val train = fwd.zipWithIndex.map { case (t, i) =>
+        (i.toLong, "f", t) }
+      .++(fwd.zipWithIndex.map { case (t, i) =>
+        (i.toLong, "r", t.split(" ").reverse.mkString(" ")) })
+      .toDF("id", "lbl", "text")
+    val test = Seq((1L, "red green blue"), (2L, "blue green red"),
+      (3L, "four three two one")).toDF("doc_id", "text")
+    def classify(feats: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column) =
+      TextAnalysis.naiveBayesClassify(test, "doc_id", "text",
+        TextAnalysis.naiveBayesTrain(train, "lbl", "text", feats),
+        TextAnalysis.naiveBayesPriors(train, "lbl", "text", feats),
+        feats)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // unigram bag: every test doc ties between f and r (identical
+    // counts, equal priors) -> label tie-break gives 'f' for ALL,
+    // misclassifying the reversed docs
+    val uni = classify(TextAnalysis.nbUnigramFeatures)
+    assert(uni(1L) === "f" && uni(2L) === "f" && uni(3L) === "f")
+    // bigrams encode order and separate
+    val bi = classify(TextAnalysis.nbUnionFeatures(Seq(
+      TextAnalysis.nbUnigramFeatures,
+      TextAnalysis.nbWordNgramFeatures(2))))
+    assert(bi(1L) === "f")
+    assert(bi(2L) === "r")
+    assert(bi(3L) === "r")
+  }
+
+  test("NB char-ngram features: OOV word classified by morphology") {
+    import spark.implicits._
+    // label A words share 'ab...' morphology, label B 'xy...': a test
+    // word seen by NEITHER as a unigram still classifies by char
+    // 2-grams
+    val train = Seq(("A", "abc abd abe"), ("B", "xyz xyw xyv"))
+      .toDF("lbl", "text")
+    val test = Seq((1L, "abz"), (2L, "xyq")).toDF("doc_id", "text")
+    val feats = TextAnalysis.nbCharNgramFeatures(2)
+    val out = TextAnalysis.naiveBayesClassify(test, "doc_id", "text",
+      TextAnalysis.naiveBayesTrain(train, "lbl", "text", feats),
+      TextAnalysis.naiveBayesPriors(train, "lbl", "text", feats),
+      feats)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "A")
+    assert(out(2L) === "B")
+    // the char n-gram stream itself: normalized (lower, ws-collapsed),
+    // non-distinct, code-point offsets
+    val grams = Seq((1L, "AB  ab"))
+      .toDF("id", "text")
+      .select(explode(TextAnalysis.nbCharNgramFeatures(2)(col("text")))
+        .as("g"))
+      .collect().map(_.getString(0)).toSeq
+    assert(grams === Seq("ab", "b ", " a", "ab")) // "ab  ab" -> "ab ab"
   }
 }
 

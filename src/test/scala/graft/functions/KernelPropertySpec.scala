@@ -120,6 +120,82 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: clamped ContentChunks equals reference; bounds hold") {
+    import spark.implicits._
+    val w = 16; val p = 31L; val m = 1000000007L; val d = 64L
+    val minLen = 8; val maxLen = 40
+    // independent driver reference of the clamped contract: a mask
+    // hit closer than minLen to the previous ACCEPTED boundary is
+    // ignored; a chunk reaching maxLen closes regardless of the mask
+    def ref(s: String): Seq[(Int, Int)] = {
+      val cps = s.codePoints().toArray.map(_.toLong)
+      val n = cps.length
+      if (n == 0) return Seq.empty
+      val coef = Array.iterate(1L, w)(c => c * p % m)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var prev = 0
+      for (i <- 1 to n) {
+        val len = i - prev
+        val hit = len >= minLen && i >= w && {
+          var h = 0L
+          for (j <- 0 until w) h = (h + cps(i - 1 - j) * coef(j)) % m
+          h % d == 0L
+        }
+        if (hit || len == maxLen) { out += ((prev + 1, len)); prev = i }
+      }
+      if (prev < n) out += ((prev + 1, n - prev))
+      out.toSeq
+    }
+    // random text PLUS boundary-drought payloads (repeated filler —
+    // the low-entropy case the clamp exists for) and hash-mixed long
+    // strings (Knuth multiply, not a periodic pattern — see the
+    // verify recipe's CDC fixture note)
+    val droughts = Seq("a" * 300, "ab" * 150, " " * 120,
+      (0 until 400).map(i =>
+        ('a' + (((i * 2654435761L) >>> 16) % 26).toInt).toChar).mkString)
+    val texts = (samples(textGen).distinct ++ droughts)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = graft.functions.Multimodal.chunkContentDefined(got, "text",
+        minLen = minLen, maxLen = maxLen)
+      .collect()
+      .groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("chunk_idx"))
+        .map(r => (r.getAs[Int]("chunk_start"), r.getAs[Int]("chunk_len")))
+        .toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val spans = rows.getOrElse(i.toLong, Seq.empty)
+      assert(spans === ref(t), s"clamped mismatch for ${t.take(40)}")
+      val n = t.codePoints().toArray.length
+      if (n == 0) assert(spans.isEmpty)
+      else {
+        // tiling + the clamp bounds: every chunk <= maxLen; every
+        // chunk but the terminal tail >= minLen
+        assert(spans.head._1 === 1)
+        spans.sliding(2).foreach {
+          case Seq((s1, l1), (s2, _)) => assert(s2 === s1 + l1)
+          case _ =>
+        }
+        assert(spans.map(_._2).sum === n)
+        assert(spans.forall(_._2 <= maxLen), s"maxLen violated: $spans")
+        assert(spans.dropRight(1).forall(_._2 >= minLen),
+          s"minLen violated: $spans")
+      }
+    }
+    // the drought payload demonstrates WHY: unclamped emits one giant
+    // chunk, clamped bounds every chunk at maxLen
+    val droughtDf = Seq((0L, "a" * 300)).toDF("id", "text")
+    val unclamped = graft.functions.Multimodal
+      .chunkContentDefined(droughtDf, "text")
+      .collect().map(_.getAs[Int]("chunk_len"))
+    val clamped = graft.functions.Multimodal
+      .chunkContentDefined(droughtDf, "text",
+        minLen = minLen, maxLen = maxLen)
+      .collect().map(_.getAs[Int]("chunk_len"))
+    assert(unclamped.max > maxLen) // the drought really happens
+    assert(clamped.max <= maxLen)
+  }
+
   test("property: two-level full probe equals flat on random vectors") {
     import spark.implicits._
     val vecGen = for {
@@ -146,6 +222,35 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
           .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
         assert(full === flat,
           s"full-probe two-level diverged from flat (ngroups=$ng)")
+      }
+    }
+  }
+
+  test("property: two-level TRAINING at full probe equals flat training") {
+    import spark.implicits._
+    val vecGen = for {
+      nVec <- Gen.choose(30, 80)
+      seedv <- Gen.choose(1, 1000000)
+    } yield (nVec, seedv)
+    samples(vecGen, 8).distinct.foreach { case (nVec, seedv) =>
+      val corpus = (0L until nVec.toLong).map { i =>
+        (i, Seq.tabulate(6)(dd =>
+          (((i + seedv) * 2654435761L + dd * 40503L) % 2001 - 1000)
+            .toDouble / 1000.0))
+      }.toDF("vec_id", "embedding")
+      val nlist = 8
+      val flat = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+        nlist, iters = 2, oversample = 1)
+      Seq(2, 3).foreach { ng =>
+        // wprobe == ngroups → every Lloyd assignment is bit-identical
+        // to flat, and the shared decimal means path does the rest:
+        // the TRAINED CENTROIDS must match exactly, not approximately
+        val (two, stats) = Similarity.ivfTrainTwoLevel(corpus, "vec_id",
+          "embedding", nlist, iters = 2, oversample = 1,
+          ngroups = ng, wprobe = ng)
+        assert(two.map(_.toSeq).toSeq === flat.map(_.toSeq).toSeq,
+          s"two-level training diverged from flat (ngroups=$ng)")
+        assert(stats.length === 2 && stats.map(_.iter) === Seq(0, 1))
       }
     }
   }
