@@ -1073,6 +1073,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_imi" -> ((s, dir) => {
+      // inverted multi-index (Babenko & Lempitsky 2012): coarse cells
+      // are PAIRS of per-half codes (K=8 per half → 64 cells from 16
+      // centroids — the construction that reaches billion-scale cell
+      // counts without nlist centroids); queries probe their 8 best
+      // pairs by d0+d1 (2K half-distances, native kernel), fine PQ
+      // codes ADC-score the probed cells. Every distance is a
+      // nano-unit long, so cells, probes and scores replay exactly.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val coarse = Similarity.pqBooks(emb, "vec_id", "embedding",
+        m = 2, k = 8, dims = 64, stride = 13L)
+      val fine = Similarity.pqBooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, stride = 11L)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.imiTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", coarse, fine, k = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("dist_nano"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_margin_mine" -> ((s, dir) => {
       // ratio-margin bitext mining: German-doc vectors query the
       // English-doc slice; a pair is mined only when the best match
@@ -4211,6 +4235,82 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank,
         |  vec_id AS neighbor_id, dist_nano
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ann_imi" ->
+      // replays both coarse half-codebooks (id-stride 13), the per-half
+      // argmin cells, the d0+d1 pair-probe ranking, and the fine-code
+      // ADC scoring of sim_ann_pq restricted to the probed cells
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |fbooks AS (
+        |  SELECT vec_id // 11 AS code, v FROM emb
+        |  WHERE vec_id % 11 = 0 AND vec_id < 16 * 11),
+        |fsub AS (SELECT * FROM range(0, 8) t(j)),
+        |fenc AS (
+        |  SELECT e.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      pow(e.v[CAST(s.j*8+i AS INT)] - b.v[CAST(s.j*8+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM emb e, fsub s, fbooks b),
+        |fcodes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM fenc) WHERE rn = 1),
+        |qlut AS (
+        |  SELECT vec_id AS query_id, j, code, d FROM fenc
+        |  WHERE vec_id % 50 = 0),
+        |cbooks AS (
+        |  SELECT vec_id // 13 AS code, v FROM emb
+        |  WHERE vec_id % 13 = 0 AND vec_id < 8 * 13),
+        |csub AS (SELECT * FROM range(0, 2) t(j)),
+        |cenc AS (
+        |  SELECT e.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 33), i ->
+        |      pow(e.v[CAST(s.j*32+i AS INT)] - b.v[CAST(s.j*32+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM emb e, csub s, cbooks b),
+        |ccodes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM cenc) WHERE rn = 1),
+        |cells AS (
+        |  SELECT vec_id,
+        |    8 * MAX(CASE WHEN j = 0 THEN code END) +
+        |    MAX(CASE WHEN j = 1 THEN code END) AS cell
+        |  FROM ccodes GROUP BY vec_id),
+        |qpairs AS (
+        |  SELECT q0.vec_id AS query_id,
+        |    q0.code * 8 + q1.code AS cell, q0.d + q1.d AS dist
+        |  FROM (SELECT * FROM cenc WHERE j = 0 AND vec_id % 50 = 0) q0
+        |  JOIN (SELECT * FROM cenc WHERE j = 1 AND vec_id % 50 = 0) q1
+        |    ON q0.vec_id = q1.vec_id),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY dist, cell) AS rn
+        |    FROM qpairs) WHERE rn <= 8),
+        |cand AS (
+        |  SELECT p.query_id, c.vec_id
+        |  FROM probes p JOIN cells c ON c.cell = p.cell),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS dist_nano
+        |  FROM cand cd
+        |  JOIN fcodes c ON c.vec_id = cd.vec_id
+        |  JOIN qlut l ON l.query_id = cd.query_id
+        |    AND c.j = l.j AND c.code = l.code
+        |  WHERE cd.query_id <> cd.vec_id
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, vec_id, dist_nano, ROW_NUMBER() OVER (
+        |  PARTITION BY query_id ORDER BY dist_nano, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank,
+        |  vec_id AS neighbor_id, dist_nano
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ann_quantized" ->
       // int8 codes are exact integral doubles on both engines, so the

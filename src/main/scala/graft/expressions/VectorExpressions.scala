@@ -520,3 +520,117 @@ case class NearestCellTwoLevel(child: Expression,
   override protected def withNewChildInternal(
       newChild: Expression): NearestCellTwoLevel = copy(child = newChild)
 }
+
+/** IMI probe-cell selection (Babenko & Lempitsky 2012, "The Inverted
+  * Multi-Index" — public paper): the product-space twin of the IVF
+  * probe. The coarse quantizer is a PAIR of codebooks, one per vector
+  * half; a cell is a (code₀, code₁) pair (K² cells from 2K
+  * centroids). A query's probe order is by d₀(i) + d₁(j) — each half
+  * distance computed ONCE (2K sub-distances), then the K² pair sums
+  * ranked. Returns the `nprobe` cell ids `i·K + j` ordered by
+  * (distance asc, cell asc).
+  *
+  * Arithmetic parity: each half distance accumulates (x−c)² left to
+  * right in IEEE doubles and floor-quantizes to nano-unit longs —
+  * exactly [[graft.functions.Similarity]]'s `subDistNano`, so the
+  * SQL oracle replays probe selection bit-for-bit; pair distances are
+  * exact long sums. A native kernel (not a declarative
+  * sort-of-structs) because the probe array feeds a Generate — the
+  * interpreted-Generate trap (PlanLint) — and because K² pair structs
+  * would bloat codegen past the 64 KB method limit the PQ LUT
+  * already hit.
+  */
+case class ImiProbeCells(child: Expression,
+    books: Array[Array[Array[Double]]], nprobe: Int)
+    extends UnaryExpression {
+  require(books.length == 2, "IMI needs exactly 2 coarse codebooks")
+  require(books(0).length == books(1).length,
+    "both halves need the same K")
+  require(nprobe >= 1 && nprobe <= books(0).length * books(0).length,
+    "nprobe must be in [1, K^2]")
+
+  private val bigK = books(0).length
+  private val sub = books(0)(0).length
+  private val dims = 2 * sub
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "imi_probe_cells"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"imi_probe_cells expects array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def probes(v: Any): ArrayData = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"imiProbeCells: vector dims != $dims")
+    // half distances: d(h)(c) = floor(Σ (x−c)² · 1e9), accumulated
+    // left to right like subDistNano
+    val d = Array.ofDim[Long](2, bigK)
+    var h = 0
+    while (h < 2) {
+      var c = 0
+      while (c < bigK) {
+        val cent = books(h)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val xi = h * sub + i
+          if (vec.isNullAt(xi))
+            throw new RuntimeException(
+              s"imiProbeCells: null element at $xi")
+          val x = if (isFloat) vec.getFloat(xi).toDouble
+                  else vec.getDouble(xi)
+          val diff = x - cent(i)
+          s += diff * diff
+          i += 1
+        }
+        d(h)(c) = math.floor(s * 1e9).toLong
+        c += 1
+      }
+      h += 1
+    }
+    // rank the K² pair sums by (dist, cell): K is small (coarse), so
+    // a full sort of K² longs per query row is fine — queries are the
+    // human-sized probe batch, never the corpus
+    val cells = new Array[Int](bigK * bigK)
+    val dist = new Array[Long](bigK * bigK)
+    var i = 0
+    while (i < bigK) {
+      var j = 0
+      while (j < bigK) {
+        val idx = i * bigK + j
+        cells(idx) = idx
+        dist(idx) = d(0)(i) + d(1)(j)
+        j += 1
+      }
+      i += 1
+    }
+    val order = cells.indices.sortBy(idx => (dist(idx), cells(idx)))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.take(nprobe).map(idx => cells(idx): Any).toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = probes(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("imiProbeCells", this,
+      classOf[ImiProbeCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.probes($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImiProbeCells = copy(child = newChild)
+}

@@ -648,27 +648,41 @@ object Similarity {
     require(nlist > 0, "nlist must be > 0")
     val ng0 = if (ngroups > 0) ngroups
       else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    // The sampled path MUST be re-spread and cached: TakeOrdered emits
+    // ONE partition (the whole Lloyd agg would run single-threaded —
+    // measured slower than flat full-corpus training), and without a
+    // persist the full-corpus TakeOrdered re-runs every iteration.
+    // Round-robin repartition is safe: the decimal means are
+    // partition-order independent, so the trained centroids don't
+    // change.
     val train =
       if (sampleSize <= 0) corpus.select(col(idCol), col(vecCol))
       else corpus.select(col(idCol), col(vecCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol))
         .limit(sampleSize)
-    val initCents = init match {
-      case "sample" => ivfCentroids(train, idCol, vecCol, nlist, oversample)
-      case "kmeanspar" => kmeansParInit(train, idCol, vecCol, nlist)
-      case other => throw new IllegalArgumentException(
-        s"unknown init '$other' (want sample | kmeanspar)")
+        .repartition(corpus.sparkSession.sessionState.conf
+          .numShufflePartitions)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initCents = init match {
+        case "sample" => ivfCentroids(train, idCol, vecCol, nlist, oversample)
+        case "kmeanspar" => kmeansParInit(train, idCol, vecCol, nlist)
+        case other => throw new IllegalArgumentException(
+          s"unknown init '$other' (want sample | kmeanspar)")
+      }
+      val doubled = train.select(
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      lloydRefine(doubled, initCents, iters, cents => {
+        val ng = math.min(ng0, cents.length)
+        val (sup, mem) = ivfGroups(cents, ng)
+        coalesce(
+          exprCol(graft.expressions.NearestCellTwoLevel(
+            colExpr(col("__v")), sup, mem, cents, math.min(wprobe, ng))),
+          lit(-1))
+      })
+    } finally {
+      if (sampleSize > 0) train.unpersist()
     }
-    val doubled = train.select(
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
-    lloydRefine(doubled, initCents, iters, cents => {
-      val ng = math.min(ng0, cents.length)
-      val (sup, mem) = ivfGroups(cents, ng)
-      coalesce(
-        exprCol(graft.expressions.NearestCellTwoLevel(
-          colExpr(col("__v")), sup, mem, cents, math.min(wprobe, ng))),
-        lit(-1))
-    })
   }
 
   /** Deterministic k-means‖ init (Bahmani et al. 2012, "Scalable
@@ -1203,6 +1217,70 @@ object Similarity {
         probeCells(col(queryVec), centroids, nprobe).as("__probes"))
       .select(col(queryId), col("__lut"),
         explode(col("__probes").getField("cell")).as("__cell"))
+    val score = (0 until m).map { j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col("__codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val joined = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId), score.as("dist_nano"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist_nano").asc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // IMI — the inverted multi-index (Babenko & Lempitsky 2012): the
+  // product-space answer to "nlist must grow with the corpus". A
+  // vector-space coarse quantizer needs nlist centroids for nlist
+  // cells; IMI splits the vector in two halves with K centroids EACH
+  // and indexes on the (code₀, code₁) PAIR — K² cells from 2K
+  // centroids, so a billion-scale cell count (K=2¹⁴ → 2²⁸ cells)
+  // costs only 2K centroid dots per vector. Probing ranks cells by
+  // d₀(i)+d₁(j), which needs only the 2K half-distances per query.
+  // ------------------------------------------------------------------
+
+  /** IMI cell id of a vector: the two coarse codebooks (a `pqBooks`
+    * result with m=2) encode each half independently; cell =
+    * code₀·K + code₁. Map-only — rides the scan like
+    * [[ivfAssignments]].
+    */
+  def imiCells(vec: Column, coarse: Array[Array[Array[Double]]]): Column = {
+    require(coarse.length == 2, "IMI needs exactly 2 coarse codebooks")
+    val k = coarse(0).length
+    val codes = pqEncode(vec, coarse)
+    element_at(codes, 1) * k + element_at(codes, 2)
+  }
+
+  /** IMI-pruned PQ-ADC top-k — the composed billion-scale index shape
+    * (IMI coarse cells prune, fine product codes score): corpus rows
+    * carry (imi cell, fine codes); queries probe their `nprobe`
+    * best cell PAIRS (native kernel
+    * [[graft.expressions.ImiProbeCells]] — the K² pair ranking needs
+    * only 2K half-distances, computed once per query) and ADC-score
+    * only the probed cells' codes via the same equi-join + broadcast
+    * shape as [[ivfPqTopK]].
+    *
+    * Exactness contract (spec-pinned): `nprobe == K²` probes every
+    * cell, so the result is IDENTICAL to flat [[pqTopK]] with the
+    * same fine codebooks — the IMI layer is pure pruning, never a
+    * scoring change. All distances are the nano-unit longs of the PQ
+    * family, so an oracle replays cells, probes and scores exactly.
+    */
+  def imiTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      coarse: Array[Array[Array[Double]]],
+      fine: Array[Array[Array[Double]]], k: Int,
+      nprobe: Int = 8): DataFrame = {
+    val m = fine.length
+    val c = corpus.select(col(corpusId),
+      pqEncode(col(corpusVec), fine).as("__codes"),
+      imiCells(col(corpusVec), coarse).as("__cell"))
+    val q = queries
+      .select(col(queryId), pqLut(col(queryVec), fine).as("__lut"),
+        explode(exprCol(graft.expressions.ImiProbeCells(
+          colExpr(col(queryVec)), coarse, nprobe))).as("__cell"))
     val score = (0 until m).map { j =>
       element_at(element_at(col("__lut"), j + 1),
         element_at(col("__codes"), j + 1) + 1)

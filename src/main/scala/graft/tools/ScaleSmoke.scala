@@ -229,8 +229,12 @@ object ScaleSmoke {
     // + movement stats accompany the timing (the r7 lesson: a bad
     // quantizer is visible in imbalance long before it is visible in
     // timings).
+    // 4× the sweep factors here: at the base factors both columns sit
+    // on Spark's ~1 s/job scheduling floor and the asymptotic gap is
+    // invisible; at 4× the flat column's n·nlist (∝ f²) term clears
+    // the floor while the sampled two-level column stays near it.
     println(f"${"factor"}%-7s ${"vecs"}%-7s ${"nlist"}%-7s ${"flatFull"}%-9s ${"twoLvl"}%-9s")
-    factors.foreach { f =>
+    factors.map(_ * 4).foreach { f =>
       val emb = embAt(emb0, f).cache()
       val ne = emb.count()
       val nlist = 16 * f

@@ -1510,6 +1510,67 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .subsetOf((Seq(1L) ++ (10L to 14L)).toSet))
   }
 
+  test("IMI: cell pairs partition, full probe equals flat PQ, pruning prunes") {
+    import spark.implicits._
+    // 4 clusters at the corners of a 2-half product space: half-0
+    // near {0, 10}, half-1 near {0, 10} independently — the geometry
+    // IMI factorizes (a vector-space quantizer would need 4 cells; IMI
+    // gets them from 2+2 centroids)
+    def v(a: Double, b: Double, eps: Double) =
+      Seq(a + eps, a - eps, b + eps, b - eps)
+    val protos = Seq(
+      (0L, v(0, 0, 0)), (1L, v(10, 10, 0)),
+      (2L, v(0, 10, 0)), (3L, v(10, 0, 0)))
+    val corpus = (protos ++
+      (4L to 8L).map(i => (i, v(0, 0, 0.01 * i))) ++
+      (10L to 14L).map(i => (i, v(10, 10, 0.001 * i))) ++
+      (20L to 24L).map(i => (i, v(0, 10, 0.001 * i))) ++
+      (30L to 34L).map(i => (i, v(10, 0, 0.001 * i)))
+    ).toDF("id", "vec")
+    // coarse: K=2 per half from ids {0,1} (stride 1) → halves get
+    // centroids {~0-half, ~10-half}; 4 IMI cells
+    val coarse = Similarity.pqBooks(corpus, "id", "vec",
+      m = 2, k = 2, dims = 4, stride = 1L)
+    val fine = Similarity.pqBooks(corpus, "id", "vec",
+      m = 4, k = 4, dims = 4, stride = 1L)
+    // every vector gets exactly one of the 4 cells; each cluster maps
+    // to a DISTINCT cell
+    val cells = corpus.select(col("id"),
+        Similarity.imiCells(col("vec"), coarse).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.values.forall(c => c >= 0 && c < 4))
+    assert(Seq(0L, 1L, 2L, 3L).map(cells).distinct.size === 4)
+    assert((4L to 8L).forall(i => cells(i) === cells(0L)))
+    assert((10L to 14L).forall(i => cells(i) === cells(1L)))
+    val queries = Seq((100L, v(0, 0, 0.005)), (101L, v(10, 10, 0.005)))
+      .toDF("qid", "qvec")
+    // full probe (nprobe = K² = 4) must equal flat PQ EXACTLY — the
+    // IMI layer is pure pruning
+    val full = Similarity.imiTopK(corpus, "id", "vec", queries,
+      "qid", "qvec", coarse, fine, k = 6, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val flat = Similarity.pqTopK(corpus, "id", "vec", queries,
+      "qid", "qvec", fine, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(full === flat)
+    // nprobe = 1 probes only the query's own cell pair
+    val one = Similarity.imiTopK(corpus, "id", "vec", queries,
+      "qid", "qvec", coarse, fine, k = 20, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.filter(_._1 == 100L).map(_._2).toSet
+      .subsetOf((Seq(0L) ++ (4L to 8L)).toSet))
+    assert(one.filter(_._1 == 101L).map(_._2).toSet
+      .subsetOf((Seq(1L) ++ (10L to 14L)).toSet))
+    // determinism across partitionings
+    val again = Similarity.imiTopK(corpus.repartition(7), "id", "vec",
+      queries, "qid", "qvec", coarse, fine, k = 6, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(again === full)
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
