@@ -81,6 +81,43 @@ object SparkEntry {
         when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")).as("o_totalprice"))
 
+  // ---- stream-prefix-as-batch fixture (round 8): the driver-facing
+  // oracle regime for the streaming twins. The table is written as
+  // `slices` deterministic doc-sliced parquet files and re-read as a
+  // file-source STREAM at one file per micro-batch — a deterministic
+  // multi-batch replay, so a streaming operator's cumulative output
+  // is hash-comparable against batch SQL over the same rows. Only
+  // operators whose CUMULATIVE output is arrival-order independent
+  // (pair sets, monotone counts) get gates this way; order-contracted
+  // twins (funnel, cohort) stay parity-spec'd.
+
+  /** Write `df` as `slices` files to a temp dir; open as a stream. */
+  private def streamPrefix(s: SparkSession, df: DataFrame,
+      sliceCol: String, slices: Int): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    (0 until slices).foreach { i =>
+      df.filter(pmod(col(sliceCol), lit(slices)) === i)
+        .coalesce(1).write.parquet(tmp.resolve(s"b$i").toString)
+    }
+    s.readStream.schema(df.schema).option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString + "/*")
+  }
+
+  /** Run a streaming frame to completion into a memory sink; return
+    * the sink table. Blocking; the query name is unique per call so
+    * bench reruns don't collide.
+    */
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = "mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val chk = java.nio.file.Files.createTempDirectory("graft_stream_chk")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", chk.toString).start()
+    q.processAllAvailable(); q.stop()
+    df.sparkSession.table(name)
+  }
+
   /** Shared ANN fixture: every 50th embedding is a query; 5 perturbed
     * near-copies per query (amps 0.002k → cos ≈0.9989–0.99996, portable
     * integer-noise formula the oracle replays) are planted into the
@@ -854,6 +891,46 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 16, bands = 4, ngramN = 3, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
+
+    "stream_neardup_lsh" -> ((s, dir) => {
+      // the STREAMING near-dup twin under the batch oracle: the corpus
+      // replays as 3 deterministic micro-batches (stream-prefix
+      // fixture), the band index accumulates as keyed state, and the
+      // cumulative pair set must equal dedup_minhash_lsh's batch
+      // self-join EXACTLY — pair sets are arrival-order independent,
+      // which is what makes this twin oracle-gateable. Portable md5
+      // signatures (the oracle's replay path); maxBucket uncapped so
+      // cap semantics can't fork the comparison.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val stream = streamPrefix(s, docs, "doc_id", 3)
+      runToMemory(graft.streaming.EventStream.streamingNearDupCandidates(
+          stream, "doc_id", "text", numHashes = 16, bands = 4,
+          ngramN = 3, maxBucket = Int.MaxValue, portable = true),
+        "append")
+        .select(col("id_a"), col("id_b")).distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "stream_token_drift" -> ((s, dir) => {
+      // streaming token counts → batch drift scorer, end to end under
+      // the oracle: the odd-doc half streams in 3 micro-batches
+      // through cumulative keyed state (one UPDATE row per touched
+      // token per batch); the LATEST count per token (max — counts
+      // are monotone) must equal the batch wordcount, so scoring
+      // against the even-half reference equals profile_top_movers'
+      // batch operator exactly.
+      val docs = t(s, dir, "documents")
+      val live = streamPrefix(s,
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")), "doc_id", 3)
+      val counts = runToMemory(
+          graft.streaming.EventStream.streamingTokenCounts(live, "text"),
+          "update")
+        .groupBy(col("token")).agg(max(col("cnt")).as("cnt"))
+      val ref = graft.operators.Profile.tokenCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      graft.operators.Profile.scoreDriftCounts(ref, counts, k = 20)
+    }),
 
     "dedup_script_routed" -> ((s, dir) => {
       // script-routed dedup composition: docs with doc_id % 100 ∈
@@ -2916,6 +2993,79 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
       |  FROM dscored) WHERE rank <= 20)""".stripMargin
 
+  /** Shared by profile_top_movers and its streaming twin
+    * stream_token_drift (the streamed cumulative counts equal the
+    * batch wordcount, so the scorer output is identical).
+    */
+  private val topMoversOracle: String =
+    """WITH cs AS (
+      |  SELECT token, COUNT(*) AS cnt_src FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+      |      '\s+')) AS token
+      |    FROM documents WHERE doc_id % 2 = 0) u
+      |  WHERE token <> '' GROUP BY token),
+      |ct AS (
+      |  SELECT token, COUNT(*) AS cnt_tgt FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+      |      '\s+')) AS token
+      |    FROM documents WHERE doc_id % 2 = 1) u
+      |  WHERE token <> '' GROUP BY token),
+      |j AS (
+      |  SELECT COALESCE(cs.token, ct.token) AS token,
+      |    COALESCE(cs.cnt_src, 0) AS cnt_src,
+      |    COALESCE(ct.cnt_tgt, 0) AS cnt_tgt
+      |  FROM cs FULL OUTER JOIN ct ON cs.token = ct.token),
+      |tot AS (
+      |  SELECT SUM(cnt_src) AS ns, SUM(cnt_tgt) AS nt, COUNT(*) AS v
+      |  FROM j),
+      |scored AS (
+      |  SELECT token, cnt_src, cnt_tgt,
+      |    CAST(floor(ln(((cnt_src + 1.0) * CAST(nt + v AS DOUBLE))
+      |      / ((cnt_tgt + 1.0) * CAST(ns + v AS DOUBLE))) * 1e9)
+      |      AS BIGINT) AS nanos
+      |  FROM j CROSS JOIN tot)
+      |SELECT token, cnt_src, cnt_tgt,
+      |  CAST(nanos AS DOUBLE) / 1e9 AS log_ratio
+      |FROM scored ORDER BY abs(nanos) DESC, token ASC LIMIT 20""".stripMargin
+
+  /** Shared by dedup_minhash_lsh and its streaming twin
+    * stream_neardup_lsh (cumulative streamed pair set == batch
+    * self-join).
+    */
+  private val minhashLshOracle: String =
+    """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
+        |  FROM toks),
+        |hp AS (
+        |  SELECT doc_id, list_transform(ngrams, g -> {
+        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
+        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
+        |  FROM ng),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    s -> list_min(list_transform(hs, h ->
+        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
+        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
+        |  FROM hp),
+        |bands AS (
+        |  SELECT doc_id, b AS band_id,
+        |    CAST(sg[b*4+1] AS VARCHAR) || '|' || CAST(sg[b*4+2] AS VARCHAR) || '|' ||
+        |    CAST(sg[b*4+3] AS VARCHAR) || '|' || CAST(sg[b*4+4] AS VARCHAR) AS band_hash
+        |  FROM sig, range(0, 4) t(b))
+        |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |FROM bands l JOIN bands r
+        |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+        |  AND l.doc_id < r.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
+
   private val plantedAnnOracle: String =
     """WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
@@ -3164,36 +3314,10 @@ object SparkEntry {
         |  ON h.o_orderpriority = m.o_orderpriority
         |ORDER BY h.o_orderkey""".stripMargin,
 
-    "profile_top_movers" ->
-      """WITH cs AS (
-        |  SELECT token, COUNT(*) AS cnt_src FROM (
-        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
-        |      '\s+')) AS token
-        |    FROM documents WHERE doc_id % 2 = 0) u
-        |  WHERE token <> '' GROUP BY token),
-        |ct AS (
-        |  SELECT token, COUNT(*) AS cnt_tgt FROM (
-        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
-        |      '\s+')) AS token
-        |    FROM documents WHERE doc_id % 2 = 1) u
-        |  WHERE token <> '' GROUP BY token),
-        |j AS (
-        |  SELECT COALESCE(cs.token, ct.token) AS token,
-        |    COALESCE(cs.cnt_src, 0) AS cnt_src,
-        |    COALESCE(ct.cnt_tgt, 0) AS cnt_tgt
-        |  FROM cs FULL OUTER JOIN ct ON cs.token = ct.token),
-        |tot AS (
-        |  SELECT SUM(cnt_src) AS ns, SUM(cnt_tgt) AS nt, COUNT(*) AS v
-        |  FROM j),
-        |scored AS (
-        |  SELECT token, cnt_src, cnt_tgt,
-        |    CAST(floor(ln(((cnt_src + 1.0) * CAST(nt + v AS DOUBLE))
-        |      / ((cnt_tgt + 1.0) * CAST(ns + v AS DOUBLE))) * 1e9)
-        |      AS BIGINT) AS nanos
-        |  FROM j CROSS JOIN tot)
-        |SELECT token, cnt_src, cnt_tgt,
-        |  CAST(nanos AS DOUBLE) / 1e9 AS log_ratio
-        |FROM scored ORDER BY abs(nanos) DESC, token ASC LIMIT 20""".stripMargin,
+    "profile_top_movers" -> topMoversOracle,
+    // the streaming twin's cumulative counts equal the batch
+    // wordcount, so the SAME oracle gates both
+    "stream_token_drift" -> topMoversOracle,
 
     "profile_psi_drift" ->
       """WITH src AS (
@@ -3943,39 +4067,10 @@ object SparkEntry {
         |      - len(list_intersect(l.ngrams, r.ngrams)), 1) * 10000) / 10000 >= 0.15
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-        |  FROM documents),
-        |ng AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(tk) - 1),
-        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-        |    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
-        |    ELSE CAST([] AS VARCHAR[]) END AS ngrams
-        |  FROM toks),
-        |hp AS (
-        |  SELECT doc_id, list_transform(ngrams, g -> {
-        |    'h1': CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT),
-        |    'h2': CAST(('0x' || substr(md5(g), 16, 10)) AS BIGINT)}) AS hs
-        |  FROM ng),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 16),
-        |    s -> list_min(list_transform(hs, h ->
-        |      xor(((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30),
-        |          (((h.h1 + s * h.h2) & 1073741823) << 30 | ((h.h1 + s * h.h2) >> 30)) >> 15)))) AS sg
-        |  FROM hp),
-        |bands AS (
-        |  SELECT doc_id, b AS band_id,
-        |    CAST(sg[b*4+1] AS VARCHAR) || '|' || CAST(sg[b*4+2] AS VARCHAR) || '|' ||
-        |    CAST(sg[b*4+3] AS VARCHAR) || '|' || CAST(sg[b*4+4] AS VARCHAR) AS band_hash
-        |  FROM sig, range(0, 4) t(b))
-        |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        |FROM bands l JOIN bands r
-        |  ON l.band_id = r.band_id AND l.band_hash = r.band_hash
-        |  AND l.doc_id < r.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    // the streaming band index accumulates the same buckets, so the
+    // cumulative pair set replays with the batch self-join oracle
+    "stream_neardup_lsh" -> minhashLshOracle,
 
     "dedup_simhash_hamming" ->
       """WITH th AS (

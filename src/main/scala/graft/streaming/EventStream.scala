@@ -460,14 +460,15 @@ object EventStream {
     */
   def streamingNearDupCandidates(stream: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 16, bands: Int = 8,
-      ngramN: Int = 3, maxBucket: Int = 64): DataFrame = {
+      ngramN: Int = 3, maxBucket: Int = 64,
+      portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
     val spark = stream.sparkSession
     import spark.implicits._
     val banded = graft.functions.Dedup.lshBands(
         stream.select(col(idCol).cast("long").as("__id"),
           col(textCol).as("__text")),
-        "__id", "__text", numHashes, bands, ngramN)
+        "__id", "__text", numHashes, bands, ngramN, portable)
       .select(concat_ws("|", col("band_id"), col("band_hash")).as("bucket"),
         col("__id").as("id"))
       .as[(String, Long)]
