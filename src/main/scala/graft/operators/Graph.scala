@@ -238,4 +238,192 @@ object Graph {
     und.unpersist(); nodes.unpersist(); seed.unpersist()
     labels.select(col("node"), col("label"))
   }
+
+  /** One LPA round's convergence snapshot: how many nodes changed
+    * label (null-safe compare). changed == 0 means a fixed point —
+    * every later round returns the identical labeling.
+    */
+  final case class LpaIterStats(iter: Int, changed: Long)
+
+  /** [[labelPropagate]] with a convergence stop: runs synchronous
+    * rounds until no node changes label (or `maxIters`), returning
+    * the labeling plus per-round changed-node counts. The changed
+    * count rides the SAME action that materializes each round's
+    * persisted frame (one aggregate over the node-sized join of
+    * consecutive labelings), so convergence detection adds no extra
+    * pass over the edges. At a fixed point the labeling is EXACTLY
+    * what any larger fixed iteration count would return
+    * (spec-pinned), so maxIters stops being a quality knob and
+    * becomes a safety bound.
+    */
+  def labelPropagateConverged(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedNodeCol: String,
+      seedLabelCol: String, maxIters: Int)
+      : (DataFrame, Seq[LpaIterStats]) = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+    val und = e0.unionAll(e0.select(col("__d").as("__s"),
+      col("__s").as("__d"))).persist(lvl)
+    val nodes = und.select(col("__s").as("node")).distinct().persist(lvl)
+    val seed = seeds.select(col(seedNodeCol).cast("long").as("node"),
+      col(seedLabelCol).cast("long").as("__seed"))
+      .groupBy(col("node")).agg(min(col("__seed")).as("__seed"))
+      .persist(lvl)
+    // localCheckpoint, NOT persist, for the per-round frame: the
+    // round-update join references the previous labels on BOTH sides
+    // (votes and the carry-forward), so the ANALYZED plan doubles per
+    // round — with a convergence loop's unbounded round count that
+    // goes exponential in analysis time long before memory matters
+    // (the CurationDemo 1.45 GB treeString lesson; measured: a 4-edge
+    // chain took 70 s on persists, sub-second on checkpoints).
+    // Fixed-small-iters labelPropagate keeps its persist convention;
+    // unbounded loops cut lineage every round.
+    var labels = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label"), col("__seed"))
+      .localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[LpaIterStats]
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val votes = und
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("__s"), col("label").as("__nl")), "__s")
+        .groupBy(col("__d"), col("__nl"))
+        .agg(count(lit(1)).as("__votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__d"))
+        .orderBy(col("__votes").desc, col("__nl").asc)
+      val adopted = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__d").as("node"), col("__nl").as("__adopt"))
+      val next = labels
+        .select(col("node"), col("label").as("__old"), col("__seed"))
+        .join(adopted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), col("__adopt"), col("__old"))
+            .as("label"),
+          col("__seed"), col("__old"))
+        .localCheckpoint()
+      val changed = next.agg(sum(
+        when(not(col("label") <=> col("__old")), 1L).otherwise(0L))
+        .as("c")).collect().head.getLong(0)
+      stats += LpaIterStats(it, changed)
+      labels = next.select(col("node"), col("label"), col("__seed"))
+      converged = changed == 0L
+      it += 1
+    }
+    und.unpersist(); nodes.unpersist(); seed.unpersist()
+    (labels.select(col("node"), col("label")), stats.toSeq)
+  }
+
+  /** Incremental label propagation against a STORED label table — the
+    * [[graft.functions.Dedup]] `nearDupDelta` shape for graphs: new
+    * edges arrive, the stored labeling is a converged artifact, and
+    * relabeling costs frontier-sized work instead of a from-scratch
+    * rerun.
+    *
+    * Semantics (exact, not heuristic): `rounds` SYNCHRONOUS
+    * warm-start rounds over the FULL edge set, initialized from
+    * `storedLabels` (new nodes start at their seed label or null),
+    * where each round recomputes votes ONLY for the active frontier —
+    * round 1: nodes incident to a `deltaEdges` edge (the only nodes
+    * whose vote multiset differs from the stored snapshot's); round
+    * i>1: neighbors of nodes that changed in round i−1. Nodes outside
+    * the frontier keep their label — which is EXACTLY what an
+    * unrestricted warm-start round would do *when the stored labeling
+    * is a fixed point of the base graph* (their vote multiset is
+    * unchanged, so re-evaluation returns the same label). That
+    * equality is the operator's contract and is spec-pinned by
+    * running the same rounds with frontier = ALL edges. On a
+    * non-converged stored labeling the result is the documented
+    * delta-local repair.
+    *
+    * Plan shape per round: the frontier is broadcast into a semi-join
+    * on the edge list's dst (map-side pruning — only frontier-incident
+    * edges reach the vote aggregate), so shuffle volume is
+    * frontier-sized; the full edge list is scanned once per round
+    * (store it partitioned by dst to turn that into a pruned scan —
+    * the ivfTopKIndexed convention). Early-stops when a round changes
+    * nothing.
+    */
+  def labelPropagateDelta(storedLabels: DataFrame, edges: DataFrame,
+      srcCol: String, dstCol: String, deltaEdges: DataFrame,
+      seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+      rounds: Int): (DataFrame, Seq[LpaIterStats]) = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+    val und = e0.unionAll(e0.select(col("__d").as("__s"),
+      col("__s").as("__d"))).persist(lvl)
+    val nodes = und.select(col("__s").as("node")).distinct().persist(lvl)
+    val seed = seeds.select(col(seedNodeCol).cast("long").as("node"),
+      col(seedLabelCol).cast("long").as("__seed"))
+      .groupBy(col("node")).agg(min(col("__seed")).as("__seed"))
+      .persist(lvl)
+    val stored = storedLabels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("__stored"))
+    // warm start: stored label where present, else seed, else null.
+    // Per-round frames are localCheckpoint'd, not persisted — see
+    // labelPropagateConverged's note (the round-update join would
+    // otherwise double the analyzed plan per round).
+    var labels = nodes.join(seed, Seq("node"), "left")
+      .join(stored, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__seed"), col("__stored")).as("label"),
+        col("__seed"))
+      .localCheckpoint()
+    val d0 = deltaEdges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+    // round-1 frontier: every node whose vote multiset changed = dst
+    // endpoints of the expanded delta edges (i.e. both endpoints)
+    var frontier = d0.select(col("__d").as("node"))
+      .unionAll(d0.select(col("__s").as("node")))
+      .distinct().localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[LpaIterStats]
+    var it = 0
+    var done = false
+    while (it < rounds && !done) {
+      // votes restricted to frontier dst: broadcast semi-join prunes
+      // the edge scan map-side; the aggregate is frontier-sized
+      val votes = und
+        .join(broadcast(frontier.select(col("node").as("__d"))),
+          Seq("__d"), "left_semi")
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("__s"), col("label").as("__nl")), "__s")
+        .groupBy(col("__d"), col("__nl"))
+        .agg(count(lit(1)).as("__votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__d"))
+        .orderBy(col("__votes").desc, col("__nl").asc)
+      val adopted = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__d").as("node"), col("__nl").as("__adopt"))
+      val next = labels
+        .select(col("node"), col("label").as("__old"), col("__seed"))
+        .join(adopted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), col("__adopt"), col("__old"))
+            .as("label"),
+          col("__seed"), col("__old"))
+        .localCheckpoint()
+      val changedNodes = next
+        .filter(not(col("label") <=> col("__old")))
+        .select(col("node")).localCheckpoint()
+      val changed = changedNodes.count()
+      stats += LpaIterStats(it, changed)
+      labels = next.select(col("node"), col("label"), col("__seed"))
+      // next frontier: neighbors of changed nodes
+      frontier = und
+        .join(broadcast(changedNodes.select(col("node").as("__s"))),
+          Seq("__s"), "left_semi")
+        .select(col("__d").as("node")).distinct().localCheckpoint()
+      done = changed == 0L
+      it += 1
+    }
+    und.unpersist(); nodes.unpersist(); seed.unpersist()
+    (labels.select(col("node"), col("label")), stats.toSeq)
+  }
 }

@@ -418,6 +418,69 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(r2(1L) === Some(10L))
   }
 
+  test("labelPropagateConverged: early stop equals any larger fixed iters") {
+    import spark.implicits._
+    // chain 1(seed A) - 2 - 3 - 4: converges in 3 rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val seeds = Seq((1L, 10L)).toDF("n", "lbl")
+    val (labels, stats) = graft.operators.Graph.labelPropagateConverged(
+      edges, "s", "d", seeds, "n", "lbl", maxIters = 50)
+    val got = labels.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // converged well before maxIters; last round changed 0
+    assert(stats.length < 50 && stats.last.changed === 0L)
+    assert(stats.head.changed > 0L)
+    // fixed-point labeling == plain fixed-iteration labeling at any
+    // count >= convergence
+    val fixed = graft.operators.Graph
+      .labelPropagate(edges, "s", "d", seeds, "n", "lbl",
+        iters = stats.length + 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === fixed)
+    assert(got(4L) === Some(10L)) // the chain fully labeled
+  }
+
+  test("labelPropagateDelta: frontier rounds equal unrestricted warm start") {
+    import spark.implicits._
+    // base: two components, both converged after labelPropagateConverged
+    //   1(seed A) - 2 - 3        and      7(seed B) - 8
+    // delta: edge 3 - 7 bridges them; also brand-new node 9 hangs off 8
+    val base = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("s", "d")
+    val delta = Seq((3L, 7L), (8L, 9L)).toDF("s", "d")
+    val full = base.unionByName(delta)
+    val seeds = Seq((1L, 10L), (7L, 20L)).toDF("n", "lbl")
+    val (stored, _) = graft.operators.Graph.labelPropagateConverged(
+      base, "s", "d", seeds, "n", "lbl", maxIters = 20)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // the contract: frontier-restricted rounds == the SAME warm-start
+    // rounds with frontier = every edge (unrestricted re-evaluation)
+    Seq(1, 2, 3).foreach { n =>
+      val (inc, _) = graft.operators.Graph.labelPropagateDelta(
+        stored, full, "s", "d", delta, seeds, "n", "lbl", rounds = n)
+      val (unrestricted, _) = graft.operators.Graph.labelPropagateDelta(
+        stored, full, "s", "d", full, seeds, "n", "lbl", rounds = n)
+      assert(collect(inc) === collect(unrestricted),
+        s"frontier restriction diverged at rounds=$n")
+    }
+    // and the repair does what it should: new node 9 reached via 8,
+    // stored labels elsewhere preserved
+    val (r2, stats) = graft.operators.Graph.labelPropagateDelta(
+      stored, full, "s", "d", delta, seeds, "n", "lbl", rounds = 4)
+    val m = collect(r2)
+    assert(m(9L) === Some(20L)) // labeled through the delta edge
+    assert(m(1L) === Some(10L) && m(2L) === Some(10L))
+    assert(m(7L) === Some(20L)) // seed stays clamped
+    // empty delta: nothing to do, one round, zero changes
+    val (same, st0) = graft.operators.Graph.labelPropagateDelta(
+      stored, base, "s", "d", base.limit(0), seeds, "n", "lbl",
+      rounds = 5)
+    assert(st0.length === 1 && st0.head.changed === 0L)
+    assert(collect(same) === collect(stored))
+  }
+
   test("cohortRetention: cohort by first period, distinct actives, rate") {
     import spark.implicits._
     // period = 7 days; day d lands in bucket floor(d/7)
