@@ -911,6 +911,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "stream_dedup_exact" -> ((s, dir) => {
+      // streaming exact dedup under the oracle: kept = per
+      // fingerprint, the min-id row of the EARLIEST micro-batch
+      // containing it (the operator keeps min-id within the first
+      // batch; slices are doc_id % 3, so the keep rule is
+      // argmin(batch_idx, doc_id) — fully deterministic and
+      // SQL-replayable because the fixture's batch assignment is a
+      // pure function of doc_id).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val stream = streamPrefix(s, docs, "doc_id", 3)
+      runToMemory(graft.streaming.EventStream.streamingExactDedup(
+          stream, "doc_id", "text"), "append")
+        .select(col("doc_id"), col("text"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_token_drift" -> ((s, dir) => {
       // streaming token counts → batch drift scorer, end to end under
       // the oracle: the odd-doc half streams in 3 micro-batches
@@ -1147,6 +1163,30 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(index, "vec_id", "embedding",
           queries, "query_id", "qvec", k = 5, cents, nprobe = 4)
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_pq" -> ((s, dir) => {
+      // the COMPOSED billion-scale index under the oracle (previously
+      // spec-only): IVF coarse cells prune, fine PQ codes ADC-score.
+      // oversample=1 makes the quantizer itself SQL-replayable — the
+      // hash-ordered TakeOrdered sample IS the centroid set (ORDER BY
+      // md5(vec_id) LIMIT 16 in DuckDB), so cells, probe ranking
+      // (normSq − 2·dot, ties to the lower cell), codes, LUT and
+      // integer ADC totals all replay engine-exactly.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nlist = 16, oversample = 1)
+      val fine = Similarity.pqBooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, stride = 11L)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, fine, nprobe = 4)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("dist_nano"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2102,6 +2142,23 @@ object SparkEntry {
       TextAnalysis.naiveBayesClassify(test, "doc_id", "text",
         TextAnalysis.naiveBayesTrain(train, "lang", "text"),
         TextAnalysis.naiveBayesPriors(train, "lang", "text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "txt_nb_char" -> ((s, dir) => {
+      // NB with CHAR 3-gram features (the fastText/CCNet subword
+      // shape — language ID by morphology, robust to OOV words): the
+      // native CharNgramsAll kernel over the ws-normalized lowercase
+      // text, same train/test split and nano-unit replay as
+      // txt_nb_classify; the oracle fans grams out with
+      // unnest(range(...)) + substr over the same normalization.
+      val train = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      val test = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+      val feats = TextAnalysis.nbCharNgramFeatures(3)
+      TextAnalysis.naiveBayesClassify(test, "doc_id", "text",
+        TextAnalysis.naiveBayesTrain(train, "lang", "text", feats),
+        TextAnalysis.naiveBayesPriors(train, "lang", "text", feats),
+        feats)
         .orderBy(col("doc_id"))
     }),
 
@@ -3351,6 +3408,19 @@ object SparkEntry {
     // wordcount, so the SAME oracle gates both
     "stream_token_drift" -> topMoversOracle,
 
+    "stream_dedup_exact" ->
+      // keeper per fingerprint = min-id row of the earliest slice
+      // (doc_id % 3) containing it — the operator's first-batch
+      // min-id rule under the deterministic stream-prefix fixture
+      """SELECT doc_id, text, fp FROM (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "profile_psi_drift" ->
       """WITH src AS (
         |  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
@@ -4362,6 +4432,73 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank,
         |  vec_id AS neighbor_id, dist_nano
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivf_pq" ->
+      // full composed replay: hash-ordered centroid sample (ORDER BY
+      // md5 LIMIT nlist — the oversample=1 quantizer), per-vector
+      // argmin cells and per-query probe ranking via normSq − 2·dot
+      // with (score, cell) ties, then the sim_ann_pq fine-code ADC
+      // restricted to probed cells
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT CAST(rn - 1 AS INT) AS cell, v FROM (
+        |    SELECT v, ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM emb) WHERE rn <= 16),
+        |cscore AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_sum(list_transform(c.v, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, 65), i ->
+        |      e.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])) AS score
+        |  FROM emb e, cents c),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score, cell) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score, cell) AS rn
+        |    FROM cscore WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |fbooks AS (
+        |  SELECT vec_id // 11 AS code, v FROM emb
+        |  WHERE vec_id % 11 = 0 AND vec_id < 16 * 11),
+        |fsub AS (SELECT * FROM range(0, 8) t(j)),
+        |fenc AS (
+        |  SELECT e.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      pow(e.v[CAST(s.j*8+i AS INT)] - b.v[CAST(s.j*8+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM emb e, fsub s, fbooks b),
+        |fcodes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM fenc) WHERE rn = 1),
+        |qlut AS (
+        |  SELECT vec_id AS query_id, j, code, d FROM fenc
+        |  WHERE vec_id % 50 = 0),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS dist_nano
+        |  FROM cand cd
+        |  JOIN fcodes c ON c.vec_id = cd.vec_id
+        |  JOIN qlut l ON l.query_id = cd.query_id
+        |    AND c.j = l.j AND c.code = l.code
+        |  WHERE cd.query_id <> cd.vec_id
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, vec_id, dist_nano, ROW_NUMBER() OVER (
+        |  PARTITION BY query_id ORDER BY dist_nano, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank,
+        |  vec_id AS neighbor_id, dist_nano
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ann_imi" ->
       // replays both coarse half-codebooks (id-stride 13), the per-half
@@ -5872,6 +6009,77 @@ object SparkEntry {
         |    SELECT doc_id,
         |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
         |    FROM test) u
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |contrib AS (
+        |  SELECT tf.doc_id, p.label,
+        |    SUM(CAST(floor(tf.tf * COALESCE(m.logp, p.oov_logp) * 1e9)
+        |      AS BIGINT)) AS s
+        |  FROM tf CROSS JOIN priors p
+        |  LEFT JOIN model m ON m.term = tf.term AND m.label = p.label
+        |  GROUP BY tf.doc_id, p.label),
+        |scored AS (
+        |  SELECT d.doc_id, p.label,
+        |    p.prior_nanos + COALESCE(c.s, 0) AS nanos
+        |  FROM test d CROSS JOIN priors p
+        |  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.label = p.label)
+        |SELECT doc_id, label AS pred_label,
+        |  CAST(nanos AS DOUBLE) / 1e9 AS score
+        |FROM (
+        |  SELECT doc_id, label, nanos,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY nanos DESC, label ASC) AS rnk
+        |  FROM scored) WHERE rnk = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_nb_char" ->
+      // the txt_nb_classify replay with the char-3-gram stream:
+      // grams = substr(norm, i, 3) for i in 1..len-2 over
+      // norm = regexp_replace(lower(trim(text)), '\s+', ' ', 'g') —
+      // the CharNgramsAll normalization, code-point offsets
+      """WITH train AS (
+        |  SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |normd AS (
+        |  SELECT lang AS label,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nm
+        |  FROM train),
+        |toks AS (
+        |  SELECT label, substr(nm, CAST(i AS INT), 3) AS term
+        |  FROM (SELECT label, nm,
+        |          unnest(range(1, greatest(len(nm) - 1, 1))) AS i
+        |        FROM normd) u),
+        |counts AS (
+        |  SELECT label, term, COUNT(*) AS cnt FROM toks WHERE term <> ''
+        |  GROUP BY label, term),
+        |lt AS (SELECT label, SUM(cnt) AS lt FROM counts GROUP BY label),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM counts),
+        |model AS (
+        |  SELECT l.label, tm.term,
+        |    floor(ln((COALESCE(c.cnt, 0) + 1.0) / (l.lt + v.v)) * 1e9)
+        |      / 1e9 AS logp
+        |  FROM (SELECT DISTINCT term FROM counts) tm
+        |  CROSS JOIN lt l CROSS JOIN v
+        |  LEFT JOIN counts c ON c.label = l.label AND c.term = tm.term),
+        |nd AS (SELECT lang AS label, COUNT(*) AS nd FROM train
+        |  GROUP BY lang),
+        |n AS (SELECT COUNT(*) AS n FROM train),
+        |priors AS (
+        |  SELECT l.label,
+        |    CAST(floor(ln(CAST(nd.nd AS DOUBLE) / n.n) * 1e9) AS BIGINT)
+        |      AS prior_nanos,
+        |    floor(ln(1.0 / (l.lt + v.v)) * 1e9) / 1e9 AS oov_logp
+        |  FROM lt l JOIN nd ON nd.label = l.label
+        |  CROSS JOIN v CROSS JOIN n),
+        |test AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |qnorm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nm
+        |  FROM test),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, substr(nm, CAST(i AS INT), 3) AS term
+        |    FROM (SELECT doc_id, nm,
+        |            unnest(range(1, greatest(len(nm) - 1, 1))) AS i
+        |          FROM qnorm) u) q
         |  WHERE term <> '' GROUP BY doc_id, term),
         |contrib AS (
         |  SELECT tf.doc_id, p.label,

@@ -601,25 +601,17 @@ case class ImiProbeCells(child: Expression,
       }
       h += 1
     }
-    // rank the K² pair sums by (dist, cell): K is small (coarse), so
-    // a full sort of K² longs per query row is fine — queries are the
-    // human-sized probe batch, never the corpus
-    val cells = new Array[Int](bigK * bigK)
-    val dist = new Array[Long](bigK * bigK)
-    var i = 0
-    while (i < bigK) {
-      var j = 0
-      while (j < bigK) {
-        val idx = i * bigK + j
-        cells(idx) = idx
-        dist(idx) = d(0)(i) + d(1)(j)
-        j += 1
-      }
-      i += 1
-    }
-    val order = cells.indices.sortBy(idx => (dist(idx), cells(idx)))
+    // pair ranking by (dist, cell): full sort of the K² sums for
+    // small K (the gate-scale coarse codebooks — trivial), the LAZY
+    // MULTI-SEQUENCE frontier walk past the threshold — at the
+    // billion-scale K (2¹⁴ halves → 2²⁸ cells) materializing K² pairs
+    // per query is exactly the cost IMI exists to avoid. Both paths
+    // return the identical (dist asc, cell asc) prefix (spec-pinned,
+    // including tie plateaus).
+    val sel = if (bigK * bigK <= 4096) ImiProbeCells.pairsSorted(d, nprobe)
+              else ImiProbeCells.pairsMultiSeq(d, nprobe)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      order.take(nprobe).map(idx => cells(idx): Any).toArray)
+      sel.map(c => c: Any))
   }
 
   override def nullSafeEval(input: Any): Any = probes(input)
@@ -633,4 +625,76 @@ case class ImiProbeCells(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): ImiProbeCells = copy(child = newChild)
+}
+
+object ImiProbeCells {
+
+  /** Small-K path: materialize and sort all K² pair sums. */
+  private[graft] def pairsSorted(d: Array[Array[Long]],
+      nprobe: Int): Array[Int] = {
+    val k = d(0).length
+    val cells = new Array[Int](k * k)
+    val dist = new Array[Long](k * k)
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j < k) {
+        val idx = i * k + j
+        cells(idx) = idx
+        dist(idx) = d(0)(i) + d(1)(j)
+        j += 1
+      }
+      i += 1
+    }
+    cells.indices.sortBy(idx => (dist(idx), cells(idx)))
+      .take(nprobe).map(cells(_)).toArray
+  }
+
+  /** Large-K path: the multi-sequence algorithm (Babenko & Lempitsky
+    * 2012, §"multi-sequence algorithm"). Each half's distances sort
+    * once (K log K); a frontier heap over SORTED-RANK pairs starts at
+    * (0,0) and pops in nondecreasing pair distance, pushing the two
+    * rank successors of each popped pair — O(K log K +
+    * nprobe·log nprobe) total instead of K² log K.
+    *
+    * Exact-order contract: the heap pops in nondecreasing DIST but
+    * equal-dist pairs can surface in frontier order, not (dist, cell)
+    * order — so the walk keeps draining while the heap minimum still
+    * EQUALS the current boundary distance (the frontier property
+    * guarantees every pair with dist ≤ boundary has been generated by
+    * then), then the drained prefix sorts by (dist, cell) and
+    * truncates. Result is bit-identical to [[pairsSorted]], ties and
+    * all (spec-pinned on tie-plateau fixtures).
+    */
+  private[graft] def pairsMultiSeq(d: Array[Array[Long]],
+      nprobe: Int): Array[Int] = {
+    val k = d(0).length
+    // sort each half once; rank -> original code
+    val ord0 = d(0).indices.sortBy(c => (d(0)(c), c)).toArray
+    val ord1 = d(1).indices.sortBy(c => (d(1)(c), c)).toArray
+    // heap over (dist, r0, r1) in sorted-rank space
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int, Int)](
+      Ordering.by[(Long, Int, Int), Long](_._1).reverse)
+    val seen = new java.util.HashSet[Long]()
+    def push(r0: Int, r1: Int): Unit =
+      if (r0 < k && r1 < k) {
+        val key = r0.toLong * k + r1
+        if (seen.add(key))
+          heap.enqueue((d(0)(ord0(r0)) + d(1)(ord1(r1)), r0, r1))
+      }
+    push(0, 0)
+    val outDist = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val outCell = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (heap.nonEmpty &&
+        (outDist.length < nprobe ||
+          heap.head._1 == outDist(outDist.length - 1))) {
+      val (dist, r0, r1) = heap.dequeue()
+      outDist += dist
+      outCell += ord0(r0) * k + ord1(r1)
+      push(r0 + 1, r1)
+      push(r0, r1 + 1)
+    }
+    outCell.indices.sortBy(i => (outDist(i), outCell(i)))
+      .take(nprobe).map(outCell(_)).toArray
+  }
 }

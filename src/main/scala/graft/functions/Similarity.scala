@@ -1198,11 +1198,13 @@ object Similarity {
     * `nprobe` nearest cells via the equi-join and ADC-score only the
     * probed cells' codes. At 100 TB this multiplies the two savings:
     * IVF touches nprobe/nlist of the corpus, PQ reads 32× fewer bytes
-    * of what it touches. No gate oracle — the coarse centroid
-    * selection's driver-side farthest-point pass is not SQL-
-    * expressible — so correctness rides the spec (cluster recovery +
-    * agreement with pqTopK when every cell is probed) and the
-    * components' own gates (sim_ann_ivf, sim_ann_pq).
+    * of what it touches. Gate `sim_ivf_pq` (round 8) replays the FULL
+    * composition in SQL — possible because `ivfCentroids(oversample=1)`
+    * bypasses the driver-side farthest-point pass entirely (the
+    * hash-ordered TakeOrdered sample IS the quantizer, replayed as
+    * ORDER BY md5(id) LIMIT nlist); with oversample ≥ 2 correctness
+    * rides the spec (cluster recovery + agreement with pqTopK at full
+    * probe) and the components' own gates (sim_ann_ivf, sim_ann_pq).
     */
   def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
@@ -1249,8 +1251,15 @@ object Similarity {
   def imiCells(vec: Column, coarse: Array[Array[Array[Double]]]): Column = {
     require(coarse.length == 2, "IMI needs exactly 2 coarse codebooks")
     val k = coarse(0).length
-    val codes = pqEncode(vec, coarse)
-    element_at(codes, 1) * k + element_at(codes, 2)
+    // ONE reference to the pqEncode subtree: cell = fold(codes,
+    // acc·K + c) ≡ code₀·K + code₁ for m=2 (element_at twice would
+    // duplicate the whole coarse-encode HOF — no CSE across copies).
+    // coalesce for the same reason as cellOf: a nullable join key
+    // makes the optimizer push isnotnull(<encode>) BELOW the
+    // projection and the 512-step coarse encode runs twice per row.
+    coalesce(
+      aggregate(pqEncode(vec, coarse), lit(0), (acc, c) => acc * k + c),
+      lit(-1))
   }
 
   /** IMI-pruned PQ-ADC top-k — the composed billion-scale index shape

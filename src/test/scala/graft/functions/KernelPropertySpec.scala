@@ -226,6 +226,32 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: IMI multi-sequence probe equals full pair sort") {
+    // the lazy frontier walk must return the IDENTICAL (dist, cell)
+    // prefix as materializing + sorting all K² pairs — including tie
+    // plateaus, which the walk handles by draining equal-dist heap
+    // entries past nprobe before the final sort
+    val gen = for {
+      k <- Gen.choose(3, 40)
+      nprobe <- Gen.choose(1, k * k)
+      quant <- Gen.oneOf(1L, 1L, 7L, 1000000L) // small quant → many ties
+      d0 <- Gen.listOfN(k, Gen.choose(0L, 50L).map(_ * quant))
+      d1 <- Gen.listOfN(k, Gen.choose(0L, 50L).map(_ * quant))
+    } yield (nprobe, d0.toArray, d1.toArray)
+    samples(gen, 120).foreach { case (nprobe, d0, d1) =>
+      val d = Array(d0, d1)
+      val sorted = graft.expressions.ImiProbeCells.pairsSorted(d, nprobe)
+      val multi = graft.expressions.ImiProbeCells.pairsMultiSeq(d, nprobe)
+      assert(multi.toSeq === sorted.toSeq,
+        s"k=${d0.length} nprobe=$nprobe d0=${d0.mkString(",")} " +
+          s"d1=${d1.mkString(",")}")
+    }
+    // all-equal distances: the fully degenerate plateau
+    val flat = Array(Array.fill(9)(5L), Array.fill(9)(5L))
+    assert(graft.expressions.ImiProbeCells.pairsMultiSeq(flat, 20).toSeq ===
+      graft.expressions.ImiProbeCells.pairsSorted(flat, 20).toSeq)
+  }
+
   test("property: two-level TRAINING at full probe equals flat training") {
     import spark.implicits._
     val vecGen = for {
