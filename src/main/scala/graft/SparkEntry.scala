@@ -1214,6 +1214,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ivf_tree" -> ((s, dir) => {
+      // LOG-DEPTH tree assignment (the deepening of sim_ivf_hier's
+      // two-level path: beam-searched descent, O(log nlist) per
+      // vector) over the planted fixture — the ~0.002-perturbation
+      // copies quantize like their query under the deterministic
+      // tree, so top-5 must equal the brute-force oracle exactly.
+      // beam=2 is the approximation mode; fanout=4 over nlist=16
+      // gives a depth-2 tree (the shape, not the scale — at
+      // production nlist the same walk is 8-way and log-deep).
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      val tree = Similarity.ivfTree(cents, fanout = 4)
+      val index = Similarity.ivfAssignmentsTree(corpus, "vec_id",
+        "embedding", cents, tree, beam = 2)
+      Similarity.ivfTopKIndexed(index, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_margin_mine" -> ((s, dir) => {
       // ratio-margin bitext mining: German-doc vectors query the
       // English-doc slice; a pair is mined only when the best match
@@ -5056,6 +5076,7 @@ object SparkEntry {
     "sim_ann_lsh" -> plantedAnnOracle,
     "sim_ann_ivf" -> plantedAnnOracle,
     "sim_ivf_hier" -> plantedAnnOracle,
+    "sim_ivf_tree" -> plantedAnnOracle,
     "sim_ivf_append" -> plantedAnnOracle,
 
     "sim_margin_mine" ->

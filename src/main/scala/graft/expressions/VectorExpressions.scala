@@ -698,3 +698,144 @@ object ImiProbeCells {
       .take(nprobe).map(outCell(_)).toArray
   }
 }
+
+/** A node of the log-depth centroid tree (hierarchical k-means index):
+  * inner nodes carry their children's representative centroids;
+  * leaves carry GLOBAL cell ids into the flat quantizer. `ord` is the
+  * build-time preorder id — the deterministic tie-break for beam
+  * selection. Built on the driver by
+  * [[graft.functions.Similarity.ivfTree]]; KB-sized (one rep per
+  * internal edge), ships in the task closure like the flat quantizer.
+  */
+final class CentroidTreeNode(
+    val reps: Array[Array[Double]],
+    val children: Array[CentroidTreeNode],
+    val cells: Array[Int],
+    val ord: Int) extends Serializable {
+  def isLeaf: Boolean = children.isEmpty
+  def countNodes: Int = 1 + children.map(_.countNodes).sum
+}
+
+/** Beam-searched nearest-cell assignment through a centroid TREE —
+  * the log-depth deepening of [[NearestCellTwoLevel]]: per row
+  * O(beam·fanout·depth·dims) rep scores + the surviving leaves'
+  * member scans, i.e. O(log nlist) per row at fixed fanout/beam
+  * instead of two-level's O(√nlist). This is what makes Lloyd
+  * training O(n·log nlist) per sweep — near-linear under the
+  * nlist ∝ corpus contract where flat is quadratic and two-level
+  * is n^1.5.
+  *
+  * Exactness contract (the NearestCellTwoLevel convention): with
+  * `beam` ≥ the tree's node count every leaf is scanned and the
+  * result — including ties, which break to the LOWER GLOBAL cell id —
+  * is identical to flat [[NearestCell]] (spec-pinned). Small beam is
+  * the standard hierarchical-k-means approximation: wrong only when
+  * the true cell's ancestor falls out of the beam.
+  *
+  * Scoring parity: rep and cell scores are `‖c‖² − 2·v·c` with
+  * left-to-right double accumulation — the same arithmetic as
+  * NearestCell/NearestCellTwoLevel. Beam selection orders candidates
+  * by (score, preorder id) — fully deterministic for any tree shape.
+  */
+case class NearestCellTree(child: Expression,
+    root: CentroidTreeNode, centroids: Array[Array[Double]], beam: Int)
+    extends UnaryExpression {
+  require(beam >= 1, "beam must be >= 1")
+
+  private val dims = if (centroids.isEmpty) 0 else centroids(0).length
+  private val normSq: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nearest_cell_tree"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cell_tree expects array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val scratchX =
+    new ThreadLocal[Array[Double]] {
+      override def initialValue() = new Array[Double](dims)
+    }
+
+  def assign(v: Any): Int = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"nearestCellTree: vector dims != $dims")
+    val x = scratchX.get()
+    var d = 0
+    while (d < dims) {
+      if (vec.isNullAt(d))
+        throw new RuntimeException(s"nearestCellTree: null element at $d")
+      x(d) = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      d += 1
+    }
+    def repScore(c: Array[Double]): Double = {
+      var n2 = 0.0; var s = 0.0; var i = 0
+      while (i < dims) { n2 += c(i) * c(i); s += x(i) * c(i); i += 1 }
+      n2 - 2.0 * s
+    }
+    var best = Double.PositiveInfinity
+    var bestCell = Int.MaxValue
+    def scanLeaf(node: CentroidTreeNode): Unit = {
+      var m = 0
+      while (m < node.cells.length) {
+        val cellId = node.cells(m)
+        val c = centroids(cellId)
+        var s = 0.0; var i = 0
+        while (i < dims) { s += x(i) * c(i); i += 1 }
+        val score = normSq(cellId) - 2.0 * s
+        val cmp = java.lang.Double.compare(score, best)
+        if (cmp < 0 || (cmp == 0 && cellId < bestCell)) {
+          best = score; bestCell = cellId
+        }
+        m += 1
+      }
+    }
+    var frontier: List[CentroidTreeNode] =
+      if (root.isLeaf) { scanLeaf(root); Nil } else List(root)
+    while (frontier.nonEmpty) {
+      // expand every frontier inner: children scored by rep
+      val cands = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Int, CentroidTreeNode)]
+      frontier.foreach { node =>
+        var g = 0
+        while (g < node.children.length) {
+          cands += ((repScore(node.reps(g)), node.children(g).ord,
+            node.children(g)))
+          g += 1
+        }
+      }
+      val kept = cands.sortBy(t => (t._1, t._2)).take(beam)
+      val next = scala.collection.mutable.ListBuffer.empty[CentroidTreeNode]
+      kept.foreach { case (_, _, n) =>
+        if (n.isLeaf) scanLeaf(n) else next += n
+      }
+      frontier = next.toList
+    }
+    bestCell
+  }
+
+  override def nullSafeEval(input: Any): Any = assign(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCellTree", this,
+      classOf[NearestCellTree].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.assign($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCellTree = copy(child = newChild)
+}

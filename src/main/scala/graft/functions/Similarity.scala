@@ -685,6 +685,112 @@ object Similarity {
     }
   }
 
+  /** Log-depth centroid tree over a trained flat quantizer — the
+    * deepening of [[ivfGroups]] past two levels: recursive greedy
+    * farthest-point grouping (the ivfGroups rule at every level) down
+    * to `leafSize` cells per leaf. Driver math over O(nlist·dims)
+    * values, KBs; deterministic (same tie rules as ivfGroups, stable
+    * preorder ids). Degenerate groupings (duplicate centroids
+    * collapsing into one group) terminate as leaves rather than
+    * recurse forever.
+    */
+  def ivfTree(centroids: Array[Array[Double]], fanout: Int = 8,
+      leafSize: Int = 0): graft.expressions.CentroidTreeNode = {
+    require(fanout >= 2, "fanout must be >= 2")
+    val leaf = if (leafSize > 0) leafSize else fanout
+    var nextOrd = 0
+    def build(member: Array[Int]): graft.expressions.CentroidTreeNode = {
+      val ord = nextOrd; nextOrd += 1
+      if (member.length <= leaf)
+        new graft.expressions.CentroidTreeNode(
+          Array.empty, Array.empty, member, ord)
+      else {
+        val sub = member.map(centroids(_))
+        val (supers, groups) = ivfGroups(sub,
+          math.min(fanout, member.length))
+        if (groups.count(_.nonEmpty) <= 1)
+          new graft.expressions.CentroidTreeNode(
+            Array.empty, Array.empty, member, ord)
+        else {
+          val reps = scala.collection.mutable.ArrayBuffer
+            .empty[Array[Double]]
+          val kids = scala.collection.mutable.ArrayBuffer
+            .empty[graft.expressions.CentroidTreeNode]
+          groups.zipWithIndex.foreach { case (g, gi) =>
+            if (g.nonEmpty) {
+              reps += supers(gi)
+              kids += build(g.map(member(_)))
+            }
+          }
+          new graft.expressions.CentroidTreeNode(
+            reps.toArray, kids.toArray, Array.empty, ord)
+        }
+      }
+    }
+    build(centroids.indices.toArray)
+  }
+
+  /** [[ivfAssignments]] through the log-depth tree — same output
+    * schema (id, vec, cell), O(beam·fanout·log nlist·dims) per row.
+    * `beam` ≥ the tree's node count is EXACTLY flat assignment
+    * (spec-pinned); small beam is the hierarchical-k-means
+    * approximation.
+    */
+  def ivfAssignmentsTree(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      tree: graft.expressions.CentroidTreeNode, beam: Int = 3)
+      : DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      coalesce(
+        exprCol(graft.expressions.NearestCellTree(colExpr(col(vecCol)),
+          tree, centroids, beam)),
+        lit(-1)).as("cell"))
+
+  /** [[ivfTrainTwoLevel]] with the LOG-DEPTH tree in the Lloyd loop:
+    * per sweep the tree rebuilds from the moving centroids (driver,
+    * KBs) and assignment costs O(beam·fanout·log nlist) per row — so
+    * sampled training is O(nlist·log nlist) total under the
+    * points-per-centroid sample, the near-linear end of the
+    * flat O(nlist²) → two-level O(nlist^1.5) → tree progression.
+    * `beam` large enough to cover the tree is bit-identical to flat
+    * training (shared lloydRefine); the default small beam is the
+    * production approximation.
+    */
+  def ivfTrainTree(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3, oversample: Int = 1,
+      fanout: Int = 8, beam: Int = 3, sampleSize: Int = 0,
+      init: String = "sample")
+      : (Array[Array[Double]], Seq[LloydIterStats]) = {
+    require(nlist > 0, "nlist must be > 0")
+    val train =
+      if (sampleSize <= 0) corpus.select(col(idCol), col(vecCol))
+      else corpus.select(col(idCol), col(vecCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(sampleSize)
+        .repartition(corpus.sparkSession.sessionState.conf
+          .numShufflePartitions)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initCents = init match {
+        case "sample" => ivfCentroids(train, idCol, vecCol, nlist, oversample)
+        case "kmeanspar" => kmeansParInit(train, idCol, vecCol, nlist)
+        case other => throw new IllegalArgumentException(
+          s"unknown init '$other' (want sample | kmeanspar)")
+      }
+      val doubled = train.select(
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      lloydRefine(doubled, initCents, iters, cents => {
+        val tree = ivfTree(cents, fanout)
+        coalesce(
+          exprCol(graft.expressions.NearestCellTree(
+            colExpr(col("__v")), tree, cents, beam)),
+          lit(-1))
+      })
+    } finally {
+      if (sampleSize > 0) train.unpersist()
+    }
+  }
+
   /** Deterministic k-means‖ init (Bahmani et al. 2012, "Scalable
     * k-means++" — public paper): instead of one sample-everything
     * pass, `rounds` passes each draw ~`l` points with probability

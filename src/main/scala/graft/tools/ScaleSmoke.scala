@@ -233,7 +233,7 @@ object ScaleSmoke {
     // on Spark's ~1 s/job scheduling floor and the asymptotic gap is
     // invisible; at 4× the flat column's n·nlist (∝ f²) term clears
     // the floor while the sampled two-level column stays near it.
-    println(f"${"factor"}%-7s ${"vecs"}%-7s ${"nlist"}%-7s ${"flatFull"}%-9s ${"twoLvl"}%-9s")
+    println(f"${"factor"}%-7s ${"vecs"}%-7s ${"nlist"}%-7s ${"flatFull"}%-9s ${"twoLvl"}%-9s ${"tree"}%-9s")
     factors.map(_ * 4).foreach { f =>
       val emb = embAt(emb0, f).cache()
       val ne = emb.count()
@@ -243,14 +243,23 @@ object ScaleSmoke {
       val ((cents2, moves), tTwo) = timed(Similarity.ivfTrainTwoLevel(
         emb, "vec_id", "embedding", nlist, iters = 2, oversample = 1,
         wprobe = 2, sampleSize = 64 * nlist))
+      // the log-depth end of the progression: flat O(nlist²) →
+      // two-level O(nlist^1.5) → tree O(nlist·log nlist) under the
+      // same points-per-centroid sample
+      val ((cents3, _), tTree) = timed(Similarity.ivfTrainTree(
+        emb, "vec_id", "embedding", nlist, iters = 2, oversample = 1,
+        fanout = 8, beam = 3, sampleSize = 64 * nlist))
       val occ = Similarity.ivfOccupancyStats(
         emb, "vec_id", "embedding", cents2).collect().head
+      val occ3 = Similarity.ivfOccupancyStats(
+        emb, "vec_id", "embedding", cents3).collect().head
       val mv = moves.map(s =>
         f"iter${s.iter}: moved=${s.movedCells} empty=${s.emptyCells} " +
         f"maxMove2=${s.maxMoveSq}%.3g").mkString("; ")
-      println(f"$f%-7d $ne%-7d $nlist%-7d $tFlat%-9.2f $tTwo%-9.2f" +
-        f"   (twoLvl occupancy: used=${occ.getLong(1)} " +
-        f"imbalance=${occ.getDouble(5)}%.1f | $mv)")
+      println(f"$f%-7d $ne%-7d $nlist%-7d $tFlat%-9.2f $tTwo%-9.2f $tTree%-9.2f" +
+        f"   (twoLvl occ: used=${occ.getLong(1)} " +
+        f"imb=${occ.getDouble(5)}%.1f; tree occ: used=${occ3.getLong(1)} " +
+        f"imb=${occ3.getDouble(5)}%.1f | $mv)")
       emb.unpersist()
     }
     // Incremental dedup scale claim: FIXED delta batch against a

@@ -252,6 +252,55 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
       graft.expressions.ImiProbeCells.pairsSorted(flat, 20).toSeq)
   }
 
+  test("property: tree assignment at full beam equals flat; training too") {
+    import spark.implicits._
+    val vecGen = for {
+      nVec <- Gen.choose(30, 80)
+      seedv <- Gen.choose(1, 1000000)
+      nlist <- Gen.choose(5, 20)
+      fanout <- Gen.choose(2, 4)
+    } yield (nVec, seedv, nlist, fanout)
+    samples(vecGen, 10).distinct.foreach { case (nVec, seedv, nlist, fanout) =>
+      val corpus = (0L until nVec.toLong).map { i =>
+        (i, Seq.tabulate(6)(dd =>
+          (((i + seedv) * 2654435761L + dd * 40503L) % 2001 - 1000)
+            .toDouble / 1000.0))
+      }.toDF("vec_id", "embedding")
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        nlist, oversample = 1)
+      val tree = Similarity.ivfTree(cents, fanout)
+      // structure: every global cell appears in exactly one leaf
+      def leaves(n: graft.expressions.CentroidTreeNode): Seq[Int] =
+        if (n.isLeaf) n.cells.toSeq else n.children.flatMap(leaves).toSeq
+      assert(leaves(tree).sorted === cents.indices.toSeq)
+      val flat = Similarity
+        .ivfAssignments(corpus, "vec_id", "embedding", cents)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      // full beam (>= node count) must be bit-identical to flat
+      val full = Similarity.ivfAssignmentsTree(corpus, "vec_id",
+          "embedding", cents, tree, beam = tree.countNodes)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(full === flat,
+        s"full-beam tree diverged from flat (nlist=$nlist fanout=$fanout)")
+      // and full-beam TREE TRAINING equals flat training (shared
+      // decimal means; only the assignment kernel differs)
+      val flatTrained = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+        nlist, iters = 2, oversample = 1)
+      val (treeTrained, stats) = Similarity.ivfTrainTree(corpus, "vec_id",
+        "embedding", nlist, iters = 2, oversample = 1, fanout = fanout,
+        beam = Int.MaxValue)
+      assert(treeTrained.map(_.toSeq).toSeq ===
+        flatTrained.map(_.toSeq).toSeq)
+      assert(stats.length === 2)
+    }
+    // duplicate-centroid degeneracy terminates as a leaf, stays exact
+    val dup = Array.fill(7)(Array(1.0, 2.0, 3.0))
+    val dupTree = Similarity.ivfTree(dup, fanout = 3)
+    def leaves2(n: graft.expressions.CentroidTreeNode): Seq[Int] =
+      if (n.isLeaf) n.cells.toSeq else n.children.flatMap(leaves2).toSeq
+    assert(leaves2(dupTree).sorted === (0 until 7))
+  }
+
   test("property: two-level TRAINING at full probe equals flat training") {
     import spark.implicits._
     val vecGen = for {
