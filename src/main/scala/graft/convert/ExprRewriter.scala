@@ -119,7 +119,14 @@ object ExprRewriter {
   // The bare-word arm needs a left-boundary guard: without it the scan
   // matches the alphabetic TAIL of numeric/hex literals ('1E9' → 'E9',
   // '0xFF' → 'xFF'), and under -keep_identifier_case the tail gets
-  // quoted, corrupting expressions to 1"E9".
+  // quoted, corrupting expressions to 1"E9". The class is the FULL
+  // identifier-continuation set (not just digits — '1Ea' blocked at
+  // 'E' must not cascade to a match at 'a'), which deliberately also
+  // covers '#'/'$': a '#'-prefixed temp-table reference passes through
+  // VERBATIM rather than having its tail renamed to '#my_temp' —
+  // temp tables live in skipped procedure bodies and are never
+  // renamed DDL-side, so a half-renamed reference would dangle
+  // (behavior pinned by the B7 temp-table test).
   private val identRe =
     """\[[^\]]+\]|"[^"]*"|(?<![0-9A-Za-z_$#])[A-Za-z_][A-Za-z0-9_$#]*""".r
 

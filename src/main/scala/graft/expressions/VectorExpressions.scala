@@ -546,6 +546,10 @@ case class ImiProbeCells(child: Expression,
   require(books.length == 2, "IMI needs exactly 2 coarse codebooks")
   require(books(0).length == books(1).length,
     "both halves need the same K")
+  require(books(0).nonEmpty, "coarse codebooks must be non-empty")
+  require(books.forall(_.forall(_.length == books(0)(0).length)),
+    "every coarse centroid must have the same sub-vector dims " +
+      "(shorter throws per row; longer would silently truncate)")
   require(nprobe >= 1 && nprobe <= books(0).length * books(0).length,
     "nprobe must be in [1, K^2]")
 
@@ -714,6 +718,10 @@ final class CentroidTreeNode(
     val ord: Int) extends Serializable {
   def isLeaf: Boolean = children.isEmpty
   def countNodes: Int = 1 + children.map(_.countNodes).sum
+  // rep norms once at build — recomputing ‖rep‖² per corpus row would
+  // double the rep-scoring flops on the hot path (leaf scans already
+  // use the precomputed flat normSq)
+  val repNormSq: Array[Double] = reps.map(c => c.map(x => x * x).sum)
 }
 
 /** Beam-searched nearest-cell assignment through a centroid TREE —
@@ -781,10 +789,11 @@ case class NearestCellTree(child: Expression,
       x(d) = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
       d += 1
     }
-    def repScore(c: Array[Double]): Double = {
-      var n2 = 0.0; var s = 0.0; var i = 0
-      while (i < dims) { n2 += c(i) * c(i); s += x(i) * c(i); i += 1 }
-      n2 - 2.0 * s
+    def repScore(node: CentroidTreeNode, g: Int): Double = {
+      val c = node.reps(g)
+      var s = 0.0; var i = 0
+      while (i < dims) { s += x(i) * c(i); i += 1 }
+      node.repNormSq(g) - 2.0 * s
     }
     var best = Double.PositiveInfinity
     var bestCell = Int.MaxValue
@@ -812,7 +821,7 @@ case class NearestCellTree(child: Expression,
       frontier.foreach { node =>
         var g = 0
         while (g < node.children.length) {
-          cands += ((repScore(node.reps(g)), node.children(g).ord,
+          cands += ((repScore(node, g), node.children(g).ord,
             node.children(g)))
           g += 1
         }

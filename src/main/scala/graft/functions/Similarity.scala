@@ -540,12 +540,17 @@ object Similarity {
     * training by construction (the means path is literally the same
     * code).
     */
-  private def lloydRefine(doubled: DataFrame,
+  private def lloydRefine(doubled0: DataFrame,
       init: Array[Array[Double]], iters: Int,
       assign: Array[Array[Double]] => Column)
       : (Array[Array[Double]], Seq[LloydIterStats]) = {
     var cents = init
     val dims = if (init.isEmpty) 0 else init(0).length
+    // null vectors assign to cell -1 (the coalesce convention) and
+    // next(-1) would throw; the old posexplode path dropped them
+    // implicitly (a null array explodes to zero rows) — keep that
+    // tolerance explicitly
+    val doubled = doubled0.filter(col("__v").isNotNull)
     val stats = scala.collection.mutable.ArrayBuffer.empty[LloydIterStats]
     (0 until iters).foreach { it =>
       // per-cell means as ONE hash aggregate with dims decimal-sum
@@ -648,13 +653,33 @@ object Similarity {
     require(nlist > 0, "nlist must be > 0")
     val ng0 = if (ngroups > 0) ngroups
       else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
-    // The sampled path MUST be re-spread and cached: TakeOrdered emits
-    // ONE partition (the whole Lloyd agg would run single-threaded —
-    // measured slower than flat full-corpus training), and without a
-    // persist the full-corpus TakeOrdered re-runs every iteration.
-    // Round-robin repartition is safe: the decimal means are
-    // partition-order independent, so the trained centroids don't
-    // change.
+    sampledLloydTrain(corpus, idCol, vecCol, nlist, iters, oversample,
+      sampleSize, init, cents => {
+        val ng = math.min(ng0, cents.length)
+        val (sup, mem) = ivfGroups(cents, ng)
+        coalesce(
+          exprCol(graft.expressions.NearestCellTwoLevel(
+            colExpr(col("__v")), sup, mem, cents, math.min(wprobe, ng))),
+          lit(-1))
+      })
+  }
+
+  /** Shared scaffold for the sampled trainers ([[ivfTrainTwoLevel]],
+    * [[ivfTrainTree]]): bounded hash-ordered sample, init dispatch,
+    * the doubled projection, lloydRefine with the caller's assignment
+    * kernel, cleanup. The sampled path MUST be re-spread and cached:
+    * TakeOrdered emits ONE partition (the whole Lloyd agg would run
+    * single-threaded — measured slower than flat full-corpus
+    * training), and without a persist the full-corpus TakeOrdered
+    * re-runs every iteration. Round-robin repartition is safe: the
+    * decimal means are partition-order independent, so the trained
+    * centroids don't change.
+    */
+  private def sampledLloydTrain(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int, oversample: Int,
+      sampleSize: Int, init: String,
+      assign: Array[Array[Double]] => Column)
+      : (Array[Array[Double]], Seq[LloydIterStats]) = {
     val train =
       if (sampleSize <= 0) corpus.select(col(idCol), col(vecCol))
       else corpus.select(col(idCol), col(vecCol))
@@ -672,14 +697,7 @@ object Similarity {
       }
       val doubled = train.select(
         transform(col(vecCol), x => x.cast("double")).as("__v"))
-      lloydRefine(doubled, initCents, iters, cents => {
-        val ng = math.min(ng0, cents.length)
-        val (sup, mem) = ivfGroups(cents, ng)
-        coalesce(
-          exprCol(graft.expressions.NearestCellTwoLevel(
-            colExpr(col("__v")), sup, mem, cents, math.min(wprobe, ng))),
-          lit(-1))
-      })
+      lloydRefine(doubled, initCents, iters, assign)
     } finally {
       if (sampleSize > 0) train.unpersist()
     }
@@ -762,33 +780,14 @@ object Similarity {
       init: String = "sample")
       : (Array[Array[Double]], Seq[LloydIterStats]) = {
     require(nlist > 0, "nlist must be > 0")
-    val train =
-      if (sampleSize <= 0) corpus.select(col(idCol), col(vecCol))
-      else corpus.select(col(idCol), col(vecCol))
-        .orderBy(md5(col(idCol).cast("string")), col(idCol))
-        .limit(sampleSize)
-        .repartition(corpus.sparkSession.sessionState.conf
-          .numShufflePartitions)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val initCents = init match {
-        case "sample" => ivfCentroids(train, idCol, vecCol, nlist, oversample)
-        case "kmeanspar" => kmeansParInit(train, idCol, vecCol, nlist)
-        case other => throw new IllegalArgumentException(
-          s"unknown init '$other' (want sample | kmeanspar)")
-      }
-      val doubled = train.select(
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      lloydRefine(doubled, initCents, iters, cents => {
+    sampledLloydTrain(corpus, idCol, vecCol, nlist, iters, oversample,
+      sampleSize, init, cents => {
         val tree = ivfTree(cents, fanout)
         coalesce(
           exprCol(graft.expressions.NearestCellTree(
             colExpr(col("__v")), tree, cents, beam)),
           lit(-1))
       })
-    } finally {
-      if (sampleSize > 0) train.unpersist()
-    }
   }
 
   /** Deterministic k-means‖ init (Bahmani et al. 2012, "Scalable
@@ -822,8 +821,12 @@ object Similarity {
       nlist: Int, l: Int = 0, rounds: Int = 5): Array[Array[Double]] = {
     require(nlist > 0, "nlist must be > 0")
     val ell = if (l > 0) l else 2 * nlist
+    // null vectors dropped (the lloydRefine tolerance): they would
+    // assign to cell -1 and crash both the d² lookup (array index 0)
+    // and the weight count
     val doubled = corpus.select(col(idCol).cast("string").as("__id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .filter(col("__v").isNotNull)
     def toArr(row: org.apache.spark.sql.Row, i: Int): Array[Double] =
       row.getSeq[Double](i).toArray
     // seed: the hash-smallest row (same rule as centroidCandidates)

@@ -306,9 +306,12 @@ object Graph {
             .as("label"),
           col("__seed"), col("__old"))
         .localCheckpoint()
-      val changed = next.agg(sum(
-        when(not(col("label") <=> col("__old")), 1L).otherwise(0L))
-        .as("c")).collect().head.getLong(0)
+      // coalesce: sum over ZERO rows (empty graph) is NULL and the
+      // unboxing getLong would NPE instead of returning the empty
+      // labeling
+      val changed = next.agg(coalesce(sum(
+        when(not(col("label") <=> col("__old")), 1L).otherwise(0L)),
+        lit(0L)).as("c")).collect().head.getLong(0)
       stats += LpaIterStats(it, changed)
       labels = next.select(col("node"), col("label"), col("__seed"))
       converged = changed == 0L
@@ -415,13 +418,16 @@ object Graph {
       val changed = changedNodes.count()
       stats += LpaIterStats(it, changed)
       labels = next.select(col("node"), col("label"), col("__seed"))
-      // next frontier: neighbors of changed nodes
-      frontier = und
-        .join(broadcast(changedNodes.select(col("node").as("__s"))),
-          Seq("__s"), "left_semi")
-        .select(col("__d").as("node")).distinct().localCheckpoint()
       done = changed == 0L
       it += 1
+      // next frontier: neighbors of changed nodes — computed ONLY if
+      // another round will run (localCheckpoint is eager; on the last
+      // round or at convergence this was a wasted full-edge-scan job)
+      if (!done && it < rounds)
+        frontier = und
+          .join(broadcast(changedNodes.select(col("node").as("__s"))),
+            Seq("__s"), "left_semi")
+          .select(col("__d").as("node")).distinct().localCheckpoint()
     }
     und.unpersist(); nodes.unpersist(); seed.unpersist()
     (labels.select(col("node"), col("label")), stats.toSeq)

@@ -218,12 +218,14 @@ object ScaleSmoke {
     // nlist ∝ corpus, which makes flat full-corpus Lloyd
     // (O(n·nlist·dims)/sweep) corpus-QUADRATIC — the r7 verdict's top
     // gap. The production path (ivfTrainTwoLevel) removes both
-    // factors: a bounded hash-ordered training sample (128·nlist rows
-    // — the FAISS points-per-centroid convention; cost independent of
+    // factors: a bounded hash-ordered training sample (the FAISS
+    // points-per-centroid convention; cost independent of
     // the corpus) and two-level assignment inside the Lloyd loop
     // (O(√nlist·wprobe) cells scored per row instead of nlist).
-    // Honest asymptotics: sampled two-level training grows as
-    // nlist^1.5 (the two-level bound), so with nlist = 16f the
+    // Sample here is 64·nlist rows (within the FAISS 30–256/centroid
+    // range; 128·nlist would exceed this fixture's corpus at the top
+    // factor and show nothing). Honest asymptotics: sampled two-level
+    // training grows as nlist^1.5 (the two-level bound), so with nlist = 16f the
     // twoLvl column should grow ~f^1.5 while flatFull grows ~f² —
     // both are PRINTED, the gap is measured, not asserted. Occupancy
     // + movement stats accompany the timing (the r7 lesson: a bad

@@ -142,6 +142,18 @@ class ConvertSpec extends AnyFunSuite {
       === q("a") + " + 12abc")
   }
 
+  test("B7: '#'-prefixed temp-table references pass through verbatim") {
+    // temp tables live in skipped procedure bodies and are never
+    // renamed DDL-side — renaming just the tail of '#MyTemp' would
+    // produce a dangling half-renamed reference, so the boundary
+    // guard deliberately blocks a bare word that starts after '#'/'$'
+    def q(s: String) = "\"" + s + "\""
+    assert(ExprRewriter.rewrite("#MyTemp.Col > 1", rename = q)
+      === "#MyTemp." + q("Col") + " > 1")
+    assert(ExprRewriter.rewrite("SELECT a FROM #tmp", rename = q)
+      === "SELECT " + q("a") + " FROM #tmp")
+  }
+
   test("B7: call detection skips any whitespace before the paren") {
     // SUM\n(x) in a multi-line view body is still a call — the name
     // must not be renamed/quoted

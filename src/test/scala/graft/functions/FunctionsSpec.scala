@@ -782,6 +782,35 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(tbl.length === 4)
   }
 
+  test("trainers tolerate null vectors (the old posexplode drop semantics)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Seq(Array.fill(8)(5f), Array.fill(8)(-5f))
+    val rows: Seq[(Long, Array[Float])] = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 30
+    } yield (ci * 100L + j, c.map(_ + rnd.nextFloat() * 0.5f))) ++
+      Seq((900L, null: Array[Float]), (901L, null: Array[Float]))
+    val df = rows.toDF("vec_id", "embedding")
+    val clean = df.filter(col("embedding").isNotNull)
+    // null rows are dropped, not crashed on — and training equals
+    // training on the pre-filtered corpus exactly
+    val withNulls = Similarity.ivfTrain(df, "vec_id", "embedding",
+      nlist = 2, iters = 2, oversample = 8)
+    val noNulls = Similarity.ivfTrain(clean, "vec_id", "embedding",
+      nlist = 2, iters = 2, oversample = 8)
+    assert(withNulls.map(_.toSeq).toSeq === noNulls.map(_.toSeq).toSeq)
+    val (two, _) = Similarity.ivfTrainTwoLevel(df, "vec_id", "embedding",
+      nlist = 2, iters = 2, oversample = 8)
+    assert(two.map(_.toSeq).toSeq === noNulls.map(_.toSeq).toSeq)
+    // kmeanspar init: null rows excluded from sampling and weighting
+    val init = Similarity.kmeansParInit(df, "vec_id", "embedding",
+      nlist = 2)
+    val init2 = Similarity.kmeansParInit(clean, "vec_id", "embedding",
+      nlist = 2)
+    assert(init.map(_.toSeq).toSeq === init2.map(_.toSeq).toSeq)
+  }
+
   test("kmeansParInit: deterministic, nlist centroids, balanced start") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

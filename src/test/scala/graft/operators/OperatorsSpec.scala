@@ -441,6 +441,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) === Some(10L)) // the chain fully labeled
   }
 
+  test("labelPropagateConverged: empty graph returns empty, no NPE") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("s", "d")
+    val seeds = Seq((1L, 10L)).toDF("n", "lbl")
+    val (labels, stats) = graft.operators.Graph.labelPropagateConverged(
+      edges, "s", "d", seeds, "n", "lbl", maxIters = 3)
+    assert(labels.count() === 0L)
+    assert(stats.nonEmpty && stats.head.changed === 0L)
+  }
+
   test("labelPropagateDelta: frontier rounds equal unrestricted warm start") {
     import spark.implicits._
     // base: two components, both converged after labelPropagateConverged
