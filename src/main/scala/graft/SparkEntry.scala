@@ -1166,6 +1166,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_pq_occupancy" -> ((s, dir) => {
+      // PQ codebook health over the encoded corpus (the stored-index
+      // artifact): per subspace, codes used / dead / occupancy
+      // spread — the audit that catches a training sample missing a
+      // subspace mode before recall quietly degrades
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val fine = Similarity.pqBooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, stride = 11L)
+      val encoded = emb.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), fine).as("codes"))
+      Similarity.pqCodeStats(encoded, "codes", k = 16)
+        .select(col("j").cast("int").as("j"), col("n_codes"),
+          col("codes_used"), col("dead_codes"), col("max_occupancy"),
+          col("mean_occupancy"), col("imbalance"))
+    }),
+
     "sim_ivf_pq" -> ((s, dir) => {
       // the COMPOSED billion-scale index under the oracle (previously
       // spec-only): IVF coarse cells prune, fine PQ codes ADC-score.
@@ -1185,6 +1203,29 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.ivfPqTopK(emb, "vec_id", "embedding",
           queries, "query_id", "qvec", k = 5, cents, fine, nprobe = 4)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("dist_nano"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_pq_residual" -> ((s, dir) => {
+      // IVFADC — the composition the PQ paper ships: codes quantize
+      // the RESIDUAL v − c(v) (fractional energy → finer quantization
+      // for the same bits), the query's ADC table computes per probed
+      // cell against q − c(cell). Same SQL-replayable oversample=1
+      // quantizer as sim_ivf_pq; residual books from the id-stride
+      // sample's residuals.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nlist = 16, oversample = 1)
+      val books = Similarity.pqBooksResidual(emb, "vec_id", "embedding",
+        cents, m = 8, k = 16, dims = 64, stride = 11L)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, books, nprobe = 4)
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"), col("dist_nano"))
         .orderBy(col("query_id"), col("rank"))
@@ -4453,6 +4494,37 @@ object SparkEntry {
         |  vec_id AS neighbor_id, dist_nano
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_pq_occupancy" ->
+      // (j, code) counts from the sim_ann_pq codes replay, then dense
+      // per-subspace health stats
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |fbooks AS (
+        |  SELECT vec_id // 11 AS code, v FROM emb
+        |  WHERE vec_id % 11 = 0 AND vec_id < 16 * 11),
+        |fsub AS (SELECT * FROM range(0, 8) t(j)),
+        |fenc AS (
+        |  SELECT e.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      pow(e.v[CAST(s.j*8+i AS INT)] - b.v[CAST(s.j*8+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM emb e, fsub s, fbooks b),
+        |fcodes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM fenc) WHERE rn = 1),
+        |occ AS (
+        |  SELECT j, code, COUNT(*) AS n FROM fcodes GROUP BY j, code)
+        |SELECT CAST(j AS INT) AS j, 16 AS n_codes,
+        |  COUNT(*) AS codes_used, 16 - COUNT(*) AS dead_codes,
+        |  MAX(n) AS max_occupancy,
+        |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_occupancy,
+        |  CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+        |    AS imbalance
+        |FROM occ GROUP BY j ORDER BY j""".stripMargin,
+
     "sim_ivf_pq" ->
       // full composed replay: hash-ordered centroid sample (ORDER BY
       // md5 LIMIT nlist — the oversample=1 quantizer), per-vector
@@ -4510,6 +4582,89 @@ object SparkEntry {
         |  FROM cand cd
         |  JOIN fcodes c ON c.vec_id = cd.vec_id
         |  JOIN qlut l ON l.query_id = cd.query_id
+        |    AND c.j = l.j AND c.code = l.code
+        |  WHERE cd.query_id <> cd.vec_id
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, vec_id, dist_nano, ROW_NUMBER() OVER (
+        |  PARTITION BY query_id ORDER BY dist_nano, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank,
+        |  vec_id AS neighbor_id, dist_nano
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivf_pq_residual" ->
+      // sim_ivf_pq's replay with residual encoding end to end:
+      // rv = v − cent(cell) per corpus vector, residual books from the
+      // stride sample's residuals, corpus codes over rv, and the
+      // per-(query, probed-cell) LUT against q − cent(cell)
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT CAST(rn - 1 AS INT) AS cell, v FROM (
+        |    SELECT v, ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM emb) WHERE rn <= 16),
+        |cscore AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_sum(list_transform(c.v, x -> x * x)) -
+        |    2 * list_sum(list_transform(range(1, 65), i ->
+        |      e.v[CAST(i AS INT)] * c.v[CAST(i AS INT)])) AS score
+        |  FROM emb e, cents c),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score, cell) AS rn
+        |    FROM cscore) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score, cell) AS rn
+        |    FROM cscore WHERE vec_id % 50 = 0) WHERE rn <= 4),
+        |rv AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, 65), i ->
+        |      e.v[CAST(i AS INT)] - c.v[CAST(i AS INT)]) AS v
+        |  FROM emb e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  JOIN cents c ON c.cell = a.cell),
+        |rbooks AS (
+        |  SELECT vec_id // 11 AS code, v FROM rv
+        |  WHERE vec_id % 11 = 0 AND vec_id < 16 * 11),
+        |fsub AS (SELECT * FROM range(0, 8) t(j)),
+        |renc AS (
+        |  SELECT r.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      pow(r.v[CAST(s.j*8+i AS INT)] - b.v[CAST(s.j*8+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM rv r, fsub s, rbooks b),
+        |rcodes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM renc) WHERE rn = 1),
+        |qrv AS (
+        |  SELECT p.query_id, p.cell,
+        |    list_transform(range(1, 65), i ->
+        |      e.v[CAST(i AS INT)] - c.v[CAST(i AS INT)]) AS v
+        |  FROM probes p
+        |  JOIN emb e ON e.vec_id = p.query_id
+        |  JOIN cents c ON c.cell = p.cell),
+        |qlut AS (
+        |  SELECT q.query_id, q.cell, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      pow(q.v[CAST(s.j*8+i AS INT)] - b.v[CAST(s.j*8+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM qrv q, fsub s, rbooks b),
+        |cand AS (
+        |  SELECT p.query_id, p.cell, a.vec_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS dist_nano
+        |  FROM cand cd
+        |  JOIN rcodes c ON c.vec_id = cd.vec_id
+        |  JOIN qlut l ON l.query_id = cd.query_id AND l.cell = cd.cell
         |    AND c.j = l.j AND c.code = l.code
         |  WHERE cd.query_id <> cd.vec_id
         |  GROUP BY 1, 2),

@@ -1254,6 +1254,34 @@ object Similarity {
         .getField("c"))
   }
 
+  /** PQ codebook health in m rows — the PQ twin of
+    * [[ivfOccupancyStats]]: per subspace, codes used / dead codes /
+    * max & mean occupancy and the imbalance ratio over the ENCODED
+    * corpus. Dead codes mean the training sample missed a mode of
+    * that subspace's distribution — ADC recall silently degrades
+    * while timings look fine (the r7 occupancy lesson, PQ edition).
+    * Takes the encoded table (id, codes array) — the stored-index
+    * artifact — so the scan reads codes, never re-encodes; run it
+    * after every (re)build next to the IVF occupancy check.
+    */
+  def pqCodeStats(encoded: DataFrame, codesCol: String, k: Int)
+      : DataFrame = {
+    val occ = encoded
+      .select(posexplode(col(codesCol)).as(Seq("j", "code")))
+      .groupBy(col("j"), col("code")).agg(count(lit(1)).as("__n"))
+    occ.groupBy(col("j")).agg(
+        lit(k).as("n_codes"),
+        count(lit(1)).as("codes_used"),
+        (lit(k) - count(lit(1))).as("dead_codes"),
+        max(col("__n")).as("max_occupancy"),
+        (sum(col("__n")).cast("double") / count(lit(1)))
+          .as("mean_occupancy"),
+        (max(col("__n")).cast("double") /
+          (sum(col("__n")).cast("double") / count(lit(1))))
+          .as("imbalance"))
+      .orderBy(col("j"))
+  }
+
   /** ADC lookup table for a query vector: lut[j][c] = nano-quantized
     * exact distance from the query's j-th sub-vector to centroid c.
     * m×k longs per query, computed once.
@@ -1328,6 +1356,98 @@ object Similarity {
         probeCells(col(queryVec), centroids, nprobe).as("__probes"))
       .select(col(queryId), col("__lut"),
         explode(col("__probes").getField("cell")).as("__cell"))
+    val score = (0 until m).map { j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col("__codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val joined = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId), score.as("dist_nano"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist_nano").asc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Residual PQ codebooks — the faithful IVFADC training step
+    * (Jégou 2011 §IV: product-quantize the RESIDUAL v − c(v), whose
+    * energy is a fraction of the raw vector's, so the same code
+    * budget buys far finer quantization). Same deterministic
+    * id-stride sample as [[pqBooks]]; each sampled row's residual is
+    * taken against ITS nearest centroid (driver-side subtraction on
+    * the k collected rows — exact, and SQL-replayable whenever the
+    * quantizer is, e.g. the oversample=1 hash sample).
+    */
+  def pqBooksResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], m: Int, k: Int, dims: Int,
+      stride: Long = 11L): Array[Array[Array[Double]]] = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    val rows = corpus
+      .filter(col(idCol) % stride === 0 && col(idCol) < k * stride)
+      .select(col(idCol).cast("long"), col(vecCol),
+        cellOf(col(vecCol), centroids).as("__cell"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(rows.length == k,
+      s"pqBooksResidual: expected $k sample vectors, found ${rows.length}")
+    val resids = rows.map { r =>
+      val v = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+      val cent = centroids(r.getInt(2))
+      Array.tabulate(dims)(i => v(i) - cent(i))
+    }
+    Array.tabulate(m, k)((j, c) => resids(c).slice(j * sub, (j + 1) * sub))
+  }
+
+  /** The residual of a vector against its assigned cell's centroid,
+    * declaratively: zip_with(v, cent[cell], _ − _) with the centroid
+    * looked up from the quantizer literal by a (non-nullable) cell
+    * column.
+    */
+  private def residualOf(vec: Column, cell: Column,
+      centroids: Array[Array[Double]]): Column =
+    zip_with(vec,
+      element_at(typedLit(centroids.map(_.toSeq).toSeq), cell + 1),
+      (a, b) => a.cast("double") - b)
+
+  /** IVFADC — [[ivfPqTopK]] with RESIDUAL encoding, the composition
+    * the PQ paper actually ships: corpus codes quantize v − c(v)
+    * (fractional energy → finer cells for the same bits), and the
+    * query's ADC table is computed PER PROBED CELL against
+    * q − c(cell) (the asymmetric part: the query residual is exact).
+    * The per-(query, cell) LUT costs nprobe·m·k sub-distances per
+    * query — still query-batch-sized, never corpus-sized.
+    *
+    * Degeneracy contract (spec-pinned): with ONE all-zero centroid
+    * the residual is the identity and this equals flat [[pqTopK]]
+    * with the same books exactly. All distances stay nano-unit longs;
+    * with an SQL-replayable quantizer the whole composition is
+    * oracle-gated (sim_ivf_pq_residual).
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nprobe: Int = 4): DataFrame = {
+    val m = books.length
+    // cellOf appears both as the join key and inside the residual;
+    // ProjectExec's subexpression elimination dedupes the identical
+    // NearestCell subtrees, so the coarse argmin runs once per row
+    val cell = cellOf(col(corpusVec), centroids)
+    val c = corpus.select(col(corpusId),
+      pqEncode(residualOf(col(corpusVec), cell, centroids), books)
+        .as("__codes"),
+      cell.as("__cell"))
+    val q = queries
+      .select(col(queryId), col(queryVec),
+        probeCells(col(queryVec), centroids, nprobe).as("__probes"))
+      .select(col(queryId), col(queryVec),
+        explode(col("__probes").getField("cell")).as("__cell"))
+      .select(col(queryId), col("__cell"),
+        pqLut(residualOf(col(queryVec), col("__cell"), centroids), books)
+          .as("__lut"))
     val score = (0 until m).map { j =>
       element_at(element_at(col("__lut"), j + 1),
         element_at(col("__codes"), j + 1) + 1)

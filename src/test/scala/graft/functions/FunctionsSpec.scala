@@ -1539,6 +1539,69 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .subsetOf((Seq(1L) ++ (10L to 14L)).toSet))
   }
 
+  test("IVFADC: zero-centroid degeneracy equals flat PQ; residual beats raw") {
+    import spark.implicits._
+    def v(base: Double, eps: Double) =
+      Seq(base + eps, base - eps, base + eps, base - eps)
+    // ids 0/1 are the stride-1 book sample — they carry DISTINCT
+    // nonzero offsets from their cluster centers so the residual
+    // codebook entries are nonzero and distinct (sampling the exact
+    // prototypes would make every residual book entry the zero
+    // vector and collapse all residual codes)
+    val corpus = (
+      Seq((0L, v(0.0, 0.02)), (1L, v(10.0, 0.05))) ++
+      (2L to 6L).map(i => (i, v(0.0, 0.01 * i))) ++
+      (10L to 14L).map(i => (i, v(10.0, 0.01 * i)))
+    ).toDF("id", "vec")
+    val queries = Seq((100L, v(0.0, 0.013)), (101L, v(10.0, 0.013)))
+      .toDF("qid", "qvec")
+    // (a) ONE all-zero centroid → residual is the identity → must
+    // equal flat pqTopK with the same books EXACTLY
+    val zeroCent = Array(Array(0.0, 0.0, 0.0, 0.0))
+    val rawBooks = Similarity.pqBooks(corpus, "id", "vec",
+      m = 2, k = 2, dims = 4, stride = 1L)
+    val residBooksZero = Similarity.pqBooksResidual(corpus, "id", "vec",
+      zeroCent, m = 2, k = 2, dims = 4, stride = 1L)
+    assert(residBooksZero.map(_.map(_.toSeq).toSeq).toSeq ===
+      rawBooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val degen = Similarity.ivfPqResidualTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 4, zeroCent, residBooksZero, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val flat = Similarity.pqTopK(corpus, "id", "vec", queries,
+      "qid", "qvec", rawBooks, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(degen === flat)
+    // (b) with real cluster centroids, residual codes see only the
+    // WITHIN-cluster offsets (energy ~0.01² vs the raw 10² between
+    // clusters): raw-vector PQ with this tiny codebook collapses all
+    // same-cluster members to ADC distance 0 from the query (ties —
+    // no ranking signal), while residual ADC separates them
+    val cents = Array(Array(0.0, 0.0, 0.0, 0.0),
+      Array(10.0, 10.0, 10.0, 10.0))
+    val residBooks = Similarity.pqBooksResidual(corpus, "id", "vec",
+      cents, m = 2, k = 2, dims = 4, stride = 1L)
+    val res = Similarity.ivfPqResidualTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 6, cents, residBooks, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every neighbor of each query is in its own cluster…
+    assert(res.filter(_._1 == 100L).map(_._2).toSet
+      .subsetOf((Seq(0L) ++ (2L to 6L)).toSet))
+    assert(res.filter(_._1 == 101L).map(_._2).toSet
+      .subsetOf((Seq(1L) ++ (10L to 14L)).toSet))
+    // …and residual ADC distances are NOT all collapsed to one value
+    val dists100 = res.filter(_._1 == 100L).map(_._3).distinct
+    assert(dists100.length > 1,
+      s"residual ADC should separate within-cluster members: $dists100")
+    // determinism across partitionings
+    val again = Similarity.ivfPqResidualTopK(corpus.repartition(7),
+      "id", "vec", queries, "qid", "qvec", k = 6, cents, residBooks,
+      nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === res.toSet)
+  }
+
   test("IMI: cell pairs partition, full probe equals flat PQ, pruning prunes") {
     import spark.implicits._
     // 4 clusters at the corners of a 2-half product space: half-0
