@@ -93,10 +93,22 @@ object SparkEntry {
 
   /** Write `df` as `slices` files to a temp dir; open as a stream. */
   private def streamPrefix(s: SparkSession, df: DataFrame,
-      sliceCol: String, slices: Int): DataFrame = {
+      sliceCol: String, slices: Int): DataFrame =
+    streamPrefixBy(s, df, pmod(col(sliceCol), lit(slices)), slices)
+
+  /** [[streamPrefix]] with a caller-supplied slice index column
+    * (0 until slices). Watermarked gates need TIME-CONTIGUOUS slices:
+    * id-sliced batches each span the whole time range, so the
+    * watermark jumps to ~max after batch 1 and every later batch's
+    * rows arrive LATE and drop — the id fixture is only valid for
+    * operators without event-time semantics.
+    */
+  private def streamPrefixBy(s: SparkSession, df: DataFrame,
+      sliceIdx: Column, slices: Int): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    val sliced = df.withColumn("__slice", sliceIdx)
     (0 until slices).foreach { i =>
-      df.filter(pmod(col(sliceCol), lit(slices)) === i)
+      sliced.filter(col("__slice") === i).drop("__slice")
         .coalesce(1).write.parquet(tmp.resolve(s"b$i").toString)
     }
     s.readStream.schema(df.schema).option("maxFilesPerTrigger", "1")
@@ -925,6 +937,38 @@ object SparkEntry {
           stream, "doc_id", "text"), "append")
         .select(col("doc_id"), col("text"), col("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    "stream_window_agg" -> ((s, dir) => {
+      // watermarked append-mode windowed aggregation under the
+      // oracle: the events table streams in 3 slices, tumbling 1-hour
+      // windows FINALIZE (and only then emit) when the 2-hour
+      // watermark passes their end — so the emitted set is exactly
+      // the windows with end <= max(ts) − 2h. Deterministic
+      // regardless of slicing: the final watermark is the global max
+      // event time, and a window emits in whichever batch first
+      // crosses it. The tail windows above the watermark are the
+      // documented append-mode loss — the oracle models it, which is
+      // the point: watermark semantics themselves are gated.
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+      // time-contiguous tertile slices (exact integer arithmetic):
+      // batch i's rows are all newer than batch i−1's, so nothing is
+      // late and the watermark advances like a real in-order stream
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
+      val stream = streamPrefixBy(s, ev,
+          expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
+            .cast("int"), 3)
+        .withWatermark("ts", "2 hours")
+      runToMemory(graft.streaming.EventStream.windowedAgg(
+          stream, "1 hour"), "append")
+        .withColumn("window_start",
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy(col("window_start"), col("event_type"))
     }),
 
     "stream_token_drift" -> ((s, dir) => {
@@ -3468,6 +3512,21 @@ object SparkEntry {
     // the streaming twin's cumulative counts equal the batch
     // wordcount, so the SAME oracle gates both
     "stream_token_drift" -> topMoversOracle,
+
+    "stream_window_agg" ->
+      // the batch window aggregate RESTRICTED to finalized windows:
+      // end <= max(ts) − 2h (the final watermark) — append-mode
+      // emission semantics modeled exactly
+      """WITH wm AS (
+        |  SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3))
+        |    AS DOUBLE) AS sum_value
+        |FROM events, wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_dedup_exact" ->
       // keeper per fingerprint = min-id row of the earliest slice
