@@ -1220,8 +1220,16 @@ object SparkEntry {
           transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val fine = Similarity.pqBooks(emb, "vec_id", "embedding",
         m = 8, k = 16, dims = 64, stride = 11L)
+      // localCheckpoint = the stored-artifact seam made literal: the
+      // operator contract is stats over the STORED codes table.
+      // Without the cut the encode Project sits directly under the
+      // Generate — OUTSIDE any whole-stage-codegen pipeline — and the
+      // CodegenFallback HOF runs on the fully interpreted row path
+      // (measured 11 s vs 1.5 s; the generator itself stays a plain
+      // attribute, which is why PlanLint is rightly silent here)
       val encoded = emb.select(col("vec_id"),
         Similarity.pqEncode(col("embedding"), fine).as("codes"))
+        .localCheckpoint()
       Similarity.pqCodeStats(encoded, "codes", k = 16)
         .select(col("j").cast("int").as("j"), col("n_codes"),
           col("codes_used"), col("dead_codes"), col("max_occupancy"),

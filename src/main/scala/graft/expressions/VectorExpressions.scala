@@ -848,3 +848,223 @@ case class NearestCellTree(child: Expression,
   override protected def withNewChildInternal(
       newChild: Expression): NearestCellTree = copy(child = newChild)
 }
+
+/** One-pass IVFADC corpus encoding: nearest coarse cell, residual
+  * v − c(cell), and the per-subspace PQ codes of that residual — as a
+  * single native kernel returning struct(cell, codes).
+  *
+  * Why not compose the declarative pieces: Spark's higher-order
+  * functions evaluate INTERPRETED, and `pqEncode(residual)` accesses
+  * its child via element_at m·k·sub times — each access re-evaluates
+  * the entire residual expression (zip_with + centroid lookup + the
+  * coarse argmin), ~1024 full re-evaluations per row (measured: the
+  * residual gate at 35 s vs ~1.5 s for raw-attribute PQ). The kernel
+  * computes cell, residual and codes once per row.
+  *
+  * Float parity (oracle-pinned): the coarse argmin is NearestCell's
+  * `‖c‖² − 2·v·c` with Double.compare and first-wins ties; residual
+  * elements are the single IEEE subtraction v[i] − c[i]; each
+  * sub-distance accumulates (r[js+i] − b[c][i])² LEFT TO RIGHT in
+  * doubles and floor-quantizes to nano longs; code ties break to the
+  * smaller code — exactly the declarative subDistNano/pqEncode
+  * formulas the DuckDB oracle replays.
+  */
+case class PqEncodeResidual(child: Expression,
+    centroids: Array[Array[Double]],
+    books: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(books.nonEmpty && books(0).nonEmpty, "books must be non-empty")
+  private val m = books.length
+  private val bigK = books(0).length
+  private val sub = books(0)(0).length
+  private val dims = m * sub
+  require(centroids.forall(_.length == dims),
+    "centroid dims must equal m*sub")
+  require(books.forall(_.forall(_.length == sub)),
+    "every codebook centroid must have sub dims")
+  private val normSq: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pq_encode_residual"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_residual expects array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val scratch =
+    new ThreadLocal[(Array[Double], Array[Double])] {
+      override def initialValue() =
+        (new Array[Double](dims), new Array[Double](dims))
+    }
+
+  def encode(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"pqEncodeResidual: vector dims != $dims")
+    val (x, r) = scratch.get()
+    var d = 0
+    while (d < dims) {
+      if (vec.isNullAt(d))
+        throw new RuntimeException(s"pqEncodeResidual: null element at $d")
+      x(d) = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      d += 1
+    }
+    // coarse argmin (NearestCell parity: strict <, first wins)
+    var best = Double.PositiveInfinity
+    var cell = 0
+    var p = 0
+    while (p < centroids.length) {
+      val c = centroids(p)
+      var s = 0.0; var i = 0
+      while (i < dims) { s += x(i) * c(i); i += 1 }
+      val score = normSq(p) - 2.0 * s
+      if (java.lang.Double.compare(score, best) < 0) { best = score; cell = p }
+      p += 1
+    }
+    val cent = centroids(cell)
+    d = 0
+    while (d < dims) { r(d) = x(d) - cent(d); d += 1 }
+    // per-subspace argmin over nano-quantized residual sub-distances
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var bd = Long.MaxValue
+      var bc = 0
+      var c = 0
+      while (c < bigK) {
+        val b = books(j)(c)
+        var s = 0.0; var i = 0
+        while (i < sub) {
+          val diff = r(j * sub + i) - b(i)
+          s += diff * diff
+          i += 1
+        }
+        val dn = math.floor(s * 1e9).toLong
+        if (dn < bd) { bd = dn; bc = c } // ties -> smaller code
+        c += 1
+      }
+      codes(j) = bc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cell,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)))
+  }
+
+  override def nullSafeEval(input: Any): Any = encode(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeResidual", this,
+      classOf[PqEncodeResidual].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeResidual = copy(child = newChild)
+}
+
+/** One-pass IVFADC query LUT: the nano-quantized sub-distances of the
+  * query RESIDUAL q − c(cell) to every codebook centroid, for a given
+  * probed cell — array<array<long>> of shape m×k. Same rationale and
+  * float parity as [[PqEncodeResidual]] (the declarative
+  * `pqLut(residual)` re-evaluates the residual per element access).
+  */
+case class PqLutResidual(left: Expression, right: Expression,
+    centroids: Array[Array[Double]],
+    books: Array[Array[Array[Double]]]) extends BinaryExpression {
+  require(books.nonEmpty && books(0).nonEmpty, "books must be non-empty")
+  private val m = books.length
+  private val bigK = books(0).length
+  private val sub = books(0)(0).length
+  private val dims = m * sub
+  require(centroids.forall(_.length == dims),
+    "centroid dims must equal m*sub")
+  require(books.forall(_.forall(_.length == sub)),
+    "every codebook centroid must have sub dims")
+
+  override def dataType: DataType = ArrayType(
+    ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "pq_lut_residual"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+          IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut_residual expects (array<float|double>, int), got $other")
+    }
+
+  @transient private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def lut(v: Any, cellAny: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cell = cellAny.asInstanceOf[Int]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"pqLutResidual: vector dims != $dims")
+    if (cell < 0 || cell >= centroids.length)
+      throw new RuntimeException(s"pqLutResidual: cell $cell out of range")
+    val cent = centroids(cell)
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val row = new Array[Any](bigK)
+      var c = 0
+      while (c < bigK) {
+        val b = books(j)(c)
+        var s = 0.0; var i = 0
+        while (i < sub) {
+          val xi = j * sub + i
+          if (vec.isNullAt(xi))
+            throw new RuntimeException(s"pqLutResidual: null element at $xi")
+          val x = if (isFloat) vec.getFloat(xi).toDouble
+                  else vec.getDouble(xi)
+          val diff = (x - cent(xi)) - b(i)
+          s += diff * diff
+          i += 1
+        }
+        row(c) = math.floor(s * 1e9).toLong
+        c += 1
+      }
+      out(j) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = lut(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLutResidual", this,
+      classOf[PqLutResidual].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.lut($a, (Integer) $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqLutResidual =
+    copy(left = newLeft, right = newRight)
+}

@@ -1432,9 +1432,52 @@ object Similarity {
       queryVec: String, k: Int, centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]], nprobe: Int = 4): DataFrame = {
     val m = books.length
-    // cellOf appears both as the join key and inside the residual;
-    // ProjectExec's subexpression elimination dedupes the identical
-    // NearestCell subtrees, so the coarse argmin runs once per row
+    // ONE native kernel for (cell, residual, codes): composing the
+    // declarative pieces re-evaluates the residual expression per
+    // element access inside the interpreted pqEncode HOF — ~1024 full
+    // re-evaluations per row (measured 35 s vs 2 s on the sf0.1
+    // gate). Kernel output is bit-identical to the declarative
+    // composition (parity-spec'd), so the SQL oracle is unchanged.
+    val enc = exprCol(graft.expressions.PqEncodeResidual(
+      colExpr(col(corpusVec)), centroids, books))
+    val c = corpus.select(col(corpusId), enc.as("__enc"))
+      .select(col(corpusId),
+        col("__enc").getField("codes").as("__codes"),
+        coalesce(col("__enc").getField("cell"), lit(-1)).as("__cell"))
+    val q = queries
+      .select(col(queryId), col(queryVec),
+        probeCells(col(queryVec), centroids, nprobe).as("__probes"))
+      .select(col(queryId), col(queryVec),
+        explode(col("__probes").getField("cell")).as("__cell"))
+      .select(col(queryId), col("__cell"),
+        exprCol(graft.expressions.PqLutResidual(
+          colExpr(col(queryVec)), colExpr(col("__cell")),
+          centroids, books)).as("__lut"))
+    val score = (0 until m).map { j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col("__codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val joined = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId), score.as("dist_nano"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist_nano").asc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The declarative composition the kernels replace — kept as the
+    * parity twin: the spec pins kernel output bit-identical to this
+    * (which is what the SQL oracle replays). Unusably slow on real
+    * corpora (the per-element re-evaluation note in
+    * [[ivfPqResidualTopK]]).
+    */
+  private[functions] def ivfPqResidualTopKDeclarative(corpus: DataFrame,
+      corpusId: String, corpusVec: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], nprobe: Int): DataFrame = {
+    val m = books.length
     val cell = cellOf(col(corpusVec), centroids)
     val c = corpus.select(col(corpusId),
       pqEncode(residualOf(col(corpusVec), cell, centroids), books)

@@ -1600,6 +1600,18 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again === res.toSet)
+    // kernel == declarative composition BIT-IDENTICALLY (including the
+    // nano distances) — the parity the SQL oracle rests on
+    val kern = Similarity.ivfPqResidualTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", k = 6, cents, residBooks, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val decl = Similarity.ivfPqResidualTopKDeclarative(corpus, "id",
+      "vec", queries, "qid", "qvec", k = 6, cents, residBooks,
+      nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(kern === decl)
   }
 
   test("IMI: cell pairs partition, full probe equals flat PQ, pruning prunes") {
