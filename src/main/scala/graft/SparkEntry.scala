@@ -971,6 +971,34 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "stream_session_window" -> ((s, dir) => {
+      // watermarked session windows under the oracle: gap sessions
+      // merge across micro-batches in state and FINALIZE when the
+      // watermark passes session end (= last event + gap). With
+      // time-contiguous slices the emitted set is exactly the batch
+      // sessions with end <= max(ts) − 2h: a session old enough to
+      // finalize at a batch boundary cannot have a merging
+      // continuation (the next batch's events are ≥ 2.5h past its
+      // last event — far beyond the 30-minute gap), so cross-batch
+      // merging and finalization never disagree with batch.
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
+      val stream = streamPrefixBy(s, ev,
+          expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
+            .cast("int"), 3)
+        .withWatermark("ts", "2 hours")
+      runToMemory(graft.streaming.EventStream.sessionWindowAgg(
+          stream, "30 minutes"), "append")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     "stream_token_drift" -> ((s, dir) => {
       // streaming token counts → batch drift scorer, end to end under
       // the oracle: the odd-doc half streams in 3 micro-batches
@@ -3535,6 +3563,30 @@ object SparkEntry {
         |FROM events, wm
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_session_window" ->
+      // the events_session_window replay restricted to FINALIZED
+      // sessions: end (= last event + gap) <= max(ts) − 2h
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |wm AS (SELECT epoch_us(max(ts)) - 7200000000 AS w FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0
+        |    END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY
+        |    ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM b),
+        |sess AS (
+        |  SELECT user_id, MIN(ts_us) AS start_us,
+        |    MAX(ts_us) + 1800000000 AS end_us, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT sess.* FROM sess, wm WHERE sess.end_us <= wm.w
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "stream_dedup_exact" ->
       // keeper per fingerprint = min-id row of the earliest slice
