@@ -1335,6 +1335,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_imi_lazy" -> ((s, dir) => {
+      // the BILLION-SCALE IMI probe path under the oracle: K=128 per
+      // half → 128² = 16384 cells, so ImiProbeCells takes the lazy
+      // multi-sequence branch (bigK² > 4096 — Babenko & Lempitsky
+      // 2012's frontier walk, K·log K + nprobe·log nprobe) instead of
+      // materializing the K² pair sort. The walk's exact-order
+      // contract makes the oracle trivial: DuckDB replays the FULL
+      // pair sort and the two must agree bit-for-bit, tie plateaus
+      // included. nprobe=512 (3% of cells) keeps candidates non-empty
+      // over the sparse gate-scale corpus; at production scale the
+      // same ratio prunes 2²⁸ cells to a few thousand.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val coarse = Similarity.pqBooks(emb, "vec_id", "embedding",
+        m = 2, k = 128, dims = 64, stride = 3L)
+      val fine = Similarity.pqBooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, stride = 11L)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.imiTopK(emb, "vec_id", "embedding",
+          queries, "query_id", "qvec", coarse, fine, k = 5, nprobe = 512)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("dist_nano"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ivf_tree" -> ((s, dir) => {
       // LOG-DEPTH tree assignment (the deepening of sim_ivf_hier's
       // two-level path: beam-searched descent, O(log nlist) per
@@ -4851,6 +4878,83 @@ object SparkEntry {
         |      ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY dist, cell) AS rn
         |    FROM qpairs) WHERE rn <= 8),
+        |cand AS (
+        |  SELECT p.query_id, c.vec_id
+        |  FROM probes p JOIN cells c ON c.cell = p.cell),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS dist_nano
+        |  FROM cand cd
+        |  JOIN fcodes c ON c.vec_id = cd.vec_id
+        |  JOIN qlut l ON l.query_id = cd.query_id
+        |    AND c.j = l.j AND c.code = l.code
+        |  WHERE cd.query_id <> cd.vec_id
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, vec_id, dist_nano, ROW_NUMBER() OVER (
+        |  PARTITION BY query_id ORDER BY dist_nano, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank,
+        |  vec_id AS neighbor_id, dist_nano
+        |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ann_imi_lazy" ->
+      // same replay as sim_ann_imi with K=128 half-codebooks
+      // (id-stride 3) and nprobe=512 — DuckDB ranks ALL 16384 pair
+      // sums per query; the Spark side's lazy multi-sequence walk
+      // must produce the identical (dist, cell) prefix
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |fbooks AS (
+        |  SELECT vec_id // 11 AS code, v FROM emb
+        |  WHERE vec_id % 11 = 0 AND vec_id < 16 * 11),
+        |fsub AS (SELECT * FROM range(0, 8) t(j)),
+        |fenc AS (
+        |  SELECT e.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      pow(e.v[CAST(s.j*8+i AS INT)] - b.v[CAST(s.j*8+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM emb e, fsub s, fbooks b),
+        |fcodes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM fenc) WHERE rn = 1),
+        |qlut AS (
+        |  SELECT vec_id AS query_id, j, code, d FROM fenc
+        |  WHERE vec_id % 50 = 0),
+        |cbooks AS (
+        |  SELECT vec_id // 3 AS code, v FROM emb
+        |  WHERE vec_id % 3 = 0 AND vec_id < 128 * 3),
+        |csub AS (SELECT * FROM range(0, 2) t(j)),
+        |cenc AS (
+        |  SELECT e.vec_id, s.j, b.code,
+        |    CAST(floor(list_sum(list_transform(range(1, 33), i ->
+        |      pow(e.v[CAST(s.j*32+i AS INT)] - b.v[CAST(s.j*32+i AS INT)], 2)))
+        |      * 1e9) AS BIGINT) AS d
+        |  FROM emb e, csub s, cbooks b),
+        |ccodes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM cenc) WHERE rn = 1),
+        |cells AS (
+        |  SELECT vec_id,
+        |    128 * MAX(CASE WHEN j = 0 THEN code END) +
+        |    MAX(CASE WHEN j = 1 THEN code END) AS cell
+        |  FROM ccodes GROUP BY vec_id),
+        |qpairs AS (
+        |  SELECT q0.vec_id AS query_id,
+        |    q0.code * 128 + q1.code AS cell, q0.d + q1.d AS dist
+        |  FROM (SELECT * FROM cenc WHERE j = 0 AND vec_id % 50 = 0) q0
+        |  JOIN (SELECT * FROM cenc WHERE j = 1 AND vec_id % 50 = 0) q1
+        |    ON q0.vec_id = q1.vec_id),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY dist, cell) AS rn
+        |    FROM qpairs) WHERE rn <= 512),
         |cand AS (
         |  SELECT p.query_id, c.vec_id
         |  FROM probes p JOIN cells c ON c.cell = p.cell),
