@@ -1256,7 +1256,7 @@ object SparkEntry {
       // (measured 11 s vs 1.5 s; the generator itself stays a plain
       // attribute, which is why PlanLint is rightly silent here)
       val encoded = emb.select(col("vec_id"),
-        Similarity.pqEncode(col("embedding"), fine).as("codes"))
+        Similarity.pqEncodeNative(col("embedding"), fine).as("codes"))
         .localCheckpoint()
       Similarity.pqCodeStats(encoded, "codes", k = 16)
         .select(col("j").cast("int").as("j"), col("n_codes"),

@@ -703,6 +703,102 @@ object ImiProbeCells {
   }
 }
 
+/** Native IMI coarse cell assignment — the corpus-side twin of
+  * [[ImiProbeCells]]: the same two half-distance loops, but instead of
+  * ranking all K² pairs it takes the per-half argmin and returns
+  * cell = code₀·K + code₁ as one int. This is the encode that runs on
+  * EVERY corpus row (the probe kernel runs once per query), so it is
+  * the kernel that matters at corpus scale: at K=128 the declarative
+  * `imiCells` composition (`aggregate(pqEncode(...))`) walks
+  * 2·128 centroids × 32 dims per row through the interpreted-HOF path
+  * (measured: the K=128 gate corpus encode dominated a 16.9 s gate;
+  * this kernel is a tight codegen'd loop).
+  *
+  * Parity (oracle-pinned): each sub-distance accumulates (x−c)² LEFT
+  * TO RIGHT in doubles and floor-quantizes to nano longs — the exact
+  * [[ImiProbeCells]] loop — and the argmin breaks ties to the SMALLER
+  * code, the `pqEncode` `array_min(struct(d, c))` rule. Bit-identical
+  * to `Similarity.imiCells` (spec-pinned, tie fixtures included), so
+  * the DuckDB oracle replay is unchanged.
+  */
+case class ImiCellAssign(child: Expression,
+    books: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(books.length == 2, "IMI needs exactly 2 coarse codebooks")
+  require(books(0).length == books(1).length,
+    "both halves need the same K")
+  require(books(0).nonEmpty, "coarse codebooks must be non-empty")
+  require(books.forall(_.forall(_.length == books(0)(0).length)),
+    "every coarse centroid must have the same sub-vector dims")
+
+  private val bigK = books(0).length
+  private val sub = books(0)(0).length
+  private val dims = 2 * sub
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "imi_cell_assign"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"imi_cell_assign expects array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def cell(v: Any): Int = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"imiCellAssign: vector dims != $dims")
+    var cell = 0
+    var h = 0
+    while (h < 2) {
+      var bestC = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < bigK) {
+        val cent = books(h)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val xi = h * sub + i
+          if (vec.isNullAt(xi))
+            throw new RuntimeException(
+              s"imiCellAssign: null element at $xi")
+          val x = if (isFloat) vec.getFloat(xi).toDouble
+                  else vec.getDouble(xi)
+          val diff = x - cent(i)
+          s += diff * diff
+          i += 1
+        }
+        val dNano = math.floor(s * 1e9).toLong
+        if (dNano < bestD) { bestD = dNano; bestC = c } // tie → lower c
+        c += 1
+      }
+      cell = cell * bigK + bestC
+      h += 1
+    }
+    cell
+  }
+
+  override def nullSafeEval(input: Any): Any = cell(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("imiCellAssign", this,
+      classOf[ImiCellAssign].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.cell($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImiCellAssign = copy(child = newChild)
+}
+
 /** A node of the log-depth centroid tree (hierarchical k-means index):
   * inner nodes carry their children's representative centroids;
   * leaves carry GLOBAL cell ids into the flat quantizer. `ord` is the
@@ -977,6 +1073,99 @@ case class PqEncodeResidual(child: Expression,
 
   override protected def withNewChildInternal(
       newChild: Expression): PqEncodeResidual = copy(child = newChild)
+}
+
+/** Native flat PQ encode — the raw-vector twin of
+  * [[PqEncodeResidual]]: per-subspace argmin over nano-quantized
+  * sub-distances, no coarse/residual step. Exists because the
+  * declarative `pqEncode` is an interpreted HOF that re-evaluates its
+  * NON-ATTRIBUTE child per element access — and the gates feed it
+  * `transform(embedding, cast)` (the float→double projection), so an
+  * m=8/k=16 encode re-ran the 64-element cast ~1024× per row
+  * (measured: the K=128 IMI gate spent its whole 8.8 s residue here
+  * after the coarse kernel landed; this kernel evaluates the child
+  * ONCE per row inside whole-stage codegen).
+  *
+  * Parity (oracle-pinned): each sub-distance accumulates (x−c)² LEFT
+  * TO RIGHT in doubles and floor-quantizes to nano longs; ties break
+  * to the smaller code — exactly the declarative `pqEncode` formula
+  * the DuckDB oracle replays (spec-pinned, tie fixtures included).
+  */
+case class PqEncodeFlat(child: Expression,
+    books: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(books.nonEmpty && books(0).nonEmpty, "books must be non-empty")
+  private val m = books.length
+  private val bigK = books(0).length
+  private val sub = books(0)(0).length
+  private val dims = m * sub
+  require(books.forall(_.forall(_.length == sub)),
+    "every codebook centroid must have sub dims")
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pq_encode_flat"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_flat expects array<float|double>, got $other")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def encode(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != dims)
+      throw new RuntimeException(s"pqEncodeFlat: vector dims != $dims")
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var bd = Long.MaxValue
+      var bc = 0
+      var c = 0
+      while (c < bigK) {
+        val b = books(j)(c)
+        var s = 0.0; var i = 0
+        while (i < sub) {
+          val xi = j * sub + i
+          if (vec.isNullAt(xi))
+            throw new RuntimeException(s"pqEncodeFlat: null element at $xi")
+          val x = if (isFloat) vec.getFloat(xi).toDouble
+                  else vec.getDouble(xi)
+          val diff = x - b(i)
+          s += diff * diff
+          i += 1
+        }
+        val dn = math.floor(s * 1e9).toLong
+        if (dn < bd) { bd = dn; bc = c } // ties -> smaller code
+        c += 1
+      }
+      codes(j) = bc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def nullSafeEval(input: Any): Any = encode(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeFlat", this,
+      classOf[PqEncodeFlat].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeFlat = copy(child = newChild)
 }
 
 /** One-pass IVFADC query LUT: the nano-quantized sub-distances of the

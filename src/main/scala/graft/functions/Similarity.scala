@@ -1254,6 +1254,17 @@ object Similarity {
         .getField("c"))
   }
 
+  /** Native-kernel PQ encode ([[graft.expressions.PqEncodeFlat]]) —
+    * what the corpus-side encodes actually use. The declarative
+    * [[pqEncode]] stays as the parity twin (and the form the oracle
+    * SQL mirrors); the kernel exists because the interpreted HOF
+    * re-evaluates a non-attribute child (the gates' float→double
+    * `transform` cast) per element access — m·k·sub times per row.
+    */
+  def pqEncodeNative(vec: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    exprCol(graft.expressions.PqEncodeFlat(colExpr(vec), books))
+
   /** PQ codebook health in m rows — the PQ twin of
     * [[ivfOccupancyStats]]: per subspace, codes used / dead codes /
     * max & mean occupancy and the imbalance ratio over the ENCODED
@@ -1313,7 +1324,7 @@ object Similarity {
       books: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val m = books.length
     val encoded = corpus.select(col(corpusId),
-      pqEncode(col(corpusVec), books).as("__codes"))
+      pqEncodeNative(col(corpusVec), books).as("__codes"))
     val q = queries.select(col(queryId),
       pqLut(col(queryVec), books).as("__lut"))
     val score = (0 until m).map { j =>
@@ -1349,7 +1360,7 @@ object Similarity {
       books: Array[Array[Array[Double]]], nprobe: Int = 4): DataFrame = {
     val m = books.length
     val c = corpus.select(col(corpusId),
-      pqEncode(col(corpusVec), books).as("__codes"),
+      pqEncodeNative(col(corpusVec), books).as("__codes"),
       cellOf(col(corpusVec), centroids).as("__cell"))
     val q = queries
       .select(col(queryId), pqLut(col(queryVec), books).as("__lut"),
@@ -1521,6 +1532,12 @@ object Similarity {
     * [[ivfAssignments]].
     */
   def imiCells(vec: Column, coarse: Array[Array[Array[Double]]]): Column = {
+    // NOTE: this declarative form is the PARITY TWIN of the native
+    // [[graft.expressions.ImiCellAssign]] kernel (which imiTopK's
+    // corpus side uses — at K=128 this composition walks 2K centroids
+    // × sub dims per row through the interpreted-HOF path and
+    // dominated the K=128 gate at 16.9 s). Spec pins the two
+    // bit-identical, tie fixtures included.
     require(coarse.length == 2, "IMI needs exactly 2 coarse codebooks")
     val k = coarse(0).length
     // ONE reference to the pqEncode subtree: cell = fold(codes,
@@ -1556,12 +1573,28 @@ object Similarity {
       nprobe: Int = 8): DataFrame = {
     val m = fine.length
     val c = corpus.select(col(corpusId),
-      pqEncode(col(corpusVec), fine).as("__codes"),
-      imiCells(col(corpusVec), coarse).as("__cell"))
+      pqEncodeNative(col(corpusVec), fine).as("__codes"),
+      // native kernel, not the declarative imiCells: the coarse encode
+      // runs on EVERY corpus row and at billion-scale K the interpreted
+      // HOF walk is the gate's whole cost (coalesce keeps the
+      // nullable-join-key convention of imiCells/cellOf)
+      coalesce(
+        exprCol(graft.expressions.ImiCellAssign(
+          colExpr(col(corpusVec)), coarse)),
+        lit(-1)).as("__cell"))
+    // __lut and __probes in their OWN select, the explode in the next
+    // (the ivfPqTopK shape): a generator mixed into the same select
+    // gets extracted UNDER the other expressions, so the analyzer
+    // plans Project(__lut) ABOVE the Generate and the interpreted-HOF
+    // LUT recomputes per EXPLODED row — nprobe× per query (measured:
+    // the K=128/nprobe=512 gate spent 8 s re-deriving 40 LUTs 512×
+    // each; split, it is 40 evaluations)
     val q = queries
       .select(col(queryId), pqLut(col(queryVec), fine).as("__lut"),
-        explode(exprCol(graft.expressions.ImiProbeCells(
-          colExpr(col(queryVec)), coarse, nprobe))).as("__cell"))
+        exprCol(graft.expressions.ImiProbeCells(
+          colExpr(col(queryVec)), coarse, nprobe)).as("__probes"))
+      .select(col(queryId), col("__lut"),
+        explode(col("__probes")).as("__cell"))
     val score = (0 until m).map { j =>
       element_at(element_at(col("__lut"), j + 1),
         element_at(col("__codes"), j + 1) + 1)

@@ -1675,6 +1675,86 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(again === full)
   }
 
+  test("IMI: native cell-assign kernel is bit-identical to declarative imiCells") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors; K=4 per half over 8 dims,
+    // with half-1's centroids 2 and 3 DUPLICATED — every vector ties
+    // on that pair and the kernel must break to the LOWER code, the
+    // pqEncode array_min(struct(d, c)) rule
+    def prng(seed: Long): Double = {
+      val x = seed * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 20.0 - 10.0
+    }
+    val rows = (0L until 200L).map(i =>
+      (i, (0 until 8).map(j => prng(i * 31 + j)).toSeq))
+    val corpus = rows.toDF("id", "vec")
+    val coarse = Similarity.pqBooks(corpus, "id", "vec",
+      m = 2, k = 4, dims = 8, stride = 7L)
+    coarse(1)(3) = coarse(1)(2).clone() // forced tie plateau
+    val both = corpus.select(
+        Similarity.imiCells(col("vec"), coarse).as("decl"),
+        coalesce(
+          org.apache.spark.sql.graftglue.Glue.column(
+            graft.expressions.ImiCellAssign(
+              org.apache.spark.sql.graftglue.Glue.expression(col("vec")),
+              coarse)),
+          lit(-1)).as("kern"))
+      .collect()
+    assert(both.length === 200)
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // the tie plateau is actually exercised: some vector lands in
+    // half-1 code 2, and NONE may land in the duplicate code 3
+    val h1 = both.map(_.getInt(1) % 4)
+    assert(h1.contains(2) && !h1.contains(3))
+    // float input takes the same path (gate vectors are float parquet)
+    val fcorpus = rows.map { case (i, v) => (i, v.map(_.toFloat)) }
+      .toDF("id", "vec")
+    val fboth = fcorpus.select(
+        Similarity.imiCells(col("vec"), coarse).as("decl"),
+        coalesce(
+          org.apache.spark.sql.graftglue.Glue.column(
+            graft.expressions.ImiCellAssign(
+              org.apache.spark.sql.graftglue.Glue.expression(col("vec")),
+              coarse)),
+          lit(-1)).as("kern"))
+      .collect()
+    fboth.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("PQ: native flat-encode kernel is bit-identical to declarative pqEncode") {
+    import spark.implicits._
+    def prng(seed: Long): Double = {
+      val x = seed * 2862933555777941757L + 3037000493L
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 6.0 - 3.0
+    }
+    val rows = (0L until 150L).map(i =>
+      (i, (0 until 16).map(j => prng(i * 17 + j).toFloat).toSeq))
+    val corpus = rows.toDF("id", "vec")
+    // m=4, k=5 books over the float→double transform cast — the exact
+    // non-attribute-child shape the gates feed the encode; book (2,4)
+    // duplicates (2,1) to force a tie plateau (must break to code 1)
+    val casted = corpus.select(col("id"),
+      transform(col("vec"), x => x.cast("double")).as("vec"))
+    val books = Similarity.pqBooks(casted, "id", "vec",
+      m = 4, k = 5, dims = 16, stride = 13L)
+    books(2)(4) = books(2)(1).clone()
+    val both = casted.select(
+        Similarity.pqEncode(col("vec"), books).as("decl"),
+        Similarity.pqEncodeNative(col("vec"), books).as("kern"))
+      .collect()
+    assert(both.length === 150)
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+      assert(r.getSeq[Int](1)(2) !== 4) // tie never picks the duplicate
+    }
+    // raw float attribute child too (the no-cast path)
+    val fboth = corpus.select(
+        Similarity.pqEncode(col("vec"), books).as("decl"),
+        Similarity.pqEncodeNative(col("vec"), books).as("kern"))
+      .collect()
+    fboth.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+  }
+
   test("multimodal: frame sampling explodes by stride") {
     import spark.implicits._
     val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
