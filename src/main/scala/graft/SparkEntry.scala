@@ -103,9 +103,30 @@ object SparkEntry {
     * rows arrive LATE and drop — the id fixture is only valid for
     * operators without event-time semantics.
     */
+  /** Temp dirs created by the streaming fixtures, deleted on JVM exit
+    * (a shutdown hook — deleteOnExit can't remove non-empty dirs).
+    * Keeps bench/verify reruns from accumulating parquet + checkpoint
+    * dirs in /tmp; within one run the dirs must outlive their stream.
+    */
+  private val streamTmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val streamTmpHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      streamTmpDirs.forEach(deleteRecursively(_))))
+  private def trackStreamTmp(p: java.nio.file.Path): java.nio.file.Path = {
+    streamTmpHook; streamTmpDirs.add(p); p
+  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
+
   private def streamPrefixBy(s: SparkSession, df: DataFrame,
       sliceIdx: Column, slices: Int): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    val tmp = trackStreamTmp(
+      java.nio.file.Files.createTempDirectory("graft_stream_gate"))
     val sliced = df.withColumn("__slice", sliceIdx)
     (0 until slices).foreach { i =>
       sliced.filter(col("__slice") === i).drop("__slice")
@@ -126,7 +147,8 @@ object SparkEntry {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .option("checkpointLocation", chk.toString).start()
-    q.processAllAvailable(); q.stop()
+    try { q.processAllAvailable(); q.stop() }
+    finally deleteRecursively(chk) // checkpoint is dead once q stops
     df.sparkSession.table(name)
   }
 
@@ -1018,6 +1040,81 @@ object SparkEntry {
       val ref = graft.operators.Profile.tokenCounts(
         docs.filter(col("doc_id") % 2 === 0), "text")
       graft.operators.Profile.scoreDriftCounts(ref, counts, k = 20)
+    }),
+
+    "stream_funnel" -> ((s, dir) => {
+      // the ORDER-CONTRACTED streaming funnel under the batch oracle:
+      // the in-order-arrival contract (streamingFunnel's scaladoc) is
+      // satisfied by the same time-contiguous tertile slices as the
+      // watermarked gates — batch i's events are all newer than batch
+      // i−1's, so per-user arrival is event-time-ordered and a tie
+      // can never split across a boundary (equal ts → same slice).
+      // Per user the emitted max_step strictly increases (in-order
+      // arrival means steps only ever FILL upward), so the cumulative
+      // append sink reduces to the final state by argmax(max_step) —
+      // which must equal the batch funnel (events_funnel's oracle
+      // verbatim).
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
+      val stream = streamPrefixBy(s, ev,
+        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
+          .cast("int"), 3)
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingFunnel(
+          stream.withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase")), "append")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("max_step").desc)
+      emitted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"),
+          element_at(col("steps_us"), 1).as("step1_us"),
+          element_at(col("steps_us"), 2).as("step2_us"),
+          element_at(col("steps_us"), 3).as("step3_us"),
+          col("max_step"))
+        .orderBy(col("user_id"))
+    }),
+
+    "stream_cohort_retention" -> ((s, dir) => {
+      // streaming cohort twin under the batch oracle: per-user keyed
+      // state emits one delta row per first (user, period-offset)
+      // sighting; in-order arrival (time-contiguous slices) fixes the
+      // cohort at the user's true first event. The downstream
+      // retention matrix is the documented additive consumer — count
+      // of deltas per cell — and must equal the batch
+      // events_cohort_retention oracle verbatim (periodDays=1, the
+      // dense ~450-cell daily matrix).
+      val ev = events(s, dir).select(col("user_id"), col("ts"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
+      val stream = streamPrefixBy(s, ev,
+        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
+          .cast("int"), 3)
+      // localCheckpoint: the retention matrix SELF-JOINS the delta
+      // table (cells ⋈ sizes) and a MemoryPlan view reuses the same
+      // attribute ids on both sides — the analyzer dies with
+      // "conflicting references". The cut also matches the consumer
+      // contract (the matrix reads the STORED delta log).
+      val deltas = runToMemory(
+        graft.streaming.EventStream.streamingCohortActivity(
+          stream, "user_id", "ts", periodDays = 1), "append")
+        .localCheckpoint()
+      val cells = deltas
+        .groupBy(col("cohort_period"), col("period_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = cells.filter(col("period_offset") === 0)
+        .select(col("cohort_period"), col("n_active").as("n_cohort"))
+      cells.join(broadcast(sizes), "cohort_period")
+        .select(col("cohort_period"), col("period_offset"),
+          col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort"))
+            .as("retention_rate"))
+        .orderBy(col("cohort_period"), col("period_offset"))
     }),
 
     "dedup_script_routed" -> ((s, dir) => {
@@ -3250,6 +3347,66 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
       |  FROM dscored) WHERE rank <= 20)""".stripMargin
 
+  /** Shared by events_funnel and its order-contracted streaming twin
+    * stream_funnel (time-contiguous slices satisfy the in-order
+    * arrival contract, so the final keyed state equals the batch
+    * funnel exactly).
+    */
+  private val funnelOracle: String =
+    // step-i min constrained to ≥ step-(i−1)'s min, chained joins
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(ts_us) AS step1_us FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(ts_us) AS step2_us
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE event_type = 'click' AND ts_us >= step1_us
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(ts_us) AS step3_us
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE event_type = 'purchase' AND ts_us >= step2_us
+      |  GROUP BY e.user_id)
+      |SELECT s1.user_id, step1_us, step2_us, step3_us,
+      |  CAST(CASE WHEN step3_us IS NOT NULL THEN 3
+      |    WHEN step2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+      |    AS max_step
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
+  /** Shared by events_cohort_retention and its streaming twin
+    * stream_cohort_retention (delta rows per first (user, offset)
+    * sighting count up to the batch activity matrix exactly).
+    */
+  private val cohortOracle: String =
+    // integral daily buckets since epoch; DuckDB `//` is integer
+    // division (`/` would be double), floor matches Spark's floor
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(floor(datediff('day', DATE '1970-01-01',
+      |      CAST(ts AS DATE)) / 1) AS INT) AS per
+      |  FROM events),
+      |firsts AS (
+      |  SELECT user_id, MIN(per) AS cohort FROM e GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT f.cohort, e.per - f.cohort AS period_offset,
+      |    e.user_id
+      |  FROM e JOIN firsts f USING (user_id)),
+      |m AS (
+      |  SELECT cohort, period_offset, COUNT(*) AS n_active
+      |  FROM act GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort, n_active AS n_cohort FROM m
+      |  WHERE period_offset = 0)
+      |SELECT m.cohort AS cohort_period, m.period_offset, m.n_active,
+      |  c.n_cohort,
+      |  CAST(m.n_active AS DOUBLE) / c.n_cohort AS retention_rate
+      |FROM m JOIN c ON m.cohort = c.cohort
+      |ORDER BY cohort_period, period_offset""".stripMargin
+
   /** Shared by profile_top_movers and its streaming twin
     * stream_token_drift (the streamed cumulative counts equal the
     * batch wordcount, so the scorer output is identical).
@@ -3575,6 +3732,11 @@ object SparkEntry {
     // the streaming twin's cumulative counts equal the batch
     // wordcount, so the SAME oracle gates both
     "stream_token_drift" -> topMoversOracle,
+    // the order-contracted twins share their batch oracles verbatim:
+    // time-contiguous slices make the stream's final keyed state equal
+    // the batch computation (see the gate comments)
+    "stream_funnel" -> funnelOracle,
+    "stream_cohort_retention" -> cohortOracle,
 
     "stream_window_agg" ->
       // the batch window aggregate RESTRICTED to finalized windows:
@@ -7406,56 +7568,8 @@ object SparkEntry {
         |    AS n_distinct_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "events_funnel" ->
-      // step-i min constrained to ≥ step-(i−1)'s min, chained joins
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
-        |s1 AS (
-        |  SELECT user_id, MIN(ts_us) AS step1_us FROM e
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (
-        |  SELECT e.user_id, MIN(ts_us) AS step2_us
-        |  FROM e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE event_type = 'click' AND ts_us >= step1_us
-        |  GROUP BY e.user_id),
-        |s3 AS (
-        |  SELECT e.user_id, MIN(ts_us) AS step3_us
-        |  FROM e JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE event_type = 'purchase' AND ts_us >= step2_us
-        |  GROUP BY e.user_id)
-        |SELECT s1.user_id, step1_us, step2_us, step3_us,
-        |  CAST(CASE WHEN step3_us IS NOT NULL THEN 3
-        |    WHEN step2_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
-        |    AS max_step
-        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        |LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin,
-
-    "events_cohort_retention" ->
-      // integral weekly buckets since epoch; DuckDB `//` is integer
-      // division (`/` would be double), floor matches Spark's floor
-      """WITH e AS (
-        |  SELECT user_id,
-        |    CAST(floor(datediff('day', DATE '1970-01-01',
-        |      CAST(ts AS DATE)) / 1) AS INT) AS per
-        |  FROM events),
-        |firsts AS (
-        |  SELECT user_id, MIN(per) AS cohort FROM e GROUP BY user_id),
-        |act AS (
-        |  SELECT DISTINCT f.cohort, e.per - f.cohort AS period_offset,
-        |    e.user_id
-        |  FROM e JOIN firsts f USING (user_id)),
-        |m AS (
-        |  SELECT cohort, period_offset, COUNT(*) AS n_active
-        |  FROM act GROUP BY 1, 2),
-        |c AS (
-        |  SELECT cohort, n_active AS n_cohort FROM m
-        |  WHERE period_offset = 0)
-        |SELECT m.cohort AS cohort_period, m.period_offset, m.n_active,
-        |  c.n_cohort,
-        |  CAST(m.n_active AS DOUBLE) / c.n_cohort AS retention_rate
-        |FROM m JOIN c ON m.cohort = c.cohort
-        |ORDER BY cohort_period, period_offset""".stripMargin,
+    "events_funnel" -> funnelOracle,
+    "events_cohort_retention" -> cohortOracle,
 
     "events_sessionize" ->
       """WITH e AS (
