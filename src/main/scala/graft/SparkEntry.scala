@@ -2830,6 +2830,16 @@ object SparkEntry {
         gramChars = 30)
         .orderBy(col("doc_id"))),
 
+    "dedup_span_extents" -> ((s, dir) =>
+      // maximal merged duplicate spans (the Lee et al. exact-substring
+      // extents dedup_span_coverage only totals): overlapping/adjacent
+      // duplicated-gram intervals union into per-doc maximal runs via
+      // two window passes + a partial-agg'd groupBy — each span row
+      // carries (start, end, len, n_grams)
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text",
+        gramChars = 30)
+        .orderBy(col("doc_id"), col("span_idx"))),
+
     "dedup_cluster_keep_best" -> ((s, dir) => {
       // canonical selection on top of the cc clusters: keep the
       // longest member (n_chars, ties → min doc_id) of each near-dup
@@ -7363,6 +7373,38 @@ object SparkEntry {
         |    / greatest(length(d0.text), 1) * 10000) / 10000 AS dup_frac
         |FROM documents d0 LEFT JOIN p ON d0.doc_id = p.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+
+    "dedup_span_extents" ->
+      // same gram slide + ≥2-doc filter; then new-span flag (pos >
+      // running max end), running-sum span index, per-span extents.
+      // SUM window CAST to BIGINT (DuckDB SUM returns HUGEINT)
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 30) AS gram
+        |  FROM documents, unnest(range(1, length(text) - 30 + 2)) t(i)),
+        |d AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.* FROM g SEMI JOIN d USING (gram)),
+        |c AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 30) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, pos, CAST(SUM(is_new) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_idx
+        |  FROM c)
+        |SELECT doc_id, span_idx,
+        |  MIN(pos) AS span_start,
+        |  MAX(pos + 30) - 1 AS span_end,
+        |  MAX(pos + 30) - MIN(pos) AS span_len,
+        |  COUNT(*) AS n_grams
+        |FROM s GROUP BY doc_id, span_idx
+        |ORDER BY doc_id, span_idx""".stripMargin,
 
     "dedup_cluster_cc" ->
       // the pair pipeline is dedup_ngram_jaccard's; the cluster label is

@@ -748,12 +748,16 @@ object Dedup {
     * by doc — bounded by max document length, same bound as
     * repetitionStats.
     */
-  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
-      gramChars: Int, hashGrams: Boolean = false): DataFrame = {
-    require(gramChars >= 2, "gramChars must be ≥ 2")
-    val k = gramChars
-    val base = df.select(col(idCol), col(textCol))
-    val grams = base.filter(length(col(textCol)) >= k)
+  /** Shared front half of [[dupSpanStats]] and [[dupSpans]]: the
+    * per-doc positions of `k`-char grams that also occur in ≥ 2
+    * distinct documents — sliding grams explode map-side, the
+    * distinct-doc filter is a partial-agg'd groupBy, survivors come
+    * back via a semi-join. Returns (idCol, __pos).
+    */
+  private def dupGramPositions(df: DataFrame, idCol: String,
+      textCol: String, k: Int, hashGrams: Boolean): DataFrame = {
+    val grams = df.select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) >= k)
       .select(col(idCol),
         transform(sequence(lit(1), length(col(textCol)) - k + 1),
           i => struct(i.as("pos"),
@@ -767,12 +771,21 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= 2)
       .select(col("__gram"))
+    grams.join(dupGrams, Seq("__gram"), "left_semi")
+      .select(col(idCol), col("__pos"))
+  }
+
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int, hashGrams: Boolean = false): DataFrame = {
+    require(gramChars >= 2, "gramChars must be ≥ 2")
+    val k = gramChars
+    val base = df.select(col(idCol), col(textCol))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val covered = greatest(lit(0),
       col("__pos") + k - greatest(col("__pos"),
         coalesce(max(col("__pos") + k).over(w), lit(0))))
-    val perDoc = grams.join(dupGrams, Seq("__gram"), "left_semi")
+    val perDoc = dupGramPositions(df, idCol, textCol, k, hashGrams)
       .withColumn("__cov", covered)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"), sum(col("__cov")).as("__c"))
@@ -783,6 +796,52 @@ object Dedup {
         coalesce(col("__c"), lit(0L)).cast("bigint").as("dup_chars"),
         TextAnalysis.q4(coalesce(col("__c"), lit(0L)).cast("double") /
           greatest(col("__len"), lit(1))).as("dup_frac"))
+  }
+
+  /** Variable-length MAXIMAL duplicate spans — the span-extent
+    * deepening of [[dupSpanStats]] (which reports only per-doc
+    * coverage totals), closing the remaining gap to Lee et al. 2022's
+    * exact-substring semantics: adjacent/overlapping duplicated-gram
+    * intervals [pos, pos+k) merge into maximal covered runs, each
+    * reported with its extent. A duplicated substring of length
+    * L ≥ k yields L−k+1 overlapping grams → exactly one span of
+    * length L; disjoint duplicated regions yield one span each.
+    *
+    * Merge rule (half-open intervals): a gram starts a NEW span iff
+    * its pos exceeds the running max end of all earlier grams in the
+    * doc — pos == prevEnd is contiguous characters and merges, the
+    * maximal-run semantics. With fixed-k grams ends are monotone in
+    * pos, but the running-max form stays correct for any interval mix.
+    *
+    * Plan: same gram explode + distinct-doc semi-join as
+    * [[dupSpanStats]], then TWO window passes over the same per-doc
+    * partition (new-span flag via running max-end, span index via
+    * running sum) and a partial-agg'd groupBy per (doc, span) —
+    * bounded by document length, no per-character explode, no
+    * self-join. Output: (idCol, span_idx, span_start, span_end
+    * [inclusive], span_len, n_grams) — one row per maximal span.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      gramChars: Int, hashGrams: Boolean = false): DataFrame = {
+    require(gramChars >= 2, "gramChars must be ≥ 2")
+    val k = gramChars
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isNew = when(col("__pos") >
+      coalesce(max(col("__pos") + k).over(wPrev), lit(0)), 1L)
+      .otherwise(0L)
+    dupGramPositions(df, idCol, textCol, k, hashGrams)
+      .withColumn("__new", isNew)
+      .withColumn("span_idx", sum(col("__new")).over(wRun))
+      .groupBy(col(idCol), col("span_idx"))
+      .agg(
+        min(col("__pos")).cast("bigint").as("span_start"),
+        (max(col("__pos") + k) - 1).cast("bigint").as("span_end"),
+        (max(col("__pos") + k) - min(col("__pos")))
+          .cast("bigint").as("span_len"),
+        count(lit(1)).as("n_grams"))
   }
 
   /** Canonical-document selection: given near-dup cluster labels

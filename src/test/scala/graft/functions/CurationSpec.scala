@@ -247,6 +247,56 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(hashed === out)
   }
 
+  test("dupSpans: maximal merged extents — overlap, touch, disjoint, none") {
+    import spark.implicits._
+    // k=4. doc1/doc2 share "ABCDEFGH" (overlapping grams → ONE span)
+    // and doc1 repeats "ABCD" later (disjoint second span). doc5/doc6
+    // share "KLMN" and "OPQR", which in doc5 sit EXACTLY adjacent —
+    // intervals [1,5) and [5,9) touch and must merge into one maximal
+    // run. doc3 self-repeats only (no cross-doc grams → no rows).
+    val docs = Seq(
+      (1L, "xxABCDEFGHyyABCDzz"),
+      (2L, "ABCDEFGHzzzz"),
+      (3L, "ppppQQQQppppQQQQ"),
+      (5L, "KLMNOPQR"),
+      (6L, "KLMNzzOPQR")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", gramChars = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // doc1: 5 overlapping grams at pos 3..7 → one span [3,10]; the
+    // repeated ABCD at pos 13 → disjoint span [13,16]
+    assert(spans((1L, 1L)) === ((3L, 10L, 8L, 5L)))
+    assert(spans((1L, 2L)) === ((13L, 16L, 4L, 1L)))
+    // doc2: one span [1,8]
+    assert(spans((2L, 1L)) === ((1L, 8L, 8L, 5L)))
+    // doc5: KLMN at [1,5) and OPQR at [5,9) TOUCH → merged [1,8]
+    assert(spans((5L, 1L)) === ((1L, 8L, 8L, 2L)))
+    // doc6: KLMN span [1,4], OPQR span [7,10] — separated, two spans
+    assert(spans((6L, 1L)) === ((1L, 4L, 4L, 1L)))
+    assert(spans((6L, 2L)) === ((7L, 10L, 4L, 1L)))
+    // doc3: self-repeats are not cross-doc dups → no span rows
+    assert(!spans.keySet.exists(_._1 == 3L))
+    // coverage invariant: per-doc sum of span_len equals dupSpanStats'
+    // interval-union dup_chars (the two operators share semantics)
+    val fromSpans = spans.toSeq.groupBy(_._1._1)
+      .map { case (d, ss) => d -> ss.map(_._2._3).sum }
+    val cov = Dedup.dupSpanStats(docs, "doc_id", "text", gramChars = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { d =>
+      assert(cov(d) === fromSpans.getOrElse(d, 0L), s"doc $d")
+    }
+    // hashGrams variant is identical
+    val hashed = Dedup.dupSpans(docs, "doc_id", "text", 4,
+      hashGrams = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(hashed === spans)
+  }
+
   test("keepBestPerCluster: quality argmax, id tiebreak, singletons") {
     import spark.implicits._
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), // cluster 1: tie 2 vs 3
