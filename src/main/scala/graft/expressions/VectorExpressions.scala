@@ -872,6 +872,20 @@ case class NearestCellTree(child: Expression,
     new ThreadLocal[Array[Double]] {
       override def initialValue() = new Array[Double](dims)
     }
+  // per-thread beam-selection scratch: (scores, ords, nodes, frontier).
+  // Sized by the TRUE candidate bound min(beam, node count) — the
+  // exactness contract passes beam = huge to force a full scan, and a
+  // beam-sized array would be a multi-GB allocation there.
+  @transient private lazy val effBeam: Int =
+    math.min(beam.toLong, root.countNodes.toLong).toInt
+  @transient private lazy val scratchBeam =
+    new ThreadLocal[(Array[Double], Array[Int],
+        Array[CentroidTreeNode], Array[CentroidTreeNode])] {
+      override def initialValue() =
+        (new Array[Double](effBeam), new Array[Int](effBeam),
+          new Array[CentroidTreeNode](effBeam),
+          new Array[CentroidTreeNode](effBeam))
+    }
 
   def assign(v: Any): Int = {
     val vec = v.asInstanceOf[ArrayData]
@@ -908,26 +922,55 @@ case class NearestCellTree(child: Expression,
         m += 1
       }
     }
-    var frontier: List[CentroidTreeNode] =
-      if (root.isLeaf) { scanLeaf(root); Nil } else List(root)
-    while (frontier.nonEmpty) {
-      // expand every frontier inner: children scored by rep
-      val cands = scala.collection.mutable.ArrayBuffer
-        .empty[(Double, Int, CentroidTreeNode)]
-      frontier.foreach { node =>
+    // beam selection via insertion into fixed scratch arrays — the
+    // first version built an ArrayBuffer of boxed (Double, Int, node)
+    // tuples and sortBy'd it PER LEVEL PER ROW; that allocation churn
+    // was the whole constant-factor gap to two-level in the ScaleSmoke
+    // `trees` sweep (the asymptotic win was invisible under it).
+    // Ordering is identical: ascending (Double.compare(score), ord) —
+    // the total order sortBy used (ords are unique, so no further tie).
+    val (ks, ko, kn, fr) = scratchBeam.get()
+    var frLen = 0
+    if (root.isLeaf) scanLeaf(root) else { fr(0) = root; frLen = 1 }
+    while (frLen > 0) {
+      var nKept = 0
+      var fi = 0
+      while (fi < frLen) {
+        val node = fr(fi)
         var g = 0
         while (g < node.children.length) {
-          cands += ((repScore(node, g), node.children(g).ord,
-            node.children(g)))
+          val s = repScore(node, g)
+          val o = node.children(g).ord
+          val full = nKept == effBeam
+          val cmpLast = if (nKept == 0) -1
+            else {
+              val c = java.lang.Double.compare(s, ks(nKept - 1))
+              if (c != 0) c else Integer.compare(o, ko(nKept - 1))
+            }
+          if (!full || cmpLast < 0) {
+            var pos = if (full) effBeam - 1 else nKept
+            while (pos > 0 && {
+              val c = java.lang.Double.compare(ks(pos - 1), s)
+              c > 0 || (c == 0 && ko(pos - 1) > o)
+            }) {
+              ks(pos) = ks(pos - 1); ko(pos) = ko(pos - 1)
+              kn(pos) = kn(pos - 1)
+              pos -= 1
+            }
+            ks(pos) = s; ko(pos) = o; kn(pos) = node.children(g)
+            if (!full) nKept += 1
+          }
           g += 1
         }
+        fi += 1
       }
-      val kept = cands.sortBy(t => (t._1, t._2)).take(beam)
-      val next = scala.collection.mutable.ListBuffer.empty[CentroidTreeNode]
-      kept.foreach { case (_, _, n) =>
-        if (n.isLeaf) scanLeaf(n) else next += n
+      frLen = 0
+      var ki = 0
+      while (ki < nKept) {
+        val n = kn(ki)
+        if (n.isLeaf) scanLeaf(n) else { fr(frLen) = n; frLen += 1 }
+        ki += 1
       }
-      frontier = next.toList
     }
     bestCell
   }

@@ -633,10 +633,13 @@ object Similarity {
     *    index-build floor.
     *
     * Honest asymptotics under nlist ∝ n: sampled two-level training
-    * costs O(nlist^1.5·dims) total — the two-level bound (a log-depth
-    * centroid tree would reach O(nlist·log nlist); not built, no
-    * gate needs it yet). The sweep in ScaleSmoke prints both paths so
-    * the flat-vs-two-level gap is measured, not asserted.
+    * costs O(nlist^1.5·dims) total — the two-level bound. The
+    * log-depth end of the progression, O(nlist·log nlist), ships as
+    * [[ivfTrainTree]] (gate `sim_ivf_tree`). The ScaleSmoke training
+    * sweep prints flat/two-level/tree side by side, and its `trees`
+    * mode measures the two-level-vs-tree separation at
+    * nlist ≥ 4096, so the whole progression is measured, not
+    * asserted.
     *
     * Init: `"sample"` = [[ivfCentroids]] with `oversample` (the
     * [[ivfTrain]] default geometry); `"kmeanspar"` = deterministic

@@ -57,8 +57,103 @@ object ScaleSmoke {
                .cast("double") - 500.0) / 500.0))).as("embedding"))
     }.reduce(_ union _)
 
+  /** Big-corpus generator for the `trees` mode: one explode instead
+    * of a factor-way union (a 263-way union's analyzed plan is its
+    * own bottleneck). Same per-(vec, dim, copy) xxhash noise as
+    * [[embAt]]; copy 0 keeps the original vectors.
+    */
+  private def embExploded(base: DataFrame, factor: Int): DataFrame =
+    base.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(factor - 1L))).as("__c"))
+      .select((col("vec_id") + col("__c") * 1000000L).as("vec_id"),
+        when(col("__c") === 0,
+          transform(col("embedding"), x => x.cast("double")))
+        .otherwise(transform(col("embedding"), (x, i) =>
+          x.cast("double") + lit(0.8) *
+            ((pmod(xxhash64(col("vec_id"), i, col("__c")), lit(1001L))
+              .cast("double") - 500.0) / 500.0))).as("embedding"))
+
+  /** `trees` mode: the two-level-vs-tree separation at production
+    * nlist (the r8 verdict's "prove it at nlist ≥ 4096"). Two
+    * measurements per nlist:
+    *
+    *  - END-TO-END sampled training (FAISS 32 points/centroid,
+    *    iters = 2). Expect NEAR-PARITY here and that is the honest
+    *    reading: both paths share the identical O(sample·dims)
+    *    mean-rebuild hash aggregate per sweep, and at dims = 64 that
+    *    shared linear term dominates — the asymptotic assignment gap
+    *    is real but drowned (recorded as such; the first sweep at
+    *    nlist ≤ 2048 read the same).
+    *  - The ASSIGNMENT PASS in isolation over the full corpus with
+    *    the SAME trained quantizer — the step where the asymptotics
+    *    actually differ: two-level scores √nlist supers + wprobe
+    *    groups' members per row (O(√nlist·dims)); the tree walks
+    *    beam·fanout·depth reps + beam leaves (O(log nlist·dims)).
+    *    This column is where the tree must visibly pull ahead and
+    *    where the O(n·√nlist) vs O(n·log nlist) index-build floor
+    *    lives at 100 TB (assignment runs over the CORPUS, training
+    *    only over the bounded sample).
+    *
+    * Flat Lloyd is omitted: O(nlist²) on the same sample is minutes
+    * at 4096; its separation is measured in the main training block.
+    */
+  private def treeSweep(spark: SparkSession, emb0: DataFrame,
+      nlists: Seq[Int]): Unit = {
+    // JIT/codegen warmup outside the table: both trainers once at a
+    // small nlist, so the first sweep row isn't inflated by first-run
+    // compilation (measured ~4 s of warmup on row 1 otherwise)
+    Similarity.ivfTrainTwoLevel(emb0, "vec_id", "embedding", 64,
+      iters = 1, oversample = 1, wprobe = 2, sampleSize = 1024)
+    Similarity.ivfTrainTree(emb0, "vec_id", "embedding", 64,
+      iters = 1, oversample = 1, fanout = 8, beam = 3, sampleSize = 1024)
+    println(f"${"nlist"}%-7s ${"sample"}%-8s ${"corpus"}%-8s ${"trn2Lvl"}%-9s ${"trnTree"}%-9s ${"asg2Lvl"}%-9s ${"asgTree"}%-9s ${"asgRatio"}%-8s")
+    nlists.foreach { nlist =>
+      val sample = 32 * nlist
+      val f = math.max(1, (sample + 1999) / 2000)
+      val emb = embExploded(emb0, f).cache()
+      val ne = emb.count()
+      val ((cents2, _), tTwo) = timed(Similarity.ivfTrainTwoLevel(
+        emb, "vec_id", "embedding", nlist, iters = 2, oversample = 1,
+        wprobe = 2, sampleSize = sample))
+      val ((cents3, _), tTree) = timed(Similarity.ivfTrainTree(
+        emb, "vec_id", "embedding", nlist, iters = 2, oversample = 1,
+        fanout = 8, beam = 3, sampleSize = sample))
+      // assignment isolation: SAME quantizer (cents2) through both
+      // assignment kernels over the full corpus — asgRatio is the
+      // measured √nlist / log nlist separation
+      val ngroups = math.max(1, math.sqrt(nlist.toDouble).round.toInt)
+      val (supers, members) = Similarity.ivfGroups(cents2, ngroups)
+      val tree = Similarity.ivfTree(cents2, fanout = 8)
+      val (_, tAsg2) = timed(Similarity.ivfAssignmentsTwoLevel(
+        emb, "vec_id", "embedding", cents2, supers, members, wprobe = 2)
+        .agg(sum(col("cell"))).collect())
+      val (_, tAsgT) = timed(Similarity.ivfAssignmentsTree(
+        emb, "vec_id", "embedding", cents2, tree, beam = 3)
+        .agg(sum(col("cell"))).collect())
+      println(f"$nlist%-7d $sample%-8d $ne%-8d $tTwo%-9.2f $tTree%-9.2f $tAsg2%-9.2f $tAsgT%-9.2f ${tAsg2 / tAsgT}%-8.2f" +
+        s"  (cells: ${cents2.length}/${cents3.length})")
+      emb.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "trees") {
+      val nlists = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+                   else Seq(4096, 8192, 16384)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val e0 = sp.read.parquet(s"$sfDir/embeddings.parquet")
+      e0.count()
+      treeSweep(sp, e0, nlists)
+      sp.stop()
+      return
+    }
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
                   else Seq(1, 2, 4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
