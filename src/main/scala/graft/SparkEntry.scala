@@ -2362,6 +2362,17 @@ object SparkEntry {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", nMerges = 8)
         .orderBy(col("rank"))),
 
+    "txt_bpe_local" -> ((s, dir) =>
+      // the DRIVER-SIDE trainer (the 32k-vocab scale path: one
+      // distributed word count, then incremental merges over the
+      // MB-sized vocab — ~0.4 ms/merge vs the per-round-distributed
+      // loop's ~0.1 s/merge scheduling floor, ScaleSmoke `bpe` mode)
+      // under the same 8-round oracle as txt_bpe_merges: the two
+      // trainers are parity-pinned
+      TextAnalysis.bpeTrainLocal(t(s, dir, "documents"), "text",
+          nMerges = 8)
+        .orderBy(col("rank"))),
+
     "txt_repetition" -> ((s, dir) =>
       graft.functions.Curation.repetitionStats(
         t(s, dir, "documents"), "doc_id", "text")
@@ -3395,6 +3406,71 @@ object SparkEntry {
       |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
       |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
       |  FROM dscored) WHERE rank <= 20)""".stripMargin
+
+  /** Shared by txt_bpe_merges and its driver-side twin
+    * txt_bpe_local (bpeTrainLocal is parity-pinned to bpeTrain,
+    * so the 8-round unroll gates both).
+    */
+  private val bpeMergesOracle: String = {
+      // 8 unrolled BPE rounds; each round: pair stats (x/p), argmax
+      // with the same (count desc, pair asc) tie rule as the
+      // operator (m), greedy-match selection via the run-parity rule
+      // (st/g/c — within a run of consecutive match starts, every
+      // other start from the first; exactly BpeMergePair's
+      // left-to-right scan), drop the consumed b's (d), reassemble (v)
+      val rounds = (1 to 8).map { k =>
+        val prev = k - 1
+        s"""e$k AS (
+           |  SELECT w, f, generate_subscripts(s, 1) AS pos, unnest(s) AS sym
+           |  FROM v$prev),
+           |x$k AS (
+           |  SELECT w, f, pos, sym,
+           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           |  FROM e$k),
+           |p$k AS (
+           |  SELECT sym || ' ' || nxt AS pr, CAST(SUM(f) AS BIGINT) AS n
+           |  FROM x$k WHERE nxt IS NOT NULL GROUP BY 1),
+           |m$k AS (
+           |  SELECT string_split(pr, ' ')[1] AS a,
+           |    string_split(pr, ' ')[2] AS b, n
+           |  FROM p$k ORDER BY n DESC, pr ASC LIMIT 1),
+           |st$k AS (
+           |  SELECT x.w, x.f, x.pos, x.sym, x.nxt,
+           |    CASE WHEN x.sym = m.a AND x.nxt = m.b THEN 1 ELSE 0 END AS st
+           |  FROM x$k x, m$k m),
+           |g$k AS (
+           |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, st
+           |    ORDER BY pos) AS grp
+           |  FROM st$k),
+           |c$k AS (
+           |  SELECT *, CASE WHEN st = 1 AND
+           |      (pos - MIN(pos) OVER (PARTITION BY w, grp, st)) % 2 = 0
+           |    THEN 1 ELSE 0 END AS chosen
+           |  FROM g$k),
+           |d$k AS (
+           |  SELECT *, COALESCE(LAG(chosen) OVER (PARTITION BY w
+           |    ORDER BY pos), 0) AS dropme
+           |  FROM c$k),
+           |v$k AS (
+           |  SELECT w, f, list(CASE WHEN chosen = 1 THEN sym || nxt
+           |    ELSE sym END ORDER BY pos) AS s
+           |  FROM d$k WHERE dropme = 0 GROUP BY w, f)""".stripMargin
+      }.mkString(",\n")
+      val finalSel = (1 to 8).map(k =>
+        s"SELECT $k AS rank, a AS sym_a, b AS sym_b, n FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |    FROM documents) GROUP BY w),
+         |v0 AS (
+         |  SELECT w, f, list_transform(range(1, len(w) + 1),
+         |    i -> w[CAST(i AS INT)]) AS s
+         |  FROM words),
+         |$rounds
+         |$finalSel
+         |ORDER BY rank""".stripMargin
+    }
 
   /** Shared by events_funnel and its order-contracted streaming twin
     * stream_funnel (time-contiguous slices satisfy the in-order
@@ -6459,66 +6535,8 @@ object SparkEntry {
         |  string_split(pr, ' ')[2] AS sym_b, n
         |FROM p0 ORDER BY n DESC, pr ASC LIMIT 20""".stripMargin,
 
-    "txt_bpe_merges" -> {
-      // 8 unrolled BPE rounds; each round: pair stats (x/p), argmax
-      // with the same (count desc, pair asc) tie rule as the
-      // operator (m), greedy-match selection via the run-parity rule
-      // (st/g/c — within a run of consecutive match starts, every
-      // other start from the first; exactly BpeMergePair's
-      // left-to-right scan), drop the consumed b's (d), reassemble (v)
-      val rounds = (1 to 8).map { k =>
-        val prev = k - 1
-        s"""e$k AS (
-           |  SELECT w, f, generate_subscripts(s, 1) AS pos, unnest(s) AS sym
-           |  FROM v$prev),
-           |x$k AS (
-           |  SELECT w, f, pos, sym,
-           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-           |  FROM e$k),
-           |p$k AS (
-           |  SELECT sym || ' ' || nxt AS pr, CAST(SUM(f) AS BIGINT) AS n
-           |  FROM x$k WHERE nxt IS NOT NULL GROUP BY 1),
-           |m$k AS (
-           |  SELECT string_split(pr, ' ')[1] AS a,
-           |    string_split(pr, ' ')[2] AS b, n
-           |  FROM p$k ORDER BY n DESC, pr ASC LIMIT 1),
-           |st$k AS (
-           |  SELECT x.w, x.f, x.pos, x.sym, x.nxt,
-           |    CASE WHEN x.sym = m.a AND x.nxt = m.b THEN 1 ELSE 0 END AS st
-           |  FROM x$k x, m$k m),
-           |g$k AS (
-           |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, st
-           |    ORDER BY pos) AS grp
-           |  FROM st$k),
-           |c$k AS (
-           |  SELECT *, CASE WHEN st = 1 AND
-           |      (pos - MIN(pos) OVER (PARTITION BY w, grp, st)) % 2 = 0
-           |    THEN 1 ELSE 0 END AS chosen
-           |  FROM g$k),
-           |d$k AS (
-           |  SELECT *, COALESCE(LAG(chosen) OVER (PARTITION BY w
-           |    ORDER BY pos), 0) AS dropme
-           |  FROM c$k),
-           |v$k AS (
-           |  SELECT w, f, list(CASE WHEN chosen = 1 THEN sym || nxt
-           |    ELSE sym END ORDER BY pos) AS s
-           |  FROM d$k WHERE dropme = 0 GROUP BY w, f)""".stripMargin
-      }.mkString(",\n")
-      val finalSel = (1 to 8).map(k =>
-        s"SELECT $k AS rank, a AS sym_a, b AS sym_b, n FROM m$k")
-        .mkString("\nUNION ALL ")
-      s"""WITH words AS (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
-         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |    FROM documents) GROUP BY w),
-         |v0 AS (
-         |  SELECT w, f, list_transform(range(1, len(w) + 1),
-         |    i -> w[CAST(i AS INT)]) AS s
-         |  FROM words),
-         |$rounds
-         |$finalSel
-         |ORDER BY rank""".stripMargin
-    },
+    "txt_bpe_merges" -> bpeMergesOracle,
+    "txt_bpe_local" -> bpeMergesOracle,
 
     "txt_top_tokens" ->
       """SELECT token, cnt FROM (

@@ -136,8 +136,60 @@ object ScaleSmoke {
     }
   }
 
+  /** `bpe` mode: the distributed per-round trainer vs the driver-side
+    * trainer at realistic merge counts. bpeTrain pays ~2 Spark jobs
+    * per merge — a scheduling floor (~0.1 s/merge) that is the WHOLE
+    * cost at 1k+ merges and makes 32k vocabularies impractical in the
+    * per-round-distributed shape; bpeTrainLocal pays ONE distributed
+    * word count and then trains on the MB-sized vocab table at
+    * ~µs/merge (parity-spec'd identical merge tables). Printed: both
+    * trainers at 64 merges (overlap-comparable), local at 1024 and
+    * 4096 (where the distributed loop would take minutes), with
+    * per-merge costs.
+    */
+  private def bpeSweep(spark: SparkSession, docs0: DataFrame): Unit = {
+    import graft.functions.TextAnalysis
+    // the synthetic corpus has only ~31 distinct [a-z]+ words — BPE
+    // exhausts in ~90 merges. Manufacture vocabulary docsAt-style but
+    // with LETTER suffixes (docsAt's ~N suffix is invisible to the
+    // [a-z]+ word regex): 32 copies × distinct letter tails ≈ 1k
+    // distinct words ≈ 7k possible merges — room for the 4096 run.
+    val docs = (0 until 32).map { c =>
+      val suffix = ("" + ('a' + c % 26).toChar) * (1 + c / 26)
+      val base = docs0.select(
+        (col("doc_id") + lit(c * 1000000L)).as("doc_id"), col("text"))
+      if (c == 0) base
+      else base.withColumn("text", concat_ws(" ",
+        transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(suffix)))))
+    }.reduce(_ unionByName _).cache()
+    docs.count()
+    println(f"${"trainer"}%-12s ${"merges"}%-7s ${"total_s"}%-9s ${"s/merge"}%-9s")
+    Seq(8, 64).foreach { m =>
+      val (_, t) = timed(TextAnalysis.bpeTrain(docs, "text", m).count())
+      println(f"${"distributed"}%-12s $m%-7d $t%-9.2f ${t / m}%-9.3f")
+    }
+    Seq(64, 1024, 4096).foreach { m =>
+      val (n, t) = timed(TextAnalysis.bpeTrainLocal(docs, "text", m).count())
+      println(f"${"local"}%-12s $m%-7d $t%-9.2f ${t / m}%-9.4f  (emitted $n)")
+    }
+    docs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "bpe") {
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      bpeSweep(sp, sp.read.parquet(s"$sfDir/documents.parquet"))
+      sp.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "trees") {
       val nlists = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
                    else Seq(4096, 8192, 16384)

@@ -2133,6 +2133,39 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(again.toSeq === merges.toSeq)
   }
 
+  test("bpeTrainLocal: merge table identical to distributed bpeTrain") {
+    import spark.implicits._
+    // richer corpus than the paper fixture: repeated vocabulary with
+    // overlapping stems so merges cascade (merged symbols re-pair),
+    // exercising the incremental delta updates; 20 rounds runs the
+    // loop well past the hand-checkable prefix
+    val ws = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("lowest") ++ Seq.fill(7)("newer") ++
+      Seq.fill(2)("wide") ++ Seq.fill(9)("news") ++ Seq("q")
+    val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    def tab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    val dist = tab(graft.functions.TextAnalysis.bpeTrain(docs, "text", 20))
+    val local = tab(graft.functions.TextAnalysis.bpeTrainLocal(
+      docs, "text", 20))
+    assert(local === dist)
+    // both exhaust identically when every word is one symbol
+    val tiny = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val dTiny = tab(graft.functions.TextAnalysis.bpeTrain(tiny, "text", 10))
+    val lTiny = tab(graft.functions.TextAnalysis.bpeTrainLocal(
+      tiny, "text", 10))
+    assert(lTiny === dTiny)
+    assert(lTiny.length < 10) // stopped at exhaustion, not the cap
+    // the vocab guard dies loudly instead of collecting unbounded
+    intercept[IllegalArgumentException] {
+      graft.functions.TextAnalysis.bpeTrainLocal(docs, "text", 2,
+        maxVocab = 3)
+    }
+  }
+
   test("semanticDedup catches paraphrase twins MinHash cannot see; " +
       "pair search stays a cell equi-join") {
     import spark.implicits._
