@@ -2037,6 +2037,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "mm_frame_sample_avi" -> ((s, dir) => {
+      // the REAL-container twin of mm_frame_sample: the same md5
+      // frames JPEG-encoded into a spec-valid MJPEG AVI, strided
+      // decode through the RIFF walk + the JDK's own JPEG codec. The
+      // oracle replays the STRUCTURAL contract (frame counts, sampled
+      // indices, every decode succeeding) — JPEG pixel decode is
+      // codec-defined, not engine-portable, so the aHash values stay
+      // under the spec's self-parity check instead (FunctionsSpec
+      // "MJPEG-in-AVI").
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(col("doc_id"))
+      val vids = graft.functions.Multimodal
+        .withSyntheticMjpegAvi(docs, "doc_id")
+      graft.functions.Multimodal
+        .aviFrameSampleAHash(vids, "payload", every = 3)
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("frame_ok"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // ---------------- extension operators: corpus curation ------------
     "curate_split_train_test" -> ((s, dir) =>
       // deterministic md5-bucket split: stable under corpus growth,
@@ -5502,6 +5522,21 @@ object SparkEntry {
     "mm_byte_features" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS media_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample_avi" ->
+      // structural replay of the MJPEG-AVI strided decode: frame
+      // count 6 + id mod 5, sampled indices ≡ 0 (mod 3), every frame
+      // decoding OK (pixel hashes are JPEG-codec-defined — spec-gated)
+      """WITH d AS (
+        |  SELECT doc_id, CAST(6 + doc_id % 5 AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_frames,
+        |    CAST(unnest(range(n_frames)) AS INT) AS frame_idx
+        |  FROM d)
+        |SELECT doc_id, frame_idx, n_frames, TRUE AS frame_ok
+        |FROM f WHERE frame_idx % 3 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_frame_sample" ->
       // replay of the container fixture + sampling + per-frame aHash:

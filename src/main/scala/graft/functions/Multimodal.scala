@@ -980,4 +980,231 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ---------------------------------------------------------------
+  // REAL video container: MJPEG-in-AVI, pure JVM. The GVID fixture
+  // above exercises the seek/stride seam with a synthetic index;
+  // this is the same seam bound to an actual interchange format —
+  // RIFF/AVI structure (the container every MJPEG camera and player
+  // speaks) with one baseline-JPEG frame per '00dc' chunk, decoded
+  // by the JDK's own ImageIO JPEG codec. No JNI, zero egress.
+  // JPEG is LOSSY and its decode is codec-implementation-defined, so
+  // this path is spec-gated (determinism, stride, error channel,
+  // self-parity against direct ImageIO decode of the same bytes) but
+  // deliberately NOT DuckDB-oracle-gated — decoded pixels are not
+  // engine-portable, which is a property of JPEG, not of the seam.
+  // ---------------------------------------------------------------
+
+  private def le32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Minimal spec-valid MJPEG AVI: RIFF('AVI ') → LIST hdrl (avih +
+    * LIST strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) →
+    * LIST movi ('00dc' JPEG chunks, word-aligned) → idx1. Frame
+    * rate 10 fps nominal; all sizes little-endian per RIFF.
+    */
+  private[graft] def encodeMjpegAvi(frames: Seq[Array[Byte]],
+      width: Int, height: Int): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2 // RIFF chunks are word-aligned
+      fourcc(id) ++ le32(body.length) ++ body ++ Array.fill[Byte](pad)(0)
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ le32(4 + body.length) ++ fourcc(kind) ++ body
+    val maxLen = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = le32(100000) ++ le32(0) ++ le32(0) ++
+      le32(0x10) ++ // AVIF_HASINDEX
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxLen) ++
+      le32(width) ++ le32(height) ++ Array.fill(4)(le32(0)).flatten
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++
+      le32(frames.length) ++ le32(maxLen) ++ le32(-1) ++ le32(0) ++
+      // rcFrame: left, top, right, bottom as int16
+      Array[Byte](0, 0, 0, 0) ++
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(width.toShort).putShort(height.toShort).array()
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(1).putShort(24).array() ++
+      fourcc("MJPG") ++ le32(width * height * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl",
+        chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviChunks = frames.map(f => chunk("00dc", f))
+    val movi = list("movi", moviChunks.flatten.toArray)
+    // idx1 offsets are relative to the 'movi' fourcc position
+    var off = 4
+    val idxEntries = moviChunks.zip(frames).map { case (c, f) =>
+      val e = fourcc("00dc") ++ le32(0x10) ++ le32(off) ++
+        le32(f.length)
+      off += c.length
+      e
+    }
+    val idx1 = chunk("idx1", idxEntries.flatten.toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** [[withSyntheticVideo]]'s REAL-FORMAT twin: the same md5-seeded
+    * 8×8 gray frames (`6 + id mod 5` of them), JPEG-encoded by
+    * ImageIO and wrapped in a spec-valid MJPEG AVI container.
+    */
+  def withSyntheticMjpegAvi(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val id = row.getLong(idIdx)
+        val nFrames = (6 + math.floorMod(id, 5L)).toInt
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              img.getRaster.setSample(x, y, 0,
+                mdPixel(md, id * 100L + f, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        Row.fromSeq(row.toSeq :+ encodeMjpegAvi(frames, 8, 8))
+      }
+    }(enc)
+  }
+
+  /** [[frameSampleAHash]] over REAL MJPEG AVI payloads: walk the RIFF
+    * structure to the 'movi' list, scan its chunk headers (a skipped
+    * frame costs an 8-byte header read + seek, never a decode),
+    * JPEG-decode only frames `0, every, 2·every, …` with one shared
+    * ImageIO reader per partition, aHash each. Same output schema and
+    * per-frame error channel as the GVID reader — the downstream
+    * Hamming dedup cannot tell the containers apart, which is the
+    * seam contract.
+    */
+  def aviFrameSampleAHash(df: DataFrame, binCol: String,
+      every: Int): DataFrame = {
+    require(every >= 1, "frame stride must be >= 1")
+    val binIdx = df.schema.fieldIndex(binCol)
+    val keptIdx = df.schema.fields.indices.filter(_ != binIdx)
+    val schema = StructType(keptIdx.map(df.schema.fields) ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("ahash", LongType),
+      StructField("frame_ok", BooleanType),
+      StructField("frame_error", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val jpgReader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("jpeg").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => jpgReader.dispose()))
+      def decodeAHash(bytes: Array[Byte], off: Int, len: Int): Long = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes, off, len))
+        try {
+          jpgReader.setInput(iis, true, true)
+          ahash64Of(jpgReader.read(0))
+        } finally iis.close()
+      }
+      def le(bytes: Array[Byte], off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      def cc(bytes: Array[Byte], off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      rows.flatMap { row =>
+        val bytes = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        val base = keptIdx.map(row.get)
+        def badContainer(msg: String) =
+          Iterator.single(Row.fromSeq(
+            base ++ Seq(null, null, null, false, msg)))
+        if (bytes == null || bytes.length < 12 ||
+            cc(bytes, 0) != "RIFF" || cc(bytes, 8) != "AVI ")
+          badContainer("not a RIFF/AVI container")
+        else {
+          // walk top-level chunks for LIST movi
+          var off = 12
+          var moviStart = -1
+          var moviEnd = -1
+          var corrupt: String = null
+          while (moviStart < 0 && corrupt == null) {
+            if (off + 8 > bytes.length) corrupt = "no movi list"
+            else {
+              val id = cc(bytes, off)
+              val sz = le(bytes, off + 4)
+              if (sz < 0 || sz > bytes.length - off - 8)
+                corrupt = s"corrupt chunk size at $off"
+              else if (id == "LIST" && sz >= 4 &&
+                  cc(bytes, off + 8) == "movi") {
+                moviStart = off + 12
+                moviEnd = off + 8 + sz
+              } else off += 8 + sz + (sz % 2)
+            }
+          }
+          if (corrupt != null) badContainer(corrupt)
+          else {
+            // header scan: offsets/lengths of the video chunks only
+            val idx = Seq.newBuilder[(Int, Int)]
+            var p = moviStart
+            while (corrupt == null && p + 8 <= moviEnd) {
+              val id = cc(bytes, p)
+              val sz = le(bytes, p + 4)
+              if (sz < 0 || sz > moviEnd - p - 8)
+                corrupt = s"corrupt frame chunk at $p"
+              else {
+                if (id.endsWith("dc") || id.endsWith("db"))
+                  idx += ((p + 8, sz))
+                p += 8 + sz + (sz % 2)
+              }
+            }
+            val frames = idx.result()
+            val nFrames = frames.length
+            val out = Seq.newBuilder[Row]
+            var f = 0
+            while (f < nFrames) {
+              if (f % every == 0) {
+                val (fo, fl) = frames(f)
+                val cell =
+                  try Right(decodeAHash(bytes, fo, fl))
+                  catch {
+                    case e: Exception => Left(Option(e.getMessage)
+                      .getOrElse(e.getClass.getName))
+                  }
+                out += Row.fromSeq(base ++ (cell match {
+                  case Right(h) => Seq(f, nFrames, h, true, null)
+                  case Left(m) => Seq(f, nFrames, null, false, m)
+                }))
+              }
+              f += 1
+            }
+            if (corrupt != null)
+              out += Row.fromSeq(base ++
+                Seq(nFrames, nFrames, null, false, corrupt))
+            out.result().iterator
+          }
+        }
+      }
+    }(enc)
+  }
 }

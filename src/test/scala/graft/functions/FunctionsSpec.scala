@@ -2088,6 +2088,85 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       ev(1).getString(5).startsWith("truncated"))
   }
 
+  test("multimodal: MJPEG-in-AVI real-container path through the frame seam") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 9L).toDF("doc_id")
+    val vids = Multimodal.withSyntheticMjpegAvi(ids, "doc_id")
+    val sel = Seq("doc_id", "frame_idx", "n_frames", "ahash",
+      "frame_ok", "frame_error")
+    // every frame: counts follow 6 + id%5; all decodes succeed
+    val all = Multimodal.aviFrameSampleAHash(vids, "payload", every = 1)
+      .select(sel.head, sel.tail: _*).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    Seq(0L, 3L, 9L).foreach { id =>
+      val n = (6 + id % 5).toInt
+      val mine = all.keys.filter(_._1 == id)
+      assert(mine.size === n, s"id $id")
+      assert(mine.forall(k => all(k).getBoolean(4)))
+      assert((0 until n).forall(f => all((id, f)).getInt(2) === n))
+    }
+    // stride: only frames 0, 3, 6, ... decode; hashes equal stride-1's
+    val strided = Multimodal.aviFrameSampleAHash(vids, "payload",
+        every = 3)
+      .select(sel.head, sel.tail: _*).collect()
+    assert(strided.forall(r => r.getInt(1) % 3 === 0))
+    strided.foreach(r =>
+      assert(r.getLong(3) === all((r.getLong(0), r.getInt(1))).getLong(3)))
+    // deterministic across partitionings (same JDK JPEG codec)
+    val again = Multimodal.aviFrameSampleAHash(
+        vids.repartition(5), "payload", every = 1)
+      .select(sel.head, sel.tail: _*).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(again === all.map { case (k, r) => k -> r.getLong(3) })
+    // self-parity: re-encode the SAME md5 pixels with ImageIO and
+    // decode directly — the container path must hash identically
+    // (same codec, same bytes; the portable pixel formula is the
+    // GVID fixture's)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def px(seed: Long, x: Int, y: Int): Int = {
+      val hex = md.digest(s"px|$seed|$x|$y".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+    }
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, px(3L * 100L + 2L, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val direct = Multimodal.ahash64Of(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray)))
+    assert(all((3L, 2)).getLong(3) === direct)
+    // a corrupt frame yields ONE bad row, the rest decode; garbage
+    // payload yields one container-level error row
+    val payload = vids.filter(col("doc_id") === 0L)
+      .select("payload").head.getAs[Array[Byte]](0)
+    // find the second '00dc' chunk and wreck its JPEG body
+    def findDc(from: Int): Int = {
+      val i = payload.indexOfSlice("00dc".getBytes("US-ASCII"), from)
+      assert(i > 0); i
+    }
+    val dc2 = findDc(findDc(0) + 4)
+    val wrecked = payload.clone()
+    // kill the SOI marker (body starts at header+8) — mid-body
+    // corruption often still decodes (JPEG is resilient by design);
+    // a missing SOI is unambiguously not a JPEG
+    wrecked(dc2 + 8) = 0x00
+    wrecked(dc2 + 9) = 0x00
+    val w = Multimodal.aviFrameSampleAHash(
+        Seq((7L, wrecked)).toDF("doc_id", "payload"), "payload",
+        every = 1)
+      .select(sel.head, sel.tail: _*).collect().sortBy(_.getInt(1))
+    assert(w.count(!_.getBoolean(4)) === 1)
+    assert(!w(1).getBoolean(4)) // frame 1 is the wrecked one
+    assert(w.filter(_.getInt(1) != 1).forall(_.getBoolean(4)))
+    val bad = Multimodal.aviFrameSampleAHash(
+        Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"),
+        "payload", every = 1)
+      .select(sel.head, sel.tail: _*).collect()
+    assert(bad.length === 1 && !bad.head.getBoolean(4))
+  }
+
   test("BPE: greedy merge kernel + hand-computed training rounds") {
     import spark.implicits._
     // the kernel's left-to-right greedy on overlapping chains
