@@ -272,3 +272,62 @@ case class CharNgramsAll(child: Expression, n: Int)
   override protected def withNewChildInternal(
       newChild: Expression): CharNgramsAll = copy(child = newChild)
 }
+
+/** All k-char grams of the RAW text with their 1-based start
+  * positions — the duplicate-span stream (Dedup.dupSpanStats /
+  * dupSpans). Exactly the declarative
+  * `transform(sequence(1, length(text)−k+1), i → struct(i,
+  * substr(text, i, k)))` — but as one codegen'd pass: the declarative
+  * lambda runs substr per element on the interpreted Generate path
+  * (the PlanLint trap; measured 8 s of a 7-s-warm gate in the raw
+  * gram pipeline at sf0.1). Offsets are CODE POINTS (Spark's substr
+  * and length, DuckDB's substr — all agree), NO normalization: span
+  * extents index into the original text. Shorter-than-k text yields
+  * an empty array.
+  */
+case class CharGramsWithPos(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "k must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_grams_with_pos"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_grams_with_pos expects a string column, got ${child.dataType}")
+
+  def grams(text: UTF8String): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val count = cps.length - k + 1
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](i + 1,
+            UTF8String.fromString(new String(cps, i, k))))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charGramsWithPos", this,
+      classOf[CharGramsWithPos].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.grams($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGramsWithPos = copy(child = newChild)
+}

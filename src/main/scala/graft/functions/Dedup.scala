@@ -756,12 +756,15 @@ object Dedup {
     */
   private def dupGramPositions(df: DataFrame, idCol: String,
       textCol: String, k: Int, hashGrams: Boolean): DataFrame = {
+    // native gram kernel, not the declarative substr transform: the
+    // lambda runs interpreted under the Generate and re-substrs per
+    // element — the raw gram stream was 8 s of the sf0.1 span gate
+    // (kernel parity pinned by spec incl. code-point offsets)
     val grams = df.select(col(idCol), col(textCol))
       .filter(length(col(textCol)) >= k)
-      .select(col(idCol),
-        transform(sequence(lit(1), length(col(textCol)) - k + 1),
-          i => struct(i.as("pos"),
-            col(textCol).substr(i, lit(k)).as("gram"))).as("__gs"))
+      .select(col(idCol), exprCol(
+        graft.expressions.CharGramsWithPos(colExpr(col(textCol)), k))
+        .as("__gs"))
       .select(col(idCol), explode_outer(col("__gs")).as("__g"))
       .filter(col("__g").isNotNull)
       .select(col(idCol), col("__g.pos").as("__pos"),

@@ -297,6 +297,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(hashed === spans)
   }
 
+  test("CharGramsWithPos: bit-identical to the declarative substr transform") {
+    import spark.implicits._
+    // multi-byte code points (é = 2 bytes, 文 = 3, 𝄞 = surrogate
+    // pair) — offsets must count CODE POINTS like Spark's substr;
+    // plus shorter-than-k and empty strings
+    val texts = Seq("hello world", "caférätsel文字化け", "a𝄞b𝄞c𝄞d",
+      "ab", "", "   spaces  kept   raw ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val k = 3
+    val both = df.select(
+        org.apache.spark.sql.graftglue.Glue.column(
+          graft.expressions.CharGramsWithPos(
+            org.apache.spark.sql.graftglue.Glue.expression(col("text")),
+            k)).as("kern"),
+        when(length(col("text")) >= k,
+          transform(sequence(lit(1), length(col("text")) - k + 1),
+            i => struct(i.as("pos"),
+              col("text").substr(i, lit(k)).as("gram"))))
+          .otherwise(array()).as("decl"))
+      .collect()
+    both.foreach { r =>
+      val kern = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(g => (g.getInt(0), g.getString(1)))
+      val decl = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(g => (g.getInt(0), g.getString(1)))
+      assert(kern === decl)
+    }
+  }
+
   test("keepBestPerCluster: quality argmax, id tiebreak, singletons") {
     import spark.implicits._
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), // cluster 1: tie 2 vs 3
