@@ -1156,6 +1156,63 @@ object SparkEntry {
         .orderBy(col("cohort_period"), col("period_offset"))
     }),
 
+    "stream_transitions" -> ((s, dir) => {
+      // the keyed last-event-state transition twin under the batch
+      // oracle: time-contiguous slices give per-user (ts, event_id)
+      // arrival order globally (equal ts → same slice; within a batch
+      // the operator sorts by (ts, eid) itself), so the cumulative
+      // emitted pairs are exactly the batch lag-1 pairs; the matrix
+      // aggregation downstream is transitionMatrix's own.
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
+      val stream = streamPrefixBy(s, ev,
+        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
+          .cast("int"), 3)
+      // localCheckpoint: totals self-joins the delta-derived cells
+      // (the MemoryPlan conflicting-references trap, as in the cohort
+      // gate) and the matrix reads the STORED pair log by contract
+      val pairs = runToMemory(
+        graft.streaming.EventStream.streamingTransitions(
+          stream, "user_id", "event_type", "ts", "event_id"), "append")
+        .localCheckpoint()
+      val cells = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("__tot"))
+      cells.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (floor(col("n").cast("double") / col("__tot").cast("double")
+            * 10000) / 10000).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "stream_path_ngrams" -> ((s, dir) => {
+      // the bounded last-(n−1)-types keyed-state path twin under the
+      // batch top-paths oracle — same arrival-order argument as
+      // stream_transitions; the additive counter + TakeOrdered k is
+      // the documented downstream consumer
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
+      val stream = streamPrefixBy(s, ev,
+        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
+          .cast("int"), 3)
+      runToMemory(
+        graft.streaming.EventStream.streamingPathNgrams(
+          stream, "user_id", "event_type", "ts", "event_id", n = 3),
+        "append")
+        .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("path").asc)
+        .limit(10)
+    }),
+
     "dedup_script_routed" -> ((s, dir) => {
       // script-routed dedup composition: docs with doc_id % 100 ∈
       // {96, 97} are replaced by planted 30-char pure-CJK twins over a
@@ -3427,6 +3484,42 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
       |  FROM dscored) WHERE rank <= 20)""".stripMargin
 
+  /** Shared by events_top_paths and its keyed-state streaming twin
+    * stream_path_ngrams (additive path counter + TakeOrdered k).
+    */
+  private val topPathsOracle: String = """WITH p AS (
+        |  SELECT event_type AS t0,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
+        |    count(*) AS n_paths
+        |  FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT path, n_paths FROM c
+        |ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin
+
+  /** Shared by events_transitions and its keyed-state streaming twin
+    * stream_transitions (cumulative pairs + the same matrix agg).
+    */
+  private val transitionsOracle: String = """WITH p AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  floor(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 10000) / 10000
+        |    AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin
+
   /** Shared by txt_bpe_merges and its driver-side twin
     * txt_bpe_local (bpeTrainLocal is parity-pinned to bpeTrain,
     * so the 8-round unroll gates both).
@@ -3882,6 +3975,8 @@ object SparkEntry {
     // the batch computation (see the gate comments)
     "stream_funnel" -> funnelOracle,
     "stream_cohort_retention" -> cohortOracle,
+    "stream_transitions" -> transitionsOracle,
+    "stream_path_ngrams" -> topPathsOracle,
 
     "stream_window_agg" ->
       // the batch window aggregate RESTRICTED to finalized windows:
@@ -4115,37 +4210,9 @@ object SparkEntry {
         |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, hour_idx""".stripMargin,
 
-    "events_top_paths" ->
-      """WITH p AS (
-        |  SELECT event_type AS t0,
-        |    lead(event_type, 1) OVER w AS t1,
-        |    lead(event_type, 2) OVER w AS t2
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |c AS (
-        |  SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
-        |    count(*) AS n_paths
-        |  FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-        |  GROUP BY 1)
-        |SELECT path, n_paths FROM c
-        |ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin,
+    "events_top_paths" -> topPathsOracle,
 
-    "events_transitions" ->
-      """WITH p AS (
-        |  SELECT user_id, event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS to_type
-        |  FROM events),
-        |c AS (
-        |  SELECT from_type, to_type, count(*) AS n FROM p
-        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
-        |  FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n,
-        |  floor(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 10000) / 10000
-        |    AS p
-        |FROM c JOIN t USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin,
+    "events_transitions" -> transitionsOracle,
 
     "events_ohlc" ->
       """WITH e AS (
