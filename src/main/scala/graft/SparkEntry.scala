@@ -2450,6 +2450,20 @@ object SparkEntry {
           nMerges = 8)
         .orderBy(col("rank"))),
 
+    "txt_bpe_segment" -> ((s, dir) => {
+      // the ENCODER half: train 8 merges (driver-side trainer), apply
+      // them in rank order to every distinct word. Sequential
+      // application is training's own replay, so the segmentation
+      // must equal the oracle unroll's final v8 vocabulary state —
+      // train→encode round-trip consistency under the hash.
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrainLocal(docs, "text", nMerges = 8)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegmentWords(docs, "text", merges)
+        .orderBy(col("word"))
+    }),
+
     "txt_repetition" -> ((s, dir) =>
       graft.functions.Curation.repetitionStats(
         t(s, dir, "documents"), "doc_id", "text")
@@ -3525,12 +3539,26 @@ object SparkEntry {
     * so the 8-round unroll gates both).
     */
   private val bpeMergesOracle: String = {
-      // 8 unrolled BPE rounds; each round: pair stats (x/p), argmax
-      // with the same (count desc, pair asc) tie rule as the
-      // operator (m), greedy-match selection via the run-parity rule
-      // (st/g/c — within a run of consecutive match starts, every
-      // other start from the first; exactly BpeMergePair's
-      // left-to-right scan), drop the consumed b's (d), reassemble (v)
+      // 8 unrolled BPE rounds (the shared bpeUnrollWith prefix); each
+      // round: pair stats (x/p), argmax with the same (count desc,
+      // pair asc) tie rule as the operator (m), greedy-match selection
+      // via the run-parity rule (st/g/c — within a run of consecutive
+      // match starts, every other start from the first; exactly
+      // BpeMergePair's left-to-right scan), drop the consumed b's (d),
+      // reassemble (v). Final select = the merge table m1..m8.
+      val finalSel = (1 to 8).map(k =>
+        s"SELECT $k AS rank, a AS sym_a, b AS sym_b, n FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""$bpeUnrollWith
+         |$finalSel
+         |ORDER BY rank""".stripMargin
+    }
+
+  /** The WITH prefix shared by the BPE oracles: word-freq table, v0 =
+    * char symbols, then 8 unrolled merge rounds ending at v8 (the
+    * segmentation state) and m1..m8 (the merge table rows).
+    */
+  private def bpeUnrollWith: String = {
       val rounds = (1 to 8).map { k =>
         val prev = k - 1
         s"""e$k AS (
@@ -3569,9 +3597,6 @@ object SparkEntry {
            |    ELSE sym END ORDER BY pos) AS s
            |  FROM d$k WHERE dropme = 0 GROUP BY w, f)""".stripMargin
       }.mkString(",\n")
-      val finalSel = (1 to 8).map(k =>
-        s"SELECT $k AS rank, a AS sym_a, b AS sym_b, n FROM m$k")
-        .mkString("\nUNION ALL ")
       s"""WITH words AS (
          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
          |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -3580,10 +3605,18 @@ object SparkEntry {
          |  SELECT w, f, list_transform(range(1, len(w) + 1),
          |    i -> w[CAST(i AS INT)]) AS s
          |  FROM words),
-         |$rounds
-         |$finalSel
-         |ORDER BY rank""".stripMargin
-    }
+         |$rounds""".stripMargin
+  }
+
+  /** Oracle for txt_bpe_segment: the SEGMENTATION after the 8 trained
+    * merges — v8's symbol lists per distinct word (the encoder output
+    * the merge table exists to produce).
+    */
+  private val bpeSegmentOracle: String =
+    s"""$bpeUnrollWith
+       |SELECT w AS word, array_to_string(s, ' ') AS syms,
+       |  CAST(len(s) AS INT) AS n_syms, f AS word_freq
+       |FROM v8 ORDER BY w""".stripMargin
 
   /** Shared by events_funnel and its order-contracted streaming twin
     * stream_funnel (time-contiguous slices satisfy the in-order
@@ -6639,6 +6672,7 @@ object SparkEntry {
 
     "txt_bpe_merges" -> bpeMergesOracle,
     "txt_bpe_local" -> bpeMergesOracle,
+    "txt_bpe_segment" -> bpeSegmentOracle,
 
     "txt_top_tokens" ->
       """SELECT token, cnt FROM (

@@ -72,3 +72,81 @@ case class BpeMergePair(child: Expression, a: String, b: String)
   override protected def withNewChildInternal(
       newChild: Expression): BpeMergePair = copy(child = newChild)
 }
+
+/** The BPE ENCODER: a full ranked merge table applied to one word —
+  * symbols start as the word's characters, then every merge applies
+  * in RANK ORDER with [[BpeMergePair]]'s greedy left-to-right
+  * pair-skip scan. Sequential rank application is exactly the
+  * training loop's own replay (and the SQL oracle's v1→vR unroll), so
+  * encode(train corpus) reproduces training's final vocabulary state
+  * bit-for-bit — the parity the gate rests on. (The published
+  * min-rank-first encoder is equivalent on tables produced by
+  * training; sequential is the form that is exact BY CONSTRUCTION
+  * for any table, so it is what ships.)
+  *
+  * Cost: O(R·len) symbol comparisons per word — and the operator runs
+  * it per DISTINCT word (the vocab table), never per token, so the
+  * corpus-sized side of tokenization is a broadcast lookup.
+  */
+case class BpeSegmentWord(child: Expression,
+    merges: Array[(String, String)]) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_segment_word"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_segment_word expects a string column, got ${child.dataType}")
+
+  def segment(w: UTF8String): ArrayData = {
+    val s = w.toString
+    var syms = new Array[String](s.codePointCount(0, s.length))
+    var i = 0; var cp = 0
+    while (i < s.length) {
+      val n = s.offsetByCodePoints(i, 1)
+      syms(cp) = s.substring(i, n)
+      cp += 1; i = n
+    }
+    var m = 0
+    while (m < merges.length) {
+      val (a, b) = merges(m)
+      // greedy left-to-right with pair skip (BpeMergePair.merge)
+      var found = false
+      var j = 0
+      while (!found && j + 1 < syms.length) {
+        found = syms(j) == a && syms(j + 1) == b
+        j += 1
+      }
+      if (found) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](
+          syms.length)
+        var k = 0
+        while (k < syms.length) {
+          if (k + 1 < syms.length && syms(k) == a && syms(k + 1) == b) {
+            out += (a + b); k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out.toArray
+      }
+      m += 1
+    }
+    new GenericArrayData(
+      syms.map(x => UTF8String.fromString(x): Any))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeSegmentWord", this,
+      classOf[BpeSegmentWord].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segment($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeSegmentWord = copy(child = newChild)
+}

@@ -341,6 +341,31 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "sym_a", "sym_b", "n")
   }
 
+  /** Apply a trained BPE merge table to the corpus VOCABULARY — the
+    * encoder half of the tokenizer ([[bpeTrain]]/[[bpeTrainLocal]]
+    * produce the table; this consumes it). One distributed word-count
+    * pass builds the distinct-word table; the
+    * [[graft.expressions.BpeSegmentWord]] kernel applies all merges
+    * in rank order per distinct word (sequential = the training
+    * loop's own replay, so segmenting the TRAINING corpus reproduces
+    * training's final vocab state exactly — oracle-gated). Output:
+    * (word, syms [space-joined], n_syms, word_freq).
+    *
+    * 100 TB shape: tokenization cost splits into a vocab-sized encode
+    * (this — millions of distinct words, map-only) and a corpus-sized
+    * broadcast lookup of the resulting dictionary; the corpus never
+    * re-runs the merge loop per token.
+    */
+  def bpeSegmentWords(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    bpeWordFreq(df, textCol)
+      .select(col("__w").as("word"),
+        exprColumn(graft.expressions.BpeSegmentWord(
+          columnExpr(col("__w")), merges.toArray)).as("__s"),
+        col("__f").as("word_freq"))
+      .select(col("word"), array_join(col("__s"), " ").as("syms"),
+        size(col("__s")).as("n_syms"), col("word_freq"))
+
   /** BPE-ish subword count estimate: words + digit runs + punctuation
     * marks each count as a token boundary; approximates tokenizer
     * inflation over plain word count with portable string ops.

@@ -2245,6 +2245,60 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bpeSegmentWords: encoder applies ranked merges; train→encode round-trips") {
+    import spark.implicits._
+    // kernel edge semantics via a hand table: cascade ((a,b)→ab,
+    // (ab,c)→abc), same-symbol chain pair-skip, absent merge no-op
+    def seg(w: String, ms: Seq[(String, String)]): Seq[String] = {
+      val df = Seq(Tuple1(w)).toDF("text") // one word, one doc
+      graft.functions.TextAnalysis
+        .bpeSegmentWords(df, "text", ms)
+        .collect().head.getString(1).split(" ").toSeq
+    }
+    assert(seg("abc", Seq(("a", "b"), ("ab", "c"))) === Seq("abc"))
+    assert(seg("aaaa", Seq(("a", "a"))) === Seq("aa", "aa"))
+    assert(seg("aaa", Seq(("a", "a"))) === Seq("aa", "a"))
+    assert(seg("xyz", Seq(("q", "r"))) === Seq("x", "y", "z"))
+    assert(seg("abab", Seq(("a", "b"), ("ab", "ab")))
+      === Seq("abab"))
+    // round-trip: segmenting the TRAINING corpus with the trained
+    // table reproduces training's own final symbol state — checked
+    // against an independent driver replay of sequential greedy merges
+    val ws = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(9)("news")
+    val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.functions.TextAnalysis
+      .bpeTrainLocal(docs, "text", 6)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def ref(w: String): Seq[String] = {
+      var syms = w.split("").filter(_.nonEmpty).toSeq
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val got = graft.functions.TextAnalysis
+      .bpeSegmentWords(docs, "text", merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    ws.distinct.foreach { w =>
+      val r = ref(w)
+      assert(got(w)._1 === r.mkString(" "), w)
+      assert(got(w)._2 === r.length)
+    }
+    assert(got("low")._3 === 5L) // word_freq carried through
+  }
+
   test("semanticDedup catches paraphrase twins MinHash cannot see; " +
       "pair search stays a cell equi-join") {
     import spark.implicits._
