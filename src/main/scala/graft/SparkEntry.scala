@@ -118,9 +118,11 @@ object SparkEntry {
   }
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(
           java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close() // Files.walk holds directory fds until closed
     }
 
   private def streamPrefixBy(s: SparkSession, df: DataFrame,
@@ -147,8 +149,14 @@ object SparkEntry {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .option("checkpointLocation", chk.toString).start()
-    try { q.processAllAvailable(); q.stop() }
-    finally deleteRecursively(chk) // checkpoint is dead once q stops
+    // stop BEFORE deleting: if processAllAvailable throws and the
+    // query were left running, removing its checkpoint would wedge
+    // the still-live query (and the shared session) mid-bench
+    try q.processAllAvailable()
+    finally {
+      try q.stop()
+      finally deleteRecursively(chk)
+    }
     df.sparkSession.table(name)
   }
 
@@ -3557,6 +3565,11 @@ object SparkEntry {
   /** The WITH prefix shared by the BPE oracles: word-freq table, v0 =
     * char symbols, then 8 unrolled merge rounds ending at v8 (the
     * segmentation state) and m1..m8 (the merge table rows).
+    * EXHAUSTION-SAFE: st_k joins m_k with LEFT JOIN ON TRUE — when
+    * training exhausts early, m_k is empty, every st is 0 and v_k
+    * carries v_{k-1} forward unchanged (a cross join would empty
+    * v_k..v8 and the segmentation oracle would return zero rows
+    * while the Spark side still emits every word).
     */
   private def bpeUnrollWith: String = {
       val rounds = (1 to 8).map { k =>
@@ -3578,7 +3591,7 @@ object SparkEntry {
            |st$k AS (
            |  SELECT x.w, x.f, x.pos, x.sym, x.nxt,
            |    CASE WHEN x.sym = m.a AND x.nxt = m.b THEN 1 ELSE 0 END AS st
-           |  FROM x$k x, m$k m),
+           |  FROM x$k x LEFT JOIN m$k m ON TRUE),
            |g$k AS (
            |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, st
            |    ORDER BY pos) AS grp

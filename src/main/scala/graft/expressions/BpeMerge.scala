@@ -22,6 +22,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda here would land on the interpreted path the PlanLint gate
   * exists to keep out of hot loops.
   */
+object BpeMerge {
+  /** THE greedy left-to-right pair-merge rule on plain strings — the
+    * single shared implementation behind [[BpeSegmentWord]] (encoder)
+    * and `TextAnalysis.bpeTrainLocal` (driver trainer), so the
+    * spec-pinned merge semantics cannot silently fork between them.
+    * [[BpeMergePair]] keeps its own UTF8String loop for the
+    * distributed hot path; a property spec pins the two bit-identical.
+    * Returns the INPUT ARRAY REFERENCE when the pair does not occur
+    * (callers use eq to skip rebuild bookkeeping).
+    */
+  private[graft] def greedy(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    var found = false
+    var j = 0
+    while (!found && j + 1 < syms.length) {
+      found = syms(j) == a && syms(j + 1) == b
+      j += 1
+    }
+    if (!found) syms
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](
+        syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+  }
+}
+
 case class BpeMergePair(child: Expression, a: String, b: String)
     extends UnaryExpression {
 
@@ -113,24 +146,7 @@ case class BpeSegmentWord(child: Expression,
     var m = 0
     while (m < merges.length) {
       val (a, b) = merges(m)
-      // greedy left-to-right with pair skip (BpeMergePair.merge)
-      var found = false
-      var j = 0
-      while (!found && j + 1 < syms.length) {
-        found = syms(j) == a && syms(j + 1) == b
-        j += 1
-      }
-      if (found) {
-        val out = new scala.collection.mutable.ArrayBuffer[String](
-          syms.length)
-        var k = 0
-        while (k < syms.length) {
-          if (k + 1 < syms.length && syms(k) == a && syms(k + 1) == b) {
-            out += (a + b); k += 2
-          } else { out += syms(k); k += 1 }
-        }
-        syms = out.toArray
-      }
+      syms = BpeMerge.greedy(syms, a, b) // shared spec-pinned rule
       m += 1
     }
     new GenericArrayData(

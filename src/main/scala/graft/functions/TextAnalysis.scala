@@ -300,17 +300,6 @@ object TextAnalysis {
       occ.get(p).foreach { s => s -= idx; if (s.isEmpty) occ -= p }
     }
     words.indices.foreach(addWord)
-    def mergeGreedy(syms: Array[String], a: String, b: String)
-        : Array[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.toArray
-    }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var r = 1
@@ -333,7 +322,7 @@ object TextAnalysis {
         scala.collection.mutable.HashSet.empty[Int]).toArray
       affected.foreach { idx =>
         dropWord(idx)
-        words(idx) = mergeGreedy(words(idx), a, b)
+        words(idx) = graft.expressions.BpeMerge.greedy(words(idx), a, b)
         addWord(idx)
       }
       r += 1

@@ -229,24 +229,29 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
     val spark = stream.sparkSession
     import spark.implicits._
+    // intra-batch order is FULL-MICROSECOND (ts_us, eid) — the same
+    // key the batch twin's lead() window uses. Sorting on
+    // java.sql.Timestamp.getTime truncated to milliseconds and could
+    // invert same-millisecond events against the batch order
+    // (sub-ms lives in Timestamp.getNanos, not getTime).
     val keyed = stream
       .select(col(userCol).cast("long").as("user_id"),
         col(typeCol).as("etype"),
-        col(tsCol).cast("timestamp").as("ts"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
         col(idCol).cast("long").as("eid"))
-      .as[(Long, String, java.sql.Timestamp, Long)]
+      .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.NoTimeout())(
-      (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[(String, Long, Long)]) => {
-        val ordered = rows.toSeq.sortBy(r => (r._3.getTime, r._4))
+        val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, String, String)]
         var last = state.getOption
-        ordered.foreach { case (_, t, ts, id) =>
+        ordered.foreach { case (_, t, tsUs, id) =>
           last.foreach { case (prevT, _, _) => out += ((user, prevT, t)) }
-          last = Some((t, ts.getTime, id))
+          last = Some((t, tsUs, id))
         }
         last.foreach(state.update)
         out.iterator
@@ -334,18 +339,20 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
     val spark = stream.sparkSession
     import spark.implicits._
+    // full-microsecond (ts_us, eid) intra-batch order — see the
+    // streamingTransitions note (Timestamp.getTime is ms-truncated)
     val keyed = stream
       .select(col(userCol).cast("long").as("user_id"),
         col(typeCol).as("etype"),
-        col(tsCol).cast("timestamp").as("ts"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
         col(idCol).cast("long").as("eid"))
-      .as[(Long, String, java.sql.Timestamp, Long)]
+      .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.NoTimeout())(
-      (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[List[String]]) => {
-        val ordered = rows.toSeq.sortBy(r => (r._3.getTime, r._4))
+        val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
         var window = state.getOption.getOrElse(Nil)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
         ordered.foreach { case (_, t, _, _) =>

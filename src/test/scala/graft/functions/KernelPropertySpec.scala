@@ -196,6 +196,32 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(clamped.max <= maxLen)
   }
 
+  test("property: BpeMergePair kernel equals the shared greedy rule") {
+    import spark.implicits._
+    // the distributed per-round kernel keeps its own UTF8String loop
+    // for the hot path; this pins it bit-identical to BpeMerge.greedy
+    // (the single shared rule the driver trainer and encoder use) on
+    // random symbol chains incl. overlapping same-symbol runs
+    val symGen: Gen[List[String]] = for {
+      n <- Gen.choose(0, 12)
+      ss <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "c", "q"))
+    } yield ss
+    val cases = samples(symGen, 80)
+    val pairs = Seq(("a", "b"), ("a", "a"), ("ab", "c"), ("b", "a"))
+    pairs.foreach { case (a, b) =>
+      val viaKernel = cases.map(_.toSeq).toDF("s")
+        .select(org.apache.spark.sql.graftglue.Glue.column(
+          graft.expressions.BpeMergePair(
+            org.apache.spark.sql.graftglue.Glue.expression(col("s")),
+            a, b)))
+        .as[Seq[String]].collect()
+      cases.zip(viaKernel).foreach { case (in, out) =>
+        val ref = graft.expressions.BpeMerge.greedy(in.toArray, a, b)
+        assert(out === ref.toSeq, s"pair ($a,$b) on $in")
+      }
+    }
+  }
+
   test("property: two-level full probe equals flat on random vectors") {
     import spark.implicits._
     val vecGen = for {
