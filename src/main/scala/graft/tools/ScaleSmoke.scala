@@ -176,8 +176,51 @@ object ScaleSmoke {
     docs.unpersist()
   }
 
+  /** `imi` mode: the multi-sequence probe's asymptotic separation,
+    * measured at billion-scale K. Per query the probe ranks the best
+    * `nprobe` of K² cells from 2K half-distances: `pairsSorted`
+    * materializes and sorts all K² pair sums (K² log K); the lazy
+    * `pairsMultiSeq` frontier walk (Babenko & Lempitsky 2012) pays
+    * K log K + nprobe·log nprobe. At K = 2¹⁴ (2²⁸ cells — the
+    * published billion-vector config) the materialized path sorts
+    * 268M pairs PER QUERY; the walk touches ~nprobe. Driver-side
+    * timing (the kernels are per-row closure math); bit-identical
+    * outputs asserted on every sweep point.
+    */
+  private def imiSweep(ks: Seq[Int]): Unit = {
+    val rnd = new scala.util.Random(7)
+    println(f"${"K"}%-7s ${"cells"}%-11s ${"nprobe"}%-8s ${"sorted_s"}%-9s ${"lazy_s"}%-9s ${"ratio"}%-7s")
+    ks.foreach { k =>
+      val d = Array.fill(2, k)(rnd.nextInt(1 << 24).toLong)
+      val nprobe = math.max(8, (k.toLong * k / 33).toInt) // ~3% of cells
+      // one warm pass each, then timed
+      graft.expressions.ImiProbeCells.pairsMultiSeq(d, nprobe)
+      val t1 = System.nanoTime()
+      val lazyCells = graft.expressions.ImiProbeCells.pairsMultiSeq(d, nprobe)
+      val tLazy = (System.nanoTime() - t1) / 1e9
+      val sortedTimed = k.toLong * k <= (1L << 26) // 268M-pair sorts OOM the toy driver
+      if (sortedTimed) {
+        graft.expressions.ImiProbeCells.pairsSorted(d, nprobe)
+        val t0 = System.nanoTime()
+        val sorted = graft.expressions.ImiProbeCells.pairsSorted(d, nprobe)
+        val tSort = (System.nanoTime() - t0) / 1e9
+        require(java.util.Arrays.equals(sorted, lazyCells),
+          s"probe order diverged at K=$k")
+        println(f"$k%-7d ${k.toLong * k}%-11d $nprobe%-8d $tSort%-9.2f $tLazy%-9.3f ${tSort / tLazy}%-7.1f")
+      } else {
+        println(f"$k%-7d ${k.toLong * k}%-11d $nprobe%-8d ${"skip"}%-9s $tLazy%-9.3f ${"-"}%-7s")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "imi") {
+      val ks = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+               else Seq(128, 512, 2048, 8192, 16384)
+      imiSweep(ks)
+      return
+    }
     if (args.length > 1 && args(1) == "bpe") {
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val sp = SparkSession.builder().master(s"local[$cpus0]")
