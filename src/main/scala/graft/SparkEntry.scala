@@ -93,8 +93,10 @@ object SparkEntry {
 
   /** Write `df` as `slices` files to a temp dir; open as a stream. */
   private def streamPrefix(s: SparkSession, df: DataFrame,
-      sliceCol: String, slices: Int): DataFrame =
-    streamPrefixBy(s, df, pmod(col(sliceCol), lit(slices)), slices)
+      sliceCol: String, slices: Int,
+      cacheKey: Option[String] = None): DataFrame =
+    streamPrefixBy(s, df, pmod(col(sliceCol), lit(slices)), slices,
+      cacheKey)
 
   /** [[streamPrefix]] with a caller-supplied slice index column
     * (0 until slices). Watermarked gates need TIME-CONTIGUOUS slices:
@@ -125,17 +127,57 @@ object SparkEntry {
       finally walk.close() // Files.walk holds directory fds until closed
     }
 
+  /** Fixture memo: `cacheKey` (when given) identifies a DETERMINISTIC
+    * (input dir, projection, slicing) triple, so the sliced parquet is
+    * written once per JVM and every later gate/rerun re-opens it —
+    * bench reruns and the six event-stream gates previously each paid
+    * 3 parquet writes + the min/max slice-bound agg per invocation.
+    */
+  private val streamFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
+
   private def streamPrefixBy(s: SparkSession, df: DataFrame,
-      sliceIdx: Column, slices: Int): DataFrame = {
-    val tmp = trackStreamTmp(
-      java.nio.file.Files.createTempDirectory("graft_stream_gate"))
-    val sliced = df.withColumn("__slice", sliceIdx)
-    (0 until slices).foreach { i =>
-      sliced.filter(col("__slice") === i).drop("__slice")
-        .coalesce(1).write.parquet(tmp.resolve(s"b$i").toString)
+      sliceIdx: Column, slices: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    def build(): java.nio.file.Path = {
+      val tmp = trackStreamTmp(
+        java.nio.file.Files.createTempDirectory("graft_stream_gate"))
+      val sliced = df.withColumn("__slice", sliceIdx)
+      (0 until slices).foreach { i =>
+        sliced.filter(col("__slice") === i).drop("__slice")
+          .coalesce(1).write.parquet(tmp.resolve(s"b$i").toString)
+      }
+      tmp
+    }
+    val tmp = cacheKey match {
+      case Some(k) => streamFixtureDirs.computeIfAbsent(k, _ => build())
+      case None => build()
     }
     s.readStream.schema(df.schema).option("maxFilesPerTrigger", "1")
       .parquet(tmp.toString + "/*")
+  }
+
+  /** The 3 time-contiguous tertile slices of the events table (exact
+    * integer arithmetic; see stream_window_agg) projected to `cols`,
+    * as a one-file-per-trigger stream — memoized per (dir, cols), so
+    * the slice-bound agg and parquet writes run once per JVM for all
+    * six event-stream gates.
+    */
+  private def eventsTertileStream(s: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    val ev = events(s, dir).select(cols.map(col): _*)
+    val key = s"$dir|events-tertile|${cols.mkString(",")}"
+    // the slice bounds are part of the fixture; compute them inside
+    // the memo only (they cost a full scan)
+    if (!streamFixtureDirs.containsKey(key)) {
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
+      return streamPrefixBy(s, ev,
+        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
+          .cast("int"), 3, Some(key))
+    }
+    streamPrefixBy(s, ev, lit(0), 3, Some(key)) // memo hit: unused idx
   }
 
   /** Run a streaming frame to completion into a memory sink; return
@@ -983,7 +1025,8 @@ object SparkEntry {
       // signatures (the oracle's replay path); maxBucket uncapped so
       // cap semantics can't fork the comparison.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val stream = streamPrefix(s, docs, "doc_id", 3)
+      val stream = streamPrefix(s, docs, "doc_id", 3,
+        Some(s"$dir|docs3|full"))
       runToMemory(graft.streaming.EventStream.streamingNearDupCandidates(
           stream, "doc_id", "text", numHashes = 16, bands = 4,
           ngramN = 3, maxBucket = Int.MaxValue, portable = true),
@@ -1001,7 +1044,8 @@ object SparkEntry {
       // SQL-replayable because the fixture's batch assignment is a
       // pure function of doc_id).
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val stream = streamPrefix(s, docs, "doc_id", 3)
+      val stream = streamPrefix(s, docs, "doc_id", 3,
+        Some(s"$dir|docs3|full"))
       runToMemory(graft.streaming.EventStream.streamingExactDedup(
           stream, "doc_id", "text"), "append")
         .select(col("doc_id"), col("text"), col("fp"))
@@ -1019,18 +1063,11 @@ object SparkEntry {
       // crosses it. The tail windows above the watermark are the
       // documented append-mode loss — the oracle models it, which is
       // the point: watermark semantics themselves are gated.
-      val ev = events(s, dir)
-        .select(col("event_id"), col("ts"), col("event_type"),
-          col("value"))
       // time-contiguous tertile slices (exact integer arithmetic):
       // batch i's rows are all newer than batch i−1's, so nothing is
       // late and the watermark advances like a real in-order stream
-      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).collect().head
-      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
-      val stream = streamPrefixBy(s, ev,
-          expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
-            .cast("int"), 3)
+      val stream = eventsTertileStream(s, dir,
+          Seq("event_id", "ts", "event_type", "value"))
         .withWatermark("ts", "2 hours")
       runToMemory(graft.streaming.EventStream.windowedAgg(
           stream, "1 hour"), "append")
@@ -1050,14 +1087,8 @@ object SparkEntry {
       // continuation (the next batch's events are ≥ 2.5h past its
       // last event — far beyond the 30-minute gap), so cross-batch
       // merging and finalization never disagree with batch.
-      val ev = events(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).collect().head
-      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
-      val stream = streamPrefixBy(s, ev,
-          expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
-            .cast("int"), 3)
+      val stream = eventsTertileStream(s, dir,
+          Seq("event_id", "ts", "user_id", "value"))
         .withWatermark("ts", "2 hours")
       runToMemory(graft.streaming.EventStream.sessionWindowAgg(
           stream, "30 minutes"), "append")
@@ -1079,7 +1110,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val live = streamPrefix(s,
         docs.filter(col("doc_id") % 2 === 1)
-          .select(col("doc_id"), col("text")), "doc_id", 3)
+          .select(col("doc_id"), col("text")), "doc_id", 3,
+        Some(s"$dir|docs3|odd"))
       val counts = runToMemory(
           graft.streaming.EventStream.streamingTokenCounts(live, "text"),
           "update")
@@ -1101,14 +1133,8 @@ object SparkEntry {
       // append sink reduces to the final state by argmax(max_step) —
       // which must equal the batch funnel (events_funnel's oracle
       // verbatim).
-      val ev = events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_type"))
-      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).collect().head
-      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
-      val stream = streamPrefixBy(s, ev,
-        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
-          .cast("int"), 3)
+      val stream = eventsTertileStream(s, dir,
+        Seq("user_id", "ts", "event_type"))
       val emitted = runToMemory(
         graft.streaming.EventStream.streamingFunnel(
           stream.withColumn("ts_us", unix_micros(col("ts"))),
@@ -1135,13 +1161,7 @@ object SparkEntry {
       // of deltas per cell — and must equal the batch
       // events_cohort_retention oracle verbatim (periodDays=1, the
       // dense ~450-cell daily matrix).
-      val ev = events(s, dir).select(col("user_id"), col("ts"))
-      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).collect().head
-      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
-      val stream = streamPrefixBy(s, ev,
-        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
-          .cast("int"), 3)
+      val stream = eventsTertileStream(s, dir, Seq("user_id", "ts"))
       // localCheckpoint: the retention matrix SELF-JOINS the delta
       // table (cells ⋈ sizes) and a MemoryPlan view reuses the same
       // attribute ids on both sides — the analyzer dies with
@@ -1171,15 +1191,8 @@ object SparkEntry {
       // the operator sorts by (ts, eid) itself), so the cumulative
       // emitted pairs are exactly the batch lag-1 pairs; the matrix
       // aggregation downstream is transitionMatrix's own.
-      val ev = events(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"))
-      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).collect().head
-      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
-      val stream = streamPrefixBy(s, ev,
-        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
-          .cast("int"), 3)
+      val stream = eventsTertileStream(s, dir,
+        Seq("event_id", "ts", "user_id", "event_type"))
       // localCheckpoint: totals self-joins the delta-derived cells
       // (the MemoryPlan conflicting-references trap, as in the cohort
       // gate) and the matrix reads the STORED pair log by contract
@@ -1203,15 +1216,8 @@ object SparkEntry {
       // batch top-paths oracle — same arrival-order argument as
       // stream_transitions; the additive counter + TakeOrdered k is
       // the documented downstream consumer
-      val ev = events(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"))
-      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).collect().head
-      val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
-      val stream = streamPrefixBy(s, ev,
-        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
-          .cast("int"), 3)
+      val stream = eventsTertileStream(s, dir,
+        Seq("event_id", "ts", "user_id", "event_type"))
       runToMemory(
         graft.streaming.EventStream.streamingPathNgrams(
           stream, "user_id", "event_type", "ts", "event_id", n = 3),
