@@ -81,15 +81,19 @@ object SparkEntry {
         when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")).as("o_totalprice"))
 
-  // ---- stream-prefix-as-batch fixture (round 8): the driver-facing
-  // oracle regime for the streaming twins. The table is written as
-  // `slices` deterministic doc-sliced parquet files and re-read as a
-  // file-source STREAM at one file per micro-batch — a deterministic
-  // multi-batch replay, so a streaming operator's cumulative output
-  // is hash-comparable against batch SQL over the same rows. Only
-  // operators whose CUMULATIVE output is arrival-order independent
-  // (pair sets, monotone counts) get gates this way; order-contracted
-  // twins (funnel, cohort) stay parity-spec'd.
+  // ---- stream-prefix-as-batch fixture (round 8; completed round
+  // 11): the driver-facing oracle regime for the streaming twins. The
+  // table is written as `slices` deterministic parquet files and
+  // re-read as a file-source STREAM at one file per micro-batch — a
+  // deterministic multi-batch replay, so a streaming operator's
+  // cumulative output is hash-comparable against batch SQL over the
+  // same rows. Arrival-order-independent operators (pair sets,
+  // monotone counts) slice by id; ORDER-CONTRACTED and watermarked
+  // twins (funnel, cohort, transitions, path n-grams, windows) slice
+  // by TIME-CONTIGUOUS tertiles, which satisfies both the watermark
+  // monotonicity and the in-order-arrival contract (equal timestamps
+  // land in the same slice, so a boundary can never split a tie).
+  // As of round 11 EVERY EventStream operator has a driver gate.
 
   /** Write `df` as `slices` files to a temp dir; open as a stream. */
   private def streamPrefix(s: SparkSession, df: DataFrame,

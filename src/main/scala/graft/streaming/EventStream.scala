@@ -213,7 +213,8 @@ object EventStream {
     * per-user keyed state holds the LAST event (type + event time),
     * and each arrival emits one (from_type, to_type) transition —
     * the same pairs the batch lag-1 window produces over the stream's
-    * prefix (parity-spec'd), delivered incrementally. Downstream, a
+    * prefix (parity-spec'd AND driver-gated: `stream_transitions`
+    * replays the batch oracle verbatim), delivered incrementally. Downstream, a
     * streaming or batch count over the emitted pairs maintains the
     * live transition matrix. State is one (type, ts) per user.
     *
@@ -273,8 +274,10 @@ object EventStream {
     * in-order arrival a later batch can only ever SET a later step
     * from later events; it can never need an event that an earlier
     * batch discarded, so the stream result equals the batch funnel
-    * over the stream's prefix (parity-spec'd). Ties exactly on a
-    * batch boundary are the documented exception.
+    * over the stream's prefix (parity-spec'd AND driver-gated:
+    * `stream_funnel` under the batch oracle — the time-contiguous
+    * fixture makes boundary ties impossible, closing the exception
+    * for that regime).
     */
   def streamingFunnel(stream: DataFrame, userCol: String, typeCol: String,
       tsUsCol: String, steps: Seq[String]): DataFrame = {
@@ -329,7 +332,8 @@ object EventStream {
     * user); each arrival completes one length-n path, emitted as the
     * same " > "-joined string the batch operator counts. A downstream
     * additive counter + top-k reproduces topPaths over the stream's
-    * prefix (parity-spec'd). Same in-order-arrival contract as
+    * prefix (parity-spec'd AND driver-gated: `stream_path_ngrams`).
+    * Same in-order-arrival contract as
     * [[streamingTransitions]] (whose n = 2 this generalizes).
     */
   def streamingPathNgrams(stream: DataFrame, userCol: String,
@@ -373,7 +377,8 @@ object EventStream {
     * (cohort_period, period_offset, user_id); a downstream counter
     * maintains the retention matrix additively (n_active per cell =
     * count of deltas), so the aggregate equals the batch operator on
-    * the stream's prefix (parity-spec'd). In-order arrival fixes the
+    * the stream's prefix (parity-spec'd AND driver-gated:
+    * `stream_cohort_retention`). In-order arrival fixes the
     * cohort at the user's true first event, as in batch.
     */
   def streamingCohortActivity(stream: DataFrame, userCol: String,
