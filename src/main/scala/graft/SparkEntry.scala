@@ -140,8 +140,13 @@ object SparkEntry {
   private val streamFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
 
+  // `sliceIdx` is BY-NAME: it is only evaluated inside the memo's
+  // build closure, so a slice expression whose construction costs a
+  // full scan (the tertile bounds agg) runs atomically once-per-JVM
+  // with the parquet write — two concurrent first callers can no
+  // longer both pay the scan with one result silently discarded.
   private def streamPrefixBy(s: SparkSession, df: DataFrame,
-      sliceIdx: Column, slices: Int,
+      sliceIdx: => Column, slices: Int,
       cacheKey: Option[String] = None): DataFrame = {
     def build(): java.nio.file.Path = {
       val tmp = trackStreamTmp(
@@ -171,17 +176,15 @@ object SparkEntry {
       cols: Seq[String]): DataFrame = {
     val ev = events(s, dir).select(cols.map(col): _*)
     val key = s"$dir|events-tertile|${cols.mkString(",")}"
-    // the slice bounds are part of the fixture; compute them inside
-    // the memo only (they cost a full scan)
-    if (!streamFixtureDirs.containsKey(key)) {
+    // the slice bounds cost a full scan and are part of the fixture:
+    // the by-name argument defers them into the memo's build closure,
+    // so scan + parquet write happen atomically once-per-JVM
+    streamPrefixBy(s, ev, {
       val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
         max(unix_micros(col("ts"))).as("hi")).collect().head
       val lo = b.getLong(0); val span = b.getLong(1) - lo + 1
-      return streamPrefixBy(s, ev,
-        expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L")
-          .cast("int"), 3, Some(key))
-    }
-    streamPrefixBy(s, ev, lit(0), 3, Some(key)) // memo hit: unused idx
+      expr(s"((unix_micros(ts) - ${lo}L) * 3) div ${span}L").cast("int")
+    }, 3, Some(key))
   }
 
   /** Run a streaming frame to completion into a memory sink; return

@@ -122,7 +122,8 @@ case class BpeMergePair(child: Expression, a: String, b: String)
   * corpus-sized side of tokenization is a broadcast lookup.
   */
 case class BpeSegmentWord(child: Expression,
-    merges: Array[(String, String)]) extends UnaryExpression {
+    merges: Array[(String, String)])
+    extends UnaryExpression with ArrayParamValueEquality {
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)

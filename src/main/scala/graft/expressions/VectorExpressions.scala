@@ -42,6 +42,37 @@ object VectorExpressions {
   }
 }
 
+/** Value equality for kernel expressions carrying Array constructor
+  * parameters (codebooks, centroid tables, merge tables). Case-class
+  * equality on an Array field is REFERENCE equality, so two
+  * semantically identical kernel instances never compare equal and
+  * Catalyst canonicalization / common-subexpression elimination cannot
+  * dedup them. This replaces the synthetic equals/hashCode with a deep
+  * comparison that unwraps (nested) arrays and tuples to value-compared
+  * sequences — the convention value-equality expressions already follow
+  * (`Literal` special-cases arrays the same way). Declared `final` so
+  * the compiler errors rather than silently re-synthesizing if a case
+  * class ever shadowed them.
+  */
+trait ArrayParamValueEquality { self: Product =>
+  private def norm(x: Any): Any = x match {
+    case a: Array[_]  => a.toIndexedSeq.map(norm)
+    case s: Seq[_]    => s.toIndexedSeq.map(norm)
+    case (p, q)       => (norm(p), norm(q))
+    case other        => other
+  }
+  @transient private lazy val normParams: IndexedSeq[Any] =
+    productIterator.map(norm).toIndexedSeq
+  final override def equals(o: Any): Boolean = o match {
+    case that: ArrayParamValueEquality =>
+      (this eq that) ||
+        (getClass == that.getClass && normParams == that.normParams)
+    case _ => false
+  }
+  final override def hashCode(): Int =
+    31 * getClass.hashCode + normParams.hashCode
+}
+
 /** Dot product of two float/double array columns as one codegen'd loop.
   * Null if either side is null, either side has a null element, or the
   * lengths differ (mirrors `zip_with` null-padding semantics).
@@ -120,7 +151,7 @@ case class VecDot(left: Expression, right: Expression)
   * declarative signBits it replaces).
   */
 case class SignBits(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayParamValueEquality {
 
   private val numPlanes = planes.length
   private val dims = if (planes.isEmpty) 0 else planes(0).length
@@ -212,7 +243,7 @@ case class SignBits(child: Expression, planes: Array[Array[Double]])
   * behavior you want at 100 TB.
   */
 case class MatProject(child: Expression, planes: Array[Array[Double]],
-    divisor: Double) extends UnaryExpression {
+    divisor: Double) extends UnaryExpression with ArrayParamValueEquality {
 
   private val numPlanes = planes.length
   private val dims = if (planes.isEmpty) 0 else planes(0).length
@@ -304,7 +335,7 @@ case class MatProject(child: Expression, planes: Array[Array[Double]],
   * contract as MatProject/SignBits).
   */
 case class NearestCell(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayParamValueEquality {
 
   private val numCents = centroids.length
   private val dims = if (centroids.isEmpty) 0 else centroids(0).length
@@ -411,7 +442,7 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
 case class NearestCellTwoLevel(child: Expression,
     superCents: Array[Array[Double]], members: Array[Array[Int]],
     centroids: Array[Array[Double]], wprobe: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayParamValueEquality {
   require(superCents.length == members.length,
     "one member list per super-centroid")
   require(wprobe >= 1 && wprobe <= superCents.length,
@@ -542,7 +573,7 @@ case class NearestCellTwoLevel(child: Expression,
   */
 case class ImiProbeCells(child: Expression,
     books: Array[Array[Array[Double]]], nprobe: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayParamValueEquality {
   require(books.length == 2, "IMI needs exactly 2 coarse codebooks")
   require(books(0).length == books(1).length,
     "both halves need the same K")
@@ -722,7 +753,8 @@ object ImiProbeCells {
   * the DuckDB oracle replay is unchanged.
   */
 case class ImiCellAssign(child: Expression,
-    books: Array[Array[Array[Double]]]) extends UnaryExpression {
+    books: Array[Array[Array[Double]]])
+    extends UnaryExpression with ArrayParamValueEquality {
   require(books.length == 2, "IMI needs exactly 2 coarse codebooks")
   require(books(0).length == books(1).length,
     "both halves need the same K")
@@ -735,7 +767,15 @@ case class ImiCellAssign(child: Expression,
   private val dims = 2 * sub
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  // a null ELEMENT degrades the row to a null cell (the declarative
+  // `imiCells` HOF propagated element nulls the same way; callers
+  // coalesce to the -1 join-key convention) — so the output is
+  // nullable whenever elements can be null, not only the whole array
+  override def nullable: Boolean = child.nullable ||
+    (child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
   override def prettyName: String = "imi_cell_assign"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -751,7 +791,7 @@ case class ImiCellAssign(child: Expression,
     case _ => false
   }
 
-  def cell(v: Any): Int = {
+  def cell(v: Any): java.lang.Integer = {
     val vec = v.asInstanceOf[ArrayData]
     if (vec.numElements() != dims)
       throw new RuntimeException(s"imiCellAssign: vector dims != $dims")
@@ -767,9 +807,7 @@ case class ImiCellAssign(child: Expression,
         var i = 0
         while (i < sub) {
           val xi = h * sub + i
-          if (vec.isNullAt(xi))
-            throw new RuntimeException(
-              s"imiCellAssign: null element at $xi")
+          if (vec.isNullAt(xi)) return null // degrade, don't fail the job
           val x = if (isFloat) vec.getFloat(xi).toDouble
                   else vec.getDouble(xi)
           val diff = x - cent(i)
@@ -792,7 +830,13 @@ case class ImiCellAssign(child: Expression,
       ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("imiCellAssign", this,
       classOf[ImiCellAssign].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.cell($c);")
+    val r = ctx.freshName("cellRes")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Integer $r = $ref.cell($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(
@@ -843,7 +887,7 @@ final class CentroidTreeNode(
   */
 case class NearestCellTree(child: Expression,
     root: CentroidTreeNode, centroids: Array[Array[Double]], beam: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ArrayParamValueEquality {
   require(beam >= 1, "beam must be >= 1")
 
   private val dims = if (centroids.isEmpty) 0 else centroids(0).length
@@ -1010,7 +1054,8 @@ case class NearestCellTree(child: Expression,
   */
 case class PqEncodeResidual(child: Expression,
     centroids: Array[Array[Double]],
-    books: Array[Array[Array[Double]]]) extends UnaryExpression {
+    books: Array[Array[Array[Double]]])
+    extends UnaryExpression with ArrayParamValueEquality {
   require(books.nonEmpty && books(0).nonEmpty, "books must be non-empty")
   private val m = books.length
   private val bigK = books(0).length
@@ -1135,7 +1180,8 @@ case class PqEncodeResidual(child: Expression,
   * the DuckDB oracle replays (spec-pinned, tie fixtures included).
   */
 case class PqEncodeFlat(child: Expression,
-    books: Array[Array[Array[Double]]]) extends UnaryExpression {
+    books: Array[Array[Array[Double]]])
+    extends UnaryExpression with ArrayParamValueEquality {
   require(books.nonEmpty && books(0).nonEmpty, "books must be non-empty")
   private val m = books.length
   private val bigK = books(0).length
@@ -1146,7 +1192,13 @@ case class PqEncodeFlat(child: Expression,
 
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // a null ELEMENT degrades the row to null codes (the declarative
+  // `pqEncode` HOF propagated element nulls; see ImiCellAssign)
+  override def nullable: Boolean = child.nullable ||
+    (child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
   override def prettyName: String = "pq_encode_flat"
 
   override def checkInputDataTypes():
@@ -1179,8 +1231,7 @@ case class PqEncodeFlat(child: Expression,
         var s = 0.0; var i = 0
         while (i < sub) {
           val xi = j * sub + i
-          if (vec.isNullAt(xi))
-            throw new RuntimeException(s"pqEncodeFlat: null element at $xi")
+          if (vec.isNullAt(xi)) return null // degrade, don't fail the job
           val x = if (isFloat) vec.getFloat(xi).toDouble
                   else vec.getDouble(xi)
           val diff = x - b(i)
@@ -1203,8 +1254,13 @@ case class PqEncodeFlat(child: Expression,
       ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqEncodeFlat", this,
       classOf[PqEncodeFlat].getName)
+    val r = ctx.freshName("encRes")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.encode($c);")
+      s"""
+         |Object $r = $ref.encode($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(
@@ -1219,7 +1275,8 @@ case class PqEncodeFlat(child: Expression,
   */
 case class PqLutResidual(left: Expression, right: Expression,
     centroids: Array[Array[Double]],
-    books: Array[Array[Array[Double]]]) extends BinaryExpression {
+    books: Array[Array[Array[Double]]])
+    extends BinaryExpression with ArrayParamValueEquality {
   require(books.nonEmpty && books(0).nonEmpty, "books must be non-empty")
   private val m = books.length
   private val bigK = books(0).length

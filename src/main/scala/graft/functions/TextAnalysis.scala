@@ -274,9 +274,15 @@ object TextAnalysis {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = bpeWordFreq(df, textCol).collect()
+    // limit() bounds what reaches the driver BEFORE the collect: if
+    // the vocabulary exceeds maxVocab, at most maxVocab+1 rows ever
+    // materialize and the require fires — the guard cannot arrive
+    // after the OOM it exists to prevent. Order is irrelevant: the
+    // trainer builds pair counts from ALL rows and its argmax is a
+    // full scan with a deterministic tie-break.
+    val rows = bpeWordFreq(df, textCol).limit(maxVocab + 1).collect()
     require(rows.length <= maxVocab,
-      s"bpeTrainLocal: vocab ${rows.length} exceeds maxVocab $maxVocab")
+      s"bpeTrainLocal: vocab exceeds maxVocab $maxVocab")
     val words: Array[Array[String]] =
       rows.map(_.getString(0).split("").filter(_.nonEmpty))
     val freq: Array[Long] = rows.map(_.getLong(1))

@@ -355,4 +355,56 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("kernels: Array ctor params compare by VALUE (canonicalization/CSE)") {
+    // case-class equality on Array is reference equality — the
+    // ArrayParamValueEquality mixin restores value semantics so
+    // Catalyst subexpression elimination can dedup identical kernels
+    val books = Array(
+      Array(Array(0.0, 1.0), Array(2.0, 3.0)),
+      Array(Array(4.0, 5.0), Array(6.0, 7.0)))
+    val booksCopy = books.map(_.map(_.clone()))
+    val child = org.apache.spark.sql.graftglue.Glue.expression(col("vec"))
+    val a = graft.expressions.ImiCellAssign(child, books)
+    val b = graft.expressions.ImiCellAssign(child, booksCopy)
+    assert(a === b)
+    assert(a.hashCode === b.hashCode)
+    assert(a.semanticEquals(b))
+    val p = graft.expressions.PqEncodeFlat(child, books)
+    val q = graft.expressions.PqEncodeFlat(child, booksCopy)
+    assert(p === q && p.semanticEquals(q))
+    assert(p !== a) // different kernel class, same params
+    val mutated = books.map(_.map(_.clone()))
+    mutated(1)(0)(0) = 99.0
+    assert(a !== graft.expressions.ImiCellAssign(child, mutated))
+    val sChild = org.apache.spark.sql.graftglue.Glue.expression(col("w"))
+    val m1 = graft.expressions.BpeSegmentWord(sChild, Array(("a", "b")))
+    val m2 = graft.expressions.BpeSegmentWord(sChild, Array(("a", "b")))
+    assert(m1 === m2 && m1.hashCode === m2.hashCode)
+    assert(m1 !== graft.expressions.BpeSegmentWord(sChild, Array(("a", "c"))))
+  }
+
+  test("kernels: a null vector ELEMENT degrades to a null result, not a job failure") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Option(0.9), Option(0.9), Option(0.1), Option(0.1))),
+      (2L, Seq(Option(1.0), None, Option(1.0), Option(1.0)))
+    ).toDF("id", "vec") // array<double> with containsNull = true
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.graftglue.Glue.column(e)
+    def vecE = org.apache.spark.sql.graftglue.Glue.expression(col("vec"))
+    val got = df.select(col("id"),
+        coalesce(kcol(graft.expressions.ImiCellAssign(vecE, books)),
+          lit(-1)).as("cell"),
+        kcol(graft.expressions.PqEncodeFlat(vecE, books)).as("codes"))
+      .orderBy("id").collect()
+    // half 0 (0.9,0.9) → c1; half 1 (0.1,0.1) → c0; cell = 1·2 + 0
+    assert(got(0).getInt(1) === 2)
+    assert(!got(0).isNullAt(2))
+    assert(got(1).getInt(1) === -1) // null element → null cell → coalesce
+    assert(got(1).isNullAt(2)) // null element → null codes
+  }
 }
