@@ -2485,6 +2485,30 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    "txt_unigram_train" -> ((s, dir) =>
+      // unigram-LM (SentencePiece-style) tokenizer training, hard-EM
+      // variant: seed substrings → 2 Viterbi-EM rounds → count-ranked
+      // prune. Driver-side over the word-freq table (one distributed
+      // corpus scan — the bpeTrainLocal scale contract). The oracle
+      // replays ALL of it in SQL: recursive-CTE Viterbi (list-carried
+      // DP + backtrack), the longer-piece tie rule, the single-char
+      // count floor, and the nano-quantized ln probabilities.
+      TextAnalysis.unigramTrainLocal(t(s, dir, "documents"), "text")
+        .orderBy(col("piece"))),
+
+    "txt_unigram_segment" -> ((s, dir) => {
+      // the ENCODER half: train, then Viterbi-encode every distinct
+      // word under the pruned table (native kernel). The oracle runs
+      // a third recursive-CTE Viterbi pass under its own replayed
+      // final table — train→encode round-trip consistency under the
+      // hash, exactly the txt_bpe_segment pattern.
+      val docs = t(s, dir, "documents")
+      val pieces = TextAnalysis.unigramTrainLocal(docs, "text")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      TextAnalysis.unigramSegmentWords(docs, "text", pieces)
+        .orderBy(col("word"))
+    }),
+
     "txt_repetition" -> ((s, dir) =>
       graft.functions.Curation.repetitionStats(
         t(s, dir, "documents"), "doc_id", "text")
@@ -3643,6 +3667,131 @@ object SparkEntry {
        |SELECT w AS word, array_to_string(s, ' ') AS syms,
        |  CAST(len(s) AS INT) AS n_syms, f AS word_freq
        |FROM v8 ORDER BY w""".stripMargin
+
+  // ---- unigram-LM tokenizer oracle (txt_unigram_train/_segment) ----
+  // Replays TextAnalysis.unigramTrainLocal exactly: seed substring
+  // counts → 2 hard-EM rounds (recursive-CTE Viterbi + recount) →
+  // count-ranked prune → nano-quantized ln probabilities. Every
+  // Viterbi is a forward DP whose per-word state rides as LISTS
+  // (bests/backs) through a recursive CTE, then a second recursive
+  // CTE backtracks the chosen pieces. Checkpoint CTEs are
+  // MATERIALIZED — without it DuckDB inlines each reference and the
+  // upstream chain re-executes per row/iteration (measured: >120 s
+  // vs 0.5 s at sf0.01). Params pinned to the operator defaults:
+  // maxPieceLen 3, seedMulti 60, targetMulti 12, UNK −1e15 nano.
+
+  /** One Viterbi pass (forward DP + backtrack) as recursive CTEs
+    * `dp$n`/`bt$n` over CTE `words`, scoring with piece-map CTE
+    * `$pm`. Tie rule: (score DESC, k DESC) via struct sort — equal
+    * score prefers the LONGER piece, matching
+    * expressions.UnigramSegment.viterbi.
+    */
+  private def unigramViterbiCte(n: Int, pm: String): String =
+    s"""dp$n AS (
+       |  SELECT w, f, [0::BIGINT] AS bests, [0] AS backs, 1 AS t FROM words
+       |  UNION ALL
+       |  SELECT w, f, list_append(bests, c.best.s),
+       |    list_append(backs, c.best.k), t + 1
+       |  FROM (
+       |    SELECT w, f, bests, backs, t,
+       |      list_sort(list_filter(
+       |        list_transform(range(1, least(3, t) + 1), k -> struct_pack(
+       |          s := bests[t - k + 1] + CASE WHEN k = 1 THEN
+       |              coalesce(m[w[t-k+1:t]][1], -1000000000000000::BIGINT)
+       |            ELSE m[w[t-k+1:t]][1] END,
+       |          k := k)),
+       |        c -> c.s IS NOT NULL), 'DESC')[1] AS best
+       |    FROM dp$n, $pm WHERE t <= len(w)
+       |  ) c
+       |),
+       |bt$n AS (
+       |  SELECT w, f, backs, len(w) AS pos, []::VARCHAR[] AS segs
+       |  FROM dp$n WHERE t = len(w) + 1
+       |  UNION ALL
+       |  SELECT w, f, backs, pos - backs[pos + 1],
+       |    list_prepend(w[pos - backs[pos + 1] + 1 : pos], segs)
+       |  FROM bt$n WHERE pos > 0
+       |)""".stripMargin
+
+  /** Nano log-prob table + lookup map over count CTE `$s`:
+    * lp = floor(ln(cnt/Σcnt)·1e9) as BIGINT.
+    */
+  private def unigramLogpCte(n: Int, s: String): String =
+    s"""p$n AS MATERIALIZED (
+       |  SELECT p, CAST(floor(ln(CAST(cnt AS DOUBLE) /
+       |    (SELECT CAST(SUM(cnt) AS DOUBLE) FROM $s)) * 1e9) AS BIGINT) AS lp
+       |  FROM $s),
+       |pm$n AS MATERIALIZED (
+       |  SELECT map_from_entries(list((p, lp))) AS m FROM p$n)""".stripMargin
+
+  /** One hard-EM round: Viterbi under pm$${r-1}, recount by word
+    * freq; multi-char pieces keep only count > 0, single chars floor
+    * at 1 (coverage guarantee — must survive pruning of the longer
+    * pieces that absorbed them).
+    */
+  private def unigramEmRound(r: Int): String =
+    s"""${unigramViterbiCte(r, s"pm${r - 1}")},
+       |c${r}raw AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+       |    SELECT f, unnest(segs) AS piece FROM bt$r WHERE pos = 0)
+       |  GROUP BY piece),
+       |s$r AS MATERIALIZED (
+       |  SELECT piece AS p, cnt FROM c${r}raw WHERE len(piece) > 1
+       |  UNION ALL
+       |  SELECT chars.p, GREATEST(COALESCE(c.cnt, 0::BIGINT), 1::BIGINT)
+       |  FROM chars LEFT JOIN c${r}raw c ON chars.p = c.piece),
+       |${unigramLogpCte(r, s"s$r")}""".stripMargin
+
+  /** Shared WITH prefix of both unigram oracles: word freq → chars →
+    * seed substrings → seed selection (ALL single chars + top-60
+    * multi by (cnt DESC, p ASC)) → EM rounds 1,2 → prune (chars +
+    * top-12 multi) → final probabilities pfin/pmfin.
+    */
+  private def unigramUnrollWith: String =
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) GROUP BY w),
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_transform(range(1, len(w) + 1),
+       |    i -> w[CAST(i AS INT):CAST(i AS INT)])) AS p FROM words),
+       |sub AS MATERIALIZED (
+       |  SELECT p, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+       |    SELECT f, unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+       |      list_transform(range(1, least(3, len(w) - i + 1) + 1), k ->
+       |        w[CAST(i AS INT):CAST(i + k - 1 AS INT)])))) AS p
+       |    FROM words) GROUP BY p),
+       |s0 AS MATERIALIZED (
+       |  SELECT sub.p, sub.cnt FROM sub JOIN chars ON sub.p = chars.p
+       |  UNION ALL
+       |  (SELECT p, cnt FROM sub WHERE len(p) > 1
+       |   ORDER BY cnt DESC, p ASC LIMIT 60)),
+       |${unigramLogpCte(0, "s0")},
+       |${unigramEmRound(1)},
+       |${unigramEmRound(2)},
+       |pruned AS MATERIALIZED (
+       |  SELECT chars.p, s2.cnt FROM chars JOIN s2 ON chars.p = s2.p
+       |  UNION ALL
+       |  (SELECT p, cnt FROM s2 WHERE len(p) > 1
+       |   ORDER BY cnt DESC, p ASC LIMIT 12)),
+       |pfin AS MATERIALIZED (
+       |  SELECT p, cnt, CAST(floor(ln(CAST(cnt AS DOUBLE) /
+       |    (SELECT CAST(SUM(cnt) AS DOUBLE) FROM pruned)) * 1e9) AS BIGINT)
+       |    AS lp
+       |  FROM pruned),
+       |pmfin AS MATERIALIZED (
+       |  SELECT map_from_entries(list((p, lp))) AS m FROM pfin)""".stripMargin
+
+  private def unigramTrainOracle: String =
+    s"""$unigramUnrollWith
+       |SELECT p AS piece, cnt, lp AS logp_nano FROM pfin ORDER BY piece""".stripMargin
+
+  private def unigramSegmentOracle: String =
+    s"""$unigramUnrollWith,
+       |${unigramViterbiCte(3, "pmfin")}
+       |SELECT w AS word, array_to_string(segs, ' ') AS syms,
+       |  CAST(len(segs) AS INT) AS n_syms, f AS word_freq
+       |FROM bt3 WHERE pos = 0 ORDER BY word""".stripMargin
 
   /** Shared by events_funnel and its order-contracted streaming twin
     * stream_funnel (time-contiguous slices satisfy the in-order
@@ -6699,6 +6848,8 @@ object SparkEntry {
     "txt_bpe_merges" -> bpeMergesOracle,
     "txt_bpe_local" -> bpeMergesOracle,
     "txt_bpe_segment" -> bpeSegmentOracle,
+    "txt_unigram_train" -> unigramTrainOracle,
+    "txt_unigram_segment" -> unigramSegmentOracle,
 
     "txt_top_tokens" ->
       """SELECT token, cnt FROM (

@@ -361,6 +361,138 @@ object TextAnalysis {
       .select(col("word"), array_join(col("__s"), " ").as("syms"),
         size(col("__s")).as("n_syms"), col("word_freq"))
 
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (Kudo 2018, SentencePiece — public paper):
+  // the third major subword algorithm next to BPE and WordPiece. Same
+  // scale contract as bpeTrainLocal: ONE distributed corpus scan
+  // builds the word-frequency table; training (seed → hard-EM →
+  // prune) runs driver-side over the MB-sized vocab; encoding runs
+  // the Viterbi kernel per DISTINCT word.
+  // ------------------------------------------------------------------
+
+  /** floor(ln(cnt/total)·1e9) per piece — the nano-quantized log-prob
+    * table every Viterbi pass sums as LONGS (float discipline rule:
+    * quantize once per round, never sum raw doubles cross-engine).
+    * StrictMath.log pins the JVM side to fdlibm regardless of
+    * intrinsics.
+    */
+  private def unigramLogp(
+      counts: Iterable[(String, Long)]): java.util.HashMap[String, java.lang.Long] = {
+    val total = counts.iterator.map(_._2).sum.toDouble
+    val m = new java.util.HashMap[String, java.lang.Long](counts.size * 2)
+    counts.foreach { case (p, c) =>
+      m.put(p, java.lang.Long.valueOf(
+        math.floor(StrictMath.log(c.toDouble / total) * 1e9).toLong))
+    }
+    m
+  }
+
+  /** Train a unigram-LM tokenizer (SentencePiece shape, hard-EM
+    * variant) on the corpus word-frequency table. Pipeline, every
+    * step deterministic and oracle-replayed in SQL:
+    *
+    *  1. SEED: every substring of length 1..`maxPieceLen` of every
+    *     distinct word, counted by word frequency; keep ALL single
+    *     characters plus the top `seedMulti` multi-char substrings by
+    *     (count DESC, piece ASC).
+    *  2. HARD-EM ×`emRounds`: Viterbi-segment every word under the
+    *     current nano log-probs ([[graft.expressions.UnigramSegment]]
+    *     — score DESC, longer-piece tie rule); recount pieces by word
+    *     frequency. Multi-char pieces with zero count drop; single
+    *     characters are floored at count 1 (coverage guarantee — a
+    *     char absorbed by longer pieces must survive so any word
+    *     stays segmentable after pruning).
+    *  3. PRUNE: keep all single characters + the top `targetMulti`
+    *     multi-char pieces by (count DESC, piece ASC); renormalize.
+    *
+    * Exact-loss pruning (re-Viterbi per removed piece) is the full
+    * SentencePiece refinement; count-ranked pruning is the standard
+    * simplification and keeps every step SQL-expressible for the
+    * oracle. Output: (piece, cnt, logp_nano) — logp_nano =
+    * floor(ln(cnt/Σcnt)·1e9).
+    *
+    * 100 TB shape: identical to [[bpeTrainLocal]] — the corpus-sized
+    * work is one partial-agg'd word count; everything after runs on
+    * the driver over the bounded vocab (`maxVocab`-guarded collect,
+    * bounded BEFORE materialization by limit()).
+    */
+  def unigramTrainLocal(df: DataFrame, textCol: String,
+      targetMulti: Int = 12, seedMulti: Int = 60, maxPieceLen: Int = 3,
+      emRounds: Int = 2, maxVocab: Int = 1 << 21): DataFrame = {
+    require(targetMulti >= 0 && seedMulti >= targetMulti,
+      "need seedMulti >= targetMulti >= 0")
+    require(maxPieceLen >= 1 && emRounds >= 1, "need maxPieceLen/emRounds >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = bpeWordFreq(df, textCol).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"unigramTrainLocal: vocab exceeds maxVocab $maxVocab")
+    val wf: Array[(String, Long)] =
+      rows.map(r => (r.getString(0), r.getLong(1)))
+    // all single characters (code points) — never pruned
+    val chars: Array[String] = wf.iterator.map(_._1)
+      .flatMap(w => w.codePoints().toArray.map(Character.toString))
+      .toSet.toArray.sorted
+    // seed: substring counts, len 1..maxPieceLen in code points
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      val cps = w.codePoints().toArray
+      var i = 0
+      while (i < cps.length) {
+        var k = 1
+        while (k <= math.min(maxPieceLen, cps.length - i)) {
+          val p = new String(cps, i, k)
+          sub.updateWith(p)(c => Some(c.getOrElse(0L) + f))
+          k += 1
+        }
+        i += 1
+      }
+    }
+    def topMulti(m: collection.Map[String, Long], n: Int): Seq[(String, Long)] =
+      m.iterator.filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+        .toSeq.sortBy { case (p, c) => (-c, p) }.take(n)
+    var counts: Seq[(String, Long)] =
+      chars.map(c => (c, sub(c))).toSeq ++ topMulti(sub, seedMulti)
+    var r = 1
+    while (r <= emRounds) {
+      val scores = unigramLogp(counts)
+      val newc = scala.collection.mutable.HashMap.empty[String, Long]
+      wf.foreach { case (w, f) =>
+        graft.expressions.UnigramSegment.viterbi(w, scores, maxPieceLen)
+          .foreach(p => newc.updateWith(p)(c => Some(c.getOrElse(0L) + f)))
+      }
+      counts = chars.map(c => (c, math.max(newc.getOrElse(c, 0L), 1L))).toSeq ++
+        newc.iterator
+          .filter { case (p, c) => p.codePointCount(0, p.length) > 1 && c > 0 }
+          .toSeq.sortBy(_._1)
+      r += 1
+    }
+    val countMap = counts.toMap
+    val kept: Seq[(String, Long)] =
+      chars.map(c => (c, countMap(c))).toSeq ++ topMulti(countMap, targetMulti)
+    val logp = unigramLogp(kept)
+    kept.map { case (p, c) => (p, c, logp.get(p).longValue()) }
+      .sortBy(_._1)
+      .toDF("piece", "cnt", "logp_nano")
+  }
+
+  /** Viterbi-encode the corpus VOCABULARY under a trained unigram
+    * piece table ((piece, logp_nano) pairs from
+    * [[unigramTrainLocal]]) — the unigram twin of
+    * [[bpeSegmentWords]], same (word, syms, n_syms, word_freq)
+    * output and the same 100 TB split: vocab-sized kernel encode,
+    * corpus-sized broadcast lookup.
+    */
+  def unigramSegmentWords(df: DataFrame, textCol: String,
+      pieces: Seq[(String, Long)]): DataFrame =
+    bpeWordFreq(df, textCol)
+      .select(col("__w").as("word"),
+        exprColumn(graft.expressions.UnigramSegmentWord(
+          columnExpr(col("__w")), pieces.toArray)).as("__s"),
+        col("__f").as("word_freq"))
+      .select(col("word"), array_join(col("__s"), " ").as("syms"),
+        size(col("__s")).as("n_syms"), col("word_freq"))
+
   /** BPE-ish subword count estimate: words + digit runs + punctuation
     * marks each count as a token boundary; approximates tokenizer
     * inflation over plain word count with portable string ops.

@@ -2640,6 +2640,82 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(grams === Seq("ab", "b ", " a", "ab")) // "ab  ab" -> "ab ab"
   }
+
+  test("unigram Viterbi: hand DP, longer-piece tie rule, UNK fallback, code points") {
+    import graft.expressions.UnigramSegment
+    def tab(ps: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      ps.foreach { case (p, v) => m.put(p, java.lang.Long.valueOf(v)) }
+      m
+    }
+    // "abc": [ab][c] = -3-5 = -8 beats [a][bc] = -4-5 = -9 and
+    // [a][b][c] = -4-6-5 = -15
+    assert(UnigramSegment.viterbi("abc",
+      tab("a" -> -4L, "b" -> -6L, "c" -> -5L, "ab" -> -3L, "bc" -> -5L),
+      3).toSeq === Seq("ab", "c"))
+    // exact tie: [ab] = -10 equals [a][b] = -10 -> LONGER piece wins
+    assert(UnigramSegment.viterbi("ab",
+      tab("a" -> -4L, "b" -> -6L, "ab" -> -10L), 2).toSeq === Seq("ab"))
+    // the tie rule is applied at each END position: at pos 3 both
+    // [a][ba] and [ab][a] score -14, and the longer FINAL piece wins
+    assert(UnigramSegment.viterbi("aba",
+      tab("a" -> -4L, "b" -> -6L, "ab" -> -10L, "ba" -> -10L), 2)
+      .toSeq === Seq("a", "ba"))
+    // OOV char: UNK-scored single char, segmentation still total
+    assert(UnigramSegment.viterbi("axb",
+      tab("a" -> -4L, "b" -> -6L), 3).toSeq === Seq("a", "x", "b"))
+    // UNK always loses to any real piece covering the position
+    assert(UnigramSegment.viterbi("ab",
+      tab("ab" -> -999999999L), 2).toSeq === Seq("ab"))
+    // empty word
+    assert(UnigramSegment.viterbi("", tab("a" -> -1L), 3).toSeq === Seq.empty)
+    // code points: emoji is ONE position (would split surrogates if
+    // the DP ran on UTF-16 chars)
+    assert(UnigramSegment.viterbi("a\ud83d\ude00b",
+      tab("a" -> -4L, "b" -> -6L, "\ud83d\ude00" -> -2L,
+        "a\ud83d\ude00" -> -3L), 3).toSeq === Seq("a\ud83d\ude00", "b"))
+  }
+
+  test("unigram trainer: char floor, prune bound, kernel/driver round-trip parity") {
+    import spark.implicits._
+    // corpus where a frequent bigram absorbs its chars: 'ab' dominates
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 4 == 3) "xy xy ab" else "ab ab ab ab"))
+      .toDF("doc_id", "text")
+    val trained = TextAnalysis.unigramTrainLocal(docs, "text",
+      targetMulti = 2, seedMulti = 8, maxPieceLen = 2, emRounds = 2)
+    val rows = trained.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPiece = rows.map(t => t._1 -> t).toMap
+    // every corpus char survives (a, b, x, y), floored at >= 1 even
+    // when fully absorbed by 'ab'/'xy'
+    Seq("a", "b", "x", "y").foreach { c =>
+      assert(byPiece.contains(c), s"char $c pruned")
+      assert(byPiece(c)._2 >= 1L)
+    }
+    assert(byPiece("a")._2 === 1L) // fully absorbed -> floor
+    // multi-char pieces bounded by targetMulti and actually useful
+    val multi = rows.filter(_._1.length > 1)
+    assert(multi.length <= 2 && multi.map(_._1).toSet === Set("ab", "xy"))
+    // log-probs: quantized ln(cnt/total), monotone in cnt
+    val total = rows.map(_._2).sum.toDouble
+    rows.foreach { case (_, c, lp) =>
+      assert(lp === math.floor(StrictMath.log(c / total) * 1e9).toLong)
+    }
+    // round-trip: the kernel's segmentation of the training corpus
+    // equals the driver Viterbi under the same table
+    val pieces = rows.map(t => (t._1, t._3)).toSeq
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    pieces.foreach { case (p, v) => m.put(p, java.lang.Long.valueOf(v)) }
+    val seg = TextAnalysis.unigramSegmentWords(docs, "text", pieces)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(seg.keySet === Set("ab", "xy"))
+    seg.foreach { case (w, syms) =>
+      assert(syms === graft.expressions.UnigramSegment
+        .viterbi(w, m, 2).mkString(" "))
+    }
+    assert(seg("ab") === "ab" && seg("xy") === "xy")
+  }
 }
 
 /** Instrumented decoder factory (top-level object so executors in
