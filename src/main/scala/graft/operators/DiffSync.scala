@@ -226,10 +226,11 @@ object DiffSync {
         val upd = if (generic && updateSql.nonEmpty)
           Some(conn.prepareStatement(updateSql)) else None
         val del = conn.prepareStatement(deleteSql)
-        var pendingIns = 0; var pendingDel = 0
+        var pendingIns = 0; var pendingDel = 0; var pendingGen = 0
         def flush(): Unit = {
           if (pendingIns > 0) { ins.executeBatch(); pendingIns = 0 }
           if (pendingDel > 0) { del.executeBatch(); pendingDel = 0 }
+          pendingGen = 0
           conn.commit()
         }
         def bindAll(row: org.apache.spark.sql.Row): Unit =
@@ -244,6 +245,11 @@ object DiffSync {
                   del.setObject(i + 1, row.getAs[Any](schema.fieldIndex(c))) }
                 del.addBatch(); pendingDel += 1
               case _ if generic => // portable UPDATE-then-INSERT
+                // statements run row-at-a-time (the portable-dialect
+                // price) but COMMIT at the batch cadence — per-row
+                // commits cost more than the statements themselves on
+                // an embedded/remote target (the reference commits
+                // every 100 rows for the same reason, pl:3693)
                 val updated = upd.map { u =>
                   valueCols.zipWithIndex.foreach { case (c, i) =>
                     u.setObject(i + 1, row.getAs[Any](schema.fieldIndex(c))) }
@@ -253,12 +259,13 @@ object DiffSync {
                   u.executeUpdate()
                 }.getOrElse(0)
                 if (updated == 0) { bindAll(row); ins.executeUpdate() }
-                conn.commit()
+                pendingGen += 1
               case _ => // new | changed → batched PG upsert
                 bindAll(row); ins.addBatch(); pendingIns += 1
             }
             if (pendingIns >= target.batchSize ||
-                pendingDel >= target.batchSize) flush()
+                pendingDel >= target.batchSize ||
+                pendingGen >= target.batchSize) flush()
           }
           flush()
         } finally {

@@ -433,13 +433,18 @@ object EventStream {
     * reference's batch re-sync semantics (FAQ.md:46–48), which can
     * never observe a disappearance inside a micro-batch.
     */
+  /** `trigger` defaults to the production 10-second cadence; tests
+    * and gates pass `Trigger.AvailableNow()` to drain a bounded
+    * fixture in one blocking run.
+    */
   def continuousSyncWriter(stream: DataFrame, pkCols: Seq[String],
       target: graft.operators.DiffSync.SyncTarget,
-      checkpoint: String, opCol: Option[String] = None): DataStreamWriter[Row] =
+      checkpoint: String, opCol: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val flagged = opCol match {
           case Some(c) =>
