@@ -3096,6 +3096,15 @@ object SparkEntry {
         gramChars = 30)
         .orderBy(col("doc_id"), col("span_idx"))),
 
+    "dedup_span_partners" -> ((s, dir) =>
+      // span ATTRIBUTION: each maximal duplicated span row names the
+      // partner document(s) sharing it and the partner-specific
+      // sub-extent — the dup-gram table feeds both sides of ONE
+      // bucketed equi-join on the gram; no document self-join
+      Dedup.dupSpanPartners(t(s, dir, "documents"), "doc_id", "text",
+        gramChars = 30)
+        .orderBy(col("doc_id"), col("span_idx"), col("partner_id"))),
+
     "dedup_cluster_keep_best" -> ((s, dir) => {
       // canonical selection on top of the cc clusters: keep the
       // longest member (n_chars, ties → min doc_id) of each near-dup
@@ -7981,6 +7990,40 @@ object SparkEntry {
         |  COUNT(*) AS n_grams
         |FROM s GROUP BY doc_id, span_idx
         |ORDER BY doc_id, span_idx""".stripMargin,
+
+    "dedup_span_partners" ->
+      // the span-extents chain carrying the gram through, joined back
+      // to the distinct (partner, gram) projection of the same
+      // dup-gram table; per (doc, span, partner): shared gram count +
+      // the partner-specific extent
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 30) AS gram
+        |  FROM documents, unnest(range(1, length(text) - 30 + 2)) t(i)),
+        |d AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.* FROM g SEMI JOIN d USING (gram)),
+        |c AS (
+        |  SELECT doc_id, pos, gram,
+        |    CASE WHEN pos > coalesce(max(pos + 30) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, pos, gram, CAST(SUM(is_new) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_idx
+        |  FROM c),
+        |hp AS (SELECT DISTINCT doc_id AS partner_id, gram FROM h)
+        |SELECT s.doc_id, s.span_idx, hp.partner_id,
+        |  COUNT(*) AS shared_grams,
+        |  MIN(s.pos) AS shared_start,
+        |  MAX(s.pos + 30) - 1 AS shared_end
+        |FROM s JOIN hp ON s.gram = hp.gram AND s.doc_id <> hp.partner_id
+        |GROUP BY s.doc_id, s.span_idx, hp.partner_id
+        |ORDER BY doc_id, span_idx, partner_id""".stripMargin,
 
     "dedup_cluster_cc" ->
       // the pair pipeline is dedup_ngram_jaccard's; the cluster label is

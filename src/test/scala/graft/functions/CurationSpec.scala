@@ -297,6 +297,64 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(hashed === spans)
   }
 
+  test("dupSpanPartners: three-way shared span attributes per-partner sub-extents") {
+    import spark.implicits._
+    // k=4. A = P+Q where P="abcdefgh" is shared with B, Q="ijklmnop"
+    // with C, and D is a FULL copy of A. The P/Q boundary grams of A
+    // exist only in A and D, so A's dup grams are contiguous → ONE
+    // maximal span covering all of A, merged from evidence of THREE
+    // different partners with three different sub-extents.
+    val docs = Seq(
+      (1L, "abcdefghijklmnop"), // A
+      (2L, "xxabcdefghyy"),     // B: contains P
+      (3L, "zzijklmnopww"),     // C: contains Q
+      (4L, "abcdefghijklmnop")  // D = A
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanPartners(docs, "doc_id", "text", gramChars = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // A has 13 gram positions (1..13), all duplicated → span 1 only.
+    // Partner B shares grams fully inside P (pos 1..5 → extent
+    // [1,8]); C shares pos 9..13 → [9,16]; D shares everything.
+    assert(got((1L, 1L, 2L)) === ((5L, 1L, 8L)))
+    assert(got((1L, 1L, 3L)) === ((5L, 9L, 16L)))
+    assert(got((1L, 1L, 4L)) === ((13L, 1L, 16L)))
+    // B's copy of P sits at pos 3 → span [3,10], shared with A and D
+    assert(got((2L, 1L, 1L)) === ((5L, 3L, 10L)))
+    assert(got((2L, 1L, 4L)) === ((5L, 3L, 10L)))
+    // C mirrors B
+    assert(got((3L, 1L, 1L)) === ((5L, 3L, 10L)))
+    assert(got((3L, 1L, 4L)) === ((5L, 3L, 10L)))
+    // D mirrors A
+    assert(got((4L, 1L, 2L)) === ((5L, 1L, 8L)))
+    assert(got((4L, 1L, 3L)) === ((5L, 9L, 16L)))
+    assert(got((4L, 1L, 1L)) === ((13L, 1L, 16L)))
+    // B and C share nothing with each other; no self-partners
+    assert(got.size === 10)
+    assert(!got.keySet.exists(k => k._1 == k._3))
+    // attribution is consistent with dupSpans: every (doc, span) with
+    // partners IS a maximal span, and the union of partner extents
+    // stays inside it
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", gramChars = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    got.foreach { case ((d, si, _), (_, s0, e0)) =>
+      val (ss, se) = spans((d, si))
+      assert(s0 >= ss && e0 <= se, s"extent [$s0,$e0] outside span [$ss,$se]")
+    }
+    // hashGrams variant is identical
+    val hashed = Dedup.dupSpanPartners(docs, "doc_id", "text", 4,
+        hashGrams = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(hashed === got)
+  }
+
   test("CharGramsWithPos: bit-identical to the declarative substr transform") {
     import spark.implicits._
     // multi-byte code points (é = 2 bytes, 文 = 3, 𝄞 = surrogate
