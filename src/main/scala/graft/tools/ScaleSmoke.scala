@@ -213,8 +213,167 @@ object ScaleSmoke {
     }
   }
 
+  /** [[docsAt]] carrying the `source` column through (the mixture and
+    * split stages key on it).
+    */
+  private def docsAtSrc(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      val shifted = base.select(
+        (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+        col("source"), col("lang"), col("text"))
+      if (c == 0) shifted
+      else shifted.withColumn("text",
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(s"~$c")))))
+    }.reduce(_ unionByName _)
+
+  /** `pipeline` mode: the END-TO-END rehearsal — the full composed
+    * curation chain (clean → exact+near dedup → decontaminate →
+    * mixture → leakage-safe split → pack; the CurationDemo chain
+    * minus the demo-only NB screen) over a content-distinct corpus
+    * grown up to ~100×, with PER-STAGE wall time. Isolated-stage
+    * sweeps prove each hot path linear; this is where a hidden
+    * composition constant would bite (a stage re-running its
+    * upstream, a plan that grows with the chain, a survivor set that
+    * collapses) — the per-table discipline of the reference's
+    * kettle_report at real volume.
+    *
+    * Methodology: every stage output is localCheckpoint()'d (eager) —
+    * the timed block is that stage's OWN compute, the next stage
+    * reads materialized blocks, and the lineage cut keeps the
+    * analyzed plan from growing multiplicatively with chain depth
+    * (the round-6 CurationDemo OOM lesson). Survivor counts print per
+    * stage so a collapsing funnel (which would fake linearity) is
+    * visible. The near-dup pair graph is computed once in the
+    * near-dup stage and REUSED by the split stage — the stored-
+    * artifact shape production uses.
+    */
+  private def pipelineSweep(spark: SparkSession, docs0: DataFrame,
+      factors: Seq[Int]): Unit = {
+    import graft.functions.{Curation, TextAnalysis}
+    val bench = docs0.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    bench.count()
+    case class StageRow(f: Int, docs: Long, times: Seq[Double],
+      survivors: Seq[Long])
+    val stages = Seq("clean", "exact", "neardup", "decon", "mixture",
+      "split", "pack")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[StageRow]
+    println(f"${"factor"}%-7s ${"docs"}%-8s " +
+      stages.map(s => f"$s%-9s").mkString + "survivors")
+    // JIT/codegen warmup pass at factor 1 (discarded): without it the
+    // first table row pays first-run compilation for every stage and
+    // the growth ratios read nonsense (the treeSweep convention)
+    (Seq(-1) ++ factors).foreach { f0 =>
+      val f = math.abs(f0).max(1)
+      val warmup = f0 < 0
+      val docs = docsAtSrc(docs0, f).localCheckpoint()
+      val n0 = docs.count()
+      // 1. clean: quality conjunction + entropy screen + PII redact
+      val (clean, t1) = timed {
+        val q = TextAnalysis.gopherQualityStats(docs, "doc_id", "text")
+          .filter(col("passes")).select(col("doc_id"))
+        docs.join(q, "doc_id")
+          .filter(TextAnalysis.charEntropy(col("text"))
+            .getField("entropy_nanos") > 2000000000L)
+          .withColumn("text", Curation.piiRedact(col("text")))
+          .localCheckpoint()
+      }
+      // 2. exact dedup (min-id per fingerprint survives)
+      val (exact, t2) = timed {
+        val kept = Dedup.exactGroups(clean, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        clean.join(kept, "doc_id").localCheckpoint()
+      }
+      // 3. near-dup: LSH pairs → connected components → keep best;
+      // the pair graph is ALSO the split stage's input (stored
+      // artifact — computed once, here)
+      val ((deduped, pairs), t3) = timed {
+        val p = Dedup.ngramJaccardPairsLsh(exact, "doc_id", "text",
+          threshold = 0.6, n = 3, numHashes = 16, bands = 8)
+          .localCheckpoint()
+        val clusters = Dedup.connectedComponentsStar(p, "id_a", "id_b")
+        val best = Dedup.keepBestPerCluster(
+            exact.withColumn("q", length(col("text"))), "doc_id",
+            clusters, "q")
+          .filter(col("kept")).select(col("doc_id"))
+        (exact.join(best, "doc_id").localCheckpoint(), p)
+      }
+      // 4. decontaminate against the FIXED base benchmark slice
+      val (cleanSet, t4) = timed {
+        val dirty = Curation.decontaminate(deduped, bench,
+          "doc_id", "text").select(col("doc_id"))
+        deduped.join(dirty, Seq("doc_id"), "left_anti").localCheckpoint()
+      }
+      // 5. temperature-scaled source mixture at 2/3 budget
+      val (mixed, t5) = timed {
+        val budget = math.max(1L, cleanSet.count() * 2 / 3)
+        Curation.applyMixture(cleanSet, "doc_id", "source",
+          alpha = 0.5, budget = budget).localCheckpoint()
+      }
+      // 6. leakage-safe split keyed by the near-dup pair graph
+      val (train, t6) = timed {
+        val split = Curation.leakageSafeSplit(mixed, "doc_id", pairs)
+        mixed.join(split.filter(col("split") === "train")
+          .select(col("doc_id")), "doc_id").localCheckpoint()
+      }
+      // 7. pack into fixed-budget shards
+      val (packed, t7) = timed {
+        Curation.packSequences(train, "doc_id", "text",
+            budget = 4096, nShards = 8)
+          .join(train.select(col("doc_id"), col("source"), col("text")),
+            "doc_id")
+          .localCheckpoint()
+      }
+      val times = Seq(t1, t2, t3, t4, t5, t6, t7)
+      val survivors = Seq(clean.count(), exact.count(), deduped.count(),
+        cleanSet.count(), mixed.count(), train.count(), packed.count())
+      if (!warmup) {
+        rows += StageRow(f, n0, times, survivors)
+        println(f"$f%-7d $n0%-8d " +
+          times.map(t => f"$t%-9.2f").mkString +
+          survivors.mkString("/"))
+      }
+      Seq(docs, clean, exact, deduped, pairs, cleanSet, mixed, train,
+        packed).foreach(_.unpersist())
+    }
+    // growth table: per stage, time ratio between consecutive factors
+    // vs the factor ratio — near-linear stages sit near 1.0 (after
+    // the job-overhead floor at small factors pushes them BELOW 1)
+    if (rows.length >= 2) {
+      println(f"${"stages"}%-9s " + rows.sliding(2).map { w =>
+        f"x${w(0).f}->x${w(1).f}%-6s" }.mkString(" "))
+      stages.indices.foreach { i =>
+        val ratios = rows.sliding(2).map { w =>
+          val growth = w(1).f.toDouble / w(0).f
+          (w(1).times(i) / math.max(w(0).times(i), 1e-9)) / growth
+        }.toSeq
+        println(f"${stages(i)}%-9s " +
+          ratios.map(r => f"$r%-9.2f").mkString)
+      }
+      println("(normalized: 1.0 = exactly linear in corpus growth; " +
+        "<1 = sublinear/overhead-floor amortizing; investigate > ~1.5)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "pipeline") {
+      val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+                    else Seq(1, 4, 16, 64)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val d0 = sp.read.parquet(s"$sfDir/documents.parquet")
+      d0.count()
+      pipelineSweep(sp, d0, factors)
+      sp.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "imi") {
       val ks = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
                else Seq(128, 512, 2048, 8192, 16384)
