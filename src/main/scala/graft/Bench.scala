@@ -59,42 +59,50 @@ object Bench {
         e.map(m => s"  ERROR: $m").getOrElse(""))
       (name, fn, s, e)
     }
-    // This box shows multi-MINUTE host-steal windows in which every
-    // query runs ~1.5–3× slower (identical code measured 43 s and
-    // 64 s in back-to-back full runs). Queries whose first timing
-    // exceeded 1 s are re-measured in a second pass at the END of the
-    // run — decorrelated from whatever burst hit them the first time —
-    // and the min is reported. An immediate retry lands in the same
-    // burst and learns nothing.
+    // MEDIAN-OF-3 (round 12, replacing min-of-reruns): this box shows
+    // multi-MINUTE host-steal windows in which every query runs
+    // ~1.5–3× slower, and the same build has benched 131–156 s on
+    // identical code — a ±10% swing that min-of-reruns both hides
+    // regressions in (a real 30% slide of a sub-second gate drowns)
+    // and biases low. Every query whose first timing exceeded 0.3 s
+    // (119 of 199 at r11 — below that the job floor dominates and a
+    // swing is noise, not signal) gets TWO more samples in end-of-run
+    // passes — decorrelated from whatever burst hit it the first
+    // time; an immediate retry lands in the same burst and learns
+    // nothing. Reported value = MEDIAN of samples; per-query SPREAD
+    // (max − min) rides in the JSON so a reader can tell a noisy
+    // sample from a stable one. Note reruns hit warm CacheManager
+    // state, so the median sits between cold and warm — comparable
+    // across rounds under the same methodology, not to pre-r12 mins.
+    val rerunnable = firstPass.filter(q => q._4.isEmpty && q._3 > 0.3)
+    val extras: Map[String, Seq[Double]] = (1 to 2).flatMap { _ =>
+      rerunnable.map { case (name, fn, _, _) =>
+        val (s, e) = timed(fn)
+        (name, s, e)
+      }
+    }.collect { case (n, s, None) => (n, s) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
     val results = firstPass.map { case (name, fn, s1, e1) =>
-      val (secs, err) =
-        if (e1.isEmpty && s1 > 1.0) {
-          val (s2, e2) = timed(fn)
-          // two samples disagreeing by >2× means at least one sat in a
-          // burst — a third sample breaks the tie (bursts hit the
-          // second pass too: one run recorded 13 s twice for a query
-          // that costs 0.6 s)
-          val best2 = math.min(s1, s2)
-          val best =
-            if (e2.isEmpty && best2 > 1.0 && math.max(s1, s2) > 2 * best2) {
-              val (s3, _) = timed(fn)
-              math.min(best2, s3)
-            } else best2
-          if (best < s1)
-            System.err.println(f"[bench] $name%-26s $best%8.2f s (re-measured, was $s1%.2f)")
-          (best, e2)
-        } else (s1, e1)
-      (name, secs, err)
+      val samples = (s1 +: extras.getOrElse(name, Seq.empty)).sorted
+      val median = samples(samples.length / 2)
+      val spread = samples.last - samples.head
+      if (samples.length > 1)
+        System.err.println(
+          f"[bench] $name%-26s $median%8.2f s (median of ${samples.length}, spread $spread%.2f)")
+      (name, median, e1, if (samples.length > 1) Some(spread) else None)
     }
     // 3-decimal rounding keeps the full per-query JSON line compact
     // (~1.8 KB for 60 queries vs ~3.5 KB with raw doubles — the raw
     // form outgrew the driver's output tail window in round 4 and the
     // round recorded no machine-readable total).
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, Some(e), _) =>
       s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+    }.mkString("{", ",", "}")
+    val spreads = results.collect { case (k, _, _, Some(sp)) =>
+      s"\"" + k + "\":" + r3(sp)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // contention diagnostic: host steal percentage over the measured
@@ -114,7 +122,7 @@ object Bench {
         f"${(s1 - s0) * 100.0 / (t1 - t0)}%.1f"
       case _ => "null"
     }
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
     // Full line first (per-query detail), durable copy on disk, and a
     // ~120-byte total-only line LAST: whatever slice of the tail the
     // driver parses, at least one complete JSON line with the round
