@@ -856,6 +856,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "txt_wordpiece_train" -> ((s, dir) =>
+      // the TRAIN side of WordPiece (encode + fertility were already
+      // gated): 8 likelihood-gain merges — score = n_pair/(n_a·n_b),
+      // the rule that separates WordPiece from BPE (rare-symbol pairs
+      // merge first). Driver-side over the word-freq table (the
+      // bpeTrainLocal scale contract); the oracle unrolls all 8
+      // rounds in SQL, including the ##-aware greedy merge
+      // application and the bit-identical IEEE score division.
+      TextAnalysis.wordpieceTrainLocal(t(s, dir, "documents"), "text",
+          nMerges = 8)
+        .orderBy(col("rank"))),
+
     "txt_chunk_tokens" -> ((s, dir) =>
       // RAG chunking: 64-token windows, stride 48 (16-token overlap);
       // map-only explode from the scan, md5 fingerprints key
@@ -3746,6 +3758,77 @@ object SparkEntry {
        |SELECT w AS word, array_to_string(s, ' ') AS syms,
        |  CAST(len(s) AS INT) AS n_syms, f AS word_freq
        |FROM v8 ORDER BY w""".stripMargin
+
+  /** Oracle for txt_wordpiece_train: 8 unrolled WordPiece merge
+    * rounds — the bpeUnrollWith chain with two differences: the
+    * argmax ranks by likelihood gain (ONE IEEE double division
+    * pn/(an·bn), bit-identical cross-engine since both operands are
+    * exact integers < 2⁵³; ties (a ASC, b ASC)) and the merge concat
+    * strips the continuation marker. v0 segments first-char plain +
+    * '##'-marked continuations. MATERIALIZED checkpoints (the
+    * unigram-oracle lesson: un-materialized CTE chains re-execute
+    * upstream per reference).
+    */
+  private def wordpieceTrainOracle: String = {
+    val rounds = (1 to 8).map { k =>
+      val p = k - 1
+      s"""e$k AS MATERIALIZED (
+         |  SELECT w, f, generate_subscripts(s, 1) AS pos, unnest(s) AS sym
+         |  FROM v$p),
+         |x$k AS MATERIALIZED (
+         |  SELECT w, f, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM e$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS n
+         |  FROM x$k WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |sy$k AS MATERIALIZED (
+         |  SELECT sym, CAST(SUM(f) AS BIGINT) AS n FROM e$k GROUP BY sym),
+         |m$k AS MATERIALIZED (
+         |  SELECT p.a, p.b, p.n AS pn, sa.n AS an, sb.n AS bn
+         |  FROM p$k p JOIN sy$k sa ON p.a = sa.sym
+         |    JOIN sy$k sb ON p.b = sb.sym
+         |  ORDER BY CAST(p.n AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE) DESC,
+         |    p.a ASC, p.b ASC LIMIT 1),
+         |st$k AS MATERIALIZED (
+         |  SELECT x.w, x.f, x.pos, x.sym, x.nxt,
+         |    CASE WHEN x.sym = m.a AND x.nxt = m.b THEN 1 ELSE 0 END AS st
+         |  FROM x$k x LEFT JOIN m$k m ON TRUE),
+         |g$k AS (
+         |  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, st
+         |    ORDER BY pos) AS grp
+         |  FROM st$k),
+         |c$k AS (
+         |  SELECT *, CASE WHEN st = 1 AND
+         |      (pos - MIN(pos) OVER (PARTITION BY w, grp, st)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS chosen
+         |  FROM g$k),
+         |d$k AS (
+         |  SELECT *, COALESCE(LAG(chosen) OVER (PARTITION BY w
+         |    ORDER BY pos), 0) AS dropme
+         |  FROM c$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT w, f, list(CASE WHEN chosen = 1 THEN sym ||
+         |      (CASE WHEN nxt LIKE '##%' THEN nxt[3:] ELSE nxt END)
+         |    ELSE sym END ORDER BY pos) AS s
+         |  FROM d$k WHERE dropme = 0 GROUP BY w, f)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to 8).map(k =>
+      s"SELECT $k AS rank, a AS sym_a, b AS sym_b, pn AS n_pair, " +
+        s"an AS n_a, bn AS n_b FROM m$k").mkString("\nUNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT w, f, list_transform(range(1, len(w) + 1), i ->
+       |    CASE WHEN i = 1 THEN w[1:1]
+       |      ELSE '##' || w[CAST(i AS INT):CAST(i AS INT)] END) AS s
+       |  FROM words),
+       |$rounds
+       |$finalSel
+       |ORDER BY rank""".stripMargin
+  }
 
   // ---- unigram-LM tokenizer oracle (txt_unigram_train/_segment) ----
   // Replays TextAnalysis.unigramTrainLocal exactly: seed substring
@@ -6935,6 +7018,7 @@ object SparkEntry {
     "txt_bpe_segment" -> bpeSegmentOracle,
     "txt_unigram_train" -> unigramTrainOracle,
     "txt_unigram_segment" -> unigramSegmentOracle,
+    "txt_wordpiece_train" -> wordpieceTrainOracle,
 
     "txt_top_tokens" ->
       """SELECT token, cnt FROM (

@@ -361,6 +361,114 @@ object TextAnalysis {
       .select(col("word"), array_join(col("__s"), " ").as("syms"),
         size(col("__s")).as("n_syms"), col("word_freq"))
 
+  /** Train a WordPiece merge table (Schuster & Nakajima 2012; the
+    * BERT tokenizer's training rule, Wu et al. 2016) driver-side over
+    * the corpus word-frequency table — the [[bpeTrainLocal]] scale
+    * contract: ONE distributed word count, then a driver loop over
+    * the MB-sized vocab. Completes the tokenizer family's train side
+    * (BPE: [[bpeTrain]]/[[bpeTrainLocal]]; unigram:
+    * [[unigramTrainLocal]]; WordPiece encode was already gated via
+    * [[wordpiecePieces]]).
+    *
+    * The rule that distinguishes WordPiece from BPE: each round
+    * merges the adjacent pair maximizing LIKELIHOOD GAIN
+    * score = count(a,b) / (count(a)·count(b)), not the raw pair
+    * count — rare-symbol pairs merge first (`q ##u` before any
+    * frequent `e ##r`). Words segment as first-char plain +
+    * "##"-marked continuations; a merge concatenates with the
+    * continuation marker stripped, so pieces stay position-typed.
+    *
+    * Cross-engine determinism: the score is ONE IEEE double division
+    * pn / (an·bn), with both operands exact integers below 2⁵³ (any
+    * real corpus' word-occurrence total — ~2e13 at 100 TB — is), so
+    * Spark and the DuckDB oracle compute bit-identical scores; ties
+    * break (a ASC, b ASC). Merge application is the BPE greedy
+    * left-to-right pair-skip scan (run-parity rule), ##-aware.
+    * Output: (rank, sym_a, sym_b, n_pair, n_a, n_b) — counts, not the
+    * double, ride in the gate's hash.
+    */
+  def wordpieceTrainLocal(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 1 << 21): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = bpeWordFreq(df, textCol).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"wordpieceTrainLocal: vocab exceeds maxVocab $maxVocab")
+    val wf: Array[(String, Long)] =
+      rows.map(r => (r.getString(0), r.getLong(1)))
+    def strip(s: String): String =
+      if (s.startsWith("##")) s.substring(2) else s
+    // BpeMerge.greedy's scan with the ##-stripping concat
+    def wpGreedy(syms: Array[String], a: String,
+        b: String): Array[String] = {
+      var found = false; var j = 0
+      while (!found && j + 1 < syms.length) {
+        found = syms(j) == a && syms(j + 1) == b; j += 1
+      }
+      if (!found) syms
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[String](
+          syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + strip(b)); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toArray
+      }
+    }
+    val segs: Array[Array[String]] = wf.map { case (w, _) =>
+      val cps = w.codePoints().toArray
+      cps.indices.map(i =>
+        if (i == 0) new String(cps, 0, 1)
+        else "##" + new String(cps, i, 1)).toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val pc = scala.collection.mutable
+        .HashMap.empty[(String, String), Long]
+      val sc = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i < wf.length) {
+        val f = wf(i)._2; val s = segs(i)
+        var j = 0
+        while (j < s.length) {
+          sc.updateWith(s(j))(c => Some(c.getOrElse(0L) + f))
+          if (j + 1 < s.length)
+            pc.updateWith((s(j), s(j + 1)))(c => Some(c.getOrElse(0L) + f))
+          j += 1
+        }
+        i += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        // argmax (score DESC, a ASC, b ASC) — hash-order independent
+        var bA: String = null; var bB: String = null
+        var bPn = 0L; var bScore = -1.0
+        pc.foreach { case ((a, b), pn) =>
+          val score = pn.toDouble / (sc(a) * sc(b)).toDouble
+          if (score > bScore || (score == bScore &&
+              (a < bA || (a == bA && b < bB)))) {
+            bScore = score; bA = a; bB = b; bPn = pn
+          }
+        }
+        merges += ((r, bA, bB, bPn, sc(bA), sc(bB)))
+        var m = 0
+        while (m < segs.length) {
+          segs(m) = wpGreedy(segs(m), bA, bB); m += 1
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "sym_a", "sym_b", "n_pair", "n_a", "n_b")
+  }
+
   // ------------------------------------------------------------------
   // Unigram-LM tokenizer (Kudo 2018, SentencePiece — public paper):
   // the third major subword algorithm next to BPE and WordPiece. Same

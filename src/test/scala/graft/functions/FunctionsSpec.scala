@@ -2641,6 +2641,34 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(grams === Seq("ab", "b ", " a", "ab")) // "ab  ab" -> "ab ab"
   }
 
+  test("wordpiece trainer: likelihood rule, double-tie break, ## chains, exhaustion") {
+    import spark.implicits._
+    // freq: aa×10, qu×2, ab×8. BPE's count rule would merge (a,##a)
+    // first (count 10); WordPiece's score rule picks (q,##u): 2/(2·2)
+    // = 0.5 beats 10/(18·10) — rare symbols merge first.
+    val text = (Seq.fill(10)("aa") ++ Seq.fill(2)("qu") ++
+      Seq.fill(8)("ab")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceTrainLocal(docs, "text", nMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // round 2 is an EXACT double tie: 10/(18·10) and 8/(18·8) are
+    // both correctly-rounded 1/18 → identical doubles → (a,b) ASC
+    // picks ##a over ##b. Round 4 has no pairs left → 3 rows only.
+    assert(got.toSeq === Seq(
+      (1, "q", "##u", 2L, 2L, 2L),
+      (2, "a", "##a", 10L, 18L, 10L),
+      (3, "a", "##b", 8L, 8L, 8L)))
+    // continuation-chain merge keeps the ## marker: (##y,##z) wins
+    // round 1 by the (a,b) ASC tie ('#' < 'x'), producing "##yz"
+    val docs2 = Seq((1L, Seq.fill(5)("xyz").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.wordpieceTrainLocal(docs2, "text", nMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(got2.toSeq === Seq(
+      (1, "##y", "##z"), (2, "x", "##yz")))
+  }
+
   test("unigram Viterbi: hand DP, longer-piece tie rule, UNK fallback, code points") {
     import graft.expressions.UnigramSegment
     def tab(ps: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
