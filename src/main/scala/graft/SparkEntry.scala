@@ -1534,6 +1534,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_graph" -> ((s, dir) => {
+      // graph-based ANN (NSW family), IVF-routed: cell-local
+      // small-world graphs built and walked inside ONE cogroup on the
+      // cell id; the high-recall/low-latency regime the flat scan
+      // family doesn't cover. Gate runs the walk in its EXACTNESS
+      // regime (ef ≥ any cell population → the best-first walk
+      // provably visits the whole connected cell graph), so top-5
+      // equals the brute-force oracle exactly — the
+      // NearestCellTwoLevel full-probe convention; the approximate
+      // small-ef regime is spec-pinned (recall on the planted
+      // fixture).
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      Similarity.graphAnnTopK(corpus, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, nprobe = 4,
+          degree = 8, ef = 1024)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_pq_occupancy" -> ((s, dir) => {
       // PQ codebook health over the encoded corpus (the stored-index
       // artifact): per subspace, codes used / dead / occupancy
@@ -6348,6 +6369,7 @@ object SparkEntry {
 
     "sim_ann_lsh" -> plantedAnnOracle,
     "sim_ann_ivf" -> plantedAnnOracle,
+    "sim_ann_graph" -> plantedAnnOracle,
     "sim_ivf_hier" -> plantedAnnOracle,
     "sim_ivf_tree" -> plantedAnnOracle,
     "sim_ivf_append" -> plantedAnnOracle,

@@ -1039,6 +1039,144 @@ object Similarity {
       k, centroids, nprobe)
   }
 
+  /** Graph-based ANN (the HNSW/NSW family — Malkov & Yashunin 2016),
+    * IVF-ROUTED: the coarse quantizer prunes to `nprobe` cells, and
+    * WITHIN each probed cell a small-world neighbor graph answers the
+    * query with an ef-bounded best-first walk instead of a full cell
+    * scan. This is the high-recall/low-latency regime the flat IVF
+    * scan family doesn't cover: per probed cell the walk touches
+    * O(ef·degree) points, not the whole cell.
+    *
+    * Spark shape: members group by cell, queries explode into probe
+    * cells, and ONE cogroup on the cell id does everything cell-local
+    * — graph build (NSW insertion in id order: each point links
+    * bidirectionally to its `degree` nearest predecessors; fully
+    * deterministic) and the walks. At 100 TB the cells are the
+    * partition grain: each is bounded (nlist ∝ corpus), the graph is
+    * a per-partition artifact, and the only shuffle is the same
+    * cell-id equi-shape every IVF operator uses. Per-partition
+    * imperative logic is exactly what the cell-local walk is — the
+    * one place the declarative form (per-step join iterations) would
+    * be strictly worse.
+    *
+    * Exactness contract (the NearestCellTwoLevel convention): with
+    * `ef` ≥ cell population the walk degenerates to an exact cell
+    * scan, so nprobe = nlist and large ef reproduce brute force
+    * bit-exactly (spec-pinned). Scoring parity: cosine = VecDot's
+    * left-to-right double fold over both vectors, divided by the
+    * norm product — the same IEEE operations as [[bruteForceTopK]],
+    * so rankings can never fork from the oracle's.
+    */
+  def graphAnnTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 4,
+      degree: Int = 8, ef: Int = 64): DataFrame = {
+    require(k >= 1 && degree >= 1 && ef >= k,
+      "need k >= 1, degree >= 1, ef >= k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val members = ivfAssignments(
+        corpus.select(col(corpusId),
+          transform(col(corpusVec), x => x.cast("double")).as(corpusVec)),
+        corpusId, corpusVec, centroids)
+      .select(col("cell"), col(corpusId).cast("long"), col(corpusVec))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+    val probes = queries
+      .select(col(queryId).cast("long").as("__qid"),
+        transform(col(queryVec), x => x.cast("double")).as("__qv"),
+        probeCells(
+          transform(col(queryVec), x => x.cast("double")), centroids,
+          nprobe).as("__probes"))
+      .select(col("__qid"), col("__qv"),
+        explode(col("__probes").getField("cell")).as("cell"))
+      .select(col("cell"), col("__qid"), col("__qv"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+    val walked = members.cogroup(probes) { (_, ms, qs) =>
+      val qArr = qs.toArray
+      if (qArr.isEmpty) Iterator.empty
+      else {
+        val pts = ms.toArray.sortBy(_._2) // deterministic insert order
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val n = pts.length
+          val ids = pts.map(_._2)
+          val vecs = pts.map(_._3.toArray)
+          // exact same IEEE ops as the VecDot kernel: left-to-right
+          def d(a: Array[Double], b: Array[Double]): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+            s
+          }
+          val norms = vecs.map(v => math.sqrt(d(v, v)))
+          def cosAt(i: Int, q: Array[Double], qn: Double): Double = {
+            val den = norms(i) * qn
+            if (den == 0) 0.0 else d(vecs(i), q) / den
+          }
+          // NSW build: point i links to its `degree` nearest
+          // predecessors by (cos desc, id asc); edges bidirectional
+          val adj = Array.fill(n)(
+            scala.collection.mutable.ArrayBuffer.empty[Int])
+          var i = 1
+          while (i < n) {
+            val scored = new Array[(Double, Int)](i)
+            var j = 0
+            while (j < i) {
+              scored(j) = (cosAt(j, vecs(i), norms(i)), j); j += 1
+            }
+            val top = scored.sortBy { case (c, jj) => (-c, ids(jj)) }
+              .take(degree)
+            top.foreach { case (_, jj) =>
+              adj(i) += jj; adj(jj) += i
+            }
+            i += 1
+          }
+          // ef-bounded best-first walk per query; ties (cos desc,
+          // id asc) everywhere — fully deterministic
+          val ord = Ordering.by[(Double, Int), (Double, Long)] {
+            case (c, idx) => (c, -ids(idx))
+          } // max-heap: highest cos, then LOWest id wins
+          qArr.iterator.flatMap { case (_, qid, qv) =>
+            val q = qv.toArray
+            val qn = math.sqrt(d(q, q))
+            val visited = new java.util.BitSet(n)
+            val cand = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Int)](ord)
+            val res = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Int)](ord.reverse) // min-heap of results
+            val c0 = cosAt(0, q, qn)
+            visited.set(0); cand.enqueue((c0, 0)); res.enqueue((c0, 0))
+            while (cand.nonEmpty &&
+                (res.size < ef || ord.gt(cand.head,
+                  (res.head._1, res.head._2)))) {
+              val (_, ci) = cand.dequeue()
+              adj(ci).foreach { e =>
+                if (!visited.get(e)) {
+                  visited.set(e)
+                  val ce = cosAt(e, q, qn)
+                  if (res.size < ef || ce > res.head._1 ||
+                      (ce == res.head._1 && ids(e) < ids(res.head._2))) {
+                    cand.enqueue((ce, e)); res.enqueue((ce, e))
+                    if (res.size > ef) { res.dequeue(); () }
+                  }
+                }
+              }
+            }
+            res.iterator.map { case (c, idx) => (qid, ids(idx), c) }
+          }
+        }
+      }
+    }.toDF("__qid", corpusId, "cos")
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    walked.filter(col("__qid") =!= col(corpusId))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col(corpusId), col("cos"),
+        col("rank"))
+  }
+
   /** IVF approximate top-k: corpus bucketed once by nearest centroid,
     * queries explode into their `nprobe` probe cells, and the
     * candidate join is a plain equi-join on the cell id — the same

@@ -2641,6 +2641,52 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(grams === Seq("ab", "b ", " a", "ab")) // "ab  ab" -> "ab ab"
   }
 
+  test("graphAnnTopK: full-probe/big-ef exactness, IVF routing, small-ef recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val naturals = (0L until 300L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val planted = naturals.filter(_._1 % 20 == 0).flatMap { case (id, v) =>
+      Seq(1, 2).map(j => (id + 1000L * j,
+        v.map(x => x + 0.005f * j * (if (x > 0) 1 else -1))))
+    }
+    val corpus = (naturals ++ planted).toDF("vec_id", "embedding")
+    val queries = naturals.filter(_._1 % 20 == 0)
+      .toDF("query_id", "qvec")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    // EXACTNESS contract: every cell probed + ef >= any cell
+    // population -> the walk visits the whole connected cell graph
+    // and the result equals brute force exactly (ranks included)
+    val exact = topSet(Similarity.graphAnnTopK(corpus, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 5, cents,
+      nprobe = 8, degree = 6, ef = 10000))
+    val bf = topSet(Similarity.bruteForceTopK(corpus, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 5))
+    assert(exact === bf)
+    // IVF routing at nprobe=3: the planted near-copies quantize with
+    // their query, so rank-1/2 are recovered through the graph walk
+    val routed = topSet(Similarity.graphAnnTopK(corpus, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 2, cents,
+      nprobe = 3, degree = 6, ef = 1024))
+    queries.collect().map(_.getLong(0)).foreach { q =>
+      assert(routed.contains((q, 1, q + 1000L)), s"query $q missing rank-1")
+      assert(routed.contains((q, 2, q + 2000L)), s"query $q missing rank-2")
+    }
+    // the APPROXIMATE regime (small ef — the low-latency point of the
+    // operator): recall of the planted rank-1 stays high; fully
+    // deterministic for this seeded fixture
+    val approx = topSet(Similarity.graphAnnTopK(corpus, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 2, cents,
+      nprobe = 3, degree = 6, ef = 8))
+    val qids = queries.collect().map(_.getLong(0))
+    val hit = qids.count(q => approx.contains((q, 1, q + 1000L)))
+    assert(hit >= math.ceil(qids.length * 0.8).toInt,
+      s"small-ef rank-1 recall too low: $hit/${qids.length}")
+  }
+
   test("wordpiece trainer: likelihood rule, double-tie break, ## chains, exhaustion") {
     import spark.implicits._
     // freq: aa×10, qu×2, ab×8. BPE's count rule would merge (a,##a)
