@@ -425,45 +425,74 @@ object TextAnalysis {
         if (i == 0) new String(cps, 0, 1)
         else "##" + new String(cps, i, 1)).toArray
     }
+    // INCREMENTAL loop (the bpeTrainLocal shape, plus a maintained
+    // symbol-count map for the score denominators): a merge
+    // re-segments ONLY the words containing the pair (pair → words
+    // occurrence index) and delta-updates both count maps — O(affected
+    // words · word length) per round, not O(vocab). The per-round
+    // argmax stays a full scan of the pair map (MB-sized at any
+    // corpus), which is also what keeps it hash-order independent.
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val sc = scala.collection.mutable.HashMap.empty[String, Long]
+    val occ = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def addWord(idx: Int): Unit = {
+      val f = wf(idx)._2; val s = segs(idx)
+      var j = 0
+      while (j < s.length) {
+        sc.updateWith(s(j))(c => Some(c.getOrElse(0L) + f))
+        if (j + 1 < s.length) {
+          val p = (s(j), s(j + 1))
+          pc.updateWith(p)(c => Some(c.getOrElse(0L) + f))
+          occ.getOrElseUpdate(p,
+            scala.collection.mutable.HashSet.empty[Int]) += idx
+        }
+        j += 1
+      }
+    }
+    def dropWord(idx: Int): Unit = {
+      val f = wf(idx)._2; val s = segs(idx)
+      var j = 0
+      while (j < s.length) {
+        sc.updateWith(s(j))(c => {
+          val n = c.getOrElse(0L) - f
+          if (n <= 0L) None else Some(n)
+        })
+        if (j + 1 < s.length) {
+          val p = (s(j), s(j + 1))
+          pc.updateWith(p)(c => {
+            val n = c.getOrElse(0L) - f
+            if (n <= 0L) None else Some(n)
+          })
+          occ.get(p).foreach { set => set -= idx; if (set.isEmpty) occ -= p }
+        }
+        j += 1
+      }
+    }
+    wf.indices.foreach(addWord)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long, Long)]
     var r = 1
-    var exhausted = false
-    while (r <= nMerges && !exhausted) {
-      val pc = scala.collection.mutable
-        .HashMap.empty[(String, String), Long]
-      val sc = scala.collection.mutable.HashMap.empty[String, Long]
-      var i = 0
-      while (i < wf.length) {
-        val f = wf(i)._2; val s = segs(i)
-        var j = 0
-        while (j < s.length) {
-          sc.updateWith(s(j))(c => Some(c.getOrElse(0L) + f))
-          if (j + 1 < s.length)
-            pc.updateWith((s(j), s(j + 1)))(c => Some(c.getOrElse(0L) + f))
-          j += 1
+    while (r <= nMerges && pc.nonEmpty) {
+      // argmax (score DESC, a ASC, b ASC) — hash-order independent
+      var bA: String = null; var bB: String = null
+      var bPn = 0L; var bScore = -1.0
+      pc.foreach { case ((a, b), pn) =>
+        val score = pn.toDouble / (sc(a) * sc(b)).toDouble
+        if (score > bScore || (score == bScore &&
+            (a < bA || (a == bA && b < bB)))) {
+          bScore = score; bA = a; bB = b; bPn = pn
         }
-        i += 1
       }
-      if (pc.isEmpty) exhausted = true
-      else {
-        // argmax (score DESC, a ASC, b ASC) — hash-order independent
-        var bA: String = null; var bB: String = null
-        var bPn = 0L; var bScore = -1.0
-        pc.foreach { case ((a, b), pn) =>
-          val score = pn.toDouble / (sc(a) * sc(b)).toDouble
-          if (score > bScore || (score == bScore &&
-              (a < bA || (a == bA && b < bB)))) {
-            bScore = score; bA = a; bB = b; bPn = pn
-          }
-        }
-        merges += ((r, bA, bB, bPn, sc(bA), sc(bB)))
-        var m = 0
-        while (m < segs.length) {
-          segs(m) = wpGreedy(segs(m), bA, bB); m += 1
-        }
-        r += 1
+      merges += ((r, bA, bB, bPn, sc(bA), sc(bB)))
+      val affected = occ.getOrElse((bA, bB),
+        scala.collection.mutable.HashSet.empty[Int]).toArray
+      affected.foreach { idx =>
+        dropWord(idx)
+        segs(idx) = wpGreedy(segs(idx), bA, bB)
+        addWord(idx)
       }
+      r += 1
     }
     merges.toSeq
       .toDF("rank", "sym_a", "sym_b", "n_pair", "n_a", "n_b")

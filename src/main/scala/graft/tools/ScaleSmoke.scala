@@ -173,6 +173,14 @@ object ScaleSmoke {
       val (n, t) = timed(TextAnalysis.bpeTrainLocal(docs, "text", m).count())
       println(f"${"local"}%-12s $m%-7d $t%-9.2f ${t / m}%-9.4f  (emitted $n)")
     }
+    // the WordPiece trainer shares the incremental driver-loop shape
+    // (delta-updated pair + symbol counts, occurrence index); its
+    // per-merge cost must sit on the same µs floor as BPE's
+    Seq(64, 1024, 4096).foreach { m =>
+      val (n, t) = timed(
+        TextAnalysis.wordpieceTrainLocal(docs, "text", m).count())
+      println(f"${"wordpiece"}%-12s $m%-7d $t%-9.2f ${t / m}%-9.4f  (emitted $n)")
+    }
     docs.unpersist()
   }
 
