@@ -1050,8 +1050,11 @@ object Similarity {
     * Spark shape: members group by cell, queries explode into probe
     * cells, and ONE cogroup on the cell id does everything cell-local
     * — graph build (NSW insertion in id order: each point links
-    * bidirectionally to its `degree` nearest predecessors; fully
-    * deterministic) and the walks. At 100 TB the cells are the
+    * bidirectionally to the `degree` best candidates found by
+    * SEARCHING the partial graph with `efConstruction` — the standard
+    * NSW/HNSW build, O(efC·degree) per insert, so a skew-popped cell
+    * stays near-linear where an exact predecessor scan would go
+    * quadratic; fully deterministic) and the walks. At 100 TB the cells are the
     * partition grain: each is bounded (nlist ∝ corpus), the graph is
     * a per-partition artifact, and the only shuffle is the same
     * cell-id equi-shape every IVF operator uses. Per-partition
@@ -1070,9 +1073,10 @@ object Similarity {
   def graphAnnTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int = 4,
-      degree: Int = 8, ef: Int = 64): DataFrame = {
-    require(k >= 1 && degree >= 1 && ef >= k,
-      "need k >= 1, degree >= 1, ef >= k")
+      degree: Int = 8, ef: Int = 64,
+      efConstruction: Int = 64): DataFrame = {
+    require(k >= 1 && degree >= 1 && ef >= k && efConstruction >= degree,
+      "need k >= 1, degree >= 1, ef >= k, efConstruction >= degree")
     val spark = corpus.sparkSession
     import spark.implicits._
     val members = ivfAssignments(
@@ -1114,32 +1118,24 @@ object Similarity {
             val den = norms(i) * qn
             if (den == 0) 0.0 else d(vecs(i), q) / den
           }
-          // NSW build: point i links to its `degree` nearest
-          // predecessors by (cos desc, id asc); edges bidirectional
           val adj = Array.fill(n)(
             scala.collection.mutable.ArrayBuffer.empty[Int])
-          var i = 1
-          while (i < n) {
-            val scored = new Array[(Double, Int)](i)
-            var j = 0
-            while (j < i) {
-              scored(j) = (cosAt(j, vecs(i), norms(i)), j); j += 1
-            }
-            val top = scored.sortBy { case (c, jj) => (-c, ids(jj)) }
-              .take(degree)
-            top.foreach { case (_, jj) =>
-              adj(i) += jj; adj(jj) += i
-            }
-            i += 1
-          }
-          // ef-bounded best-first walk per query; ties (cos desc,
-          // id asc) everywhere — fully deterministic
+          // ef-bounded best-first walk from node 0 over the current
+          // graph; ties (cos desc, id asc) everywhere — fully
+          // deterministic. Shared by BUILD (search the partial graph
+          // for each insert's neighbors — the standard NSW/HNSW
+          // build, O(efC·degree·dims) per insert instead of the
+          // O(i·dims) exact predecessor scan whose total goes
+          // quadratic the moment the quantizer hands one cell a
+          // skewed population) and by QUERY. With efW ≥ nodes the
+          // walk visits the entire connected component — every node,
+          // since each insert links bidirectionally to ≥ 1 earlier
+          // node — which is the exactness contract the gate runs.
           val ord = Ordering.by[(Double, Int), (Double, Long)] {
             case (c, idx) => (c, -ids(idx))
-          } // max-heap: highest cos, then LOWest id wins
-          qArr.iterator.flatMap { case (_, qid, qv) =>
-            val q = qv.toArray
-            val qn = math.sqrt(d(q, q))
+          } // max-heap: highest cos, then LOWEST id wins
+          def walk(q: Array[Double], qn: Double,
+              efW: Int): scala.collection.mutable.PriorityQueue[(Double, Int)] = {
             val visited = new java.util.BitSet(n)
             val cand = scala.collection.mutable.PriorityQueue
               .empty[(Double, Int)](ord)
@@ -1148,22 +1144,40 @@ object Similarity {
             val c0 = cosAt(0, q, qn)
             visited.set(0); cand.enqueue((c0, 0)); res.enqueue((c0, 0))
             while (cand.nonEmpty &&
-                (res.size < ef || ord.gt(cand.head,
-                  (res.head._1, res.head._2)))) {
+                (res.size < efW || ord.gt(cand.head, res.head))) {
               val (_, ci) = cand.dequeue()
               adj(ci).foreach { e =>
                 if (!visited.get(e)) {
                   visited.set(e)
                   val ce = cosAt(e, q, qn)
-                  if (res.size < ef || ce > res.head._1 ||
+                  if (res.size < efW || ce > res.head._1 ||
                       (ce == res.head._1 && ids(e) < ids(res.head._2))) {
                     cand.enqueue((ce, e)); res.enqueue((ce, e))
-                    if (res.size > ef) { res.dequeue(); () }
+                    if (res.size > efW) { res.dequeue(); () }
                   }
                 }
               }
             }
-            res.iterator.map { case (c, idx) => (qid, ids(idx), c) }
+            res
+          }
+          // NSW build: insert in id order; each node links
+          // bidirectionally to the `degree` best candidates the
+          // partial graph's own search surfaces
+          var i = 1
+          while (i < n) {
+            val found = walk(vecs(i), norms(i), efConstruction)
+              .toArray.sortBy { case (c, jj) => (-c, ids(jj)) }
+              .take(degree)
+            found.foreach { case (_, jj) =>
+              adj(i) += jj; adj(jj) += i
+            }
+            i += 1
+          }
+          qArr.iterator.flatMap { case (_, qid, qv) =>
+            val q = qv.toArray
+            val qn = math.sqrt(d(q, q))
+            walk(q, qn, ef).iterator
+              .map { case (c, idx) => (qid, ids(idx), c) }
           }
         }
       }

@@ -364,8 +364,58 @@ object ScaleSmoke {
     }
   }
 
+  /** `gann` mode: graph-ANN scale under the nlist ∝ corpus contract.
+    * Per cell the NSW build is O(m²·dims) and the walk O(ef·degree·
+    * dims); with cell population m pinned by nlist ∝ corpus the
+    * total build is corpus·m — LINEAR in the corpus, which is the
+    * claim this sweep measures (a fixed nlist would read quadratic).
+    * The flat IVF scan at the same nprobe prints alongside: both
+    * must grow ~linearly; the walk's advantage is per-query work
+    * within big cells, which a local[32] toy can't show — linearity
+    * is what it can.
+    */
+  private def gannSweep(spark: SparkSession, emb0: DataFrame,
+      factors: Seq[Int]): Unit = {
+    val queries = emb0.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qvec"))
+    queries.count()
+    println(f"${"factor"}%-7s ${"vecs"}%-8s ${"nlist"}%-7s ${"build+walk"}%-11s ${"flatIvf"}%-9s")
+    (Seq(-1) ++ factors).foreach { f0 =>
+      val f = math.abs(f0).max(1)
+      val emb = embExploded(emb0, f).cache()
+      val ne = emb.count()
+      val nlist = 16 * f
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist)
+      val (n1, tG) = timed(Similarity.graphAnnTopK(emb, "vec_id",
+        "embedding", queries, "query_id", "qvec", k = 5, cents,
+        nprobe = 4, degree = 8, ef = 64).count())
+      val (n2, tF) = timed(Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, cents, nprobe = 4).count())
+      if (f0 > 0) // factor-1 warmup discarded (JIT)
+        println(f"$f%-7d $ne%-8d $nlist%-7d $tG%-11.2f $tF%-9.2f  (rows: $n1/$n2)")
+      emb.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "gann") {
+      val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+                    else Seq(1, 4, 16)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val e0 = sp.read.parquet(s"$sfDir/embeddings.parquet")
+      e0.count()
+      gannSweep(sp, e0, factors)
+      sp.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "pipeline") {
       val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
                     else Seq(1, 4, 16, 64)
