@@ -1555,6 +1555,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_graph_indexed" -> ((s, dir) => {
+      // the STORED-INDEX half: graphAnnBuild materializes the
+      // cell-local NSW graphs as a table (localCheckpoint = the
+      // stored-artifact seam), graphAnnTopKIndexed walks them with no
+      // rebuild — the ivfAssignments/ivfTopKIndexed relationship,
+      // graph edition. Same exactness regime as sim_ann_graph, same
+      // brute-force oracle.
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      val index = Similarity.graphAnnBuild(corpus, "vec_id", "embedding",
+        cents, degree = 8, efConstruction = 64).localCheckpoint()
+      Similarity.graphAnnTopKIndexed(index, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, nprobe = 4,
+          ef = 1024)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_pq_occupancy" -> ((s, dir) => {
       // PQ codebook health over the encoded corpus (the stored-index
       // artifact): per subspace, codes used / dead / occupancy
@@ -6370,6 +6389,7 @@ object SparkEntry {
     "sim_ann_lsh" -> plantedAnnOracle,
     "sim_ann_ivf" -> plantedAnnOracle,
     "sim_ann_graph" -> plantedAnnOracle,
+    "sim_ann_graph_indexed" -> plantedAnnOracle,
     "sim_ivf_hier" -> plantedAnnOracle,
     "sim_ivf_tree" -> plantedAnnOracle,
     "sim_ivf_append" -> plantedAnnOracle,

@@ -1104,79 +1104,194 @@ object Similarity {
         val pts = ms.toArray.sortBy(_._2) // deterministic insert order
         if (pts.isEmpty) Iterator.empty
         else {
-          val n = pts.length
           val ids = pts.map(_._2)
           val vecs = pts.map(_._3.toArray)
-          // exact same IEEE ops as the VecDot kernel: left-to-right
-          def d(a: Array[Double], b: Array[Double]): Double = {
-            var s = 0.0; var i = 0
-            while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
-            s
-          }
-          val norms = vecs.map(v => math.sqrt(d(v, v)))
-          def cosAt(i: Int, q: Array[Double], qn: Double): Double = {
-            val den = norms(i) * qn
-            if (den == 0) 0.0 else d(vecs(i), q) / den
-          }
-          val adj = Array.fill(n)(
-            scala.collection.mutable.ArrayBuffer.empty[Int])
-          // ef-bounded best-first walk from node 0 over the current
-          // graph; ties (cos desc, id asc) everywhere — fully
-          // deterministic. Shared by BUILD (search the partial graph
-          // for each insert's neighbors — the standard NSW/HNSW
-          // build, O(efC·degree·dims) per insert instead of the
-          // O(i·dims) exact predecessor scan whose total goes
-          // quadratic the moment the quantizer hands one cell a
-          // skewed population) and by QUERY. With efW ≥ nodes the
-          // walk visits the entire connected component — every node,
-          // since each insert links bidirectionally to ≥ 1 earlier
-          // node — which is the exactness contract the gate runs.
-          val ord = Ordering.by[(Double, Int), (Double, Long)] {
-            case (c, idx) => (c, -ids(idx))
-          } // max-heap: highest cos, then LOWEST id wins
-          def walk(q: Array[Double], qn: Double,
-              efW: Int): scala.collection.mutable.PriorityQueue[(Double, Int)] = {
-            val visited = new java.util.BitSet(n)
-            val cand = scala.collection.mutable.PriorityQueue
-              .empty[(Double, Int)](ord)
-            val res = scala.collection.mutable.PriorityQueue
-              .empty[(Double, Int)](ord.reverse) // min-heap of results
-            val c0 = cosAt(0, q, qn)
-            visited.set(0); cand.enqueue((c0, 0)); res.enqueue((c0, 0))
-            while (cand.nonEmpty &&
-                (res.size < efW || ord.gt(cand.head, res.head))) {
-              val (_, ci) = cand.dequeue()
-              adj(ci).foreach { e =>
-                if (!visited.get(e)) {
-                  visited.set(e)
-                  val ce = cosAt(e, q, qn)
-                  if (res.size < efW || ce > res.head._1 ||
-                      (ce == res.head._1 && ids(e) < ids(res.head._2))) {
-                    cand.enqueue((ce, e)); res.enqueue((ce, e))
-                    if (res.size > efW) { res.dequeue(); () }
-                  }
-                }
-              }
-            }
-            res
-          }
-          // NSW build: insert in id order; each node links
-          // bidirectionally to the `degree` best candidates the
-          // partial graph's own search surfaces
-          var i = 1
-          while (i < n) {
-            val found = walk(vecs(i), norms(i), efConstruction)
-              .toArray.sortBy { case (c, jj) => (-c, ids(jj)) }
-              .take(degree)
-            found.foreach { case (_, jj) =>
-              adj(i) += jj; adj(jj) += i
-            }
-            i += 1
-          }
+          val norms = vecs.map(v => math.sqrt(NswGraph.dot(v, v)))
+          val adj = NswGraph.build(ids, vecs, norms, degree,
+            efConstruction)
           qArr.iterator.flatMap { case (_, qid, qv) =>
             val q = qv.toArray
-            val qn = math.sqrt(d(q, q))
-            walk(q, qn, ef).iterator
+            val qn = math.sqrt(NswGraph.dot(q, q))
+            NswGraph.walk(ids, vecs, norms, adj(_), q, qn, ef).iterator
+              .map { case (c, idx) => (qid, ids(idx), c) }
+          }
+        }
+      }
+    }.toDF("__qid", corpusId, "cos")
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    walked.filter(col("__qid") =!= col(corpusId))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col(corpusId), col("cos"),
+        col("rank"))
+  }
+
+  /** Cell-local NSW machinery shared by [[graphAnnTopK]],
+    * [[graphAnnBuild]] and [[graphAnnTopKIndexed]] — ONE
+    * implementation of the deterministic build and the ef-bounded
+    * walk, so the inline and stored-index paths cannot fork
+    * (spec-pinned identical). Cosine arithmetic = the VecDot kernel's
+    * left-to-right IEEE fold, so rankings agree with every other ANN
+    * operator and the brute-force oracle.
+    */
+  private[functions] object NswGraph extends Serializable {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** ef-bounded best-first walk from node 0; ties (cos DESC, id
+      * ASC) everywhere — fully deterministic. With `efW` ≥ node count
+      * the walk visits the ENTIRE connected component (every insert
+      * links bidirectionally to ≥ 1 earlier node, so the graph is
+      * connected) — the exactness contract the gates run.
+      */
+    def walk(ids: Array[Long], vecs: Array[Array[Double]],
+        norms: Array[Double], adj: Int => scala.collection.Seq[Int],
+        q: Array[Double], qn: Double, efW: Int)
+        : scala.collection.mutable.PriorityQueue[(Double, Int)] = {
+      def cosAt(i: Int): Double = {
+        val den = norms(i) * qn
+        if (den == 0) 0.0 else dot(vecs(i), q) / den
+      }
+      val ord = Ordering.by[(Double, Int), (Double, Long)] {
+        case (c, idx) => (c, -ids(idx))
+      } // max-heap: highest cos, then LOWEST id wins
+      val visited = new java.util.BitSet(ids.length)
+      val cand = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Int)](ord)
+      val res = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Int)](ord.reverse) // min-heap of results
+      val c0 = cosAt(0)
+      visited.set(0); cand.enqueue((c0, 0)); res.enqueue((c0, 0))
+      while (cand.nonEmpty &&
+          (res.size < efW || ord.gt(cand.head, res.head))) {
+        val (_, ci) = cand.dequeue()
+        adj(ci).foreach { e =>
+          if (!visited.get(e)) {
+            visited.set(e)
+            val ce = cosAt(e)
+            if (res.size < efW || ce > res.head._1 ||
+                (ce == res.head._1 && ids(e) < ids(res.head._2))) {
+              cand.enqueue((ce, e)); res.enqueue((ce, e))
+              if (res.size > efW) { res.dequeue(); () }
+            }
+          }
+        }
+      }
+      res
+    }
+
+    /** Deterministic NSW build: insert in array order; each node
+      * links bidirectionally to the `degree` best candidates found by
+      * SEARCHING the partial graph with `efC` (the standard NSW/HNSW
+      * construction — O(efC·degree·dims) per insert; an exact
+      * predecessor scan goes quadratic on a skew-popped cell).
+      */
+    def build(ids: Array[Long], vecs: Array[Array[Double]],
+        norms: Array[Double], degree: Int,
+        efC: Int): Array[Array[Int]] = {
+      val n = ids.length
+      val adj = Array.fill(n)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      var i = 1
+      while (i < n) {
+        val found = walk(ids, vecs, norms, adj(_), vecs(i), norms(i), efC)
+          .toArray.sortBy { case (c, jj) => (-c, ids(jj)) }
+          .take(degree)
+        found.foreach { case (_, jj) => adj(i) += jj; adj(jj) += i }
+        i += 1
+      }
+      adj.map(_.toArray)
+    }
+  }
+
+  /** Build the cell-local NSW graphs as a STORED INDEX — one row per
+    * point: (cell, id, vector, neighbor ids). The production reuse
+    * shape, graph edition of ivfAssignments: build once, write to
+    * parquet partitioned by cell, serve every later query batch
+    * through [[graphAnnTopKIndexed]] with no rebuild. Neighbor lists
+    * carry GLOBAL ids (stable across storage); the search side
+    * re-localizes them per cell.
+    */
+  def graphAnnBuild(corpus: DataFrame, corpusId: String,
+      corpusVec: String, centroids: Array[Array[Double]],
+      degree: Int = 8, efConstruction: Int = 64): DataFrame = {
+    require(degree >= 1 && efConstruction >= degree,
+      "need degree >= 1, efConstruction >= degree")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    ivfAssignments(
+        corpus.select(col(corpusId),
+          transform(col(corpusVec), x => x.cast("double")).as(corpusVec)),
+        corpusId, corpusVec, centroids)
+      .select(col("cell"), col(corpusId).cast("long"), col(corpusVec))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Int, ms: Iterator[(Int, Long, Seq[Double])]) =>
+        val pts = ms.toArray.sortBy(_._2)
+        val ids = pts.map(_._2)
+        val vecs = pts.map(_._3.toArray)
+        val norms = vecs.map(v => math.sqrt(NswGraph.dot(v, v)))
+        val adj = NswGraph.build(ids, vecs, norms, degree, efConstruction)
+        ids.indices.iterator.map(i =>
+          (cell, ids(i), vecs(i).toSeq, adj(i).map(ids(_)).toSeq))
+      }
+      .toDF("cell", corpusId, corpusVec, "neighbors")
+  }
+
+  /** Graph-ANN search over a PRE-BUILT index table from
+    * [[graphAnnBuild]] (possibly read back from parquet): skips the
+    * build entirely — queries probe `nprobe` cells and walk the
+    * STORED graphs. A cell-partitioned store turns the cogroup's
+    * member side into a pruned scan of nprobe/nlist of the index.
+    * Identical walk/tie semantics to [[graphAnnTopK]] (shared
+    * NswGraph implementation; spec pins indexed == inline).
+    */
+  def graphAnnTopKIndexed(index: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 4, ef: Int = 64): DataFrame = {
+    require(k >= 1 && ef >= k, "need k >= 1, ef >= k")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val members = index
+      .select(col("cell"), col(corpusId).cast("long"), col(corpusVec),
+        col("neighbors"))
+      .as[(Int, Long, Seq[Double], Seq[Long])]
+      .groupByKey(_._1)
+    val probes = queries
+      .select(col(queryId).cast("long").as("__qid"),
+        transform(col(queryVec), x => x.cast("double")).as("__qv"),
+        probeCells(
+          transform(col(queryVec), x => x.cast("double")), centroids,
+          nprobe).as("__probes"))
+      .select(col("__qid"), col("__qv"),
+        explode(col("__probes").getField("cell")).as("cell"))
+      .select(col("cell"), col("__qid"), col("__qv"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+    val walked = members.cogroup(probes) { (_, ms, qs) =>
+      val qArr = qs.toArray
+      if (qArr.isEmpty) Iterator.empty
+      else {
+        val pts = ms.toArray.sortBy(_._2)
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val ids = pts.map(_._2)
+          val vecs = pts.map(_._3.toArray)
+          val norms = vecs.map(v => math.sqrt(NswGraph.dot(v, v)))
+          val local = new java.util.HashMap[Long, Integer](ids.length * 2)
+          ids.indices.foreach(i => local.put(ids(i), i))
+          val adj: Array[Array[Int]] = pts.map(_._4.iterator
+            .map(g => local.get(g))
+            .filter(_ ne null).map(_.intValue()).toArray)
+          qArr.iterator.flatMap { case (_, qid, qv) =>
+            val q = qv.toArray
+            val qn = math.sqrt(NswGraph.dot(q, q))
+            NswGraph.walk(ids, vecs, norms, adj(_), q, qn, ef).iterator
               .map { case (c, idx) => (qid, ids(idx), c) }
           }
         }

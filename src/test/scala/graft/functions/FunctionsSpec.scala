@@ -2675,6 +2675,17 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       assert(routed.contains((q, 1, q + 1000L)), s"query $q missing rank-1")
       assert(routed.contains((q, 2, q + 2000L)), s"query $q missing rank-2")
     }
+    // STORED-INDEX parity: graphAnnBuild + graphAnnTopKIndexed must
+    // reproduce the inline path exactly at every setting (shared
+    // NswGraph build/walk — the graphs are identical by construction)
+    val index = Similarity.graphAnnBuild(corpus, "vec_id", "embedding",
+      cents, degree = 6, efConstruction = 64).localCheckpoint()
+    val viaIndex = topSet(Similarity.graphAnnTopKIndexed(index,
+      "vec_id", "embedding", queries, "query_id", "qvec", k = 2, cents,
+      nprobe = 3, ef = 1024))
+    assert(viaIndex === topSet(Similarity.graphAnnTopK(corpus, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 2, cents,
+      nprobe = 3, degree = 6, ef = 1024)))
     // the APPROXIMATE regime (small ef — the low-latency point of the
     // operator): recall of the planted rank-1 stays high; fully
     // deterministic for this seeded fixture
