@@ -181,6 +181,16 @@ object ScaleSmoke {
         TextAnalysis.wordpieceTrainLocal(docs, "text", m).count())
       println(f"${"wordpiece"}%-12s $m%-7d $t%-9.2f ${t / m}%-9.4f  (emitted $n)")
     }
+    // unigram-LM trainer: cost = seed substring counting + emRounds
+    // Viterbi-EM passes, each O(vocab·wordLen·maxPieceLen) — LINEAR
+    // in the vocab (rounds are fixed, unlike merge-count-driven BPE/
+    // WordPiece), so the sweep is over target vocab sizes instead of
+    // merge counts; printed per-piece
+    Seq(64, 512, 2048).foreach { tv =>
+      val (n, t) = timed(TextAnalysis.unigramTrainLocal(docs, "text",
+        targetMulti = tv, seedMulti = 4 * tv).count())
+      println(f"${"unigram"}%-12s $tv%-7d $t%-9.2f ${t / tv}%-9.4f  (emitted $n)")
+    }
     docs.unpersist()
   }
 
