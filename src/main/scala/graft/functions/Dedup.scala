@@ -880,8 +880,17 @@ object Dedup {
     * exactly the key the dedup already shuffles on, so at 100 TB the
     * two sides co-partition.
     */
+  /** `materializeGrams`: the dup-gram table feeds BOTH sides of the
+    * attribution join (owner spans and partner projection), so by
+    * default it is cut at the seam with an eager localCheckpoint —
+    * without it the corpus-sized gram explode + distinct-doc
+    * semi-join computes twice (the production path reads the stored
+    * dup-gram parquet instead). Pass false to keep the operator
+    * fully lazy.
+    */
   def dupSpanPartners(df: DataFrame, idCol: String, textCol: String,
-      gramChars: Int, hashGrams: Boolean = false): DataFrame = {
+      gramChars: Int, hashGrams: Boolean = false,
+      materializeGrams: Boolean = true): DataFrame = {
     require(gramChars >= 2, "gramChars must be ≥ 2")
     val k = gramChars
     val wPrev = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
@@ -891,7 +900,8 @@ object Dedup {
     val isNew = when(col("__pos") >
       coalesce(max(col("__pos") + k).over(wPrev), lit(0)), 1L)
       .otherwise(0L)
-    val g = dupGramPosGram(df, idCol, textCol, k, hashGrams)
+    val g0 = dupGramPosGram(df, idCol, textCol, k, hashGrams)
+    val g = if (materializeGrams) g0.localCheckpoint() else g0
     val owner = g
       .withColumn("__new", isNew)
       .withColumn("span_idx", sum(col("__new")).over(wRun))
