@@ -613,6 +613,140 @@ object TextAnalysis {
       .toDF("piece", "cnt", "logp_nano")
   }
 
+  /** log(e^a + e^b) without overflow; -∞-safe. */
+  private def lse(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+
+  /** SOFT-EM unigram-LM training — the full published algorithm
+    * (Kudo 2018 §3.2: the E-step computes EXPECTED piece counts by
+    * forward–backward over each word's segmentation lattice, instead
+    * of [[unigramTrainLocal]]'s hard Viterbi assignment). Same seed,
+    * piece-set update (zero-mass multi-char pieces drop, single
+    * chars floor at mass 1), prune and scale contract as the hard
+    * trainer; counts are fractional (posterior mass), so the M-step
+    * renormalizes real-valued weights.
+    *
+    * Float-honesty: forward–backward is log-sum-exp chains whose
+    * accumulation order no two engines reproduce bit-identically, so
+    * this operator is SPEC-verified (posterior char-mass
+    * conservation, hand-computed posteriors, the EM likelihood
+    * monotonicity guarantee) rather than oracle-hashed — the hard-EM
+    * twin carries the cross-engine gate for the family. Output:
+    * (piece, exp_cnt DOUBLE, logp_nano) sorted by piece.
+    */
+  def unigramTrainSoftLocal(df: DataFrame, textCol: String,
+      targetMulti: Int = 12, seedMulti: Int = 60, maxPieceLen: Int = 3,
+      emRounds: Int = 2, maxVocab: Int = 1 << 21): DataFrame = {
+    require(targetMulti >= 0 && seedMulti >= targetMulti,
+      "need seedMulti >= targetMulti >= 0")
+    require(maxPieceLen >= 1 && emRounds >= 1, "need maxPieceLen/emRounds >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = bpeWordFreq(df, textCol).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"unigramTrainSoftLocal: vocab exceeds maxVocab $maxVocab")
+    val wf: Array[(String, Long)] =
+      rows.map(r => (r.getString(0), r.getLong(1)))
+    val chars: Array[String] = wf.iterator.map(_._1)
+      .flatMap(w => w.codePoints().toArray.map(Character.toString))
+      .toSet.toArray.sorted
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      val cps = w.codePoints().toArray
+      var i = 0
+      while (i < cps.length) {
+        var k = 1
+        while (k <= math.min(maxPieceLen, cps.length - i)) {
+          sub.updateWith(new String(cps, i, k))(c =>
+            Some(c.getOrElse(0L) + f))
+          k += 1
+        }
+        i += 1
+      }
+    }
+    val seedMultiPieces = sub.iterator
+      .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    var counts: Seq[(String, Double)] =
+      chars.map(c => (c, sub(c).toDouble)).toSeq ++
+        seedMultiPieces.map { case (p, c) => (p, c.toDouble) }
+    // expected counts of one word's pieces under `lp` — classic
+    // lattice forward-backward in natural-log doubles
+    def expected(w: String, f: Long,
+        lp: java.util.HashMap[String, java.lang.Double],
+        out: scala.collection.mutable.HashMap[String, Double]): Unit = {
+      val cps = w.codePoints().toArray
+      val L = cps.length
+      def piece(i: Int, k: Int) = new String(cps, i, k)
+      def score(i: Int, k: Int): Double = {
+        val s = lp.get(piece(i, k))
+        if (s eq null) Double.NegativeInfinity else s.doubleValue()
+      }
+      val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
+      val beta = Array.fill(L + 1)(Double.NegativeInfinity)
+      alpha(0) = 0.0; beta(L) = 0.0
+      var i = 1
+      while (i <= L) {
+        var k = 1
+        while (k <= math.min(maxPieceLen, i)) {
+          alpha(i) = lse(alpha(i), alpha(i - k) + score(i - k, k)); k += 1
+        }
+        i += 1
+      }
+      var j = L - 1
+      while (j >= 0) {
+        var k = 1
+        while (k <= math.min(maxPieceLen, L - j)) {
+          beta(j) = lse(beta(j), score(j, k) + beta(j + k)); k += 1
+        }
+        j -= 1
+      }
+      if (alpha(L) == Double.NegativeInfinity) return // uncoverable
+      var s = 0
+      while (s < L) {
+        var k = 1
+        while (k <= math.min(maxPieceLen, L - s)) {
+          val sc = score(s, k)
+          if (sc != Double.NegativeInfinity) {
+            val post = math.exp(alpha(s) + sc + beta(s + k) - alpha(L))
+            if (post > 0.0)
+              out.updateWith(piece(s, k))(c =>
+                Some(c.getOrElse(0.0) + post * f))
+          }
+          k += 1
+        }
+        s += 1
+      }
+    }
+    var r = 1
+    while (r <= emRounds) {
+      val total = counts.iterator.map(_._2).sum
+      val lp = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+      counts.foreach { case (p, c) => lp.put(p, math.log(c / total)) }
+      val newc = scala.collection.mutable.HashMap.empty[String, Double]
+      wf.foreach { case (w, f) => expected(w, f, lp, newc) }
+      counts = chars.map(c => (c, math.max(newc.getOrElse(c, 0.0), 1.0)))
+        .toSeq ++
+        newc.iterator
+          .filter { case (p, c) =>
+            p.codePointCount(0, p.length) > 1 && c > 0.0 }
+          .toSeq.sortBy(_._1)
+      r += 1
+    }
+    val countMap = counts.toMap
+    val kept: Seq[(String, Double)] =
+      chars.map(c => (c, countMap(c))).toSeq ++
+        countMap.iterator
+          .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+          .toSeq.sortBy { case (p, c) => (-c, p) }.take(targetMulti)
+    val total = kept.iterator.map(_._2).sum
+    kept.map { case (p, c) =>
+      (p, c, math.floor(math.log(c / total) * 1e9).toLong)
+    }.sortBy(_._1).toDF("piece", "exp_cnt", "logp_nano")
+  }
+
   /** Viterbi-encode the corpus VOCABULARY under a trained unigram
     * piece table ((piece, logp_nano) pairs from
     * [[unigramTrainLocal]]) — the unigram twin of

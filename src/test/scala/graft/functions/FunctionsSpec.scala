@@ -2761,6 +2761,50 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
         "a\ud83d\ude00" -> -3L), 3).toSeq === Seq("a\ud83d\ude00", "b"))
   }
 
+  test("unigram soft-EM: hand posterior, char-mass conservation, EM monotonicity") {
+    import spark.implicits._
+    // hand-checkable lattice: corpus = "ab"×4, "cd"×4. Seed keeps all
+    // chars + both bigrams; nothing pruned (targetMulti = seedMulti).
+    val docs = Seq((1L, (Seq.fill(4)("ab") ++ Seq.fill(4)("cd"))
+      .mkString(" "))).toDF("doc_id", "text")
+    def table(rounds: Int) = TextAnalysis.unigramTrainSoftLocal(docs,
+        "text", targetMulti = 2, seedMulti = 2, maxPieceLen = 2,
+        emRounds = rounds)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val t1 = table(1)
+    assert(t1.keySet === Set("a", "b", "c", "d", "ab", "cd"))
+    // round-0 probs: every piece (4 chars + 2 bigrams) has seed count
+    // 4 of total 24 → p = 1/6 each. Word "ab": P([ab]) = 1/6,
+    // P([a][b]) = 1/36 → posterior(ab) = (1/6)/(1/6 + 1/36) = 6/7;
+    // expected counts: ab → 4·6/7, a → 4·1/7 → floored to 1.0
+    assert(math.abs(t1("ab")._1 - 4.0 * 6 / 7) < 1e-9)
+    assert(t1("a")._1 === 1.0) // 4/7 ≈ 0.57 → char floor lifts to 1
+    // char-mass conservation BEFORE the floor: each word's posterior
+    // segmentations cover its chars exactly once, so Σ E[c(p)]·len(p)
+    // = Σ f(w)·len(w) = 16. With 4 chars floored from 4/7 to 1, the
+    // reported mass is 16 + 4·(1 − 4/7)
+    val mass = t1.iterator.map { case (p, (c, _)) => c * p.length }.sum
+    assert(math.abs(mass - (16.0 + 4 * (1.0 - 4.0 / 7))) < 1e-9)
+    // EM monotonicity (the EM guarantee): corpus log-likelihood under
+    // the round-r table is non-decreasing in r. LL computed from the
+    // returned tables by the spec's own forward pass.
+    def ll(tab: Map[String, (Double, Long)]): Double = {
+      val total = tab.values.map(_._1).sum
+      def lp(p: String) = math.log(tab(p)._1 / total)
+      // words ab, cd with freq 4: forward = p(piece) + p(a)p(b)
+      Seq("ab", "cd").map { w =>
+        4.0 * math.log(math.exp(lp(w)) +
+          math.exp(lp(w.substring(0, 1)) + lp(w.substring(1))))
+      }.sum
+    }
+    val lls = Seq(1, 2, 3).map(r => ll(table(r)))
+    assert(lls.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 },
+      s"EM likelihood decreased: $lls")
+    // soft-EM concentrates on the bigram segmentation round over round
+    assert(table(3)("ab")._1 > t1("ab")._1)
+  }
+
   test("unigram trainer: char floor, prune bound, kernel/driver round-trip parity") {
     import spark.implicits._
     // corpus where a frequent bigram absorbs its chars: 'ab' dominates
