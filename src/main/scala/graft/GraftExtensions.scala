@@ -24,6 +24,14 @@ import graft.expressions.{PortableMinHash, PortableSimHash, SignBits, VecDot, Wo
   * - `wordpiece_tokenize(word, 'p1,p2,…')` — greedy longest-match
   *   WordPiece pieces of one word against a comma-separated vocab
   *   literal
+  * - `char_entropy(text)`         — (n_cp, n_distinct, entropy_nanos)
+  * - `jaro_winkler(a, b)`         — nano-quantized Jaro–Winkler
+  * - `char_grams_pos(text, k)`    — sliding k-char grams with 1-based
+  *   code-point positions (the span-dedup gram stream)
+  * - `bpe_segment_word(word, 'a b,c d,…')` — apply a ranked BPE merge
+  *   table ("sym_a sym_b" pairs, comma-separated, rank order)
+  * - `unigram_segment_word(word, 'p:nano,…')` — Viterbi segmentation
+  *   under a unigram piece table (piece:logp_nano pairs)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -31,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -80,6 +95,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"wordpiece_tokenize vocab must be a string literal, got $other")
         }
         WordpieceTokenize(children.head, vocab)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[graft.expressions.CharEntropy].getName,
+        "char_entropy"),
+      (children: Seq[Expression]) =>
+        graft.expressions.CharEntropy(children.head)))
+
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.expressions.JaroWinkler].getName,
+        "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        graft.expressions.JaroWinkler(children(0), children(1))))
+
+    ext.injectFunction((FunctionIdentifier("char_grams_pos"),
+      new ExpressionInfo(classOf[graft.expressions.CharGramsWithPos].getName,
+        "char_grams_pos"),
+      (children: Seq[Expression]) => graft.expressions.CharGramsWithPos(
+        children.head, intLit(children(1), "char_grams_pos k"))))
+
+    ext.injectFunction((FunctionIdentifier("bpe_segment_word"),
+      new ExpressionInfo(classOf[graft.expressions.BpeSegmentWord].getName,
+        "bpe_segment_word"),
+      (children: Seq[Expression]) => {
+        val merges = strLit(children(1), "bpe_segment_word merges")
+          .split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .map { m =>
+            val sp = m.indexOf(' ')
+            require(sp > 0, s"merge '$m' must be 'sym_a sym_b'")
+            (m.substring(0, sp), m.substring(sp + 1))
+          }.toArray
+        graft.expressions.BpeSegmentWord(children.head, merges)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("unigram_segment_word"),
+      new ExpressionInfo(
+        classOf[graft.expressions.UnigramSegmentWord].getName,
+        "unigram_segment_word"),
+      (children: Seq[Expression]) => {
+        val pieces = strLit(children(1), "unigram_segment_word pieces")
+          .split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .map { m =>
+            val sp = m.lastIndexOf(':')
+            require(sp > 0, s"piece '$m' must be 'piece:logp_nano'")
+            (m.substring(0, sp), m.substring(sp + 1).toLong)
+          }.toArray
+        graft.expressions.UnigramSegmentWord(children.head, pieces)
       }))
 
     ext.injectFunction((FunctionIdentifier("zorder_value"),

@@ -63,6 +63,24 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(r.getSeq[String](2) === Seq("[UNK]"))
   }
 
+  test("round-12 kernels callable from SQL: entropy, jaro, grams, tokenizer encoders") {
+    val r = spark.sql(
+      """SELECT
+        |  char_entropy('aabb').entropy_nanos AS e,
+        |  jaro_winkler('martha', 'marhta') AS jw,
+        |  char_grams_pos('abcd', 3) AS g,
+        |  bpe_segment_word('abab', 'a b,ab ab') AS bp,
+        |  unigram_segment_word('abc', 'ab:-3,a:-4,b:-6,c:-5') AS us
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 1000000000L) // 2 symbols × p=.5 → 1 bit
+    assert(math.abs(r.getDouble(1) - 0.9611111111) < 1e-9) // classic fixture
+    val grams = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(grams.map(g => (g.getInt(0), g.getString(1))) ===
+      Seq((1, "abc"), (2, "bcd")))
+    assert(r.getSeq[String](3) === Seq("abab"))
+    assert(r.getSeq[String](4) === Seq("ab", "c"))
+  }
+
   test("zorder_value callable from SQL, equals the Column API") {
     val r = spark.sql(
       "SELECT zorder_value(10, 3L, 5L) AS z, zorder_value(2, 3L, 3L, 3L) AS z3")
