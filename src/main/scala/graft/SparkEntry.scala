@@ -1574,6 +1574,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_graph_append" -> ((s, dir) => {
+      // incremental graph-index ingest (the sim_ivf_append contract,
+      // graph edition): the base index is built WITHOUT the planted
+      // twins, which then arrive as a delta and INSERT into the
+      // stored cell graphs via search-and-link against the frozen
+      // quantizer — untouched cells pass through unchanged. The
+      // search over the appended index must still equal brute force
+      // over the full corpus (the exactness regime is insertion-order
+      // independent), i.e. the appended twins are immediately
+      // findable at their true ranks.
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val delta = corpus.join(emb.select(col("vec_id")),
+        Seq("vec_id"), "left_anti") // = the planted twins
+      val base = Similarity.graphAnnBuild(emb, "vec_id", "embedding",
+        cents, degree = 8, efConstruction = 64)
+      val appended = Similarity.graphAnnAppend(base, delta, "vec_id",
+        "embedding", cents, degree = 8, efConstruction = 64)
+        .localCheckpoint()
+      Similarity.graphAnnTopKIndexed(appended, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, cents, nprobe = 4,
+          ef = 1024)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_pq_occupancy" -> ((s, dir) => {
       // PQ codebook health over the encoded corpus (the stored-index
       // artifact): per subspace, codes used / dead / occupancy
@@ -6390,6 +6420,7 @@ object SparkEntry {
     "sim_ann_ivf" -> plantedAnnOracle,
     "sim_ann_graph" -> plantedAnnOracle,
     "sim_ann_graph_indexed" -> plantedAnnOracle,
+    "sim_ann_graph_append" -> plantedAnnOracle,
     "sim_ivf_hier" -> plantedAnnOracle,
     "sim_ivf_tree" -> plantedAnnOracle,
     "sim_ivf_append" -> plantedAnnOracle,

@@ -1242,6 +1242,83 @@ object Similarity {
       .toDF("cell", corpusId, corpusVec, "neighbors")
   }
 
+  /** Incremental APPEND into a stored graph index: delta points
+    * assign to their cells map-only against the FROZEN quantizer (the
+    * sim_ivf_append contract) and INSERT into the existing cell
+    * graphs via the same search-and-link step the builder uses —
+    * untouched cells pass through byte-identical, touched cells pay
+    * O(delta·efC·degree) insertion, never a rebuild. The resulting
+    * graph differs from a fresh full build only in insertion order;
+    * the exactness contract (full probe + ef ≥ population ⇒ brute
+    * force) is order-independent, and the spec pins it on the
+    * appended index too. Output schema = [[graphAnnBuild]].
+    */
+  def graphAnnAppend(index: DataFrame, delta: DataFrame,
+      corpusId: String, corpusVec: String,
+      centroids: Array[Array[Double]], degree: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    require(degree >= 1 && efConstruction >= degree,
+      "need degree >= 1, efConstruction >= degree")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val stored = index
+      .select(col("cell"), col(corpusId).cast("long"), col(corpusVec),
+        col("neighbors"))
+      .as[(Int, Long, Seq[Double], Seq[Long])]
+      .groupByKey(_._1)
+    val fresh = ivfAssignments(
+        delta.select(col(corpusId),
+          transform(col(corpusVec), x => x.cast("double")).as(corpusVec)),
+        corpusId, corpusVec, centroids)
+      .select(col("cell"), col(corpusId).cast("long"), col(corpusVec))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+    stored.cogroup(fresh) { (cell, ms, ds) =>
+      val dArr = ds.toArray.sortBy(_._2) // deterministic insert order
+      val pts = ms.toArray.sortBy(_._2)
+      if (dArr.isEmpty) {
+        // untouched cell: pass through unchanged
+        pts.iterator.map(p => (cell, p._2, p._3, p._4))
+      } else {
+        val nOld = pts.length
+        val n = nOld + dArr.length
+        val ids = new Array[Long](n)
+        val vecs = new Array[Array[Double]](n)
+        var i = 0
+        while (i < nOld) { ids(i) = pts(i)._2; vecs(i) = pts(i)._3.toArray; i += 1 }
+        dArr.indices.foreach { j =>
+          ids(nOld + j) = dArr(j)._2; vecs(nOld + j) = dArr(j)._3.toArray
+        }
+        val norms = vecs.map(v => math.sqrt(NswGraph.dot(v, v)))
+        val local = new java.util.HashMap[Long, Integer](nOld * 2)
+        (0 until nOld).foreach(i0 => local.put(ids(i0), i0))
+        val adj = Array.fill(n)(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        (0 until nOld).foreach { i0 =>
+          pts(i0)._4.foreach { g =>
+            val l = local.get(g)
+            if (l ne null) adj(i0) += l.intValue()
+          }
+        }
+        // continue the NSW insertion loop for the delta points; a
+        // brand-new cell (nOld == 0) seeds with its first point, the
+        // fresh-build convention
+        var idx = math.max(nOld, 1)
+        while (idx < n) {
+          val found = NswGraph
+            .walk(ids, vecs, norms, adj(_), vecs(idx), norms(idx),
+              efConstruction)
+            .toArray.sortBy { case (c, jj) => (-c, ids(jj)) }
+            .take(degree)
+          found.foreach { case (_, jj) => adj(idx) += jj; adj(jj) += idx }
+          idx += 1
+        }
+        ids.indices.iterator.map(i2 =>
+          (cell, ids(i2), vecs(i2).toSeq, adj(i2).map(ids(_)).toSeq))
+      }
+    }.toDF("cell", corpusId, corpusVec, "neighbors")
+  }
+
   /** Graph-ANN search over a PRE-BUILT index table from
     * [[graphAnnBuild]] (possibly read back from parquet): skips the
     * build entirely — queries probe `nprobe` cells and walk the

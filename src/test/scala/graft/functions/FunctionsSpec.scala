@@ -2686,6 +2686,24 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaIndex === topSet(Similarity.graphAnnTopK(corpus, "vec_id",
       "embedding", queries, "query_id", "qvec", k = 2, cents,
       nprobe = 3, degree = 6, ef = 1024)))
+    // INCREMENTAL APPEND: build from the naturals only, append the
+    // planted twins as a delta against the FROZEN quantizer —
+    // untouched rows pass through, touched cells insert via
+    // search-and-link. The exactness contract is insertion-order
+    // independent, so full probe + big ef over the appended index
+    // still equals brute force over the full corpus; and every
+    // planted twin (delta rows) must be findable.
+    val baseIdx = Similarity.graphAnnBuild(naturals.toDF("vec_id",
+      "embedding"), "vec_id", "embedding", cents, degree = 6,
+      efConstruction = 64)
+    val appended = Similarity.graphAnnAppend(baseIdx,
+      planted.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, degree = 6, efConstruction = 64).localCheckpoint()
+    assert(appended.count() === corpus.count())
+    val viaAppend = topSet(Similarity.graphAnnTopKIndexed(appended,
+      "vec_id", "embedding", queries, "query_id", "qvec", k = 5, cents,
+      nprobe = 8, ef = 10000))
+    assert(viaAppend === bf)
     // the APPROXIMATE regime (small ef — the low-latency point of the
     // operator): recall of the planted rank-1 stays high; fully
     // deterministic for this seeded fixture
