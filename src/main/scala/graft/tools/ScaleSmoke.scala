@@ -390,7 +390,7 @@ object ScaleSmoke {
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"), x => x.cast("double")).as("qvec"))
     queries.count()
-    println(f"${"factor"}%-7s ${"vecs"}%-8s ${"nlist"}%-7s ${"build+walk"}%-11s ${"flatIvf"}%-9s")
+    println(f"${"factor"}%-7s ${"vecs"}%-8s ${"nlist"}%-7s ${"build+walk"}%-11s ${"flatIvf"}%-9s ${"append"}%-9s")
     (Seq(-1) ++ factors).foreach { f0 =>
       val f = math.abs(f0).max(1)
       val emb = embExploded(emb0, f).cache()
@@ -402,9 +402,20 @@ object ScaleSmoke {
         nprobe = 4, degree = 8, ef = 64).count())
       val (n2, tF) = timed(Similarity.ivfTopK(emb, "vec_id", "embedding",
         queries, "query_id", "qvec", k = 5, cents, nprobe = 4).count())
+      // FIXED-size delta into the stored index (built outside the
+      // timed block — a stored artifact): append cost must stay
+      // ~flat while the store grows, since nlist ∝ corpus pins the
+      // per-cell population the insertion walks touch
+      val index = Similarity.graphAnnBuild(emb, "vec_id", "embedding",
+        cents, degree = 8, efConstruction = 64).localCheckpoint()
+      val delta = emb0.select((col("vec_id") + 90000000L).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val (n3, tA) = timed(Similarity.graphAnnAppend(index, delta,
+        "vec_id", "embedding", cents, degree = 8,
+        efConstruction = 64).count())
       if (f0 > 0) // factor-1 warmup discarded (JIT)
-        println(f"$f%-7d $ne%-8d $nlist%-7d $tG%-11.2f $tF%-9.2f  (rows: $n1/$n2)")
-      emb.unpersist()
+        println(f"$f%-7d $ne%-8d $nlist%-7d $tG%-11.2f $tF%-9.2f $tA%-9.2f  (rows: $n1/$n2/$n3)")
+      emb.unpersist(); index.unpersist()
     }
   }
 
