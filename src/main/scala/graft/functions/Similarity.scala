@@ -1681,6 +1681,10 @@ object Similarity {
     val joined = encoded.crossJoin(broadcast(q))
       .filter(col(queryId) =!= col(corpusId)) // self-match excluded
       .select(col(queryId), col(corpusId), score.as("dist_nano"))
+      // a row whose codes degraded to null (null vector element —
+      // see PqEncodeFlat) must not rank: Spark sorts NULLS FIRST on
+      // asc, which would put unscorable rows at rank 1
+      .filter(col("dist_nano").isNotNull)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist_nano").asc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))
@@ -1721,6 +1725,10 @@ object Similarity {
     val joined = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId), score.as("dist_nano"))
+      // a row whose codes degraded to null (null vector element —
+      // see PqEncodeFlat) must not rank: Spark sorts NULLS FIRST on
+      // asc, which would put unscorable rows at rank 1
+      .filter(col("dist_nano").isNotNull)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist_nano").asc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))
@@ -1818,6 +1826,10 @@ object Similarity {
     val joined = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId), score.as("dist_nano"))
+      // a row whose codes degraded to null (null vector element —
+      // see PqEncodeFlat) must not rank: Spark sorts NULLS FIRST on
+      // asc, which would put unscorable rows at rank 1
+      .filter(col("dist_nano").isNotNull)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist_nano").asc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))
@@ -1856,6 +1868,10 @@ object Similarity {
     val joined = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId), score.as("dist_nano"))
+      // a row whose codes degraded to null (null vector element —
+      // see PqEncodeFlat) must not rank: Spark sorts NULLS FIRST on
+      // asc, which would put unscorable rows at rank 1
+      .filter(col("dist_nano").isNotNull)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist_nano").asc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))
@@ -1949,6 +1965,10 @@ object Similarity {
     val joined = c.join(broadcast(q), Seq("__cell"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId), score.as("dist_nano"))
+      // a row whose codes degraded to null (null vector element —
+      // see PqEncodeFlat) must not rank: Spark sorts NULLS FIRST on
+      // asc, which would put unscorable rows at rank 1
+      .filter(col("dist_nano").isNotNull)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist_nano").asc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))

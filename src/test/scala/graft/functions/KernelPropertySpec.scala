@@ -406,5 +406,14 @@ class KernelPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(!got(0).isNullAt(2))
     assert(got(1).getInt(1) === -1) // null element → null cell → coalesce
     assert(got(1).isNullAt(2)) // null element → null codes
+    // end-to-end: a degraded row must never reach the rankings —
+    // without the isNotNull filter on dist_nano, Spark's NULLS FIRST
+    // on the ascending sort would hand it rank 1 for every query
+    val queries = Seq((10L, Seq(0.8, 0.8, 0.2, 0.2)))
+      .toDF("query_id", "qvec")
+    val top = Similarity.pqTopK(df, "id", "vec", queries, "query_id",
+        "qvec", books, k = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank")))
+    assert(top.toSeq === Seq((1L, 1))) // row 2 degraded → excluded
   }
 }
