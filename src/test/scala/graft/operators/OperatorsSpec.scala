@@ -566,6 +566,62 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(again.count() === out.count())
   }
 
+  test("scd2 applyCdc: delta semantics — absence is no news, tombstones delete") {
+    import spark.implicits._
+    val none: Option[String] = None // a pure-None literal infers None.type
+    val dim = Seq(
+      (1L, "a", "2025-01-01", none, true),  // changed upsert arrives
+      (2L, "b", "2025-01-01", none, true),  // NO change row → untouched
+      (3L, "c", "2025-01-01", none, true),  // explicit delete tombstone
+      (5L, "e", "2025-01-01", none, true))  // no-op upsert (same value)
+      .toDF("id", "v", "valid_from", "valid_to", "is_current")
+    val changes = Seq(
+      (1L, "a2", "changed"),
+      (3L, "c", "deleted"),
+      (4L, "d", "new"),      // brand-new key
+      (5L, "e", "changed"),  // redelivered identical value → no-op
+      (9L, "x", "deleted"))  // tombstone for an UNKNOWN key → no-op
+      .toDF("id", "v", "flag")
+    val out = Scd2.applyCdc(dim, changes, "id", Seq("v"), "flag",
+      lit("2026-01-01"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)), r.getBoolean(4))).toSet
+    assert(rows === Set(
+      (1L, "a", "2025-01-01", Some("2026-01-01"), false), // closed
+      (1L, "a2", "2026-01-01", None, true),               // reopened
+      (2L, "b", "2025-01-01", None, true),                // untouched!
+      (3L, "c", "2025-01-01", Some("2026-01-01"), false), // tombstoned
+      (4L, "d", "2026-01-01", None, true),                // inserted
+      (5L, "e", "2025-01-01", None, true)))               // no-op upsert
+    // CDC redelivery idempotence: the same batch applied again does
+    // nothing new (values already match / key already closed / new
+    // key now a no-op upsert); only the key-3 tombstone... which has
+    // no current version left → no-op too
+    val again = Scd2.applyCdc(out, changes, "id", Seq("v"), "flag",
+      lit("2027-01-01"))
+    assert(again.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)), r.getBoolean(4))).toSet
+      === rows)
+    // folding the classified full diff batch-by-batch equals one
+    // apply2 of the snapshot (the stream_scd2_apply contract)
+    val snap = Seq((1L, "a2"), (2L, "b"), (4L, "d"), (5L, "e"))
+      .toDF("id", "v")
+    val diffed = graft.operators.DiffSync.diff(snap, dim
+        .filter(col("is_current")).select(col("id"), col("v")), Seq("id"))
+      .filter(col(graft.operators.DiffSync.FlagCol) =!= "identical")
+      .withColumnRenamed(graft.operators.DiffSync.FlagCol, "flag")
+    var folded = dim
+    diffed.withColumn("b", pmod(col("id"), lit(2))).collect()
+    Seq(0, 1).foreach { b =>
+      folded = Scd2.applyCdc(folded,
+        diffed.filter(pmod(col("id"), lit(2)) === b),
+        "id", Seq("v"), "flag", lit("2026-01-01")).localCheckpoint()
+    }
+    val oneShot = Scd2.apply2(dim, snap, "id", Seq("v"), lit("2026-01-01"))
+    assert(folded.collect().map(_.toSeq).toSet ===
+      oneShot.collect().map(_.toSeq).toSet)
+  }
+
   test("scd2 lookup: picks the containing version, equi-keyed plan") {
     import spark.implicits._
     val dim = Seq(
