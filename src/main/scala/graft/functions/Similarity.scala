@@ -1274,8 +1274,14 @@ object Similarity {
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
     stored.cogroup(fresh) { (cell, ms, ds) =>
-      val dArr = ds.toArray.sortBy(_._2) // deterministic insert order
       val pts = ms.toArray.sortBy(_._2)
+      val have = pts.iterator.map(_._2).toSet
+      // a delta id already present in the cell is SKIPPED — replays
+      // of an at-least-once micro-batch re-deliver the same points,
+      // and re-inserting them would duplicate graph nodes (the IVF
+      // ingest gets the same idempotence from partition replace)
+      val dArr = ds.filter(d => !have.contains(d._2))
+        .toArray.sortBy(_._2) // deterministic insert order
       if (dArr.isEmpty) {
         // untouched cell: pass through unchanged
         pts.iterator.map(p => (cell, p._2, p._3, p._4))

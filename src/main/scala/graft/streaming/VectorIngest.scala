@@ -59,6 +59,67 @@ object VectorIngest {
         ingestBatch(batch, idCol, vecCol, centroids, indexDir, batchId)
       }
 
+  /** One micro-batch into the STORED GRAPH index
+    * ([[graft.functions.Similarity.graphAnnBuild]]'s table at
+    * `indexDir`, partitioned by cell): only the cells the batch's
+    * points land in are READ (partition-pruned scan), appended via
+    * the NSW search-and-link insertion
+    * ([[graft.functions.Similarity.graphAnnAppend]]) and REWRITTEN
+    * through dynamic partition overwrite — untouched cells' files
+    * never move. Idempotent under foreachBatch's at-least-once
+    * replay twice over: a replayed batch rewrites its own cell
+    * partitions, and graphAnnAppend skips delta ids already present
+    * in a cell. A missing/empty `indexDir` bootstraps: appending into
+    * nothing IS the fresh cell build.
+    */
+  def ingestGraphBatch(batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], indexDir: String,
+      degree: Int = 8, efConstruction: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val touched = Similarity.ivfAssignments(
+        batch.select(col(idCol),
+          transform(col(vecCol), x => x.cast("double")).as(vecCol)),
+        idCol, vecCol, centroids)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nlist values — driver-bounded
+    val stored =
+      try spark.read.parquet(indexDir)
+        .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+        .select(col("cell"), col(idCol), col(vecCol), col("neighbors"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import spark.implicits._
+          Seq.empty[(Int, Long, Seq[Double], Seq[Long])]
+            .toDF("cell", idCol, vecCol, "neighbors")
+      }
+    Similarity.graphAnnAppend(stored, batch, idCol, vecCol, centroids,
+        degree, efConstruction)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(indexDir)
+  }
+
+  /** foreachBatch writer for continuous GRAPH-index maintenance — the
+    * graph twin of [[streamingIvfIngest]]: searches via
+    * `graphAnnTopKIndexed` over the store see each batch as soon as
+    * its cell partitions commit. The quantizer stays frozen (the IVF
+    * contract); [[cellStats]] over the graph table is the same
+    * retrain signal.
+    */
+  def streamingGraphIngest(stream: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]], indexDir: String,
+      checkpoint: String, degree: Int = 8, efConstruction: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestGraphBatch(batch, idCol, vecCol, centroids, indexDir,
+          degree, efConstruction)
+      }
+
   /** Per-cell occupancy of an assignment table plus the imbalance
     * factor (cell count / mean count) — the retrain trigger signal.
     * One partial-agg'd groupBy on the compact cell id; the mean joins

@@ -455,6 +455,79 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming GRAPH ingest: id-ordered batches equal one fresh build; replay is a no-op") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_gi_src").toFile
+    val idx = Files.createTempDirectory("graft_gi_idx").toFile
+    val chk = Files.createTempDirectory("graft_gi_chk").toFile
+    try {
+      val rnd = new scala.util.Random(11)
+      def vecs(ids: Range) = ids.map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      val b1 = vecs(1 to 60)
+      val b2 = vecs(61 to 120)
+      val all = (b1 ++ b2).toDF("vec_id", "embedding")
+      val cents = graft.functions.Similarity.ivfCentroids(
+        b1.toDF("vec_id", "embedding"), "vec_id", "embedding", 4)
+      b1.toDF("vec_id", "embedding")
+        .write.parquet(src.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(src.getAbsolutePath + "/b1").schema
+      // no maxFilesPerTrigger: each processAllAvailable drains the
+      // pending write as ONE micro-batch (a multi-file parquet write
+      // split into per-file batches would interleave insertion order
+      // and the fresh-build equality below would not hold — batch
+      // CONTENT is id-sorted by graphAnnAppend, batch BOUNDARIES must
+      // respect id order for the exact-equality claim)
+      val stream = spark.readStream.schema(schema)
+        .parquet(src.getAbsolutePath + "/*")
+      val q = VectorIngest.streamingGraphIngest(stream, "vec_id",
+        "embedding", cents, idx.getAbsolutePath, chk.getAbsolutePath,
+        degree = 4, efConstruction = 32).start()
+      q.processAllAvailable()
+      b2.toDF("vec_id", "embedding")
+        .write.parquet(src.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      def snapshot() = spark.read.parquet(idx.getAbsolutePath)
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          col("neighbors"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2), r.getSeq[Long](3))).toSet
+      val streamed = snapshot()
+      // batches arrive in id order, so continued insertion reproduces
+      // the fresh full build's graphs EXACTLY (same insertion order)
+      val fresh = graft.functions.Similarity.graphAnnBuild(all,
+          "vec_id", "embedding", cents, degree = 4, efConstruction = 32)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2), r.getSeq[Long](3))).toSet
+      assert(streamed === fresh)
+      // at-least-once replay of batch 2: graphAnnAppend skips ids
+      // already in their cells → the store is unchanged
+      VectorIngest.ingestGraphBatch(b2.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, idx.getAbsolutePath,
+        degree = 4, efConstruction = 32)
+      assert(snapshot() === streamed)
+      // searches over the streamed store: exact copies of streamed
+      // vectors rank themselves first at full probe
+      val queries = b2.take(3).map { case (id, v) => (id + 100000L, v) }
+        .toDF("query_id", "qvec")
+      val hits = graft.functions.Similarity.graphAnnTopKIndexed(
+          spark.read.parquet(idx.getAbsolutePath), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 1, cents, nprobe = 4,
+          ef = 1024)
+        .collect().map(r =>
+          r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+      assert(hits === Map(100061L -> 61L, 100062L -> 62L, 100063L -> 63L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(src); rm(idx); rm(chk)
+    }
+  }
+
   test("TTL dedup: duplicates drop within the horizon, state expires after it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl").toFile
