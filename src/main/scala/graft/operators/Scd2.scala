@@ -89,6 +89,13 @@ object Scd2 {
     * the batches of a classified diff through this equals one
     * [[apply2]] of the full snapshot (each key changes once; the
     * stream_scd2_apply gate pins it against apply2's own oracle).
+    *
+    * CONTRACT: at most ONE change row per key per call (the
+    * classified-diff shape). A raw CDC feed carrying several changes
+    * to one key in one batch must first collapse to the last change
+    * per key — ordering needs the feed's sequence column, which this
+    * operator deliberately doesn't assume; an uncollapsed batch would
+    * close/open the same key once per change row.
     */
   def applyCdc(dim: DataFrame, changes: DataFrame, pk: String,
       compareCols: Seq[String], flagCol: String, ts: Column): DataFrame = {
