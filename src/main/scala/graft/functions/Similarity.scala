@@ -1340,12 +1340,7 @@ object Similarity {
     require(k >= 1 && ef >= k, "need k >= 1, ef >= k")
     val spark = index.sparkSession
     import spark.implicits._
-    val members = index
-      .select(col("cell"), col(corpusId).cast("long"), col(corpusVec),
-        col("neighbors"))
-      .as[(Int, Long, Seq[Double], Seq[Long])]
-      .groupByKey(_._1)
-    val probes = queries
+    val probeRows = queries
       .select(col(queryId).cast("long").as("__qid"),
         transform(col(queryVec), x => x.cast("double")).as("__qv"),
         probeCells(
@@ -1354,6 +1349,20 @@ object Similarity {
       .select(col("__qid"), col("__qv"),
         explode(col("__probes").getField("cell")).as("cell"))
       .select(col("cell"), col("__qid"), col("__qv"))
+    // restrict the member side to the PROBED cells before the cogroup
+    // — a cell nobody probes would emit nothing anyway, but without
+    // this the scan reads and shuffles the WHOLE index. The broadcast
+    // semi-join on the partition column is what lets dynamic
+    // partition pruning turn a cell-partitioned store into an actual
+    // nprobe/nlist-of-the-files read.
+    val members = index
+      .select(col("cell"), col(corpusId).cast("long"), col(corpusVec),
+        col("neighbors"))
+      .join(broadcast(probeRows.select(col("cell")).distinct()),
+        Seq("cell"), "left_semi")
+      .as[(Int, Long, Seq[Double], Seq[Long])]
+      .groupByKey(_._1)
+    val probes = probeRows
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
     val walked = members.cogroup(probes) { (_, ms, qs) =>
