@@ -3886,9 +3886,11 @@ object SparkEntry {
 
   /** Oracle for txt_wordpiece_train: 8 unrolled WordPiece merge
     * rounds — the bpeUnrollWith chain with two differences: the
-    * argmax ranks by likelihood gain (ONE IEEE double division
-    * pn/(an·bn), bit-identical cross-engine since both operands are
-    * exact integers < 2⁵³; ties (a ASC, b ASC)) and the merge concat
+    * argmax ranks by likelihood gain (double(pn)/(double(an)·
+    * double(bn)) — each count converts BEFORE the multiply, exactly
+    * mirroring the Scala side's overflow-safe operation order, so the
+    * correctly-rounded IEEE multiply+divide are bit-identical
+    * cross-engine; ties (a ASC, b ASC)) and the merge concat
     * strips the continuation marker. v0 segments first-char plain +
     * '##'-marked continuations. MATERIALIZED checkpoints (the
     * unigram-oracle lesson: un-materialized CTE chains re-execute
@@ -3913,7 +3915,8 @@ object SparkEntry {
          |  SELECT p.a, p.b, p.n AS pn, sa.n AS an, sb.n AS bn
          |  FROM p$k p JOIN sy$k sa ON p.a = sa.sym
          |    JOIN sy$k sb ON p.b = sb.sym
-         |  ORDER BY CAST(p.n AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE) DESC,
+         |  ORDER BY CAST(p.n AS DOUBLE) /
+         |      (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) DESC,
          |    p.a ASC, p.b ASC LIMIT 1),
          |st$k AS MATERIALIZED (
          |  SELECT x.w, x.f, x.pos, x.sym, x.nxt,

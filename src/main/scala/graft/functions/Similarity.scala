@@ -1279,9 +1279,16 @@ object Similarity {
       // a delta id already present in the cell is SKIPPED — replays
       // of an at-least-once micro-batch re-deliver the same points,
       // and re-inserting them would duplicate graph nodes (the IVF
-      // ingest gets the same idempotence from partition replace)
+      // ingest gets the same idempotence from partition replace).
+      // Dedup WITHIN the batch too: duplicate ids in one delta would
+      // all pass the stored-id filter and insert duplicate nodes,
+      // breaking output uniqueness. Sort by (id, vec lexicographic)
+      // first so which duplicate survives is deterministic, then keep
+      // the first row per id.
       val dArr = ds.filter(d => !have.contains(d._2))
-        .toArray.sortBy(_._2) // deterministic insert order
+        .toArray
+        .sortBy(d => (d._2, d._3.mkString(","))) // deterministic order
+        .distinctBy(_._2)
       if (dArr.isEmpty) {
         // untouched cell: pass through unchanged
         pts.iterator.map(p => (cell, p._2, p._3, p._4))

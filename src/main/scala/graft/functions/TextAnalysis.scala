@@ -378,11 +378,14 @@ object TextAnalysis {
     * "##"-marked continuations; a merge concatenates with the
     * continuation marker stripped, so pieces stay position-typed.
     *
-    * Cross-engine determinism: the score is ONE IEEE double division
-    * pn / (an·bn), with both operands exact integers below 2⁵³ (any
-    * real corpus' word-occurrence total — ~2e13 at 100 TB — is), so
-    * Spark and the DuckDB oracle compute bit-identical scores; ties
-    * break (a ASC, b ASC). Merge application is the BPE greedy
+    * Cross-engine determinism: score = double(pn) / (double(an) ·
+    * double(bn)) — each COUNT converts to double first (exact below
+    * 2⁵³; any real corpus' word-occurrence total — ~2e13 at 100 TB —
+    * is), then one IEEE multiply and one IEEE divide, each correctly
+    * rounded, so Spark and the DuckDB oracle (which mirrors the same
+    * operation order) compute bit-identical scores even where the
+    * integer product an·bn itself would exceed 2⁵³ or overflow Long;
+    * ties break (a ASC, b ASC). Merge application is the BPE greedy
     * left-to-right pair-skip scan (run-parity rule), ##-aware.
     * Output: (rank, sym_a, sym_b, n_pair, n_a, n_b) — counts, not the
     * double, ride in the gate's hash.
@@ -478,7 +481,13 @@ object TextAnalysis {
       var bA: String = null; var bB: String = null
       var bPn = 0L; var bScore = -1.0
       pc.foreach { case ((a, b), pn) =>
-        val score = pn.toDouble / (sc(a) * sc(b)).toDouble
+        // convert EACH count before multiplying: sc(a) * sc(b) as
+        // Longs overflows past ~3e9-occurrence symbols (the 100 TB
+        // regime), flipping the score sign. double·double then the
+        // division are each ONE correctly-rounded IEEE op, so the
+        // result stays bit-identical cross-engine even though the
+        // product itself may round.
+        val score = pn.toDouble / (sc(a).toDouble * sc(b).toDouble)
         if (score > bScore || (score == bScore &&
             (a < bA || (a == bA && b < bB)))) {
           bScore = score; bA = a; bB = b; bPn = pn

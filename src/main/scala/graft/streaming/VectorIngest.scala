@@ -70,7 +70,11 @@ object VectorIngest {
     * replay twice over: a replayed batch rewrites its own cell
     * partitions, and graphAnnAppend skips delta ids already present
     * in a cell. A missing/empty `indexDir` bootstraps: appending into
-    * nothing IS the fresh cell build.
+    * nothing IS the fresh cell build. Bootstrap is decided by an
+    * EXPLICIT filesystem existence check, never by catching analysis
+    * errors — a schema drift or wrong column name must FAIL the
+    * batch, not silently start an empty store and dynamic-overwrite
+    * (= drop) the touched cells' existing members.
     */
   def ingestGraphBatch(batch: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], indexDir: String,
@@ -83,20 +87,45 @@ object VectorIngest {
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0)) // ≤ nlist values — driver-bounded
     val stored =
-      try spark.read.parquet(indexDir)
-        .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
-        .select(col("cell"), col(idCol), col(vecCol), col("neighbors"))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          import spark.implicits._
-          Seq.empty[(Int, Long, Seq[Double], Seq[Long])]
-            .toDF("cell", idCol, vecCol, "neighbors")
+      if (storeHasData(spark, indexDir))
+        spark.read.parquet(indexDir)
+          .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+          .select(col("cell"), col(idCol), col(vecCol), col("neighbors"))
+      else {
+        import spark.implicits._
+        Seq.empty[(Int, Long, Seq[Double], Seq[Long])]
+          .toDF("cell", idCol, vecCol, "neighbors")
       }
+    // Eagerly materialize BEFORE the write: this job reads indexDir
+    // and dynamic-overwrites the same path. Without the checkpoint
+    // that is safe only because partitionOverwriteMode=dynamic stages
+    // files until commit (and the typed-cogroup boundary hides the
+    // source relation from Spark's verifyNotReadPath self-overwrite
+    // check) — a refactor to static overwrite, or a Spark upgrade
+    // that tightens the check through typed plans, would delete the
+    // partitions before reading them. localCheckpoint severs the
+    // lineage so the write job never touches the source files.
     Similarity.graphAnnAppend(stored, batch, idCol, vecCol, centroids,
         degree, efConstruction)
+      .localCheckpoint(true)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(indexDir)
+  }
+
+  /** True iff `dir` exists and holds at least one non-hidden entry —
+    * the explicit store-presence probe [[ingestGraphBatch]] uses to
+    * decide bootstrap vs read. An empty directory (e.g. pre-created
+    * by an orchestrator) counts as "no store yet".
+    */
+  private[streaming] def storeHasData(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** foreachBatch writer for continuous GRAPH-index maintenance — the
