@@ -1659,6 +1659,54 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_graph_remove" -> ((s, dir) => {
+      // DELETE path of the stored graph index — the lifecycle op the
+      // reference applies as a first-class sync action
+      // (sqlserver2pgsql.pl:4645–4647 order_delete): tombstone two of
+      // the five planted twins per query (the (k+1)-band 2 and 4
+      // ids), graphAnnRemove rebuilds ONLY the touched cells over the
+      // survivors in id order (≡ fresh build of all − set; the spec
+      // pins the byte equality), and the top-3 search must equal
+      // brute force over the survivors — ranks 1..3 become the twins
+      // k = 0, 2, 4. Sensitive to the delete by construction: an
+      // unapplied tombstone leaves k=1 at rank 2.
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      val index = Similarity.graphAnnBuild(corpus, "vec_id", "embedding",
+        cents, degree = 8, efConstruction = 64)
+      val dead = corpus
+        .filter(floor(col("vec_id") / 100000L).isin(2, 4))
+        .select(col("vec_id"))
+      val removed = Similarity.graphAnnRemove(index, dead, "vec_id",
+        "embedding", degree = 8, efConstruction = 64).localCheckpoint()
+      Similarity.graphAnnTopKIndexed(removed, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 3, cents, nprobe = 4,
+          ef = 1024)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_remove" -> ((s, dir) => {
+      // flat-index twin of sim_ann_graph_remove: ivfRemove drops the
+      // tombstoned assignment rows (one broadcast anti-join — IVF
+      // postings carry no inter-row links, so no rebuild), search
+      // over the survivors equals brute force minus the removed set.
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      val index = Similarity.ivfAssignments(corpus, "vec_id", "embedding",
+        cents)
+      val dead = corpus
+        .filter(floor(col("vec_id") / 100000L).isin(2, 4))
+        .select(col("vec_id"))
+      val removed = Similarity.ivfRemove(index, dead, "vec_id")
+      Similarity.ivfTopKIndexed(removed, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 3, cents, nprobe = 4)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_pq_occupancy" -> ((s, dir) => {
       // PQ codebook health over the encoded corpus (the stored-index
       // artifact): per subspace, codes used / dead / occupancy
@@ -4246,6 +4294,44 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id AS neighbor_id
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** plantedAnnOracle minus the tombstoned twins: brute force over
+    * the corpus with the (k+1)-band 2 and 4 planted ids removed
+    * (vec_id // 100000 ∈ {2, 4} — exactly the Spark side's
+    * floor(vec_id / 100000) tombstone set), top-3. Shared by the
+    * graph and IVF remove gates.
+    */
+  private val plantedAnnRemoveOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      |  WHERE vec_id % 50 = 0),
+      |planted AS (
+      |  SELECT q.query_id + (k + 1) * 100000 AS vec_id,
+      |    list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE)
+      |      + CAST(k + 1 AS DOUBLE) * CAST(0.002 AS DOUBLE)
+      |        * (CAST((q.query_id * 31 + (i - 1) * 17) % 19 - 9 AS DOUBLE)
+      |           / CAST(9 AS DOUBLE))) AS emb
+      |  FROM q, range(0, 5) t(k)),
+      |corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |  UNION ALL SELECT vec_id, emb FROM planted),
+      |survivors AS (
+      |  SELECT * FROM corpus WHERE vec_id // 100000 NOT IN (2, 4)),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> c.emb[i] * CAST(q.qvec[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.emb, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM survivors c CROSS JOIN q
+      |  WHERE c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Shared oracle prefix: the dedup_ngram_jaccard pair pipeline +
     * recursive reachability CTE (`reach`) that the cluster oracles
     * build on. */
@@ -6482,6 +6568,8 @@ object SparkEntry {
     "sim_ivf_hier" -> plantedAnnOracle,
     "sim_ivf_tree" -> plantedAnnOracle,
     "sim_ivf_append" -> plantedAnnOracle,
+    "sim_ann_graph_remove" -> plantedAnnRemoveOracle,
+    "sim_ivf_remove" -> plantedAnnRemoveOracle,
 
     "sim_margin_mine" ->
       """WITH emb AS (

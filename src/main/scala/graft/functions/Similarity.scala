@@ -1206,6 +1206,25 @@ object Similarity {
       }
       adj.map(_.toArray)
     }
+
+    /** One stored-index cell from scratch: sort members by id (the
+      * deterministic insert order), build, and emit the
+      * [[graft.functions.Similarity.graphAnnBuild]] row shape. Shared
+      * by build and remove so a touched-cell rebuild after a delete
+      * is BY CONSTRUCTION identical to the fresh build of the
+      * survivors.
+      */
+    def buildRows(cell: Int, ms: Iterator[(Int, Long, Seq[Double])],
+        degree: Int, efC: Int)
+        : Iterator[(Int, Long, Seq[Double], Seq[Long])] = {
+      val pts = ms.toArray.sortBy(_._2)
+      val ids = pts.map(_._2)
+      val vecs = pts.map(_._3.toArray)
+      val norms = vecs.map(v => math.sqrt(dot(v, v)))
+      val adj = build(ids, vecs, norms, degree, efC)
+      ids.indices.iterator.map(i =>
+        (cell, ids(i), vecs(i).toSeq, adj(i).map(ids(_)).toSeq))
+    }
   }
 
   /** Build the cell-local NSW graphs as a STORED INDEX — one row per
@@ -1231,13 +1250,7 @@ object Similarity {
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (cell: Int, ms: Iterator[(Int, Long, Seq[Double])]) =>
-        val pts = ms.toArray.sortBy(_._2)
-        val ids = pts.map(_._2)
-        val vecs = pts.map(_._3.toArray)
-        val norms = vecs.map(v => math.sqrt(NswGraph.dot(v, v)))
-        val adj = NswGraph.build(ids, vecs, norms, degree, efConstruction)
-        ids.indices.iterator.map(i =>
-          (cell, ids(i), vecs(i).toSeq, adj(i).map(ids(_)).toSeq))
+        NswGraph.buildRows(cell, ms, degree, efConstruction)
       }
       .toDF("cell", corpusId, corpusVec, "neighbors")
   }
@@ -1330,6 +1343,83 @@ object Similarity {
           (cell, ids(i2), vecs(i2).toSeq, adj(i2).map(ids(_)).toSeq))
       }
     }.toDF("cell", corpusId, corpusVec, "neighbors")
+  }
+
+  /** Apply DELETE tombstones to a stored graph index — the missing
+    * third of the index lifecycle next to [[graphAnnBuild]] (create)
+    * and [[graphAnnAppend]] (insert). Deletion is a first-class sync
+    * op in the reference (sqlserver2pgsql.pl:4645–4647 applies
+    * deletes alongside inserts/updates); the index store deserves the
+    * same CDC completeness: when the dedup pipeline drops a document,
+    * its vector must leave the index without a full rebuild.
+    *
+    * Semantics: cells containing at least one tombstoned id REBUILD
+    * their graph over the survivors in id order — the exact
+    * [[graphAnnBuild]] kernel (shared NswGraph.buildRows), so
+    * remove(set) over build(all) is BY CONSTRUCTION identical to a
+    * fresh build(all − set): untouched cells pass through
+    * byte-identical (cell graphs are independent), touched cells
+    * re-run the same deterministic id-ordered insertion the fresh
+    * build would. Neighbor re-linking therefore needs no bespoke
+    * repair rule — and no repair heuristic could drift from the
+    * build, because it IS the build.
+    *
+    * Scale shape: tombstone batches are deletion CDC — small vs the
+    * corpus — so both the touched-cell probe and the id anti-join
+    * broadcast; the rebuild cost is O(touched cells · cell pop ·
+    * efC · degree), bounded by nlist ∝ corpus keeping cell
+    * populations flat, never a whole-index rebuild. (A surgical
+    * re-link of only the removed nodes' neighbors would be cheaper
+    * per delete but forfeits fresh-build equality — the property that
+    * makes the operator hash-gateable and keeps append/remove
+    * sequences from accumulating graph-quality drift.)
+    */
+  def graphAnnRemove(index: DataFrame, tombstones: DataFrame,
+      corpusId: String, corpusVec: String, degree: Int = 8,
+      efConstruction: Int = 64): DataFrame = {
+    require(degree >= 1 && efConstruction >= degree,
+      "need degree >= 1, efConstruction >= degree")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val dead = tombstones
+      .select(col(corpusId).cast("long").as(corpusId)).distinct()
+    val touchedCells = index
+      .select(col("cell"), col(corpusId).cast("long").as(corpusId))
+      .join(broadcast(dead), Seq(corpusId), "left_semi")
+      .select(col("cell")).distinct()
+    val untouched = index
+      .select(col("cell"), col(corpusId).cast("long").as(corpusId),
+        col(corpusVec), col("neighbors"))
+      .join(broadcast(touchedCells), Seq("cell"), "left_anti")
+    val rebuilt = index
+      .select(col("cell"), col(corpusId).cast("long").as(corpusId),
+        col(corpusVec))
+      .join(broadcast(touchedCells), Seq("cell"), "left_semi")
+      .join(broadcast(dead), Seq(corpusId), "left_anti")
+      .select(col("cell"), col(corpusId), col(corpusVec))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Int, ms: Iterator[(Int, Long, Seq[Double])]) =>
+        NswGraph.buildRows(cell, ms, degree, efConstruction)
+      }
+      .toDF("cell", corpusId, corpusVec, "neighbors")
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Apply DELETE tombstones to a stored IVF assignment table — the
+    * flat-index twin of [[graphAnnRemove]]. An IVF posting row is
+    * self-contained (no inter-row links), so removal is exactly one
+    * broadcast anti-join on the id; the cell layout, quantizer and
+    * every surviving row are untouched, and searches via
+    * `ivfTopKIndexed` see the survivors only. remove(set) ≡ fresh
+    * assignment of (all − set) trivially (assignment is per-row).
+    */
+  def ivfRemove(index: DataFrame, tombstones: DataFrame,
+      corpusId: String): DataFrame = {
+    val dead = tombstones
+      .select(col(corpusId).cast(index.schema(corpusId).dataType)
+        .as(corpusId)).distinct()
+    index.join(broadcast(dead), Seq(corpusId), "left_anti")
   }
 
   /** Graph-ANN search over a PRE-BUILT index table from

@@ -128,6 +128,55 @@ object VectorIngest {
     }
   }
 
+  /** Apply DELETE tombstones to the stored graph index at `indexDir`
+    * — [[ingestGraphBatch]] in reverse, completing the store's CDC
+    * lifecycle (create/insert/delete). Only the cells containing a
+    * tombstoned id are read and rewritten
+    * ([[graft.functions.Similarity.graphAnnRemove]] rebuilds each
+    * over its survivors in id order, so the store stays byte-equal to
+    * a fresh build of the survivors); untouched cells' files never
+    * move. A touched cell whose members ALL die produces no output
+    * rows — dynamic partition overwrite would leave its stale files
+    * in place, so those cell directories are deleted explicitly
+    * after the write. Idempotent: replaying the same tombstone batch
+    * finds no matching ids, touches no cells, and returns without
+    * writing.
+    */
+  def removeGraphBatch(tombstones: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, degree: Int = 8,
+      efConstruction: Int = 64): Unit = {
+    val spark = tombstones.sparkSession
+    if (!storeHasData(spark, indexDir)) return
+    val store = spark.read.parquet(indexDir)
+    val dead = tombstones.select(col(idCol).cast("long").as(idCol))
+      .distinct()
+    val touched = store
+      .select(col("cell"), col(idCol).cast("long").as(idCol))
+      .join(broadcast(dead), Seq(idCol), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nlist values — driver-bounded
+    if (touched.isEmpty) return
+    val slice = store
+      .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+      .select(col("cell"), col(idCol), col(vecCol), col("neighbors"))
+    // localCheckpoint for the same reason as ingestGraphBatch: this
+    // job reads indexDir and dynamic-overwrites the same path.
+    val rebuilt = graft.functions.Similarity
+      .graphAnnRemove(slice, dead, idCol, vecCol, degree, efConstruction)
+      .localCheckpoint(true)
+    rebuilt.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(indexDir)
+    val survived = rebuilt.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(survived).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"cell=$c"), true)
+      ()
+    }
+  }
+
   /** foreachBatch writer for continuous GRAPH-index maintenance — the
     * graph twin of [[streamingIvfIngest]]: searches via
     * `graphAnnTopKIndexed` over the store see each batch as soon as

@@ -2716,6 +2716,55 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       s"small-ef rank-1 recall too low: $hit/${qids.length}")
   }
 
+  test("graphAnnRemove: rebuild == fresh build of survivors; no-op; whole cell; ivfRemove") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val pts = (0L until 240L).map(i =>
+      (i, Array.fill(12)(rnd.nextFloat() * 2 - 1)))
+    val corpus = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 6)
+    val full = Similarity.graphAnnBuild(corpus, "vec_id", "embedding",
+      cents, degree = 4, efConstruction = 32).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("embedding").toSeq,
+        r.getAs[scala.collection.Seq[Long]]("neighbors").toSeq)).toSet
+    // THE delete contract: remove(set) over build(all) is IDENTICAL
+    // (neighbors included — the relink determinism) to a fresh build
+    // of (all − set): touched cells re-run the same id-ordered
+    // insertion, untouched cells pass through byte-identical.
+    val dead = pts.map(_._1).filter(_ % 5 == 2).toDF("vec_id")
+    val removed = Similarity.graphAnnRemove(full, dead, "vec_id",
+      "embedding", degree = 4, efConstruction = 32)
+    val fresh = Similarity.graphAnnBuild(
+      corpus.filter(col("vec_id") % 5 =!= 2), "vec_id", "embedding",
+      cents, degree = 4, efConstruction = 32)
+    assert(rows(removed) === rows(fresh))
+    // tombstones matching nothing: pure pass-through, no cell touched
+    val noop = Similarity.graphAnnRemove(full,
+      Seq(999999L).toDF("vec_id"), "vec_id", "embedding",
+      degree = 4, efConstruction = 32)
+    assert(rows(noop) === rows(full))
+    // removing EVERY member of a cell leaves no rows for that cell
+    // and still equals the fresh build of the survivors
+    val cell0Ids = full.filter(col("cell") === 0).select(col("vec_id"))
+    val rmCell = Similarity.graphAnnRemove(full, cell0Ids, "vec_id",
+      "embedding", degree = 4, efConstruction = 32).localCheckpoint()
+    assert(rmCell.filter(col("cell") === 0).count() === 0L)
+    val freshNoCell = Similarity.graphAnnBuild(
+      corpus.join(cell0Ids, Seq("vec_id"), "left_anti"), "vec_id",
+      "embedding", cents, degree = 4, efConstruction = 32)
+    assert(rows(rmCell) === rows(freshNoCell))
+    // flat-index twin: ivfRemove drops exactly the tombstoned rows
+    val idx = Similarity.ivfAssignments(corpus, "vec_id", "embedding",
+      cents)
+    val ivfRm = Similarity.ivfRemove(idx, dead, "vec_id")
+    assert(ivfRm.count() === idx.count() - dead.count())
+    assert(ivfRm.join(dead, Seq("vec_id"), "left_semi").count() === 0L)
+    // survivors' assignment rows are untouched (no re-quantization)
+    assert(ivfRm.exceptAll(idx).count() === 0L)
+  }
+
   test("wordpiece trainer: likelihood rule, double-tie break, ## chains, exhaustion") {
     import spark.implicits._
     // freq: aa×10, qu×2, ab×8. BPE's count rule would merge (a,##a)

@@ -528,6 +528,76 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("removeGraphBatch: touched-cell rewrite, emptied-cell dir deletion, replay no-op") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_gr_idx").toFile
+    try {
+      val rnd = new scala.util.Random(17)
+      val pts = (1 to 120).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      val all = pts.toDF("vec_id", "embedding")
+      val cents = graft.functions.Similarity.ivfCentroids(all, "vec_id",
+        "embedding", 4)
+      graft.functions.Similarity.graphAnnBuild(all, "vec_id", "embedding",
+          cents, degree = 4, efConstruction = 32)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(idx.getAbsolutePath)
+      val byCell = spark.read.parquet(idx.getAbsolutePath)
+        .select(col("cell"), col("vec_id"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // tombstones: ALL of cell 0 (must empty and its dir must go)
+      // plus half of cell 1 (touched-cell rebuild); cells 2/3 files
+      // must not move at all
+      val deadIds = byCell(0) ++ byCell(1).toSeq.sorted.take(byCell(1).size / 2)
+      def listing() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(idx).filterNot(_.getName.startsWith("_"))
+          .map(f => f.getAbsolutePath ->
+            (f.length(), f.lastModified())).toMap
+      }
+      val before = listing()
+      VectorIngest.removeGraphBatch(deadIds.toSeq.toDF("vec_id"),
+        "vec_id", "embedding", idx.getAbsolutePath, degree = 4,
+        efConstruction = 32)
+      val after = listing()
+      // emptied cell's partition directory is gone
+      assert(!new java.io.File(idx, "cell=0").exists())
+      // untouched cells' files are byte-for-byte the same files
+      val untouchedBefore = before.filter { case (p, _) =>
+        p.contains("cell=2") || p.contains("cell=3") }
+      val untouchedAfter = after.filter { case (p, _) =>
+        p.contains("cell=2") || p.contains("cell=3") }
+      assert(untouchedBefore === untouchedAfter)
+      // the store now equals a fresh build of the survivors
+      def snapshot() = spark.read.parquet(idx.getAbsolutePath)
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          col("neighbors"))
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2), r.getSeq[Long](3))).toSet
+      val fresh = graft.functions.Similarity.graphAnnBuild(
+          all.filter(!col("vec_id").isin(deadIds.toSeq: _*)), "vec_id",
+          "embedding", cents, degree = 4, efConstruction = 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2), r.getSeq[Long](3))).toSet
+      assert(snapshot() === fresh)
+      // replaying the same tombstone batch finds no matching ids and
+      // touches nothing — not even file mtimes
+      val post = listing()
+      VectorIngest.removeGraphBatch(deadIds.toSeq.toDF("vec_id"),
+        "vec_id", "embedding", idx.getAbsolutePath, degree = 4,
+        efConstruction = 32)
+      assert(listing() === post)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(idx)
+    }
+  }
+
   test("TTL dedup: duplicates drop within the horizon, state expires after it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl").toFile
