@@ -162,6 +162,13 @@ object SparkEntry {
   private val graphIngestDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** sim_ivf_compact memo: per input dir, the COMPACTED IVF batch
+    * store (built once per JVM: 3 ingest batches, then offline
+    * compaction folds them into the canonical base segment).
+    */
+  private val ivfCompactDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   // `sliceIdx` is BY-NAME: it is only evaluated inside the memo's
   // build closure, so a slice expression whose construction costs a
   // full scan (the tertile bounds agg) runs atomically once-per-JVM
@@ -1754,6 +1761,44 @@ object SparkEntry {
       val removed = Similarity.ivfRemove(index, dead, "vec_id")
       Similarity.ivfTopKIndexed(removed, "vec_id", "embedding",
           queries, "query_id", "qvec", k = 3, cents, nprobe = 4)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_compact" -> ((s, dir) => {
+      // STORE COMPACTION under the search oracle — the small-files
+      // maintenance op for the streamed IVF store: the planted corpus
+      // lands via 3 ingestBatch calls (3 ingest_batch=N partition
+      // sets, exactly what a streaming ingest accumulates), then
+      // compactIvfStore folds them into the canonical
+      // ingest_batch=-1 cell-clustered base segment (one file per
+      // cell; folded batch dirs deleted). The search over the
+      // COMPACTED store must equal brute force — which holds iff
+      // compaction lost no row, duplicated no row, and kept every
+      // cell assignment intact. The file-count collapse itself is
+      // asserted in the spec and measured in ScaleSmoke.
+      val idxDir = ivfCompactDirs.computeIfAbsent(dir, _ => {
+        val (corpus, _) = plantedAnnFixture(s, dir)
+        val cents = Similarity.ivfCentroids(corpus, "vec_id",
+          "embedding", 16)
+        val store = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_ivfc"))
+        (0 until 3).foreach { b =>
+          graft.streaming.VectorIngest.ingestBatch(
+            corpus.filter(pmod(col("vec_id"), lit(3)) === b),
+            "vec_id", "embedding", cents, store.toString, b.toLong)
+        }
+        graft.streaming.VectorIngest.compactIvfStore(s, store.toString,
+          protectLast = 0)
+        store.toString
+      })
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        16)
+      Similarity.ivfTopKIndexed(s.read.parquet(idxDir), "vec_id",
+          "embedding", queries, "query_id", "qvec", k = 5, cents,
+          nprobe = 4)
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
@@ -6622,6 +6667,7 @@ object SparkEntry {
     "sim_ivf_append" -> plantedAnnOracle,
     "sim_ann_graph_remove" -> plantedAnnRemoveOracle,
     "stream_graph_ingest" -> plantedAnnOracle,
+    "sim_ivf_compact" -> plantedAnnOracle,
     "sim_ivf_remove" -> plantedAnnRemoveOracle,
 
     "sim_margin_mine" ->

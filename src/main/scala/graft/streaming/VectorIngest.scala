@@ -198,6 +198,96 @@ object VectorIngest {
           degree, efConstruction)
       }
 
+  /** Compact the streamed IVF assignment store — the small-files
+    * maintenance op: [[ingestBatch]] accumulates one
+    * `ingest_batch=<N>/cell=<c>/` partition pair per micro-batch
+    * forever, which at streaming cadence is the classic small-files
+    * failure (a year of 10-second triggers is ~3M batch partitions)
+    * long before 100 TB. This folds every batch below a watermark
+    * into ONE canonical base segment `ingest_batch=-1/cell=<c>/`,
+    * clustered by cell (one file per cell after the repartition), and
+    * deletes the folded batch directories — so file count returns to
+    * ~nlist no matter how many batches streamed in, while
+    * `ivfTopKIndexed` reads the same rows through the same pruned
+    * cell scan.
+    *
+    * `protectLast` batch partitions (highest ids) are left in place:
+    * foreachBatch is at-least-once, and a replayed batch id that was
+    * already folded into the base would re-create its partition with
+    * duplicate rows — replay idempotence relies on the batch's OWN
+    * partition being the overwrite target. The default 1 protects the
+    * only batch a restart can replay; pass 0 when the stream is
+    * stopped (offline compaction). Not concurrency-safe with a live
+    * ingest writing the same batch ids it folds — run it from the
+    * maintenance cadence between triggers, like any LSM compaction.
+    */
+  def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, protectLast: Int = 1): Unit = {
+    if (!storeHasData(spark, indexDir)) return
+    val raw = spark.read.parquet(indexDir)
+    val batchIds = raw.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val protect = batchIds.filter(_ >= 0).takeRight(protectLast).toSet
+    val fold = batchIds.filterNot(protect)
+    // nothing to fold beyond an already-compacted base → no-op
+    if (fold.isEmpty || fold.forall(_ < 0)) return
+    // protect holds the HIGHEST batch ids, so "fold" is exactly
+    // everything at or below its own max — one range predicate, no
+    // giant IN list over thousands of batch ids
+    val watermark = fold.max
+    // localCheckpoint: reads indexDir (the -1 base partitions) and
+    // dynamic-overwrites the same path — same hazard as
+    // ingestGraphBatch, same lineage cut before the write
+    val folded = raw.filter(col("ingest_batch").cast("long") <= watermark)
+      .withColumn("ingest_batch", lit(-1L))
+      .repartition(col("cell"))
+      .localCheckpoint(true)
+    folded.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "cell").parquet(indexDir)
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fold.filter(_ >= 0).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"ingest_batch=$b"),
+        true)
+      ()
+    }
+  }
+
+  /** Per-cell FILE audit of a store directory (IVF batch store or
+    * graph cell store) — the physical-layout half of [[cellStats]]'s
+    * occupancy audit, and the signal that says WHEN to run
+    * [[compactIvfStore]]: n_files growing linearly with batch count
+    * while n_vecs stays flat is the small-files failure in progress.
+    * Driver-side filesystem listing — file METADATA, bounded by file
+    * count (exactly the quantity this audit exists to keep small),
+    * never data.
+    */
+  def storeFileStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellRe = ".*/cell=(-?\\d+)/[^/]+$".r
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val path = st.getPath.toString
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        path match {
+          case cellRe(c) => buf += ((c.toInt, st.getLen))
+          case _ =>
+        }
+      }
+    }
+    buf.groupBy(_._1).toSeq
+      .map { case (c, xs) => (c, xs.size.toLong, xs.map(_._2).sum) }
+      .sortBy(_._1)
+      .toDF("cell", "n_files", "bytes")
+  }
+
   /** Per-cell occupancy of an assignment table plus the imbalance
     * factor (cell count / mean count) — the retrain trigger signal.
     * One partial-agg'd groupBy on the compact cell id; the mean joins

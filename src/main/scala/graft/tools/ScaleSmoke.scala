@@ -419,8 +419,76 @@ object ScaleSmoke {
     }
   }
 
+  /** `compact` mode: the small-files failure and its fix, measured.
+    * The SAME corpus streams into an IVF batch store as B ∈ factors
+    * micro-batches — raw file count grows linearly with B (the
+    * failure) while row count stays fixed; compactIvfStore folds the
+    * batches into the cell-clustered base segment, after which file
+    * count must be FLAT (~nlist) regardless of B, and the indexed
+    * search must cost the same over raw and compacted stores (same
+    * rows, same pruned cell scan — the compaction is layout-only).
+    */
+  private def compactSweep(spark: SparkSession, emb0: DataFrame,
+      batchCounts: Seq[Int]): Unit = {
+    val emb = emb0.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .cache()
+    emb.count()
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val queries = emb0.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qvec"))
+    queries.count()
+    println(f"${"batches"}%-8s ${"filesRaw"}%-9s ${"searchRaw"}%-10s ${"tCompact"}%-9s ${"filesCmp"}%-9s ${"searchCmp"}%-10s")
+    (Seq(-4) ++ batchCounts).foreach { b0 =>
+      val b = math.abs(b0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_ivfc")
+      (0 until b).foreach { i =>
+        graft.streaming.VectorIngest.ingestBatch(
+          emb.filter(pmod(col("vec_id"), lit(b)) === i),
+          "vec_id", "embedding", cents, dir.toString, i.toLong)
+      }
+      def files() = graft.streaming.VectorIngest
+        .storeFileStats(spark, dir.toString)
+        .agg(sum(col("n_files"))).collect()(0).getLong(0)
+      def search() = Similarity.ivfTopKIndexed(
+        spark.read.parquet(dir.toString), "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, cents, nprobe = 4).count()
+      val fRaw = files()
+      val (n1, tRaw) = timed(search())
+      val (_, tC) = timed(graft.streaming.VectorIngest
+        .compactIvfStore(spark, dir.toString, protectLast = 0))
+      val fCmp = files()
+      val (n2, tCmp) = timed(search())
+      if (b0 > 0)
+        println(f"$b%-8d $fRaw%-9d $tRaw%-10.2f $tC%-9.2f $fCmp%-9d $tCmp%-10.2f  (rows: $n1/$n2)")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+    emb.unpersist()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "compact") {
+      val batchCounts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+                        else Seq(4, 16, 64)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val e0 = sp.read.parquet(s"$sfDir/embeddings.parquet")
+      e0.count()
+      compactSweep(sp, e0, batchCounts)
+      sp.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "gann") {
       val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
                     else Seq(1, 4, 16)

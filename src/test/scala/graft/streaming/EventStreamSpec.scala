@@ -598,6 +598,88 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("compactIvfStore: rows preserved, one file per cell, protected batch replayable") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ivfc_idx").toFile
+    try {
+      val rnd = new scala.util.Random(29)
+      val pts = (1 to 160).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      val all = pts.toDF("vec_id", "embedding")
+      val cents = graft.functions.Similarity.ivfCentroids(all, "vec_id",
+        "embedding", 4)
+      (0 until 4).foreach { b =>
+        VectorIngest.ingestBatch(
+          all.filter(pmod(col("vec_id"), lit(4)) === b),
+          "vec_id", "embedding", cents, idx.getAbsolutePath, b.toLong)
+      }
+      def rows() = spark.read.parquet(idx.getAbsolutePath)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val before = rows()
+      assert(before.size === 160)
+      // pre-compaction: file count grows with batch count (~4 per cell)
+      val filesBefore = VectorIngest.storeFileStats(spark,
+          idx.getAbsolutePath)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(filesBefore.values.sum > filesBefore.size)
+      VectorIngest.compactIvfStore(spark, idx.getAbsolutePath,
+        protectLast = 1)
+      // batches 0..2 folded into the -1 base; batch 3 left in place
+      val dirs = Option(idx.listFiles).toSeq.flatten.map(_.getName)
+        .filter(_.startsWith("ingest_batch=")).sorted
+      assert(dirs === Seq("ingest_batch=-1", "ingest_batch=3"))
+      assert(rows() === before)
+      // base segment: exactly one file per cell it holds
+      val baseFiles = VectorIngest.storeFileStats(spark,
+          idx.getAbsolutePath + "/ingest_batch=-1")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(baseFiles.nonEmpty && baseFiles.values.forall(_ === 1L))
+      // re-compacting with nothing new to fold is a no-op
+      def listing() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(idx).filterNot(_.getName.startsWith("_"))
+          .map(f => f.getAbsolutePath ->
+            (f.length(), f.lastModified())).toMap
+      }
+      val stable = listing()
+      VectorIngest.compactIvfStore(spark, idx.getAbsolutePath,
+        protectLast = 1)
+      assert(listing() === stable)
+      // the protected batch stays replayable: an at-least-once replay
+      // of batch 3 overwrites its own partition, store content unchanged
+      VectorIngest.ingestBatch(
+        all.filter(pmod(col("vec_id"), lit(4)) === 3),
+        "vec_id", "embedding", cents, idx.getAbsolutePath, 3L)
+      assert(rows() === before)
+      // offline compaction (stream stopped): protectLast = 0 folds the
+      // remaining batch into the base too
+      VectorIngest.compactIvfStore(spark, idx.getAbsolutePath,
+        protectLast = 0)
+      val dirsAfter = Option(idx.listFiles).toSeq.flatten.map(_.getName)
+        .filter(_.startsWith("ingest_batch=")).sorted
+      assert(dirsAfter === Seq("ingest_batch=-1"))
+      assert(rows() === before)
+      // searches over the fully compacted store are unaffected: an
+      // exact copy of a stored vector ranks itself first at full probe
+      val queries = pts.take(2).map { case (id, v) => (id + 9000L, v) }
+        .toDF("query_id", "qvec")
+      val hits = graft.functions.Similarity.ivfTopKIndexed(
+          spark.read.parquet(idx.getAbsolutePath), "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 1, cents, nprobe = 4)
+        .collect().map(r =>
+          r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+      assert(hits === Map(9001L -> 1L, 9002L -> 2L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(idx)
+    }
+  }
+
   test("TTL dedup: duplicates drop within the horizon, state expires after it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl").toFile
