@@ -3819,6 +3819,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("row_state"))),
 
+    "scd2_cdc_collapse" -> ((s, dir) => {
+      // RAW multi-change-per-key CDC feed → collapseCdc → applyCdc,
+      // against the snapshot apply2 oracle (c20's, verbatim): each
+      // classified change gets two STALE earlier versions (lower seq,
+      // wrong values, wrong flags — seq 0 pretends the key is new
+      // with a negated price, seq 1 an intermediate +999 change);
+      // the max(struct(seq, …)) collapse must keep exactly the
+      // highest-seq truth per key, or the fold diverges from the
+      // snapshot. This is the day-one real-CDC shape applyCdc's
+      // one-change-per-key contract deferred to the caller — now
+      // enforceable by construction.
+      val dim = t(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          lit("2025-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current"))
+      val changes = DiffSync.diff(
+          diffSrc(s, dir).drop("o_custkey"),
+          diffTgt(s, dir).drop("o_custkey"), Seq("o_orderkey"))
+        .filter(col(DiffSync.FlagCol) =!= "identical")
+      val noisy = changes
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col(DiffSync.FlagCol), lit(2L).as("seq"))
+        .unionByName(changes.select(col("o_orderkey"),
+          (col("o_totalprice") + 999.0).as("o_totalprice"),
+          lit("changed").as(DiffSync.FlagCol), lit(1L).as("seq")))
+        .unionByName(changes.select(col("o_orderkey"),
+          (-col("o_totalprice")).as("o_totalprice"),
+          lit("new").as(DiffSync.FlagCol), lit(0L).as("seq")))
+      val collapsed = graft.operators.Scd2.collapseCdc(noisy,
+        "o_orderkey", "seq").drop("seq")
+      graft.operators.Scd2.applyCdc(dim, collapsed, "o_orderkey",
+          Seq("o_totalprice"), DiffSync.FlagCol, lit("2026-01-01"))
+        .orderBy(col("o_orderkey"), col("valid_from"), col("is_current"))
+    }),
+
     "c20_scd2_apply" -> ((s, dir) => {
       // SCD Type-2 dimension maintenance (Kettle "Dimension
       // lookup/update", Spark-native): one full-outer join between
@@ -9092,6 +9130,10 @@ object SparkEntry {
         |GROUP BY row_state ORDER BY row_state""".stripMargin,
 
     "c20_scd2_apply" -> scd2ApplyOracle,
+
+    // collapse-then-apply of the noisy multi-change feed must equal
+    // the snapshot apply — c20's oracle, verbatim
+    "scd2_cdc_collapse" -> scd2ApplyOracle,
 
     // the streaming CDC fold must converge to the batch apply —
     // c20's oracle, verbatim

@@ -93,9 +93,9 @@ object Scd2 {
     * CONTRACT: at most ONE change row per key per call (the
     * classified-diff shape). A raw CDC feed carrying several changes
     * to one key in one batch must first collapse to the last change
-    * per key — ordering needs the feed's sequence column, which this
-    * operator deliberately doesn't assume; an uncollapsed batch would
-    * close/open the same key once per change row.
+    * per key — [[collapseCdc]] does exactly that given the feed's
+    * sequence column; an uncollapsed batch would close/open the same
+    * key once per change row.
     */
   def applyCdc(dim: DataFrame, changes: DataFrame, pk: String,
       compareCols: Seq[String], flagCol: String, ts: Column): DataFrame = {
@@ -141,6 +141,42 @@ object Scd2 {
         case c => col(c)
       }.toSeq: _*)
     history.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
+
+  /** Collapse a RAW CDC feed to the last change per key — the
+    * pre-processing that makes [[applyCdc]]'s one-change-per-key
+    * contract enforceable by construction on a real CDC stream (which
+    * can carry insert → update → delete of one key inside one batch).
+    * SCD2 records STATES, not events: intermediate changes that never
+    * survived to the batch boundary are invisible to a snapshot-based
+    * dimension, so keeping only the final change per key is exactly
+    * the snapshot semantics applyCdc folds to.
+    *
+    * Scale shape: one `max(struct(seq, cols…))` aggregate on the key
+    * (struct max plans as SortAggregate) — the partial_max combines
+    * map-side, so a hot key's thousand updates collapse locally
+    * before the shuffle moves one row per key per map task (the
+    * keepBestPerCluster argmax shape; a window row_number would
+    * shuffle EVERY change row then sort the lot).
+    *
+    * `seqCol` orders the feed (LSN / offset / commit ts). Ties on seq
+    * break deterministically by the remaining columns' values in
+    * `changes` column order (struct ordering, nulls first) — feeds
+    * with a unique sequence never hit the tie-break. Output: one row
+    * per key, original column order preserved.
+    */
+  def collapseCdc(changes: DataFrame, pk: String,
+      seqCol: String): DataFrame = {
+    require(changes.columns.contains(seqCol),
+      s"changes must carry sequence column $seqCol")
+    val others = changes.columns.filterNot(_ == pk).toSeq
+    val ordered = seqCol +: others.filterNot(_ == seqCol)
+    changes.groupBy(col(pk))
+      .agg(max(struct(ordered.map(col): _*)).as("__last"))
+      .select(changes.columns.map {
+        case `pk` => col(pk)
+        case c => col("__last").getField(c).as(c)
+      }.toSeq: _*)
   }
 
   /** Point-in-time (temporal) lookup against an SCD2 dimension: each

@@ -622,6 +622,64 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       oneShot.collect().map(_.toSeq).toSet)
   }
 
+  test("scd2 collapseCdc: last change per key, insert-update-delete in one batch") {
+    import spark.implicits._
+    val none: Option[String] = None
+    // the adversarial shape: ONE key runs insert → update → delete
+    // inside a single batch; another runs insert → update; a third is
+    // a lone delete; untouched keys pass through applyCdc unchanged
+    val feed = Seq(
+      (1L, "a1", "new", 10L),
+      (1L, "a2", "changed", 11L),
+      (1L, "a2", "deleted", 12L),   // net effect on an absent key: nothing
+      (2L, "b1", "new", 20L),
+      (2L, "b2", "changed", 21L),   // net: insert b2
+      (3L, "zz", "deleted", 30L),   // net: close key 3
+      (4L, "d9", "changed", 40L))   // single change passes through
+      .toDF("id", "v", "flag", "seq")
+    val collapsed = Scd2.collapseCdc(feed, "id", "seq")
+    assert(collapsed.columns.toSeq === Seq("id", "v", "flag", "seq"))
+    val got = collapsed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, "a2", "deleted", 12L),
+      (2L, "b2", "changed", 21L),
+      (3L, "zz", "deleted", 30L),
+      (4L, "d9", "changed", 40L)))
+    // collapse → applyCdc: the delete of the never-inserted key 1 is
+    // a no-op; key 2 inserts its FINAL value only (the intermediate
+    // b1 version never existed as far as the snapshot is concerned)
+    val dim = Seq(
+      (3L, "c", "2025-01-01", none, true),
+      (4L, "d", "2025-01-01", none, true),
+      (5L, "e", "2025-01-01", none, true))
+      .toDF("id", "v", "valid_from", "valid_to", "is_current")
+    val out = Scd2.applyCdc(dim, collapsed.drop("seq"), "id", Seq("v"),
+      "flag", lit("2026-01-01"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)), r.getBoolean(4))).toSet
+      === Set(
+        (2L, "b2", "2026-01-01", None, true),
+        (3L, "c", "2025-01-01", Some("2026-01-01"), false),
+        (4L, "d", "2025-01-01", Some("2026-01-01"), false),
+        (4L, "d9", "2026-01-01", None, true),
+        (5L, "e", "2025-01-01", None, true)))
+    // seq ties break deterministically by the remaining columns'
+    // struct order (here: v DESC wins via max), not arbitrarily
+    val tied = Scd2.collapseCdc(Seq(
+        (7L, "p", "changed", 1L), (7L, "q", "changed", 1L))
+      .toDF("id", "v", "flag", "seq"), "id", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tied === Set((7L, "q")))
+    // partial aggregation: the collapse must be ONE aggregate with a
+    // map-side partial_max (struct max plans as SortAggregate — sort
+    // within each partition, still combined BEFORE the shuffle), not
+    // a window sort shuffling every change row
+    val plan = collapsed.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") && !plan.contains("Window"))
+  }
+
   test("scd2 lookup: picks the containing version, equi-keyed plan") {
     import spark.implicits._
     val dim = Seq(
