@@ -2848,6 +2848,21 @@ object SparkEntry {
       TextAnalysis.unigramTrainLocal(t(s, dir, "documents"), "text")
         .orderBy(col("piece"))),
 
+    "txt_unigram_soft" -> ((s, dir) =>
+      // SOFT-EM unigram training under the oracle — the full
+      // forward–backward E-step (Kudo 2018 §3.2), previously
+      // spec-only behind the float-honesty boundary, made
+      // hash-gateable by probability-space α/β (single
+      // correctly-rounded IEEE ops in a pinned order — no log-sum-exp
+      // anywhere) and nano-quantized per-(word,piece) posterior
+      // contributions summed as exact longs. The oracle replays the
+      // α and β lattices as list-carried recursive CTEs mirroring the
+      // exact operation order, then the same quantize→sum→floor→prune
+      // pipeline.
+      TextAnalysis.unigramTrainSoftQuantLocal(t(s, dir, "documents"),
+          "text")
+        .orderBy(col("piece"))),
+
     "txt_unigram_segment" -> ((s, dir) => {
       // the ENCODER half: train, then Viterbi-encode every distinct
       // word under the pruned table (native kernel). The oracle runs
@@ -4254,6 +4269,106 @@ object SparkEntry {
        |  FROM pruned),
        |pmfin AS MATERIALIZED (
        |  SELECT map_from_entries(list((p, lp))) AS m FROM pfin)""".stripMargin
+
+  /** Oracle for txt_unigram_soft: ONE quantized soft-EM round
+    * replayed in SQL. α and β lattices ride as DOUBLE lists through
+    * recursive CTEs whose step expression mirrors the Scala side's
+    * EXACT IEEE operation order — k-ascending ((t₁+t₂)+t₃) sums,
+    * alpha·p and p·beta product orders, probabilities from one
+    * BIGINT/BIGINT double division — so every double is bit-identical
+    * cross-engine (no log/exp anywhere). Posterior contributions
+    * floor-quantize to nano BIGINTs per (word, piece) BEFORE the
+    * SUM, making the aggregation exact and order-free. Then the same
+    * char-floor (1e9 nano = one occurrence), zero-drop and top-12
+    * count-ranked prune as the Scala side.
+    */
+  private def unigramSoftOracle: String =
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) GROUP BY w),
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_transform(range(1, len(w) + 1),
+       |    i -> w[CAST(i AS INT):CAST(i AS INT)])) AS p FROM words),
+       |sub AS MATERIALIZED (
+       |  SELECT p, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+       |    SELECT f, unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+       |      list_transform(range(1, least(3, len(w) - i + 1) + 1), k ->
+       |        w[CAST(i AS INT):CAST(i + k - 1 AS INT)])))) AS p
+       |    FROM words) GROUP BY p),
+       |s0 AS MATERIALIZED (
+       |  SELECT sub.p, sub.cnt FROM sub JOIN chars ON sub.p = chars.p
+       |  UNION ALL
+       |  (SELECT p, cnt FROM sub WHERE len(p) > 1
+       |   ORDER BY cnt DESC, p ASC LIMIT 60)),
+       |pr0 AS MATERIALIZED (
+       |  SELECT p, CAST(cnt AS DOUBLE) /
+       |    (SELECT CAST(SUM(cnt) AS DOUBLE) FROM s0) AS pv
+       |  FROM s0),
+       |prm AS MATERIALIZED (
+       |  SELECT map_from_entries(list((p, pv))) AS m FROM pr0),
+       |dpf AS (
+       |  SELECT w, f, [CAST(1.0 AS DOUBLE)] AS al, 1 AS t FROM words
+       |  UNION ALL
+       |  SELECT w, f, list_append(al,
+       |    (CASE WHEN t >= 1 THEN al[t] * COALESCE(m[w[t:t]][1], 0.0)
+       |       ELSE 0.0 END
+       |     + CASE WHEN t >= 2 THEN al[t-1] * COALESCE(m[w[t-1:t]][1], 0.0)
+       |       ELSE 0.0 END)
+       |     + CASE WHEN t >= 3 THEN al[t-2] * COALESCE(m[w[t-2:t]][1], 0.0)
+       |       ELSE 0.0 END),
+       |    t + 1
+       |  FROM dpf, prm WHERE t <= len(w)),
+       |fwd AS MATERIALIZED (SELECT w, f, al FROM dpf WHERE t = len(w) + 1),
+       |dpb AS (
+       |  SELECT w, f, [CAST(1.0 AS DOUBLE)] AS bl, 1 AS u FROM words
+       |  UNION ALL
+       |  SELECT w, f, list_append(bl,
+       |    (CASE WHEN u >= 1 THEN
+       |        COALESCE(m[w[len(w)-u+1 : len(w)-u+1]][1], 0.0) * bl[u]
+       |       ELSE 0.0 END
+       |     + CASE WHEN u >= 2 THEN
+       |        COALESCE(m[w[len(w)-u+1 : len(w)-u+2]][1], 0.0) * bl[u-1]
+       |       ELSE 0.0 END)
+       |     + CASE WHEN u >= 3 THEN
+       |        COALESCE(m[w[len(w)-u+1 : len(w)-u+3]][1], 0.0) * bl[u-2]
+       |       ELSE 0.0 END),
+       |    u + 1
+       |  FROM dpb, prm WHERE u <= len(w)),
+       |bwd AS MATERIALIZED (SELECT w, bl FROM dpb WHERE u = len(w) + 1),
+       |ps AS (
+       |  SELECT fw.w, fw.f, fw.al, b.bl, len(fw.w) AS wl,
+       |    unnest(range(0, len(fw.w))) AS s
+       |  FROM fwd fw JOIN bwd b ON fw.w = b.w
+       |  WHERE fw.al[len(fw.w) + 1] > 0),
+       |pk AS (
+       |  SELECT w, f, al, bl, wl, s,
+       |    unnest(range(1, least(3, wl - s) + 1)) AS k
+       |  FROM ps),
+       |contrib AS MATERIALIZED (
+       |  SELECT w[CAST(s + 1 AS INT):CAST(s + k AS INT)] AS piece,
+       |    CAST(floor(((((al[CAST(s + 1 AS INT)] *
+       |        COALESCE(m[w[CAST(s + 1 AS INT):CAST(s + k AS INT)]][1],
+       |          0.0)) *
+       |        bl[CAST(wl - s - k + 1 AS INT)]) / al[CAST(wl + 1 AS INT)]
+       |        * CAST(f AS DOUBLE)) * 1e9)) AS BIGINT) AS c
+       |  FROM pk, prm),
+       |cexp AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt FROM contrib
+       |  GROUP BY piece),
+       |s1 AS MATERIALIZED (
+       |  SELECT piece AS p, cnt FROM cexp WHERE len(piece) > 1 AND cnt > 0
+       |  UNION ALL
+       |  SELECT chars.p, GREATEST(COALESCE(c.cnt, CAST(0 AS BIGINT)),
+       |    CAST(1000000000 AS BIGINT))
+       |  FROM chars LEFT JOIN cexp c ON chars.p = c.piece),
+       |pruneds AS (
+       |  SELECT chars.p, s1.cnt FROM chars JOIN s1 ON chars.p = s1.p
+       |  UNION ALL
+       |  (SELECT p, cnt FROM s1 WHERE len(p) > 1
+       |   ORDER BY cnt DESC, p ASC LIMIT 12))
+       |SELECT p AS piece, cnt AS exp_cnt_nano FROM pruneds
+       |ORDER BY piece""".stripMargin
 
   private def unigramTrainOracle: String =
     s"""$unigramUnrollWith
@@ -7373,6 +7488,7 @@ object SparkEntry {
     "txt_bpe_local" -> bpeMergesOracle,
     "txt_bpe_segment" -> bpeSegmentOracle,
     "txt_unigram_train" -> unigramTrainOracle,
+    "txt_unigram_soft" -> unigramSoftOracle,
     "txt_unigram_segment" -> unigramSegmentOracle,
     "txt_wordpiece_train" -> wordpieceTrainOracle,
 

@@ -637,13 +637,15 @@ object TextAnalysis {
     * trainer; counts are fractional (posterior mass), so the M-step
     * renormalizes real-valued weights.
     *
-    * Float-honesty: forward–backward is log-sum-exp chains whose
-    * accumulation order no two engines reproduce bit-identically, so
-    * this operator is SPEC-verified (posterior char-mass
-    * conservation, hand-computed posteriors, the EM likelihood
-    * monotonicity guarantee) rather than oracle-hashed — the hard-EM
-    * twin carries the cross-engine gate for the family. Output:
-    * (piece, exp_cnt DOUBLE, logp_nano) sorted by piece.
+    * Float-honesty: forward–backward in LOG space is log-sum-exp
+    * chains whose accumulation order no two engines reproduce
+    * bit-identically, so this operator is SPEC-verified (posterior
+    * char-mass conservation, hand-computed posteriors, the EM
+    * likelihood monotonicity guarantee) rather than oracle-hashed.
+    * [[unigramTrainSoftQuantLocal]] is the hash-gateable twin: the
+    * same E-step in probability space with nano-quantized
+    * contributions (gate txt_unigram_soft). Output here: (piece,
+    * exp_cnt DOUBLE, logp_nano) sorted by piece.
     */
   def unigramTrainSoftLocal(df: DataFrame, textCol: String,
       targetMulti: Int = 12, seedMulti: Int = 60, maxPieceLen: Int = 3,
@@ -754,6 +756,147 @@ object TextAnalysis {
     kept.map { case (p, c) =>
       (p, c, math.floor(math.log(c / total) * 1e9).toLong)
     }.sortBy(_._1).toDF("piece", "exp_cnt", "logp_nano")
+  }
+
+  /** SOFT-EM unigram training, HASH-GATEABLE edition — the full
+    * forward–backward E-step of [[unigramTrainSoftLocal]] made
+    * cross-engine bit-stable by two changes, closing the documented
+    * float-honesty boundary for at least one EM round:
+    *
+    *  1. PROBABILITY space, not log space: α/β recurrences use only
+    *     p = cnt/total (one correctly-rounded IEEE division of exact
+    *     integers), multiplies and adds — each a SINGLE
+    *     correctly-rounded operation, accumulated in a PINNED order
+    *     (k ascending, ((t₁+t₂)+t₃)), so any IEEE-754 engine that
+    *     mirrors the operation order reproduces every double
+    *     bit-identically. No log/exp/log1p anywhere (the lse chains
+    *     are exactly what no two engines agree on). Underflow costs
+    *     nothing at sane word lengths: p ≥ 1/total keeps α above
+    *     double-min for words ≤ ~140 chars even at a 2e13-occurrence
+    *     corpus.
+    *  2. Posterior contributions quantize BEFORE accumulation: each
+    *     (word, piece) posterior mass becomes
+    *     floor(((α·p·β/αL)·f)·1e9) — a LONG in nano-units — and the
+    *     E-step total is a SUM OF LONGS, exact and order-free, so
+    *     neither engine's aggregation order can matter (the
+    *     floor(x·1e9)-longs discipline from the round-7 rule, applied
+    *     to expected counts).
+    *
+    * Same seed, char-floor (one occurrence = 1e9 nano), zero-drop and
+    * count-ranked prune as the other trainers. Output: (piece,
+    * exp_cnt_nano) — the quantized expected counts; log-probs are
+    * deliberately NOT emitted (ln is transcendental; consumers
+    * re-derive locally). Nano totals sum in a Long: fine to ~9e18
+    * nano ≈ 9e9 word occurrences per training vocab pass; past that
+    * scale the quantization unit drops to micro (the discipline, not
+    * the constant, is the contract). emRounds defaults to 1 — the
+    * gated regime; more rounds stay bit-stable by the same argument
+    * (round r+1's probabilities divide two exact longs again).
+    */
+  def unigramTrainSoftQuantLocal(df: DataFrame, textCol: String,
+      targetMulti: Int = 12, seedMulti: Int = 60, maxPieceLen: Int = 3,
+      emRounds: Int = 1, maxVocab: Int = 1 << 21): DataFrame = {
+    require(targetMulti >= 0 && seedMulti >= targetMulti,
+      "need seedMulti >= targetMulti >= 0")
+    require(maxPieceLen >= 1 && emRounds >= 1, "need maxPieceLen/emRounds >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = bpeWordFreq(df, textCol).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"unigramTrainSoftQuantLocal: vocab exceeds maxVocab $maxVocab")
+    val wf: Array[(String, Long)] =
+      rows.map(r => (r.getString(0), r.getLong(1)))
+    val chars: Array[String] = wf.iterator.map(_._1)
+      .flatMap(w => w.codePoints().toArray.map(Character.toString))
+      .toSet.toArray.sorted
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      val cps = w.codePoints().toArray
+      var i = 0
+      while (i < cps.length) {
+        var k = 1
+        while (k <= math.min(maxPieceLen, cps.length - i)) {
+          sub.updateWith(new String(cps, i, k))(c =>
+            Some(c.getOrElse(0L) + f))
+          k += 1
+        }
+        i += 1
+      }
+    }
+    def topMulti(m: collection.Map[String, Long], n: Int): Seq[(String, Long)] =
+      m.iterator.filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+        .toSeq.sortBy { case (p, c) => (-c, p) }.take(n)
+    var counts: Seq[(String, Long)] =
+      chars.map(c => (c, sub(c))).toSeq ++ topMulti(sub, seedMulti)
+    // quantized E-step for one word: probability-space α/β in the
+    // pinned order, nano-quantized contributions into `out`
+    def expectedQuant(w: String, f: Long,
+        p: java.util.HashMap[String, java.lang.Double],
+        out: scala.collection.mutable.HashMap[String, Long]): Unit = {
+      val cps = w.codePoints().toArray
+      val L = cps.length
+      def piece(i: Int, k: Int) = new String(cps, i, k)
+      def pr(i: Int, k: Int): Double = {
+        val v = p.get(piece(i, k))
+        if (v eq null) 0.0 else v.doubleValue()
+      }
+      val alpha = new Array[Double](L + 1); alpha(0) = 1.0
+      var i = 1
+      while (i <= L) {
+        var s = 0.0; var k = 1
+        while (k <= math.min(maxPieceLen, i)) {
+          s = s + alpha(i - k) * pr(i - k, k); k += 1
+        }
+        alpha(i) = s; i += 1
+      }
+      val beta = new Array[Double](L + 1); beta(L) = 1.0
+      var j = L - 1
+      while (j >= 0) {
+        var s = 0.0; var k = 1
+        while (k <= math.min(maxPieceLen, L - j)) {
+          s = s + pr(j, k) * beta(j + k); k += 1
+        }
+        beta(j) = s; j -= 1
+      }
+      if (alpha(L) <= 0.0) return // uncoverable word
+      var s0 = 0
+      while (s0 < L) {
+        var k = 1
+        while (k <= math.min(maxPieceLen, L - s0)) {
+          val pv = pr(s0, k)
+          if (pv > 0.0) {
+            val post = ((alpha(s0) * pv) * beta(s0 + k)) / alpha(L)
+            val contrib = math.floor((post * f.toDouble) * 1e9).toLong
+            if (contrib > 0L)
+              out.updateWith(piece(s0, k))(c =>
+                Some(c.getOrElse(0L) + contrib))
+          }
+          k += 1
+        }
+        s0 += 1
+      }
+    }
+    var r = 1
+    while (r <= emRounds) {
+      val total = counts.iterator.map(_._2).sum
+      val p = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+      counts.foreach { case (pc, c) =>
+        p.put(pc, java.lang.Double.valueOf(c.toDouble / total.toDouble))
+      }
+      val newc = scala.collection.mutable.HashMap.empty[String, Long]
+      wf.foreach { case (w, f) => expectedQuant(w, f, p, newc) }
+      counts = chars.map(c =>
+          (c, math.max(newc.getOrElse(c, 0L), 1000000000L))).toSeq ++
+        newc.iterator
+          .filter { case (pc, c) =>
+            pc.codePointCount(0, pc.length) > 1 && c > 0L }
+          .toSeq.sortBy(_._1)
+      r += 1
+    }
+    val countMap = counts.toMap
+    val kept: Seq[(String, Long)] =
+      chars.map(c => (c, countMap(c))).toSeq ++ topMulti(countMap, targetMulti)
+    kept.sortBy(_._1).toDF("piece", "exp_cnt_nano")
   }
 
   /** Viterbi-encode the corpus VOCABULARY under a trained unigram

@@ -2872,6 +2872,43 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(table(3)("ab")._1 > t1("ab")._1)
   }
 
+  test("unigram soft-EM quantized: hand posterior in nano, tracks the unquantized twin") {
+    import spark.implicits._
+    // same hand lattice as the unquantized spec: "ab"×4, "cd"×4
+    val docs = Seq((1L, (Seq.fill(4)("ab") ++ Seq.fill(4)("cd"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val q = TextAnalysis.unigramTrainSoftQuantLocal(docs, "text",
+        targetMulti = 2, seedMulti = 2, maxPieceLen = 2, emRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q.keySet === Set("a", "b", "c", "d", "ab", "cd"))
+    // posterior(ab) = 6/7 per occurrence; 4 occurrences → expected
+    // count 24/7, quantized per-word: floor((6/7·4)·1e9) — ONE word
+    // carries all 4 occurrences, so one floor of the total
+    assert(q("ab") === math.floor((6.0 / 7 * 4) * 1e9).toLong)
+    // char a: 4·1/7 ≈ 0.571e9 nano → floored to 1e9 (one occurrence)
+    assert(q("a") === 1000000000L)
+    // the quantized table tracks the unquantized twin within
+    // quantization error (≤ one nano per contributing word)
+    val u = TextAnalysis.unigramTrainSoftLocal(docs, "text",
+        targetMulti = 2, seedMulti = 2, maxPieceLen = 2, emRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q.foreach { case (p, nano) =>
+      assert(math.abs(nano / 1e9 - u(p)) < 1e-6,
+        s"piece $p: quant ${nano / 1e9} vs soft ${u(p)}")
+    }
+    // bit-stable by construction: a rerun is identical to the long
+    val q2 = TextAnalysis.unigramTrainSoftQuantLocal(docs, "text",
+        targetMulti = 2, seedMulti = 2, maxPieceLen = 2, emRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q2 === q)
+    // multi-round stays in the quantize→divide→quantize discipline
+    // and keeps concentrating mass on the bigram
+    val q3 = TextAnalysis.unigramTrainSoftQuantLocal(docs, "text",
+        targetMulti = 2, seedMulti = 2, maxPieceLen = 2, emRounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q3("ab") > q("ab"))
+  }
+
   test("unigram trainer: char floor, prune bound, kernel/driver round-trip parity") {
     import spark.implicits._
     // corpus where a frequent bigram absorbs its chars: 'ab' dominates
