@@ -1345,6 +1345,60 @@ object Similarity {
     }.toDF("cell", corpusId, corpusVec, "neighbors")
   }
 
+  /** Split oversized quantizer cells — the SKEW GUARD for the IVF
+    * family: a frozen quantizer gone stale against drifted data can
+    * leave one cell holding a large corpus fraction, and every
+    * cell-local operator (the NSW build above all) then runs that
+    * cell SERIALLY in one task — a straggler that grows with the
+    * corpus (measured in ScaleSmoke `gannskew`: a 30%-cell pushes
+    * build+walk to 1.5× uniform at 32k vectors and worsens with
+    * scale). This re-quantizes each cell whose population exceeds
+    * `maxPop` with ceil(pop/maxPop) sub-centroids trained on the
+    * cell's own members via [[ivfTrain]] at `oversample = 1` —
+    * mass-proportional init + deterministic Lloyd, NOT farthest-point
+    * (an oversized cell is by definition a dense blob; farthest-point
+    * seeds its outliers and one near-center seed re-captures the
+    * whole blob — ivfTrain's own documented failure mode, measured
+    * again here: farthest-point sub-centroids left 7579 of a
+    * 9836-member cell together, mass-proportional Lloyd splits it);
+    * cells within bound keep their centroid untouched. The result is a flat refined centroid array
+    * — downstream operators are quantizer-agnostic, and the
+    * full-probe exactness contract holds under ANY deterministic
+    * quantizer, so refinement never changes exact-regime results.
+    *
+    * Driver loop bounded by the number of OVERSIZED cells (≤ nlist);
+    * each trains on one cell's members via the nlist×oversample
+    * TakeOrdered sample — never a full-corpus collect. Identical
+    * duplicate vectors cannot be split by any metric quantizer (they
+    * tie to one sub-centroid) — that regime is dedup's job, not the
+    * quantizer's.
+    */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], maxPop: Long,
+      iters: Int = 3): Array[Array[Double]] = {
+    require(maxPop > 0, "maxPop must be > 0")
+    val assigned = ivfAssignments(
+        corpus.select(col(idCol),
+          transform(col(vecCol), x => x.cast("double")).as(vecCol)),
+        idCol, vecCol, centroids)
+      .localCheckpoint() // consumed once per oversized cell + once for pops
+    val pops = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ nlist
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    centroids.indices.foreach { c =>
+      val pop = pops.getOrElse(c, 0L)
+      if (pop <= maxPop) out += centroids(c)
+      else {
+        val kSub = ((pop + maxPop - 1) / maxPop).toInt
+        out ++= ivfTrain(
+          assigned.filter(col("cell") === c)
+            .select(col(idCol), col(vecCol)),
+          idCol, vecCol, kSub, iters, oversample = 1)
+      }
+    }
+    out.toArray
+  }
+
   /** Apply DELETE tombstones to a stored graph index — the missing
     * third of the index lifecycle next to [[graphAnnBuild]] (create)
     * and [[graphAnnAppend]] (insert). Deletion is a first-class sync

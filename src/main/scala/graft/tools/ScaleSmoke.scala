@@ -471,8 +471,93 @@ object ScaleSmoke {
     ()
   }
 
+  /** `gannskew` mode: the skewed-cell guard for the graph-ANN family.
+    * Real skew arises when the FROZEN quantizer goes stale against
+    * drifting data (the cellStats retrain signal): here 30% of the
+    * corpus is replaced by near-copies of one anchor vector, all
+    * landing in the anchor's cell under the quantizer trained on the
+    * uniform corpus. Per-insert NSW cost is O(efC·degree·dims)
+    * regardless of cell population (the build SEARCHES the partial
+    * graph — standing rule 3), so the skewed build+walk should track
+    * the uniform one within a small constant as the corpus grows; a
+    * growing ratio would mean the cell-local constant bites and a
+    * cell-split refinement (re-quantize oversized cells with
+    * sub-centroids) is needed.
+    */
+  private def gannSkewSweep(spark: SparkSession, emb0: DataFrame,
+      factors: Seq[Int]): Unit = {
+    val queries = emb0.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qvec"))
+    queries.count()
+    println(f"${"factor"}%-7s ${"vecs"}%-8s ${"nlist"}%-7s ${"maxCell"}%-9s ${"tUniform"}%-9s ${"tSkew"}%-9s ${"ratio"}%-6s ${"maxSplit"}%-9s ${"tSplit"}%-7s")
+    (Seq(-1) ++ factors).foreach { f0 =>
+      val f = math.abs(f0).max(1)
+      val emb = embExploded(emb0, f).cache()
+      val ne = emb.count()
+      val nlist = 16 * f
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist)
+      val (n1, tU) = timed(Similarity.graphAnnTopK(emb, "vec_id",
+        "embedding", queries, "query_id", "qvec", k = 5, cents,
+        nprobe = 4, degree = 8, ef = 64).count())
+      // 30% of rows become jittered near-copies of the min-id anchor
+      // vector — they all quantize into the anchor's cell under the
+      // stale (uniform-trained) centroids
+      val anchor = emb.orderBy(col("vec_id")).limit(1)
+        .select(col("embedding")).collect()(0).getSeq[Double](0)
+      val anchorCol = array(anchor.map(lit): _*)
+      val skewed = emb.select(col("vec_id"),
+        when(col("vec_id") % 10 < 3,
+          transform(anchorCol, (x, i) => x +
+            ((col("vec_id") * 13 + i * 7) % 23 - 11).cast("double") *
+              lit(1e-4)))
+          .otherwise(col("embedding")).as("embedding")).cache()
+      skewed.count()
+      val maxCell = Similarity.ivfAssignments(skewed, "vec_id",
+          "embedding", cents)
+        .groupBy(col("cell")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      val (n2, tS) = timed(Similarity.graphAnnTopK(skewed, "vec_id",
+        "embedding", queries, "query_id", "qvec", k = 5, cents,
+        nprobe = 4, degree = 8, ef = 64).count())
+      // the guard: split cells above 2× the mean population with
+      // sub-centroids trained on their members (quantizer training
+      // is a stored artifact — outside the timed block, the
+      // ScaleSmoke convention); the skewed build+walk must return
+      // to ~uniform cost
+      val refined = Similarity.refineCentroids(skewed, "vec_id",
+        "embedding", cents, maxPop = math.max(2L * ne / nlist, 1L))
+      val maxSplit = Similarity.ivfAssignments(skewed, "vec_id",
+          "embedding", refined)
+        .groupBy(col("cell")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      val (n3, tR) = timed(Similarity.graphAnnTopK(skewed, "vec_id",
+        "embedding", queries, "query_id", "qvec", k = 5, refined,
+        nprobe = 4, degree = 8, ef = 64).count())
+      if (f0 > 0)
+        println(f"$f%-7d $ne%-8d $nlist%-7d $maxCell%-9d $tU%-9.2f $tS%-9.2f ${tS / tU}%-6.2f $maxSplit%-9d $tR%-7.2f  (rows: $n1/$n2/$n3)")
+      emb.unpersist(); skewed.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "gannskew") {
+      val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+                    else Seq(1, 4, 16)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val e0 = sp.read.parquet(s"$sfDir/embeddings.parquet")
+      e0.count()
+      gannSkewSweep(sp, e0, factors)
+      sp.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "compact") {
       val batchCounts = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
                         else Seq(4, 16, 64)

@@ -2765,6 +2765,53 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(ivfRm.exceptAll(idx).count() === 0L)
   }
 
+  test("refineCentroids: splits an oversized cell, exactness holds under the refined quantizer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def around(center: Double, n: Int, base: Long) = (0 until n).map(i =>
+      (base + i, Array.fill(8)(center + rnd.nextDouble() * 0.1)))
+    // two healthy cells (40 points each) + one oversized cell whose
+    // 300 members form 3 separable sub-blobs (metric-splittable —
+    // the case the guard exists for)
+    val pts = around(5.0, 40, 0L) ++ around(-5.0, 40, 1000L) ++
+      around(0.0, 100, 2000L) ++ around(0.8, 100, 3000L) ++
+      around(1.6, 100, 4000L)
+    val corpus = pts.toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(5.0), Array.fill(8)(-5.0),
+      Array.fill(8)(0.8))
+    def maxPop(cs: Array[Array[Double]]) = Similarity.ivfAssignments(
+        corpus, "vec_id", "embedding", cs)
+      .groupBy(col("cell")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPop(cents) === 300L)
+    val refined = Similarity.refineCentroids(corpus, "vec_id",
+      "embedding", cents, maxPop = 120L)
+    // untouched cells keep their centroids; the hot cell becomes
+    // ceil(300/120) = 3 sub-centroids
+    assert(refined.length === 5)
+    assert(refined(0).toSeq === cents(0).toSeq)
+    assert(refined(1).toSeq === cents(1).toSeq)
+    // the split actually disperses the blob
+    assert(maxPop(refined) <= 150L, s"still ${maxPop(refined)} together")
+    // deterministic: a rerun yields bit-identical centroids
+    val again = Similarity.refineCentroids(corpus, "vec_id",
+      "embedding", cents, maxPop = 120L)
+    assert(again.map(_.toSeq).toSeq === refined.map(_.toSeq).toSeq)
+    // full-probe exactness is quantizer-agnostic: graph ANN under the
+    // REFINED quantizer still equals brute force
+    val queries = pts.filter(_._1 % 100 == 0).map { case (id, v) =>
+      (id + 50000L, v) }.toDF("query_id", "qvec")
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+    val viaRefined = topSet(Similarity.graphAnnTopK(corpus, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 3, refined,
+      nprobe = 5, degree = 6, ef = 10000))
+    val bf = topSet(Similarity.bruteForceTopK(corpus, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 3))
+    assert(viaRefined === bf)
+  }
+
   test("wordpiece trainer: likelihood rule, double-tie break, ## chains, exhaustion") {
     import spark.implicits._
     // freq: aa×10, qu×2, ab×8. BPE's count rule would merge (a,##a)
