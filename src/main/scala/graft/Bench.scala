@@ -89,20 +89,31 @@ object Bench {
       if (samples.length > 1)
         System.err.println(
           f"[bench] $name%-26s $median%8.2f s (median of ${samples.length}, spread $spread%.2f)")
-      (name, median, e1, if (samples.length > 1) Some(spread) else None)
+      (name, median, e1, if (samples.length > 1) Some(spread) else None, s1)
     }
     // 3-decimal rounding keeps the full per-query JSON line compact
     // (~1.8 KB for 60 queries vs ~3.5 KB with raw doubles — the raw
     // form outgrew the driver's output tail window in round 4 and the
     // round recorded no machine-readable total).
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) =>
+    val errs = results.collect { case (k, _, Some(e), _, _) =>
       s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
-    val spreads = results.collect { case (k, _, _, Some(sp)) =>
+    val spreads = results.collect { case (k, _, _, Some(sp), _) =>
       s"\"" + k + "\":" + r3(sp)
+    }.mkString("{", ",", "}")
+    // boot-vs-steady separation (round 13): for the ONCE-PER-JVM
+    // memoized stream gates (CDC sync/SCD2/graph ingest/compaction)
+    // the first pass pays fixture + streaming boot + the work, while
+    // reruns re-read the memoized result — so "first" is the boot
+    // cost and the median is steady-state. Reported only where the
+    // first pass diverges from the median by >0.3 s, so the map stays
+    // small and the regression check can compare like with like.
+    val firsts = results.collect {
+      case (k, med, _, Some(_), s1) if math.abs(s1 - med) > 0.3 =>
+        s"\"" + k + "\":" + r3(s1)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // contention diagnostic: host steal percentage over the measured
@@ -122,7 +133,7 @@ object Bench {
         f"${(s1 - s0) * 100.0 / (t1 - t0)}%.1f"
       case _ => "null"
     }
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"first":$firsts,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
     // Full line first (per-query detail), durable copy on disk, and a
     // ~120-byte total-only line LAST: whatever slice of the tail the
     // driver parses, at least one complete JSON line with the round

@@ -169,6 +169,13 @@ object SparkEntry {
   private val ivfCompactDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** stream_vector_sync memo: per input dir, the graph store after
+    * the full CDC sync stream (insert/update/delete) has run —
+    * once per JVM, like the other CDC stream gates.
+    */
+  private val vectorSyncDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   // `sliceIdx` is BY-NAME: it is only evaluated inside the memo's
   // build closure, so a slice expression whose construction costs a
   // full scan (the tertile bounds agg) runs atomically once-per-JVM
@@ -1318,6 +1325,65 @@ object SparkEntry {
         16)
       Similarity.graphAnnTopKIndexed(s.read.parquet(idxDir), "vec_id",
           "embedding", queries, "query_id", "qvec", k = 5, cents,
+          nprobe = 4, ef = 1024)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "stream_vector_sync" -> ((s, dir) => {
+      // FULL CDC LOOP on the vector store — continuousSyncWriter's
+      // shape aimed at the graph index: the base store holds the
+      // naturals plus CORRUPTED (negated, rank-bottom) twins for
+      // bands 1–3 and no twins for bands 4–5; the CDC stream then
+      // upserts the TRUE vectors of bands 1, 3, 5 (1 and 3 are
+      // UPDATES that must move the node across cells — the negated
+      // vector sits in a different quantizer cell — and 5 is an
+      // INSERT) and deletes bands 2 and 4 (2 removes an existing
+      // node, 4 is a tombstone for an id that never existed → no-op).
+      // Final store = naturals + true twins of bands 1/3/5, so the
+      // top-3 search equals the remove oracle (brute force minus
+      // bands 2/4) — which holds iff all four CDC paths applied.
+      val idxDir = vectorSyncDirs.computeIfAbsent(dir, _ => {
+        val (corpus, _) = plantedAnnFixture(s, dir)
+        val cents = Similarity.ivfCentroids(corpus, "vec_id",
+          "embedding", 16)
+        val band = floor(col("vec_id") / 100000L)
+        val corrupted = corpus.filter(band.between(1, 3))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x * lit(-1.0))
+              .as("embedding"))
+        val base = corpus.filter(band === 0).unionByName(corrupted)
+        val idx = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_vsync_idx"))
+        Similarity.graphAnnBuild(base, "vec_id", "embedding", cents,
+            degree = 8, efConstruction = 64)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(idx.toString)
+        val changes = corpus.filter(band.isin(1, 3, 5))
+          .select(col("vec_id"), col("embedding"),
+            lit("upsert").as("op"))
+          .unionByName(corpus.filter(band.isin(2, 4))
+            .select(col("vec_id"), col("embedding"),
+              lit("delete").as("op")))
+        val stream = streamPrefixBy(s, changes,
+          pmod(col("vec_id"), lit(3)).cast("int"), 3,
+          Some(s"$dir|vec-sync"))
+        val chk = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_vsync_chk"))
+        val q = graft.streaming.VectorIngest.streamingVectorSync(
+            stream, "vec_id", "embedding", "op", cents, idx.toString,
+            chk.toString, degree = 8, efConstruction = 64,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        idx.toString
+      })
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        16)
+      Similarity.graphAnnTopKIndexed(s.read.parquet(idxDir), "vec_id",
+          "embedding", queries, "query_id", "qvec", k = 3, cents,
           nprobe = 4, ef = 1024)
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"))
@@ -6822,6 +6888,8 @@ object SparkEntry {
     "stream_graph_ingest" -> plantedAnnOracle,
     "sim_ivf_compact" -> plantedAnnOracle,
     "sim_ivf_remove" -> plantedAnnRemoveOracle,
+    // the CDC sync stream's net survivors == the remove oracle's
+    "stream_vector_sync" -> plantedAnnRemoveOracle,
 
     "sim_margin_mine" ->
       """WITH emb AS (

@@ -198,6 +198,61 @@ object VectorIngest {
           degree, efConstruction)
       }
 
+  /** Apply ONE mixed CDC batch (upserts + deletes) to the stored
+    * graph index — the [[graft.operators.DiffSync]] sync loop aimed
+    * at the vector store instead of a JDBC table, completing the
+    * store's CRUD symmetry: an upsert of a new id INSERTS, an upsert
+    * of an existing id UPDATES (the old node leaves its cell graph,
+    * the new vector search-and-link inserts — possibly into a
+    * DIFFERENT cell if the vector moved across a quantizer boundary),
+    * and `op = "delete"` removes. Two deterministic store passes:
+    * first remove every id the batch mentions (tombstones AND
+    * upserted ids — [[removeGraphBatch]]'s touched-cell rebuild),
+    * then insert the upserts ([[ingestGraphBatch]]). Re-applying the
+    * same batch repeats the identical two steps from the same
+    * resulting state, so replay is idempotent in the strong sense
+    * f(f(x)) = f(x).
+    *
+    * CONTRACT (the [[graft.operators.Scd2.applyCdc]] convention): at
+    * most one change row per id per batch — a raw feed collapses
+    * first via [[graft.operators.Scd2.collapseCdc]].
+    */
+  def syncGraphBatch(batch: DataFrame, idCol: String, vecCol: String,
+      opCol: String, centroids: Array[Array[Double]], indexDir: String,
+      degree: Int = 8, efConstruction: Int = 64): Unit = {
+    val touched = batch.select(col(idCol))
+    removeGraphBatch(touched, idCol, vecCol, indexDir, degree,
+      efConstruction)
+    val ups = batch.filter(col(opCol) =!= "delete")
+      .select(col(idCol), col(vecCol))
+    if (!ups.isEmpty)
+      ingestGraphBatch(ups, idCol, vecCol, centroids, indexDir,
+        degree, efConstruction)
+  }
+
+  /** foreachBatch writer for the CONTINUOUS CDC sync of the graph
+    * index — the vector-store twin of
+    * [[graft.streaming.EventStream.continuousSyncWriter]]: a stream
+    * of (id, vector, op ∈ upsert/delete) rows keeps the stored index
+    * current, batch by batch, through [[syncGraphBatch]]'s
+    * remove-then-insert. Searches via `graphAnnTopKIndexed` see each
+    * batch as soon as its cell partitions commit.
+    */
+  def streamingVectorSync(stream: DataFrame, idCol: String,
+      vecCol: String, opCol: String,
+      centroids: Array[Array[Double]], indexDir: String,
+      checkpoint: String, degree: Int = 8, efConstruction: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        syncGraphBatch(batch, idCol, vecCol, opCol, centroids,
+          indexDir, degree, efConstruction)
+      }
+
   /** Compact the streamed IVF assignment store — the small-files
     * maintenance op: [[ingestBatch]] accumulates one
     * `ingest_batch=<N>/cell=<c>/` partition pair per micro-batch

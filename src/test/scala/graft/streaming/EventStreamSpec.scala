@@ -598,6 +598,63 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("syncGraphBatch: insert/update/delete CDC paths, cross-cell update, replay fixpoint") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_vs_idx").toFile
+    try {
+      val rnd = new scala.util.Random(37)
+      val pts = (1 to 90).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      val all = pts.toDF("vec_id", "embedding")
+      val cents = graft.functions.Similarity.ivfCentroids(all, "vec_id",
+        "embedding", 4)
+      graft.functions.Similarity.graphAnnBuild(all, "vec_id",
+          "embedding", cents, degree = 4, efConstruction = 32)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(idx.getAbsolutePath)
+      def store() = spark.read.parquet(idx.getAbsolutePath)
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          col("neighbors"))
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2), r.getSeq[Long](3))).toSet
+      // CDC batch: update id 5 to the NEGATED vector (moves it to a
+      // different quantizer cell), insert brand-new id 500, delete
+      // id 7, tombstone absent id 999 (no-op)
+      val v5new = pts(4)._2.map(-_)
+      val batch = Seq(
+        (5L, v5new, "upsert"),
+        (500L, Array.fill(8)(0.25), "upsert"),
+        (7L, Array.empty[Double], "delete"),
+        (999L, Array.empty[Double], "delete"))
+        .toDF("vec_id", "embedding", "op")
+      VectorIngest.syncGraphBatch(batch, "vec_id", "embedding", "op",
+        cents, idx.getAbsolutePath, degree = 4, efConstruction = 32)
+      val after = store()
+      val byId = after.groupBy(_._2)
+      assert(!byId.contains(7L))                 // deleted
+      assert(byId(500L).size === 1)              // inserted once
+      assert(byId(5L).size === 1)                // updated, not duplicated
+      assert(byId(5L).head._3.toArray.toSeq === v5new.toSeq)
+      // cross-cell move: id 5's stored cell matches its NEW vector's
+      // quantizer cell
+      val newCell = graft.functions.Similarity.ivfAssignments(
+          Seq((5L, v5new)).toDF("vec_id", "embedding"), "vec_id",
+          "embedding", cents)
+        .select(col("cell")).collect()(0).getInt(0)
+      assert(byId(5L).head._1 === newCell)
+      // replay fixpoint: applying the same batch again leaves the
+      // store content identical (f(f(x)) = f(x))
+      VectorIngest.syncGraphBatch(batch, "vec_id", "embedding", "op",
+        cents, idx.getAbsolutePath, degree = 4, efConstruction = 32)
+      assert(store() === after)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(idx)
+    }
+  }
+
   test("compactIvfStore: rows preserved, one file per cell, protected batch replayable") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_ivfc_idx").toFile
