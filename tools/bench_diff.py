@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Per-query bench regression check, medians-to-medians (dev helper).
+
+Usage: python3 tools/bench_diff.py BENCH_r12.json BENCH_r13.json [pct]
+
+Both files must carry the round-12+ median-of-3 methodology
+("method":"median3") — comparing a median file against a pre-r12
+min-of-reruns file is flagged and refused, because the uniform
+median-vs-min inflation (~10-20%) would read as a fleet-wide
+regression.
+
+Flags queries whose median moved more than `pct` (default 30%) AND
+moved outside the union of both rounds' spreads (a mover inside
+spread is host noise, not code). Streaming gates whose "first"
+(boot-inclusive) timing is reported separately are compared on the
+median (steady state); the boot delta prints informationally.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{") and '"queries"' in line:
+                d = json.loads(line)
+                if d.get("queries"):
+                    return d
+    raise SystemExit(f"no full bench line in {path}")
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    pct = float(sys.argv[3]) if len(sys.argv) > 3 else 30.0
+    for d, p in ((old, sys.argv[1]), (new, sys.argv[2])):
+        if d.get("method") != "median3":
+            raise SystemExit(
+                f"{p} is not median-of-3 (method={d.get('method')!r}); "
+                "medians-to-medians only")
+    qo, qn = old["queries"], new["queries"]
+    so, sn = old.get("spread", {}), new.get("spread", {})
+    fn = new.get("first", {})
+    common = sorted(set(qo) & set(qn))
+    added = sorted(set(qn) - set(qo))
+    removed = sorted(set(qo) - set(qn))
+    movers = []
+    for q in common:
+        a, b = qo[q], qn[q]
+        if a <= 0:
+            continue
+        delta = b - a
+        rel = delta / a * 100
+        tol = max(so.get(q, 0.0), sn.get(q, 0.0))
+        if abs(rel) > pct and abs(delta) > tol:
+            movers.append((rel, q, a, b, tol))
+    movers.sort(key=lambda t: -abs(t[0]))
+    print(f"common {len(common)}  added {len(added)}  removed {len(removed)}")
+    print(f"common-query sums: old {sum(qo[q] for q in common):.1f} s  "
+          f"new {sum(qn[q] for q in common):.1f} s")
+    if added:
+        print(f"added: {', '.join(f'{q} ({qn[q]:.2f}s)' for q in added)}")
+    if removed:
+        print(f"removed: {', '.join(removed)}")
+    if not movers:
+        print(f"no movers beyond ±{pct:.0f}% outside spread")
+    for rel, q, a, b, tol in movers:
+        boot = f"  boot(first)={fn[q]:.2f}s" if q in fn else ""
+        print(f"MOVER {rel:+7.1f}%  {q:26s} {a:6.2f} -> {b:6.2f} s "
+              f"(spread tol {tol:.2f}){boot}")
+    steadies = {q: v for q, v in fn.items() if q in qn}
+    if steadies:
+        print("\nboot-vs-steady (streaming/memoized gates):")
+        for q in sorted(steadies):
+            print(f"  {q:26s} first {steadies[q]:6.2f} s   "
+                  f"median {qn[q]:6.2f} s")
+
+
+if __name__ == "__main__":
+    main()
