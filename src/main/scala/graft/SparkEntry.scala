@@ -169,6 +169,13 @@ object SparkEntry {
   private val ivfCompactDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** sim_ivf_store_remove memo: per input dir, the IVF batch store
+    * after tombstone application (3 ingest batches, then
+    * removeIvfBatch of the band-2/4 twins) — once per JVM.
+    */
+  private val ivfRemoveDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   /** stream_vector_sync memo: per input dir, the graph store after
     * the full CDC sync stream (insert/update/delete) has run —
     * once per JVM, like the other CDC stream gates.
@@ -1864,6 +1871,43 @@ object SparkEntry {
         16)
       Similarity.ivfTopKIndexed(s.read.parquet(idxDir), "vec_id",
           "embedding", queries, "query_id", "qvec", k = 5, cents,
+          nprobe = 4)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_ivf_store_remove" -> ((s, dir) => {
+      // store-level tombstone application for the IVF batch store —
+      // the flat twin of removeGraphBatch's gate, completing the IVF
+      // store lifecycle (ingest / remove / compact, each oracle-
+      // gated): 3 ingest batches land the planted corpus, then
+      // removeIvfBatch rewrites ONLY the (batch, cell) partitions
+      // containing a band-2/4 twin (survivor-only rewrite, emptied
+      // partition dirs deleted). Search over the store must equal
+      // brute force minus the tombstoned set.
+      val idxDir = ivfRemoveDirs.computeIfAbsent(dir, _ => {
+        val (corpus, _) = plantedAnnFixture(s, dir)
+        val cents = Similarity.ivfCentroids(corpus, "vec_id",
+          "embedding", 16)
+        val store = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_ivfr"))
+        (0 until 3).foreach { b =>
+          graft.streaming.VectorIngest.ingestBatch(
+            corpus.filter(pmod(col("vec_id"), lit(3)) === b),
+            "vec_id", "embedding", cents, store.toString, b.toLong)
+        }
+        graft.streaming.VectorIngest.removeIvfBatch(
+          corpus.filter(floor(col("vec_id") / 100000L).isin(2, 4))
+            .select(col("vec_id")),
+          "vec_id", store.toString)
+        store.toString
+      })
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        16)
+      Similarity.ivfTopKIndexed(s.read.parquet(idxDir), "vec_id",
+          "embedding", queries, "query_id", "qvec", k = 3, cents,
           nprobe = 4)
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"))
@@ -6890,6 +6934,7 @@ object SparkEntry {
     "sim_ivf_remove" -> plantedAnnRemoveOracle,
     // the CDC sync stream's net survivors == the remove oracle's
     "stream_vector_sync" -> plantedAnnRemoveOracle,
+    "sim_ivf_store_remove" -> plantedAnnRemoveOracle,
 
     "sim_margin_mine" ->
       """WITH emb AS (

@@ -198,6 +198,70 @@ object VectorIngest {
           degree, efConstruction)
       }
 
+  /** Apply DELETE tombstones to the stored IVF assignment table at
+    * `indexDir` — the flat-store twin of [[removeGraphBatch]],
+    * completing the IVF store's lifecycle next to [[ingestBatch]] and
+    * [[compactIvfStore]]. Only the (ingest_batch, cell) partitions
+    * that actually CONTAIN a tombstoned id are rewritten (an IVF
+    * posting row is self-contained, so a rewrite is just the
+    * partition's survivors — no graph relink); partitions whose
+    * members all die are deleted explicitly, since dynamic overwrite
+    * cannot remove a partition with no output rows. Replaying the
+    * same tombstone batch finds no matching ids and returns without
+    * writing.
+    */
+  def removeIvfBatch(tombstones: DataFrame, idCol: String,
+      indexDir: String): Unit = {
+    val spark = tombstones.sparkSession
+    if (!storeHasData(spark, indexDir)) return
+    val store = spark.read.parquet(indexDir)
+    val dead = tombstones
+      .select(col(idCol).cast(store.schema(idCol).dataType).as(idCol))
+      .distinct()
+    val touched = store
+      .join(broadcast(dead), Seq(idCol), "left_semi")
+      .select(col("ingest_batch").cast("long").as("b"), col("cell"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    if (touched.isEmpty) return
+    val touchedSet = touched.toSet
+    // rewrite only the touched partitions' survivors; the pair filter
+    // is a small IN over (batch, cell) pairs — bounded by the
+    // tombstone batch's own footprint, not the store
+    val slice = store.filter(
+      touched.map { case (b, c) =>
+        col("ingest_batch").cast("long") === b && col("cell") === c
+      }.reduce(_ || _))
+    val survivors = slice.join(broadcast(dead), Seq(idCol), "left_anti")
+      .localCheckpoint(true) // read+overwrite same path — pin first
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "cell").parquet(indexDir)
+    val kept = survivors
+      .select(col("ingest_batch").cast("long"), col("cell"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val emptied = touchedSet.diff(kept)
+    emptied.foreach { case (b, c) =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(p, s"ingest_batch=$b/cell=$c"),
+        true)
+      ()
+    }
+    // a batch whose every cell dir went away leaves an empty parent
+    // dir behind — remove it too (an empty partition dir is harmless
+    // to parquet reads but reads as a live batch to any listing)
+    emptied.map(_._1).foreach { b =>
+      val bp = new org.apache.hadoop.fs.Path(p, s"ingest_batch=$b")
+      if (fs.exists(bp) && !fs.listStatus(bp).exists { st =>
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }) { fs.delete(bp, true); () }
+    }
+  }
+
   /** Apply ONE mixed CDC batch (upserts + deletes) to the stored
     * graph index — the [[graft.operators.DiffSync]] sync loop aimed
     * at the vector store instead of a JDBC table, completing the

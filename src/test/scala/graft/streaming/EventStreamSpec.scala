@@ -655,6 +655,67 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("removeIvfBatch: touched-partition rewrite, emptied dirs deleted, replay no-op") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ivfr_idx").toFile
+    try {
+      val rnd = new scala.util.Random(43)
+      val pts = (1 to 120).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+      val all = pts.toDF("vec_id", "embedding")
+      val cents = graft.functions.Similarity.ivfCentroids(all, "vec_id",
+        "embedding", 4)
+      (0 until 2).foreach { b =>
+        VectorIngest.ingestBatch(
+          all.filter(pmod(col("vec_id"), lit(2)) === b),
+          "vec_id", "embedding", cents, idx.getAbsolutePath, b.toLong)
+      }
+      def rows() = spark.read.parquet(idx.getAbsolutePath)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      def listing() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(idx).filterNot(_.getName.startsWith("_"))
+          .map(f => f.getAbsolutePath ->
+            (f.length(), f.lastModified())).toMap
+      }
+      val before = rows()
+      // tombstones: every EVEN id (= all of ingest_batch 0) plus two
+      // odd ids — batch 0's partitions must empty and their dirs go;
+      // batch 1 rewrites only the cells containing ids 1 and 3
+      val deadIds = pts.map(_._1).filter(_ % 2 == 0) ++ Seq(1L, 3L)
+      val cellsOf13 = spark.read.parquet(idx.getAbsolutePath)
+        .filter(col("vec_id").isin(1L, 3L))
+        .select(col("cell")).collect().map(_.getInt(0)).toSet
+      val untouchedCells = (0 until 4).toSet -- cellsOf13
+      val beforeFiles = listing()
+      VectorIngest.removeIvfBatch(deadIds.toDF("vec_id"), "vec_id",
+        idx.getAbsolutePath)
+      assert(rows() === before.filterNot(r => deadIds.contains(r._1)))
+      // batch 0 is gone entirely
+      assert(!new java.io.File(idx, "ingest_batch=0").exists())
+      // batch 1's untouched cells kept their exact files
+      val untouchedBefore = beforeFiles.filter { case (p, _) =>
+        p.contains("ingest_batch=1") &&
+          untouchedCells.exists(c => p.contains(s"cell=$c")) }
+      assert(untouchedBefore.nonEmpty)
+      val after = listing()
+      untouchedBefore.foreach { case (p, v) => assert(after.get(p).contains(v)) }
+      // replay: same tombstones again touch nothing
+      val post = listing()
+      VectorIngest.removeIvfBatch(deadIds.toDF("vec_id"), "vec_id",
+        idx.getAbsolutePath)
+      assert(listing() === post)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(idx)
+    }
+  }
+
   test("compactIvfStore: rows preserved, one file per cell, protected batch replayable") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_ivfc_idx").toFile
