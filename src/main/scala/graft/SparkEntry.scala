@@ -1877,6 +1877,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_graph_refined" -> ((s, dir) => {
+      // graph ANN under a REFINED quantizer (the skew guard in the
+      // oracle set): cells above 2× the mean population re-quantize
+      // with Lloyd-trained sub-centroids (refineCentroids), and the
+      // search runs against the refined centroid array. The planted
+      // near-copies quantize with their query under ANY deterministic
+      // quantizer (the fixture contract), so the top-5 must still
+      // equal brute force — which holds iff assignment and probe both
+      // use the refined quantizer consistently.
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        16)
+      val nCorpus = corpus.count()
+      val refined = Similarity.refineCentroids(corpus, "vec_id",
+        "embedding", cents, maxPop = math.max(2L * nCorpus / 16, 1L))
+      Similarity.graphAnnTopK(corpus, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 5, refined, nprobe = 4,
+          degree = 8, ef = 1024)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ivf_store_remove" -> ((s, dir) => {
       // store-level tombstone application for the IVF batch store —
       // the flat twin of removeGraphBatch's gate, completing the IVF
@@ -6935,6 +6958,7 @@ object SparkEntry {
     // the CDC sync stream's net survivors == the remove oracle's
     "stream_vector_sync" -> plantedAnnRemoveOracle,
     "sim_ivf_store_remove" -> plantedAnnRemoveOracle,
+    "sim_ann_graph_refined" -> plantedAnnOracle,
 
     "sim_margin_mine" ->
       """WITH emb AS (

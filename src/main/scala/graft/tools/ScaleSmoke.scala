@@ -390,7 +390,7 @@ object ScaleSmoke {
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"), x => x.cast("double")).as("qvec"))
     queries.count()
-    println(f"${"factor"}%-7s ${"vecs"}%-8s ${"nlist"}%-7s ${"build+walk"}%-11s ${"flatIvf"}%-9s ${"append"}%-9s")
+    println(f"${"factor"}%-7s ${"vecs"}%-8s ${"nlist"}%-7s ${"build+walk"}%-11s ${"flatIvf"}%-9s ${"append"}%-9s ${"sync"}%-7s")
     (Seq(-1) ++ factors).foreach { f0 =>
       val f = math.abs(f0).max(1)
       val emb = embExploded(emb0, f).cache()
@@ -413,8 +413,30 @@ object ScaleSmoke {
       val (n3, tA) = timed(Similarity.graphAnnAppend(index, delta,
         "vec_id", "embedding", cents, degree = 8,
         efConstruction = 64).count())
+      // FIXED-size mixed CDC batch against the stored index ON DISK
+      // (remove + insert, touched-cell rewrites incl. parquet IO) —
+      // like append, must stay ~flat while the store grows, since
+      // only the touched cells' partitions are read and rewritten
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_gsync")
+      index.write.mode("overwrite").partitionBy("cell")
+        .parquet(idxDir.toString)
+      val cdc = emb0.filter(col("vec_id") % 50 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * lit(-1.0))
+            .as("embedding"), lit("upsert").as("op"))
+        .unionByName(emb0.filter(col("vec_id") % 50 === 2)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"), lit("delete").as("op")))
+      val (_, tSy) = timed(graft.streaming.VectorIngest.syncGraphBatch(
+        cdc, "vec_id", "embedding", "op", cents, idxDir.toString,
+        degree = 8, efConstruction = 64))
+      val walk2 = java.nio.file.Files.walk(idxDir)
+      try walk2.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f2 => { java.nio.file.Files.deleteIfExists(f2); () })
+      finally walk2.close()
       if (f0 > 0) // factor-1 warmup discarded (JIT)
-        println(f"$f%-7d $ne%-8d $nlist%-7d $tG%-11.2f $tF%-9.2f $tA%-9.2f  (rows: $n1/$n2/$n3)")
+        println(f"$f%-7d $ne%-8d $nlist%-7d $tG%-11.2f $tF%-9.2f $tA%-9.2f $tSy%-7.2f  (rows: $n1/$n2/$n3)")
       emb.unpersist(); index.unpersist()
     }
   }
