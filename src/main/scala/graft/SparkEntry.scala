@@ -721,6 +721,22 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(events(s, dir),
         "user_id", "event_type", col("ts"), "event_id", n = 3, k = 10)),
 
+    "events_pattern_match" -> ((s, dir) =>
+      // MATCH_RECOGNIZE-lite: per-user journey string (one char per
+      // event, time-ordered) + one regex pass — count each user's
+      // non-overlapping view→(click|error)*→purchase runs. The
+      // free-form pattern complement of the fixed funnel/paths gates;
+      // one partial-agg'd groupBy, regex once per user.
+      graft.operators.Sessionize.sequencePattern(events(s, dir),
+          "user_id",
+          when(col("event_type") === "view", lit("v"))
+            .when(col("event_type") === "click", lit("c"))
+            .when(col("event_type") === "purchase", lit("p"))
+            .when(col("event_type") === "signup", lit("s"))
+            .otherwise(lit("e")),
+          col("ts"), "event_id", "v[ce]*p")
+        .orderBy(col("user_id"))),
+
     "events_transitions" -> ((s, dir) =>
       // per-user lag-1 behavioral transition matrix with exact counts
       // and row-normalized probabilities — the Markov complement of
@@ -4107,6 +4123,22 @@ object SparkEntry {
         |SELECT path, n_paths FROM c
         |ORDER BY n_paths DESC, path ASC LIMIT 10""".stripMargin
 
+  /** events_pattern_match oracle: journey via ordered string_agg,
+    * match count via regexp_extract_all — identical leftmost
+    * non-overlapping semantics for the portable regex subset.
+    */
+  private val patternMatchOracle: String = """WITH j AS (
+        |  SELECT user_id, string_agg(CASE event_type WHEN 'view' THEN 'v'
+        |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |      WHEN 'signup' THEN 's' ELSE 'e' END, ''
+        |      ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(journey) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(journey, 'v[ce]*p')) AS INT)
+        |    AS n_matches
+        |FROM j WHERE len(regexp_extract_all(journey, 'v[ce]*p')) > 0
+        |ORDER BY user_id""".stripMargin
+
   /** Shared by events_transitions and its keyed-state streaming twin
     * stream_transitions (cumulative pairs + the same matrix agg).
     */
@@ -5186,6 +5218,7 @@ object SparkEntry {
     "events_top_paths" -> topPathsOracle,
 
     "events_transitions" -> transitionsOracle,
+    "events_pattern_match" -> patternMatchOracle,
 
     "events_ohlc" ->
       """WITH e AS (

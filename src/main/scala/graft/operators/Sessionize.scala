@@ -171,6 +171,44 @@ object Sessionize {
       .limit(k)
   }
 
+  /** MATCH_RECOGNIZE-lite sequence-pattern matching: encode each
+    * user's time-ordered event types as a JOURNEY STRING (one
+    * caller-mapped char per event) and count non-overlapping regex
+    * matches of `pattern` against it — "how many times did this user
+    * run view→click⁺→purchase", the free-form complement of the
+    * fixed-order [[funnel]] and the fixed-length [[topPaths]]. Full
+    * SQL-window MATCH_RECOGNIZE is a per-row NFA; the journey-string
+    * form gets the same expressiveness for event-TYPE patterns from
+    * one regexp over an aggregated string — codegen'd, no state
+    * machine, and oracle-replayable (leftmost non-overlapping match
+    * semantics agree across engines for the portable regex subset:
+    * literals, classes, +, *, ?, alternation — no backrefs).
+    *
+    * Scale shape: ONE partial-agg'd groupBy on the user — the
+    * collect_list merges map-side and the journey is bounded by a
+    * user's OWN event count (the sessionize boundedness contract:
+    * per-entity sequences fit memory; corpus size doesn't matter).
+    * array_sort on (ts, tie, char) structs makes the encoding
+    * deterministic under any partitioning; the regex runs once per
+    * user, not per event.
+    *
+    * Output: (user, n_events, n_matches) for users with ≥ 1 match.
+    */
+  def sequencePattern(events: DataFrame, userCol: String,
+      charCol: Column, tsCol: Column, tieCol: String,
+      pattern: String): DataFrame =
+    events
+      .select(col(userCol),
+        struct(tsCol.as("t"), col(tieCol).as("i"), charCol.as("c"))
+          .as("__e"))
+      .groupBy(col(userCol))
+      .agg(array_join(transform(array_sort(collect_list(col("__e"))),
+        x => x.getField("c")), "").as("__journey"))
+      .select(col(userCol), length(col("__journey")).as("n_events"),
+        expr(s"size(regexp_extract_all(__journey, '$pattern', 0))")
+          .as("n_matches"))
+      .filter(col("n_matches") > 0)
+
   def cohortRetention(events: DataFrame, userCol: String, tsCol: Column,
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, "periodDays must be > 0")

@@ -622,6 +622,42 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       oneShot.collect().map(_.toSeq).toSet)
   }
 
+  test("sequencePattern: journey encoding, non-overlapping greedy matches, partition invariance") {
+    import spark.implicits._
+    // user 1: v c c p v p  -> 'vc*p' matches twice (vccp, vp)
+    // user 2: p v c        -> purchase BEFORE view: no match
+    // user 3: v c v c p    -> ONE match: greedy leftmost vcvcp?
+    //   'vc*p': at pos 0 'vc' then needs p but sees v -> backtrack to
+    //   'vc', no p -> no match at 0... regex engines try 'v' 'c*'=cc?
+    //   chars are v,c,v,c,p: v + c* consumes 'c', then 'p' needed but
+    //   'v' -> fail; retry at the second v: v c p -> match. 1 match.
+    val rows = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "click"),
+      (1L, 4L, "purchase"), (1L, 5L, "view"), (1L, 6L, "purchase"),
+      (2L, 1L, "purchase"), (2L, 2L, "view"), (2L, 3L, "click"),
+      (3L, 1L, "view"), (3L, 2L, "click"), (3L, 3L, "view"),
+      (3L, 4L, "click"), (3L, 5L, "purchase"))
+      .map { case (u, i, t) =>
+        (u, i, java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$i%02d"), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val charOf = when(col("event_type") === "view", lit("v"))
+      .when(col("event_type") === "click", lit("c"))
+      .when(col("event_type") === "purchase", lit("p"))
+      .otherwise(lit("e"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sessionize.sequencePattern(df, "user_id",
+        charOf, col("ts"), "event_id", "vc*p")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .toSet
+    val got = run(rows)
+    assert(got === Set((1L, 6, 2), (3L, 5, 1))) // user 2 filtered out
+    // deterministic under any partitioning/arrival order: shuffled
+    // input produces the identical journeys (array_sort on the
+    // (ts, id, char) struct)
+    assert(run(rows.repartition(7).sortWithinPartitions(col("event_type")))
+      === got)
+  }
+
   test("scd2 collapseCdc: last change per key, insert-update-delete in one batch") {
     import spark.implicits._
     val none: Option[String] = None
