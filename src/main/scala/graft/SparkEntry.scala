@@ -176,6 +176,13 @@ object SparkEntry {
   private val ivfRemoveDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** sim_graph_lifecycle memo: per input dir, the graph store after
+    * the full lifecycle chain (build → batch ingest → CDC sync →
+    * tombstone removal) — once per JVM.
+    */
+  private val graphLifecycleDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   /** stream_vector_sync memo: per input dir, the graph store after
     * the full CDC sync stream (insert/update/delete) has run —
     * once per JVM, like the other CDC stream gates.
@@ -1911,6 +1918,57 @@ object SparkEntry {
       Similarity.graphAnnTopK(corpus, "vec_id", "embedding",
           queries, "query_id", "qvec", k = 5, refined, nprobe = 4,
           degree = 8, ef = 1024)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_graph_lifecycle" -> ((s, dir) => {
+      // the WHOLE index lifecycle composed on ONE store directory —
+      // integration seams, not any single operator, are what this
+      // gate exists to catch: (1) graphAnnBuild writes the naturals;
+      // (2) ingestGraphBatch appends ALL five twin bands; (3)
+      // syncGraphBatch re-delivers band 5 (idempotent upsert of an
+      // unchanged vector — must not duplicate or reshuffle survivors)
+      // and deletes band 2; (4) removeGraphBatch tombstones band 4.
+      // Net survivors = corpus minus bands 2/4, so the final search
+      // must equal the remove oracle — a hash that only matches if
+      // every stage left the store in exactly the state the next
+      // stage assumed.
+      val idxDir = graphLifecycleDirs.computeIfAbsent(dir, _ => {
+        val (corpus, _) = plantedAnnFixture(s, dir)
+        val cents = Similarity.ivfCentroids(corpus, "vec_id",
+          "embedding", 16)
+        val band = floor(col("vec_id") / 100000L)
+        val idx = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_glife"))
+        Similarity.graphAnnBuild(corpus.filter(band === 0), "vec_id",
+            "embedding", cents, degree = 8, efConstruction = 64)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(idx.toString)
+        graft.streaming.VectorIngest.ingestGraphBatch(
+          corpus.filter(band >= 1), "vec_id", "embedding", cents,
+          idx.toString, degree = 8, efConstruction = 64)
+        val cdc = corpus.filter(band === 5)
+          .select(col("vec_id"), col("embedding"),
+            lit("upsert").as("op"))
+          .unionByName(corpus.filter(band === 2)
+            .select(col("vec_id"), col("embedding"),
+              lit("delete").as("op")))
+        graft.streaming.VectorIngest.syncGraphBatch(cdc, "vec_id",
+          "embedding", "op", cents, idx.toString, degree = 8,
+          efConstruction = 64)
+        graft.streaming.VectorIngest.removeGraphBatch(
+          corpus.filter(band === 4).select(col("vec_id")), "vec_id",
+          "embedding", idx.toString, degree = 8, efConstruction = 64)
+        idx.toString
+      })
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        16)
+      Similarity.graphAnnTopKIndexed(s.read.parquet(idxDir), "vec_id",
+          "embedding", queries, "query_id", "qvec", k = 3, cents,
+          nprobe = 4, ef = 1024)
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
@@ -6992,6 +7050,7 @@ object SparkEntry {
     "stream_vector_sync" -> plantedAnnRemoveOracle,
     "sim_ivf_store_remove" -> plantedAnnRemoveOracle,
     "sim_ann_graph_refined" -> plantedAnnOracle,
+    "sim_graph_lifecycle" -> plantedAnnRemoveOracle,
 
     "sim_margin_mine" ->
       """WITH emb AS (
