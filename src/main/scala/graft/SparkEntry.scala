@@ -1420,6 +1420,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "stream_pattern_match" -> ((s, dir) => {
+      // order-contracted streaming twin of events_pattern_match: the
+      // per-user journey accumulates in keyed state (time-contiguous
+      // tertile slices satisfy the arrival contract) and the regex
+      // re-runs over the whole journey per emission, so pattern runs
+      // spanning micro-batch boundaries count exactly once. The
+      // cumulative append sink reduces to the final state by
+      // argmax(n_events); must equal the batch oracle verbatim.
+      val stream = eventsTertileStream(s, dir,
+        Seq("user_id", "ts", "event_type", "event_id"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingSequencePattern(
+          stream, "user_id", "event_type", "ts", "event_id",
+          (t: String) => t match {
+            case "view" => "v"; case "click" => "c"
+            case "purchase" => "p"; case "signup" => "s"
+            case _ => "e"
+          }, "v[ce]*p"), "append")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc)
+      emitted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("n_matches") > 0)
+        .select(col("user_id"), col("n_events"), col("n_matches"))
+        .orderBy(col("user_id"))
+    }),
+
     "stream_funnel" -> ((s, dir) => {
       // the ORDER-CONTRACTED streaming funnel under the batch oracle:
       // the in-order-arrival contract (streamingFunnel's scaladoc) is
@@ -5277,6 +5303,8 @@ object SparkEntry {
 
     "events_transitions" -> transitionsOracle,
     "events_pattern_match" -> patternMatchOracle,
+    // the streaming journey fold must converge to the batch result
+    "stream_pattern_match" -> patternMatchOracle,
 
     "events_ohlc" ->
       """WITH e AS (

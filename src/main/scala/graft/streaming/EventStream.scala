@@ -369,6 +369,54 @@ object EventStream {
       .toDF("user_id", "path")
   }
 
+  /** Streaming twin of
+    * [[graft.operators.Sessionize.sequencePattern]]: per-user keyed
+    * state holds the JOURNEY STRING so far (bounded by the user's own
+    * event count — the sessionize boundedness contract, same bound as
+    * the batch operator's collect_list); each micro-batch appends its
+    * events' chars in (ts_us, eid) order and emits the user's updated
+    * (n_events, n_matches), with the regex re-run over the whole
+    * journey — so a pattern run SPANNING a batch boundary is counted
+    * exactly once, the case a per-batch-only scan would miss.
+    * Consumers keep the latest row per user (n_events strictly
+    * increases). Same order contract as the other keyed-state twins:
+    * event-time-ordered arrival across batches; the driver gate
+    * `stream_pattern_match` runs it on the time-contiguous tertile
+    * fixture under the batch oracle.
+    */
+  def streamingSequencePattern(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      charOf: String => String, pattern: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rx = java.util.regex.Pattern.compile(pattern)
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        col(idCol).cast("long").as("eid"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, String, Long, Long)],
+          state: org.apache.spark.sql.streaming.GroupState[String]) => {
+        val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+        if (ordered.isEmpty) Iterator.empty
+        else {
+          val journey = state.getOption.getOrElse("") +
+            ordered.map(r => charOf(r._2)).mkString
+          state.update(journey)
+          val m = rx.matcher(journey)
+          var n = 0
+          while (m.find()) n += 1
+          Iterator.single((user, journey.length, n))
+        }
+      })
+      .toDF("user_id", "n_events", "n_matches")
+  }
+
   /** Streaming cohort-activity twin of
     * [[graft.operators.Sessionize.cohortRetention]]: per-user state =
     * (cohort period, offsets already emitted) — bounded by the number

@@ -655,6 +655,66 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming sequence pattern: batch-boundary-spanning match counted once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_spat").toFile
+    val chk = Files.createTempDirectory("graft_spat_chk").toFile
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    try {
+      // batch 1 ends mid-pattern: user 1 has v,c — the match completes
+      // only when batch 2 delivers c,p. A per-batch-only regex would
+      // count 0; the journey fold must count 1.
+      Seq((1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "click"),
+          (2L, 3L, ts(3), "view"), (2L, 4L, ts(4), "purchase"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = graft.streaming.EventStream.streamingSequencePattern(
+          stream, "user_id", "event_type", "ts", "event_id",
+          (t: String) => t match {
+            case "view" => "v"; case "click" => "c"
+            case "purchase" => "p"; case _ => "e"
+          }, "vc*p")
+        .writeStream.format("memory").queryName("spat")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      Seq((1L, 5L, ts(5), "click"), (1L, 6L, ts(6), "purchase"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("spat").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      // user 1: batch-1 emission (2 events, 0 matches — pattern still
+      // open), batch-2 emission (4 events, the spanning match found)
+      assert(rows.toSet === Set((1L, 2, 0), (2L, 2, 1), (1L, 4, 1)))
+      // final state equals the batch operator over the full prefix
+      val all = spark.read.parquet(dir.getAbsolutePath + "/*")
+      val batch = graft.operators.Sessionize.sequencePattern(all,
+          "user_id",
+          when(col("event_type") === "view", lit("v"))
+            .when(col("event_type") === "click", lit("c"))
+            .when(col("event_type") === "purchase", lit("p"))
+            .otherwise(lit("e")),
+          col("ts"), "event_id", "vc*p")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .toSet
+      val finals = rows.groupBy(_._1).values
+        .map(_.maxBy(_._2)).filter(_._3 > 0).toSet
+      assert(finals === batch)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("removeIvfBatch: touched-partition rewrite, emptied dirs deleted, replay no-op") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_ivfr_idx").toFile
