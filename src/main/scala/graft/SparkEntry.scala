@@ -3626,6 +3626,19 @@ object SparkEntry {
         gramChars = 30)
         .orderBy(col("doc_id"), col("span_idx"))),
 
+    "curate_scrub_spans" -> ((s, dir) => {
+      // SURGICAL decontamination: splice the maximal duplicated spans
+      // (dedup_span_extents' own table) OUT of each document instead
+      // of dropping the document — span-level curation's apply step.
+      // One equi-join + a codegen'd aggregate fold over the per-doc
+      // span array (two substrs per span); docs without spans pass
+      // through byte-identical.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spans = Dedup.dupSpans(docs, "doc_id", "text", gramChars = 30)
+      graft.functions.Curation.scrubSpans(docs, spans, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_span_partners" -> ((s, dir) =>
       // span ATTRIBUTION: each maximal duplicated span row names the
       // partner document(s) sharing it and the partner-specific
@@ -8803,6 +8816,60 @@ object SparkEntry {
         |  COUNT(*) AS n_grams
         |FROM s GROUP BY doc_id, span_idx
         |ORDER BY doc_id, span_idx""".stripMargin,
+
+    "curate_scrub_spans" ->
+      // the span-extents chain, then the splice: kept segments =
+      // [prev_span_end+1, span_start-1] per span + the tail after the
+      // last span, concatenated in position order; docs with spans
+      // but no surviving characters become '', docs without spans
+      // pass through
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 30) AS gram
+        |  FROM documents, unnest(range(1, length(text) - 30 + 2)) t(i)),
+        |d AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT g.* FROM g SEMI JOIN d USING (gram)),
+        |c AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 30) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, pos, CAST(SUM(is_new) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_idx
+        |  FROM c),
+        |sp AS MATERIALIZED (
+        |  SELECT doc_id, span_idx, MIN(pos) AS a, MAX(pos + 30) - 1 AS b
+        |  FROM s GROUP BY doc_id, span_idx),
+        |x AS (
+        |  SELECT doc_id, a, b,
+        |    COALESCE(MAX(b) OVER (PARTITION BY doc_id ORDER BY a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prev_b
+        |  FROM sp),
+        |segs AS (
+        |  SELECT doc_id, prev_b + 1 AS ka, a - 1 AS kb FROM x
+        |  UNION ALL
+        |  SELECT doc_id, MAX(b) + 1 AS ka, NULL AS kb
+        |  FROM sp GROUP BY doc_id),
+        |cut AS (
+        |  SELECT sg.doc_id, string_agg(
+        |      CASE WHEN sg.kb IS NULL THEN substr(dd.text, CAST(sg.ka AS INT))
+        |        ELSE substr(dd.text, CAST(sg.ka AS INT),
+        |          CAST(GREATEST(sg.kb - sg.ka + 1, 0) AS INT)) END,
+        |      '' ORDER BY sg.ka) AS text
+        |  FROM segs sg JOIN documents dd USING (doc_id)
+        |  GROUP BY sg.doc_id)
+        |SELECT dd.doc_id,
+        |  CASE WHEN cut.doc_id IS NOT NULL THEN COALESCE(cut.text, '')
+        |    ELSE dd.text END AS text
+        |FROM documents dd LEFT JOIN cut USING (doc_id)
+        |ORDER BY dd.doc_id""".stripMargin,
 
     "dedup_span_partners" ->
       // the span-extents chain carrying the gram through, joined back

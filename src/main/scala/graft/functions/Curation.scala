@@ -832,4 +832,54 @@ object Curation {
       .agg(count(lit(1)).as("group_size"))
       .withColumn("violates", col("group_size") < k)
   }
+
+  /** SURGICAL span excision — cut character ranges out of documents
+    * instead of dropping the documents: the curation move for
+    * span-level findings ([[graft.functions.Dedup.dupSpans]]
+    * duplicate extents, benchmark-contamination spans, PII spans)
+    * where the rest of the document is good training data. Dropping a
+    * 10k-char document for one 80-char boilerplate span wastes 99% of
+    * it; splicing the span out keeps it.
+    *
+    * `spans` carries (idCol, `startCol`, `endCol`) with 1-BASED
+    * INCLUSIVE character offsets (dupSpans' own convention); spans
+    * may arrive unsorted, and overlapping/adjacent ranges are handled
+    * by the running cursor (never negative-length segments). A doc
+    * with no span rows passes through untouched; a doc fully covered
+    * becomes the empty string (the caller decides whether to drop
+    * empties — that is a FILTER decision, not this operator's).
+    *
+    * Plan shape: spans aggregate per doc into a sorted struct array
+    * (partial-agg'd collect_list — bounded by the doc's own span
+    * count), ONE equi-join against the corpus on the id, and the
+    * splice runs as a codegen'd `aggregate` fold over the span array
+    * (two substr calls per span, no per-character explode, no UDF).
+    */
+  def scrubSpans(corpus: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String, startCol: String = "span_start",
+      endCol: String = "span_end"): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e")))).as("__spans"))
+    val init = struct(lit("").as("acc"), lit(1L).as("cur"))
+    val folded = aggregate(col("__spans"), init,
+      (st, sp2) => struct(
+        concat(st.getField("acc"),
+          col(textCol).substr(st.getField("cur"),
+            greatest(sp2.getField("s") - st.getField("cur"), lit(0L))))
+          .as("acc"),
+        greatest(st.getField("cur"), sp2.getField("e") + 1).as("cur")),
+      st => concat(st.getField("acc"),
+        col(textCol).substr(st.getField("cur"),
+          greatest(length(col(textCol)).cast("long")
+            - st.getField("cur") + 1, lit(0L)))))
+    val outCols = corpus.columns.map {
+      case c if c == textCol =>
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(folded).as(textCol)
+      case c => col(c)
+    }.toSeq
+    corpus.join(sp, Seq(idCol), "left").select(outCols: _*)
+  }
 }

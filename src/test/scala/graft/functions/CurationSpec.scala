@@ -643,4 +643,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Curation.kAnonymityAudit(df, Seq.empty, k = 3)
     }
   }
+
+  test("scrubSpans: splice, overlap/unsorted guard, full cover, pass-through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"), // two spans
+      (2L, "hello"),      // no spans -> untouched
+      (3L, "xyz"),        // fully covered -> ''
+      (4L, "0123456789")) // unsorted + overlapping spans
+      .toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2L, 3L),   // cut "bc"
+      (1L, 6L, 7L),   // cut "fg"
+      (3L, 1L, 3L),   // whole doc
+      (4L, 7L, 9L),   // arrives BEFORE the earlier span
+      (4L, 1L, 4L),
+      (4L, 3L, 5L))   // overlaps the previous -> cursor guard
+      .toDF("doc_id", "span_start", "span_end")
+    val out = Curation.scrubSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "adehij",  // a + de + hij
+      2L -> "hello",
+      3L -> "",
+      4L -> "59"))     // cut [1,4]+[3,5] then [7,9] -> keep pos 6, 10
+    // column set and order preserved
+    val cols = Curation.scrubSpans(docs, spans, "doc_id", "text").columns
+    assert(cols.toSeq === Seq("doc_id", "text"))
+  }
 }
