@@ -655,6 +655,16 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
         "text", k = 20)),
 
+    "profile_chi2_drift" -> ((s, dir) =>
+      // Pearson χ² token-drift movers — the statistically-weighted
+      // complement of the log-ratio movers (rare tokens stop
+      // over-ranking); NO transcendentals, so the nano statistic is
+      // bit-identical cross-engine by op-order pinning alone
+      graft.operators.Profile.chi2TokenDrift(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "text", k = 25)),
+
     "profile_psi_drift" -> ((s, dir) =>
       // the monitoring-standard PSI over the same 64-bin layout as
       // the bucketed KS; Laplace-smoothed shares, ln terms quantized
@@ -5069,6 +5079,55 @@ object SparkEntry {
         |ORDER BY h.o_orderkey""".stripMargin,
 
     "profile_top_movers" -> topMoversOracle,
+
+    "profile_chi2_drift" ->
+      // same wordcount + full-outer join as the movers oracle; the χ²
+      // term mirrors the Spark side's exact operation order
+      // ((o−e)²/e src + tgt, ×1e9, floor) — no transcendentals
+      """WITH cs AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_src FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS token
+        |    FROM documents WHERE doc_id % 2 = 0) u
+        |  WHERE token <> '' GROUP BY token),
+        |ct AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_tgt FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS token
+        |    FROM documents WHERE doc_id % 2 = 1) u
+        |  WHERE token <> '' GROUP BY token),
+        |j AS (
+        |  SELECT COALESCE(cs.token, ct.token) AS token,
+        |    COALESCE(cs.cnt_src, 0) AS cnt_src,
+        |    COALESCE(ct.cnt_tgt, 0) AS cnt_tgt
+        |  FROM cs FULL OUTER JOIN ct ON cs.token = ct.token),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt_src) AS BIGINT) AS a,
+        |    CAST(SUM(cnt_tgt) AS BIGINT) AS b FROM j),
+        |scored AS (
+        |  SELECT token, cnt_src, cnt_tgt,
+        |    CAST(floor((
+        |      (CAST(cnt_src AS DOUBLE) -
+        |        CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(a AS DOUBLE)
+        |          / CAST(a + b AS DOUBLE)) *
+        |      (CAST(cnt_src AS DOUBLE) -
+        |        CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(a AS DOUBLE)
+        |          / CAST(a + b AS DOUBLE)) /
+        |      (CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(a AS DOUBLE)
+        |          / CAST(a + b AS DOUBLE))
+        |      +
+        |      (CAST(cnt_tgt AS DOUBLE) -
+        |        CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(b AS DOUBLE)
+        |          / CAST(a + b AS DOUBLE)) *
+        |      (CAST(cnt_tgt AS DOUBLE) -
+        |        CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(b AS DOUBLE)
+        |          / CAST(a + b AS DOUBLE)) /
+        |      (CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(b AS DOUBLE)
+        |          / CAST(a + b AS DOUBLE))
+        |    ) * 1e9) AS BIGINT) AS chi2_nano
+        |  FROM j CROSS JOIN tot)
+        |SELECT token, cnt_src, cnt_tgt, chi2_nano
+        |FROM scored ORDER BY chi2_nano DESC, token ASC LIMIT 25""".stripMargin,
     // the streaming twin's cumulative counts equal the batch
     // wordcount, so the SAME oracle gates both
     "stream_token_drift" -> topMoversOracle,

@@ -619,6 +619,49 @@ object Profile {
       k: Int = 20): DataFrame =
     scoreDriftCounts(tokenCounts(src, textCol), tokenCounts(tgt, textCol), k)
 
+  /** Pearson χ² homogeneity drift over the union token vocabulary —
+    * the frequentist complement of [[tokenDriftMovers]]' log-ratio
+    * ranking: per token, how far the (src, tgt) count split deviates
+    * from the pooled expectation, top-k by the statistic. Unlike the
+    * log-ratio (which needs Laplace smoothing and over-ranks rare
+    * tokens), χ² weights deviations by expected mass, so the movers
+    * are the tokens whose drift is statistically LOUD, not merely
+    * proportionally large.
+    *
+    * Cross-engine float honesty (standing rule 7): NO transcendentals
+    * — every double derives from exact integer counts through single
+    * correctly-rounded IEEE ops in a pinned order ((o−e)²/e terms,
+    * src term + tgt term, ×1e9, floor), so the nano-quantized
+    * statistic is bit-identical in any IEEE engine mirroring the
+    * order. Plan: two wordcounts, ONE full-outer shuffle-merge join
+    * on the token, 1-row totals broadcast back — the
+    * scoreDriftCounts shape.
+    */
+  def chi2TokenDrift(src: DataFrame, tgt: DataFrame, textCol: String,
+      k: Int = 25): DataFrame = {
+    val joined = tokenCounts(src, textCol)
+      .withColumnRenamed("cnt", "cnt_src")
+      .hint("shuffle_merge")
+      .join(tokenCounts(tgt, textCol).withColumnRenamed("cnt", "cnt_tgt")
+        .hint("shuffle_merge"), Seq("token"), "full")
+      .na.fill(0L, Seq("cnt_src", "cnt_tgt"))
+    val tot = joined.agg(sum(col("cnt_src")).as("__A"),
+      sum(col("cnt_tgt")).as("__B"))
+    val grand = (col("__A") + col("__B")).cast("double")
+    val rowt = (col("cnt_src") + col("cnt_tgt")).cast("double")
+    val eA = rowt * col("__A").cast("double") / grand
+    val eB = rowt * col("__B").cast("double") / grand
+    val dA = col("cnt_src").cast("double") - eA
+    val dB = col("cnt_tgt").cast("double") - eB
+    joined.crossJoin(broadcast(tot))
+      .withColumn("chi2_nano",
+        floor((dA * dA / eA + dB * dB / eB) * 1e9).cast("long"))
+      .orderBy(col("chi2_nano").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("cnt_src"), col("cnt_tgt"),
+        col("chi2_nano"))
+  }
+
   /** The wordcount half of [[tokenDriftMovers]] — (token, cnt). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
     import graft.functions.TextAnalysis.tokens
