@@ -51,7 +51,10 @@ def main():
             continue
         delta = b - a
         rel = delta / a * 100
-        tol = max(so.get(q, 0.0), sn.get(q, 0.0))
+        # floor the tolerance at 0.15 s absolute: sub-0.3 s queries get
+        # no rerun samples (spread 0.0) and the job floor alone swings
+        # them tens of ms — a +65% move of 0.07 s is noise, not signal
+        tol = max(so.get(q, 0.0), sn.get(q, 0.0), 0.15)
         if abs(rel) > pct and abs(delta) > tol:
             movers.append((rel, q, a, b, tol))
     movers.sort(key=lambda t: -abs(t[0]))
