@@ -225,13 +225,23 @@ object VectorIngest {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     if (touched.isEmpty) return
     val touchedSet = touched.toSet
-    // rewrite only the touched partitions' survivors; the pair filter
-    // is a small IN over (batch, cell) pairs — bounded by the
-    // tombstone batch's own footprint, not the store
-    val slice = store.filter(
-      touched.map { case (b, c) =>
-        col("ingest_batch").cast("long") === b && col("cell") === c
-      }.reduce(_ || _))
+    // rewrite only the touched partitions' survivors. Two-stage
+    // selection: isin on the batch ids and cell ids separately (both
+    // convert to InSet and PRUNE the partitioned scan — an OR-chain
+    // of pair conjunctions would neither convert nor prune, and its
+    // plan text grows with the tombstone footprint), then a broadcast
+    // semi-join on the exact (batch, cell) pairs trims the isin
+    // cross-product back to the truly touched partitions so no
+    // untouched partition gets churned by an identical rewrite.
+    val spark2 = tombstones.sparkSession
+    import spark2.implicits._
+    val pairs = broadcast(touched.toSeq.toDF("__tb", "__tc"))
+    val slice = store
+      .filter(col("ingest_batch").cast("long")
+          .isin(touched.map(t => java.lang.Long.valueOf(t._1)): _*) &&
+        col("cell").isin(touched.map(t => Integer.valueOf(t._2)): _*))
+      .join(pairs, col("ingest_batch").cast("long") === col("__tb") &&
+        col("cell") === col("__tc"), "left_semi")
     val survivors = slice.join(broadcast(dead), Seq(idCol), "left_anti")
       .localCheckpoint(true) // read+overwrite same path — pin first
     survivors.write.mode("overwrite")
