@@ -190,6 +190,12 @@ object SparkEntry {
   private val vectorSyncDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** Once-per-dir fixture-contract check for [[plantedAnnFixture]]:
+    * natural vec_ids must sit below the planted-twin band range.
+    */
+  private val annFixtureChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
   // `sliceIdx` is BY-NAME: it is only evaluated inside the memo's
   // build closure, so a slice expression whose construction costs a
   // full scan (the tertile bounds agg) runs atomically once-per-JVM
@@ -268,6 +274,18 @@ object SparkEntry {
   private def plantedAnnFixture(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val emb = t(s, dir, "embeddings")
+    // fixture contract, asserted once per dir (1-row aggregate): the
+    // planted twins occupy vec_id ∈ [100000, 600000) (bands 1–5), so
+    // natural ids must stay below band 1 or every band-keyed gate
+    // (remove/sync/lifecycle) would silently misclassify naturals as
+    // twins
+    annFixtureChecked.computeIfAbsent(dir, _ => {
+      val mx = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+      require(mx < 100000L,
+        s"plantedAnnFixture: natural vec_id $mx collides with the " +
+          "planted-twin band range [100000, 600000)")
+      java.lang.Boolean.TRUE
+    })
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val planted = queries
@@ -1393,7 +1411,12 @@ object SparkEntry {
           .select(col("vec_id"),
             transform(col("embedding"), x => x * lit(-1.0))
               .as("embedding"))
-        val base = corpus.filter(band === 0).unionByName(corrupted)
+        // naturals = everything OUTSIDE the planted-twin bands 1–5
+        // (not just band 0): with the fixture assert this is
+        // equivalent, but it stays correct if naturals ever grow past
+        // vec_id 600000
+        val base = corpus.filter(!band.between(1, 5))
+          .unionByName(corrupted)
         val idx = trackStreamTmp(
           java.nio.file.Files.createTempDirectory("graft_vsync_idx"))
         Similarity.graphAnnBuild(base, "vec_id", "embedding", cents,
@@ -5107,6 +5130,7 @@ object SparkEntry {
         |scored AS (
         |  SELECT token, cnt_src, cnt_tgt,
         |    CAST(floor((
+        |      CASE WHEN a > 0 THEN
         |      (CAST(cnt_src AS DOUBLE) -
         |        CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(a AS DOUBLE)
         |          / CAST(a + b AS DOUBLE)) *
@@ -5115,7 +5139,9 @@ object SparkEntry {
         |          / CAST(a + b AS DOUBLE)) /
         |      (CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(a AS DOUBLE)
         |          / CAST(a + b AS DOUBLE))
+        |      ELSE 0.0 END
         |      +
+        |      CASE WHEN b > 0 THEN
         |      (CAST(cnt_tgt AS DOUBLE) -
         |        CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(b AS DOUBLE)
         |          / CAST(a + b AS DOUBLE)) *
@@ -5124,6 +5150,7 @@ object SparkEntry {
         |          / CAST(a + b AS DOUBLE)) /
         |      (CAST(cnt_src + cnt_tgt AS DOUBLE) * CAST(b AS DOUBLE)
         |          / CAST(a + b AS DOUBLE))
+        |      ELSE 0.0 END
         |    ) * 1e9) AS BIGINT) AS chi2_nano
         |  FROM j CROSS JOIN tot)
         |SELECT token, cnt_src, cnt_tgt, chi2_nano

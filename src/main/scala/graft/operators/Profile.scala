@@ -653,9 +653,15 @@ object Profile {
     val eB = rowt * col("__B").cast("double") / grand
     val dA = col("cnt_src").cast("double") - eA
     val dB = col("cnt_tgt").cast("double") - eB
+    // degenerate guard: an empty side makes its expectation 0 for
+    // every token and (0−0)²/0 = NaN; the χ² convention (and the
+    // oracle's mirrored CASE) is a 0 contribution — the limit of
+    // d²/e as the side's mass → 0 with o = 0
+    val termA = when(eA > 0d, dA * dA / eA).otherwise(lit(0d))
+    val termB = when(eB > 0d, dB * dB / eB).otherwise(lit(0d))
     joined.crossJoin(broadcast(tot))
       .withColumn("chi2_nano",
-        floor((dA * dA / eA + dB * dB / eB) * 1e9).cast("long"))
+        floor((termA + termB) * 1e9).cast("long"))
       .orderBy(col("chi2_nano").desc, col("token").asc)
       .limit(k)
       .select(col("token"), col("cnt_src"), col("cnt_tgt"),

@@ -205,7 +205,9 @@ object Sessionize {
       .agg(array_join(transform(array_sort(collect_list(col("__e"))),
         x => x.getField("c")), "").as("__journey"))
       .select(col(userCol), length(col("__journey")).as("n_events"),
-        expr(s"size(regexp_extract_all(__journey, '$pattern', 0))")
+        // the pattern rides as a foldable literal, not spliced into
+        // SQL text — a quote or backslash in it can't break parsing
+        size(regexp_extract_all(col("__journey"), lit(pattern), lit(0)))
           .as("n_matches"))
       .filter(col("n_matches") > 0)
 

@@ -370,19 +370,23 @@ object EventStream {
   }
 
   /** Streaming twin of
-    * [[graft.operators.Sessionize.sequencePattern]]: per-user keyed
-    * state holds the JOURNEY STRING so far (bounded by the user's own
-    * event count — the sessionize boundedness contract, same bound as
-    * the batch operator's collect_list); each micro-batch appends its
-    * events' chars in (ts_us, eid) order and emits the user's updated
-    * (n_events, n_matches), with the regex re-run over the whole
-    * journey — so a pattern run SPANNING a batch boundary is counted
-    * exactly once, the case a per-batch-only scan would miss.
-    * Consumers keep the latest row per user (n_events strictly
-    * increases). Same order contract as the other keyed-state twins:
-    * event-time-ordered arrival across batches; the driver gate
-    * `stream_pattern_match` runs it on the time-contiguous tertile
-    * fixture under the batch oracle.
+    * [[graft.operators.Sessionize.sequencePattern]] with BOUNDED keyed
+    * state: per-user state is the [[PikeState]] of an incremental
+    * leftmost-first Pike VM ([[PikeRegex]]) — O(automaton states) per
+    * user, INDEPENDENT of journey length — not the journey string.
+    * Each micro-batch feeds its events' chars in (ts_us, eid) order
+    * through the automaton exactly once (no per-batch re-scan of
+    * history) and emits the user's updated (n_events, n_matches); a
+    * pattern run SPANNING a batch boundary is counted exactly once
+    * because the automaton threads carry across the boundary.
+    * Match-count semantics are java `Matcher.find()` non-overlapping
+    * leftmost-first on the portable regex subset — identical to the
+    * batch twin's regexp_extract_all and the DuckDB oracle (parity
+    * property-specced in PikeRegexSpec). Consumers keep the latest row
+    * per user (n_events strictly increases). Same order contract as
+    * the other keyed-state twins: event-time-ordered arrival across
+    * batches; the driver gate `stream_pattern_match` runs it on the
+    * time-contiguous tertile fixture under the batch oracle.
     */
   def streamingSequencePattern(stream: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String,
@@ -390,7 +394,9 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
     val spark = stream.sparkSession
     import spark.implicits._
-    val rx = java.util.regex.Pattern.compile(pattern)
+    val prog = PikeRegex.compile(pattern) // driver-side, ships in closure
+    implicit val stEnc: org.apache.spark.sql.Encoder[PikeState] =
+      org.apache.spark.sql.Encoders.product[PikeState]
     val keyed = stream
       .select(col(userCol).cast("long").as("user_id"),
         col(typeCol).as("etype"),
@@ -401,17 +407,16 @@ object EventStream {
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
-          state: org.apache.spark.sql.streaming.GroupState[String]) => {
+          state: org.apache.spark.sql.streaming.GroupState[PikeState]) => {
         val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
         if (ordered.isEmpty) Iterator.empty
         else {
-          val journey = state.getOption.getOrElse("") +
-            ordered.map(r => charOf(r._2)).mkString
-          state.update(journey)
-          val m = rx.matcher(journey)
-          var n = 0
-          while (m.find()) n += 1
-          Iterator.single((user, journey.length, n))
+          val chunk = ordered.map(r => charOf(r._2)).mkString
+          val st = PikeEngine.feed(prog,
+            state.getOption.getOrElse(PikeEngine.initial), chunk)
+          state.update(st)
+          Iterator.single(
+            (user, st.pos.toInt, PikeEngine.matchCount(st).toInt))
         }
       })
       .toDF("user_id", "n_events", "n_matches")

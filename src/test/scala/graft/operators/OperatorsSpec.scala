@@ -656,6 +656,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // (ts, id, char) struct)
     assert(run(rows.repartition(7).sortWithinPartitions(col("event_type")))
       === got)
+    // quote/backslash-bearing patterns are safe: the regex rides as a
+    // literal, never spliced into SQL text (round-13 ADVICE)
+    val quoted = graft.operators.Sessionize.sequencePattern(rows,
+        "user_id", charOf, col("ts"), "event_id", "v[c'\\\\]*p")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSet
+    assert(quoted === got) // [c'\] ⊇ {c} on these journeys
   }
 
   test("scd2 collapseCdc: last change per key, insert-update-delete in one batch") {

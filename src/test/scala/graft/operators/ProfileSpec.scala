@@ -257,4 +257,23 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     // alpha by exactly that nano
     assert(order.indexOf("delta") < order.indexOf("alpha"))
   }
+
+  test("chi2TokenDrift: degenerate empty side yields 0, not NaN") {
+    import spark.implicits._
+    val src = Seq((1L, "alpha beta beta")).toDF("id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    // empty tgt: every token's tgt expectation is 0 — the guard makes
+    // the contribution 0 instead of (0−0)²/0 = NaN, and the src term
+    // is also 0 (observed == expected when one side holds all mass),
+    // so the statistic is exactly 0 for every token
+    val out = Profile.chi2TokenDrift(src, empty, "text", k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out.keySet === Set("alpha", "beta"))
+    assert(out.values.forall(_ === 0L))
+    // non-degenerate sanity unchanged: a real split still scores > 0
+    val tgt = Seq((2L, "beta beta beta beta gamma")).toDF("id", "text")
+    val real = Profile.chi2TokenDrift(src, tgt, "text", k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(real("alpha") > 0L && real("gamma") > 0L)
+  }
 }

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM spec for the incremental Pike VM: java.util.regex parity
+  * at every chunk boundary (the streaming contract), bounded state
+  * under adversarial inputs, and compile-time rejections.
+  */
+class PikeRegexSpec extends AnyFunSuite {
+
+  private def javaCount(pattern: String, s: String): Long = {
+    val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Feed `s` in the given chunk sizes, asserting java-find parity at
+    * every boundary (= every possible micro-batch edge) and the state
+    * bound along the way. Returns the final state.
+    */
+  private def feedAndCheck(pattern: String, s: String,
+      chunks: Seq[Int]): PikeState = {
+    val prog = PikeRegex.compile(pattern)
+    var st = PikeEngine.initial
+    var off = 0
+    val cuts = chunks.iterator
+    while (off < s.length) {
+      val len = math.min(if (cuts.hasNext) math.max(1, cuts.next()) else
+        s.length - off, s.length - off)
+      st = PikeEngine.feed(prog, st, s.substring(off, off + len))
+      off += len
+      val prefix = s.substring(0, off)
+      assert(PikeEngine.matchCount(st) === javaCount(pattern, prefix),
+        s"pattern '$pattern' prefix '${prefix.take(80)}' (len $off)")
+      assert(st.pos === off)
+      // bounded state: threads dedupe by pc; queue buckets keyed by
+      // live-thread starts
+      assert(st.pcs.length <= prog.size,
+        s"thread frontier ${st.pcs.length} > program ${prog.size}")
+      assert(st.qKeys.length <= st.pcs.length + 1,
+        s"queue buckets ${st.qKeys.length} > threads+1")
+    }
+    st
+  }
+
+  private val patterns = Seq(
+    "v[ce]*p",        // the driver gate's pattern
+    "vc*p",           // boundary-spanning spec pattern
+    "ab*c|b",         // greedy overrun superseding a queued match
+    "b+",             // greedy run must not split at chunk edges
+    "a.c",
+    "(vc)+p",
+    "v(c|e)+?p",      // lazy quantifier
+    "a{2,4}b",
+    "c{3}",
+    "v[^p]*p",
+    "(ab|a)(b|c)",    // alternation priority (leftmost-first, not longest)
+    "s(vc*p)*s",
+    "\\w\\d?[ce]")
+
+  test("java find() parity on random journeys at every chunk boundary") {
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "vcepsab d1".toCharArray
+    for (pat <- patterns; trial <- 1 to 40) {
+      val len = 1 + rnd.nextInt(120)
+      val s = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      val chunks = Seq.fill(1 + rnd.nextInt(12))(1 + rnd.nextInt(9))
+      feedAndCheck(pat, s, chunks)
+      val _ = trial
+    }
+  }
+
+  test("adversarial runs: single-char chunks equal whole-string feed") {
+    // worst case for the commit protocol: every boundary lands inside
+    // a potential match
+    for (pat <- Seq("v[ce]*p", "ab*c|b", "b+", "(ab|a)(b|c)")) {
+      val s = "vabbbccbbepvcvccpabcbbabbb" * 8
+      feedAndCheck(pat, s, Seq.fill(s.length)(1))
+    }
+  }
+
+  test("state stays O(automaton), independent of journey length") {
+    // 1) greedy-overrun adversary: 'a' + 200k 'b' with ab*c|b — the
+    //    naive design queues one pending match per 'b'; the bucket
+    //    compression must keep it at one bucket
+    val prog = PikeRegex.compile("ab*c|b")
+    var st = PikeEngine.feed(prog, PikeEngine.initial, "a")
+    val chunk = "b" * 1000
+    (1 to 200).foreach { _ => st = PikeEngine.feed(prog, st, chunk) }
+    assert(st.pos === 200001L)
+    assert(st.pcs.length <= prog.size)
+    assert(st.qKeys.length <= st.pcs.length + 1)
+    // resolution: 'c' arrives → the greedy ab*c supersedes all 200k
+    // queued b-matches with ONE match
+    val done = PikeEngine.feed(prog, st, "c")
+    assert(PikeEngine.matchCount(done) === 1L)
+    // 2) same prefix but 'd' kills the greedy thread → all queued
+    //    b-matches commit
+    val dead = PikeEngine.feed(prog, st, "d")
+    assert(PikeEngine.matchCount(dead) === 200000L)
+    assert(dead.qKeys.isEmpty) // committed, not queued
+    // 3) open [ce]* run on the gate pattern: state must not grow with
+    //    the run
+    val gp = PikeRegex.compile("v[ce]*p")
+    var gs = PikeEngine.feed(gp, PikeEngine.initial, "v")
+    (1 to 200).foreach { _ => gs = PikeEngine.feed(gp, gs, "c" * 1000) }
+    assert(gs.pcs.length <= gp.size && gs.qKeys.length <= 1)
+    assert(PikeEngine.matchCount(
+      PikeEngine.feed(gp, gs, "p")) === 1L)
+  }
+
+  test("per-batch cost is flat as history grows (no history re-scan)") {
+    // the round-13 design re-ran the regex over the whole journey per
+    // batch (quadratic in total); the automaton touches each char once.
+    // Wall-clock flatness is swept in ScaleSmoke; here we assert the
+    // structural guarantee: feeding a chunk advances pos by exactly the
+    // chunk length with state arrays bounded, after 10^6 chars of
+    // history
+    val prog = PikeRegex.compile("v[ce]*p")
+    var st = PikeEngine.initial
+    val big = "vcecep" * 200
+    (1 to 1000).foreach(_ => st = PikeEngine.feed(prog, st, big))
+    assert(st.pos === 1200000L)
+    assert(st.pcs.length <= prog.size)
+    assert(PikeEngine.matchCount(st) === 200000L)
+  }
+
+  test("compile rejects what the contract excludes") {
+    intercept[IllegalArgumentException](PikeRegex.compile("a*")) // empty match
+    intercept[IllegalArgumentException](PikeRegex.compile("a|"))
+    intercept[IllegalArgumentException](PikeRegex.compile("(a"))
+    intercept[IllegalArgumentException](PikeRegex.compile("a{3,1}"))
+    intercept[IllegalArgumentException](PikeRegex.compile("a\\1")) // backref
+    intercept[IllegalArgumentException](PikeRegex.compile("*a"))
+    intercept[IllegalArgumentException](PikeRegex.compile("[z-a]"))
+    intercept[IllegalArgumentException](PikeRegex.compile(""))
+  }
+
+  test("escapes and classes match java semantics") {
+    feedAndCheck("\\d+x", "12x9 34xx7x", Seq(3, 2, 4))
+    feedAndCheck("a\\.b", "a.bxaxb a.b", Seq(4, 4))
+    feedAndCheck("[a-c-]+z", "ab-cz a-z xz", Seq(5, 5))
+    feedAndCheck("[\\d]{2}", "1234567", Seq(1, 1, 1, 1, 1, 1, 1))
+  }
+}
