@@ -562,8 +562,163 @@ object ScaleSmoke {
     }
   }
 
+  /** `pattern` mode: per-batch cost of the streaming sequence-pattern
+    * matcher as accumulated journey HISTORY grows (the time-axis scale
+    * test, not a data-volume one). Fixed-size micro-batches (users ×
+    * charsPer events each, event-time ordered) arrive one file per
+    * trigger; per-batch wall time and keyed-state bytes are sampled as
+    * history grows ~batches×. The Pike-VM operator
+    * ([[graft.streaming.EventStream.streamingSequencePattern]]) must
+    * stay FLAT on both axes — O(automaton) state, each char consumed
+    * once. The round-13 design (journey string in state, regex re-run
+    * over the whole history per batch) is replicated inline as the
+    * BASELINE: its state grows linearly with history and its total
+    * regex work quadratically — the scale-killer this sweep documents.
+    */
+  private def patternSweep(spark: SparkSession, nBatches: Int,
+      users: Int, charsPer: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    val pattern = "v[ce]*p"
+
+    def batchDf(b: Int): DataFrame = {
+      val perBatch = users.toLong * charsPer
+      spark.range(perBatch).select(
+        pmod(col("id"), lit(users.toLong)).as("user_id"),
+        timestamp_seconds(lit(b.toLong * charsPer) +
+          floor(col("id") / users)).as("ts"),
+        (lit(b * perBatch) + col("id")).as("event_id"),
+        // deterministic pattern-rich mix: 40% view, 40% click,
+        // 10% purchase, 10% signup
+        when(pmod(col("id") * 2654435761L +
+            pmod(col("id"), lit(users.toLong)) * 1315423911L, lit(10))
+            < 4, "view")
+          .when(pmod(col("id") * 2654435761L +
+            pmod(col("id"), lit(users.toLong)) * 1315423911L, lit(10))
+            < 8, "click")
+          .when(pmod(col("id") * 2654435761L +
+            pmod(col("id"), lit(users.toLong)) * 1315423911L, lit(10))
+            === 8, "purchase")
+          .otherwise("signup").as("event_type"))
+    }
+
+    // the round-13 baseline, inline and measurement-only: whole
+    // journey string in keyed state, full-history regex per batch
+    def stringTwin(stream: DataFrame): DataFrame = {
+      val rx = java.util.regex.Pattern.compile(pattern)
+      stream
+        .select(col("user_id").cast("long").as("u"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tu"),
+          col("event_id").cast("long").as("eid"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OM.Append(),
+          GroupStateTimeout.NoTimeout())(
+          (user: Long, rows: Iterator[(Long, String, Long, Long)],
+              state: org.apache.spark.sql.streaming.GroupState[String]) => {
+            val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+            if (ordered.isEmpty) Iterator.empty
+            else {
+              val journey = state.getOption.getOrElse("") +
+                ordered.map(r => r._2 match {
+                  case "view" => "v"; case "click" => "c"
+                  case "purchase" => "p"; case _ => "s"
+                }).mkString
+              state.update(journey)
+              val m = rx.matcher(journey)
+              var n = 0
+              while (m.find()) n += 1
+              Iterator.single((user, journey.length, n))
+            }
+          })
+        .toDF("user_id", "n_events", "n_matches")
+    }
+
+    def run(label: String,
+        op: DataFrame => DataFrame): Seq[(Int, Double, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_patsw")
+      val chk = java.nio.file.Files.createTempDirectory("graft_patsw_chk")
+      try {
+        batchDf(0).coalesce(1).write
+          .parquet(s"$dir/b${"%04d".format(0)}")
+        val schema = spark.read.parquet(s"$dir/b0000").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+        val q = op(stream).writeStream.format("noop")
+          .outputMode("append")
+          .option("checkpointLocation", chk.toString).start()
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Double, Long)]
+        (0 until nBatches).foreach { b =>
+          if (b > 0) batchDf(b).coalesce(1).write
+            .parquet(s"$dir/b${"%04d".format(b)}")
+          val (_, t) = timed(q.processAllAvailable())
+          val bytes = Option(q.lastProgress)
+            .flatMap(p => p.stateOperators.headOption)
+            .map(_.memoryUsedBytes).getOrElse(0L)
+          out += ((b + 1, t, bytes))
+        }
+        q.stop()
+        out.toSeq
+      } finally {
+        Seq(dir, chk).foreach { d =>
+          val w = java.nio.file.Files.walk(d)
+          try w.sorted(java.util.Comparator
+              .reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally w.close()
+        }
+      }
+    }
+
+    val pike = run("pike", s =>
+      graft.streaming.EventStream.streamingSequencePattern(s,
+        "user_id", "event_type", "ts", "event_id",
+        (t: String) => t match {
+          case "view" => "v"; case "click" => "c"
+          case "purchase" => "p"; case _ => "s"
+        }, pattern))
+    val base = run("string", stringTwin)
+    val marks = Seq(1, 2, 5, 10, 20, 50, 100, 150, 200)
+      .filter(_ <= nBatches)
+    println(s"pattern sweep: $users users x $charsPer chars/batch, " +
+      s"$nBatches batches (history grows ${nBatches}x); pattern " +
+      s"'$pattern'; batch 1 includes stream boot")
+    println(f"${"batch"}%-7s ${"history"}%-9s ${"pike_s"}%-8s ${"pike_stateMB"}%-13s ${"string_s"}%-9s ${"string_stateMB"}%-14s")
+    marks.foreach { m =>
+      val p = pike(m - 1); val s = base(m - 1)
+      println(f"$m%-7d ${m.toLong * charsPer}%-9d ${p._2}%-8.2f ${p._3 / 1e6}%-13.2f ${s._2}%-9.2f ${s._3 / 1e6}%-14.2f")
+    }
+    // steady-state flatness: pike's mean per-batch cost in the last
+    // quarter vs the second quarter (first quarter excluded: boot+JIT)
+    def meanOf(xs: Seq[(Int, Double, Long)], lo: Int, hi: Int) = {
+      val sl = xs.slice(lo, hi).map(_._2); sl.sum / sl.length
+    }
+    val q2 = meanOf(pike, nBatches / 4, nBatches / 2)
+    val q4 = meanOf(pike, 3 * nBatches / 4, nBatches)
+    val b2 = meanOf(base, nBatches / 4, nBatches / 2)
+    val b4 = meanOf(base, 3 * nBatches / 4, nBatches)
+    println(f"pike  per-batch mean: Q2 $q2%.3f s -> Q4 $q4%.3f s (ratio ${q4 / q2}%.2f — flat)")
+    println(f"string per-batch mean: Q2 $b2%.3f s -> Q4 $b4%.3f s (ratio ${b4 / b2}%.2f)")
+    println(f"final state bytes: pike ${pike.last._3}%d vs string ${base.last._3}%d (${base.last._3.toDouble / math.max(pike.last._3, 1)}%.1fx)")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "pattern") {
+      val (nb, us, cp) =
+        if (args.length > 4) (args(2).toInt, args(3).toInt, args(4).toInt)
+        else (120, 128, 200)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      patternSweep(sp, nb, us, cp)
+      sp.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "gannskew") {
       val factors = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
                     else Seq(1, 4, 16)
