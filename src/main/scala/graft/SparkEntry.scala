@@ -1381,7 +1381,7 @@ object SparkEntry {
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
-      Similarity.graphAnnTopKIndexed(s.read.parquet(idxDir), "vec_id",
+      Similarity.graphAnnTopKIndexed(graft.streaming.VectorStore.read(s, idxDir), "vec_id",
           "embedding", queries, "query_id", "qvec", k = 5, cents,
           nprobe = 4, ef = 1024)
         .select(col("query_id"), col("rank"),
@@ -1445,7 +1445,7 @@ object SparkEntry {
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
-      Similarity.graphAnnTopKIndexed(s.read.parquet(idxDir), "vec_id",
+      Similarity.graphAnnTopKIndexed(graft.streaming.VectorStore.read(s, idxDir), "vec_id",
           "embedding", queries, "query_id", "qvec", k = 3, cents,
           nprobe = 4, ef = 1024)
         .select(col("query_id"), col("rank"),
@@ -1951,7 +1951,7 @@ object SparkEntry {
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
-      Similarity.ivfTopKIndexed(s.read.parquet(idxDir), "vec_id",
+      Similarity.ivfTopKIndexed(graft.streaming.VectorStore.read(s, idxDir), "vec_id",
           "embedding", queries, "query_id", "qvec", k = 5, cents,
           nprobe = 4)
         .select(col("query_id"), col("rank"),
@@ -2025,7 +2025,7 @@ object SparkEntry {
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
-      Similarity.graphAnnTopKIndexed(s.read.parquet(idxDir), "vec_id",
+      Similarity.graphAnnTopKIndexed(graft.streaming.VectorStore.read(s, idxDir), "vec_id",
           "embedding", queries, "query_id", "qvec", k = 3, cents,
           nprobe = 4, ef = 1024)
         .select(col("query_id"), col("rank"),
@@ -2062,7 +2062,7 @@ object SparkEntry {
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
-      Similarity.ivfTopKIndexed(s.read.parquet(idxDir), "vec_id",
+      Similarity.ivfTopKIndexed(graft.streaming.VectorStore.read(s, idxDir), "vec_id",
           "embedding", queries, "query_id", "qvec", k = 3, cents,
           nprobe = 4)
         .select(col("query_id"), col("rank"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
@@ -12,7 +12,15 @@ import graft.functions.Similarity
   * micro-batch; the codegen'd NearestCell argmin) and append to the
   * stored assignment table. History never recomputes; searches via
   * `ivfTopKIndexed` over the store see each batch as soon as its
-  * files commit.
+  * manifest version publishes.
+  *
+  * Every maintenance op here commits through [[VectorStore]]'s
+  * manifest protocol (round 14): writes land in fresh immutable
+  * segments, a single atomic manifest rename publishes the version,
+  * readers pin the snapshot they opened, and streamed batches carry a
+  * channel tag so at-least-once replays skip wholesale. No op deletes
+  * or rewrites a referenced file — [[VectorStore.vacuum]] reclaims
+  * superseded segments from the maintenance cadence.
   *
   * Retraining is deliberately out of band: the quantizer is immutable
   * here (the standard IVF contract — reassigning history is a batch
@@ -23,30 +31,62 @@ import graft.functions.Similarity
   */
 object VectorIngest {
 
-  /** One micro-batch's idempotent write: assignments land under
-    * `ingest_batch=<batchId>/cell=<cell>/` via DYNAMIC partition
-    * overwrite, so a replayed batch (foreachBatch is at-least-once —
-    * after a failure/restart the last uncommitted batch re-runs)
-    * REPLACES its own partitions instead of appending duplicate rows.
-    * Without this, a duplicated vec_id would occupy multiple top-k
-    * slots in `ivfTopKIndexed` (row_number over (cos, id)) and
-    * displace legitimate neighbors. Only the replayed batch's
-    * partitions are touched — history partitions are never rewritten.
+  /** cell id at the tail of a graph-store manifest entry
+    * (`seg=X/cell=3`).
+    */
+  private val CellEntry = ".*cell=(-?\\d+)$".r
+  /** (ingest_batch, cell) at the tail of an IVF-store entry. */
+  private val BatchCellEntry = ".*ingest_batch=(-?\\d+)/cell=(-?\\d+)$".r
+
+  private def entryCell(e: String): Int = e match {
+    case CellEntry(c) => c.toInt
+    case _ => throw new IllegalStateException(s"malformed store entry $e")
+  }
+  private def entryBatchCell(e: String): (Long, Int) = e match {
+    case BatchCellEntry(b, c) => (b.toLong, c.toInt)
+    case _ => throw new IllegalStateException(s"malformed store entry $e")
+  }
+
+  /** Replay guard shared by the streamed channels: true when this
+    * (channel, batchId) is already folded into the store.
+    */
+  private def alreadyApplied(spark: SparkSession, dir: String,
+      tag: Option[(String, Long)]): Boolean =
+    tag.exists { case (ch, id) =>
+      VectorStore.lastTag(spark, dir, ch).exists(id <= _)
+    }
+
+  /** One micro-batch's committed write: assignments land in a fresh
+    * segment under `ingest_batch=<batchId>/cell=<cell>` partitions and
+    * ONE manifest rename publishes them. Replay (foreachBatch is
+    * at-least-once — after a failure/restart the last uncommitted
+    * batch re-runs) is skipped by the `ivf_ingest` channel tag: a
+    * batchId at or below the store's high-water mark commits nothing,
+    * so a duplicated vec_id can never occupy multiple top-k slots in
+    * `ivfTopKIndexed`.
     */
   def ingestBatch(batch: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], indexDir: String,
-      batchId: Long): Unit =
-    Similarity.ivfAssignments(batch, idCol, vecCol, centroids)
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    VectorStore.adopt(spark, indexDir)
+    val tag = Some(("ivf_ingest", batchId))
+    if (alreadyApplied(spark, indexDir, tag)) return
+    val assigned = Similarity
+      .ivfAssignments(batch, idCol, vecCol, centroids)
       .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "cell").parquet(indexDir)
+    val add = VectorStore.writeSegment(assigned, indexDir,
+      Seq("ingest_batch", "cell"))
+    VectorStore.commit(spark, indexDir, Seq.empty, add, tag,
+      assigned.schema.json)
+    ()
+  }
 
   /** foreachBatch writer: assign each micro-batch against `centroids`
-    * and write to the parquet assignment table at `indexDir`,
-    * partitioned by (ingest_batch, cell) so `ivfTopKIndexed` probes
-    * become pruned scans of nprobe/nlist of the files and batch
-    * replays stay idempotent (see [[ingestBatch]]).
+    * and commit to the manifest store at `indexDir`, partitioned by
+    * (ingest_batch, cell) so `ivfTopKIndexed` probes become pruned
+    * scans of nprobe/nlist of the live entries; batch replays are
+    * tag-skipped (see [[ingestBatch]]).
     */
   def streamingIvfIngest(stream: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], indexDir: String,
@@ -59,73 +99,115 @@ object VectorIngest {
         ingestBatch(batch, idCol, vecCol, centroids, indexDir, batchId)
       }
 
-  /** One micro-batch into the STORED GRAPH index
-    * ([[graft.functions.Similarity.graphAnnBuild]]'s table at
-    * `indexDir`, partitioned by cell): only the cells the batch's
-    * points land in are READ (partition-pruned scan), appended via
-    * the NSW search-and-link insertion
-    * ([[graft.functions.Similarity.graphAnnAppend]]) and REWRITTEN
-    * through dynamic partition overwrite — untouched cells' files
-    * never move. Idempotent under foreachBatch's at-least-once
-    * replay twice over: a replayed batch rewrites its own cell
-    * partitions, and graphAnnAppend skips delta ids already present
-    * in a cell. A missing/empty `indexDir` bootstraps: appending into
-    * nothing IS the fresh cell build. Bootstrap is decided by an
-    * EXPLICIT filesystem existence check, never by catching analysis
-    * errors — a schema drift or wrong column name must FAIL the
-    * batch, not silently start an empty store and dynamic-overwrite
-    * (= drop) the touched cells' existing members.
+  /** Uncommitted ingest plan against an explicit snapshot overlay:
+    * rewrite the touched cells (stored slice + delta through
+    * [[graft.functions.Similarity.graphAnnAppend]]'s search-and-link)
+    * into a fresh segment. Returns (entriesToDrop, entriesToAdd,
+    * schemaJson) for the caller's single commit.
     */
-  def ingestGraphBatch(batch: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], indexDir: String,
-      degree: Int = 8, efConstruction: Int = 64): Unit = {
+  private def ingestGraphPlan(batch: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]], indexDir: String,
+      entries: Seq[String], schemaJson: String, degree: Int,
+      efConstruction: Int): (Seq[String], Seq[String], String) = {
     val spark = batch.sparkSession
     val touched = Similarity.ivfAssignments(
         batch.select(col(idCol),
           transform(col(vecCol), x => x.cast("double")).as(vecCol)),
         idCol, vecCol, centroids)
       .select(col("cell")).distinct()
-      .collect().map(_.getInt(0)) // ≤ nlist values — driver-bounded
+      .collect().map(_.getInt(0)).toSet // ≤ nlist values — driver-bounded
     val stored =
-      if (storeHasData(spark, indexDir))
-        spark.read.parquet(indexDir)
-          .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
+      if (entries.nonEmpty || schemaJson.nonEmpty)
+        VectorStore.readEntries(spark, indexDir,
+            entries.filter(e => touched(entryCell(e))), schemaJson)
           .select(col("cell"), col(idCol), col(vecCol), col("neighbors"))
       else {
         import spark.implicits._
         Seq.empty[(Int, Long, Seq[Double], Seq[Long])]
           .toDF("cell", idCol, vecCol, "neighbors")
       }
-    // Eagerly materialize BEFORE the write: this job reads indexDir
-    // and dynamic-overwrites the same path. Without the checkpoint
-    // that is safe only because partitionOverwriteMode=dynamic stages
-    // files until commit (and the typed-cogroup boundary hides the
-    // source relation from Spark's verifyNotReadPath self-overwrite
-    // check) — a refactor to static overwrite, or a Spark upgrade
-    // that tightens the check through typed plans, would delete the
-    // partitions before reading them. localCheckpoint severs the
-    // lineage so the write job never touches the source files.
-    Similarity.graphAnnAppend(stored, batch, idCol, vecCol, centroids,
-        degree, efConstruction)
-      .localCheckpoint(true)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(indexDir)
+    val appended = Similarity.graphAnnAppend(stored, batch, idCol,
+      vecCol, centroids, degree, efConstruction)
+    val add = VectorStore.writeSegment(appended, indexDir, Seq("cell"))
+    val drop = entries.filter(e => touched(entryCell(e)))
+    (drop, add, appended.schema.json)
+  }
+
+  /** One micro-batch into the STORED GRAPH index
+    * ([[graft.functions.Similarity.graphAnnBuild]]'s table at
+    * `indexDir`, partitioned by cell): only the cells the batch's
+    * points land in are READ (pruned to their manifest entries),
+    * appended via the NSW search-and-link insertion and committed as
+    * a fresh segment + one manifest rename — untouched cells' entries
+    * carry over verbatim, and a reader holding the previous snapshot
+    * keeps its files. A missing/empty `indexDir` bootstraps: appending
+    * into nothing IS the fresh cell build (decided by
+    * [[VectorStore.adopt]]'s explicit filesystem probe, never by
+    * catching analysis errors — schema drift must FAIL the batch).
+    * Replay safety: a streamed call passes `tag` and is skipped at or
+    * below the channel's high-water mark; an untagged replay is
+    * content-idempotent (graphAnnAppend skips delta ids already
+    * present in a cell).
+    */
+  def ingestGraphBatch(batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], indexDir: String,
+      degree: Int = 8, efConstruction: Int = 64,
+      tag: Option[(String, Long)] = None): Unit = {
+    val spark = batch.sparkSession
+    val snap = VectorStore.adopt(spark, indexDir)
+    if (alreadyApplied(spark, indexDir, tag)) return
+    val (drop, add, schema) = ingestGraphPlan(batch, idCol, vecCol,
+      centroids, indexDir, snap.map(_.entries).getOrElse(Seq.empty),
+      snap.map(_.schemaJson).getOrElse(""), degree, efConstruction)
+    VectorStore.commit(spark, indexDir, drop, add, tag, schema)
+    ()
   }
 
   /** True iff `dir` exists and holds at least one non-hidden entry —
-    * the explicit store-presence probe [[ingestGraphBatch]] uses to
-    * decide bootstrap vs read. An empty directory (e.g. pre-created
-    * by an orchestrator) counts as "no store yet".
+    * the explicit store-presence probe (manifest stores count through
+    * their live entries). An empty directory (e.g. pre-created by an
+    * orchestrator) counts as "no store yet".
     */
   private[streaming] def storeHasData(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+      spark: SparkSession, dir: String): Boolean =
+    VectorStore.snapshot(spark, dir) match {
+      case Some(s) => s.entries.nonEmpty
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
     }
+
+  /** Uncommitted remove plan against an explicit snapshot overlay —
+    * see [[removeGraphBatch]] for semantics. Returns (drop, add).
+    */
+  private def removeGraphPlan(tombstones: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, entries: Seq[String],
+      schemaJson: String, degree: Int, efConstruction: Int)
+      : (Seq[String], Seq[String]) = {
+    val spark = tombstones.sparkSession
+    if (entries.isEmpty) return (Seq.empty, Seq.empty)
+    val store = VectorStore.readEntries(spark, indexDir, entries,
+      schemaJson)
+    val dead = tombstones.select(col(idCol).cast("long").as(idCol))
+      .distinct()
+    val touched = store
+      .select(col("cell"), col(idCol).cast("long").as(idCol))
+      .join(broadcast(dead), Seq(idCol), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ nlist values — driver-bounded
+    if (touched.isEmpty) return (Seq.empty, Seq.empty)
+    val slice = VectorStore.readEntries(spark, indexDir,
+        entries.filter(e => touched(entryCell(e))), schemaJson)
+      .select(col("cell"), col(idCol), col(vecCol), col("neighbors"))
+    val rebuilt = graft.functions.Similarity
+      .graphAnnRemove(slice, dead, idCol, vecCol, degree, efConstruction)
+    val add = VectorStore.writeSegment(rebuilt, indexDir, Seq("cell"))
+    val drop = entries.filter(e => touched(entryCell(e)))
+    (drop, add)
   }
 
   /** Apply DELETE tombstones to the stored graph index at `indexDir`
@@ -134,55 +216,32 @@ object VectorIngest {
     * tombstoned id are read and rewritten
     * ([[graft.functions.Similarity.graphAnnRemove]] rebuilds each
     * over its survivors in id order, so the store stays byte-equal to
-    * a fresh build of the survivors); untouched cells' files never
-    * move. A touched cell whose members ALL die produces no output
-    * rows — dynamic partition overwrite would leave its stale files
-    * in place, so those cell directories are deleted explicitly
-    * after the write. Idempotent: replaying the same tombstone batch
-    * finds no matching ids, touches no cells, and returns without
-    * writing.
+    * a fresh build of the survivors); untouched cells' manifest
+    * entries carry over. A touched cell whose members ALL die simply
+    * drops out of the manifest — no directory deletes, no torn reads.
+    * Idempotent: replaying the same tombstone batch finds no matching
+    * ids, touches no cells, and commits nothing.
     */
   def removeGraphBatch(tombstones: DataFrame, idCol: String,
       vecCol: String, indexDir: String, degree: Int = 8,
       efConstruction: Int = 64): Unit = {
     val spark = tombstones.sparkSession
-    if (!storeHasData(spark, indexDir)) return
-    val store = spark.read.parquet(indexDir)
-    val dead = tombstones.select(col(idCol).cast("long").as(idCol))
-      .distinct()
-    val touched = store
-      .select(col("cell"), col(idCol).cast("long").as(idCol))
-      .join(broadcast(dead), Seq(idCol), "left_semi")
-      .select(col("cell")).distinct()
-      .collect().map(_.getInt(0)) // ≤ nlist values — driver-bounded
-    if (touched.isEmpty) return
-    val slice = store
-      .filter(col("cell").isin(touched.map(Integer.valueOf): _*))
-      .select(col("cell"), col(idCol), col(vecCol), col("neighbors"))
-    // localCheckpoint for the same reason as ingestGraphBatch: this
-    // job reads indexDir and dynamic-overwrites the same path.
-    val rebuilt = graft.functions.Similarity
-      .graphAnnRemove(slice, dead, idCol, vecCol, degree, efConstruction)
-      .localCheckpoint(true)
-    rebuilt.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(indexDir)
-    val survived = rebuilt.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(survived).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(p, s"cell=$c"), true)
-      ()
-    }
+    val snap = VectorStore.adopt(spark, indexDir)
+    if (snap.isEmpty) return
+    val (drop, add) = removeGraphPlan(tombstones, idCol, vecCol,
+      indexDir, snap.get.entries, snap.get.schemaJson, degree,
+      efConstruction)
+    if (drop.isEmpty && add.isEmpty) return
+    VectorStore.commit(spark, indexDir, drop, add)
+    ()
   }
 
   /** foreachBatch writer for continuous GRAPH-index maintenance — the
     * graph twin of [[streamingIvfIngest]]: searches via
-    * `graphAnnTopKIndexed` over the store see each batch as soon as
-    * its cell partitions commit. The quantizer stays frozen (the IVF
-    * contract); [[cellStats]] over the graph table is the same
-    * retrain signal.
+    * `graphAnnTopKIndexed` over [[VectorStore.read]] see each batch as
+    * soon as its manifest version publishes. The quantizer stays
+    * frozen (the IVF contract); [[cellStats]] over the graph table is
+    * the same retrain signal.
     */
   def streamingGraphIngest(stream: DataFrame, idCol: String,
       vecCol: String, centroids: Array[Array[Double]], indexDir: String,
@@ -193,9 +252,9 @@ object VectorIngest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestGraphBatch(batch, idCol, vecCol, centroids, indexDir,
-          degree, efConstruction)
+          degree, efConstruction, Some(("graph_ingest", batchId)))
       }
 
   /** Apply DELETE tombstones to the stored IVF assignment table at
@@ -205,16 +264,17 @@ object VectorIngest {
     * that actually CONTAIN a tombstoned id are rewritten (an IVF
     * posting row is self-contained, so a rewrite is just the
     * partition's survivors — no graph relink); partitions whose
-    * members all die are deleted explicitly, since dynamic overwrite
-    * cannot remove a partition with no output rows. Replaying the
-    * same tombstone batch finds no matching ids and returns without
-    * writing.
+    * members all die drop out of the manifest. Replaying the same
+    * tombstone batch finds no matching ids and commits nothing.
     */
   def removeIvfBatch(tombstones: DataFrame, idCol: String,
       indexDir: String): Unit = {
     val spark = tombstones.sparkSession
-    if (!storeHasData(spark, indexDir)) return
-    val store = spark.read.parquet(indexDir)
+    val snap = VectorStore.adopt(spark, indexDir)
+    if (snap.isEmpty || snap.get.entries.isEmpty) return
+    val entries = snap.get.entries
+    val store = VectorStore.readEntries(spark, indexDir, entries,
+      snap.get.schemaJson)
     val dead = tombstones
       .select(col(idCol).cast(store.schema(idCol).dataType).as(idCol))
       .distinct()
@@ -222,54 +282,20 @@ object VectorIngest {
       .join(broadcast(dead), Seq(idCol), "left_semi")
       .select(col("ingest_batch").cast("long").as("b"), col("cell"))
       .distinct()
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
-    if (touched.isEmpty) return
-    val touchedSet = touched.toSet
-    // rewrite only the touched partitions' survivors. Two-stage
-    // selection: isin on the batch ids and cell ids separately (both
-    // convert to InSet and PRUNE the partitioned scan — an OR-chain
-    // of pair conjunctions would neither convert nor prune, and its
-    // plan text grows with the tombstone footprint), then a broadcast
-    // semi-join on the exact (batch, cell) pairs trims the isin
-    // cross-product back to the truly touched partitions so no
-    // untouched partition gets churned by an identical rewrite.
-    val spark2 = tombstones.sparkSession
-    import spark2.implicits._
-    val pairs = broadcast(touched.toSeq.toDF("__tb", "__tc"))
-    val slice = store
-      .filter(col("ingest_batch").cast("long")
-          .isin(touched.map(t => java.lang.Long.valueOf(t._1)): _*) &&
-        col("cell").isin(touched.map(t => Integer.valueOf(t._2)): _*))
-      .join(pairs, col("ingest_batch").cast("long") === col("__tb") &&
-        col("cell") === col("__tc"), "left_semi")
-    val survivors = slice.join(broadcast(dead), Seq(idCol), "left_anti")
-      .localCheckpoint(true) // read+overwrite same path — pin first
-    survivors.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "cell").parquet(indexDir)
-    val kept = survivors
-      .select(col("ingest_batch").cast("long"), col("cell"))
-      .distinct()
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val emptied = touchedSet.diff(kept)
-    emptied.foreach { case (b, c) =>
-      fs.delete(
-        new org.apache.hadoop.fs.Path(p, s"ingest_batch=$b/cell=$c"),
-        true)
-      ()
-    }
-    // a batch whose every cell dir went away leaves an empty parent
-    // dir behind — remove it too (an empty partition dir is harmless
-    // to parquet reads but reads as a live batch to any listing)
-    emptied.map(_._1).foreach { b =>
-      val bp = new org.apache.hadoop.fs.Path(p, s"ingest_batch=$b")
-      if (fs.exists(bp) && !fs.listStatus(bp).exists { st =>
-            val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          }) { fs.delete(bp, true); () }
-    }
+    if (touched.isEmpty) return
+    // rewrite only the touched partitions' survivors: the manifest
+    // names partitions outright, so the touched slice is an exact
+    // entry-list read (no isin pruning gymnastics needed), and the
+    // anti-join drops the dead ids
+    val drop = entries.filter(e => touched(entryBatchCell(e)))
+    val slice = VectorStore.readEntries(spark, indexDir, drop,
+      snap.get.schemaJson)
+    val survivors = slice.join(broadcast(dead), Seq(idCol), "left_anti")
+    val add = VectorStore.writeSegment(survivors, indexDir,
+      Seq("ingest_batch", "cell"))
+    VectorStore.commit(spark, indexDir, drop, add)
+    ()
   }
 
   /** Apply ONE mixed CDC batch (upserts + deletes) to the stored
@@ -279,13 +305,14 @@ object VectorIngest {
     * of an existing id UPDATES (the old node leaves its cell graph,
     * the new vector search-and-link inserts — possibly into a
     * DIFFERENT cell if the vector moved across a quantizer boundary),
-    * and `op = "delete"` removes. Two deterministic store passes:
+    * and `op = "delete"` removes. Two deterministic store passes —
     * first remove every id the batch mentions (tombstones AND
-    * upserted ids — [[removeGraphBatch]]'s touched-cell rebuild),
-    * then insert the upserts ([[ingestGraphBatch]]). Re-applying the
-    * same batch repeats the identical two steps from the same
-    * resulting state, so replay is idempotent in the strong sense
-    * f(f(x)) = f(x).
+    * upserted ids), then insert the upserts over the removal's
+    * overlay — land in ONE manifest commit, so a concurrent reader
+    * sees the whole sync or none of it, never the removed-but-not-
+    * reinserted middle. Re-applying the same batch repeats the
+    * identical two steps from the same resulting state (f(f(x)) =
+    * f(x)); streamed calls pass `tag` and replay skips wholesale.
     *
     * CONTRACT (the [[graft.operators.Scd2.applyCdc]] convention): at
     * most one change row per id per batch — a raw feed collapses
@@ -293,15 +320,34 @@ object VectorIngest {
     */
   def syncGraphBatch(batch: DataFrame, idCol: String, vecCol: String,
       opCol: String, centroids: Array[Array[Double]], indexDir: String,
-      degree: Int = 8, efConstruction: Int = 64): Unit = {
+      degree: Int = 8, efConstruction: Int = 64,
+      tag: Option[(String, Long)] = None): Unit = {
+    val spark = batch.sparkSession
+    val snap = VectorStore.adopt(spark, indexDir)
+    if (alreadyApplied(spark, indexDir, tag)) return
+    val entries0 = snap.map(_.entries).getOrElse(Seq.empty)
+    val schema0 = snap.map(_.schemaJson).getOrElse("")
     val touched = batch.select(col(idCol))
-    removeGraphBatch(touched, idCol, vecCol, indexDir, degree,
-      efConstruction)
+    val (drop1, add1) = removeGraphPlan(touched, idCol, vecCol,
+      indexDir, entries0, schema0, degree, efConstruction)
+    val overlay = entries0.filterNot(drop1.toSet) ++ add1
     val ups = batch.filter(col(opCol) =!= "delete")
       .select(col(idCol), col(vecCol))
-    if (!ups.isEmpty)
-      ingestGraphBatch(ups, idCol, vecCol, centroids, indexDir,
-        degree, efConstruction)
+    val (drop2, add2, schema2) =
+      if (ups.isEmpty) (Seq.empty[String], Seq.empty[String], schema0)
+      else ingestGraphPlan(ups, idCol, vecCol, centroids, indexDir,
+        overlay, schema0, degree, efConstruction)
+    if (drop1.isEmpty && add1.isEmpty && drop2.isEmpty && add2.isEmpty
+        && tag.isEmpty) return
+    // one commit for the whole sync: entries = E0 − drop1 + add1 −
+    // drop2 + add2. drop2 may well include add1 entries (a cell both
+    // rebuilt by the remove and rewritten by the insert) — those must
+    // NOT be re-added, so add1 is filtered by drop2 before the commit
+    // appends it
+    val drop2Set = drop2.toSet
+    VectorStore.commit(spark, indexDir, drop1 ++ drop2,
+      add1.filterNot(drop2Set) ++ add2, tag, schema2)
+    ()
   }
 
   /** foreachBatch writer for the CONTINUOUS CDC sync of the graph
@@ -309,8 +355,9 @@ object VectorIngest {
     * [[graft.streaming.EventStream.continuousSyncWriter]]: a stream
     * of (id, vector, op ∈ upsert/delete) rows keeps the stored index
     * current, batch by batch, through [[syncGraphBatch]]'s
-    * remove-then-insert. Searches via `graphAnnTopKIndexed` see each
-    * batch as soon as its cell partitions commit.
+    * remove-then-insert single commit. Searches see each batch as
+    * soon as its manifest version publishes; replays skip on the
+    * `vector_sync` channel tag.
     */
   def streamingVectorSync(stream: DataFrame, idCol: String,
       vecCol: String, opCol: String,
@@ -322,9 +369,10 @@ object VectorIngest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         syncGraphBatch(batch, idCol, vecCol, opCol, centroids,
-          indexDir, degree, efConstruction)
+          indexDir, degree, efConstruction,
+          Some(("vector_sync", batchId)))
       }
 
   /** Compact the streamed IVF assignment store — the small-files
@@ -333,54 +381,43 @@ object VectorIngest {
     * forever, which at streaming cadence is the classic small-files
     * failure (a year of 10-second triggers is ~3M batch partitions)
     * long before 100 TB. This folds every batch below a watermark
-    * into ONE canonical base segment `ingest_batch=-1/cell=<c>/`,
-    * clustered by cell (one file per cell after the repartition), and
-    * deletes the folded batch directories — so file count returns to
-    * ~nlist no matter how many batches streamed in, while
-    * `ivfTopKIndexed` reads the same rows through the same pruned
-    * cell scan.
+    * into ONE canonical base segment (`ingest_batch=-1`, clustered by
+    * cell — one file per cell after the repartition) and commits the
+    * swap atomically, so the live entry count returns to ~nlist no
+    * matter how many batches streamed in, while `ivfTopKIndexed`
+    * reads the same rows through the same pruned cell scan. Folded
+    * segments stay on disk for pinned readers until
+    * [[VectorStore.vacuum]].
     *
-    * `protectLast` batch partitions (highest ids) are left in place:
-    * foreachBatch is at-least-once, and a replayed batch id that was
-    * already folded into the base would re-create its partition with
-    * duplicate rows — replay idempotence relies on the batch's OWN
-    * partition being the overwrite target. The default 1 protects the
-    * only batch a restart can replay; pass 0 when the stream is
-    * stopped (offline compaction). Not concurrency-safe with a live
-    * ingest writing the same batch ids it folds — run it from the
-    * maintenance cadence between triggers, like any LSM compaction.
+    * `protectLast` batch partitions (highest ids) are left unfolded:
+    * the channel tag already skips replayed batch ids, but an
+    * UNTAGGED caller replaying a folded id would double its rows —
+    * the default 1 keeps the only batch a restart can replay as the
+    * overwrite target. Single-writer like every maintenance op: run
+    * it from the maintenance cadence between triggers, like any LSM
+    * compaction.
     */
-  def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
+  def compactIvfStore(spark: SparkSession,
       indexDir: String, protectLast: Int = 1): Unit = {
-    if (!storeHasData(spark, indexDir)) return
-    val raw = spark.read.parquet(indexDir)
-    val batchIds = raw.select(col("ingest_batch").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val snap = VectorStore.adopt(spark, indexDir)
+    if (snap.isEmpty || snap.get.entries.isEmpty) return
+    val entries = snap.get.entries
+    val byBatch = entries.map(e => (entryBatchCell(e)._1, e))
+    val batchIds = byBatch.map(_._1).distinct.sorted
     val protect = batchIds.filter(_ >= 0).takeRight(protectLast).toSet
     val fold = batchIds.filterNot(protect)
     // nothing to fold beyond an already-compacted base → no-op
     if (fold.isEmpty || fold.forall(_ < 0)) return
-    // protect holds the HIGHEST batch ids, so "fold" is exactly
-    // everything at or below its own max — one range predicate, no
-    // giant IN list over thousands of batch ids
-    val watermark = fold.max
-    // localCheckpoint: reads indexDir (the -1 base partitions) and
-    // dynamic-overwrites the same path — same hazard as
-    // ingestGraphBatch, same lineage cut before the write
-    val folded = raw.filter(col("ingest_batch").cast("long") <= watermark)
+    val foldSet = fold.toSet
+    val drop = byBatch.filter(t => foldSet(t._1)).map(_._2)
+    val folded = VectorStore.readEntries(spark, indexDir, drop,
+        snap.get.schemaJson)
       .withColumn("ingest_batch", lit(-1L))
       .repartition(col("cell"))
-      .localCheckpoint(true)
-    folded.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "cell").parquet(indexDir)
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fold.filter(_ >= 0).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(p, s"ingest_batch=$b"),
-        true)
-      ()
-    }
+    val add = VectorStore.writeSegment(folded, indexDir,
+      Seq("ingest_batch", "cell"))
+    VectorStore.commit(spark, indexDir, drop, add)
+    ()
   }
 
   /** Per-cell FILE audit of a store directory (IVF batch store or
@@ -388,28 +425,48 @@ object VectorIngest {
     * occupancy audit, and the signal that says WHEN to run
     * [[compactIvfStore]]: n_files growing linearly with batch count
     * while n_vecs stays flat is the small-files failure in progress.
-    * Driver-side filesystem listing — file METADATA, bounded by file
-    * count (exactly the quantity this audit exists to keep small),
-    * never data.
+    * Manifest-aware: counts only the LIVE entries' files (superseded
+    * segments awaiting vacuum are maintenance debt, not read-path
+    * cost); falls back to a raw recursive walk for legacy stores.
+    * Driver-side filesystem listing — file METADATA, bounded by live
+    * file count (exactly the quantity this audit exists to keep
+    * small), never data.
     */
-  def storeFileStats(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+  def storeFileStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cellRe = ".*/cell=(-?\\d+)/[^/]+$".r
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val path = st.getPath.toString
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        path match {
-          case cellRe(c) => buf += ((c.toInt, st.getLen))
-          case _ =>
-        }
+    def dataFilesIn(d: org.apache.hadoop.fs.Path, cell: Int): Unit =
+      fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          buf += ((cell, st.getLen))
       }
+    VectorStore.snapshot(spark, dir) match {
+      case Some(s) =>
+        s.entries.foreach { e =>
+          val cell = e match {
+            case BatchCellEntry(_, c) => c.toInt
+            case CellEntry(c) => c.toInt
+            case _ => Int.MinValue
+          }
+          dataFilesIn(new org.apache.hadoop.fs.Path(p, e), cell)
+        }
+      case None =>
+        val cellRe = ".*/cell=(-?\\d+)/[^/]+$".r
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val path = st.getPath.toString
+          val name = st.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            path match {
+              case cellRe(c) => buf += ((c.toInt, st.getLen))
+              case _ =>
+            }
+          }
+        }
     }
     buf.groupBy(_._1).toSeq
       .map { case (c, xs) => (c, xs.size.toLong, xs.map(_._2).sum) }

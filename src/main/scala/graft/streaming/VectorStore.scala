@@ -1,0 +1,300 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Manifest-committed vector store — the minimal table-format move
+  * that gives the ANN stores SNAPSHOT ISOLATION.
+  *
+  * Round-13 state of the stores: every maintenance op (ingest, sync,
+  * remove, compact) mutated the parquet store in place via dynamic
+  * partition overwrite plus post-hoc directory deletes. Each op was
+  * replay-idempotent, but a concurrent reader could observe a
+  * half-committed store: the overwrite commits first, the dir deletes
+  * happen after, and nothing pins a version. The reference engine gets
+  * this from DB transactions (SynchronizeAfterMerge commits per batch
+  * — sqlserver2pgsql.pl:4628–4660); a parquet store needs the
+  * Iceberg/Delta core move instead:
+  *
+  *  - '''Data is append-only.''' Every write lands in a fresh
+  *    `seg=<uuid>/` subtree (hive-style under it, e.g.
+  *    `seg=X/cell=3/`). No writer ever rewrites or deletes a file a
+  *    published manifest references.
+  *  - '''A manifest IS the store.''' `_manifests/v<n>.json` lists the
+  *    live partition directories (plus channel tags and the data
+  *    schema). Publishing = write to a temp name + atomic rename —
+  *    readers list the dir and see either v or v+1, never a torn mix.
+  *  - '''Readers pin the snapshot they opened.''' [[read]] resolves
+  *    the latest manifest ONCE and builds the DataFrame over those
+  *    exact paths; later commits are invisible to it, and its files
+  *    stay on disk until [[vacuum]] drops versions (so a pinned frame
+  *    outlives any number of concurrent commits).
+  *  - '''Streaming replay dedups by channel tag.''' foreachBatch is
+  *    at-least-once; each streamed commit carries
+  *    (channel, batchId) and a replayed batch (id ≤ the channel's
+  *    high-water mark) is skipped wholesale — the Delta `txn`
+  *    appId/version idea.
+  *
+  * Concurrency contract: SINGLE WRITER, many readers (matching the
+  * reference's one-sync-job shape). Writer crash safety: data files
+  * without a manifest are invisible; [[vacuum]] collects them.
+  * Atomic rename is real on HDFS/POSIX; on S3-class stores swap the
+  * publish for a conditional put.
+  *
+  * Legacy stores (a bare `cell=N/...` tree from `graphAnnBuild`) are
+  * ADOPTED on first maintenance: their top-level partition dirs are
+  * renamed under `seg=adopt0/` (metadata-only moves) and v1 publishes
+  * the result — idempotent, a crashed adoption resumes.
+  */
+object VectorStore {
+
+  final case class Snapshot(version: Long, entries: Seq[String],
+      tags: Map[String, Long], schemaJson: String) {
+    def paths(dir: String): Seq[String] = entries.map(e => s"$dir/$e")
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestDir(root: Path) = new Path(root, "_manifests")
+  private val ManifestName = "^v(\\d{12})\\.json$".r
+
+  /** Latest committed snapshot, or None when the dir has no manifest
+    * (legacy or empty store). One listing + one small file read.
+    */
+  def snapshot(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) return None
+    val latest = fs.listStatus(md).flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1).lastOption
+    latest.map { case (v, p) =>
+      val in = fs.open(p)
+      val node = try mapper.readTree(in) finally in.close()
+      val entries = node.get("entries") match {
+        case a: ArrayNode =>
+          (0 until a.size()).map(i => a.get(i).asText())
+        case _ => Seq.empty
+      }
+      val tags = Option(node.get("tags")).map { t =>
+        val it = t.fieldNames()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val k = it.next(); b += k -> t.get(k).asLong() }
+        b.result()
+      }.getOrElse(Map.empty)
+      Snapshot(v, entries, tags,
+        Option(node.get("schema")).map(_.asText()).getOrElse(""))
+    }
+  }
+
+  /** High-water mark for a streaming channel — the replay guard:
+    * foreachBatch callers skip a batch whose id ≤ this.
+    */
+  def lastTag(spark: SparkSession, dir: String, channel: String)
+      : Option[Long] =
+    snapshot(spark, dir).flatMap(_.tags.get(channel))
+
+  /** Publish a new version: entries = (current − drop) ∪ add, tags
+    * carried forward (plus `tag` if given). Atomic rename; returns the
+    * new version number. `schemaJson` (when non-empty) refreshes the
+    * stored schema — pass it on the first commit of a store.
+    */
+  def commit(spark: SparkSession, dir: String, drop: Seq[String],
+      add: Seq[String], tag: Option[(String, Long)] = None,
+      schemaJson: String = ""): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val cur = snapshot(spark, dir)
+    val v = cur.map(_.version).getOrElse(0L) + 1
+    val dropSet = drop.toSet
+    val entries = (cur.map(_.entries).getOrElse(Seq.empty)
+      .filterNot(dropSet) ++ add).distinct.sorted
+    val tags = cur.map(_.tags).getOrElse(Map.empty) ++ tag.toMap
+    val schema =
+      if (schemaJson.nonEmpty) schemaJson
+      else cur.map(_.schemaJson).getOrElse("")
+
+    val node: ObjectNode = mapper.createObjectNode()
+    node.put("version", v)
+    val arr = node.putArray("entries")
+    entries.foreach(arr.add)
+    val tn = node.putObject("tags")
+    tags.toSeq.sortBy(_._1).foreach { case (k, x) => tn.put(k, x); () }
+    node.put("schema", schema)
+
+    val md = manifestDir(root)
+    if (!fs.exists(md)) { fs.mkdirs(md); () }
+    val tmp = new Path(md,
+      s"_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(node))
+    finally out.close()
+    val target = new Path(md, f"v$v%012d.json")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"VectorStore: concurrent commit detected publishing v$v at " +
+          s"$dir — this store is single-writer")
+    }
+    v
+  }
+
+  /** Append `df` as a fresh immutable segment partitioned by
+    * `partCols` under it; returns the manifest entries (relative
+    * partition dirs) the segment produced. Uncommitted until the
+    * caller passes them to [[commit]].
+    */
+  def writeSegment(df: DataFrame, dir: String,
+      partCols: Seq[String]): Seq[String] = {
+    val seg = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.withColumn("seg", lit(seg))
+      .write.mode("append")
+      .partitionBy("seg" +: partCols: _*)
+      .parquet(dir)
+    val (fs, root) = fsOf(df.sparkSession, dir)
+    val segPath = new Path(root, s"seg=$seg")
+    if (!fs.exists(segPath)) return Seq.empty // empty df → no dirs
+    leafDirs(fs, segPath).map(p => relativize(root, p))
+  }
+
+  /** Partition dirs that directly hold data files. Driver-side
+    * metadata listing, bounded by the segment's partition count.
+    */
+  private def leafDirs(fs: FileSystem, p: Path): Seq[String] = {
+    val kids = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val (dirs, files) = kids.partition(_.isDirectory)
+    val below = dirs.toSeq.flatMap(d => leafDirs(fs, d.getPath))
+    if (files.nonEmpty) below :+ p.toString else below
+  }
+
+  private def relativize(root: Path, abs: String): String = {
+    val r = root.toString.stripSuffix("/")
+    val i = abs.indexOf(r)
+    abs.substring(i + r.length + 1)
+  }
+
+  /** Pinned snapshot read: resolves the CURRENT manifest once and
+    * returns a DataFrame over exactly those paths — immune to any
+    * later commit (files are never rewritten; vacuum honors `keep`).
+    * Falls back to a plain directory read for legacy (manifest-less)
+    * stores, and to an empty frame with the stored schema when every
+    * entry has been removed.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, dir) match {
+      case None => spark.read.parquet(dir) // legacy store
+      case Some(s) => readEntries(spark, dir, s.entries, s.schemaJson)
+    }
+
+  /** Read an explicit entry list (an overlay mid-composition, or a
+    * pinned historical version).
+    */
+  def readEntries(spark: SparkSession, dir: String,
+      entries: Seq[String], schemaJson: String): DataFrame =
+    if (entries.isEmpty) {
+      require(schemaJson.nonEmpty,
+        s"VectorStore: empty store at $dir with no recorded schema")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[StructType])
+    } else
+      spark.read.option("basePath", dir)
+        .parquet(entries.map(e => s"$dir/$e"): _*)
+        .drop("seg")
+
+  /** Adopt a legacy store: move its top-level hive partition dirs
+    * under `seg=adopt0/` (rename = metadata move) and publish v1.
+    * No-op when a manifest already exists; idempotent under crashes
+    * (already-moved dirs are skipped, the manifest publishes whatever
+    * adopt0 holds). Bootstrapping an EMPTY dir publishes nothing and
+    * returns None — the caller's first segment commit carries the
+    * schema.
+    */
+  def adopt(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val existing = snapshot(spark, dir)
+    if (existing.isDefined) return existing
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return None
+    val legacy = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.contains("=") && !n.startsWith("seg=") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }
+    val adoptDir = new Path(root, "seg=adopt0")
+    if (legacy.nonEmpty && !fs.exists(adoptDir)) { fs.mkdirs(adoptDir); () }
+    legacy.foreach { st =>
+      val tgt = new Path(adoptDir, st.getPath.getName)
+      if (!fs.exists(tgt)) { fs.rename(st.getPath, tgt); () }
+      else { fs.delete(st.getPath, true); () } // crashed replay leftover
+    }
+    if (!fs.exists(adoptDir)) return None // empty dir: nothing to adopt
+    val entries = leafDirs(fs, adoptDir).map(p => relativize(root, p))
+    if (entries.isEmpty) return None
+    val schema = spark.read.option("basePath", dir)
+      .parquet(entries.map(e => s"$dir/$e"): _*)
+      .drop("seg").schema.json
+    commit(spark, dir, Seq.empty, entries, None, schema)
+    snapshot(spark, dir)
+  }
+
+  /** Drop versions older than the `keep` most recent ones and delete
+    * every `seg=*` dir no kept manifest references. Returns the number
+    * of segment dirs deleted. Run from the maintenance cadence; a
+    * reader pinned to a dropped version loses its files (the Delta
+    * VACUUM contract) — size `keep` to the longest query you allow.
+    */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 2): Int = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) return 0
+    val versions = fs.listStatus(md).flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    if (versions.isEmpty) return 0
+    val old = versions.dropRight(keep)
+    val referenced: Set[String] = versions.takeRight(keep).flatMap {
+      case (_, p) =>
+        val in = fs.open(p)
+        val node = try mapper.readTree(in) finally in.close()
+        node.get("entries") match {
+          case a: ArrayNode => (0 until a.size()).map(i => a.get(i).asText())
+          case _ => Seq.empty
+        }
+    }.map(_.split("/")(0)).toSet
+    var deleted = 0
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("seg=") && !referenced(n)) {
+        fs.delete(st.getPath, true)
+        deleted += 1
+      }
+    }
+    old.foreach { case (_, p) => fs.delete(p, false); () }
+    deleted
+  }
+
+  /** Current version number (specs/audits). */
+  def version(spark: SparkSession, dir: String): Long =
+    snapshot(spark, dir).map(_.version).getOrElse(0L)
+}

@@ -474,12 +474,16 @@ object ScaleSmoke {
         .storeFileStats(spark, dir.toString)
         .agg(sum(col("n_files"))).collect()(0).getLong(0)
       def search() = Similarity.ivfTopKIndexed(
-        spark.read.parquet(dir.toString), "vec_id", "embedding",
+        graft.streaming.VectorStore.read(spark, dir.toString),
+        "vec_id", "embedding",
         queries, "query_id", "qvec", k = 5, cents, nprobe = 4).count()
       val fRaw = files()
       val (n1, tRaw) = timed(search())
       val (_, tC) = timed(graft.streaming.VectorIngest
         .compactIvfStore(spark, dir.toString, protectLast = 0))
+      // vacuum completes the maintenance: superseded segments leave
+      // the disk (pinned readers gone), live files = the folded base
+      graft.streaming.VectorStore.vacuum(spark, dir.toString, keep = 1)
       val fCmp = files()
       val (n2, tCmp) = timed(search())
       if (b0 > 0)

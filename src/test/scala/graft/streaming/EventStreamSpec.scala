@@ -414,7 +414,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       q.stop()
       // the streamed store equals the batch assignment of all vectors
-      val stored = spark.read.parquet(idx.getAbsolutePath)
+      val stored = VectorStore.read(spark, idx.getAbsolutePath)
         .select("vec_id", "cell").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       val direct = graft.functions.Similarity.ivfAssignments(
@@ -423,11 +423,11 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(stored === direct)
       // foreachBatch is at-least-once: simulate a post-restart REPLAY
-      // of the second micro-batch (same batchId) — dynamic partition
-      // overwrite must leave the store byte-identical, no dup rows
+      // of the second micro-batch (same batchId) — the ivf_ingest
+      // channel tag skips it, leaving the store identical, no dup rows
       VectorIngest.ingestBatch(b2.toDF("vec_id", "embedding"),
         "vec_id", "embedding", cents, idx.getAbsolutePath, batchId = 1L)
-      val replayed = spark.read.parquet(idx.getAbsolutePath)
+      val replayed = VectorStore.read(spark, idx.getAbsolutePath)
       assert(replayed.count() === 120L)
       assert(replayed.groupBy("vec_id").count()
         .filter(col("count") > 1).count() === 0L)
@@ -435,14 +435,14 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       val queries = b2.take(3).map { case (id, v) => (id + 100000L, v) }
         .toDF("query_id", "qvec")
       val hits = graft.functions.Similarity.ivfTopKIndexed(
-          spark.read.parquet(idx.getAbsolutePath), "vec_id", "embedding",
+          VectorStore.read(spark, idx.getAbsolutePath), "vec_id", "embedding",
           queries, "query_id", "qvec", k = 1, cents, nprobe = 4)
         .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id"))
         .toMap
       // each query is an exact copy of a streamed vector → rank-1 self
       assert(hits === Map(100061L -> 61L, 100062L -> 62L, 100063L -> 63L))
       // drift report: counts sum to corpus size, imbalance centered on 1
-      val stats = VectorIngest.cellStats(spark.read.parquet(idx.getAbsolutePath))
+      val stats = VectorIngest.cellStats(VectorStore.read(spark, idx.getAbsolutePath))
         .collect()
       assert(stats.map(_.getAs[Long]("n_vecs")).sum === 120L)
       val imb = stats.map(_.getAs[Double]("imbalance"))
@@ -488,7 +488,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .write.parquet(src.getAbsolutePath + "/b2")
       q.processAllAvailable()
       q.stop()
-      def snapshot() = spark.read.parquet(idx.getAbsolutePath)
+      def snapshot() = VectorStore.read(spark, idx.getAbsolutePath)
         .select(col("cell"), col("vec_id"), col("embedding"),
           col("neighbors"))
         .collect()
@@ -514,7 +514,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       val queries = b2.take(3).map { case (id, v) => (id + 100000L, v) }
         .toDF("query_id", "qvec")
       val hits = graft.functions.Similarity.graphAnnTopKIndexed(
-          spark.read.parquet(idx.getAbsolutePath), "vec_id", "embedding",
+          VectorStore.read(spark, idx.getAbsolutePath), "vec_id", "embedding",
           queries, "query_id", "qvec", k = 1, cents, nprobe = 4,
           ef = 1024)
         .collect().map(r =>
@@ -542,13 +542,17 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
           cents, degree = 4, efConstruction = 32)
         .write.mode("overwrite").partitionBy("cell")
         .parquet(idx.getAbsolutePath)
-      val byCell = spark.read.parquet(idx.getAbsolutePath)
+      // adopt the legacy build up front so the before/after file
+      // listings compare like with like (adoption renames the cell
+      // dirs under seg=adopt0 once)
+      VectorStore.adopt(spark, idx.getAbsolutePath)
+      val byCell = VectorStore.read(spark, idx.getAbsolutePath)
         .select(col("cell"), col("vec_id"))
         .collect().map(r => r.getInt(0) -> r.getLong(1))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      // tombstones: ALL of cell 0 (must empty and its dir must go)
-      // plus half of cell 1 (touched-cell rebuild); cells 2/3 files
-      // must not move at all
+      // tombstones: ALL of cell 0 (must drop out of the manifest)
+      // plus half of cell 1 (touched-cell rebuild); cells 2/3 entries
+      // and files must not move at all
       val deadIds = byCell(0) ++ byCell(1).toSeq.sorted.take(byCell(1).size / 2)
       def listing() = {
         def walk(f: java.io.File): Seq[java.io.File] =
@@ -563,16 +567,24 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         "vec_id", "embedding", idx.getAbsolutePath, degree = 4,
         efConstruction = 32)
       val after = listing()
-      // emptied cell's partition directory is gone
-      assert(!new java.io.File(idx, "cell=0").exists())
-      // untouched cells' files are byte-for-byte the same files
+      // emptied cell has no live manifest entry (its files linger for
+      // pinned readers until vacuum — snapshot isolation, not a tear)
+      val live = VectorStore.snapshot(spark, idx.getAbsolutePath)
+        .get.entries
+      assert(!live.exists(_.endsWith("cell=0")))
+      // untouched cells' files are byte-for-byte the same files, and
+      // their live entries still point at the adopted originals
       val untouchedBefore = before.filter { case (p, _) =>
         p.contains("cell=2") || p.contains("cell=3") }
       val untouchedAfter = after.filter { case (p, _) =>
         p.contains("cell=2") || p.contains("cell=3") }
-      assert(untouchedBefore === untouchedAfter)
+      assert(untouchedBefore.nonEmpty &&
+        untouchedBefore.forall { case (p, v) =>
+          untouchedAfter.get(p).contains(v) })
+      assert(live.exists(_ == "seg=adopt0/cell=2") &&
+        live.exists(_ == "seg=adopt0/cell=3"))
       // the store now equals a fresh build of the survivors
-      def snapshot() = spark.read.parquet(idx.getAbsolutePath)
+      def snapshot() = VectorStore.read(spark, idx.getAbsolutePath)
         .select(col("cell"), col("vec_id"), col("embedding"),
           col("neighbors"))
         .collect().map(r => (r.getInt(0), r.getLong(1),
@@ -612,7 +624,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
           "embedding", cents, degree = 4, efConstruction = 32)
         .write.mode("overwrite").partitionBy("cell")
         .parquet(idx.getAbsolutePath)
-      def store() = spark.read.parquet(idx.getAbsolutePath)
+      def store() = VectorStore.read(spark, idx.getAbsolutePath)
         .select(col("cell"), col("vec_id"), col("embedding"),
           col("neighbors"))
         .collect().map(r => (r.getInt(0), r.getLong(1),
@@ -730,7 +742,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
           all.filter(pmod(col("vec_id"), lit(2)) === b),
           "vec_id", "embedding", cents, idx.getAbsolutePath, b.toLong)
       }
-      def rows() = spark.read.parquet(idx.getAbsolutePath)
+      def rows() = VectorStore.read(spark, idx.getAbsolutePath)
         .select(col("vec_id"), col("cell"))
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
       def listing() = {
@@ -746,7 +758,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       // odd ids — batch 0's partitions must empty and their dirs go;
       // batch 1 rewrites only the cells containing ids 1 and 3
       val deadIds = pts.map(_._1).filter(_ % 2 == 0) ++ Seq(1L, 3L)
-      val cellsOf13 = spark.read.parquet(idx.getAbsolutePath)
+      val cellsOf13 = VectorStore.read(spark, idx.getAbsolutePath)
         .filter(col("vec_id").isin(1L, 3L))
         .select(col("cell")).collect().map(_.getInt(0)).toSet
       val untouchedCells = (0 until 4).toSet -- cellsOf13
@@ -754,8 +766,9 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       VectorIngest.removeIvfBatch(deadIds.toDF("vec_id"), "vec_id",
         idx.getAbsolutePath)
       assert(rows() === before.filterNot(r => deadIds.contains(r._1)))
-      // batch 0 is gone entirely
-      assert(!new java.io.File(idx, "ingest_batch=0").exists())
+      // batch 0 is gone entirely from the live manifest
+      assert(!VectorStore.snapshot(spark, idx.getAbsolutePath).get
+        .entries.exists(_.contains("ingest_batch=0/")))
       // batch 1's untouched cells kept their exact files
       val untouchedBefore = beforeFiles.filter { case (p, _) =>
         p.contains("ingest_batch=1") &&
@@ -791,7 +804,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
           all.filter(pmod(col("vec_id"), lit(4)) === b),
           "vec_id", "embedding", cents, idx.getAbsolutePath, b.toLong)
       }
-      def rows() = spark.read.parquet(idx.getAbsolutePath)
+      def rows() = VectorStore.read(spark, idx.getAbsolutePath)
         .select(col("vec_id"), col("cell"))
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
       val before = rows()
@@ -803,16 +816,24 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(filesBefore.values.sum > filesBefore.size)
       VectorIngest.compactIvfStore(spark, idx.getAbsolutePath,
         protectLast = 1)
-      // batches 0..2 folded into the -1 base; batch 3 left in place
-      val dirs = Option(idx.listFiles).toSeq.flatten.map(_.getName)
-        .filter(_.startsWith("ingest_batch=")).sorted
-      assert(dirs === Seq("ingest_batch=-1", "ingest_batch=3"))
+      // batches 0..2 folded into the -1 base; batch 3's entries intact
+      def liveBatches() = VectorStore
+        .snapshot(spark, idx.getAbsolutePath).get.entries
+        .map(e => "ingest_batch=(-?\\d+)".r.findFirstMatchIn(e)
+          .get.group(1).toLong)
+        .distinct.sorted
+      assert(liveBatches() === Seq(-1L, 3L))
       assert(rows() === before)
-      // base segment: exactly one file per cell it holds
-      val baseFiles = VectorIngest.storeFileStats(spark,
-          idx.getAbsolutePath + "/ingest_batch=-1")
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      assert(baseFiles.nonEmpty && baseFiles.values.forall(_ === 1L))
+      // base segment: exactly one file per cell it holds (the live
+      // per-cell file counts minus batch 3's contribution)
+      val baseEntries = VectorStore
+        .snapshot(spark, idx.getAbsolutePath).get.entries
+        .filter(_.contains("ingest_batch=-1/"))
+      assert(baseEntries.nonEmpty && baseEntries.forall { e =>
+        new java.io.File(idx, e).listFiles()
+          .count(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) === 1
+      })
       // re-compacting with nothing new to fold is a no-op
       def listing() = {
         def walk(f: java.io.File): Seq[java.io.File] =
@@ -836,16 +857,22 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       // remaining batch into the base too
       VectorIngest.compactIvfStore(spark, idx.getAbsolutePath,
         protectLast = 0)
-      val dirsAfter = Option(idx.listFiles).toSeq.flatten.map(_.getName)
-        .filter(_.startsWith("ingest_batch=")).sorted
-      assert(dirsAfter === Seq("ingest_batch=-1"))
+      assert(liveBatches() === Seq(-1L))
+      assert(rows() === before)
+      // vacuum reclaims the superseded segments from disk; the live
+      // content is untouched
+      val segsBefore = Option(idx.listFiles).toSeq.flatten
+        .count(_.getName.startsWith("seg="))
+      val reclaimed = VectorStore.vacuum(spark, idx.getAbsolutePath,
+        keep = 1)
+      assert(reclaimed > 0 && reclaimed < segsBefore)
       assert(rows() === before)
       // searches over the fully compacted store are unaffected: an
       // exact copy of a stored vector ranks itself first at full probe
       val queries = pts.take(2).map { case (id, v) => (id + 9000L, v) }
         .toDF("query_id", "qvec")
       val hits = graft.functions.Similarity.ivfTopKIndexed(
-          spark.read.parquet(idx.getAbsolutePath), "vec_id", "embedding",
+          VectorStore.read(spark, idx.getAbsolutePath), "vec_id", "embedding",
           queries, "query_id", "qvec", k = 1, cents, nprobe = 4)
         .collect().map(r =>
           r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import java.nio.file.Files
+
+/** The manifest commit protocol's isolation contract: a reader pinned
+  * to the snapshot it opened is immune to any number of concurrent
+  * maintenance commits — it sees the OLD version or (re-opened) the
+  * NEW one, never a mix — and the store's version history behaves like
+  * a minimal table format (atomic publish, tag-deduped streamed
+  * commits, vacuum as the only file reclaimer).
+  */
+class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def withDir(f: java.io.File => Unit): Unit = {
+    val d = Files.createTempDirectory("graft_vstore").toFile
+    try f(d)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(d)
+    }
+  }
+
+  private def buildStore(dir: String, n: Int = 90, seed: Int = 5)
+      : Array[Array[Double]] = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val pts = (1 to n).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val all = pts.toDF("vec_id", "embedding")
+    val cents = graft.functions.Similarity.ivfCentroids(all, "vec_id",
+      "embedding", 4)
+    graft.functions.Similarity.graphAnnBuild(all, "vec_id", "embedding",
+        cents, degree = 4, efConstruction = 32)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(dir)
+    cents
+  }
+
+  test("a pinned reader sees the version it opened across a sync commit") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      val cents = buildStore(dir)
+      VectorStore.adopt(spark, dir)
+      val v1 = VectorStore.version(spark, dir)
+      // the pinned snapshot: resolved ONCE here, evaluated only later
+      val pinned = VectorStore.read(spark, dir)
+      val expectBefore = pinned.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet
+      // a full sync commits while the pinned frame is still unevaluated:
+      // update id 5 (cross-cell negation), insert 500, delete 7
+      val v5new = pinned.filter(col("vec_id") === 5L)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Double](0).map(-_).toArray
+      val batch = Seq(
+        (5L, v5new, "upsert"),
+        (500L, Array.fill(8)(0.25), "upsert"),
+        (7L, Array.empty[Double], "delete"))
+        .toDF("vec_id", "embedding", "op")
+      VectorIngest.syncGraphBatch(batch, "vec_id", "embedding", "op",
+        cents, dir, degree = 4, efConstruction = 32)
+      assert(VectorStore.version(spark, dir) === v1 + 1)
+      // the reader opened before the sync still sees the OLD world —
+      // id 7 alive, id 500 absent, id 5 un-negated — because its files
+      // were never rewritten, only superseded
+      val pinnedIds = pinned.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(pinnedIds === expectBefore)
+      assert(pinnedIds.contains(7L) && !pinnedIds.contains(500L))
+      val pinned5 = pinned.filter(col("vec_id") === 5L)
+        .select(col("embedding")).collect()(0).getSeq[Double](0)
+      assert(pinned5 === v5new.map(-_).toSeq)
+      // a fresh read sees the NEW world, atomically
+      val fresh = VectorStore.read(spark, dir)
+      val freshIds = fresh.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(!freshIds.contains(7L) && freshIds.contains(500L))
+      assert(fresh.filter(col("vec_id") === 5L)
+        .select(col("embedding")).collect()(0).getSeq[Double](0)
+        === v5new.toSeq)
+      // and the old version is still materialized on disk until vacuum
+      assert(pinned.count() === expectBefore.size.toLong)
+      VectorStore.vacuum(spark, dir, keep = 1)
+      assert(VectorStore.read(spark, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        === freshIds)
+    }
+  }
+
+  test("streamed channel tags dedupe at-least-once replays wholesale") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      val cents = buildStore(dir, n = 60, seed = 9)
+      val batch = Seq((201L, Array.fill(8)(0.3), "upsert"))
+        .toDF("vec_id", "embedding", "op")
+      VectorIngest.syncGraphBatch(batch, "vec_id", "embedding", "op",
+        cents, dir, degree = 4, efConstruction = 32,
+        tag = Some(("vector_sync", 4L)))
+      val v = VectorStore.version(spark, dir)
+      // same batchId replayed: skipped before any work — no version
+      VectorIngest.syncGraphBatch(batch, "vec_id", "embedding", "op",
+        cents, dir, degree = 4, efConstruction = 32,
+        tag = Some(("vector_sync", 4L)))
+      assert(VectorStore.version(spark, dir) === v)
+      // an EARLIER batchId (late replay after restart) also skips
+      VectorIngest.syncGraphBatch(batch, "vec_id", "embedding", "op",
+        cents, dir, degree = 4, efConstruction = 32,
+        tag = Some(("vector_sync", 3L)))
+      assert(VectorStore.version(spark, dir) === v)
+      // the next batchId commits
+      VectorIngest.syncGraphBatch(
+        Seq((202L, Array.fill(8)(0.31), "upsert"))
+          .toDF("vec_id", "embedding", "op"),
+        "vec_id", "embedding", "op", cents, dir, degree = 4,
+        efConstruction = 32, tag = Some(("vector_sync", 5L)))
+      assert(VectorStore.version(spark, dir) === v + 1)
+      assert(VectorStore.lastTag(spark, dir, "vector_sync") === Some(5L))
+    }
+  }
+
+  test("adoption is idempotent and preserves content exactly") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      buildStore(dir, n = 50, seed = 13)
+      val legacy = spark.read.parquet(dir)
+        .select(col("cell"), col("vec_id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      val s1 = VectorStore.adopt(spark, dir)
+      val s2 = VectorStore.adopt(spark, dir) // second adopt: no-op
+      assert(s1.get.version === s2.get.version)
+      val adopted = VectorStore.read(spark, dir)
+        .select(col("cell"), col("vec_id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(adopted === legacy)
+      // all entries live under the adoption segment
+      assert(s1.get.entries.forall(_.startsWith("seg=adopt0/")))
+    }
+  }
+
+  test("empty store keeps its schema; vacuum refuses keep=0") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      buildStore(dir, n = 20, seed = 21)
+      VectorStore.adopt(spark, dir)
+      val allIds = VectorStore.read(spark, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      VectorIngest.removeGraphBatch(allIds.toSeq.toDF("vec_id"),
+        "vec_id", "embedding", dir, degree = 4, efConstruction = 32)
+      val empty = VectorStore.read(spark, dir)
+      assert(empty.count() === 0L)
+      assert(Seq("cell", "vec_id", "embedding", "neighbors")
+        .forall(empty.columns.contains))
+      intercept[IllegalArgumentException](
+        VectorStore.vacuum(spark, dir, keep = 0))
+    }
+  }
+}
