@@ -707,8 +707,140 @@ object ScaleSmoke {
     println(f"final state bytes: pike ${pike.last._3}%d vs string ${base.last._3}%d (${base.last._3.toDouble / math.max(pike.last._3, 1)}%.1fx)")
   }
 
+  /** `race` mode: concurrent-reader stress for the manifest store —
+    * the r13-verdict failure scenario (a `graphAnnTopKIndexed` search
+    * racing a sync observing a half-committed store) driven for real.
+    * A reader thread loops { pin the current snapshot → fingerprint
+    * its full content } while the writer applies `rounds` mixed CDC
+    * sync batches. Every version's content is immutable once
+    * committed (segments are never rewritten), so each observation is
+    * validated post-hoc against the content recorded for the version
+    * it pinned: any torn read — files missing mid-swap, a mix of two
+    * versions, a FileNotFoundException from a replaced file — shows
+    * up as a fingerprint mismatch or an error. Printed: reads
+    * completed, distinct versions observed, mismatches (must be 0),
+    * errors (must be 0).
+    */
+  private def raceSweep(spark: SparkSession, emb0: DataFrame,
+      rounds: Int): Unit = {
+    import spark.implicits._
+    val corpus = emb0.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double"))
+          .as("embedding"))
+      .cache()
+    val n = corpus.count()
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_race")
+    try {
+      Similarity.graphAnnBuild(corpus, "vec_id", "embedding", cents,
+          degree = 8, efConstruction = 64)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(dir.toString)
+      graft.streaming.VectorStore.adopt(spark, dir.toString)
+      def fingerprint(df: DataFrame): Long = df
+        .select(xxhash64(col("vec_id"), col("cell"), col("embedding"),
+          col("neighbors")).as("h"))
+        // bit_xor: order-independent content digest, no ANSI overflow
+        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+      val verHash = new java.util.concurrent.ConcurrentHashMap[Long, Long]
+      val v0 = graft.streaming.VectorStore.version(spark, dir.toString)
+      verHash.put(v0,
+        fingerprint(graft.streaming.VectorStore.read(spark, dir.toString)))
+      val observed =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]
+      @volatile var done = false
+      val reader = new Thread(() => {
+        while (!done) {
+          try {
+            val snap = graft.streaming.VectorStore
+              .snapshot(spark, dir.toString).get
+            val df = graft.streaming.VectorStore.readEntries(spark,
+              dir.toString, snap.entries, snap.schemaJson)
+            observed.add((snap.version, fingerprint(df)))
+          } catch {
+            case e: Throwable => errors.add(e.toString.take(300))
+          }
+        }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val (_, tW) = timed {
+        (1 to rounds).foreach { k =>
+          // mixed CDC: shift a stripe of vectors (updates, some
+          // cross-cell), insert a fresh stripe, delete another stripe
+          val ups = corpus.filter(col("vec_id") % 17 === (k % 17).toLong)
+            .select(col("vec_id"),
+              transform(col("embedding"), x => x * lit(-1.0))
+                .as("embedding"), lit("upsert").as("op"))
+          val ins = corpus.filter(col("vec_id") % 29 === (k % 29).toLong)
+            .select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+              col("embedding"), lit("upsert").as("op"))
+          val del = corpus
+            .filter(col("vec_id") % 23 === ((k + 7) % 23).toLong)
+            .select(col("vec_id"), col("embedding"),
+              lit("delete").as("op"))
+          graft.streaming.VectorIngest.syncGraphBatch(
+            ups.unionByName(ins).unionByName(del), "vec_id",
+            "embedding", "op", cents, dir.toString, degree = 8,
+            efConstruction = 64)
+          val v = graft.streaming.VectorStore.version(spark, dir.toString)
+          verHash.put(v, fingerprint(
+            graft.streaming.VectorStore.read(spark, dir.toString)))
+          ()
+        }
+      }
+      done = true
+      reader.join(30000)
+      val obs = observed.toArray(Array.empty[(Long, Long)])
+      val mismatches = obs.filter { case (v, h) =>
+        Option(verHash.get(v)).forall(_ != h)
+      }
+      val errs = errors.toArray(Array.empty[String])
+      println(f"race: $n%d vecs, $rounds%d sync rounds in $tW%.1f s; " +
+        s"reader completed ${obs.length} pinned reads across " +
+        s"${obs.map(_._1).distinct.length} distinct versions; " +
+        s"mismatches ${mismatches.length}, errors ${errs.length}")
+      mismatches.take(5).foreach { case (v, h) =>
+        println(s"  TORN READ at v$v: got $h, committed ${verHash.get(v)}")
+      }
+      errs.take(5).foreach(e => println(s"  READER ERROR: $e"))
+      // final sanity: vacuum then a fresh read still serves the last
+      // version
+      graft.streaming.VectorStore.vacuum(spark, dir.toString, keep = 1)
+      val vLast = graft.streaming.VectorStore.version(spark, dir.toString)
+      val after = fingerprint(
+        graft.streaming.VectorStore.read(spark, dir.toString))
+      println(s"post-vacuum read of v$vLast " +
+        (if (after == verHash.get(vLast)) "MATCHES committed content"
+         else "MISMATCH"))
+    } finally {
+      corpus.unpersist()
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "race") {
+      val rounds = if (args.length > 2) args(2).toInt else 8
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val e0 = sp.read.parquet(s"$sfDir/embeddings.parquet")
+      e0.count()
+      raceSweep(sp, e0, rounds)
+      sp.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "pattern") {
       val (nb, us, cp) =
         if (args.length > 4) (args(2).toInt, args(3).toInt, args(4).toInt)
