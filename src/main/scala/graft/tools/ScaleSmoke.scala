@@ -806,6 +806,16 @@ object ScaleSmoke {
         println(s"  TORN READ at v$v: got $h, committed ${verHash.get(v)}")
       }
       errs.take(5).foreach(e => println(s"  READER ERROR: $e"))
+      // graph-store file audit after the long sync sequence: cells
+      // rewrite wholesale per touched segment, so LIVE files per cell
+      // must stay O(1) — a growing max here would demand a graph-store
+      // compactor (the IVF store's compactIvfStore twin)
+      val fstats = graft.streaming.VectorIngest
+        .storeFileStats(spark, dir.toString)
+        .collect().map(r => r.getLong(1))
+      println(f"graph-store live files after $rounds%d syncs: " +
+        f"${fstats.length}%d cells, max ${fstats.max}%d files/cell, " +
+        f"mean ${fstats.sum.toDouble / fstats.length}%.2f")
       // final sanity: vacuum then a fresh read still serves the last
       // version
       graft.streaming.VectorStore.vacuum(spark, dir.toString, keep = 1)
