@@ -196,6 +196,13 @@ object SparkEntry {
   private val annFixtureChecked =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
 
+  /** sim_store_snapshot memo: per input dir, (the manifest entries
+    * pinned BEFORE the sync, their schema json, the store dir whose
+    * latest version is the post-sync state).
+    */
+  private val storeSnapshotDirs = new java.util.concurrent
+    .ConcurrentHashMap[String, (Seq[String], String, String)]
+
   // `sliceIdx` is BY-NAME: it is only evaluated inside the memo's
   // build closure, so a slice expression whose construction costs a
   // full scan (the tertile bounds agg) runs atomically once-per-JVM
@@ -1453,14 +1460,73 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_store_snapshot" -> ((s, dir) => {
+      // SNAPSHOT ISOLATION under the oracle: pin the store's manifest
+      // BEFORE a CDC sync, apply the sync, then run the SAME top-3
+      // search over (a) the pinned entries and (b) a fresh read. The
+      // base store holds the naturals + true twins of bands 1-3; the
+      // sync deletes band 1 and inserts band 4 — so the pinned search
+      // must return the OLD planted ranking (bands 1,2,3; the pinned
+      // files were superseded, never rewritten) while the fresh read
+      // returns the NEW one (bands 2,3,4). The oracle is closed-form
+      // planted arithmetic: pinned rank r -> query+r*100000, fresh
+      // rank r -> query+(r+1)*100000. This is the reader-races-writer
+      // guarantee as a hash gate, not just a spec.
+      val (pinnedEntries, schemaJson, idxDir) =
+        storeSnapshotDirs.computeIfAbsent(dir, _ => {
+          val (corpus, _) = plantedAnnFixture(s, dir)
+          val cents = Similarity.ivfCentroids(corpus, "vec_id",
+            "embedding", 16)
+          val band = floor(col("vec_id") / 100000L)
+          val base = corpus.filter(band <= 3)
+          val idx = trackStreamTmp(
+            java.nio.file.Files.createTempDirectory("graft_snap_idx"))
+          Similarity.graphAnnBuild(base, "vec_id", "embedding", cents,
+              degree = 8, efConstruction = 64)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(idx.toString)
+          val snap = graft.streaming.VectorStore
+            .adopt(s, idx.toString).get
+          // the sync commits AFTER the pin: delete band 1, insert the
+          // true band-4 twins
+          val cdc = corpus.filter(band === 1)
+            .select(col("vec_id"), col("embedding"),
+              lit("delete").as("op"))
+            .unionByName(corpus.filter(band === 4)
+              .select(col("vec_id"), col("embedding"),
+                lit("upsert").as("op")))
+          graft.streaming.VectorIngest.syncGraphBatch(cdc, "vec_id",
+            "embedding", "op", cents, idx.toString, degree = 8,
+            efConstruction = 64)
+          (snap.entries, snap.schemaJson, idx.toString)
+        })
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        16)
+      def topk(store: DataFrame, label: String) =
+        Similarity.graphAnnTopKIndexed(store, "vec_id", "embedding",
+            queries, "query_id", "qvec", k = 3, cents, nprobe = 4,
+            ef = 1024)
+          .select(lit(label).as("snap"), col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"))
+      topk(graft.streaming.VectorStore.readEntries(s, idxDir,
+          pinnedEntries, schemaJson), "pinned")
+        .unionByName(topk(
+          graft.streaming.VectorStore.read(s, idxDir), "fresh"))
+        .orderBy(col("snap"), col("query_id"), col("rank"))
+    }),
+
     "stream_pattern_match" -> ((s, dir) => {
-      // order-contracted streaming twin of events_pattern_match: the
-      // per-user journey accumulates in keyed state (time-contiguous
-      // tertile slices satisfy the arrival contract) and the regex
-      // re-runs over the whole journey per emission, so pattern runs
-      // spanning micro-batch boundaries count exactly once. The
-      // cumulative append sink reduces to the final state by
-      // argmax(n_events); must equal the batch oracle verbatim.
+      // order-contracted streaming twin of events_pattern_match with
+      // BOUNDED keyed state: per-user state is the incremental Pike-VM
+      // automaton state (graft.streaming.PikeRegex — O(NFA states)
+      // per user, independent of journey length), fed each batch's
+      // chars once in (ts, event_id) order; pattern runs spanning
+      // micro-batch boundaries count exactly once because the threads
+      // carry across the boundary (time-contiguous tertile slices
+      // satisfy the arrival contract). The cumulative append sink
+      // reduces to the final state by argmax(n_events); must equal
+      // the batch oracle verbatim.
       val stream = eventsTertileStream(s, dir,
         Seq("user_id", "ts", "event_type", "event_id"))
       val emitted = runToMemory(
@@ -4942,6 +5008,25 @@ object SparkEntry {
       |SELECT query_id, rank, vec_id AS neighbor_id
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** sim_store_snapshot oracle — pure planted arithmetic, no floats:
+    * the pinned (pre-sync) store holds true twins of bands 1–3, whose
+    * cosine ranking is band order (amp (k+1)·0.002 strictly orders
+    * them), so pinned rank r → query_id + r·100000; the fresh
+    * (post-sync) store deleted band 1 and inserted band 4, so fresh
+    * rank r → query_id + (r+1)·100000.
+    */
+  private val storeSnapshotOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0)
+      |SELECT 'pinned' AS snap, query_id, r AS rank,
+      |  query_id + r * 100000 AS neighbor_id
+      |FROM q, range(1, 4) t(r)
+      |UNION ALL
+      |SELECT 'fresh' AS snap, query_id, r AS rank,
+      |  query_id + (r + 1) * 100000 AS neighbor_id
+      |FROM q, range(1, 4) t(r)
+      |ORDER BY snap, query_id, rank""".stripMargin
+
   /** plantedAnnOracle minus the tombstoned twins: brute force over
     * the corpus with the (k+1)-band 2 and 4 planted ids removed
     * (vec_id // 100000 ∈ {2, 4} — exactly the Spark side's
@@ -7278,6 +7363,7 @@ object SparkEntry {
     "sim_ivf_remove" -> plantedAnnRemoveOracle,
     // the CDC sync stream's net survivors == the remove oracle's
     "stream_vector_sync" -> plantedAnnRemoveOracle,
+    "sim_store_snapshot" -> storeSnapshotOracle,
     "sim_ivf_store_remove" -> plantedAnnRemoveOracle,
     "sim_ann_graph_refined" -> plantedAnnOracle,
     "sim_graph_lifecycle" -> plantedAnnRemoveOracle,
