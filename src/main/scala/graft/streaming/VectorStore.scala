@@ -219,6 +219,22 @@ object VectorStore {
         .parquet(entries.map(e => s"$dir/$e"): _*)
         .drop("seg")
 
+  /** Pinned snapshot read restricted to the entries `keep` accepts —
+    * manifest-level pruning for probe-shaped readers: an IVF search
+    * probing nprobe of nlist cells passes a cell predicate over the
+    * RELATIVE entry path and Spark never even lists the untouched
+    * partitions (Catalyst partition pruning only avoids reading;
+    * path listing still costs at store scale). Falls back to a plain
+    * read for legacy stores (no manifest to prune against).
+    */
+  def readWhere(spark: SparkSession, dir: String,
+      keep: String => Boolean): DataFrame =
+    snapshot(spark, dir) match {
+      case None => spark.read.parquet(dir)
+      case Some(s) =>
+        readEntries(spark, dir, s.entries.filter(keep), s.schemaJson)
+    }
+
   /** Adopt a legacy store: move its top-level hive partition dirs
     * under `seg=adopt0/` (rename = metadata move) and publish v1.
     * No-op when a manifest already exists; idempotent under crashes

@@ -144,6 +144,32 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("readWhere prunes at the manifest level, same rows as a filtered read") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      buildStore(dir, n = 80, seed = 31)
+      VectorStore.adopt(spark, dir)
+      val full = VectorStore.read(spark, dir)
+      val cells = full.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val probe = cells.take(2).toSet
+      val pruned = VectorStore.readWhere(spark, dir, e =>
+        probe.exists(c => e.endsWith(s"cell=$c")))
+      val viaFilter = full
+        .filter(col("cell").isin(probe.toSeq.map(Integer.valueOf): _*))
+      assert(pruned.select(col("vec_id")).collect().map(_.getLong(0))
+        .toSet ===
+        viaFilter.select(col("vec_id")).collect().map(_.getLong(0))
+          .toSet)
+      // and it genuinely reads fewer entries: only the probed cells'
+      // partition dirs appear in the pruned plan's input files
+      val files = pruned.inputFiles
+      assert(files.nonEmpty && files.forall(f =>
+        probe.exists(c => f.contains(s"cell=$c/"))))
+    }
+  }
+
   test("empty store keeps its schema; vacuum refuses keep=0") {
     import spark.implicits._
     withDir { idx =>
