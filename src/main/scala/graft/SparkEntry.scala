@@ -779,6 +779,49 @@ object SparkEntry {
           col("ts"), "event_id", "v[ce]*p")
         .orderBy(col("user_id"))),
 
+    "events_pattern_extract" -> ((s, dir) =>
+      // the extraction sibling of events_pattern_match: emit the
+      // matched runs themselves (space-joined, journey order) next to
+      // the count — same single partial-agg'd groupBy, regex once per
+      // user, leftmost non-overlapping semantics shared with the
+      // DuckDB oracle
+      graft.operators.Sessionize.sequencePatternExtract(events(s, dir),
+          "user_id",
+          when(col("event_type") === "view", lit("v"))
+            .when(col("event_type") === "click", lit("c"))
+            .when(col("event_type") === "purchase", lit("p"))
+            .when(col("event_type") === "signup", lit("s"))
+            .otherwise(lit("e")),
+          col("ts"), "event_id", "v[ce]*p")
+        .orderBy(col("user_id"))),
+
+    "stream_pattern_multi" -> ((s, dir) => {
+      // k journey patterns matched in ONE streaming pass: the chars
+      // decode once per event and feed k independent Pike engines
+      // riding together in keyed state (O(Σ automaton sizes) per
+      // user). Patterns: the funnel run and the signup-to-purchase
+      // run. Latest row per (user, pattern) by n_events; must equal
+      // the per-pattern batch oracles exactly.
+      val stream = eventsTertileStream(s, dir,
+        Seq("user_id", "ts", "event_type", "event_id"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingSequencePatternMulti(
+          stream, "user_id", "event_type", "ts", "event_id",
+          (t: String) => t match {
+            case "view" => "v"; case "click" => "c"
+            case "purchase" => "p"; case "signup" => "s"
+            case _ => "e"
+          }, Seq(("vp_run", "v[ce]*p"), ("sp_run", "s[vce]*p"))),
+        "append")
+      val w = Window.partitionBy(col("user_id"), col("pattern"))
+        .orderBy(col("n_events").desc)
+      emitted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("n_matches") > 0)
+        .select(col("user_id"), col("pattern"), col("n_events"),
+          col("n_matches"))
+        .orderBy(col("user_id"), col("pattern"))
+    }),
+
     "events_transitions" -> ((s, dir) =>
       // per-user lag-1 behavioral transition matrix with exact counts
       // and row-normalized probabilities — the Markov complement of
@@ -4349,6 +4392,49 @@ object SparkEntry {
         |FROM j WHERE len(regexp_extract_all(journey, 'v[ce]*p')) > 0
         |ORDER BY user_id""".stripMargin
 
+  /** events_pattern_extract oracle: the matched runs themselves via
+    * regexp_extract_all (leftmost non-overlapping — identical
+    * semantics to the Spark side on the portable subset).
+    */
+  private val patternExtractOracle: String = """WITH j AS (
+        |  SELECT user_id, string_agg(CASE event_type WHEN 'view' THEN 'v'
+        |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |      WHEN 'signup' THEN 's' ELSE 'e' END, ''
+        |      ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, CAST(len(journey) AS INT) AS n_events,
+        |    regexp_extract_all(journey, 'v[ce]*p') AS runs
+        |  FROM j)
+        |SELECT user_id, n_events, CAST(len(runs) AS INT) AS n_matches,
+        |  array_to_string(runs, ' ') AS runs
+        |FROM m WHERE len(runs) > 0
+        |ORDER BY user_id""".stripMargin
+
+  /** stream_pattern_multi oracle: the per-pattern journey counts,
+    * one labeled block per pattern.
+    */
+  private val patternMultiOracle: String = """WITH j AS (
+        |  SELECT user_id, string_agg(CASE event_type WHEN 'view' THEN 'v'
+        |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |      WHEN 'signup' THEN 's' ELSE 'e' END, ''
+        |      ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT user_id, 'vp_run' AS pattern,
+        |    CAST(len(journey) AS INT) AS n_events,
+        |    CAST(len(regexp_extract_all(journey, 'v[ce]*p')) AS INT)
+        |      AS n_matches
+        |  FROM j
+        |  UNION ALL
+        |  SELECT user_id, 'sp_run',
+        |    CAST(len(journey) AS INT),
+        |    CAST(len(regexp_extract_all(journey, 's[vce]*p')) AS INT)
+        |  FROM j)
+        |SELECT user_id, pattern, n_events, n_matches FROM c
+        |WHERE n_matches > 0
+        |ORDER BY user_id, pattern""".stripMargin
+
   /** Shared by events_transitions and its keyed-state streaming twin
     * stream_transitions (cumulative pairs + the same matrix agg).
     */
@@ -5592,6 +5678,8 @@ object SparkEntry {
     "events_pattern_match" -> patternMatchOracle,
     // the streaming journey fold must converge to the batch result
     "stream_pattern_match" -> patternMatchOracle,
+    "events_pattern_extract" -> patternExtractOracle,
+    "stream_pattern_multi" -> patternMultiOracle,
 
     "events_ohlc" ->
       """WITH e AS (

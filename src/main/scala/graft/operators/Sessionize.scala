@@ -211,6 +211,33 @@ object Sessionize {
           .as("n_matches"))
       .filter(col("n_matches") > 0)
 
+  /** [[sequencePattern]]'s EXTRACTION sibling: same journey encoding
+    * and leftmost non-overlapping semantics, but emit the matched RUNS
+    * themselves (space-joined, in journey order) next to the count —
+    * "show me each user's view→click⁺→purchase journeys", not just how
+    * many. Same single partial-agg'd groupBy; the regex still runs
+    * once per user and the output stays one row per matching user
+    * (matches are bounded by the user's own event count — the
+    * sessionize boundedness contract).
+    */
+  def sequencePatternExtract(events: DataFrame, userCol: String,
+      charCol: Column, tsCol: Column, tieCol: String,
+      pattern: String): DataFrame =
+    events
+      .select(col(userCol),
+        struct(tsCol.as("t"), col(tieCol).as("i"), charCol.as("c"))
+          .as("__e"))
+      .groupBy(col(userCol))
+      .agg(array_join(transform(array_sort(collect_list(col("__e"))),
+        x => x.getField("c")), "").as("__journey"))
+      .select(col(userCol), length(col("__journey")).as("n_events"),
+        regexp_extract_all(col("__journey"), lit(pattern), lit(0))
+          .as("__runs"))
+      .select(col(userCol), col("n_events"),
+        size(col("__runs")).as("n_matches"),
+        array_join(col("__runs"), " ").as("runs"))
+      .filter(col("n_matches") > 0)
+
   def cohortRetention(events: DataFrame, userCol: String, tsCol: Column,
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, "periodDays must be > 0")

@@ -422,6 +422,58 @@ object EventStream {
       .toDF("user_id", "n_events", "n_matches")
   }
 
+  /** MULTI-pattern twin of [[streamingSequencePattern]]: k patterns
+    * matched in ONE pass over the stream — the chars decode once per
+    * event and feed k independent Pike engines whose states ride
+    * together in the keyed state (state is O(Σ automaton sizes) per
+    * user, still independent of journey length). This is the shape a
+    * funnel library actually runs — several journey patterns per
+    * user — without k separate streaming queries re-reading the
+    * source. Emits one row per (user, pattern) per batch; consumers
+    * keep the latest by n_events, exactly the single-pattern
+    * contract.
+    */
+  def streamingSequencePatternMulti(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      charOf: String => String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(patterns.nonEmpty, "need at least one pattern")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val names = patterns.map(_._1)
+    val progs = patterns.map(p => PikeRegex.compile(p._2))
+    implicit val stEnc: org.apache.spark.sql.Encoder[MultiPikeState] =
+      org.apache.spark.sql.Encoders.product[MultiPikeState]
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        col(idCol).cast("long").as("eid"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, String, Long, Long)],
+          state: org.apache.spark.sql.streaming.GroupState[MultiPikeState]) => {
+        val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+        if (ordered.isEmpty) Iterator.empty
+        else {
+          val chunk = ordered.map(r => charOf(r._2)).mkString
+          val prev = state.getOption
+            .map(_.states)
+            .getOrElse(Array.fill(progs.length)(PikeEngine.initial))
+          val next = Array.tabulate(progs.length)(i =>
+            PikeEngine.feed(progs(i), prev(i), chunk))
+          state.update(MultiPikeState(next))
+          names.indices.iterator.map(i =>
+            (user, names(i), next(i).pos.toInt,
+              PikeEngine.matchCount(next(i)).toInt))
+        }
+      })
+      .toDF("user_id", "pattern", "n_events", "n_matches")
+  }
+
   /** Streaming cohort-activity twin of
     * [[graft.operators.Sessionize.cohortRetention]]: per-user state =
     * (cohort period, offsets already emitted) — bounded by the number

@@ -332,6 +332,11 @@ final case class PikeState(
     qKeys: Array[Long], qCounts: Array[Long], qEnds: Array[Long],
     settled: Long, pos: Long)
 
+/** Keyed state of the MULTI-pattern streaming matcher: one engine
+  * state per pattern, fed the same decoded chars.
+  */
+final case class MultiPikeState(states: Array[PikeState])
+
 object PikeEngine {
   import PikeRegex._
 

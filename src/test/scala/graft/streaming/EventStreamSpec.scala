@@ -727,6 +727,74 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-pattern streaming matcher equals one engine per pattern") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_spatm").toFile
+    val chk = Files.createTempDirectory("graft_spatm_chk").toFile
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    try {
+      // user 1 completes BOTH patterns, the second spanning the batch
+      // boundary; user 2 completes only the signup run
+      Seq((1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "click"),
+          (1L, 3L, ts(3), "purchase"), (1L, 4L, ts(4), "signup"),
+          (2L, 5L, ts(5), "signup"), (2L, 6L, ts(6), "view"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = graft.streaming.EventStream.streamingSequencePatternMulti(
+          stream, "user_id", "event_type", "ts", "event_id",
+          (t: String) => t match {
+            case "view" => "v"; case "click" => "c"
+            case "purchase" => "p"; case "signup" => "s"
+            case _ => "e"
+          }, Seq(("vp", "vc*p"), ("sp", "s[vce]*p")))
+        .writeStream.format("memory").queryName("spatm")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      Seq((1L, 7L, ts(7), "click"), (1L, 8L, ts(8), "purchase"),
+          (2L, 9L, ts(9), "purchase"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      val finals = spark.table("spatm").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), (r.getInt(2), r.getInt(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      // journeys: user1 = v c p s c p; user2 = s v p
+      // vp (vc*p): user1 vcp → 1; user2 "vp" (zero clicks) → 1
+      // sp (s[vce]*p): user1 s c p → 1; user2 s v p → 1
+      assert(finals((1L, "vp")) === ((6, 1)))
+      assert(finals((1L, "sp")) === ((6, 1)))
+      assert(finals((2L, "sp")) === ((3, 1)))
+      assert(finals((2L, "vp")) === ((3, 1)))
+      // parity with one single-pattern engine per pattern over the
+      // full prefix
+      val all = spark.read.parquet(dir.getAbsolutePath + "/*")
+      Seq(("vp", "vc*p"), ("sp", "s[vce]*p")).foreach { case (nm, pat) =>
+        val single = graft.operators.Sessionize.sequencePattern(all,
+            "user_id",
+            when(col("event_type") === "view", lit("v"))
+              .when(col("event_type") === "click", lit("c"))
+              .when(col("event_type") === "purchase", lit("p"))
+              .when(col("event_type") === "signup", lit("s"))
+              .otherwise(lit("e")),
+            col("ts"), "event_id", pat)
+          .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2))))
+          .toMap
+        single.foreach { case (u, v) => assert(finals((u, nm)) === v) }
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("removeIvfBatch: touched-partition rewrite, emptied dirs deleted, replay no-op") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_ivfr_idx").toFile
