@@ -448,6 +448,36 @@ object PikeEngine {
         qKeys.clear(); qCounts.clear(); qEnds.clear()
       }
 
+    // invariant-3 repair after thread deaths: bucket boundaries only
+    // need to distinguish LIVE thread starts (drops happen at a live
+    // accepter's start; later injections always land above every
+    // bucket key, so a lost separation never comes back). Merge
+    // adjacent buckets whose keys no live start separates — keeps
+    // buckets ≤ |threads| + 1 even when the threads that keyed them
+    // died by char-fail rather than by an accept.
+    def compactBuckets(): Unit = {
+      if (qKeys.length <= 1) return
+      // effective key = largest live start ≤ key (−∞ when none);
+      // starts is ascending, buckets keys ascending → one sweep
+      def eff(k: Long): Long = {
+        var lo = 0; var hi = starts.length - 1; var best = Long.MinValue
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (starts(mid) <= k) { best = starts(mid); lo = mid + 1 }
+          else hi = mid - 1
+        }
+        best
+      }
+      var i = 1
+      while (i < qKeys.length) {
+        if (eff(qKeys(i)) == eff(qKeys(i - 1))) {
+          qCounts(i - 1) += qCounts(i)
+          qEnds(i - 1) = qEnds(i)
+          qKeys.remove(i); qCounts.remove(i); qEnds.remove(i)
+        } else i += 1
+      }
+    }
+
     var i = 0
     while (i < chunk.length) {
       val c = chunk.charAt(i)
@@ -476,6 +506,8 @@ object PikeEngine {
         k += 1
       }
       pcs = np; starts = ns
+      // amortized bucket repair: only when deaths inflated the count
+      if (qKeys.length > pcs.length + 1) compactBuckets()
       pos += 1
       i += 1
     }
@@ -484,6 +516,7 @@ object PikeEngine {
     // this) and `seen` is irrelevant across feeds
     processAccepts()
     commitIfSettled()
+    compactBuckets()
 
     PikeState(pcs.toArray, starts.toArray, qKeys.toArray,
       qCounts.toArray, qEnds.toArray, settled, pos)

@@ -127,6 +127,69 @@ class PikeRegexSpec extends AnyFunSuite {
     assert(PikeEngine.matchCount(st) === 200000L)
   }
 
+  test("fuzz: randomly GENERATED subset patterns match java semantics") {
+    // the fixed pattern list pins known shapes; this generates novel
+    // ones from the subset grammar — nested groups, lazy quantifiers,
+    // classes with ranges/negation, {m,n} — and cross-checks the
+    // count against java.util.regex at random chunk boundaries
+    val rnd = new scala.util.Random(0xF00DL)
+    val alphabet = "abcde"
+    def atom(depth: Int): String = rnd.nextInt(8) match {
+      case 0 | 1 | 2 => alphabet(rnd.nextInt(alphabet.length)).toString
+      case 3 => "."
+      case 4 =>
+        val neg = if (rnd.nextBoolean()) "^" else ""
+        val n = 1 + rnd.nextInt(3)
+        val items = Seq.fill(n)(rnd.nextInt(3) match {
+          case 0 => alphabet(rnd.nextInt(alphabet.length)).toString
+          case 1 => "a-c"
+          case _ => "d-e"
+        })
+        s"[$neg${items.mkString}]"
+      case 5 if depth < 2 => s"(${alt(depth + 1)})"
+      case 6 if depth < 2 => s"(?:${alt(depth + 1)})"
+      case _ => alphabet(rnd.nextInt(alphabet.length)).toString
+    }
+    def rep(depth: Int): String = {
+      val a = atom(depth)
+      val q = rnd.nextInt(8) match {
+        case 0 => "*"
+        case 1 => "+"
+        case 2 => "?"
+        case 3 => s"{${1 + rnd.nextInt(2)},${2 + rnd.nextInt(3)}}"
+        case 4 => s"{${1 + rnd.nextInt(3)}}"
+        case _ => ""
+      }
+      val lazyQ =
+        if (q.nonEmpty && q != "?" && rnd.nextInt(4) == 0) "?" else ""
+      a + q + lazyQ
+    }
+    def cat(depth: Int): String =
+      Seq.fill(1 + rnd.nextInt(3))(rep(depth)).mkString
+    def alt(depth: Int): String =
+      Seq.fill(1 + rnd.nextInt(2))(cat(depth)).mkString("|")
+    var tried = 0
+    var run = 0
+    while (run < 150 && tried < 600) {
+      tried += 1
+      val pat = alt(0)
+      val ok =
+        try { PikeRegex.compile(pat); true }
+        catch { case _: IllegalArgumentException => false } // empty-match etc.
+      if (ok) {
+        run += 1
+        (1 to 4).foreach { _ =>
+          val len = 1 + rnd.nextInt(60)
+          val s = Array.fill(len)(
+            alphabet(rnd.nextInt(alphabet.length))).mkString
+          val chunks = Seq.fill(1 + rnd.nextInt(6))(1 + rnd.nextInt(7))
+          feedAndCheck(pat, s, chunks)
+        }
+      }
+    }
+    assert(run >= 100, s"only $run runnable patterns out of $tried")
+  }
+
   test("compile rejects what the contract excludes") {
     intercept[IllegalArgumentException](PikeRegex.compile("a*")) // empty match
     intercept[IllegalArgumentException](PikeRegex.compile("a|"))
