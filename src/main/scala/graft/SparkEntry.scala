@@ -1284,6 +1284,32 @@ object SparkEntry {
       graft.operators.Profile.scoreDriftCounts(ref, counts, k = 20)
     }),
 
+    "stream_quota_sample" -> ((s, dir) => {
+      // the quota-curation loop as a CONTINUOUS job: documents stream
+      // in 3 micro-batches; per-source keyed state keeps the cap
+      // smallest (salted-md5, id) pairs (O(cap) per stratum) and each
+      // batch emits the stratum's current pick set with its running
+      // seen count. The latest emission per stratum (max seen) must
+      // equal the batch quotaSample over the whole corpus — including
+      // cross-batch evictions (a later smaller hash displaces an
+      // earlier pick exactly as the batch rank filter would). Oracle:
+      // curate_quota_sample's SQL verbatim.
+      val docs = t(s, dir, "documents")
+      val live = streamPrefix(s,
+        docs.select(col("doc_id"), col("source")), "doc_id", 3,
+        Some(s"$dir|docs3|quota"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingQuotaSample(
+          live, "doc_id", "source", cap = 20), "append")
+      val w = Window.partitionBy(col("stratum"))
+        .orderBy(col("seen").desc)
+      emitted.withColumn("__dr", dense_rank().over(w))
+        .filter(col("__dr") === 1)
+        .select(col("id").as("doc_id"), col("stratum").as("source"),
+          col("pick_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_sync_apply" -> ((s, dir) => {
       // CONTINUOUS CDC SYNC end to end under the batch oracle — the
       // streaming twin of c16_sync_apply and the reference's third
@@ -5432,6 +5458,18 @@ object SparkEntry {
     // the streaming twin's cumulative counts equal the batch
     // wordcount, so the SAME oracle gates both
     "stream_token_drift" -> topMoversOracle,
+
+    // streaming quota sampling: the latest per-stratum emission must
+    // equal the batch quotaSample verbatim
+    "stream_quota_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS pick_rank
+        |  FROM documents)
+        |SELECT doc_id, source, pick_rank FROM r
+        |WHERE pick_rank <= 20 ORDER BY doc_id""".stripMargin,
     // the order-contracted twins share their batch oracles verbatim:
     // time-contiguous slices make the stream's final keyed state equal
     // the batch computation (see the gate comments)

@@ -422,6 +422,55 @@ object EventStream {
       .toDF("user_id", "n_events", "n_matches")
   }
 
+  /** Streaming twin of [[graft.functions.Curation.quotaSample]]:
+    * per-stratum keyed state holds the cap smallest (salted-md5, id)
+    * pairs — O(cap) per stratum, independent of stream length — and
+    * each batch emits the stratum's CURRENT pick set with its running
+    * `seen` count. Hash order makes the sample deterministic and
+    * convergent: the final emission per stratum equals the batch
+    * quotaSample over the whole prefix (a later smaller hash evicts an
+    * earlier pick exactly as the batch rank filter would — the quota
+    * curation loop as a continuous job instead of periodic full
+    * rescans). Consumers keep each stratum's latest emission
+    * (max seen); the driver gate reduces exactly so.
+    */
+  def streamingQuotaSample(stream: DataFrame, idCol: String,
+      strataCol: String, cap: Int, salt: String = "quota|"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(cap > 0, "cap must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val stEnc: org.apache.spark.sql.Encoder[QuotaState] =
+      org.apache.spark.sql.Encoders.product[QuotaState]
+    val keyed = stream
+      .select(col(strataCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"),
+        // the SAME codegen'd md5 ranking key as the batch operator
+        md5(concat(lit(salt), col(idCol).cast("string"))).as("h"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (stratum: String, rows: Iterator[(String, Long, String)],
+          state: org.apache.spark.sql.streaming.GroupState[QuotaState]) => {
+        val st = state.getOption.getOrElse(
+          QuotaState(Array.empty, Array.empty, 0L))
+        val batch = rows.map(r => (r._3, r._2)).toArray
+        if (batch.isEmpty) Iterator.empty
+        else {
+          val merged = ((st.hashes zip st.ids) ++ batch)
+            .sortBy(identity).take(cap)
+          val seen = st.seen + batch.length
+          state.update(QuotaState(merged.map(_._1), merged.map(_._2),
+            seen))
+          merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+            (stratum, id, (i + 1).toLong, seen)
+          }
+        }
+      })
+      .toDF("stratum", "id", "pick_rank", "seen")
+  }
+
   /** MULTI-pattern twin of [[streamingSequencePattern]]: k patterns
     * matched in ONE pass over the stream — the chars decode once per
     * event and feed k independent Pike engines whose states ride

@@ -337,6 +337,13 @@ final case class PikeState(
   */
 final case class MultiPikeState(states: Array[PikeState])
 
+/** Keyed state of [[EventStream.streamingQuotaSample]]: the stratum's
+  * cap smallest (salted-md5, id) pairs, kept sorted, plus the running
+  * row count. O(cap) regardless of stream length.
+  */
+final case class QuotaState(hashes: Array[String], ids: Array[Long],
+    seen: Long)
+
 object PikeEngine {
   import PikeRegex._
 

@@ -727,6 +727,60 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming quota sample: cross-batch eviction converges to the batch sample") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_squota").toFile
+    val chk = Files.createTempDirectory("graft_squota_chk").toFile
+    try {
+      // cap = 3 over one stratum; ids chosen so batch 2 delivers at
+      // least one id whose salted hash beats a batch-1 pick (with 40
+      // ids across the two batches, eviction is guaranteed somewhere)
+      val b1 = (1L to 20L).map(i => (i, "web"))
+      val b2 = (21L to 40L).map(i => (i, "web")) ++ Seq((41L, "books"))
+      b1.toDF("doc_id", "source").coalesce(1)
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = graft.streaming.EventStream.streamingQuotaSample(
+          stream, "doc_id", "source", cap = 3)
+        .writeStream.format("memory").queryName("squota")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      val after1 = spark.table("squota").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      b2.toDF("doc_id", "source").coalesce(1)
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("squota").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // final per stratum = rows at that stratum's max seen
+      val finals = rows.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        val mx = xs.map(_._4).max
+        xs.filter(_._4 == mx).toSeq
+      }.map(t => (t._1, t._2, t._3)).toSet
+      val batch = graft.functions.Curation.quotaSample(
+          (b1 ++ b2).toDF("doc_id", "source"), "doc_id", "source",
+          cap = 3)
+        .collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSet
+      assert(finals === batch)
+      // the eviction actually happened: batch-1's web picks are not
+      // all in the final set (otherwise this spec tests nothing)
+      val web1 = after1.filter(_._1 == "web").map(_._2)
+      val webF = finals.filter(_._1 == "web").map(_._2)
+      assert(web1.nonEmpty && !web1.subsetOf(webF))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("multi-pattern streaming matcher equals one engine per pattern") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_spatm").toFile
