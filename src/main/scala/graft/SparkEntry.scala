@@ -1310,6 +1310,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "stream_weighted_sample" -> ((s, dir) => {
+      // continuous A-ES weighted sampling: documents stream in 3
+      // micro-batches across 8 deterministic shards whose keyed state
+      // keeps per-shard top-200 by the batch operator's exact rank
+      // key (state O(shards*k)). Latest emission per shard, then the
+      // global top-200 by (key DESC, id) — must equal the batch
+      // weightedSample verbatim (the per-shard union necessarily
+      // contains the global top-k). Oracle: curate_weighted_sample's
+      // SQL verbatim.
+      val docs = t(s, dir, "documents")
+      val live = streamPrefix(s,
+        docs.select(col("doc_id"),
+          octet_length(col("text")).as("w")), "doc_id", 3,
+        Some(s"$dir|docs3|wsample"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingWeightedSample(
+          live, "doc_id", "w", k = 200, shards = 8), "append")
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("seen").desc)
+      emitted.withColumn("__dr", dense_rank().over(w))
+        .filter(col("__dr") === 1)
+        .orderBy(col("wkey").desc, col("id"))
+        .limit(200)
+        .select(col("id").as("doc_id"), col("w").cast("int").as("w"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_sync_apply" -> ((s, dir) => {
       // CONTINUOUS CDC SYNC end to end under the batch oracle — the
       // streaming twin of c16_sync_apply and the reference's third
@@ -5458,6 +5485,19 @@ object SparkEntry {
     // the streaming twin's cumulative counts equal the batch
     // wordcount, so the SAME oracle gates both
     "stream_token_drift" -> topMoversOracle,
+
+    // streaming A-ES weighted sampling: latest per-shard top-k, global
+    // reduce = the batch sample verbatim
+    "stream_weighted_sample" ->
+      """SELECT doc_id, w FROM (
+        |  SELECT doc_id, strlen(text) AS w,
+        |    pow((CAST(('0x' || substr(md5('wsample|' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+        |      / 1152921504606846976.0,
+        |      1.0 / strlen(text)) AS k
+        |  FROM documents
+        |  ORDER BY k DESC, doc_id LIMIT 200) t
+        |ORDER BY doc_id""".stripMargin,
 
     // streaming quota sampling: the latest per-stratum emission must
     // equal the batch quotaSample verbatim

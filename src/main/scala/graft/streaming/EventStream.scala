@@ -471,6 +471,61 @@ object EventStream {
       .toDF("stratum", "id", "pick_rank", "seen")
   }
 
+  /** Streaming twin of [[graft.functions.Curation.weightedSample]]
+    * (Efraimidis–Spirakis A-ES, without replacement): rows spray over
+    * `shards` deterministic shards and each shard's keyed state keeps
+    * its top-k rows by the SAME codegen'd rank key as the batch
+    * operator (u^(1/w), u from the salted 60-bit md5) — state is
+    * O(shards·k), independent of stream length, and no single task
+    * funnels the whole stream. Each shard's latest emission is its
+    * exact top-k over the prefix, and the union of per-shard top-k
+    * necessarily contains the global top-k, so the consumer's final
+    * reduce (latest per shard → global top-k by (key DESC, id)) equals
+    * the batch sample verbatim — continuous weighted reservoir
+    * curation without periodic full rescans.
+    */
+  def streamingWeightedSample(stream: DataFrame, idCol: String,
+      weightCol: String, k: Int, shards: Int = 8,
+      salt: String = "wsample|"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(k > 0 && shards > 0, "need k > 0 and shards > 0")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val stEnc: org.apache.spark.sql.Encoder[WSampleState] =
+      org.apache.spark.sql.Encoders.product[WSampleState]
+    val u = (graft.functions.Curation.saltedHash60(salt, col(idCol))
+      .cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    val keyed = stream
+      .select(pmod(xxhash64(col(idCol)), lit(shards.toLong)).as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"),
+        pow(u, lit(1.0) / col(weightCol).cast("double")).as("wkey"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.NoTimeout())(
+      (shard: Long, rows: Iterator[(Long, Long, Long, Double)],
+          state: org.apache.spark.sql.streaming.GroupState[WSampleState]) => {
+        val st = state.getOption.getOrElse(
+          WSampleState(Array.empty, Array.empty, Array.empty, 0L))
+        val batch = rows.map(r => (r._4, r._2, r._3)).toArray
+        if (batch.isEmpty) Iterator.empty
+        else {
+          // top-k by (key DESC, id ASC) — the batch operator's order
+          val merged =
+            ((st.keys, st.ids, st.ws).zipped.toArray ++ batch)
+              .sortBy { case (key, id, _) => (-key, id) }.take(k)
+          val seen = st.seen + batch.length
+          state.update(WSampleState(merged.map(_._1), merged.map(_._2),
+            merged.map(_._3), seen))
+          merged.iterator.map { case (key, id, w) =>
+            (shard, id, w, key, seen)
+          }
+        }
+      })
+      .toDF("shard", "id", "w", "wkey", "seen")
+  }
+
   /** MULTI-pattern twin of [[streamingSequencePattern]]: k patterns
     * matched in ONE pass over the stream — the chars decode once per
     * event and feed k independent Pike engines whose states ride

@@ -344,6 +344,13 @@ final case class MultiPikeState(states: Array[PikeState])
 final case class QuotaState(hashes: Array[String], ids: Array[Long],
     seen: Long)
 
+/** Keyed state of [[EventStream.streamingWeightedSample]]: one
+  * shard's top-k rows by A-ES rank key, plus the running row count.
+  * O(k) per shard regardless of stream length.
+  */
+final case class WSampleState(keys: Array[Double], ids: Array[Long],
+    ws: Array[Long], seen: Long)
+
 object PikeEngine {
   import PikeRegex._
 

@@ -781,6 +781,55 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming weighted sample: per-shard top-k union reduces to the batch sample") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_swsmp").toFile
+    val chk = Files.createTempDirectory("graft_swsmp_chk").toFile
+    try {
+      val b1 = (1L to 30L).map(i => (i, 10L + i % 7))
+      val b2 = (31L to 60L).map(i => (i, 10L + i % 7))
+      b1.toDF("doc_id", "w").coalesce(1)
+        .write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = graft.streaming.EventStream.streamingWeightedSample(
+          stream, "doc_id", "w", k = 5, shards = 3)
+        .writeStream.format("memory").queryName("swsmp")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      b2.toDF("doc_id", "w").coalesce(1)
+        .write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("swsmp").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4)))
+      // latest per shard → global top-5 by (key desc, id)
+      val finals = rows.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        val mx = xs.map(_._5).max
+        xs.filter(_._5 == mx).toSeq
+      }
+      val picked = finals.sortBy(t => (-t._4, t._2)).take(5)
+        .map(t => (t._2, t._3)).toSet
+      val batch = graft.functions.Curation.weightedSample(
+          (b1 ++ b2).toDF("doc_id", "w"), "doc_id", "w", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(picked === batch)
+      // state boundedness: no shard ever emitted more than k rows per
+      // batch (emission size = state size)
+      assert(rows.groupBy(t => (t._1, t._5)).values
+        .forall(_.length <= 5))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("multi-pattern streaming matcher equals one engine per pattern") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_spatm").toFile
