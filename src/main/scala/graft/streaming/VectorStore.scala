@@ -84,6 +84,13 @@ object VectorStore {
     latest.map { case (v, p) =>
       val in = fs.open(p)
       val node = try mapper.readTree(in) finally in.close()
+      // a torn/empty/garbage manifest must FAIL the reader, never get
+      // read as an empty store (a maintenance op would silently no-op
+      // against it, a search would silently return nothing)
+      if (node == null || !node.has("version") || !node.has("entries") ||
+          node.get("version").asLong(-1L) != v)
+        throw new IllegalStateException(
+          s"VectorStore: corrupt manifest ${p.getName} at $dir")
       val entries = node.get("entries") match {
         case a: ArrayNode =>
           (0 until a.size()).map(i => a.get(i).asText())

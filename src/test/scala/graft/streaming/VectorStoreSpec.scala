@@ -170,6 +170,43 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a torn or garbage manifest fails loudly, never reads as empty") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      buildStore(dir, n = 40, seed = 41)
+      VectorStore.adopt(spark, dir)
+      val v = VectorStore.version(spark, dir)
+      // a torn write (crashed NON-atomic copy, bitrot, a stray file):
+      // highest-numbered manifest is empty garbage. Readers and
+      // maintenance ops must FAIL, not treat the store as empty (a
+      // remove would silently no-op, a search would return nothing)
+      val torn = new java.io.File(idx,
+        f"_manifests/v${v + 1}%012d.json")
+      assert(torn.createNewFile())
+      intercept[IllegalStateException](VectorStore.read(spark, dir))
+      val tomb = Seq(1L).toDF("vec_id")
+      intercept[IllegalStateException](
+        VectorIngest.removeGraphBatch(tomb, "vec_id", "embedding",
+          dir, degree = 4, efConstruction = 32))
+      // version-field mismatch (renamed manifest) is equally corrupt
+      val renamed = new java.io.File(idx,
+        f"_manifests/v${v + 2}%012d.json")
+      java.nio.file.Files.copy(
+        new java.io.File(idx, f"_manifests/v$v%012d.json").toPath,
+        renamed.toPath)
+      intercept[IllegalStateException](VectorStore.read(spark, dir))
+      // remove the debris → the store serves v again and ops commit
+      assert(torn.delete() && renamed.delete())
+      assert(VectorStore.version(spark, dir) === v)
+      VectorIngest.removeGraphBatch(tomb, "vec_id", "embedding", dir,
+        degree = 4, efConstruction = 32)
+      assert(VectorStore.version(spark, dir) === v + 1)
+      assert(VectorStore.read(spark, dir).filter(col("vec_id") === 1L)
+        .collect().isEmpty)
+    }
+  }
+
   test("empty store keeps its schema; vacuum refuses keep=0") {
     import spark.implicits._
     withDir { idx =>
