@@ -207,6 +207,94 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lifecycle fuzz: random op sequences track a content model exactly") {
+    import spark.implicits._
+    // randomized ingest/sync/remove/vacuum sequences against the GRAPH
+    // store, with a driver-side model of the expected id->vector map;
+    // after every op the store content must equal the model and a
+    // reader pinned before the op must still see the pre-op content
+    // (its segments survive until vacuum). The same fuzz discipline
+    // that caught the Pike bucket leak, aimed at the commit protocol.
+    val rnd = new scala.util.Random(20260815L)
+    def vec(id: Long, v: Int): Array[Double] =
+      Array.tabulate(4)(d => ((id * 31 + d * 17 + v * 7) % 19 - 9) / 9.0)
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      val model = scala.collection.mutable.HashMap.empty[Long, Int] // id -> version
+      val init = (1L to 40L).map(i => (i, vec(i, 0)))
+      init.foreach { case (i, _) => model(i) = 0 }
+      val all = init.toDF("vec_id", "embedding")
+      val cents = graft.functions.Similarity.ivfCentroids(all, "vec_id",
+        "embedding", 2)
+      graft.functions.Similarity.graphAnnBuild(all, "vec_id",
+          "embedding", cents, degree = 4, efConstruction = 16)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      VectorStore.adopt(spark, dir)
+      def content(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+        df.select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      def modelContent: Map[Long, Seq[Double]] =
+        model.toMap.map { case (i, v) => i -> vec(i, v).toSeq }
+      var nextId = 41L
+      (1 to 12).foreach { step =>
+        val before = content(VectorStore.read(spark, dir))
+        val pinned = VectorStore.read(spark, dir) // resolved now
+        rnd.nextInt(4) match {
+          case 0 => // ingest fresh ids
+            val ids = (0 until 1 + rnd.nextInt(3)).map(_ => {
+              val i = nextId; nextId += 1; model(i) = 0; i })
+            VectorIngest.ingestGraphBatch(
+              ids.map(i => (i, vec(i, 0))).toDF("vec_id", "embedding"),
+              "vec_id", "embedding", cents, dir, degree = 4,
+              efConstruction = 16)
+          case 1 => // mixed CDC sync: update some, delete some, insert one
+            val live = model.keys.toSeq.sorted
+            val ups = rnd.shuffle(live).take(1 + rnd.nextInt(2))
+              .map { i => model(i) = model(i) + 1; (i, vec(i, model(i)), "upsert") }
+            val dels = rnd.shuffle(live.filterNot(ups.map(_._1).contains))
+              .take(rnd.nextInt(2))
+              .map { i => model.remove(i); (i, Array.empty[Double], "delete") }
+            val ins = { val i = nextId; nextId += 1; model(i) = 0
+              Seq((i, vec(i, 0), "upsert")) }
+            VectorIngest.syncGraphBatch(
+              (ups ++ dels ++ ins).toDF("vec_id", "embedding", "op"),
+              "vec_id", "embedding", "op", cents, dir, degree = 4,
+              efConstruction = 16)
+          case 2 => // tombstones (some absent — no-ops)
+            val live = model.keys.toSeq.sorted
+            val dead = rnd.shuffle(live).take(rnd.nextInt(3)) :+ 999999L
+            dead.filter(_ != 999999L).foreach(model.remove)
+            VectorIngest.removeGraphBatch(dead.toDF("vec_id"),
+              "vec_id", "embedding", dir, degree = 4,
+              efConstruction = 16)
+          case 3 => // maintenance: vacuum keeps the current version only
+            VectorStore.vacuum(spark, dir, keep = 2)
+        }
+        val after = content(VectorStore.read(spark, dir))
+        assert(after === modelContent, s"step $step content diverged")
+        // the pinned pre-op reader still serves the pre-op content
+        // (vacuum keep=2 protects the immediately-prior version)
+        assert(content(pinned) === before, s"step $step pinned reader torn")
+      }
+      // the store still equals a fresh build of the survivors (the
+      // remove/sync construction guarantee, end of the random walk)
+      val survivors = model.keys.toSeq.sorted
+        .map(i => (i, vec(i, model(i)))).toDF("vec_id", "embedding")
+      val fresh = graft.functions.Similarity.graphAnnBuild(survivors,
+          "vec_id", "embedding", cents, degree = 4, efConstruction = 16)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2),
+          r.getSeq[Long](3))).toSet
+      val stored = VectorStore.read(spark, dir)
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          col("neighbors"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2),
+          r.getSeq[Long](3))).toSet
+      assert(stored === fresh)
+    }
+  }
+
   test("empty store keeps its schema; vacuum refuses keep=0") {
     import spark.implicits._
     withDir { idx =>
