@@ -512,9 +512,10 @@ object EventStream {
         if (batch.isEmpty) Iterator.empty
         else {
           // top-k by (key DESC, id ASC) — the batch operator's order
-          val merged =
-            ((st.keys, st.ids, st.ws).zipped.toArray ++ batch)
-              .sortBy { case (key, id, _) => (-key, id) }.take(k)
+          val held = Array.tabulate(st.ids.length)(i =>
+            (st.keys(i), st.ids(i), st.ws(i)))
+          val merged = (held ++ batch)
+            .sortBy { case (key, id, _) => (-key, id) }.take(k)
           val seen = st.seen + batch.length
           state.update(WSampleState(merged.map(_._1), merged.map(_._2),
             merged.map(_._3), seen))
