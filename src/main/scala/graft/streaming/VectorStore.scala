@@ -71,17 +71,30 @@ object VectorStore {
   /** Latest committed snapshot, or None when the dir has no manifest
     * (legacy or empty store). One listing + one small file read.
     */
-  def snapshot(spark: SparkSession, dir: String): Option[Snapshot] = {
+  def snapshot(spark: SparkSession, dir: String): Option[Snapshot] =
+    snapshotAt(spark, dir, -1L)
+
+  /** The snapshot at a specific `version` (TIME TRAVEL — any version
+    * [[vacuum]] has not dropped), or the latest when `version` < 0.
+    */
+  def snapshotAt(spark: SparkSession, dir: String,
+      version: Long): Option[Snapshot] = {
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     if (!fs.exists(md)) return None
-    val latest = fs.listStatus(md).flatMap { st =>
+    val named = fs.listStatus(md).flatMap { st =>
       st.getPath.getName match {
         case ManifestName(n) => Some((n.toLong, st.getPath))
         case _ => None
       }
-    }.sortBy(_._1).lastOption
-    latest.map { case (v, p) =>
+    }.sortBy(_._1)
+    val picked =
+      if (version < 0) named.lastOption
+      else named.find(_._1 == version).orElse(throw
+        new IllegalArgumentException(
+          s"VectorStore: version $version not present at $dir " +
+            s"(have ${named.map(_._1).mkString(",")}) — vacuumed?"))
+    picked.map { case (v, p) =>
       val in = fs.open(p)
       val node = try mapper.readTree(in) finally in.close()
       // a torn/empty/garbage manifest must FAIL the reader, never get
@@ -206,6 +219,17 @@ object VectorStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     snapshot(spark, dir) match {
       case None => spark.read.parquet(dir) // legacy store
+      case Some(s) => readEntries(spark, dir, s.entries, s.schemaJson)
+    }
+
+  /** TIME-TRAVEL read: the store exactly as version `v` published it
+    * (immutable — its segments persist until [[vacuum]] drops the
+    * version). Errors on a vacuumed/unknown version.
+    */
+  def readAt(spark: SparkSession, dir: String, v: Long): DataFrame =
+    snapshotAt(spark, dir, v) match {
+      case None => throw new IllegalArgumentException(
+        s"VectorStore: no manifest store at $dir")
       case Some(s) => readEntries(spark, dir, s.entries, s.schemaJson)
     }
 

@@ -295,6 +295,35 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("time travel: readAt serves any unvacuumed version verbatim") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      buildStore(dir, n = 30, seed = 51)
+      VectorStore.adopt(spark, dir)
+      val v1 = VectorStore.version(spark, dir)
+      val ids1 = VectorStore.read(spark, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      VectorIngest.removeGraphBatch(Seq(1L, 2L).toDF("vec_id"),
+        "vec_id", "embedding", dir, degree = 4, efConstruction = 32)
+      val v2 = VectorStore.version(spark, dir)
+      assert(v2 === v1 + 1)
+      // both versions readable, each exactly as published
+      assert(VectorStore.readAt(spark, dir, v1)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        === ids1)
+      assert(VectorStore.readAt(spark, dir, v2)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        === ids1 -- Set(1L, 2L))
+      // vacuum drops v1; time travel to it now errors loudly
+      VectorStore.vacuum(spark, dir, keep = 1)
+      intercept[IllegalArgumentException](
+        VectorStore.readAt(spark, dir, v1))
+      assert(VectorStore.readAt(spark, dir, v2).count()
+        === (ids1.size - 2).toLong)
+    }
+  }
+
   test("empty store keeps its schema; vacuum refuses keep=0") {
     import spark.implicits._
     withDir { idx =>
