@@ -3,6 +3,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Output path for the full JSON line. Default unchanged (the
+    // driver's contract), but overridable: a local iteration run that
+    // writes ./BENCH_FULL.json from the repo root CLOBBERS the
+    // driver-final medians of the previous round (it did — r13's).
+    // Pass an arg or set SPARK_GRAFT_BENCH_OUT to keep local runs
+    // out of the committed snapshot's way.
+    val outPath = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("BENCH_FULL.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -140,7 +149,7 @@ object Bench {
     // total is inside it.
     println(full)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      java.nio.file.Paths.get(outPath), full + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     val nErr = results.count(_._3.isDefined)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_errors":$nErr,"steal_pct":$stealPct,"sf":"$sfDir"}""")

@@ -118,8 +118,12 @@ object Curation {
     * partition move) — "sample 100k docs proportional to quality" at
     * 100 TB without a full sort or a global shuffle.
     *
-    * Rows with w ≤ 0 get rank 0 (pow(u<1, +inf) = 0) and are never
-    * selected — the conventional A-ES treatment of zero weight.
+    * CONTRACT: weights must be POSITIVE — A-ES is only defined for
+    * w > 0. Rows with w ≤ 0 are FILTERED OUT (never sampled): w = 0
+    * happens to fall out of the math (pow(u<1, +inf) = 0, rank floor),
+    * but w < 0 would INVERT the ranking (1/w < 0 ⇒ u^(1/w) > 1, the
+    * row always wins) — silently corrupting the sample — so the
+    * explicit filter is the contract, not a convenience.
     * Deterministic and engine-portable: the oracle replays
     * `pow((md5_60(salt||id) + 0.5) / 2^60, 1/w)` bit-for-bit.
     */
@@ -130,7 +134,8 @@ object Curation {
       "input column '__wkey' collides with the weightedSample working column")
     val u = (saltedHash60(salt, col(idCol)).cast("double") + lit(0.5)) /
       lit(math.pow(2, 60))
-    df.withColumn("__wkey",
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__wkey",
         pow(u, lit(1.0) / col(weightCol).cast("double")))
       .orderBy(col("__wkey").desc, col(idCol))
       .limit(k)

@@ -483,6 +483,10 @@ object EventStream {
     * reduce (latest per shard → global top-k by (key DESC, id)) equals
     * the batch sample verbatim — continuous weighted reservoir
     * curation without periodic full rescans.
+    *
+    * Same positive-weight CONTRACT as the batch twin: rows with
+    * w ≤ 0 are filtered out before ranking (A-ES is undefined there;
+    * w < 0 would invert the rank and always win).
     */
   def streamingWeightedSample(stream: DataFrame, idCol: String,
       weightCol: String, k: Int, shards: Int = 8,
@@ -496,6 +500,7 @@ object EventStream {
     val u = (graft.functions.Curation.saltedHash60(salt, col(idCol))
       .cast("double") + lit(0.5)) / lit(math.pow(2, 60))
     val keyed = stream
+      .filter(col(weightCol).cast("double") > 0)
       .select(pmod(xxhash64(col(idCol)), lit(shards.toLong)).as("shard"),
         col(idCol).cast("long").as("id"),
         col(weightCol).cast("long").as("w"),

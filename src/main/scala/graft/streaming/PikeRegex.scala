@@ -86,6 +86,11 @@ object PikeRegex {
   /** max = -1 means unbounded. */
   private final case class Rep(r: Re, min: Int, max: Int, greedy: Boolean) extends Re
 
+  /** RE2's counted-repetition cap: {m,n} bounds above this are
+    * rejected at parse (the compiler emits O(n) instruction copies).
+    */
+  val MaxRep = 1000
+
   private final class Parser(s: String) {
     private var i = 0
     private def err(msg: String): Nothing =
@@ -133,6 +138,11 @@ object PikeRegex {
             if (!more || cur != '}') err("unterminated {m,n}")
             i += 1
             if (mx != -1 && mx < m) err("{m,n} with n < m")
+            // compilation emits up to n instruction copies of the
+            // body — an unvalidated bound like {2000000000} is a
+            // driver OOM, not a pattern. RE2 caps at 1000; match it.
+            if (m > MaxRep || mx > MaxRep)
+              err(s"repetition bound exceeds $MaxRep")
             (m, mx)
         }
         val greedy = if (more && cur == '?') { i += 1; false } else true
@@ -145,7 +155,10 @@ object PikeRegex {
       val st = i
       while (more && cur.isDigit) i += 1
       if (i == st) err("expected integer")
-      s.substring(st, i).toInt
+      // an over-Int bound must surface as the parser's own error with
+      // position context, not a raw NumberFormatException
+      try s.substring(st, i).toInt
+      catch { case _: NumberFormatException => err("integer out of range") }
     }
 
     private def atom(): Re = {
@@ -201,6 +214,14 @@ object PikeRegex {
       }
     }
 
+    // Two grammar corners verified against BOTH twin engines (round
+    // 15, direct runs of java.util.regex 17 and DuckDB/RE2): a bare
+    // ']' as the FIRST class member ("[]a]" = {']','a'}) and a '-'
+    // after a spliced shorthand ("[\d-x]" = \d ∪ {'-','x'}) are
+    // ACCEPTED by java and RE2 with exactly the union semantics this
+    // parser produces — so they stay accepted here (rejecting them
+    // would shrink the subset below what the batch twin and the
+    // oracle run). PikeRegexSpec pins the agreement case by case.
     private def charClass(): Re = {
       i += 1 // consume '['
       val neg = more && cur == '^'

@@ -337,8 +337,16 @@ object VectorIngest {
       if (ups.isEmpty) (Seq.empty[String], Seq.empty[String], schema0)
       else ingestGraphPlan(ups, idCol, vecCol, centroids, indexDir,
         overlay, schema0, degree, efConstruction)
+    // a no-op sync against a NONEXISTENT store must not commit: a
+    // tag-only manifest would carry empty entries and empty schema,
+    // making VectorStore.read throw ("empty store with no recorded
+    // schema") where a missing store reads as missing. Replay safety
+    // is unaffected — re-running the same delete-only batch against
+    // the still-missing store is itself a no-op. Once a store EXISTS,
+    // a tagged empty sync still commits to advance the channel
+    // high-water mark (cheap, and keeps replay-skip exact).
     if (drop1.isEmpty && add1.isEmpty && drop2.isEmpty && add2.isEmpty
-        && tag.isEmpty) return
+        && (tag.isEmpty || snap.isEmpty)) return
     // one commit for the whole sync: entries = E0 − drop1 + add1 −
     // drop2 + add2. drop2 may well include add1 entries (a cell both
     // rebuilt by the remove and rewritten by the insert) — those must

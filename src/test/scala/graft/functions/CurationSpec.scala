@@ -671,4 +671,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val cols = Curation.scrubSpans(docs, spans, "doc_id", "text").columns
     assert(cols.toSeq === Seq("doc_id", "text"))
   }
+
+  test("weightedSample: non-positive weights are excluded, never win") {
+    import spark.implicits._
+    // without the w > 0 contract, w = -1 gives 1/w < 0 so
+    // u^(1/w) > 1 — the row would ALWAYS outrank every legal row;
+    // w = 0 gives pow(u, +inf) = 0 (never wins, but still undefined
+    // A-ES input). Both must be filtered, not ranked.
+    val df = ((1L to 50L).map(i => (i, 10L)) ++
+        Seq((100L, 0L), (101L, -1L), (102L, -1000000L)))
+      .toDF("doc_id", "w")
+    val picked = Curation.weightedSample(df, "doc_id", "w", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.size === 20)
+    assert(!picked.exists(_ >= 100L),
+      "a non-positive-weight row entered the sample")
+    // k larger than the legal population: only legal rows come back
+    val all = Curation.weightedSample(df, "doc_id", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(all === (1L to 50L).toSet)
+  }
 }

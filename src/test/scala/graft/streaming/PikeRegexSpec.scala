@@ -207,4 +207,34 @@ class PikeRegexSpec extends AnyFunSuite {
     feedAndCheck("[a-c-]+z", "ab-cz a-z xz", Seq(5, 5))
     feedAndCheck("[\\d]{2}", "1234567", Seq(1, 1, 1, 1, 1, 1, 1))
   }
+
+  test("class grammar corners: ']' first member and shorthand-dash " +
+      "match java (and RE2) union semantics") {
+    // both engines verified directly (round 15): "[]a]" is the class
+    // {']', 'a'} and "[\d-x]" is \d ∪ {'-', 'x'} in java 17 AND
+    // DuckDB/RE2 — the parser must keep accepting them with exactly
+    // that reading, not reject them as ADVICE once assumed
+    feedAndCheck("[]a]+", "]a] b]a", Seq(2, 3, 2))
+    feedAndCheck("[^]a]+", "]xy]azz", Seq(3, 4))
+    feedAndCheck("[\\d-x]+", "12-x m9", Seq(1, 2, 4))
+    feedAndCheck("[\\d-]+", "1-2 3", Seq(2, 3))
+  }
+
+  test("counted-repetition bounds are capped and over-Int is the " +
+      "parser's own error") {
+    // {m,n} compiles to O(n) instruction copies — unvalidated bounds
+    // are a driver OOM. RE2 caps at 1000; so does this parser.
+    PikeRegex.compile("a{2,1000}") // at the cap: fine
+    val e1 = intercept[IllegalArgumentException](
+      PikeRegex.compile("a{1001}"))
+    assert(e1.getMessage.contains("repetition bound"))
+    val e2 = intercept[IllegalArgumentException](
+      PikeRegex.compile("a{2000000000}"))
+    assert(e2.getMessage.contains("repetition bound"))
+    // over Int.MaxValue: parser error with position context, never a
+    // raw NumberFormatException
+    val e3 = intercept[IllegalArgumentException](
+      PikeRegex.compile("a{99999999999}"))
+    assert(e3.getMessage.contains("integer out of range"))
+  }
 }

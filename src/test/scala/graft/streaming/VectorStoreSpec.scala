@@ -124,6 +124,39 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a tagged delete-only first batch against a missing store commits nothing") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath + "/nonexistent"
+      val cents = Array(Array.fill(8)(0.0), Array.fill(8)(1.0))
+      // deletes against a store that does not exist: the tag-advancing
+      // commit must be SKIPPED — an entries-less, schema-less manifest
+      // would make VectorStore.read throw "empty store with no
+      // recorded schema" where a missing store should read as missing
+      val tomb = Seq((7L, Array.empty[Double], "delete"))
+        .toDF("vec_id", "embedding", "op")
+      VectorIngest.syncGraphBatch(tomb, "vec_id", "embedding", "op",
+        cents, dir, degree = 4, efConstruction = 32,
+        tag = Some(("vector_sync", 1L)))
+      assert(VectorStore.snapshot(spark, dir).isEmpty,
+        "a no-op sync against a missing store must not publish a manifest")
+      assert(!VectorIngest.storeHasData(spark, dir))
+      // the first real upsert bootstraps the store with a schema…
+      VectorIngest.syncGraphBatch(
+        Seq((1L, Array.fill(8)(0.5), "upsert"))
+          .toDF("vec_id", "embedding", "op"),
+        "vec_id", "embedding", "op", cents, dir, degree = 4,
+        efConstruction = 32, tag = Some(("vector_sync", 2L)))
+      assert(VectorStore.read(spark, dir).count() === 1L)
+      // …and from then on a tagged empty sync still advances the mark
+      VectorIngest.syncGraphBatch(tomb, "vec_id", "embedding", "op",
+        cents, dir, degree = 4, efConstruction = 32,
+        tag = Some(("vector_sync", 3L)))
+      assert(VectorStore.lastTag(spark, dir, "vector_sync") === Some(3L))
+      assert(VectorStore.read(spark, dir).count() === 1L)
+    }
+  }
+
   test("adoption is idempotent and preserves content exactly") {
     import spark.implicits._
     withDir { idx =>
