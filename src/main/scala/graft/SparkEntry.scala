@@ -822,6 +822,31 @@ object SparkEntry {
         .orderBy(col("user_id"), col("pattern"))
     }),
 
+    "stream_pattern_multi_ttl" -> ((s, dir) => {
+      // TTL-evicting k-pattern matcher: one shared char decode, k Pike
+      // engines per user, sliding event-time TTL on the whole state.
+      // The 100-year horizon exceeds the fixture span, so the result
+      // must equal stream_pattern_multi's batch oracle verbatim.
+      val stream = eventsTertileStream(s, dir,
+        Seq("user_id", "ts", "event_type", "event_id"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingSequencePatternMultiTtl(
+          stream, "user_id", "event_type", "ts", "event_id",
+          (t: String) => t match {
+            case "view" => "v"; case "click" => "c"
+            case "purchase" => "p"; case "signup" => "s"
+            case _ => "e"
+          }, Seq(("vp_run", "v[ce]*p"), ("sp_run", "s[vce]*p")),
+          ttlMs = 3155760000000L), "append")
+      val w = Window.partitionBy(col("user_id"), col("pattern"))
+        .orderBy(col("n_events").desc)
+      emitted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("n_matches") > 0)
+        .select(col("user_id"), col("pattern"), col("n_events"),
+          col("n_matches"))
+        .orderBy(col("user_id"), col("pattern"))
+    }),
+
     "events_transitions" -> ((s, dir) =>
       // per-user lag-1 behavioral transition matrix with exact counts
       // and row-normalized probabilities — the Markov complement of
@@ -1310,6 +1335,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "stream_quota_ttl" -> ((s, dir) => {
+      // TTL-evicting quota sampler (round 15): per-stratum state ages
+      // out `ttlMs` after the stratum's last sighting — TOTAL state
+      // bounded under stratum churn (per-domain quotas over a crawl's
+      // long-tail source column). Event time here is synthetic
+      // (timestamp_seconds(doc_id)) and the id-sliced batches are NOT
+      // time-contiguous, so the watermark delay spans the whole id
+      // range — no row is late, nothing evicts, and the final reduce
+      // must equal the batch quotaSample verbatim (the op's documented
+      // within-horizon contract; EventStreamSpec drives real
+      // evictions).
+      val docs = t(s, dir, "documents")
+      val live = streamPrefix(s,
+        // +1: doc_id 0 would land exactly ON the initial watermark
+        // (epoch 0) and be dropped as late by the stateful operator
+        docs.select(col("doc_id"), col("source"),
+          timestamp_seconds(col("doc_id") + 1).as("ts")), "doc_id", 3,
+        Some(s"$dir|docs3|quota_ts"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingQuotaSampleTtl(
+          live, "doc_id", "source", "ts", cap = 20,
+          ttlMs = 3155760000000L, watermarkDelay = "36500 days"),
+        "append")
+      val w = Window.partitionBy(col("stratum"))
+        .orderBy(col("seen").desc)
+      emitted.withColumn("__dr", dense_rank().over(w))
+        .filter(col("__dr") === 1)
+        .select(col("id").as("doc_id"), col("stratum").as("source"),
+          col("pick_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_weighted_sample" -> ((s, dir) => {
       // continuous A-ES weighted sampling: documents stream in 3
       // micro-batches across 8 deterministic shards whose keyed state
@@ -1327,6 +1384,34 @@ object SparkEntry {
       val emitted = runToMemory(
         graft.streaming.EventStream.streamingWeightedSample(
           live, "doc_id", "w", k = 200, shards = 8), "append")
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("seen").desc)
+      emitted.withColumn("__dr", dense_rank().over(w))
+        .filter(col("__dr") === 1)
+        .orderBy(col("wkey").desc, col("id"))
+        .limit(200)
+        .select(col("id").as("doc_id"), col("w").cast("int").as("w"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "stream_weighted_ttl" -> ((s, dir) => {
+      // TTL variant of the sharded A-ES sampler: a shard idle past the
+      // TTL finalizes and resets (a sample-horizon contract — the
+      // shard key space is already bounded). Horizon exceeds the
+      // synthetic event-time span, so the reduce must equal the batch
+      // weightedSample verbatim, same as the NoTimeout twin.
+      val docs = t(s, dir, "documents")
+      val live = streamPrefix(s,
+        // +1: see stream_quota_ttl — epoch-0 event time is late
+        docs.select(col("doc_id"),
+          octet_length(col("text")).as("w"),
+          timestamp_seconds(col("doc_id") + 1).as("ts")), "doc_id", 3,
+        Some(s"$dir|docs3|wsample_ts"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingWeightedSampleTtl(
+          live, "doc_id", "w", "ts", k = 200,
+          ttlMs = 3155760000000L, shards = 8,
+          watermarkDelay = "36500 days"), "append")
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("seen").desc)
       emitted.withColumn("__dr", dense_rank().over(w))
@@ -1633,6 +1718,33 @@ object SparkEntry {
             case "purchase" => "p"; case "signup" => "s"
             case _ => "e"
           }, "v[ce]*p"), "append")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc)
+      emitted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("n_matches") > 0)
+        .select(col("user_id"), col("n_events"), col("n_matches"))
+        .orderBy(col("user_id"))
+    }),
+
+    "stream_pattern_ttl" -> ((s, dir) => {
+      // the TTL-EVICTING pattern matcher (round 15): identical
+      // semantics to stream_pattern_match WITHIN the TTL horizon —
+      // here the horizon (100 years) exceeds the fixture span, so no
+      // key evicts and the result must be bit-identical to the
+      // NoTimeout twin under the same batch oracle. TOTAL state is
+      // bounded by keys active inside one horizon (the NoTimeout twin
+      // accumulates dormant users forever — EventStreamSpec drives
+      // real evictions; ScaleSmoke's churn column measures flatness).
+      val stream = eventsTertileStream(s, dir,
+        Seq("user_id", "ts", "event_type", "event_id"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingSequencePatternTtl(
+          stream, "user_id", "event_type", "ts", "event_id",
+          (t: String) => t match {
+            case "view" => "v"; case "click" => "c"
+            case "purchase" => "p"; case "signup" => "s"
+            case _ => "e"
+          }, "v[ce]*p", ttlMs = 3155760000000L), "append")
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("n_events").desc)
       emitted.withColumn("__rn", row_number().over(w))
@@ -4464,6 +4576,33 @@ object SparkEntry {
         |FROM m WHERE len(runs) > 0
         |ORDER BY user_id""".stripMargin
 
+  /** Shared oracle of the streaming A-ES sampler twins (NoTimeout +
+    * TTL): the batch weightedSample replayed bit-for-bit.
+    */
+  private val weightedSampleStreamOracle: String =
+    """SELECT doc_id, w FROM (
+      |  SELECT doc_id, strlen(text) AS w,
+      |    pow((CAST(('0x' || substr(md5('wsample|' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+      |      / 1152921504606846976.0,
+      |      1.0 / strlen(text)) AS k
+      |  FROM documents
+      |  ORDER BY k DESC, doc_id LIMIT 200) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared oracle of the streaming quota sampler twins (NoTimeout +
+    * TTL): the batch quotaSample replayed verbatim.
+    */
+  private val quotaSampleStreamOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS pick_rank
+      |  FROM documents)
+      |SELECT doc_id, source, pick_rank FROM r
+      |WHERE pick_rank <= 20 ORDER BY doc_id""".stripMargin
+
   /** stream_pattern_multi oracle: the per-pattern journey counts,
     * one labeled block per pattern.
     */
@@ -5487,29 +5626,15 @@ object SparkEntry {
     "stream_token_drift" -> topMoversOracle,
 
     // streaming A-ES weighted sampling: latest per-shard top-k, global
-    // reduce = the batch sample verbatim
-    "stream_weighted_sample" ->
-      """SELECT doc_id, w FROM (
-        |  SELECT doc_id, strlen(text) AS w,
-        |    pow((CAST(('0x' || substr(md5('wsample|' ||
-        |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
-        |      / 1152921504606846976.0,
-        |      1.0 / strlen(text)) AS k
-        |  FROM documents
-        |  ORDER BY k DESC, doc_id LIMIT 200) t
-        |ORDER BY doc_id""".stripMargin,
+    // reduce = the batch sample verbatim — and the TTL twin under a
+    // horizon longer than the fixture is bit-identical by contract
+    "stream_weighted_sample" -> weightedSampleStreamOracle,
+    "stream_weighted_ttl" -> weightedSampleStreamOracle,
 
     // streaming quota sampling: the latest per-stratum emission must
-    // equal the batch quotaSample verbatim
-    "stream_quota_sample" ->
-      """WITH r AS (
-        |  SELECT doc_id, source,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id)
-        |      AS BIGINT) AS pick_rank
-        |  FROM documents)
-        |SELECT doc_id, source, pick_rank FROM r
-        |WHERE pick_rank <= 20 ORDER BY doc_id""".stripMargin,
+    // equal the batch quotaSample verbatim (TTL twin likewise)
+    "stream_quota_sample" -> quotaSampleStreamOracle,
+    "stream_quota_ttl" -> quotaSampleStreamOracle,
     // the order-contracted twins share their batch oracles verbatim:
     // time-contiguous slices make the stream's final keyed state equal
     // the batch computation (see the gate comments)
@@ -5754,10 +5879,14 @@ object SparkEntry {
 
     "events_transitions" -> transitionsOracle,
     "events_pattern_match" -> patternMatchOracle,
-    // the streaming journey fold must converge to the batch result
+    // the streaming journey fold must converge to the batch result;
+    // the TTL twins are bit-identical when the horizon outlives the
+    // fixture (their own gates pin exactly that, tri-SF)
     "stream_pattern_match" -> patternMatchOracle,
+    "stream_pattern_ttl" -> patternMatchOracle,
     "events_pattern_extract" -> patternExtractOracle,
     "stream_pattern_multi" -> patternMultiOracle,
+    "stream_pattern_multi_ttl" -> patternMultiOracle,
 
     "events_ohlc" ->
       """WITH e AS (

@@ -413,12 +413,91 @@ object EventStream {
         else {
           val chunk = ordered.map(r => charOf(r._2)).mkString
           val st = PikeEngine.feed(prog,
-            state.getOption.getOrElse(PikeEngine.initial), chunk)
+            state.getOption.map(s => KeyedState.checked(s, s.ver,
+              "streamingSequencePattern")).getOrElse(PikeEngine.initial),
+            chunk)
           state.update(st)
           Iterator.single(
             (user, st.pos.toInt, PikeEngine.matchCount(st).toInt))
         }
       })
+      .toDF("user_id", "n_events", "n_matches")
+  }
+
+  /** EVENT-TIME-TTL variant of [[streamingSequencePattern]] — closes
+    * the op's LAST unbounded axis. Per-key state was already O(NFA)
+    * (the round-14 Pike VM); this bounds TOTAL state under key churn:
+    * on a years-long stream keyed by churning/anonymous user ids, the
+    * NoTimeout twin accumulates one dormant PikeState per user id
+    * ever seen. Here a user's state expires `ttlMs` after the LAST
+    * sighting's event time (sliding TTL, [[streamingExactDedupTtl]]'s
+    * mechanics: the operator applies the watermark itself, eviction
+    * fires via GroupState.setTimeoutTimestamp when the watermark
+    * passes last-seen + TTL), so total state is bounded by the
+    * distinct users active inside one TTL horizon.
+    *
+    * Eviction emits the user's FINAL (n_events, n_matches) row once
+    * more and removes the state — the latest row per user is its
+    * final aggregate whether the user aged out or the stream ended,
+    * so argmax(n_events) consumers stay exact for evicted keys. A
+    * re-arrival after expiry starts a FRESH journey (counts reset):
+    * matching is exact WITHIN the horizon, the standard bounded-state
+    * trade-off. With a TTL longer than the stream's span this is
+    * bit-identical to the NoTimeout twin (the driver gate
+    * `stream_pattern_ttl` pins that under the batch oracle).
+    */
+  def streamingSequencePatternTtl(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      charOf: String => String, pattern: String, ttlMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val prog = PikeRegex.compile(pattern)
+    implicit val stEnc: org.apache.spark.sql.Encoder[PikeState] =
+      org.apache.spark.sql.Encoders.product[PikeState]
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        col(idCol).cast("long").as("eid"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      // watermark AFTER the projection (cast/alias strips the
+      // event-time tag — see streamingExactDedupTtl)
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[PikeState]) =>
+        if (state.hasTimedOut) {
+          val st = state.get
+          state.remove()
+          Iterator.single(
+            (user, st.pos.toInt, PikeEngine.matchCount(st).toInt))
+        } else {
+          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            val chunk = ordered.map(r => charOf(r._2)).mkString
+            val st = PikeEngine.feed(prog,
+              state.getOption.map(s => KeyedState.checked(s, s.ver,
+                "streamingSequencePatternTtl"))
+                .getOrElse(PikeEngine.initial),
+              chunk)
+            state.update(st)
+            // sliding TTL anchored on this batch's max event time
+            // (in-order arrival contract — same as the base op);
+            // timeout must sit strictly above the current watermark
+            val maxTs = ordered.map(_._5.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.single(
+              (user, st.pos.toInt, PikeEngine.matchCount(st).toInt))
+          }
+        })
       .toDF("user_id", "n_events", "n_matches")
   }
 
@@ -434,6 +513,24 @@ object EventStream {
     * rescans). Consumers keep each stratum's latest emission
     * (max seen); the driver gate reduces exactly so.
     */
+  /** Shared cap-smallest-by-hash merge of [[streamingQuotaSample]] and
+    * its TTL twin — one definition so the twins cannot drift.
+    */
+  private def quotaMerge(st: QuotaState, batch: Array[(String, Long)],
+      cap: Int): QuotaState = {
+    val merged = ((st.hashes zip st.ids) ++ batch)
+      .sortBy(identity).take(cap)
+    QuotaState(merged.map(_._1), merged.map(_._2),
+      st.seen + batch.length)
+  }
+
+  /** One stratum's current pick set as emission rows. */
+  private def quotaEmit(stratum: String, st: QuotaState)
+      : Iterator[(String, Long, Long, Long)] =
+    st.ids.iterator.zipWithIndex.map { case (id, i) =>
+      (stratum, id, (i + 1).toLong, st.seen)
+    }
+
   def streamingQuotaSample(stream: DataFrame, idCol: String,
       strataCol: String, cap: Int, salt: String = "quota|"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
@@ -453,21 +550,75 @@ object EventStream {
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (stratum: String, rows: Iterator[(String, Long, String)],
           state: org.apache.spark.sql.streaming.GroupState[QuotaState]) => {
-        val st = state.getOption.getOrElse(
+        val st = state.getOption.map(s => KeyedState.checked(s, s.ver,
+          "streamingQuotaSample")).getOrElse(
           QuotaState(Array.empty, Array.empty, 0L))
         val batch = rows.map(r => (r._3, r._2)).toArray
         if (batch.isEmpty) Iterator.empty
         else {
-          val merged = ((st.hashes zip st.ids) ++ batch)
-            .sortBy(identity).take(cap)
-          val seen = st.seen + batch.length
-          state.update(QuotaState(merged.map(_._1), merged.map(_._2),
-            seen))
-          merged.iterator.zipWithIndex.map { case ((_, id), i) =>
-            (stratum, id, (i + 1).toLong, seen)
-          }
+          val next = quotaMerge(st, batch, cap)
+          state.update(next)
+          quotaEmit(stratum, next)
         }
       })
+      .toDF("stratum", "id", "pick_rank", "seen")
+  }
+
+  /** EVENT-TIME-TTL variant of [[streamingQuotaSample]]: a stratum
+    * idle past `ttlMs` (event time, sliding on last sighting) emits
+    * its final pick set once more and leaves the state store — TOTAL
+    * state stays bounded by the strata active inside one TTL horizon
+    * even when strata churn forever (per-domain quotas over a
+    * crawl's long-tail source column is exactly that shape). A
+    * stratum re-arriving after expiry starts a fresh quota. With a
+    * TTL past the stream's span this is bit-identical to the
+    * NoTimeout twin (driver gate `stream_quota_ttl`). Consumers keep
+    * the latest emission per stratum (max seen) as before; an
+    * evicted stratum's re-emission duplicates its final rows
+    * verbatim, so latest-per-key reducers dedupe trivially.
+    */
+  def streamingQuotaSampleTtl(stream: DataFrame, idCol: String,
+      strataCol: String, tsCol: String, cap: Int, ttlMs: Long,
+      watermarkDelay: String = "10 minutes",
+      salt: String = "quota|"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(cap > 0, "cap must be positive")
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val stEnc: org.apache.spark.sql.Encoder[QuotaState] =
+      org.apache.spark.sql.Encoders.product[QuotaState]
+    val keyed = stream
+      .select(col(strataCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"),
+        md5(concat(lit(salt), col(idCol).cast("string"))).as("h"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (stratum: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[QuotaState]) =>
+        if (state.hasTimedOut) {
+          val st = state.get
+          state.remove()
+          quotaEmit(stratum, st)
+        } else {
+          val st = state.getOption.map(s => KeyedState.checked(s, s.ver,
+            "streamingQuotaSampleTtl")).getOrElse(
+            QuotaState(Array.empty, Array.empty, 0L))
+          val batch = rows.toArray
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val next = quotaMerge(st, batch.map(r => (r._3, r._2)), cap)
+            state.update(next)
+            val maxTs = batch.map(_._4.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            quotaEmit(stratum, next)
+          }
+        })
       .toDF("stratum", "id", "pick_rank", "seen")
   }
 
@@ -511,24 +662,98 @@ object EventStream {
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (shard: Long, rows: Iterator[(Long, Long, Long, Double)],
           state: org.apache.spark.sql.streaming.GroupState[WSampleState]) => {
-        val st = state.getOption.getOrElse(
+        val st = state.getOption.map(s => KeyedState.checked(s, s.ver,
+          "streamingWeightedSample")).getOrElse(
           WSampleState(Array.empty, Array.empty, Array.empty, 0L))
         val batch = rows.map(r => (r._4, r._2, r._3)).toArray
         if (batch.isEmpty) Iterator.empty
         else {
-          // top-k by (key DESC, id ASC) — the batch operator's order
-          val held = Array.tabulate(st.ids.length)(i =>
-            (st.keys(i), st.ids(i), st.ws(i)))
-          val merged = (held ++ batch)
-            .sortBy { case (key, id, _) => (-key, id) }.take(k)
-          val seen = st.seen + batch.length
-          state.update(WSampleState(merged.map(_._1), merged.map(_._2),
-            merged.map(_._3), seen))
-          merged.iterator.map { case (key, id, w) =>
-            (shard, id, w, key, seen)
-          }
+          val next = wsampleMerge(st, batch, k)
+          state.update(next)
+          wsampleEmit(shard, next)
         }
       })
+      .toDF("shard", "id", "w", "wkey", "seen")
+  }
+
+  /** Shared top-k-by-rank-key merge of [[streamingWeightedSample]] and
+    * its TTL twin — top-k by (key DESC, id ASC), the batch operator's
+    * order.
+    */
+  private def wsampleMerge(st: WSampleState,
+      batch: Array[(Double, Long, Long)], k: Int): WSampleState = {
+    val held = Array.tabulate(st.ids.length)(i =>
+      (st.keys(i), st.ids(i), st.ws(i)))
+    val merged = (held ++ batch)
+      .sortBy { case (key, id, _) => (-key, id) }.take(k)
+    WSampleState(merged.map(_._1), merged.map(_._2), merged.map(_._3),
+      st.seen + batch.length)
+  }
+
+  /** One shard's current top-k as emission rows. */
+  private def wsampleEmit(shard: Long, st: WSampleState)
+      : Iterator[(Long, Long, Long, Double, Long)] =
+    st.ids.indices.iterator.map(i =>
+      (shard, st.ids(i), st.ws(i), st.keys(i), st.seen))
+
+  /** EVENT-TIME-TTL variant of [[streamingWeightedSample]]. The shard
+    * key space is bounded by construction (`shards` values), so unlike
+    * the pattern/quota twins this op never had a key-churn axis — the
+    * TTL here is a SAMPLE-HORIZON contract instead: a shard idle past
+    * `ttlMs` emits its final top-k once more and resets, so after a
+    * long quiet period the sample restarts from the live stream
+    * rather than being dominated forever by ancient rows. With a TTL
+    * past the stream's span it is bit-identical to the NoTimeout twin
+    * (driver gate `stream_weighted_ttl`); same positive-weight
+    * contract and consumer reduce as the base op.
+    */
+  def streamingWeightedSampleTtl(stream: DataFrame, idCol: String,
+      weightCol: String, tsCol: String, k: Int, ttlMs: Long,
+      shards: Int = 8, watermarkDelay: String = "10 minutes",
+      salt: String = "wsample|"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(k > 0 && shards > 0, "need k > 0 and shards > 0")
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    implicit val stEnc: org.apache.spark.sql.Encoder[WSampleState] =
+      org.apache.spark.sql.Encoders.product[WSampleState]
+    val u = (graft.functions.Curation.saltedHash60(salt, col(idCol))
+      .cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    val keyed = stream
+      .filter(col(weightCol).cast("double") > 0)
+      .select(pmod(xxhash64(col(idCol)), lit(shards.toLong)).as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"),
+        pow(u, lit(1.0) / col(weightCol).cast("double")).as("wkey"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (shard: Long, rows: Iterator[(Long, Long, Long, Double, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[WSampleState]) =>
+        if (state.hasTimedOut) {
+          val st = state.get
+          state.remove()
+          wsampleEmit(shard, st)
+        } else {
+          val st = state.getOption.map(s => KeyedState.checked(s, s.ver,
+            "streamingWeightedSampleTtl")).getOrElse(
+            WSampleState(Array.empty, Array.empty, Array.empty, 0L))
+          val batch = rows.toArray
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val next = wsampleMerge(st,
+              batch.map(r => (r._4, r._2, r._3)), k)
+            state.update(next)
+            val maxTs = batch.map(_._5.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            wsampleEmit(shard, next)
+          }
+        })
       .toDF("shard", "id", "w", "wkey", "seen")
   }
 
@@ -571,7 +796,8 @@ object EventStream {
         else {
           val chunk = ordered.map(r => charOf(r._2)).mkString
           val prev = state.getOption
-            .map(_.states)
+            .map(s => KeyedState.checked(s, s.ver,
+              "streamingSequencePatternMulti").states)
             .getOrElse(Array.fill(progs.length)(PikeEngine.initial))
           val next = Array.tabulate(progs.length)(i =>
             PikeEngine.feed(progs(i), prev(i), chunk))
@@ -581,6 +807,70 @@ object EventStream {
               PikeEngine.matchCount(next(i)).toInt))
         }
       })
+      .toDF("user_id", "pattern", "n_events", "n_matches")
+  }
+
+  /** EVENT-TIME-TTL variant of [[streamingSequencePatternMulti]] —
+    * the same sliding last-sighting TTL as
+    * [[streamingSequencePatternTtl]] over the k-engine shared-decode
+    * state: an evicted user emits one final row PER PATTERN and
+    * leaves the state store; total state is bounded by the users
+    * active inside one TTL horizon times Σ automaton sizes. With a
+    * TTL past the stream's span, bit-identical to the NoTimeout twin
+    * (driver gate `stream_pattern_multi_ttl`).
+    */
+  def streamingSequencePatternMultiTtl(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      charOf: String => String, patterns: Seq[(String, String)],
+      ttlMs: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(patterns.nonEmpty, "need at least one pattern")
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val names = patterns.map(_._1)
+    val progs = patterns.map(p => PikeRegex.compile(p._2))
+    implicit val stEnc: org.apache.spark.sql.Encoder[MultiPikeState] =
+      org.apache.spark.sql.Encoders.product[MultiPikeState]
+    def emit(user: Long, sts: Array[PikeState]) =
+      names.indices.iterator.map(i =>
+        (user, names(i), sts(i).pos.toInt,
+          PikeEngine.matchCount(sts(i)).toInt))
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        col(idCol).cast("long").as("eid"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[MultiPikeState]) =>
+        if (state.hasTimedOut) {
+          val sts = state.get.states
+          state.remove()
+          emit(user, sts)
+        } else {
+          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            val chunk = ordered.map(r => charOf(r._2)).mkString
+            val prev = state.getOption
+              .map(s => KeyedState.checked(s, s.ver,
+                "streamingSequencePatternMultiTtl").states)
+              .getOrElse(Array.fill(progs.length)(PikeEngine.initial))
+            val next = Array.tabulate(progs.length)(i =>
+              PikeEngine.feed(progs(i), prev(i), chunk))
+            state.update(MultiPikeState(next))
+            val maxTs = ordered.map(_._5.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            emit(user, next)
+          }
+        })
       .toDF("user_id", "pattern", "n_events", "n_matches")
   }
 

@@ -337,13 +337,55 @@ object PikeRegex {
   }
 }
 
+/** Schema-version registry for the keyed streaming states.
+  *
+  * Why: a keyed-state case class change silently invalidates every
+  * running checkpoint — the r13→r14 PikeState change surfaced only as
+  * a confusing Spark state-schema error at restore (documented gotcha).
+  * Every state case class now CARRIES its schema version; restores
+  * call [[checked]] which either passes the state through (current
+  * version), applies a registered migration (none yet — this is the
+  * hook), or fails LOUDLY with an actionable message instead of
+  * letting a stale-shape state corrupt the operator.
+  *
+  * Spark's own state-store schema check catches FIELD-SHAPE drift
+  * (added/removed/retyped columns) before this code runs; the carried
+  * version additionally catches SEMANTIC drift — same fields, new
+  * meaning (e.g. a re-based position counter) — which no structural
+  * check can see.
+  */
+object KeyedState {
+  /** Current keyed-state schema version. v1 = the round-14 shapes
+    * (no version field); v2 adds the carried version itself.
+    */
+  val Ver = 2
+
+  /** Validate-or-migrate a restored state. Returns the state when its
+    * carried version is current; future migrations hook in here;
+    * anything unmigratable throws with restore guidance.
+    */
+  def checked[T](st: T, ver: Int, op: String): T =
+    if (ver == Ver) st
+    else if (ver > Ver) throw new IllegalStateException(
+      s"$op: restored keyed state carries schema v$ver, newer than " +
+        s"this engine's v$Ver — running an old engine against a new " +
+        "checkpoint; upgrade the job or restore an older checkpoint")
+    else throw new IllegalStateException(
+      s"$op: restored keyed state carries schema v$ver but this " +
+        s"engine expects v$Ver and no migration is registered for " +
+        "that step — restart from a fresh checkpoint (state is " +
+        "rebuilt from the source) or add the migration to " +
+        "KeyedState.checked")
+}
+
 /** Serializable per-key engine state — the keyed streaming state.
   *
   * `pcs`/`starts`: the live thread frontier in priority order (starts
   * are non-decreasing; priority = start asc, then backtrack order).
   * `qKeys`/`qCounts`/`qEnds`: the pending-match queue compressed into
   * buckets (see [[PikeRegex]] invariant 3). `settled`: committed match
-  * count. `pos`: chars consumed so far (= n_events).
+  * count. `pos`: chars consumed so far (= n_events). `ver`: carried
+  * schema version ([[KeyedState]]).
   *
   * Size bound: |pcs| ≤ program size (threads dedupe by pc), buckets ≤
   * |pcs| + 1 — independent of journey length (spec-asserted).
@@ -351,26 +393,27 @@ object PikeRegex {
 final case class PikeState(
     pcs: Array[Int], starts: Array[Long],
     qKeys: Array[Long], qCounts: Array[Long], qEnds: Array[Long],
-    settled: Long, pos: Long)
+    settled: Long, pos: Long, ver: Int = KeyedState.Ver)
 
 /** Keyed state of the MULTI-pattern streaming matcher: one engine
   * state per pattern, fed the same decoded chars.
   */
-final case class MultiPikeState(states: Array[PikeState])
+final case class MultiPikeState(states: Array[PikeState],
+    ver: Int = KeyedState.Ver)
 
 /** Keyed state of [[EventStream.streamingQuotaSample]]: the stratum's
   * cap smallest (salted-md5, id) pairs, kept sorted, plus the running
   * row count. O(cap) regardless of stream length.
   */
 final case class QuotaState(hashes: Array[String], ids: Array[Long],
-    seen: Long)
+    seen: Long, ver: Int = KeyedState.Ver)
 
 /** Keyed state of [[EventStream.streamingWeightedSample]]: one
   * shard's top-k rows by A-ES rank key, plus the running row count.
   * O(k) per shard regardless of stream length.
   */
 final case class WSampleState(keys: Array[Double], ids: Array[Long],
-    ws: Array[Long], seen: Long)
+    ws: Array[Long], seen: Long, ver: Int = KeyedState.Ver)
 
 object PikeEngine {
   import PikeRegex._

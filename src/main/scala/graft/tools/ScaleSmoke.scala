@@ -707,6 +707,115 @@ object ScaleSmoke {
     println(f"final state bytes: pike ${pike.last._3}%d vs string ${base.last._3}%d (${base.last._3.toDouble / math.max(pike.last._3, 1)}%.1fx)")
   }
 
+  /** `churn` mode: TOTAL keyed-state growth of the streaming pattern
+    * matcher under KEY CHURN — the round-14-verdict missing axis. The
+    * `pattern` sweep pins per-key state flat as one user's history
+    * grows; here every batch brings a FRESH set of user ids (the
+    * churning/anonymous-id shape of a long-running stream), so the
+    * NoTimeout operator accumulates one dormant PikeState per user
+    * ever seen — state rows grow linearly with batches, forever. The
+    * TTL twin ([[graft.streaming.EventStream
+    * .streamingSequencePatternTtl]], sliding event-time TTL spanning
+    * ~3 batches here) evicts dormant users as the watermark passes,
+    * so its TOTAL state stays flat at ~(users x TTL-batches) no
+    * matter how long the stream runs — the bounded-state contract a
+    * years-long 100 TB stream needs.
+    */
+  private def churnSweep(spark: SparkSession, nBatches: Int,
+      users: Int, charsPer: Int): Unit = {
+    val pattern = "v[ce]*p"
+    val charOf = (t: String) => t match {
+      case "view" => "v"; case "click" => "c"
+      case "purchase" => "p"; case _ => "s"
+    }
+
+    // batch b: users FRESH ids (b*users …), event-time contiguous
+    def batchDf(b: Int): DataFrame = {
+      val perBatch = users.toLong * charsPer
+      spark.range(perBatch).select(
+        (lit(b.toLong * users) + pmod(col("id"), lit(users.toLong)))
+          .as("user_id"),
+        timestamp_seconds(lit(1L + b.toLong * charsPer) +
+          floor(col("id") / users)).as("ts"),
+        (lit(b * perBatch) + col("id")).as("event_id"),
+        when(pmod(col("id") * 2654435761L +
+            pmod(col("id"), lit(users.toLong)) * 1315423911L, lit(10))
+            < 4, "view")
+          .when(pmod(col("id") * 2654435761L +
+            pmod(col("id"), lit(users.toLong)) * 1315423911L, lit(10))
+            < 8, "click")
+          .when(pmod(col("id") * 2654435761L +
+            pmod(col("id"), lit(users.toLong)) * 1315423911L, lit(10))
+            === 8, "purchase")
+          .otherwise("signup").as("event_type"))
+    }
+
+    def run(op: DataFrame => DataFrame): Seq[(Int, Double, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_churn")
+      val chk = java.nio.file.Files.createTempDirectory("graft_churn_chk")
+      try {
+        batchDf(0).coalesce(1).write.parquet(s"$dir/b${"%04d".format(0)}")
+        val schema = spark.read.parquet(s"$dir/b0000").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+        val q = op(stream).writeStream.format("noop")
+          .outputMode("append")
+          .option("checkpointLocation", chk.toString).start()
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Double, Long, Long)]
+        (0 until nBatches).foreach { b =>
+          if (b > 0) batchDf(b).coalesce(1).write
+            .parquet(s"$dir/b${"%04d".format(b)}")
+          val (_, t) = timed(q.processAllAvailable())
+          val so = Option(q.lastProgress)
+            .flatMap(p => p.stateOperators.headOption)
+          out += ((b + 1, t, so.map(_.numRowsTotal).getOrElse(0L),
+            so.map(_.memoryUsedBytes).getOrElse(0L)))
+        }
+        q.stop()
+        out.toSeq
+      } finally {
+        Seq(dir, chk).foreach { d =>
+          val w = java.nio.file.Files.walk(d)
+          try w.sorted(java.util.Comparator
+              .reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally w.close()
+        }
+      }
+    }
+
+    // TTL ≈ 3 batches of event time; watermark tight (in-order fixture)
+    val ttlMs = 3L * charsPer * 1000
+    val ttl = run(s =>
+      graft.streaming.EventStream.streamingSequencePatternTtl(s,
+        "user_id", "event_type", "ts", "event_id", charOf, pattern,
+        ttlMs = ttlMs, watermarkDelay = "1 second"))
+    val noTtl = run(s =>
+      graft.streaming.EventStream.streamingSequencePattern(s,
+        "user_id", "event_type", "ts", "event_id", charOf, pattern))
+    val marks = Seq(1, 2, 5, 10, 20, 40, 60, 100, 150, 200)
+      .filter(_ <= nBatches)
+    println(s"churn sweep: $users FRESH users x $charsPer chars per " +
+      s"batch, $nBatches batches (${users.toLong * nBatches} distinct " +
+      s"keys total); TTL = ${ttlMs / 1000} s event time (~3 batches)")
+    println(f"${"batch"}%-7s ${"keys_seen"}%-10s ${"ttl_rows"}%-9s ${"ttl_MB"}%-8s ${"nottl_rows"}%-11s ${"nottl_MB"}%-9s")
+    marks.foreach { m =>
+      val a = ttl(m - 1); val b = noTtl(m - 1)
+      println(f"$m%-7d ${m.toLong * users}%-10d ${a._3}%-9d ${a._4 / 1e6}%-8.2f ${b._3}%-11d ${b._4 / 1e6}%-9.2f")
+    }
+    def halfMean(xs: Seq[(Int, Double, Long, Long)], lo: Int, hi: Int) = {
+      val sl = xs.slice(lo, hi).map(_._3.toDouble); sl.sum / sl.length
+    }
+    val t2 = halfMean(ttl, nBatches / 4, nBatches / 2)
+    val t4 = halfMean(ttl, 3 * nBatches / 4, nBatches)
+    val n2 = halfMean(noTtl, nBatches / 4, nBatches / 2)
+    val n4 = halfMean(noTtl, 3 * nBatches / 4, nBatches)
+    println(f"ttl    state rows mean: Q2 $t2%.0f -> Q4 $t4%.0f (ratio ${t4 / t2}%.2f — flat under churn)")
+    println(f"nottl  state rows mean: Q2 $n2%.0f -> Q4 $n4%.0f (ratio ${n4 / n2}%.2f — linear growth)")
+    println(f"final state: ttl ${ttl.last._3}%d rows / ${ttl.last._4 / 1e6}%.2f MB vs nottl ${noTtl.last._3}%d rows / ${noTtl.last._4 / 1e6}%.2f MB (${noTtl.last._3.toDouble / math.max(ttl.last._3, 1)}%.1fx rows)")
+  }
+
   /** `race` mode: concurrent-reader stress for the manifest store —
     * the r13-verdict failure scenario (a `graphAnnTopKIndexed` search
     * racing a sync observing a half-committed store) driven for real.
@@ -862,6 +971,20 @@ object ScaleSmoke {
         .getOrCreate()
       sp.sparkContext.setLogLevel("WARN")
       patternSweep(sp, nb, us, cp)
+      sp.stop()
+      return
+    }
+    if (args.length > 1 && args(1) == "churn") {
+      val (nb, us, cp) =
+        if (args.length > 4) (args(2).toInt, args(3).toInt, args(4).toInt)
+        else (60, 256, 40)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      churnSweep(sp, nb, us, cp)
       sp.stop()
       return
     }

@@ -1109,6 +1109,194 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pattern TTL: dormant user evicts with exact final emission, re-arrival restarts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pttl").toFile
+    val chk = Files.createTempDirectory("graft_pttl_chk").toFile
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    val charOf = (t: String) => t match {
+      case "view" => "v"; case "click" => "c"; case "purchase" => "p"
+      case _ => "e"
+    }
+    try {
+      // user 1 completes a match then goes dormant; user 2 keeps the
+      // stream (and the watermark) moving
+      Seq((1L, 1L, ts("10:00"), "view"), (1L, 2L, ts("10:01"), "click"),
+          (1L, 3L, ts("10:02"), "purchase"), (2L, 4L, ts("10:02"), "view"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingSequencePatternTtl(
+          stream, "user_id", "event_type", "ts", "event_id",
+          charOf, "vc*p", ttlMs = 30L * 60 * 1000,
+          watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("pttl")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      // advance the watermark past user 1's timeout (10:02 + 30 min)
+      Seq((2L, 5L, ts("12:00"), "purchase"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      // a further batch runs with the advanced watermark: user 1's
+      // state times out here and must RE-EMIT its final (3, 1) row
+      Seq((2L, 6L, ts("12:05"), "view"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b3")
+      q.processAllAvailable()
+      val afterEvict = spark.table("pttl").collect()
+        .filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getInt(2)))
+      assert(afterEvict.toSeq.sorted === Seq((3, 1), (3, 1)),
+        s"expected batch emission + identical eviction re-emission, got ${afterEvict.toSeq}")
+      // re-arrival after eviction starts a FRESH journey — n_events
+      // restarts (a surviving state would have counted 5)
+      Seq((1L, 7L, ts("12:10"), "view"), (1L, 8L, ts("12:11"), "purchase"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b4")
+      q.processAllAvailable()
+      q.stop()
+      val u1 = spark.table("pttl").collect()
+        .filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getInt(2)))
+      assert(u1.toSeq.sorted === Seq((2, 1), (3, 1), (3, 1)),
+        s"expected a restarted (2,1) journey after eviction, got ${u1.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
+  test("quota TTL: idle stratum re-emits final picks on eviction and restarts after") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_qttl").toFile
+    val chk = Files.createTempDirectory("graft_qttl_chk").toFile
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    try {
+      Seq((1L, "a", ts("10:00")), (2L, "a", ts("10:00")),
+          (3L, "a", ts("10:01")))
+        .toDF("doc_id", "source", "ts")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingQuotaSampleTtl(
+          stream, "doc_id", "source", "ts", cap = 2,
+          ttlMs = 30L * 60 * 1000, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("qttl")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      val firstPicks = spark.table("qttl").collect()
+        .filter(_.getString(0) == "a")
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(firstPicks.size === 2 && firstPicks.forall(_._3 == 3L))
+      // stratum "b" advances the watermark past a's timeout…
+      Seq((10L, "b", ts("12:00")))
+        .toDF("doc_id", "source", "ts")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      // …and the next batch fires it: a's final pick set re-emits
+      Seq((11L, "b", ts("12:05")))
+        .toDF("doc_id", "source", "ts")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b3")
+      q.processAllAvailable()
+      val aRows = spark.table("qttl").collect()
+        .filter(_.getString(0) == "a")
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(aRows.length === 4 && aRows.toSet === firstPicks,
+        s"eviction must re-emit the final pick rows verbatim, got ${aRows.toSeq}")
+      // a re-arriving stratum starts a fresh quota (seen resets)
+      Seq((20L, "a", ts("12:10")))
+        .toDF("doc_id", "source", "ts")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b4")
+      q.processAllAvailable()
+      q.stop()
+      val fresh = spark.table("qttl").collect()
+        .filter(r => r.getString(0) == "a" && r.getLong(3) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(fresh.toSeq === Seq((20L, 1L)),
+        "post-eviction stratum must restart with seen = 1")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
+  test("keyed-state versioning: v-current checkpoint restores, mismatches reject loudly") {
+    import spark.implicits._
+    // the reject paths, directly
+    val st = PikeEngine.initial
+    val eOld = intercept[IllegalStateException](
+      KeyedState.checked(st, 1, "specOp"))
+    assert(eOld.getMessage.contains("fresh checkpoint"))
+    val eNew = intercept[IllegalStateException](
+      KeyedState.checked(st, KeyedState.Ver + 1, "specOp"))
+    assert(eNew.getMessage.contains("newer"))
+    assert(KeyedState.checked(st, st.ver, "specOp") eq st)
+    // a v-current checkpoint restores across a query RESTART: the
+    // second query continues the first's PikeState (n_events
+    // accumulates) — proving the carried version round-trips the
+    // state store and passes the check on read
+    val dir = Files.createTempDirectory("graft_vres").toFile
+    val chk = Files.createTempDirectory("graft_vres_chk").toFile
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d")
+    val charOf = (t: String) => t match {
+      case "view" => "v"; case "click" => "c"; case "purchase" => "p"
+      case _ => "e"
+    }
+    try {
+      Seq((1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "click"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      // memory sinks cannot recover a checkpoint — collect through a
+      // foreachBatch sink (which can) into a shared buffer instead
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .parquet(dir.getAbsolutePath + "/*")
+        val q = EventStream.streamingSequencePattern(
+            stream, "user_id", "event_type", "ts", "event_id",
+            charOf, "vc*p")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", chk.getAbsolutePath)
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.collect().foreach(r =>
+                emitted.add((r.getInt(1), r.getInt(2))))
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      runOnce()
+      assert(emitted.toArray.toSeq === Seq((2, 0)))
+      emitted.clear()
+      Seq((1L, 3L, ts(3), "purchase"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b2")
+      runOnce()
+      // the restarted query only processed b2 (1 event) but the
+      // restored state carries b1's 2 events: 3 total, 1 match
+      assert(emitted.toArray.toSeq === Seq((3, 1)),
+        s"restored state must continue the journey, got ${emitted.toArray.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("streaming interval join equals batch result with bounded state") {
     import spark.implicits._
     val ldir = Files.createTempDirectory("graft_sj_l").toFile
