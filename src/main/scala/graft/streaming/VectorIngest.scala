@@ -159,7 +159,13 @@ object VectorIngest {
     val (drop, add, schema) = ingestGraphPlan(batch, idCol, vecCol,
       centroids, indexDir, snap.map(_.entries).getOrElse(Seq.empty),
       snap.map(_.schemaJson).getOrElse(""), degree, efConstruction)
-    VectorStore.commit(spark, indexDir, drop, add, tag, schema)
+    // baseVersion = the snapshot this plan was computed against:
+    // commit conflict-checks the drops against it, so a concurrent
+    // maintenance op that rewrote the same cells between our plan and
+    // our publish fails this commit loudly instead of landing a
+    // silent duplicate of those cells
+    VectorStore.commit(spark, indexDir, drop, add, tag, schema,
+      baseVersion = snap.map(_.version).getOrElse(-1L))
     ()
   }
 
@@ -232,7 +238,8 @@ object VectorIngest {
       indexDir, snap.get.entries, snap.get.schemaJson, degree,
       efConstruction)
     if (drop.isEmpty && add.isEmpty) return
-    VectorStore.commit(spark, indexDir, drop, add)
+    VectorStore.commit(spark, indexDir, drop, add,
+      baseVersion = snap.get.version)
     ()
   }
 
@@ -294,7 +301,8 @@ object VectorIngest {
     val survivors = slice.join(broadcast(dead), Seq(idCol), "left_anti")
     val add = VectorStore.writeSegment(survivors, indexDir,
       Seq("ingest_batch", "cell"))
-    VectorStore.commit(spark, indexDir, drop, add)
+    VectorStore.commit(spark, indexDir, drop, add,
+      baseVersion = snap.get.version)
     ()
   }
 
@@ -354,7 +362,8 @@ object VectorIngest {
     // appends it
     val drop2Set = drop2.toSet
     VectorStore.commit(spark, indexDir, drop1 ++ drop2,
-      add1.filterNot(drop2Set) ++ add2, tag, schema2)
+      add1.filterNot(drop2Set) ++ add2, tag, schema2,
+      baseVersion = snap.map(_.version).getOrElse(-1L))
     ()
   }
 
@@ -401,9 +410,11 @@ object VectorIngest {
     * the channel tag already skips replayed batch ids, but an
     * UNTAGGED caller replaying a folded id would double its rows —
     * the default 1 keeps the only batch a restart can replay as the
-    * overwrite target. Single-writer like every maintenance op: run
-    * it from the maintenance cadence between triggers, like any LSM
-    * compaction.
+    * overwrite target. Safe to run from a maintenance cadence racing
+    * the ingest stream (round 15): the commit carries its plan-base
+    * version, so a compaction whose folded partitions were rewritten
+    * mid-flight fails the conflict check and just re-runs — like any
+    * LSM compaction under optimistic concurrency.
     */
   def compactIvfStore(spark: SparkSession,
       indexDir: String, protectLast: Int = 1): Unit = {
@@ -424,7 +435,8 @@ object VectorIngest {
       .repartition(col("cell"))
     val add = VectorStore.writeSegment(folded, indexDir,
       Seq("ingest_batch", "cell"))
-    VectorStore.commit(spark, indexDir, drop, add)
+    VectorStore.commit(spark, indexDir, drop, add,
+      baseVersion = snap.get.version)
     ()
   }
 

@@ -40,11 +40,16 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *    high-water mark) is skipped wholesale — the Delta `txn`
   *    appId/version idea.
   *
-  * Concurrency contract: SINGLE WRITER, many readers (matching the
-  * reference's one-sync-job shape). Writer crash safety: data files
-  * without a manifest are invisible; [[vacuum]] collects them.
-  * Atomic rename is real on HDFS/POSIX; on S3-class stores swap the
-  * publish for a conditional put.
+  * Concurrency contract (round 15): MANY writers, many readers —
+  * [[commit]] is optimistically concurrent: a publish race loser
+  * re-reads the winner's snapshot and rebases when the commits'
+  * write sets (their drop lists) are disjoint; overlapping drops
+  * fail the later commit loudly (first writer wins). Writer crash
+  * safety: data files without a manifest are invisible; [[vacuum]]
+  * collects them. The no-overwrite publish is POSIX link(2) on
+  * `file:` stores (plain rename silently clobbers there), native
+  * no-overwrite rename on HDFS-class stores; on S3-class stores swap
+  * the publish for a conditional put.
   *
   * Legacy stores (a bare `cell=N/...` tree from `graphAnnBuild`) are
   * ADOPTED on first maintenance: their top-level partition dirs are
@@ -128,66 +133,182 @@ object VectorStore {
     snapshot(spark, dir).flatMap(_.tags.get(channel))
 
   /** Publish a new version: entries = (current − drop) ∪ add, tags
-    * carried forward (plus `tag` if given). Atomic rename; returns the
-    * new version number. `schemaJson` (when non-empty) refreshes the
-    * stored schema — pass it on the first commit of a store.
+    * carried forward (plus `tag` if given); returns the new version
+    * number. `schemaJson` (when non-empty) refreshes the stored
+    * schema — pass it on the first commit of a store.
+    *
+    * OPTIMISTICALLY CONCURRENT (round 15, the Delta/Iceberg retry
+    * model): publishing races on the versioned manifest name — the
+    * loser of a race re-reads the winner's snapshot and REBASES when
+    * the commits are logically disjoint (none of this commit's
+    * base-live drops were dropped by the interleaved commits — drops
+    * name the partition dirs a writer rewrites, so disjoint drops =
+    * disjoint write sets; adds are always fresh uuid segments), then
+    * republishes at the next version. Overlapping drops mean two
+    * writers rewrote the SAME partition from different bases — a
+    * genuine conflict that fails loudly (first writer wins, the
+    * loser's uncommitted segments await [[vacuum]]). A compaction
+    * cadence racing a CDC sync on one store therefore just works;
+    * same-partition races fail the later commit instead of silently
+    * losing either write.
+    */
+  /** `baseVersion`: the snapshot version the caller PLANNED this
+    * commit against (−1 = plan and commit are the same read, the
+    * pre-round-15 behavior). Passing it closes the plan-to-commit
+    * window: a writer that read v, computed (drop, add) from v's
+    * content, and commits after another writer already published
+    * v+1 gets the same conflict check a publish race would — without
+    * it, the interleaved commit is invisible (the drops are simply
+    * no longer live) and a same-partition rewrite would land as a
+    * silent DUPLICATE of the other writer's output.
     */
   def commit(spark: SparkSession, dir: String, drop: Seq[String],
       add: Seq[String], tag: Option[(String, Long)] = None,
-      schemaJson: String = ""): Long = {
+      schemaJson: String = "", baseVersion: Long = -1L): Long = {
     val (fs, root) = fsOf(spark, dir)
-    val cur = snapshot(spark, dir)
-    val v = cur.map(_.version).getOrElse(0L) + 1
     val dropSet = drop.toSet
-    val entries = (cur.map(_.entries).getOrElse(Seq.empty)
-      .filterNot(dropSet) ++ add).distinct.sorted
-    val tags = cur.map(_.tags).getOrElse(Map.empty) ++ tag.toMap
-    val schema =
-      if (schemaJson.nonEmpty) schemaJson
-      else cur.map(_.schemaJson).getOrElse("")
+    val maxRetries = 20
+    var attempt = 0
+    var planBaseLive: Option[Set[String]] = None
+    while (true) {
+      val base = snapshot(spark, dir)
+      // the conflict anchor: what was live when the CALLER planned
+      // (explicit baseVersion), else what was live at our first read
+      val anchor = planBaseLive.getOrElse {
+        val a =
+          if (baseVersion >= 0 && base.exists(_.version > baseVersion))
+            try snapshotAt(spark, dir, baseVersion)
+              .map(_.entries.toSet).getOrElse(Set.empty)
+            catch {
+              case e: IllegalArgumentException =>
+                throw new IllegalStateException(
+                  s"VectorStore: plan base v$baseVersion at $dir was " +
+                    "vacuumed before the commit landed — re-plan " +
+                    "against the current snapshot", e)
+            }
+          else base.map(_.entries.toSet).getOrElse(Set.empty)
+        planBaseLive = Some(a)
+        a
+      }
+      // conflict rule: a drop that was LIVE at the plan base but is
+      // gone from the current snapshot was dropped by an interleaved
+      // commit — both writers rewrote that partition, and applying
+      // ours on top would duplicate (or resurrect) the other writer's
+      // output. (Drops never live at the base are fine: syncGraphBatch
+      // legitimately drops same-commit intermediate adds that were
+      // never published.)
+      val live = base.map(_.entries.toSet).getOrElse(Set.empty)
+      val contested = drop.filter(e => anchor(e) && !live(e))
+      if (contested.nonEmpty) throw new IllegalStateException(
+        s"VectorStore: concurrent commit conflict at $dir — an " +
+          s"interleaved commit already dropped ${contested.take(3)
+            .mkString(", ")}" +
+          (if (contested.size > 3) s" (+${contested.size - 3} more)"
+           else "") +
+          "; both writers rewrote the same partition(s). First " +
+          "writer wins; re-plan this maintenance op against the " +
+          "current snapshot")
 
-    val node: ObjectNode = mapper.createObjectNode()
-    node.put("version", v)
-    val arr = node.putArray("entries")
-    entries.foreach(arr.add)
-    val tn = node.putObject("tags")
-    tags.toSeq.sortBy(_._1).foreach { case (k, x) => tn.put(k, x); () }
-    node.put("schema", schema)
+      val v = base.map(_.version).getOrElse(0L) + 1
+      val entries = (base.map(_.entries).getOrElse(Seq.empty)
+        .filterNot(dropSet) ++ add).distinct.sorted
+      val tags = base.map(_.tags).getOrElse(Map.empty) ++ tag.toMap
+      val schema =
+        if (schemaJson.nonEmpty) schemaJson
+        else base.map(_.schemaJson).getOrElse("")
 
-    val md = manifestDir(root)
-    if (!fs.exists(md)) { fs.mkdirs(md); () }
-    val tmp = new Path(md,
-      s"_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(node))
-    finally out.close()
-    val target = new Path(md, f"v$v%012d.json")
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"VectorStore: concurrent commit detected publishing v$v at " +
-          s"$dir — this store is single-writer")
+      val node: ObjectNode = mapper.createObjectNode()
+      node.put("version", v)
+      val arr = node.putArray("entries")
+      entries.foreach(arr.add)
+      val tn = node.putObject("tags")
+      tags.toSeq.sortBy(_._1).foreach { case (k, x) => tn.put(k, x); () }
+      node.put("schema", schema)
+
+      val md = manifestDir(root)
+      if (!fs.exists(md)) { fs.mkdirs(md); () }
+      val tmp = new Path(md,
+        s"_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val out = fs.create(tmp, false)
+      try out.write(mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(node))
+      finally out.close()
+      if (tryPublish(fs, tmp, new Path(md, f"v$v%012d.json"))) return v
+
+      // lost the publish race: loop — re-read the winner's snapshot,
+      // re-check conflicts against the plan anchor, rebase
+      attempt += 1
+      if (attempt > maxRetries) throw new IllegalStateException(
+        s"VectorStore: gave up publishing at $dir after $maxRetries " +
+          "conflicted attempts — a writer storm; back off the " +
+          "maintenance cadence")
     }
-    v
+    -1L // unreachable
+  }
+
+  /** Publish `tmp` as `target` iff `target` does not exist — the
+    * commit protocol's whole correctness rests on this being a real
+    * no-overwrite operation. Plain `fs.rename` is NOT one on
+    * RawLocalFileSystem/POSIX (rename(2) silently clobbers an
+    * existing target), so on `file:` stores publishing goes through
+    * POSIX link(2) instead — atomic, fails EEXIST, no check-then-act
+    * window. HDFS-class stores get the native no-overwrite rename
+    * behind an existence guard; S3-class stores should swap this for
+    * a conditional put (documented contract since round 14).
+    */
+  private def tryPublish(fs: FileSystem, tmp: Path,
+      target: Path): Boolean = {
+    val scheme = Option(tmp.toUri.getScheme)
+      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
+    val won =
+      if (scheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(target) && fs.rename(tmp, target)
+    if (scheme == "file" || !won) { fs.delete(tmp, false); () }
+    won
   }
 
   /** Append `df` as a fresh immutable segment partitioned by
     * `partCols` under it; returns the manifest entries (relative
     * partition dirs) the segment produced. Uncommitted until the
     * caller passes them to [[commit]].
+    *
+    * Each write stages under its own `_staging_<seg>/` subtree and
+    * metadata-moves the finished `seg=<uuid>` dir into the store
+    * root: two CONCURRENT writers into one store would otherwise
+    * share the root's `_temporary/0` committer staging and clobber
+    * each other's in-flight task files (the round-15 two-writer
+    * contract needs parallel segment writes to be safe). Underscore
+    * prefix keeps staging invisible to readers/adopt/vacuum; the
+    * staging dir is removed when the write finishes or fails.
     */
   def writeSegment(df: DataFrame, dir: String,
       partCols: Seq[String]): Seq[String] = {
     val seg = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
-    df.withColumn("seg", lit(seg))
-      .write.mode("append")
-      .partitionBy("seg" +: partCols: _*)
-      .parquet(dir)
     val (fs, root) = fsOf(df.sparkSession, dir)
-    val segPath = new Path(root, s"seg=$seg")
-    if (!fs.exists(segPath)) return Seq.empty // empty df → no dirs
-    leafDirs(fs, segPath).map(p => relativize(root, p))
+    val staging = new Path(root, s"_staging_$seg")
+    try {
+      df.withColumn("seg", lit(seg))
+        .write.mode("append")
+        .partitionBy("seg" +: partCols: _*)
+        .parquet(staging.toString)
+      val src = new Path(staging, s"seg=$seg")
+      if (!fs.exists(src)) return Seq.empty // empty df → no dirs
+      val segPath = new Path(root, s"seg=$seg")
+      if (!fs.rename(src, segPath))
+        throw new IllegalStateException(
+          s"VectorStore: failed to move finished segment $seg into $dir")
+      leafDirs(fs, segPath).map(p => relativize(root, p))
+    } finally {
+      fs.delete(staging, true); ()
+    }
   }
 
   /** Partition dirs that directly hold data files. Driver-side

@@ -943,8 +943,156 @@ object ScaleSmoke {
     }
   }
 
+  /** `race2` mode: TWO WRITER THREADS on one manifest store — the
+    * optimistic-concurrency drive (round 15). Each writer applies
+    * `rounds` CDC sync batches over an ID-DISJOINT half of the corpus
+    * (W1 even vec_ids, W2 odd; inserts in disjoint id bands), so the
+    * expected FINAL ID SET is order-independent and computable by a
+    * driver-side model — but the writers' batches constantly touch
+    * the SAME quantizer cells, so their commits race and genuinely
+    * conflict. A writer hitting the conflict error re-plans the whole
+    * sync against the fresh snapshot (the documented contract) and
+    * retries. Validates: zero LOST UPDATES (final store ids == the
+    * model — a clobbered or silently-duplicated manifest fails this),
+    * no duplicate ids (a same-cell double-commit would duplicate),
+    * and prints landed versions + conflicts + retries.
+    */
+  private def race2Sweep(spark: SparkSession, emb0: DataFrame,
+      rounds: Int): Unit = {
+    import spark.implicits._
+    val corpus = emb0.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double"))
+          .as("embedding"))
+      .cache()
+    val n = corpus.count()
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_race2")
+    try {
+      Similarity.graphAnnBuild(corpus, "vec_id", "embedding", cents,
+          degree = 8, efConstruction = 64)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(dir.toString)
+      graft.streaming.VectorStore.adopt(spark, dir.toString)
+      val baseIds = corpus.select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      // driver-side content model per writer half (id-disjoint, so
+      // the union is the serial expectation in ANY interleaving)
+      def batchOf(writer: Int, k: Int) = {
+        val par = writer.toLong // 0 = even ids, 1 = odd ids
+        val ups = corpus.filter(col("vec_id") % 2 === par &&
+            col("vec_id") % 17 === (k % 17).toLong)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x * lit(-1.0))
+              .as("embedding"), lit("upsert").as("op"))
+        val ins = corpus.filter(col("vec_id") % 2 === par &&
+            col("vec_id") % 29 === (k % 29).toLong)
+          .select((col("vec_id") + lit((writer * 50 + k) * 1000000L))
+            .as("vec_id"), col("embedding"), lit("upsert").as("op"))
+        val del = corpus.filter(col("vec_id") % 2 === par &&
+            col("vec_id") % 23 === ((k + 7) % 23).toLong)
+          .select(col("vec_id"), col("embedding"),
+            lit("delete").as("op"))
+        ups.unionByName(ins).unionByName(del)
+      }
+      def modelOf(writer: Int): (Set[Long], Set[Long]) = {
+        // (inserted, dead-base-ids) after the writer's rounds replay
+        // IN ORDER — syncGraphBatch removes every mentioned id then
+        // re-inserts the upserts, so an upsert always revives an id
+        // (including one the same batch also tombstones)
+        val par = writer.toLong
+        var ins = Set.empty[Long]; var dead = Set.empty[Long]
+        (1 to rounds).foreach { k =>
+          val upsK = baseIds.filter(id => id % 2 == par &&
+            id % 17 == (k % 17).toLong)
+          val insK = baseIds.filter(id => id % 2 == par &&
+            id % 29 == (k % 29).toLong)
+            .map(_ + (writer * 50 + k) * 1000000L)
+          val delK = baseIds.filter(id => id % 2 == par &&
+            id % 23 == ((k + 7) % 23).toLong)
+          ins ++= insK
+          dead = (dead ++ delK) -- upsK
+        }
+        (ins, dead)
+      }
+      val conflicts = new java.util.concurrent.atomic.AtomicInteger
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]
+      def writerLoop(writer: Int): Thread = new Thread(() => {
+        (1 to rounds).foreach { k =>
+          val batch = batchOf(writer, k)
+          var landed = false
+          var tries = 0
+          while (!landed && tries < 25) {
+            try {
+              graft.streaming.VectorIngest.syncGraphBatch(batch,
+                "vec_id", "embedding", "op", cents, dir.toString,
+                degree = 8, efConstruction = 64)
+              landed = true
+            } catch {
+              case e: IllegalStateException
+                  if e.getMessage.contains("conflict") =>
+                conflicts.incrementAndGet(); tries += 1
+              case e: Throwable =>
+                failures.add(s"w$writer r$k: ${e.toString.take(300)}")
+                landed = true // unexpected: record and move on
+            }
+          }
+          if (!landed) failures.add(s"w$writer r$k: retries exhausted")
+        }
+      })
+      val t0 = System.nanoTime()
+      val ws = Seq(writerLoop(0), writerLoop(1))
+      ws.foreach(_.start()); ws.foreach(_.join())
+      val tW = (System.nanoTime() - t0) / 1e9
+      val (ins0, del0) = modelOf(0)
+      val (ins1, del1) = modelOf(1)
+      val expect = (baseIds -- del0 -- del1) ++ ins0 ++ ins1
+      val finalIds = graft.streaming.VectorStore
+        .read(spark, dir.toString)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val dupes = finalIds.groupBy(identity).count(_._2.length > 1)
+      val got = finalIds.toSet
+      val lost = expect -- got
+      val phantom = got -- expect
+      val v = graft.streaming.VectorStore.version(spark, dir.toString)
+      println(f"race2: $n%d vecs, 2 writers x $rounds%d sync rounds " +
+        f"in $tW%.1f s; landed version $v%d, " +
+        s"${conflicts.get()} conflicts retried, " +
+        s"${failures.size()} failures")
+      println(s"race2: lost updates ${lost.size}, phantom ids " +
+        s"${phantom.size}, duplicate ids $dupes " +
+        (if (lost.isEmpty && phantom.isEmpty && dupes == 0 &&
+             failures.isEmpty) "— SERIAL-EQUIVALENT OK"
+         else "— FAILED"))
+      failures.forEach(f => println(s"  WRITER FAILURE: $f"))
+      lost.take(5).foreach(id => println(s"  LOST: $id"))
+      phantom.take(5).foreach(id => println(s"  PHANTOM: $id"))
+    } finally {
+      corpus.unpersist()
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1 && args(1) == "race2") {
+      val rounds = if (args.length > 2) args(2).toInt else 6
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val e0 = sp.read.parquet(s"$sfDir/embeddings.parquet")
+      e0.count()
+      race2Sweep(sp, e0, rounds)
+      sp.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "race") {
       val rounds = if (args.length > 2) args(2).toInt else 8
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -124,6 +124,76 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("optimistic concurrency: disjoint racing commits both land, equal to serial") {
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      val e = (1 to 8).map(i => s"seg=base/cell=$i")
+      VectorStore.commit(spark, dir, Seq.empty, e, None, "{}")
+      // many rounds of two genuinely concurrent committers with
+      // DISJOINT drops: a publish race must rebase the loser, and the
+      // result must equal serial application in either order
+      (1 to 6).foreach { round =>
+        val before = VectorStore.snapshot(spark, dir).get
+        val a = (s"seg=a$round/cell=1", before.entries.head)
+        val b = (s"seg=b$round/cell=2", before.entries.last)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val ts = Seq(
+          new Thread(() => {
+            start.await()
+            try VectorStore.commit(spark, dir, Seq(a._2), Seq(a._1),
+              baseVersion = before.version)
+            catch { case t: Throwable => errs.add(t) }
+            ()
+          }),
+          new Thread(() => {
+            start.await()
+            try VectorStore.commit(spark, dir, Seq(b._2), Seq(b._1),
+              baseVersion = before.version)
+            catch { case t: Throwable => errs.add(t) }
+            ()
+          }))
+        ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+        assert(errs.isEmpty, s"round $round: ${errs.toArray.toSeq}")
+        val after = VectorStore.snapshot(spark, dir).get
+        assert(after.version === before.version + 2,
+          "both commits must land as two versions")
+        val expect = (before.entries.toSet - a._2 - b._2 + a._1 + b._1)
+        assert(after.entries.toSet === expect,
+          s"round $round: racing result must equal serial application")
+      }
+    }
+  }
+
+  test("optimistic concurrency: overlapping drops fail the later commit loudly") {
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      val e = Seq("seg=base/cell=1", "seg=base/cell=2")
+      VectorStore.commit(spark, dir, Seq.empty, e, None, "{}")
+      val base = VectorStore.version(spark, dir)
+      // writer 1 rewrites cell 1 and lands first
+      VectorStore.commit(spark, dir, Seq("seg=base/cell=1"),
+        Seq("seg=w1/cell=1"), baseVersion = base)
+      // writer 2 planned against the SAME base and also rewrote
+      // cell 1 — without the plan-base check this would land as a
+      // silent duplicate of cell 1 (no publish race: it commits after
+      // writer 1, so the drop is simply no longer live)
+      val ex = intercept[IllegalStateException](
+        VectorStore.commit(spark, dir, Seq("seg=base/cell=1"),
+          Seq("seg=w2/cell=1"), baseVersion = base))
+      assert(ex.getMessage.contains("conflict"))
+      // the store holds writer 1's world, untouched by the loser
+      val entries = VectorStore.snapshot(spark, dir).get.entries.toSet
+      assert(entries === Set("seg=w1/cell=1", "seg=base/cell=2"))
+      // …and a re-planned retry (fresh base) succeeds
+      VectorStore.commit(spark, dir, Seq("seg=w1/cell=1"),
+        Seq("seg=w2/cell=1"),
+        baseVersion = VectorStore.version(spark, dir))
+      assert(VectorStore.snapshot(spark, dir).get.entries.toSet
+        === Set("seg=w2/cell=1", "seg=base/cell=2"))
+    }
+  }
+
   test("a tagged delete-only first batch against a missing store commits nothing") {
     import spark.implicits._
     withDir { idx =>
