@@ -25,9 +25,15 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *    `seg=<uuid>/` subtree (hive-style under it, e.g.
   *    `seg=X/cell=3/`). No writer ever rewrites or deletes a file a
   *    published manifest references.
-  *  - '''A manifest IS the store.''' `_manifests/v<n>.json` lists the
-  *    live partition directories (plus channel tags and the data
-  *    schema). Publishing = write to a temp name + atomic rename —
+  *  - '''A manifest IS the store.''' `_manifests/v<n>.json` carries
+  *    the commit's adds/drops (O(delta) per commit — round 15; the
+  *    full live list was the known 10⁵⁺-partition bottleneck) plus
+  *    the channel tags and data schema in full; every
+  *    [[CheckpointInterval]]-th version also publishes
+  *    `v<n>.ckpt.json` with the resolved entry list, so readers
+  *    replay at most that many deltas from the nearest base
+  *    (pre-round-15 self-contained manifests ARE bases). Publishing =
+  *    write to a temp name + atomic no-overwrite link/rename —
   *    readers list the dir and see either v or v+1, never a torn mix.
   *  - '''Readers pin the snapshot they opened.''' [[read]] resolves
   *    the latest manifest ONCE and builds the DataFrame over those
@@ -72,27 +78,109 @@ object VectorStore {
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
   private val ManifestName = "^v(\\d{12})\\.json$".r
+  private val CkptName = "^v(\\d{12})\\.ckpt\\.json$".r
+
+  /** Every `CheckpointInterval`-th version ALSO publishes a
+    * `v<n>.ckpt.json` carrying the fully-resolved entry list (the
+    * Delta-log checkpoint move, round 15): commits write O(delta)
+    * manifests (adds/drops only), so per-commit cost is flat in the
+    * live-partition count, and readers resolve a snapshot from the
+    * nearest checkpoint plus at most this many delta steps.
+    */
+  val CheckpointInterval = 10
+
+  /** One parsed manifest file: full entry list (checkpoint /
+    * pre-round-15 manifest) or an adds/drops delta. Tags and schema
+    * ride FULL in every manifest (both are small).
+    */
+  private final case class Doc(version: Long, full: Option[Seq[String]],
+      adds: Seq[String], drops: Seq[String], tags: Map[String, Long],
+      schema: String)
+
+  private def strArr(node: JsonNode, field: String): Option[Seq[String]] =
+    Option(node.get(field)).collect { case a: ArrayNode =>
+      (0 until a.size()).map(i => a.get(i).asText())
+    }
+
+  /** Read + validate one manifest/checkpoint file. A torn, empty or
+    * garbage file must FAIL the reader, never read as an empty store
+    * (a maintenance op would silently no-op against it, a search
+    * would silently return nothing).
+    */
+  private def readDoc(fs: FileSystem, p: Path, v: Long,
+      dir: String): Doc = {
+    val in = fs.open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val full = if (node == null) None else strArr(node, "entries")
+    val adds = if (node == null) None else strArr(node, "adds")
+    val drops = if (node == null) None else strArr(node, "drops")
+    if (node == null || !node.has("version") ||
+        node.get("version").asLong(-1L) != v ||
+        (full.isEmpty && (adds.isEmpty || drops.isEmpty)))
+      throw new IllegalStateException(
+        s"VectorStore: corrupt manifest ${p.getName} at $dir")
+    val tags = Option(node.get("tags")).map { t =>
+      val it = t.fieldNames()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val k = it.next(); b += k -> t.get(k).asLong() }
+      b.result()
+    }.getOrElse(Map.empty)
+    Doc(v, full, adds.getOrElse(Seq.empty), drops.getOrElse(Seq.empty),
+      tags, Option(node.get("schema")).map(_.asText()).getOrElse(""))
+  }
+
+  /** One delta application step — MUST mirror what [[commit]] computes
+    * against its base snapshot, so a chain replay reproduces the
+    * committed entry list bit for bit.
+    */
+  private def applyDelta(entries: Seq[String], adds: Seq[String],
+      drops: Seq[String]): Seq[String] = {
+    val dropSet = drops.toSet
+    (entries.filterNot(dropSet) ++ adds).distinct.sorted
+  }
+
+  /** Manifest-dir listing: (version → manifest path,
+    * version → checkpoint path).
+    */
+  private def listManifests(fs: FileSystem, md: Path)
+      : (Seq[(Long, Path)], Map[Long, Path]) = {
+    val sts = fs.listStatus(md)
+    val named = sts.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1).toSeq
+    val ckpts = sts.flatMap { st =>
+      st.getPath.getName match {
+        case CkptName(n) => Some(n.toLong -> st.getPath)
+        case _ => None
+      }
+    }.toMap
+    (named, ckpts)
+  }
 
   /** Latest committed snapshot, or None when the dir has no manifest
-    * (legacy or empty store). One listing + one small file read.
+    * (legacy or empty store). One listing + one checkpoint read + at
+    * most [[CheckpointInterval]] small delta reads.
     */
   def snapshot(spark: SparkSession, dir: String): Option[Snapshot] =
     snapshotAt(spark, dir, -1L)
 
   /** The snapshot at a specific `version` (TIME TRAVEL — any version
     * [[vacuum]] has not dropped), or the latest when `version` < 0.
+    * Resolution: from the nearest checkpoint (or self-contained
+    * pre-round-15 manifest) at/below the target, replay the delta
+    * manifests forward; tags/schema come from the target manifest
+    * itself (they ride full in every manifest).
     */
   def snapshotAt(spark: SparkSession, dir: String,
       version: Long): Option[Snapshot] = {
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     if (!fs.exists(md)) return None
-    val named = fs.listStatus(md).flatMap { st =>
-      st.getPath.getName match {
-        case ManifestName(n) => Some((n.toLong, st.getPath))
-        case _ => None
-      }
-    }.sortBy(_._1)
+    val (named, ckpts) = listManifests(fs, md)
+    val byV = named.toMap
     val picked =
       if (version < 0) named.lastOption
       else named.find(_._1 == version).orElse(throw
@@ -100,28 +188,42 @@ object VectorStore {
           s"VectorStore: version $version not present at $dir " +
             s"(have ${named.map(_._1).mkString(",")}) — vacuumed?"))
     picked.map { case (v, p) =>
-      val in = fs.open(p)
-      val node = try mapper.readTree(in) finally in.close()
-      // a torn/empty/garbage manifest must FAIL the reader, never get
-      // read as an empty store (a maintenance op would silently no-op
-      // against it, a search would silently return nothing)
-      if (node == null || !node.has("version") || !node.has("entries") ||
-          node.get("version").asLong(-1L) != v)
-        throw new IllegalStateException(
-          s"VectorStore: corrupt manifest ${p.getName} at $dir")
-      val entries = node.get("entries") match {
-        case a: ArrayNode =>
-          (0 until a.size()).map(i => a.get(i).asText())
-        case _ => Seq.empty
+      val target = readDoc(fs, p, v, dir)
+      val entries = target.full.orElse(
+        // a checkpoint AT the target is the whole answer
+        ckpts.get(v).map(cp => readDoc(fs, cp, v, dir).full.getOrElse(
+          throw new IllegalStateException(
+            s"VectorStore: checkpoint v$v at $dir has no entries")))
+      ).getOrElse {
+        // walk down to a base: a checkpoint, a self-contained
+        // manifest, or the chain start (v1 applies against empty)
+        val docs = scala.collection.mutable.ArrayBuffer(target)
+        var baseEntries: Option[Seq[String]] = None
+        var b = v - 1
+        while (baseEntries.isEmpty && b >= 1) {
+          ckpts.get(b) match {
+            case Some(cp) =>
+              baseEntries = Some(readDoc(fs, cp, b, dir).full.getOrElse(
+                throw new IllegalStateException(
+                  s"VectorStore: checkpoint v$b at $dir has no entries")))
+            case None =>
+              val mp = byV.getOrElse(b, throw new IllegalStateException(
+                s"VectorStore: manifest chain broken at $dir — v$b " +
+                  s"missing while resolving v$v (vacuum bug or " +
+                  "manual deletion)"))
+              val d = readDoc(fs, mp, b, dir)
+              d.full match {
+                case Some(e) => baseEntries = Some(e)
+                case None => docs += d; b -= 1
+              }
+          }
+        }
+        docs.reverseIterator.foldLeft(
+          baseEntries.getOrElse(Seq.empty)) { (e, d) =>
+          applyDelta(e, d.adds, d.drops)
+        }
       }
-      val tags = Option(node.get("tags")).map { t =>
-        val it = t.fieldNames()
-        val b = Map.newBuilder[String, Long]
-        while (it.hasNext) { val k = it.next(); b += k -> t.get(k).asLong() }
-        b.result()
-      }.getOrElse(Map.empty)
-      Snapshot(v, entries, tags,
-        Option(node.get("schema")).map(_.asText()).getOrElse(""))
+      Snapshot(v, entries, target.tags, target.schema)
     }
   }
 
@@ -210,30 +312,53 @@ object VectorStore {
           "current snapshot")
 
       val v = base.map(_.version).getOrElse(0L) + 1
-      val entries = (base.map(_.entries).getOrElse(Seq.empty)
-        .filterNot(dropSet) ++ add).distinct.sorted
+      val entries = applyDelta(
+        base.map(_.entries).getOrElse(Seq.empty), add, drop)
       val tags = base.map(_.tags).getOrElse(Map.empty) ++ tag.toMap
       val schema =
         if (schemaJson.nonEmpty) schemaJson
         else base.map(_.schemaJson).getOrElse("")
 
+      // O(delta) manifest: adds/drops only — per-commit write cost is
+      // flat in the live-partition count (the round-14 full-list
+      // rewrite was the known bottleneck at 10⁵⁺ live partitions).
+      // Tags and schema still ride full (small).
       val node: ObjectNode = mapper.createObjectNode()
       node.put("version", v)
-      val arr = node.putArray("entries")
-      entries.foreach(arr.add)
+      val aArr = node.putArray("adds")
+      add.distinct.sorted.foreach(aArr.add)
+      val dArr = node.putArray("drops")
+      drop.distinct.sorted.foreach(dArr.add)
       val tn = node.putObject("tags")
       tags.toSeq.sortBy(_._1).foreach { case (k, x) => tn.put(k, x); () }
       node.put("schema", schema)
 
       val md = manifestDir(root)
       if (!fs.exists(md)) { fs.mkdirs(md); () }
-      val tmp = new Path(md,
-        s"_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-      val out = fs.create(tmp, false)
-      try out.write(mapper.writerWithDefaultPrettyPrinter()
-        .writeValueAsBytes(node))
-      finally out.close()
-      if (tryPublish(fs, tmp, new Path(md, f"v$v%012d.json"))) return v
+      def writeTmp(n: ObjectNode): Path = {
+        val tmp = new Path(md,
+          s"_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+        val out = fs.create(tmp, false)
+        try out.write(mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsBytes(n))
+        finally out.close()
+        tmp
+      }
+      if (tryPublish(fs, writeTmp(node), new Path(md, f"v$v%012d.json"))) {
+        // periodic checkpoint: the resolved entry list, published
+        // AFTER the version (crash between the two only costs the
+        // optimization; a lost checkpoint race is identical content)
+        if (v % CheckpointInterval == 0) {
+          val cn: ObjectNode = mapper.createObjectNode()
+          cn.put("version", v)
+          val ce = cn.putArray("entries")
+          entries.foreach(ce.add)
+          tryPublish(fs, writeTmp(cn),
+            new Path(md, f"v$v%012d.ckpt.json"))
+          ()
+        }
+        return v
+      }
 
       // lost the publish race: loop — re-read the winner's snapshot,
       // re-check conflicts against the plan anchor, rebase
@@ -422,43 +547,90 @@ object VectorStore {
     snapshot(spark, dir)
   }
 
-  /** Drop versions older than the `keep` most recent ones and delete
-    * every `seg=*` dir no kept manifest references. Returns the number
-    * of segment dirs deleted. Run from the maintenance cadence; a
-    * reader pinned to a dropped version loses its files (the Delta
-    * VACUUM contract) — size `keep` to the longest query you allow.
+  /** Drop old versions and delete every `seg=*` dir no retained
+    * version references. Returns the number of segment dirs deleted.
+    *
+    * Retention is the UNION of two floors (round 15): the `keep` most
+    * recent versions by count, and every version younger than
+    * `minAgeMs` (manifest mtime) — so sizing the age floor to the
+    * longest query you allow guarantees a pinned reader's version is
+    * never reclaimed under a burst of rapid commits, where a pure
+    * count keeps only milliseconds of history. A reader pinned past
+    * BOTH floors loses its files (the Delta VACUUM contract).
+    *
+    * Chain safety: before deleting manifests below the retention
+    * floor, the oldest retained version gets a checkpoint if it
+    * doesn't have one (its entries would otherwise be unresolvable
+    * once the deltas below it are gone). Also reclaims `_staging_*`
+    * leftovers from crashed segment writes once they are at least an
+    * hour old (in-flight writes are younger).
     */
-  def vacuum(spark: SparkSession, dir: String, keep: Int = 2): Int = {
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
+      minAgeMs: Long = 0L): Int = {
     require(keep >= 1, "vacuum must keep at least the current version")
+    require(minAgeMs >= 0L, "minAgeMs must be >= 0")
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     if (!fs.exists(md)) return 0
-    val versions = fs.listStatus(md).flatMap { st =>
-      st.getPath.getName match {
-        case ManifestName(n) => Some((n.toLong, st.getPath))
-        case _ => None
+    val (named, ckpts) = listManifests(fs, md)
+    if (named.isEmpty) return 0
+    val now = System.currentTimeMillis()
+    val youngEnough: Set[Long] =
+      if (minAgeMs <= 0) Set.empty
+      else named.filter { case (_, p) =>
+        now - fs.getFileStatus(p).getModificationTime < minAgeMs
+      }.map(_._1).toSet
+    val byCount = named.takeRight(keep).map(_._1).toSet
+    val retained = named.filter(v => byCount(v._1) || youngEnough(v._1))
+    val floor = retained.head._1
+    // resolvability: the oldest retained version must be a base —
+    // checkpoint it if its manifest is a delta and no ckpt exists
+    if (!ckpts.contains(floor) &&
+        readDoc(fs, named.find(_._1 == floor).get._2, floor, dir)
+          .full.isEmpty) {
+      val resolved = snapshotAt(spark, dir, floor).get
+      val cn: ObjectNode = mapper.createObjectNode()
+      cn.put("version", floor)
+      val ce = cn.putArray("entries")
+      resolved.entries.foreach(ce.add)
+      val tmp = new Path(md,
+        s"_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val out = fs.create(tmp, false)
+      try out.write(mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(cn))
+      finally out.close()
+      tryPublish(fs, tmp, new Path(md, f"v$floor%012d.ckpt.json"))
+      ()
+    }
+    // referenced segments: resolve the floor once, replay deltas up
+    val referenced = {
+      var e = snapshotAt(spark, dir, floor).get.entries
+      val acc = scala.collection.mutable.Set.empty[String]
+      acc ++= e.map(_.split("/")(0))
+      retained.drop(1).foreach { case (v, p) =>
+        val d = readDoc(fs, p, v, dir)
+        e = d.full.getOrElse(applyDelta(e, d.adds, d.drops))
+        acc ++= e.map(_.split("/")(0))
       }
-    }.sortBy(_._1)
-    if (versions.isEmpty) return 0
-    val old = versions.dropRight(keep)
-    val referenced: Set[String] = versions.takeRight(keep).flatMap {
-      case (_, p) =>
-        val in = fs.open(p)
-        val node = try mapper.readTree(in) finally in.close()
-        node.get("entries") match {
-          case a: ArrayNode => (0 until a.size()).map(i => a.get(i).asText())
-          case _ => Seq.empty
-        }
-    }.map(_.split("/")(0)).toSet
+      acc.toSet
+    }
     var deleted = 0
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("seg=") && !referenced(n)) {
         fs.delete(st.getPath, true)
         deleted += 1
+      } else if (st.isDirectory && n.startsWith("_staging_") &&
+          now - st.getModificationTime > 3600000L) {
+        fs.delete(st.getPath, true); ()
       }
     }
-    old.foreach { case (_, p) => fs.delete(p, false); () }
+    named.filter(_._1 < floor).foreach { case (_, p) =>
+      fs.delete(p, false); ()
+    }
+    ckpts.filter(_._1 < floor).foreach { case (_, p) =>
+      fs.delete(p, false); ()
+    }
     deleted
   }
 

@@ -124,6 +124,75 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("delta manifests: every version resolves exactly, across checkpoints and a legacy base") {
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      // handcraft a PRE-round-15 self-contained v1 manifest (full
+      // entries list, no adds/drops) — the back-compat base
+      val md = new java.io.File(idx, "_manifests"); md.mkdirs()
+      val v1 = """{"version":1,"entries":["seg=old/cell=0","seg=old/cell=1"],"tags":{},"schema":"{}"}"""
+      java.nio.file.Files.writeString(
+        new java.io.File(md, "v000000000001.json").toPath, v1)
+      // a model replay next to 24 delta commits (crossing the v10 and
+      // v20 checkpoint boundaries)
+      var model = Vector(Seq("seg=old/cell=0", "seg=old/cell=1"))
+      (2 to 25).foreach { v =>
+        val add = Seq(s"seg=s$v/cell=${v % 4}")
+        val drop =
+          if (v % 3 == 0) Seq(model.last(v % model.last.length)) else Seq.empty
+        val got = VectorStore.commit(spark, dir, drop, add)
+        assert(got === v.toLong)
+        model = model :+
+          (model.last.filterNot(drop.toSet) ++ add).distinct.sorted
+      }
+      // checkpoints exist exactly at the interval versions
+      val names = Option(md.list()).get.toSet
+      assert(names.contains("v000000000010.ckpt.json"))
+      assert(names.contains("v000000000020.ckpt.json"))
+      assert(!names.contains("v000000000015.ckpt.json"))
+      // every version time-travels to the model exactly
+      (1 to 25).foreach { v =>
+        val snap = VectorStore.snapshotAt(spark, dir, v).get
+        assert(snap.entries === model(v - 1),
+          s"v$v resolution diverged from the model")
+      }
+    }
+  }
+
+  test("vacuum: age floor retains young versions; floor checkpoint keeps the chain resolvable") {
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      (1 to 7).foreach { v =>
+        VectorStore.commit(spark, dir, Seq.empty,
+          Seq(s"seg=s$v/cell=0"), None, "{}")
+        new java.io.File(idx, s"seg=s$v").mkdirs()
+      }
+      // everything is seconds old: a 1-hour age floor protects ALL
+      // versions regardless of keep=1
+      assert(VectorStore.vacuum(spark, dir, keep = 1,
+        minAgeMs = 3600000L) === 0)
+      (1 to 7).foreach { v =>
+        assert(VectorStore.snapshotAt(spark, dir, v).isDefined)
+      }
+      // without the age floor, keep=2 retains v6..v7 and must write a
+      // checkpoint at the floor (v6 is a delta) before dropping v1-v5
+      VectorStore.vacuum(spark, dir, keep = 2)
+      val md = new java.io.File(idx, "_manifests")
+      assert(Option(md.list()).get.toSet.contains("v000000000006.ckpt.json"))
+      intercept[IllegalArgumentException](
+        VectorStore.snapshotAt(spark, dir, 5))
+      assert(VectorStore.snapshotAt(spark, dir, 6).get.entries
+        === (1 to 6).map(v => s"seg=s$v/cell=0"))
+      assert(VectorStore.snapshotAt(spark, dir, 7).get.entries
+        === (1 to 7).map(v => s"seg=s$v/cell=0"))
+      // and a fresh commit on the vacuumed chain still works
+      VectorStore.commit(spark, dir, Seq("seg=s1/cell=0"),
+        Seq("seg=s8/cell=0"))
+      assert(VectorStore.snapshot(spark, dir).get.entries
+        === ((2 to 8).map(v => s"seg=s$v/cell=0")))
+    }
+  }
+
   test("optimistic concurrency: disjoint racing commits both land, equal to serial") {
     withDir { idx =>
       val dir = idx.getAbsolutePath
