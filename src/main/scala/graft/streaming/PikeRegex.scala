@@ -56,6 +56,34 @@ import scala.collection.mutable.ArrayBuffer
   * settled + queued (queued matches resolve as real matches at
   * end-of-input because their competitors fail there), which equals
   * the batch `find()` count over the prefix consumed so far.
+  *
+  * ==Why there is no streaming SPAN-extraction twin==
+  *
+  * The batch extraction operator (`events_pattern_extract`) also
+  * emits the matched runs. A streaming twin with bounded state is
+  * IMPOSSIBLE on this engine's contract, for two independent reasons,
+  * each with a concrete witness (spec-demonstrated):
+  *
+  *  1. '''Pending spans are unbounded in count.''' Emitting each
+  *     match's span (even as offsets) requires the pending queue
+  *     UNCOMPRESSED: on `ab*c|b` over `a` + `b`^n, every `b` queues a
+  *     pending single-char match that the still-live `ab*c` thread
+  *     could supersede — n unresolved spans, while the count protocol
+  *     holds ONE bucket (invariant 3 exists precisely because it
+  *     forgets the spans; the spec measures qCounts growing linearly
+  *     under O(1) buckets).
+  *  2. '''One span's text is unbounded in length.''' Emitting the run
+  *     TEXT requires buffering every char since the earliest live
+  *     thread's start: on `v[ce]*p` over `v` + `c`^n the candidate
+  *     spans the whole history — you cannot emit a string you did not
+  *     keep, so state is Ω(history) regardless of queue design.
+  *
+  * Count/position emission stays O(automaton) exactly because it
+  * forgets both. Callers needing runs: extract batch-side over the
+  * journeys the stream already delivers (the batch twin), or accept
+  * an explicit truncation contract (cap pending spans and run
+  * length), which no longer equals `find()` and is therefore not
+  * built here.
   */
 object PikeRegex {
 

@@ -637,4 +637,45 @@ object VectorStore {
   /** Current version number (specs/audits). */
   def version(spark: SparkSession, dir: String): Long =
     snapshot(spark, dir).map(_.version).getOrElse(0L)
+
+  /** Pinned-read STALENESS telemetry (round 15): one row per retained
+    * version — its age, entry/segment counts, whether it is a
+    * checkpoint base, and crucially `missing_segments`: how many of
+    * the segment dirs it references are no longer on disk. A pinned
+    * reader of a version with missing segments > 0 will fail
+    * mid-query — so this audit turns [[vacuum]]'s keep/age window
+    * from a guess into a measurement: run it from the maintenance
+    * cadence and alert when the oldest version your longest query
+    * could still be pinned to shows missing segments. Driver-side
+    * manifest + directory listing only (no data reads).
+    */
+  def versionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    val empty = Seq.empty[(Long, Long, Int, Int, Int, Boolean)]
+      .toDF("version", "age_seconds", "n_entries", "n_segments",
+        "missing_segments", "checkpointed")
+    if (!fs.exists(md)) return empty
+    val (named, ckpts) = listManifests(fs, md)
+    if (named.isEmpty) return empty
+    val onDisk = fs.listStatus(root).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("seg=")
+    }.map(_.getPath.getName).toSet
+    val now = System.currentTimeMillis()
+    // replay once from the floor — O(retained versions × delta size)
+    var entries = snapshotAt(spark, dir, named.head._1).get.entries
+    val rows = named.map { case (v, p) =>
+      if (v != named.head._1) {
+        val d = readDoc(fs, p, v, dir)
+        entries = d.full.getOrElse(applyDelta(entries, d.adds, d.drops))
+      }
+      val segs = entries.map(_.split("/")(0)).distinct
+      val ageS = (now - fs.getFileStatus(p).getModificationTime) / 1000L
+      (v, ageS, entries.length, segs.length,
+        segs.count(s => !onDisk(s)), ckpts.contains(v))
+    }
+    rows.toDF("version", "age_seconds", "n_entries", "n_segments",
+      "missing_segments", "checkpointed")
+  }
 }

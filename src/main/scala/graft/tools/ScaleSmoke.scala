@@ -925,6 +925,17 @@ object ScaleSmoke {
       println(f"graph-store live files after $rounds%d syncs: " +
         f"${fstats.length}%d cells, max ${fstats.max}%d files/cell, " +
         f"mean ${fstats.sum.toDouble / fstats.length}%.2f")
+      // pinned-read staleness telemetry BEFORE the vacuum: the
+      // retained-window audit that sizes keep/minAgeMs measurably —
+      // a pinned reader is safe iff its version still appears here
+      // with missing_segments = 0
+      println("version stats pre-vacuum (pinned-read staleness audit):")
+      graft.streaming.VectorStore.versionStats(spark, dir.toString)
+        .collect().foreach { r =>
+          println(f"  v${r.getLong(0)}%-4d age ${r.getLong(1)}%4d s, " +
+            f"${r.getInt(2)}%4d entries / ${r.getInt(3)}%3d segments, " +
+            f"missing ${r.getInt(4)}%d, ckpt ${r.getBoolean(5)}%b")
+        }
       // final sanity: vacuum then a fresh read still serves the last
       // version
       graft.streaming.VectorStore.vacuum(spark, dir.toString, keep = 1)

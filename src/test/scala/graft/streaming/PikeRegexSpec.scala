@@ -220,6 +220,41 @@ class PikeRegexSpec extends AnyFunSuite {
     feedAndCheck("[\\d-]+", "1-2 3", Seq(2, 3))
   }
 
+  test("span extraction is impossible under the state bound: the " +
+      "witnesses from the scaladoc, measured") {
+    // witness 1: pending-span COUNT grows linearly while the bucket
+    // state stays O(1) — emitting per-match spans would need the
+    // queue uncompressed, i.e. O(n) state
+    val prog = PikeRegex.compile("ab*c|b")
+    var st = PikeEngine.initial
+    val counts = Seq(200, 400, 800).map { n =>
+      st = PikeEngine.initial
+      st = PikeEngine.feed(prog, st, "a" + "b" * n)
+      // all n pending b-matches compress into one bucket under the
+      // live ab*c thread's start
+      assert(st.qKeys.length <= st.pcs.length + 1,
+        s"bucket bound broken: ${st.qKeys.length} vs ${st.pcs.length}")
+      st.qCounts.sum
+    }
+    assert(counts === Seq(200, 400, 800),
+      "pending matches (= spans an extractor must hold) grow with input")
+    // witness 2: one candidate's span covers the whole history — run
+    // TEXT emission would need the full journey buffered. Java agrees
+    // the final match is history-sized once the 'p' arrives.
+    val m = java.util.regex.Pattern.compile("v[ce]*p")
+      .matcher("v" + "c" * 5000 + "p")
+    assert(m.find() && m.group().length == 5002)
+    val prog2 = PikeRegex.compile("v[ce]*p")
+    var st2 = PikeEngine.initial
+    st2 = PikeEngine.feed(prog2, st2, "v" + "c" * 5000)
+    // the engine holds O(automaton) state while the in-flight
+    // candidate already spans 5001 chars it never stored
+    assert(st2.pcs.length <= prog2.size &&
+      st2.qKeys.length <= st2.pcs.length + 1)
+    st2 = PikeEngine.feed(prog2, st2, "p")
+    assert(PikeEngine.matchCount(st2) === 1L)
+  }
+
   test("counted-repetition bounds are capped and over-Int is the " +
       "parser's own error") {
     // {m,n} compiles to O(n) instruction copies — unvalidated bounds

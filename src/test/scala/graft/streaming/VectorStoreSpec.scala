@@ -193,6 +193,38 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("versionStats: retained-window audit flags versions whose segments vanished") {
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      (1 to 12).foreach { v =>
+        VectorStore.commit(spark, dir, Seq.empty,
+          Seq(s"seg=s$v/cell=0"), None, "{}")
+        new java.io.File(idx, s"seg=s$v").mkdirs()
+      }
+      VectorStore.vacuum(spark, dir, keep = 3)
+      val rows = VectorStore.versionStats(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getInt(4),
+          r.getBoolean(5)))
+      // retained window = v10..v12; all segments present; v10 is the
+      // floor checkpoint (the interval checkpoint landed there too)
+      assert(rows.map(_._1).toSeq === Seq(10L, 11L, 12L))
+      assert(rows.forall(_._3 == 0),
+        "fresh retained versions must have no missing segments")
+      assert(rows.find(_._1 == 10L).get._4, "floor must be checkpointed")
+      assert(rows.map(_._2).toSeq === Seq(10, 11, 12)) // n_entries
+      // simulate damage a pinned reader would hit: remove a segment
+      // dir referenced by every retained version
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(idx, "seg=s3"))
+      val damaged = VectorStore.versionStats(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(4)))
+      assert(damaged.forall(_._2 == 1),
+        s"the audit must flag the vanished segment, got ${damaged.toSeq}")
+    }
+  }
+
   test("optimistic concurrency: disjoint racing commits both land, equal to serial") {
     withDir { idx =>
       val dir = idx.getAbsolutePath
