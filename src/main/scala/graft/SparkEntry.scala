@@ -1240,6 +1240,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "stream_dedup_ttl" -> ((s, dir) => {
+      // the TTL-evicting dedup under the SAME oracle: with a horizon
+      // past the synthetic event-time span (and a watermark delay
+      // spanning the whole id range — slices are id-mod, not
+      // time-contiguous) nothing expires and nothing is late, so the
+      // keeper rule must equal streamingExactDedup exactly. The
+      // within-horizon/re-admission semantics are spec-driven
+      // (EventStreamSpec "TTL dedup").
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + 1).as("ts"))
+      val stream = streamPrefix(s, docs, "doc_id", 3,
+        Some(s"$dir|docs3|full_ts"))
+      runToMemory(graft.streaming.EventStream.streamingExactDedupTtl(
+          stream, "doc_id", "text", "ts", ttlMs = 3155760000000L,
+          watermarkDelay = "36500 days"), "append")
+        .select(col("doc_id"), col("text"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_window_agg" -> ((s, dir) => {
       // watermarked append-mode windowed aggregation under the
       // oracle: the events table streams in 3 slices, tumbling 1-hour
@@ -4576,6 +4596,21 @@ object SparkEntry {
         |FROM m WHERE len(runs) > 0
         |ORDER BY user_id""".stripMargin
 
+  /** Shared oracle of the streaming exact-dedup twins (NoTimeout +
+    * TTL): keeper per fingerprint = min-id row of the earliest slice
+    * (doc_id % 3) containing it — the operator's first-batch min-id
+    * rule under the deterministic stream-prefix fixture.
+    */
+  private val dedupExactStreamOracle: String =
+    """SELECT doc_id, text, fp FROM (
+      |  SELECT doc_id, text,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      ORDER BY doc_id % 3, doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Shared oracle of the streaming A-ES sampler twins (NoTimeout +
     * TTL): the batch weightedSample replayed bit-for-bit.
     */
@@ -5682,18 +5717,10 @@ object SparkEntry {
         |SELECT sess.* FROM sess, wm WHERE sess.end_us <= wm.w
         |ORDER BY user_id, start_us""".stripMargin,
 
-    "stream_dedup_exact" ->
-      // keeper per fingerprint = min-id row of the earliest slice
-      // (doc_id % 3) containing it — the operator's first-batch
-      // min-id rule under the deterministic stream-prefix fixture
-      """SELECT doc_id, text, fp FROM (
-        |  SELECT doc_id, text,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |    ROW_NUMBER() OVER (
-        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |      ORDER BY doc_id % 3, doc_id) AS rn
-        |  FROM documents) t
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "stream_dedup_exact" -> dedupExactStreamOracle,
+    // the TTL twin under a horizon past the fixture span is
+    // bit-identical to the NoTimeout dedup by contract
+    "stream_dedup_ttl" -> dedupExactStreamOracle,
 
     "profile_psi_drift" ->
       """WITH src AS (
