@@ -1223,6 +1223,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "stream_neardup_ttl" -> ((s, dir) => {
+      // the TTL-evicting near-dup candidate index (round 15): band
+      // buckets idle past the horizon leave the state store — the
+      // NoTimeout twin's total state grows with every distinct bucket
+      // ever seen, forever, on a content-churning corpus. Horizon
+      // past the synthetic event-time span + a watermark delay
+      // spanning the id range (slices are id-mod) → nothing evicts,
+      // nothing is late, and the pair set must equal the batch LSH
+      // self-join verbatim (the shared oracle).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + 1).as("ts"))
+      val stream = streamPrefix(s, docs, "doc_id", 3,
+        Some(s"$dir|docs3|full_ts"))
+      runToMemory(graft.streaming.EventStream.streamingNearDupCandidatesTtl(
+          stream, "doc_id", "text", "ts", ttlMs = 3155760000000L,
+          numHashes = 16, bands = 4, ngramN = 3,
+          maxBucket = Int.MaxValue, portable = true,
+          watermarkDelay = "36500 days"),
+        "append")
+        .select(col("id_a"), col("id_b")).distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "stream_dedup_exact" -> ((s, dir) => {
       // streaming exact dedup under the oracle: kept = per
       // fingerprint, the min-id row of the EARLIEST micro-batch
@@ -1804,6 +1828,32 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "stream_funnel_ttl" -> ((s, dir) => {
+      // TTL twin of stream_funnel: dormant users re-emit their final
+      // (steps, max_step) row on eviction and leave the state store;
+      // horizon past the fixture span → equals the batch funnel
+      // oracle verbatim. Takes the raw ts column (the TTL variant
+      // derives step microseconds itself — the watermark needs the
+      // event-time column).
+      val stream = eventsTertileStream(s, dir,
+        Seq("user_id", "ts", "event_type"))
+      val emitted = runToMemory(
+        graft.streaming.EventStream.streamingFunnelTtl(
+          stream, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"),
+          ttlMs = 3155760000000L), "append")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("max_step").desc)
+      emitted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"),
+          element_at(col("steps_us"), 1).as("step1_us"),
+          element_at(col("steps_us"), 2).as("step2_us"),
+          element_at(col("steps_us"), 3).as("step3_us"),
+          col("max_step"))
+        .orderBy(col("user_id"))
+    }),
+
     "stream_cohort_retention" -> ((s, dir) => {
       // streaming cohort twin under the batch oracle: per-user keyed
       // state emits one delta row per first (user, period-offset)
@@ -1822,6 +1872,30 @@ object SparkEntry {
       val deltas = runToMemory(
         graft.streaming.EventStream.streamingCohortActivity(
           stream, "user_id", "ts", periodDays = 1), "append")
+        .localCheckpoint()
+      val cells = deltas
+        .groupBy(col("cohort_period"), col("period_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = cells.filter(col("period_offset") === 0)
+        .select(col("cohort_period"), col("n_active").as("n_cohort"))
+      cells.join(broadcast(sizes), "cohort_period")
+        .select(col("cohort_period"), col("period_offset"),
+          col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort"))
+            .as("retention_rate"))
+        .orderBy(col("cohort_period"), col("period_offset"))
+    }),
+
+    "stream_cohort_ttl" -> ((s, dir) => {
+      // TTL twin of stream_cohort_retention: dormant users' (cohort,
+      // offsets) state evicts silently (re-emitting deltas would
+      // double-count the additive matrix); horizon past the fixture
+      // span → equals the batch cohort oracle verbatim.
+      val stream = eventsTertileStream(s, dir, Seq("user_id", "ts"))
+      val deltas = runToMemory(
+        graft.streaming.EventStream.streamingCohortActivityTtl(
+          stream, "user_id", "ts", ttlMs = 3155760000000L,
+          periodDays = 1), "append")
         .localCheckpoint()
       val cells = deltas
         .groupBy(col("cohort_period"), col("period_offset"))
@@ -1863,6 +1937,29 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    "stream_transitions_ttl" -> ((s, dir) => {
+      // TTL twin of stream_transitions (round 15): dormant users
+      // leave the state store; horizon past the fixture span → the
+      // cumulative pairs equal the batch lag-1 pairs verbatim under
+      // the same oracle. Same tertile fixture, same reduce.
+      val stream = eventsTertileStream(s, dir,
+        Seq("event_id", "ts", "user_id", "event_type"))
+      val pairs = runToMemory(
+        graft.streaming.EventStream.streamingTransitionsTtl(
+          stream, "user_id", "event_type", "ts", "event_id",
+          ttlMs = 3155760000000L), "append")
+        .localCheckpoint()
+      val cells = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("__tot"))
+      cells.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (floor(col("n").cast("double") / col("__tot").cast("double")
+            * 10000) / 10000).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "stream_path_ngrams" -> ((s, dir) => {
       // the bounded last-(n−1)-types keyed-state path twin under the
       // batch top-paths oracle — same arrival-order argument as
@@ -1874,6 +1971,22 @@ object SparkEntry {
         graft.streaming.EventStream.streamingPathNgrams(
           stream, "user_id", "event_type", "ts", "event_id", n = 3),
         "append")
+        .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("path").asc)
+        .limit(10)
+    }),
+
+    "stream_path_ngrams_ttl" -> ((s, dir) => {
+      // TTL twin of stream_path_ngrams: dormant users' type windows
+      // evict (nothing re-emits — the path log is a delta stream and
+      // a re-emission would double the additive counter); horizon
+      // past the fixture span → equals the batch top-paths oracle.
+      val stream = eventsTertileStream(s, dir,
+        Seq("event_id", "ts", "user_id", "event_type"))
+      runToMemory(
+        graft.streaming.EventStream.streamingPathNgramsTtl(
+          stream, "user_id", "event_type", "ts", "event_id",
+          ttlMs = 3155760000000L, n = 3), "append")
         .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
         .orderBy(col("n_paths").desc, col("path").asc)
         .limit(10)
@@ -5677,6 +5790,13 @@ object SparkEntry {
     "stream_cohort_retention" -> cohortOracle,
     "stream_transitions" -> transitionsOracle,
     "stream_path_ngrams" -> topPathsOracle,
+    // the round-15 TTL twins share the batch oracles verbatim: with a
+    // horizon past the fixture span they are bit-identical to the
+    // NoTimeout twins by contract (eviction semantics are spec-driven)
+    "stream_funnel_ttl" -> funnelOracle,
+    "stream_cohort_ttl" -> cohortOracle,
+    "stream_transitions_ttl" -> transitionsOracle,
+    "stream_path_ngrams_ttl" -> topPathsOracle,
 
     "stream_window_agg" ->
       // the batch window aggregate RESTRICTED to finalized windows:
@@ -6585,6 +6705,7 @@ object SparkEntry {
     // the streaming band index accumulates the same buckets, so the
     // cumulative pair set replays with the batch self-join oracle
     "stream_neardup_lsh" -> minhashLshOracle,
+    "stream_neardup_ttl" -> minhashLshOracle,
 
     "dedup_simhash_hamming" ->
       """WITH th AS (

@@ -260,6 +260,60 @@ object EventStream {
       .toDF("user_id", "from_type", "to_type")
   }
 
+  /** EVENT-TIME-TTL variant of [[streamingTransitions]]: a user idle
+    * past `ttlMs` (sliding on last sighting) leaves the state store.
+    * Nothing re-emits on eviction — the transition stream is already
+    * complete at all times (every pair was emitted when its second
+    * event arrived); eviction only forgets the dangling last event,
+    * so a re-arrival after the horizon starts a fresh chain (the
+    * would-be cross-horizon transition is intentionally not counted).
+    * With a TTL past the stream span, bit-identical to the NoTimeout
+    * twin (driver gate `stream_transitions_ttl`).
+    */
+  def streamingTransitionsTtl(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, ttlMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        col(idCol).cast("long").as("eid"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[(String, Long, Long)]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, String, String)]
+            var last = state.getOption
+            ordered.foreach { case (_, t, tsUs, id, _) =>
+              last.foreach { case (prevT, _, _) => out += ((user, prevT, t)) }
+              last = Some((t, tsUs, id))
+            }
+            last.foreach(state.update)
+            val maxTs = ordered.map(_._5.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
+      .toDF("user_id", "from_type", "to_type")
+  }
+
   /** Streaming funnel twin of [[graft.operators.Sessionize.funnel]]:
     * per-user keyed state holds ONLY the earliest reached timestamp
     * per step (steps.length longs — bounded regardless of event
@@ -291,38 +345,103 @@ object EventStream {
         col(typeCol).as("etype"), col(tsUsCol).cast("long").as("ts_us"))
       .as[(Long, String, Long)]
       .groupByKey(_._1)
-    val UNSET = Long.MaxValue
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long)],
           state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) => {
-        val s = state.getOption.getOrElse(Array.fill(steps.length)(UNSET))
+        val s = state.getOption.getOrElse(
+          Array.fill(steps.length)(FunnelUnset))
         val before = s.clone()
-        // per-step mins from this batch, in step order: step k's gate
-        // (s(k-1)) is final before step k evaluates — same fixpoint as
-        // the batch operator's sequential step joins
-        val evs = rows.toArray
-        var k = 0
-        while (k < steps.length) {
-          var i = 0
-          while (i < evs.length) {
-            val (_, t, ts) = evs(i)
-            if (stepIdx.get(t).contains(k) &&
-                (k == 0 || (s(k - 1) != UNSET && ts >= s(k - 1))) &&
-                ts < s(k)) s(k) = ts
-            i += 1
-          }
-          k += 1
-        }
+        funnelAdvance(s, rows.map(r => (r._2, r._3)).toArray, stepIdx)
         if (java.util.Arrays.equals(before, s)) Iterator.empty
         else {
           state.update(s)
-          val maxStep = s.lastIndexWhere(_ != UNSET) + 1
-          Iterator.single((user,
-            s.toSeq.map(v => if (v == UNSET) None else Some(v)),
-            maxStep.toLong))
+          Iterator.single(funnelRow(user, s))
         }
       })
+      .toDF("user_id", "steps_us", "max_step")
+  }
+
+  private val FunnelUnset = Long.MaxValue
+
+  /** Shared per-batch funnel fold of [[streamingFunnel]] and its TTL
+    * twin: per-step mins in step order — step k's gate (s(k−1)) is
+    * final before step k evaluates, the same fixpoint as the batch
+    * operator's sequential step joins. Mutates `s` in place.
+    */
+  private def funnelAdvance(s: Array[Long], evs: Array[(String, Long)],
+      stepIdx: Map[String, Int]): Unit = {
+    var k = 0
+    while (k < s.length) {
+      var i = 0
+      while (i < evs.length) {
+        val (t, ts) = evs(i)
+        if (stepIdx.get(t).contains(k) &&
+            (k == 0 || (s(k - 1) != FunnelUnset && ts >= s(k - 1))) &&
+            ts < s(k)) s(k) = ts
+        i += 1
+      }
+      k += 1
+    }
+  }
+
+  private def funnelRow(user: Long, s: Array[Long])
+      : (Long, Seq[Option[Long]], Long) = {
+    val maxStep = s.lastIndexWhere(_ != FunnelUnset) + 1
+    (user, s.toSeq.map(v => if (v == FunnelUnset) None else Some(v)),
+      maxStep.toLong)
+  }
+
+  /** EVENT-TIME-TTL variant of [[streamingFunnel]] (takes a TIMESTAMP
+    * `tsCol` and derives the step microseconds itself — the watermark
+    * needs the event-time column). A user idle past `ttlMs` re-emits
+    * their final (steps, max_step) row once more and leaves the state
+    * store — argmax(max_step) consumers stay exact for aged-out keys;
+    * a re-arrival starts a fresh funnel (the within-horizon contract).
+    * With a TTL past the stream span, bit-identical to the NoTimeout
+    * twin (driver gate `stream_funnel_ttl`).
+    */
+  def streamingFunnelTtl(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String], ttlMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(funnelRow(user, s))
+        } else {
+          val evs = rows.toArray
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val s = state.getOption.getOrElse(
+              Array.fill(steps.length)(FunnelUnset))
+            val before = s.clone()
+            funnelAdvance(s, evs.map(r => (r._2, r._3)), stepIdx)
+            val maxTs = evs.map(_._4.getTime).max
+            state.update(s) // always: the timeout needs live state
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            if (java.util.Arrays.equals(before, s)) Iterator.empty
+            else Iterator.single(funnelRow(user, s))
+          }
+        })
       .toDF("user_id", "steps_us", "max_step")
   }
 
@@ -366,6 +485,59 @@ object EventStream {
         state.update(window)
         out.iterator
       })
+      .toDF("user_id", "path")
+  }
+
+  /** EVENT-TIME-TTL variant of [[streamingPathNgrams]]: a user idle
+    * past `ttlMs` drops their n−1-type window from the state store;
+    * nothing re-emits on eviction (every completed path was emitted
+    * when its last event arrived — a re-emission would DOUBLE the
+    * additive downstream counter). A re-arrival starts a fresh
+    * window, so paths spanning the horizon are intentionally not
+    * formed. With a TTL past the stream span, bit-identical to the
+    * NoTimeout twin (driver gate `stream_path_ngrams_ttl`).
+    */
+  def streamingPathNgramsTtl(stream: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, ttlMs: Long,
+      n: Int = 3, watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(n >= 2, "need n >= 2")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("etype"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+        col(idCol).cast("long").as("eid"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[List[String]]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            var window = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+            ordered.foreach { case (_, t, _, _, _) =>
+              window = (window :+ t).takeRight(n)
+              if (window.length == n) out += ((user, window.mkString(" > ")))
+            }
+            state.update(window)
+            val maxTs = ordered.map(_._5.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
       .toDF("user_id", "path")
   }
 
@@ -917,6 +1089,61 @@ object EventStream {
       .toDF("cohort_period", "period_offset", "user_id")
   }
 
+  /** EVENT-TIME-TTL variant of [[streamingCohortActivity]]: a user
+    * idle past `ttlMs` drops their (cohort, emitted-offsets) state;
+    * NOTHING re-emits on eviction — the emission stream is a DELTA
+    * log and a re-emission would double-count cells in the additive
+    * retention counter. The horizon contract is explicit here: a user
+    * re-arriving after expiry is treated as a NEW cohort member
+    * (their original first-seen period is forgotten) — the standard
+    * bounded-state retention trade-off, sized by setting the TTL to
+    * the longest offset the matrix reports. With a TTL past the
+    * stream span, bit-identical to the NoTimeout twin (driver gate
+    * `stream_cohort_ttl`).
+    */
+  def streamingCohortActivityTtl(stream: DataFrame, userCol: String,
+      tsCol: String, ttlMs: Long, periodDays: Int = 7,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(periodDays > 0, "periodDays must be > 0")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val per = floor(
+      datediff(to_date(col(tsCol).cast("timestamp")),
+        lit("1970-01-01").cast("date")) / periodDays).cast("int")
+    val keyed = stream
+      .select(col(userCol).cast("long").as("user_id"), per.as("__per"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (user: Long, rows: Iterator[(Long, Int, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[(Int, Set[Int])]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val batch = rows.toArray
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val pers = batch.map(_._2)
+            val (cohort, seen) = state.getOption
+              .getOrElse((pers.min, Set.empty[Int]))
+            val fresh = pers.map(_ - cohort).filter(o => !seen.contains(o))
+              .distinct.sorted
+            state.update((cohort, seen ++ fresh))
+            val maxTs = batch.map(_._3.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            fresh.iterator.map(o => (cohort, o, user))
+          }
+        })
+      .toDF("cohort_period", "period_offset", "user_id")
+  }
+
   /** Map a CDC operation column onto the DiffSync flag vocabulary:
     * delete markers → "deleted" (tombstone rows need only their PK
     * columns populated), everything else → "changed" (upsert).
@@ -1012,6 +1239,69 @@ object EventStream {
         state.update(seen)
         out.iterator
       })
+      .toDF("id_a", "id_b")
+  }
+
+  /** EVENT-TIME-TTL variant of [[streamingNearDupCandidates]]: a band
+    * BUCKET with no arrivals for `ttlMs` (event time, sliding on the
+    * bucket's last sighting) drops its member list from the state
+    * store — the base op's total state grows with every distinct band
+    * bucket ever seen, which on a content-churning corpus is forever.
+    * Nothing re-emits on eviction (every candidate pair was emitted on
+    * arrival); a doc arriving after its bucket expired pairs only with
+    * in-horizon bucket members — near-dup detection WITHIN the
+    * horizon, exactly the bounded-state contract of the TTL dedup.
+    * With a TTL past the stream span, bit-identical to the NoTimeout
+    * twin (driver gate `stream_neardup_ttl`).
+    */
+  def streamingNearDupCandidatesTtl(stream: DataFrame, idCol: String,
+      textCol: String, tsCol: String, ttlMs: Long, numHashes: Int = 16,
+      bands: Int = 8, ngramN: Int = 3, maxBucket: Int = 64,
+      portable: Boolean = false,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode => OM}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // lshBands carries only its id column through — ride the event
+    // time inside a struct id, then unpack past the banding kernel
+    val banded = graft.functions.Dedup.lshBands(
+        stream.select(struct(col(idCol).cast("long").as("id"),
+            col(tsCol).cast("timestamp").as("ts")).as("__idts"),
+          col(textCol).as("__text")),
+        "__idts", "__text", numHashes, bands, ngramN, portable)
+      .select(concat_ws("|", col("band_id"), col("band_hash")).as("bucket"),
+        col("__idts.id").as("id"), col("__idts.ts").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    banded.flatMapGroupsWithState(
+      OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (bucket: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+          state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val batch = rows.toArray
+          if (batch.isEmpty) Iterator.empty
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            batch.map(_._2).toSeq.distinct.sorted.foreach { id =>
+              if (!seen.contains(id)) {
+                seen.foreach(s =>
+                  out += ((math.min(s, id), math.max(s, id))))
+                if (seen.size < maxBucket) seen = seen :+ id
+              }
+            }
+            state.update(seen)
+            val maxTs = batch.map(_._3.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
       .toDF("id_a", "id_b")
   }
 
