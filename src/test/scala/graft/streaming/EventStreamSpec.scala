@@ -1171,6 +1171,107 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("weighted-sample TTL: idle shard finalizes and resets; multi-pattern TTL evicts per pattern") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wttl").toFile
+    val chk = Files.createTempDirectory("graft_wttl_chk").toFile
+    val chk2 = Files.createTempDirectory("graft_wttl_chk2").toFile
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    try {
+      // TWO shards: the sliding TTL refreshes on ANY arrival in the
+      // shard, so the idle/evict story needs rows that land in the
+      // OTHER shard to advance the watermark — discover the routing
+      // (pmod(xxhash64(id), 2)) at runtime
+      def shardOf(id: Long): Long = spark.range(1)
+        .select(pmod(xxhash64(lit(id)), lit(2L))).collect()(0).getLong(0)
+      val s0 = (1L to 60L).filter(shardOf(_) == 0L)
+      val s1 = (1L to 60L).filter(shardOf(_) == 1L)
+      val (a1, a2, a3) = (s0(0), s0(1), s0(2))
+      Seq((a1, 5L, ts("10:00")), (a2, 9L, ts("10:01")))
+        .toDF("doc_id", "w", "ts")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+      val q = EventStream.streamingWeightedSampleTtl(
+          stream, "doc_id", "w", "ts", k = 2, ttlMs = 30L * 60 * 1000,
+          shards = 2, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("wttl")
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      q.processAllAvailable()
+      def shard0Rows = spark.table("wttl").collect()
+        .filter(_.getLong(0) == 0L)
+        .map(r => (r.getLong(1), r.getLong(4)))
+      assert(shard0Rows.map(_._1).toSet === Set(a1, a2) &&
+        shard0Rows.forall(_._2 == 2L))
+      // shard-1 traffic advances the watermark past shard 0's timeout…
+      Seq((s1(0), 1L, ts("12:00"))).toDF("doc_id", "w", "ts")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b2")
+      q.processAllAvailable()
+      // …and the next trigger fires it: the final reservoir RE-EMITS
+      Seq((s1(1), 1L, ts("12:05"))).toDF("doc_id", "w", "ts")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b3")
+      q.processAllAvailable()
+      // a shard-0 arrival after eviction starts a FRESH reservoir
+      Seq((a3, 1L, ts("12:10"))).toDF("doc_id", "w", "ts")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b4")
+      q.processAllAvailable()
+      q.stop()
+      val rows = shard0Rows
+      assert(rows.count(_._2 == 2L) === 4,
+        s"expected the seen=2 emission + its eviction re-emission, got ${rows.toSeq}")
+      assert(rows.filter(_._2 == 1L).map(_._1).toSet === Set(a3),
+        "post-eviction shard must restart with only the new row")
+
+      // multi-pattern TTL: the evicted user re-emits one final row
+      // PER PATTERN, then restarts fresh
+      Seq((1L, 1L, ts("10:00"), "view"), (1L, 2L, ts("10:01"), "purchase"),
+          (2L, 3L, ts("10:01"), "signup"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/m1")
+      val mschema = spark.read.parquet(dir.getAbsolutePath + "/m1").schema
+      val mstream = spark.readStream.schema(mschema)
+        .parquet(dir.getAbsolutePath + "/m*")
+      val q2 = EventStream.streamingSequencePatternMultiTtl(
+          mstream, "user_id", "event_type", "ts", "event_id",
+          (t: String) => t match {
+            case "view" => "v"; case "click" => "c"
+            case "purchase" => "p"; case "signup" => "s"; case _ => "e"
+          }, Seq(("vp", "vc*p"), ("sp", "s[vce]*p")),
+          ttlMs = 30L * 60 * 1000, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("mttl")
+        .outputMode("append")
+        .option("checkpointLocation", chk2.getAbsolutePath)
+        .start()
+      q2.processAllAvailable()
+      Seq((2L, 4L, ts("12:00"), "view"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/m2")
+      q2.processAllAvailable()
+      Seq((2L, 5L, ts("12:05"), "purchase"))
+        .toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/m3")
+      q2.processAllAvailable()
+      q2.stop()
+      val u1 = spark.table("mttl").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getString(1), r.getInt(2), r.getInt(3)))
+      // user 1: batch emission (vp: 2 events 1 match; sp: 0 matches)
+      // + the identical eviction re-emission for BOTH patterns
+      assert(u1.count(t => t._1 == "vp" && t._2 == 2 && t._3 == 1) === 2,
+        s"vp must emit batch + eviction rows, got ${u1.toSeq}")
+      assert(u1.count(t => t._1 == "sp" && t._2 == 2 && t._3 == 0) === 2,
+        s"sp must emit batch + eviction rows, got ${u1.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk); rm(chk2)
+    }
+  }
+
   test("quota TTL: idle stratum re-emits final picks on eviction and restarts after") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_qttl").toFile
