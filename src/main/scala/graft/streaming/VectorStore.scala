@@ -131,7 +131,11 @@ object VectorStore {
 
   /** One delta application step — MUST mirror what [[commit]] computes
     * against its base snapshot, so a chain replay reproduces the
-    * committed entry list bit for bit.
+    * committed entry list bit for bit. A sorted two-pointer merge was
+    * tried here (round 15) and measured IDENTICAL at 100k live
+    * partitions — per-step cost is dominated by the checkpoint JSON
+    * parse and filesystem ops, not the sort — so the simpler form
+    * stays.
     */
   private def applyDelta(entries: Seq[String], adds: Seq[String],
       drops: Seq[String]): Seq[String] = {
