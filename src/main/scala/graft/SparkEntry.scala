@@ -203,6 +203,12 @@ object SparkEntry {
   private val storeSnapshotDirs = new java.util.concurrent
     .ConcurrentHashMap[String, (Seq[String], String, String)]
 
+  /** sim_store_changes memo: per input dir, (IVF store dir, version
+    * before the tombstone batch, version after).
+    */
+  private val storeChangesDirs = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, Long, Long)]
+
   // `sliceIdx` is BY-NAME: it is only evaluated inside the memo's
   // build closure, so a slice expression whose construction costs a
   // full scan (the tertile bounds agg) runs atomically once-per-JVM
@@ -1683,6 +1689,43 @@ object SparkEntry {
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sim_store_changes" -> ((s, dir) => {
+      // ROW-LEVEL CHANGE FEED under the oracle (round 15 — the Delta
+      // table_changes move, completing the store's operational triad
+      // next to snapshot isolation and time travel): the embeddings
+      // corpus lands in an IVF store as one committed batch, then a
+      // tombstone batch deletes vec_id % 37 == 0. readChanges between
+      // the two versions must report EXACTLY those rows as removes
+      // and nothing else — the touched partitions were REWRITTEN
+      // (survivors re-land byte-identical in a fresh segment), so
+      // every survivor must cancel out of the feed, and untouched
+      // partitions are never read at all (cost O(changed partitions),
+      // the property that makes polling the feed cheaper than
+      // re-scanning a 100 TB store).
+      val (idxDir, vPre, vPost) =
+        storeChangesDirs.computeIfAbsent(dir, _ => {
+          val corpus = t(s, dir, "embeddings").select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"))
+          val cents = Similarity.ivfCentroids(corpus, "vec_id",
+            "embedding", 16)
+          val store = trackStreamTmp(
+            java.nio.file.Files.createTempDirectory("graft_chg_idx"))
+          graft.streaming.VectorIngest.ingestBatch(corpus, "vec_id",
+            "embedding", cents, store.toString, batchId = 0L)
+          val v1 = graft.streaming.VectorStore.version(s, store.toString)
+          graft.streaming.VectorIngest.removeIvfBatch(
+            corpus.filter(col("vec_id") % 37 === 0)
+              .select(col("vec_id")),
+            "vec_id", store.toString)
+          (store.toString, v1,
+            graft.streaming.VectorStore.version(s, store.toString))
+        })
+      graft.streaming.VectorStore.readChanges(s, idxDir, vPre, vPost)
+        .select(col("_change_type").as("change_type"), col("vec_id"))
+        .orderBy(col("vec_id"))
     }),
 
     "sim_store_snapshot" -> ((s, dir) => {
@@ -7807,6 +7850,13 @@ object SparkEntry {
     // the CDC sync stream's net survivors == the remove oracle's
     "stream_vector_sync" -> plantedAnnRemoveOracle,
     "sim_store_snapshot" -> storeSnapshotOracle,
+    // the change feed between the ingest and tombstone versions is
+    // exactly the tombstoned rows as removes: survivors of the
+    // partition rewrites cancel (multiset diff), untouched partitions
+    // are never read
+    "sim_store_changes" ->
+      """SELECT 'remove' AS change_type, vec_id FROM embeddings
+        |WHERE vec_id % 37 = 0 ORDER BY vec_id""".stripMargin,
     "sim_ivf_store_remove" -> plantedAnnRemoveOracle,
     "sim_ann_graph_refined" -> plantedAnnOracle,
     "sim_graph_lifecycle" -> plantedAnnRemoveOracle,

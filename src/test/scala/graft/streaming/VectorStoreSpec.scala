@@ -193,6 +193,69 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("readChanges: row-level change feed reads only changed partitions, survivors cancel") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      val cents = Array(Array.fill(4)(-1.0), Array.fill(4)(1.0))
+      val base = (1L to 40L).map(i =>
+        (i, Array.fill(4)(if (i % 2 == 0) 0.9 else -0.9)))
+      VectorIngest.ingestBatch(base.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, dir, batchId = 0L)
+      val v1 = VectorStore.version(spark, dir)
+      // delete a stripe: the touched partitions REWRITE (survivors
+      // re-land byte-identical in a fresh segment) — the feed must
+      // report ONLY the tombstoned rows, as removes
+      val dead = Seq(4L, 8L, 12L).toDF("vec_id")
+      VectorIngest.removeIvfBatch(dead, "vec_id", dir)
+      val v2 = VectorStore.version(spark, dir)
+      val c12 = VectorStore.readChanges(spark, dir, v1, v2)
+        .select(col("_change_type"), col("vec_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(c12.toSet === Set(("remove", 4L), ("remove", 8L),
+        ("remove", 12L)), s"got ${c12.toSeq}")
+      // append a batch: inserts only
+      VectorIngest.ingestBatch(
+        Seq((100L, Array.fill(4)(0.8))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, dir, batchId = 1L)
+      val v3 = VectorStore.version(spark, dir)
+      val c23 = VectorStore.readChanges(spark, dir, v2, v3)
+        .select(col("_change_type"), col("vec_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(c23.toSet === Set(("insert", 100L)))
+      // spanning feed composes: v1 -> v3 = the deletes + the insert
+      val c13 = VectorStore.readChanges(spark, dir, v1, v3)
+        .select(col("_change_type"), col("vec_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(c13.toSet === Set(("remove", 4L), ("remove", 8L),
+        ("remove", 12L), ("insert", 100L)))
+      // same-version feed is empty; inverted range rejects
+      assert(VectorStore.readChanges(spark, dir, v3, v3).count() === 0L)
+      intercept[IllegalArgumentException](
+        VectorStore.readChanges(spark, dir, v3, v1))
+      // an UPDATE (graph store: re-link id 2 with a negated vector)
+      // surfaces as a remove+insert pair for that id
+      val gdir = idx.getAbsolutePath + "/graph"
+      val gBase = (1L to 20L).map(i =>
+        (i, Array.fill(4)(if (i % 2 == 0) 0.9 else -0.9)))
+      VectorIngest.ingestGraphBatch(gBase.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, gdir, degree = 4,
+        efConstruction = 16)
+      val gv1 = VectorStore.version(spark, gdir)
+      VectorIngest.syncGraphBatch(
+        Seq((2L, Array.fill(4)(-0.7), "upsert"))
+          .toDF("vec_id", "embedding", "op"),
+        "vec_id", "embedding", "op", cents, gdir, degree = 4,
+        efConstruction = 16)
+      val gc = VectorStore.readChanges(spark, gdir, gv1,
+          VectorStore.version(spark, gdir))
+        .filter(col("vec_id") === 2L)
+        .select(col("_change_type")).collect().map(_.getString(0))
+      assert(gc.sorted.toSeq === Seq("insert", "remove"),
+        s"an update must feed as a remove+insert pair, got ${gc.toSeq}")
+    }
+  }
+
   test("versionStats: retained-window audit flags versions whose segments vanished") {
     withDir { idx =>
       val dir = idx.getAbsolutePath
