@@ -233,6 +233,18 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(VectorStore.readChanges(spark, dir, v3, v3).count() === 0L)
       intercept[IllegalArgumentException](
         VectorStore.readChanges(spark, dir, v3, v1))
+      // the documented consumer loop, executed: a replica pinned at v1
+      // plus the v1->v3 feed equals a fresh read of v3 — incremental
+      // replica sync without re-scanning the store
+      val feed = VectorStore.readChanges(spark, dir, v1, v3)
+      val replica = VectorStore.readAt(spark, dir, v1)
+        .exceptAll(feed.filter(col("_change_type") === "remove")
+          .drop("_change_type"))
+        .unionByName(feed.filter(col("_change_type") === "insert")
+          .drop("_change_type"))
+      assert(replica.exceptAll(VectorStore.read(spark, dir)).count() === 0L
+        && VectorStore.read(spark, dir).exceptAll(replica).count() === 0L,
+        "feed-driven replica must converge to the fresh read")
       // an UPDATE (graph store: re-link id 2 with a negated vector)
       // surfaces as a remove+insert pair for that id
       val gdir = idx.getAbsolutePath + "/graph"
