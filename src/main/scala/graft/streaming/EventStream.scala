@@ -119,7 +119,8 @@ object EventStream {
     * here is explicit and extensible (counters, first-seen timestamps,
     * replacement policies); state size is one boolean per distinct
     * fingerprint, partitioned by the fingerprint hash across
-    * executors.
+    * executors — growing forever on an unbounded stream, which is
+    * what [[streamingExactDedupTtl]] bounds.
     */
   def streamingExactDedup(stream: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -216,7 +217,9 @@ object EventStream {
     * prefix (parity-spec'd AND driver-gated: `stream_transitions`
     * replays the batch oracle verbatim), delivered incrementally. Downstream, a
     * streaming or batch count over the emitted pairs maintains the
-    * live transition matrix. State is one (type, ts) per user.
+    * live transition matrix. State is one (type, ts) per user —
+    * bounded per key; under perpetual key churn use
+    * [[streamingTransitionsTtl]] to bound TOTAL state.
     *
     * Within a micro-batch, a user's events process in (ts, id) order,
     * so cross-batch and intra-batch transitions chain identically to
@@ -322,6 +325,8 @@ object EventStream {
     * event only at-or-after step k−1's time), in step order, so a
     * single pass is exact. Emits the user's updated
     * (step times, max_step) whenever it changes — consumers upsert.
+    * Per-user state is steps.length longs; under key churn
+    * [[streamingFunnelTtl]] bounds TOTAL state.
     *
     * Contract: event-time-ordered arrival across batches (the same
     * assumption as [[streamingTransitions]]'s last-event state). With
@@ -448,7 +453,8 @@ object EventStream {
   /** Streaming path-ngram twin of
     * [[graft.operators.Sessionize.topPaths]]'s per-user path stream:
     * state = the user's last n−1 event types (bounded — n strings per
-    * user); each arrival completes one length-n path, emitted as the
+    * user; under key churn [[streamingPathNgramsTtl]] bounds TOTAL
+    * state); each arrival completes one length-n path, emitted as the
     * same " > "-joined string the batch operator counts. A downstream
     * additive counter + top-k reproduces topPaths over the stream's
     * prefix (parity-spec'd AND driver-gated: `stream_path_ngrams`).
@@ -558,7 +564,8 @@ object EventStream {
     * per user (n_events strictly increases). Same order contract as
     * the other keyed-state twins: event-time-ordered arrival across
     * batches; the driver gate `stream_pattern_match` runs it on the
-    * time-contiguous tertile fixture under the batch oracle.
+    * time-contiguous tertile fixture under the batch oracle. Under
+    * key churn [[streamingSequencePatternTtl]] bounds TOTAL state.
     */
   def streamingSequencePattern(stream: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String,
@@ -683,7 +690,8 @@ object EventStream {
     * earlier pick exactly as the batch rank filter would — the quota
     * curation loop as a continuous job instead of periodic full
     * rescans). Consumers keep each stratum's latest emission
-    * (max seen); the driver gate reduces exactly so.
+    * (max seen); the driver gate reduces exactly so. Under stratum
+    * churn [[streamingQuotaSampleTtl]] bounds TOTAL state.
     */
   /** Shared cap-smallest-by-hash merge of [[streamingQuotaSample]] and
     * its TTL twin — one definition so the twins cannot drift.
@@ -805,7 +813,9 @@ object EventStream {
     * necessarily contains the global top-k, so the consumer's final
     * reduce (latest per shard → global top-k by (key DESC, id)) equals
     * the batch sample verbatim — continuous weighted reservoir
-    * curation without periodic full rescans.
+    * curation without periodic full rescans. The shard key space is
+    * bounded, so state is bounded too; [[streamingWeightedSampleTtl]]
+    * adds a sample-horizon reset for long quiet periods.
     *
     * Same positive-weight CONTRACT as the batch twin: rows with
     * w ≤ 0 are filtered out before ranking (A-ES is undefined there;
@@ -938,7 +948,8 @@ object EventStream {
     * user — without k separate streaming queries re-reading the
     * source. Emits one row per (user, pattern) per batch; consumers
     * keep the latest by n_events, exactly the single-pattern
-    * contract.
+    * contract. Under key churn [[streamingSequencePatternMultiTtl]]
+    * bounds TOTAL state.
     */
   def streamingSequencePatternMulti(stream: DataFrame, userCol: String,
       typeCol: String, tsCol: String, idCol: String,
@@ -1049,7 +1060,9 @@ object EventStream {
   /** Streaming cohort-activity twin of
     * [[graft.operators.Sessionize.cohortRetention]]: per-user state =
     * (cohort period, offsets already emitted) — bounded by the number
-    * of periods in the horizon, never by event volume. Each first
+    * of periods in the horizon, never by event volume (per key;
+    * [[streamingCohortActivityTtl]] bounds TOTAL state under user
+    * churn). Each first
     * sighting of a (user, period-offset) emits one delta row
     * (cohort_period, period_offset, user_id); a downstream counter
     * maintains the retention matrix additively (n_active per cell =
@@ -1194,7 +1207,9 @@ object EventStream {
     * state is keyed by band bucket and holds the ids seen there, so
     * each arrival emits one pair per prior bucket member — exactly
     * the pairs the batch band self-join produces over the stream's
-    * prefix (parity-spec'd). Verification stays downstream (exact
+    * prefix (parity-spec'd). Total state grows with distinct band
+    * buckets ever seen — on a content-churning corpus use
+    * [[streamingNearDupCandidatesTtl]]. Verification stays downstream (exact
     * Jaccard needs both texts; a foreachBatch join against the
     * corpus, as in the batch pipeline).
     *
