@@ -2409,6 +2409,48 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ivf_probe_read" -> ((s, dir) => {
+      // the 10⁶-partition search path end-to-end: the query set's
+      // probe cells are computed driver-side from the quantizer
+      // (≤ nlist values), VectorStore.readPartitions serves ONLY those
+      // cells — checkpoint-shard-pruned, O(probed shards) manifest
+      // bytes, never a full entry-list resolution — and the search
+      // over the slice must equal brute force. That holds iff the
+      // probe listing is exactly the probed cells' live entries AND
+      // probedCells agrees with the cells ivfTopKIndexed explodes
+      // internally (same probeCells expression by construction).
+      // Shares sim_ivf_compact's store: the slice read must see the
+      // post-compaction manifest, not any folded batch dir.
+      val idxDir = ivfCompactDirs.computeIfAbsent(dir, _ => {
+        val (corpus, _) = plantedAnnFixture(s, dir)
+        val cents = Similarity.ivfCentroids(corpus, "vec_id",
+          "embedding", 16)
+        val store = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_ivfc"))
+        (0 until 3).foreach { b =>
+          graft.streaming.VectorIngest.ingestBatch(
+            corpus.filter(pmod(col("vec_id"), lit(3)) === b),
+            "vec_id", "embedding", cents, store.toString, b.toLong)
+        }
+        graft.streaming.VectorIngest.compactIvfStore(s, store.toString,
+          protectLast = 0)
+        store.toString
+      })
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        16)
+      val cells = Similarity.probedCells(queries, "qvec", cents,
+        nprobe = 4)
+      val slice = graft.streaming.VectorStore.readPartitions(s, idxDir,
+        cells.map(c => s"cell=$c"))
+      Similarity.ivfTopKIndexed(slice, "vec_id",
+          "embedding", queries, "query_id", "qvec", k = 5, cents,
+          nprobe = 4)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ann_graph_refined" -> ((s, dir) => {
       // graph ANN under a REFINED quantizer (the skew guard in the
       // oracle set): cells above 2× the mean population re-quantize
@@ -7846,6 +7888,8 @@ object SparkEntry {
     "sim_ann_graph_remove" -> plantedAnnRemoveOracle,
     "stream_graph_ingest" -> plantedAnnOracle,
     "sim_ivf_compact" -> plantedAnnOracle,
+    // probe-pruned store read feeding the same search — same oracle
+    "sim_ivf_probe_read" -> plantedAnnOracle,
     "sim_ivf_remove" -> plantedAnnRemoveOracle,
     // the CDC sync stream's net survivors == the remove oracle's
     "stream_vector_sync" -> plantedAnnRemoveOracle,

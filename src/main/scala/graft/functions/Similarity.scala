@@ -987,6 +987,21 @@ object Similarity {
         lit(i).as("cell"))
     }: _*)), 1, nprobe)
 
+  /** Distinct probe cells for a whole query set — the driver-side
+    * input to a manifest-pruned store read
+    * ([[graft.streaming.VectorStore.readPartitions]]): at most
+    * queries×nprobe ≤ nlist values, so the collect is bounded by the
+    * quantizer, never the corpus. Same expression ([[probeCells]])
+    * the search itself explodes, so the set can't fork from what
+    * [[ivfTopKIndexed]] will probe.
+    */
+  def probedCells(queries: DataFrame, queryVec: String,
+      centroids: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    queries
+      .select(explode(probeCells(col(queryVec), centroids, nprobe)
+        .getField("cell")).as("__cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
   // ------------------------------------------------------------------
   // IVF index persistence — the index IS two plain tables (centroids:
   // nlist rows; assignments: one compact cell id per vector), so it

@@ -982,10 +982,14 @@ object ScaleSmoke {
         s"${phases.mkString("/")} (${phases.last / phases.head}x), " +
         s"$per timed delta commits per phase, checkpoint every " +
         s"${graft.streaming.VectorStore.CheckpointInterval}")
-      println(f"${"live"}%-8s ${"delta_ms_med"}%-13s ${"delta_ms_max"}%-13s ${"ckpt_ms"}%-9s ${"resolve_ms"}%-10s")
+      println(f"${"live"}%-8s ${"delta_ms_med"}%-13s ${"delta_ms_max"}%-13s ${"ckpt_ms"}%-9s ${"resolve_ms"}%-10s ${"probe_ms"}%-9s")
       var liveNow = 0
       var nextId = 0
-      def freshEntry(): String = { nextId += 1; s"seg=s$nextId/cell=0" }
+      // distinct cells spread entries across checkpoint shards — the
+      // probe column below lists ONE cell and must stay flat in live
+      def freshEntry(): String = {
+        nextId += 1; s"seg=s$nextId/cell=${nextId % 512}"
+      }
       var pool = scala.collection.mutable.ArrayBuffer.empty[String]
       phases.foreach { target =>
         val grow = (liveNow until target).map(_ => freshEntry())
@@ -1012,9 +1016,19 @@ object ScaleSmoke {
         val resolveMs = (System.nanoTime() - t1) / 1e6
         require(snap.entries.length == liveNow,
           s"live count drifted: ${snap.entries.length} vs $liveNow")
+        // probe-shaped listing (one cell): O(its shards + delta chain),
+        // must stay flat while resolve_ms (the full list) grows O(live)
+        val t2 = System.nanoTime()
+        val probed = graft.streaming.VectorStore.liveEntries(spark,
+          dir.toString, Seq("cell=7"))
+        val probeMs = (System.nanoTime() - t2) / 1e6
+        require(probed.forall(_.endsWith("cell=7")) &&
+          probed.toSet ==
+            snap.entries.filter(_.endsWith("cell=7")).toSet,
+          "probe listing diverged from the filtered full resolution")
         def med(xs: Seq[Double]) =
           if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
-        println(f"$liveNow%-8d ${med(deltas.toSeq)}%-13.2f ${deltas.max}%-13.2f ${med(ckpts.toSeq)}%-9.2f $resolveMs%-10.2f")
+        println(f"$liveNow%-8d ${med(deltas.toSeq)}%-13.2f ${deltas.max}%-13.2f ${med(ckpts.toSeq)}%-9.2f $resolveMs%-10.2f $probeMs%-9.2f")
       }
     } finally {
       val walk = java.nio.file.Files.walk(dir)

@@ -603,6 +603,90 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sharded checkpoints: exact at every version; untouched shards reuse files; growth reshards") {
+    val oldTarget = VectorStore.ShardTargetEntries
+    VectorStore.ShardTargetEntries = 2 // toy store goes multi-shard
+    try withDir { idx =>
+      val dir = idx.getAbsolutePath
+      val md = new java.io.File(idx, "_manifests")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def ckpt(v: Int) = om.readTree(java.nio.file.Files.readAllBytes(
+        new java.io.File(md, f"v$v%012d.ckpt.json").toPath))
+      def shardFiles(n: com.fasterxml.jackson.databind.JsonNode) =
+        (0 until n.get("shards").size())
+          .map(i => n.get("shards").get(i).asText())
+          .filter(_.nonEmpty).toSet
+      var model = Vector.empty[Seq[String]]
+      var cur = Seq.empty[String]
+      def step(drops: Seq[String], adds: Seq[String]): Unit = {
+        VectorStore.commit(spark, dir, drops, adds, None,
+          if (model.isEmpty) "{}" else "")
+        cur = (cur.filterNot(drops.toSet) ++ adds).distinct.sorted
+        model = model :+ cur
+      }
+      // phase 1 (v1..v10): 20 distinct cells → v10 checkpoint sharded
+      (1 to 10).foreach { v =>
+        step(Seq.empty, Seq(s"seg=a$v/cell=$v", s"seg=a$v/cell=${v + 100}"))
+      }
+      val ck10 = ckpt(10)
+      assert(ck10.has("shards") && !ck10.has("entries"),
+        "v10 checkpoint should be a manifest list")
+      assert(ck10.get("nshards").asInt() >= 4)
+      // phase 2 (v11..v20): every delta touches ONLY cell=999 — the
+      // v20 checkpoint must reuse every other shard file verbatim
+      step(Seq.empty, Seq("seg=b11/cell=999"))
+      (12 to 20).foreach { v =>
+        step(Seq(s"seg=b${v - 1}/cell=999"), Seq(s"seg=b$v/cell=999"))
+      }
+      val ck20 = ckpt(20)
+      assert(ck20.get("nshards").asInt() === ck10.get("nshards").asInt())
+      val fresh = shardFiles(ck20) -- shardFiles(ck10)
+      assert(fresh.size <= 1,
+        s"only cell=999's shard may be rewritten, got ${fresh.size} fresh files")
+      assert((shardFiles(ck10) -- shardFiles(ck20)).size <= 1)
+      // phase 3 (v21..v30): bulk growth past 2×target×K doubles K
+      (21 to 30).foreach { v =>
+        step(Seq.empty, (1 to 10).map(i => s"seg=c$v/cell=${v * 100 + i}"))
+      }
+      val ck30 = ckpt(30)
+      assert(ck30.get("nshards").asInt() > ck20.get("nshards").asInt(),
+        "live count outgrew the shard capacity — v30 must reshard")
+      // every version resolves to the model exactly, across inline
+      // deltas, reused shards and the reshard boundary
+      (1 to 30).foreach { v =>
+        assert(VectorStore.snapshotAt(spark, dir, v).get.entries
+          === model(v - 1), s"v$v resolution diverged from the model")
+      }
+      // probe listing = filtered full resolution (and sorted)
+      val all = VectorStore.snapshot(spark, dir).get.entries
+      val probe = Seq("cell=5", "cell=105", "cell=999", "cell=2101")
+      assert(VectorStore.liveEntries(spark, dir, probe)
+        === all.filter(e =>
+          probe.contains(e.substring(e.lastIndexOf('/') + 1))))
+      // vacuum: young unreferenced shards survive; stale ones reclaim.
+      // keep=2 retains v29/v30 and writes a floor checkpoint at v29 —
+      // both retained checkpoints' shards count as referenced
+      VectorStore.vacuum(spark, dir, keep = 2)
+      val live = shardFiles(ckpt(29)) ++ shardFiles(ckpt(30))
+      val allSh = Option(md.list()).get.filter(n =>
+        n.startsWith("sh_") && n.endsWith(".json")).toSet
+      assert(live.subsetOf(allSh))
+      assert(allSh.size > live.size,
+        "expected unreferenced shard files from dropped checkpoints")
+      // age them and vacuum again — only referenced shards remain
+      allSh.foreach { n =>
+        val f = new java.io.File(md, n)
+        assert(f.setLastModified(System.currentTimeMillis() - 7200000L))
+      }
+      VectorStore.vacuum(spark, dir, keep = 2)
+      val shAfter = Option(md.list()).get.filter(n =>
+        n.startsWith("sh_") && n.endsWith(".json")).toSet
+      assert(shAfter === live,
+        "stale unreferenced shard files must be reclaimed, referenced kept")
+      assert(VectorStore.snapshot(spark, dir).get.entries === model.last)
+    } finally VectorStore.ShardTargetEntries = oldTarget
+  }
+
   test("empty store keeps its schema; vacuum refuses keep=0") {
     import spark.implicits._
     withDir { idx =>
