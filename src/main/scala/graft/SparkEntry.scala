@@ -2451,6 +2451,50 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "sim_ann_graph_probe" -> ((s, dir) => {
+      // the probe read composed with the STORED-GRAPH index (the
+      // high-recall family): same slice discipline as
+      // sim_ivf_probe_read but the per-cell answer comes from the
+      // persisted NSW walk, so the gate fails if the probe listing
+      // drops a cell the walk needs OR the stored neighbors column
+      // doesn't survive the partition-pruned read. Shares
+      // stream_graph_ingest's streamed store — the probe path must
+      // work against a store built by a foreachBatch channel, not
+      // just batch ingest.
+      val idxDir = graphIngestDirs.computeIfAbsent(dir, _ => {
+        val (corpus, _) = plantedAnnFixture(s, dir)
+        val cents = Similarity.ivfCentroids(corpus, "vec_id",
+          "embedding", 16)
+        val stream = streamPrefixBy(s, corpus,
+          pmod(col("vec_id"), lit(3)).cast("int"), 3,
+          Some(s"$dir|gann-ingest"))
+        val idx = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_gann_idx"))
+        val chk = trackStreamTmp(
+          java.nio.file.Files.createTempDirectory("graft_gann_chk"))
+        val q = graft.streaming.VectorIngest.streamingGraphIngest(
+            stream, "vec_id", "embedding", cents, idx.toString,
+            chk.toString, degree = 8, efConstruction = 64,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        idx.toString
+      })
+      val (corpus, queries) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+        16)
+      val cells = Similarity.probedCells(queries, "qvec", cents,
+        nprobe = 4)
+      val slice = graft.streaming.VectorStore.readPartitions(s, idxDir,
+        cells.map(c => s"cell=$c"))
+      Similarity.graphAnnTopKIndexed(slice, "vec_id",
+          "embedding", queries, "query_id", "qvec", k = 5, cents,
+          nprobe = 4, ef = 1024)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "sim_ann_graph_refined" -> ((s, dir) => {
       // graph ANN under a REFINED quantizer (the skew guard in the
       // oracle set): cells above 2× the mean population re-quantize
@@ -7888,8 +7932,9 @@ object SparkEntry {
     "sim_ann_graph_remove" -> plantedAnnRemoveOracle,
     "stream_graph_ingest" -> plantedAnnOracle,
     "sim_ivf_compact" -> plantedAnnOracle,
-    // probe-pruned store read feeding the same search — same oracle
+    // probe-pruned store reads feeding the same searches — same oracle
     "sim_ivf_probe_read" -> plantedAnnOracle,
+    "sim_ann_graph_probe" -> plantedAnnOracle,
     "sim_ivf_remove" -> plantedAnnRemoveOracle,
     // the CDC sync stream's net survivors == the remove oracle's
     "stream_vector_sync" -> plantedAnnRemoveOracle,
