@@ -162,12 +162,59 @@ object SparkEntry {
   private val graphIngestDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** The [[graphIngestDirs]] builder, shared by every gate that reads
+    * the streamed graph store (stream_graph_ingest,
+    * sim_ann_graph_probe) — ONE definition so the store's shape can
+    * never depend on which gate ran first.
+    */
+  private def graphIngestStore(s: SparkSession, dir: String): String =
+    graphIngestDirs.computeIfAbsent(dir, _ => {
+      val (corpus, _) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id",
+        "embedding", 16)
+      val stream = streamPrefixBy(s, corpus,
+        pmod(col("vec_id"), lit(3)).cast("int"), 3,
+        Some(s"$dir|gann-ingest"))
+      val idx = trackStreamTmp(
+        java.nio.file.Files.createTempDirectory("graft_gann_idx"))
+      val chk = trackStreamTmp(
+        java.nio.file.Files.createTempDirectory("graft_gann_chk"))
+      val q = graft.streaming.VectorIngest.streamingGraphIngest(
+          stream, "vec_id", "embedding", cents, idx.toString,
+          chk.toString, degree = 8, efConstruction = 64,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      idx.toString
+    })
+
   /** sim_ivf_compact memo: per input dir, the COMPACTED IVF batch
     * store (built once per JVM: 3 ingest batches, then offline
     * compaction folds them into the canonical base segment).
     */
   private val ivfCompactDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The [[ivfCompactDirs]] builder, shared by sim_ivf_compact and
+    * sim_ivf_probe_read — ONE definition, same reason as
+    * [[graphIngestStore]].
+    */
+  private def ivfCompactStore(s: SparkSession, dir: String): String =
+    ivfCompactDirs.computeIfAbsent(dir, _ => {
+      val (corpus, _) = plantedAnnFixture(s, dir)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id",
+        "embedding", 16)
+      val store = trackStreamTmp(
+        java.nio.file.Files.createTempDirectory("graft_ivfc"))
+      (0 until 3).foreach { b =>
+        graft.streaming.VectorIngest.ingestBatch(
+          corpus.filter(pmod(col("vec_id"), lit(3)) === b),
+          "vec_id", "embedding", cents, store.toString, b.toLong)
+      }
+      graft.streaming.VectorIngest.compactIvfStore(s, store.toString,
+        protectLast = 0)
+      store.toString
+    })
 
   /** sim_ivf_store_remove memo: per input dir, the IVF batch store
     * after tombstone application (3 ingest batches, then
@@ -1597,25 +1644,7 @@ object SparkEntry {
       // the same plantedAnnOracle every batch ANN gate runs, which
       // passes iff every streamed vector landed in the right cell
       // with a walkable graph.
-      val idxDir = graphIngestDirs.computeIfAbsent(dir, _ => {
-        val (corpus, _) = plantedAnnFixture(s, dir)
-        val cents = Similarity.ivfCentroids(corpus, "vec_id",
-          "embedding", 16)
-        val stream = streamPrefixBy(s, corpus,
-          pmod(col("vec_id"), lit(3)).cast("int"), 3,
-          Some(s"$dir|gann-ingest"))
-        val idx = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_gann_idx"))
-        val chk = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_gann_chk"))
-        val q = graft.streaming.VectorIngest.streamingGraphIngest(
-            stream, "vec_id", "embedding", cents, idx.toString,
-            chk.toString, degree = 8, efConstruction = 64,
-            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        idx.toString
-      })
+      val idxDir = graphIngestStore(s, dir)
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
@@ -2383,21 +2412,7 @@ object SparkEntry {
       // compaction lost no row, duplicated no row, and kept every
       // cell assignment intact. The file-count collapse itself is
       // asserted in the spec and measured in ScaleSmoke.
-      val idxDir = ivfCompactDirs.computeIfAbsent(dir, _ => {
-        val (corpus, _) = plantedAnnFixture(s, dir)
-        val cents = Similarity.ivfCentroids(corpus, "vec_id",
-          "embedding", 16)
-        val store = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_ivfc"))
-        (0 until 3).foreach { b =>
-          graft.streaming.VectorIngest.ingestBatch(
-            corpus.filter(pmod(col("vec_id"), lit(3)) === b),
-            "vec_id", "embedding", cents, store.toString, b.toLong)
-        }
-        graft.streaming.VectorIngest.compactIvfStore(s, store.toString,
-          protectLast = 0)
-        store.toString
-      })
+      val idxDir = ivfCompactStore(s, dir)
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
@@ -2421,21 +2436,7 @@ object SparkEntry {
       // internally (same probeCells expression by construction).
       // Shares sim_ivf_compact's store: the slice read must see the
       // post-compaction manifest, not any folded batch dir.
-      val idxDir = ivfCompactDirs.computeIfAbsent(dir, _ => {
-        val (corpus, _) = plantedAnnFixture(s, dir)
-        val cents = Similarity.ivfCentroids(corpus, "vec_id",
-          "embedding", 16)
-        val store = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_ivfc"))
-        (0 until 3).foreach { b =>
-          graft.streaming.VectorIngest.ingestBatch(
-            corpus.filter(pmod(col("vec_id"), lit(3)) === b),
-            "vec_id", "embedding", cents, store.toString, b.toLong)
-        }
-        graft.streaming.VectorIngest.compactIvfStore(s, store.toString,
-          protectLast = 0)
-        store.toString
-      })
+      val idxDir = ivfCompactStore(s, dir)
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
@@ -2461,25 +2462,7 @@ object SparkEntry {
       // stream_graph_ingest's streamed store — the probe path must
       // work against a store built by a foreachBatch channel, not
       // just batch ingest.
-      val idxDir = graphIngestDirs.computeIfAbsent(dir, _ => {
-        val (corpus, _) = plantedAnnFixture(s, dir)
-        val cents = Similarity.ivfCentroids(corpus, "vec_id",
-          "embedding", 16)
-        val stream = streamPrefixBy(s, corpus,
-          pmod(col("vec_id"), lit(3)).cast("int"), 3,
-          Some(s"$dir|gann-ingest"))
-        val idx = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_gann_idx"))
-        val chk = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_gann_chk"))
-        val q = graft.streaming.VectorIngest.streamingGraphIngest(
-            stream, "vec_id", "embedding", cents, idx.toString,
-            chk.toString, degree = 8, efConstruction = 64,
-            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        idx.toString
-      })
+      val idxDir = graphIngestStore(s, dir)
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)

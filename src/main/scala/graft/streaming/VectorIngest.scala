@@ -69,7 +69,13 @@ object VectorIngest {
       centroids: Array[Array[Double]], indexDir: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    VectorStore.adopt(spark, indexDir)
+    // add-only: the snapshot's entries are never consulted, so skip
+    // the O(live) resolution adopt() would do on an existing manifest
+    // store — only a manifest-less (legacy/first-batch) dir adopts.
+    // With the head-read lastTag below, the whole per-batch driver
+    // cost is flat in the live-partition count.
+    if (!VectorStore.hasVersion(spark, indexDir))
+      VectorStore.adopt(spark, indexDir)
     val tag = Some(("ivf_ingest", batchId))
     if (alreadyApplied(spark, indexDir, tag)) return
     val assigned = Similarity

@@ -30,9 +30,13 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *    full live list was the known 10⁵⁺-partition bottleneck) plus
   *    the channel tags and data schema in full; every
   *    [[CheckpointInterval]]-th version also publishes
-  *    `v<n>.ckpt.json` with the resolved entry list, so readers
-  *    replay at most that many deltas from the nearest base
-  *    (pre-round-15 self-contained manifests ARE bases). Publishing =
+  *    `v<n>.ckpt.json` — a manifest LIST of immutable
+  *    `sh_<uuid>.json` shard files holding the resolved entries
+  *    (legacy inline-entries checkpoints and pre-round-15
+  *    self-contained manifests stay readable as bases) — so readers
+  *    replay at most that many deltas from the nearest base, and
+  *    probe-shaped readers parse only the shards their partitions
+  *    hash to. Publishing =
   *    write to a temp name + atomic no-overwrite link/rename —
   *    readers list the dir and see either v or v+1, never a torn mix.
   *  - '''Readers pin the snapshot they opened.''' [[read]] resolves
@@ -81,11 +85,14 @@ object VectorStore {
   private val CkptName = "^v(\\d{12})\\.ckpt\\.json$".r
 
   /** Every `CheckpointInterval`-th version ALSO publishes a
-    * `v<n>.ckpt.json` carrying the fully-resolved entry list (the
-    * Delta-log checkpoint move, round 15): commits write O(delta)
-    * manifests (adds/drops only), so per-commit cost is flat in the
-    * live-partition count, and readers resolve a snapshot from the
-    * nearest checkpoint plus at most this many delta steps.
+    * `v<n>.ckpt.json` checkpoint (the Delta-log checkpoint move,
+    * round 15) carrying the resolved entries as a manifest list of
+    * immutable shard files (see [[ShardTargetEntries]]; legacy
+    * checkpoints carried them inline and are read forever): commits
+    * write O(delta) manifests (adds/drops only), so per-commit cost
+    * is flat in the live-partition count, and readers resolve a
+    * snapshot from the nearest checkpoint plus at most this many
+    * delta steps.
     */
   val CheckpointInterval = 10
 
@@ -235,6 +242,14 @@ object VectorStore {
           throw new IllegalStateException(
             s"VectorStore: checkpoint ${p.getName} at $dir has " +
               "neither entries nor shards"))
+        // the stored shard count is the hash modulus — a truncated
+        // shard array would silently misroute every probe, so a
+        // mismatch must be loud
+        val k = Option(node.get("nshards")).map(_.asInt(-1))
+          .getOrElse(files.size)
+        if (k != files.size) throw new IllegalStateException(
+          s"VectorStore: corrupt checkpoint ${p.getName} at $dir — " +
+            s"nshards $k but ${files.size} shard refs")
         val counts = Option(node.get("counts")).collect {
           case a: ArrayNode => (0 until a.size()).map(i => a.get(i).asInt())
         }.getOrElse(files.map(_ => 0))
@@ -408,12 +423,36 @@ object VectorStore {
     }
   }
 
+  /** Latest manifest document alone — version, tags and schema ride
+    * FULL in every manifest, so this is one listing + one small JSON
+    * read, NO entry-list resolution. The head read for tag lookups
+    * and store-presence probes on the per-micro-batch hot path.
+    */
+  private def latestDoc(spark: SparkSession, dir: String)
+      : Option[(Long, Doc)] = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) return None
+    val (named, _) = listManifests(fs, md)
+    named.lastOption.map { case (v, p) => (v, readDoc(fs, p, v, dir)) }
+  }
+
+  /** True iff the store has at least one committed version — the
+    * O(1) "is it already a manifest store?" probe (a full
+    * [[snapshot]] resolves the entry list, O(live), which an
+    * add-only ingest never needs).
+    */
+  private[streaming] def hasVersion(spark: SparkSession,
+      dir: String): Boolean = latestDoc(spark, dir).isDefined
+
   /** High-water mark for a streaming channel — the replay guard:
-    * foreachBatch callers skip a batch whose id ≤ this.
+    * foreachBatch callers skip a batch whose id ≤ this. A head read
+    * (tags ride full in every manifest): per-batch cost is flat in
+    * the live-partition count.
     */
   def lastTag(spark: SparkSession, dir: String, channel: String)
       : Option[Long] =
-    snapshot(spark, dir).flatMap(_.tags.get(channel))
+    latestDoc(spark, dir).flatMap(_._2.tags.get(channel))
 
   /** Publish a new version: entries = (current − drop) ∪ add, tags
     * carried forward (plus `tag` if given); returns the new version
@@ -443,7 +482,11 @@ object VectorStore {
     * v+1 gets the same conflict check a publish race would — without
     * it, the interleaved commit is invisible (the drops are simply
     * no longer live) and a same-partition rewrite would land as a
-    * silent DUPLICATE of the other writer's output.
+    * silent DUPLICATE of the other writer's output. With an EMPTY
+    * drop list there is no conflict surface (adds are fresh segment
+    * paths by construction), so `baseVersion` is not consulted at
+    * all — an add-only commit planned against a since-vacuumed base
+    * proceeds rather than erroring, deliberately.
     */
   def commit(spark: SparkSession, dir: String, drop: Seq[String],
       add: Seq[String], tag: Option[(String, Long)] = None,
@@ -599,7 +642,7 @@ object VectorStore {
     }
 
     base match {
-      case Right(r) if r.files.length == r.nshards =>
+      case Right(r) =>
         val touched = deltas.iterator
           .flatMap(d => d.adds.iterator ++ d.drops.iterator)
           .map(shardOf(_, r.nshards)).toSet
@@ -628,7 +671,7 @@ object VectorStore {
             })
           publish(r.nshards, files, counts)
         }
-      case Right(_) | Left(_) =>
+      case Left(_) =>
         fullWrite(resolveEntries(fs, md, named, ckpts, dir, v))
     }
   }
@@ -787,7 +830,13 @@ object VectorStore {
   def readPartitions(spark: SparkSession, dir: String,
       parts: Seq[String]): DataFrame = {
     val (entries, schema) = probeEntries(spark, dir, parts)
-    readEntries(spark, dir, entries, schema)
+    if (entries.isEmpty && schema.isEmpty)
+      // legacy store (no recorded schema) whose probe matched no
+      // partition dir — an absent/empty cell is a normal probe
+      // result, so serve the store's own schema with zero rows
+      // (footer-only read) instead of readEntries' loud require
+      read(spark, dir).limit(0)
+    else readEntries(spark, dir, entries, schema)
   }
 
   /** Driver-side half of [[readPartitions]]: the latest snapshot's
@@ -805,13 +854,16 @@ object VectorStore {
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     val partsSet = parts.toSet
-    if (!fs.exists(md))
-      return (leafDirs(fs, root).map(p => relativize(root, p))
+    def legacyWalk(): (Seq[String], String) =
+      (leafDirs(fs, root).map(p => relativize(root, p))
         .filter(e => partsSet(lastComponent(e))), "")
+    if (!fs.exists(md)) return legacyWalk()
     val (named, ckpts) = listManifests(fs, md)
     val (v, p) = named.lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"VectorStore: no committed version at $dir"))
+      // _manifests exists but holds no committed version (a first
+      // commit crashed before publishing) — same legacy fallback as
+      // snapshot()/read(), not an error
+      return legacyWalk())
     val target = readDoc(fs, p, v, dir)
     val entries = target.full match {
       case Some(e) => e.filter(x => partsSet(lastComponent(x)))

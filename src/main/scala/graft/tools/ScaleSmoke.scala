@@ -966,13 +966,17 @@ object ScaleSmoke {
     * sweep prints both medians per phase — delta medians must stay
     * FLAT across the 100× growth.
     *
-    * Measured (this box): 100→10k live, delta median 14→24 ms
-    * (~flat); at 100k live, ~130 ms — the WRITE is O(delta) but the
-    * in-memory resolution (checkpoint JSON parse + the sorted entry
-    * merge + the conflict set) is still O(live) with a ~1.3 µs/
-    * partition constant. Fine for any maintenance cadence at 10⁵
-    * partitions; the next decade needs Iceberg's manifest-list
-    * sharding (documented, not built).
+    * Round-15 second half: checkpoints are SHARDED manifest lists
+    * (the Iceberg move — [[graft.streaming.VectorStore.ShardTargetEntries]]),
+    * the commit conflict check resolves only the drop keys' shards,
+    * and the sweep's `probe_ms` column times a single-cell
+    * [[graft.streaming.VectorStore.liveEntries]] listing (asserted
+    * equal to the filtered full resolution). Must-hold shape:
+    * delta_ms and probe_ms FLAT across the growth, ckpt_ms sublinear
+    * (touched shards, not store size); only resolve_ms — the full
+    * list, maintenance-path by design — grows O(live). Measured
+    * (this box): 100→100k live, delta median 13→21 ms, ckpt
+    * 39→147 ms, probe 5.5→14 ms vs full resolve 6.7→154 ms.
     */
   private def manifestSweep(spark: SparkSession, phases: Seq[Int],
       per: Int): Unit = {

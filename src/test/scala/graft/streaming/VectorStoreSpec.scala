@@ -423,6 +423,37 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("probe reads: legacy empty probe returns a schema'd empty frame; a manifest dir with no version reads as legacy") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      buildStore(dir, n = 40, seed = 7) // legacy: no _manifests
+      // a cell that exists
+      val have = VectorStore.read(spark, dir)
+        .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+      val hit = VectorStore.readPartitions(spark, dir,
+        Seq(s"cell=${have.head}"))
+      assert(hit.count() > 0 &&
+        hit.columns.toSet === Set("cell", "vec_id", "embedding",
+          "neighbors"))
+      // an absent cell is a normal probe result: zero rows, store's
+      // own schema, no 'empty store with no recorded schema' throw
+      val miss = VectorStore.readPartitions(spark, dir, Seq("cell=99"))
+      assert(miss.count() === 0L)
+      assert(miss.schema === hit.schema)
+      // a _manifests dir holding no committed version (first commit
+      // crashed pre-publish) must read as legacy, like snapshot()
+      val md = new java.io.File(idx, "_manifests")
+      assert(md.mkdir())
+      java.nio.file.Files.writeString(
+        new java.io.File(md, "_tmp_crashed").toPath, "{}")
+      assert(VectorStore.liveEntries(spark, dir,
+        Seq(s"cell=${have.head}")).nonEmpty)
+      assert(VectorStore.readPartitions(spark, dir,
+        Seq(s"cell=${have.head}")).count() === hit.count())
+    }
+  }
+
   test("readWhere prunes at the manifest level, same rows as a filtered read") {
     import spark.implicits._
     withDir { idx =>
