@@ -839,6 +839,21 @@ object VectorStore {
     else readEntries(spark, dir, entries, schema)
   }
 
+  /** PINNED probe read — [[readPartitions]] against an explicit
+    * retained version instead of the head: the probe-path member of
+    * the time-travel family ([[readAt]] resolves the WHOLE version,
+    * O(live); this parses only the probed shards + that version's
+    * delta chain). A probe reader re-running a search against the
+    * snapshot it planned from — e.g. while a compaction cadence
+    * advances the store underneath — pins here. Errors on a
+    * vacuumed/unknown version, like [[readAt]].
+    */
+  def readPartitionsAt(spark: SparkSession, dir: String, version: Long,
+      parts: Seq[String]): DataFrame = {
+    val (entries, schema) = probeEntries(spark, dir, parts, version)
+    readEntries(spark, dir, entries, schema)
+  }
+
   /** Driver-side half of [[readPartitions]]: the latest snapshot's
     * entry paths for the probed partition components (plus the stored
     * schema). Public for audits and the ScaleSmoke manifest sweep —
@@ -847,23 +862,30 @@ object VectorStore {
     */
   def liveEntries(spark: SparkSession, dir: String,
       parts: Seq[String]): Seq[String] =
-    probeEntries(spark, dir, parts)._1
+    probeEntries(spark, dir, parts, -1L)._1
 
   private def probeEntries(spark: SparkSession, dir: String,
-      parts: Seq[String]): (Seq[String], String) = {
+      parts: Seq[String], version: Long = -1L): (Seq[String], String) = {
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     val partsSet = parts.toSet
     def legacyWalk(): (Seq[String], String) =
       (leafDirs(fs, root).map(p => relativize(root, p))
         .filter(e => partsSet(lastComponent(e))), "")
-    if (!fs.exists(md)) return legacyWalk()
+    def missing(): Nothing = throw new IllegalArgumentException(
+      s"VectorStore: version $version not present at $dir — vacuumed?")
+    if (!fs.exists(md)) {
+      if (version >= 0) missing()
+      return legacyWalk()
+    }
     val (named, ckpts) = listManifests(fs, md)
-    val (v, p) = named.lastOption.getOrElse(
-      // _manifests exists but holds no committed version (a first
-      // commit crashed before publishing) — same legacy fallback as
-      // snapshot()/read(), not an error
-      return legacyWalk())
+    val (v, p) =
+      if (version < 0) named.lastOption.getOrElse(
+        // _manifests exists but holds no committed version (a first
+        // commit crashed before publishing) — same legacy fallback as
+        // snapshot()/read(), not an error
+        return legacyWalk())
+      else named.find(_._1 == version).getOrElse(missing())
     val target = readDoc(fs, p, v, dir)
     val entries = target.full match {
       case Some(e) => e.filter(x => partsSet(lastComponent(x)))

@@ -849,8 +849,9 @@ object ScaleSmoke {
       def fingerprint(df: DataFrame): Long = df
         .select(xxhash64(col("vec_id"), col("cell"), col("embedding"),
           col("neighbors")).as("h"))
-        // bit_xor: order-independent content digest, no ANSI overflow
-        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+        // bit_xor: order-independent content digest, no ANSI overflow;
+        // coalesce: an EMPTY probe slice digests as 0, not a null NPE
+        .agg(expr("coalesce(bit_xor(h), 0L)")).collect()(0).getLong(0)
       val verHash = new java.util.concurrent.ConcurrentHashMap[Long, Long]
       val v0 = graft.streaming.VectorStore.version(spark, dir.toString)
       verHash.put(v0,
@@ -861,6 +862,7 @@ object ScaleSmoke {
         new java.util.concurrent.ConcurrentLinkedQueue[String]
       @volatile var done = false
       val reader = new Thread(() => {
+        var flip = false
         while (!done) {
           try {
             val snap = graft.streaming.VectorStore
@@ -868,6 +870,20 @@ object ScaleSmoke {
             val df = graft.streaming.VectorStore.readEntries(spark,
               dir.toString, snap.entries, snap.schemaJson)
             observed.add((snap.version, fingerprint(df)))
+            // every other pass: a pinned PROBE read of one cell must
+            // equal the pinned full read filtered to it — the
+            // shard-pruned path under racing commits (vacuum never
+            // runs here, so the pin cannot age out mid-check)
+            if (flip) {
+              val probed = fingerprint(graft.streaming.VectorStore
+                .readPartitionsAt(spark, dir.toString, snap.version,
+                  Seq("cell=3")))
+              val filtered = fingerprint(df.filter(col("cell") === 3))
+              if (probed != filtered) errors.add(
+                s"pinned probe diverged at v${snap.version}: " +
+                  s"$probed vs $filtered")
+            }
+            flip = !flip
           } catch {
             case e: Throwable => errors.add(e.toString.take(300))
           }

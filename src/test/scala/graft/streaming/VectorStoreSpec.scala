@@ -634,6 +634,45 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("readPartitionsAt: pinned probe serves the probed cells of that version only") {
+    import spark.implicits._
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      buildStore(dir, n = 30, seed = 52)
+      VectorStore.adopt(spark, dir)
+      val v1 = VectorStore.version(spark, dir)
+      // pick the cell that holds vec_id 1, so the remove below
+      // rewrites exactly the probed partition
+      val cell1 = VectorStore.read(spark, dir)
+        .filter(col("vec_id") === 1L)
+        .select(col("cell")).collect()(0).getInt(0)
+      def probeIds(v: Long): Set[Long] =
+        VectorStore.readPartitionsAt(spark, dir, v, Seq(s"cell=$cell1"))
+          .select(col("cell"), col("vec_id")).collect()
+          .map(r => { assert(r.getInt(0) === cell1); r.getLong(1) })
+          .toSet
+      val pinned = probeIds(v1)
+      assert(pinned.contains(1L))
+      VectorIngest.removeGraphBatch(Seq(1L).toDF("vec_id"),
+        "vec_id", "embedding", dir, degree = 4, efConstruction = 32)
+      val v2 = VectorStore.version(spark, dir)
+      // the pin still serves the OLD cell content; the head and the
+      // pinned v2 probe agree on the new one
+      assert(probeIds(v1) === pinned)
+      assert(probeIds(v2) === pinned - 1L)
+      assert(VectorStore.readPartitions(spark, dir, Seq(s"cell=$cell1"))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        === pinned - 1L)
+      // a probe of a version the store never had errors like readAt
+      intercept[IllegalArgumentException](
+        VectorStore.readPartitionsAt(spark, dir, v2 + 10,
+          Seq(s"cell=$cell1")))
+      VectorStore.vacuum(spark, dir, keep = 1)
+      intercept[IllegalArgumentException](probeIds(v1))
+      assert(probeIds(v2) === pinned - 1L)
+    }
+  }
+
   test("sharded checkpoints: exact at every version; untouched shards reuse files; growth reshards") {
     val oldTarget = VectorStore.ShardTargetEntries
     VectorStore.ShardTargetEntries = 2 // toy store goes multi-shard
