@@ -2440,13 +2440,8 @@ object SparkEntry {
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
-      val cells = Similarity.probedCells(queries, "qvec", cents,
-        nprobe = 4)
-      val slice = graft.streaming.VectorStore.readPartitions(s, idxDir,
-        cells.map(c => s"cell=$c"))
-      Similarity.ivfTopKIndexed(slice, "vec_id",
-          "embedding", queries, "query_id", "qvec", k = 5, cents,
-          nprobe = 4)
+      graft.streaming.VectorSearch.ivfTopK(s, idxDir, queries,
+          "query_id", "qvec", k = 5, cents, nprobe = 4)
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
@@ -2466,13 +2461,8 @@ object SparkEntry {
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)
-      val cells = Similarity.probedCells(queries, "qvec", cents,
-        nprobe = 4)
-      val slice = graft.streaming.VectorStore.readPartitions(s, idxDir,
-        cells.map(c => s"cell=$c"))
-      Similarity.graphAnnTopKIndexed(slice, "vec_id",
-          "embedding", queries, "query_id", "qvec", k = 5, cents,
-          nprobe = 4, ef = 1024)
+      graft.streaming.VectorSearch.graphAnnTopK(s, idxDir, queries,
+          "query_id", "qvec", k = 5, cents, nprobe = 4, ef = 1024)
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
