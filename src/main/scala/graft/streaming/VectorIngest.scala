@@ -72,12 +72,13 @@ object VectorIngest {
     // add-only: the snapshot's entries are never consulted, so skip
     // the O(live) resolution adopt() would do on an existing manifest
     // store — only a manifest-less (legacy/first-batch) dir adopts.
-    // With the head-read lastTag below, the whole per-batch driver
-    // cost is flat in the live-partition count.
-    if (!VectorStore.hasVersion(spark, indexDir))
-      VectorStore.adopt(spark, indexDir)
+    // ONE head read serves both the presence probe and the replay
+    // guard, so the whole per-batch driver cost is one _manifests
+    // listing + one small JSON parse, flat in live-partition count.
+    val head = VectorStore.headTags(spark, indexDir)
+    if (head.isEmpty) VectorStore.adopt(spark, indexDir)
     val tag = Some(("ivf_ingest", batchId))
-    if (alreadyApplied(spark, indexDir, tag)) return
+    if (head.exists(_.get("ivf_ingest").exists(batchId <= _))) return
     val assigned = Similarity
       .ivfAssignments(batch, idCol, vecCol, centroids)
       .withColumn("ingest_batch", lit(batchId))

@@ -28,6 +28,15 @@ import graft.functions.Similarity
   * version pins the search to exactly what that version published
   * ([[VectorStore.readPartitionsAt]]) — the plan-then-execute shape a
   * search service uses while maintenance advances the store.
+  *
+  * PRECONDITION: `queries` must be DETERMINISTIC (re-evaluating the
+  * frame yields the same rows). The probe-cell collect and the search
+  * kernel each evaluate it once; a frame built on `rand()`/
+  * `sample()`/unordered `limit()` can probe one realization's cells
+  * and search another's — cells missing from the slice contribute
+  * zero candidates, silently truncating that query's top-k. Cache or
+  * `localCheckpoint()` such a frame first (the same rule every
+  * multi-pass Spark consumer has).
   */
 object VectorSearch {
 

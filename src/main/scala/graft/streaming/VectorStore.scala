@@ -440,10 +440,24 @@ object VectorStore {
   /** True iff the store has at least one committed version — the
     * O(1) "is it already a manifest store?" probe (a full
     * [[snapshot]] resolves the entry list, O(live), which an
-    * add-only ingest never needs).
+    * add-only ingest never needs). One listing, no manifest parse.
     */
   private[streaming] def hasVersion(spark: SparkSession,
-      dir: String): Boolean = latestDoc(spark, dir).isDefined
+      dir: String): Boolean = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    fs.exists(md) && listManifests(fs, md)._1.nonEmpty
+  }
+
+  /** The head version's channel-tag map, or None when no version is
+    * committed — ONE listing + one small JSON read serving both the
+    * store-presence probe and the replay guard of a streamed
+    * maintenance batch (calling [[hasVersion]] then [[lastTag]]
+    * would list and parse the head twice per micro-batch).
+    */
+  private[streaming] def headTags(spark: SparkSession,
+      dir: String): Option[Map[String, Long]] =
+    latestDoc(spark, dir).map(_._2.tags)
 
   /** High-water mark for a streaming channel — the replay guard:
     * foreachBatch callers skip a batch whose id ≤ this. A head read
@@ -834,8 +848,11 @@ object VectorStore {
       // legacy store (no recorded schema) whose probe matched no
       // partition dir — an absent/empty cell is a normal probe
       // result, so serve the store's own schema with zero rows
-      // (footer-only read) instead of readEntries' loud require
-      read(spark, dir).limit(0)
+      // (footer-only read) instead of readEntries' loud require.
+      // drop("seg") (a no-op when absent) keeps the miss schema
+      // equal to the hit path's for a crashed-pre-publish store
+      // whose root already holds seg= dirs.
+      read(spark, dir).drop("seg").limit(0)
     else readEntries(spark, dir, entries, schema)
   }
 
