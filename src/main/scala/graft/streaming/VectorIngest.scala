@@ -112,17 +112,26 @@ object VectorIngest {
     * into a fresh segment. Returns (entriesToDrop, entriesToAdd,
     * schemaJson) for the caller's single commit.
     */
-  private def ingestGraphPlan(batch: DataFrame, idCol: String,
-      vecCol: String, centroids: Array[Array[Double]], indexDir: String,
-      entries: Seq[String], schemaJson: String, degree: Int,
-      efConstruction: Int): (Seq[String], Seq[String], String) = {
-    val spark = batch.sparkSession
-    val touched = Similarity.ivfAssignments(
+  /** The distinct quantizer cells a batch's points land in — ≤ nlist
+    * values, driver-bounded. The planner's probe set: with the
+    * manifest's shard-pruned listing, everything downstream of this
+    * is O(touched cells), never O(store).
+    */
+  private def touchedCells(batch: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]]): Set[Int] =
+    Similarity.ivfAssignments(
         batch.select(col(idCol),
           transform(col(vecCol), x => x.cast("double")).as(vecCol)),
         idCol, vecCol, centroids)
       .select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSet // ≤ nlist values — driver-bounded
+      .collect().map(_.getInt(0)).toSet
+
+  private def ingestGraphPlan(batch: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]], indexDir: String,
+      entries: Seq[String], schemaJson: String, degree: Int,
+      efConstruction: Int, touched: Set[Int])
+      : (Seq[String], Seq[String], String) = {
+    val spark = batch.sparkSession
     val stored =
       if (entries.nonEmpty || schemaJson.nonEmpty)
         VectorStore.readEntries(spark, indexDir,
@@ -161,18 +170,40 @@ object VectorIngest {
       degree: Int = 8, efConstruction: Int = 64,
       tag: Option[(String, Long)] = None): Unit = {
     val spark = batch.sparkSession
-    val snap = VectorStore.adopt(spark, indexDir)
-    if (alreadyApplied(spark, indexDir, tag)) return
+    // steady state does NOT resolve the store's entry list: one head
+    // read (version + tags + schema), then a PINNED probe listing of
+    // just the touched cells — the streamed graph-CDC hot path is
+    // O(touched cells) driver-side at any live-partition count, like
+    // the flat-IVF ingest. Only a manifest-less dir pays adopt's
+    // one-time full resolution (bootstrap).
+    val head = VectorStore.headMeta(spark, indexDir)
+    val adopted =
+      if (head.isEmpty) VectorStore.adopt(spark, indexDir) else None
+    val (version, tags, schemaJson) = head
+      .orElse(adopted.map(s => (s.version, s.tags, s.schemaJson)))
+      .getOrElse((-1L, Map.empty[String, Long], ""))
+    if (tag.exists { case (ch, id) => tags.get(ch).exists(id <= _) })
+      return
+    val touched = touchedCells(batch, idCol, vecCol, centroids)
+    val scoped = adopted.map(
+        _.entries.filter(e => touched(entryCell(e))))
+      .getOrElse {
+        if (version < 0) Seq.empty
+        // pinned at the head we read above: a commit racing in
+        // between cannot skew this listing off our baseVersion anchor
+        else VectorStore.liveEntriesAt(spark, indexDir, version,
+          touched.toSeq.sorted.map(c => s"cell=$c"))
+      }
     val (drop, add, schema) = ingestGraphPlan(batch, idCol, vecCol,
-      centroids, indexDir, snap.map(_.entries).getOrElse(Seq.empty),
-      snap.map(_.schemaJson).getOrElse(""), degree, efConstruction)
-    // baseVersion = the snapshot this plan was computed against:
+      centroids, indexDir, scoped, schemaJson, degree,
+      efConstruction, touched)
+    // baseVersion = the version this plan was computed against:
     // commit conflict-checks the drops against it, so a concurrent
     // maintenance op that rewrote the same cells between our plan and
     // our publish fails this commit loudly instead of landing a
     // silent duplicate of those cells
     VectorStore.commit(spark, indexDir, drop, add, tag, schema,
-      baseVersion = snap.map(_.version).getOrElse(-1L))
+      baseVersion = version)
     ()
   }
 
@@ -351,7 +382,8 @@ object VectorIngest {
     val (drop2, add2, schema2) =
       if (ups.isEmpty) (Seq.empty[String], Seq.empty[String], schema0)
       else ingestGraphPlan(ups, idCol, vecCol, centroids, indexDir,
-        overlay, schema0, degree, efConstruction)
+        overlay, schema0, degree, efConstruction,
+        touchedCells(ups, idCol, vecCol, centroids))
     // a no-op sync against a NONEXISTENT store must not commit: a
     // tag-only manifest would carry empty entries and empty schema,
     // making VectorStore.read throw ("empty store with no recorded

@@ -459,6 +459,25 @@ object VectorStore {
       dir: String): Option[Map[String, Long]] =
     latestDoc(spark, dir).map(_._2.tags)
 
+  /** The head's (version, tags, schemaJson) in ONE listing + one
+    * small JSON read — everything a maintenance planner needs before
+    * it decides which partitions to touch, without resolving the
+    * entry list. Pair with [[liveEntriesAt]] at the returned version
+    * for a race-consistent probe-scoped plan.
+    */
+  private[streaming] def headMeta(spark: SparkSession,
+      dir: String): Option[(Long, Map[String, Long], String)] =
+    latestDoc(spark, dir).map { case (v, d) => (v, d.tags, d.schema) }
+
+  /** [[liveEntries]] pinned to an explicit version — the listing half
+    * of [[readPartitionsAt]]: O(probed shards + delta chain), and
+    * race-consistent with a [[headMeta]] read of the same version
+    * (a commit landing in between cannot skew the listing).
+    */
+  private[streaming] def liveEntriesAt(spark: SparkSession, dir: String,
+      version: Long, parts: Seq[String]): Seq[String] =
+    probeEntries(spark, dir, parts, version)._1
+
   /** High-water mark for a streaming channel — the replay guard:
     * foreachBatch callers skip a batch whose id ≤ this. A head read
     * (tags ride full in every manifest): per-batch cost is flat in
