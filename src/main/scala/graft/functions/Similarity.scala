@@ -992,14 +992,23 @@ object Similarity {
     * ([[graft.streaming.VectorStore.readPartitions]]): at most
     * queries×nprobe ≤ nlist values, so the collect is bounded by the
     * quantizer, never the corpus. Same expression ([[probeCells]])
-    * the search itself explodes, so the set can't fork from what
-    * [[ivfTopKIndexed]] will probe.
+    * the search itself explodes — including the cast-to-double the
+    * kernels apply to the query vector first ([[ivfTopKIndexed]] /
+    * [[graphAnnTopKIndexed]] both probe over
+    * `transform(col(queryVec), _.cast("double"))`): for a float or
+    * decimal vector column, probing the RAW column here could round
+    * differently at a cell boundary and hand the store slice a cell
+    * set the kernel never probes (a missing cell contributes zero
+    * candidates — a silently truncated top-k). Matching the cast
+    * keeps "same expression, can't fork" literally true for any
+    * input vector type.
     */
   def probedCells(queries: DataFrame, queryVec: String,
       centroids: Array[Array[Double]], nprobe: Int): Seq[Int] =
     queries
-      .select(explode(probeCells(col(queryVec), centroids, nprobe)
-        .getField("cell")).as("__cell"))
+      .select(explode(probeCells(
+        transform(col(queryVec), x => x.cast("double")), centroids,
+        nprobe).getField("cell")).as("__cell"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
 
   // ------------------------------------------------------------------
@@ -1587,7 +1596,14 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val q = queries
       .select(col(queryId), col(queryVec), norm(col(queryVec)).as("__qn"),
-        probeCells(col(queryVec), centroids, nprobe).as("__probes"))
+        // probe over the double-cast vector — the SAME expression
+        // [[probedCells]] collects driver-side, so a store slice built
+        // from it can never miss a cell this kernel explodes (for
+        // float/decimal inputs the raw-vs-cast scores can round
+        // differently at a cell boundary); graphAnnTopKIndexed probes
+        // the cast vector for the same reason
+        probeCells(transform(col(queryVec), x => x.cast("double")),
+          centroids, nprobe).as("__probes"))
       .select(col(queryId), col(queryVec), col("__qn"),
         explode(col("__probes").getField("cell")).as("__cell"))
     val denom = col("__cn") * col("__qn")

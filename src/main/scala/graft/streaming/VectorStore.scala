@@ -56,10 +56,13 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * write sets (their drop lists) are disjoint; overlapping drops
   * fail the later commit loudly (first writer wins). Writer crash
   * safety: data files without a manifest are invisible; [[vacuum]]
-  * collects them. The no-overwrite publish is POSIX link(2) on
-  * `file:` stores (plain rename silently clobbers there), native
-  * no-overwrite rename on HDFS-class stores; on S3-class stores swap
-  * the publish for a conditional put.
+  * collects them. The no-overwrite publish is pluggable per
+  * filesystem scheme via [[CommitGuard]] (round 16): POSIX link(2)
+  * on `file:` stores (plain rename silently clobbers there), native
+  * no-overwrite rename on HDFS-class stores, and a
+  * conditional-put-shaped guard an object-store deployment registers
+  * at boot — a scheme with NO registered guard refuses to commit
+  * loudly rather than degrade to check-then-rename.
   *
   * Legacy stores (a bare `cell=N/...` tree from `graphAnnBuild`) are
   * ADOPTED on first maintenance: their top-level partition dirs are
@@ -125,14 +128,51 @@ object VectorStore {
     if (i < 0) entry else entry.substring(i + 1)
   }
 
-  /** Stable shard assignment (murmur3 with a fixed seed — must never
-    * change across JVMs or releases; a checkpoint written by one run
-    * is read by every later one).
+  /** Stable shard assignment — murmur3-32 over the entry's probe
+    * component with a fixed seed. This hash is part of the ON-DISK
+    * FORMAT: a checkpoint written by one run is routed by every later
+    * one, so the implementation is INLINED here (round 16) rather
+    * than delegated to `scala.util.hashing.MurmurHash3.stringHash`,
+    * whose bit layout is an unversioned stdlib internal — a Scala
+    * upgrade changing it would silently misroute every probe read
+    * and `liveAmong` conflict check against existing checkpoints
+    * (empty probe results, missed conflicts) while full resolution
+    * kept working. [[murmur3String]] is the standard public murmur3
+    * algorithm (Appleby) applied over char pairs exactly as the
+    * current stdlib applies it, so round-15 checkpoints route
+    * unchanged; VectorStoreSpec pins inlined == stdlib so any future
+    * divergence of the two is caught loudly instead of adopted.
     */
   private def shardOf(entry: String, k: Int): Int =
     if (k <= 1) 0
-    else Math.floorMod(scala.util.hashing.MurmurHash3
-      .stringHash(lastComponent(entry), 0x5f3a1c9b), k)
+    else Math.floorMod(murmur3String(lastComponent(entry), 0x5f3a1c9b), k)
+
+  /** Format-owned murmur3-32 over a string's UTF-16 code units, two
+    * per 32-bit block (big char first), tail char via mixLast, length
+    * folded into the avalanche — byte-for-byte the layout the shard
+    * files were written under. NEVER change any constant here.
+    */
+  private[streaming] def murmur3String(str: String, seed: Int): Int = {
+    var h = seed
+    var i = 0
+    while (i + 1 < str.length) {
+      var k = (str.charAt(i) << 16) + str.charAt(i + 1)
+      k *= 0xcc9e2d51; k = Integer.rotateLeft(k, 15); k *= 0x1b873593
+      h ^= k
+      h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 2
+    }
+    if (i < str.length) {
+      var k = str.charAt(i).toInt
+      k *= 0xcc9e2d51; k = Integer.rotateLeft(k, 15); k *= 0x1b873593
+      h ^= k
+    }
+    h ^= str.length
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
 
   /** Smallest power-of-two shard count keeping ≤ [[ShardTargetEntries]]
     * per shard. Powers of two so reshard-all events are rare.
@@ -437,18 +477,6 @@ object VectorStore {
     named.lastOption.map { case (v, p) => (v, readDoc(fs, p, v, dir)) }
   }
 
-  /** True iff the store has at least one committed version — the
-    * O(1) "is it already a manifest store?" probe (a full
-    * [[snapshot]] resolves the entry list, O(live), which an
-    * add-only ingest never needs). One listing, no manifest parse.
-    */
-  private[streaming] def hasVersion(spark: SparkSession,
-      dir: String): Boolean = {
-    val (fs, root) = fsOf(spark, dir)
-    val md = manifestDir(root)
-    fs.exists(md) && listManifests(fs, md)._1.nonEmpty
-  }
-
   /** The head version's channel-tag map, or None when no version is
     * committed — ONE listing + one small JSON read serving both the
     * store-presence probe and the replay guard of a streamed
@@ -529,7 +557,13 @@ object VectorStore {
     val maxRetries = 20
     var attempt = 0
     var planBaseLive: Option[Set[String]] = None
-    while (true) {
+    // One optimistic attempt: Some(version) when published, None to
+    // retry against a fresh listing — either this writer lost the
+    // publish race, or a racing [[vacuum]] deleted a manifest or
+    // checkpoint shard the (stale) listing still referenced (vacuum
+    // publishes its floor checkpoint before deleting anything, so a
+    // fresh listing always resolves). Genuine conflicts still throw.
+    def attemptOnce(): Option[Long] = {
       val md0 = manifestDir(root)
       val (named, ckpts) =
         if (fs.exists(md0)) listManifests(fs, md0)
@@ -538,28 +572,33 @@ object VectorStore {
       // manifest alone — no full entry-list resolution anywhere on the
       // commit path (round 15, second half: the conflict check below
       // is shard-scoped, so commits stay O(delta) in live partitions)
-      val latest = named.lastOption.map { case (lv, lp) =>
-        (lv, readDoc(fs, lp, lv, dir)) }
-      val curV = latest.map(_._1).getOrElse(0L)
-      // membership of OUR drops in the current snapshot
-      val liveDrops: Set[String] =
-        if (dropKeys.isEmpty || latest.isEmpty) Set.empty
-        else liveAmong(fs, md0, named, ckpts, dir, curV, dropKeys)
-      // the conflict anchor: which of our drops were live when the
-      // CALLER planned (explicit baseVersion), else at our first read
-      val anchor = planBaseLive.getOrElse {
-        val a =
-          if (dropKeys.isEmpty) Set.empty[String]
-          else if (baseVersion >= 0 && curV > baseVersion) {
-            if (!named.exists(_._1 == baseVersion))
-              throw new IllegalStateException(
-                s"VectorStore: plan base v$baseVersion at $dir was " +
-                  "vacuumed before the commit landed — re-plan " +
-                  "against the current snapshot")
-            liveAmong(fs, md0, named, ckpts, dir, baseVersion, dropKeys)
-          } else liveDrops
-        planBaseLive = Some(a)
-        a
+      val (latest, curV, liveDrops, anchor) = try {
+        val latest0 = named.lastOption.map { case (lv, lp) =>
+          (lv, readDoc(fs, lp, lv, dir)) }
+        val curV0 = latest0.map(_._1).getOrElse(0L)
+        // membership of OUR drops in the current snapshot
+        val liveDrops0: Set[String] =
+          if (dropKeys.isEmpty || latest0.isEmpty) Set.empty
+          else liveAmong(fs, md0, named, ckpts, dir, curV0, dropKeys)
+        // the conflict anchor: which of our drops were live when the
+        // CALLER planned (explicit baseVersion), else at our first read
+        val anchor0 = planBaseLive.getOrElse {
+          val a =
+            if (dropKeys.isEmpty) Set.empty[String]
+            else if (baseVersion >= 0 && curV0 > baseVersion) {
+              if (!named.exists(_._1 == baseVersion))
+                throw new IllegalStateException(
+                  s"VectorStore: plan base v$baseVersion at $dir was " +
+                    "vacuumed before the commit landed — re-plan " +
+                    "against the current snapshot")
+              liveAmong(fs, md0, named, ckpts, dir, baseVersion, dropKeys)
+            } else liveDrops0
+          planBaseLive = Some(a)
+          a
+        }
+        (latest0, curV0, liveDrops0, anchor0)
+      } catch {
+        case _: java.io.FileNotFoundException => return None
       }
       // conflict rule: a drop that was LIVE at the plan base but is
       // gone from the current snapshot was dropped by an interleaved
@@ -615,16 +654,22 @@ object VectorStore {
         // between the two only costs the optimization; a lost
         // checkpoint race is identical content)
         if (v % CheckpointInterval == 0) writeCheckpoint(fs, md, dir, v)
-        return v
+        Some(v)
+      } else None
+    }
+    while (true) {
+      attemptOnce() match {
+        case Some(v) => return v
+        case None =>
+          // lost the publish race (or hit a vacuumed manifest file):
+          // loop — re-list, re-read the winner's snapshot, re-check
+          // conflicts against the plan anchor, rebase
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"VectorStore: gave up publishing at $dir after " +
+              s"$maxRetries conflicted attempts — a writer storm; " +
+              "back off the maintenance cadence")
       }
-
-      // lost the publish race: loop — re-read the winner's snapshot,
-      // re-check conflicts against the plan anchor, rebase
-      attempt += 1
-      if (attempt > maxRetries) throw new IllegalStateException(
-        s"VectorStore: gave up publishing at $dir after $maxRetries " +
-          "conflicted attempts — a writer storm; back off the " +
-          "maintenance cadence")
     }
     -1L // unreachable
   }
@@ -642,8 +687,39 @@ object VectorStore {
     * are sharded from then on.
     */
   private def writeCheckpoint(fs: FileSystem, md: Path, dir: String,
-      v: Long): Unit = {
-    val (named, ckpts) = listManifests(fs, md)
+      v: Long): Unit =
+    try writeCheckpointFrom(fs, md, dir, v, listManifests(fs, md))
+    catch {
+      case _: java.io.FileNotFoundException =>
+        // a concurrent [[vacuum]] GC'd a shard (or manifest) of the
+        // base our listing picked: vacuum publishes the floor
+        // checkpoint BEFORE it deletes anything, so a FRESH listing
+        // resolves from an intact base. The version itself already
+        // published — the checkpoint is only an optimization — so one
+        // retry from scratch; a second miss means real corruption and
+        // stays loud.
+        ckptRetryCount += 1
+        writeCheckpointFrom(fs, md, dir, v, listManifests(fs, md))
+    }
+
+  /** Test-observable count of checkpoint retries taken after a vacuum
+    * race (the catch above) — lets the race spec assert the recovery
+    * path actually fired rather than passing vacuously.
+    */
+  @volatile private[streaming] var ckptRetryCount: Long = 0L
+
+  /** Test-only fault-injection point: runs after [[writeCheckpointFrom]]
+    * takes its manifest listing and before it resolves the base — the
+    * window in which a concurrent vacuum can GC the listed base's
+    * shards (VectorStoreSpec drives the race deterministically
+    * through it). Production value is a no-op.
+    */
+  private[streaming] var ckptListingHook: () => Unit = () => ()
+
+  private def writeCheckpointFrom(fs: FileSystem, md: Path, dir: String,
+      v: Long, listing: (Seq[(Long, Path)], Map[Long, Path])): Unit = {
+    val (named, ckpts) = listing
+    ckptListingHook()
     val (base, deltas) = chainFor(fs, md, named, ckpts, dir, v)
 
     def publish(k: Int, files: Seq[String], counts: Seq[Int]): Unit = {
@@ -711,30 +787,23 @@ object VectorStore {
 
   /** Publish `tmp` as `target` iff `target` does not exist — the
     * commit protocol's whole correctness rests on this being a real
-    * no-overwrite operation. Plain `fs.rename` is NOT one on
-    * RawLocalFileSystem/POSIX (rename(2) silently clobbers an
-    * existing target), so on `file:` stores publishing goes through
-    * POSIX link(2) instead — atomic, fails EEXIST, no check-then-act
-    * window. HDFS-class stores get the native no-overwrite rename
-    * behind an existence guard; S3-class stores should swap this for
-    * a conditional put (documented contract since round 14).
+    * no-overwrite atomic operation, and WHICH operation that is
+    * depends on the store: since round 16 the choice lives behind the
+    * [[CommitGuard]] seam (POSIX link(2) on `file:`, atomic
+    * no-overwrite rename on HDFS-class schemes, a registered
+    * conditional-put guard on object stores — and a LOUD refusal on
+    * any scheme with no registered guard, because a check-then-rename
+    * fallback silently loses racing commits exactly where most
+    * 100 TB deployments run). See CommitGuardSpec for the
+    * fault-injection proof both ways.
     */
   private def tryPublish(fs: FileSystem, tmp: Path,
       target: Path): Boolean = {
     val scheme = Option(tmp.toUri.getScheme)
       .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
-    val won =
-      if (scheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else !fs.exists(target) && fs.rename(tmp, target)
-    if (scheme == "file" || !won) { fs.delete(tmp, false); () }
+    val won = CommitGuard.forScheme(scheme).publish(fs, tmp, target)
+    // guards may leave tmp behind (link does; a lost rename does)
+    if (fs.exists(tmp)) { fs.delete(tmp, false); () }
     won
   }
 
@@ -1030,25 +1099,37 @@ object VectorStore {
         fs.delete(st.getPath, true); ()
       }
     }
+    // checkpoint-shard GC references — gathered BEFORE any manifest
+    // deletion, from the union of the start-of-vacuum listing and a
+    // re-list (the floor checkpoint written above must count): shards
+    // of a below-floor checkpoint survive this cycle even though its
+    // .ckpt.json is about to be deleted, because a concurrent
+    // writeCheckpoint that listed manifests before this vacuum
+    // published the floor checkpoint may still be resolving from it —
+    // deleting its shards out from under that (stale but valid)
+    // listing made the already-published commit fail on an
+    // optimization write (round-16 ADVICE). Orphaned shards reclaim
+    // on the NEXT vacuum cycle via the 1-hour age guard, and
+    // writeCheckpoint additionally retries from a fresh listing on a
+    // missing shard — belt and braces.
+    val ckptsNow = listManifests(fs, md)._2
+    val refShards: Set[String] = (ckpts ++ ckptsNow)
+      .flatMap { case (cv, cp) =>
+        try readCkpt(fs, cp, cv, dir) match {
+          case Right(r) => r.files.filter(_.nonEmpty)
+          case Left(_) => Seq.empty
+        } catch {
+          // a racing vacuum already deleted this checkpoint file —
+          // its shards are then that vacuum's responsibility
+          case _: java.io.FileNotFoundException => Seq.empty
+        }
+      }.toSet
     named.filter(_._1 < floor).foreach { case (_, p) =>
       fs.delete(p, false); ()
     }
-    ckpts.filter(_._1 < floor).foreach { case (_, p) =>
+    ckptsNow.filter(_._1 < floor).foreach { case (_, p) =>
       fs.delete(p, false); ()
     }
-    // checkpoint-shard GC: shard files referenced by NO retained
-    // checkpoint reclaim after an hour (younger ones may belong to a
-    // checkpoint being published right now — same guard as _staging_).
-    // Re-list: the floor checkpoint written above must count as a
-    // reference.
-    val ckptsNow = listManifests(fs, md)._2
-    val refShards: Set[String] = ckptsNow.filter(_._1 >= floor)
-      .flatMap { case (cv, cp) =>
-        readCkpt(fs, cp, cv, dir) match {
-          case Right(r) => r.files.filter(_.nonEmpty)
-          case Left(_) => Seq.empty
-        }
-      }.toSet
     fs.listStatus(md).foreach { st =>
       val n = st.getPath.getName
       val stale = now - st.getModificationTime > 3600000L

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.{FileSystem, Path}
+import graft.SparkTestBase
+import java.nio.file.Files
+
+/** Stands in for a store-side conditional put (`If-None-Match: *`):
+  * the exists-check and the rename are made one atomic step by a
+  * process-wide lock — exactly the guarantee an object store's
+  * conditional put (or a DynamoDB-coordinated LogStore) provides
+  * across processes. Single-JVM only, which is all a spec needs.
+  */
+object LockedConditionalPut extends CommitGuard {
+  private val lock = new Object
+  def publish(fs: FileSystem, tmp: Path, target: Path): Boolean =
+    lock.synchronized {
+      if (fs.exists(target)) false
+      else fs.rename(tmp, target)
+    }
+}
+
+/** Fault-injection proof of the [[CommitGuard]] contract (round 16):
+  * on a store whose rename clobbers (every S3-class store), the
+  * legacy check-then-rename publish DEMONSTRABLY loses a racing
+  * commit; [[VectorStore]] therefore refuses to commit through an
+  * unregistered scheme, and a conditional-put-shaped guard plugged
+  * into the seam makes the same racing commits serialize losslessly.
+  */
+class CommitGuardSpec extends AnyFunSuite with SparkTestBase {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def withClobberDir(f: (FileSystem, String) => Unit): Unit = {
+    conf.set("fs.clobber.impl", classOf[ClobberFileSystem].getName)
+    val local = Files.createTempDirectory("graft_guard").toFile
+    val dir = "clobber://" + local.getAbsolutePath
+    try f(new Path(dir).getFileSystem(conf), dir)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(local)
+    }
+  }
+
+  private val emptySchema = org.apache.spark.sql.types.StructType(Nil).json
+
+  test("check-then-rename on a clobbering store loses a racing commit — the degradation the guard refuses") {
+    withClobberDir { (fs, dir) =>
+      val target = new Path(dir + "/_manifests/v000000000001.json")
+      fs.mkdirs(target.getParent)
+      def writeTmp(content: String): Path = {
+        val t = new Path(target.getParent, s"_tmp_$content")
+        val out = fs.create(t, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        t
+      }
+      val t1 = writeTmp("writer-1")
+      val t2 = writeTmp("writer-2")
+      // the race: both writers pass the existence check before either
+      // publishes — the check-then-act window `!fs.exists && rename`
+      // leaves open on any store whose rename overwrites
+      val w1Sees = !fs.exists(target)
+      val w2Sees = !fs.exists(target)
+      val w1Won = w1Sees && fs.rename(t1, target)
+      val w2Won = w2Sees && fs.rename(t2, target)
+      assert(w1Won && w2Won,
+        "both racing writers must believe their commit published")
+      val in = fs.open(target)
+      val bytes = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf); new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+      // writer-1's "committed" version silently vanished — the lost
+      // update the CommitGuard refusal exists to prevent
+      assert(bytes === "writer-2")
+    }
+  }
+
+  test("VectorStore refuses loudly on a scheme with no registered guard; nothing publishes") {
+    withClobberDir { (fs, dir) =>
+      val ex = intercept[IllegalStateException](
+        VectorStore.commit(spark, dir, Seq.empty, Seq("seg=a/cell=1"),
+          None, emptySchema))
+      assert(ex.getMessage.contains("no CommitGuard registered"))
+      assert(ex.getMessage.contains("clobber"))
+      assert(VectorStore.snapshot(spark, dir).isEmpty,
+        "a refused commit must leave no committed version behind")
+    }
+  }
+
+  test("a conditional-put guard through the seam: 8 racing commits all land, serialized") {
+    withClobberDir { (_, dir) =>
+      CommitGuard.register("clobber", LockedConditionalPut)
+      try {
+        val n = 8
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val done = new java.util.concurrent.CountDownLatch(n)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        (1 to n).foreach { i =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try {
+                start.await()
+                VectorStore.commit(spark, dir, Seq.empty,
+                  Seq(s"seg=w$i/cell=$i"), Some((s"ch$i", i.toLong)),
+                  emptySchema)
+                ()
+              } catch { case t: Throwable => errs.add(t); () }
+              finally done.countDown()
+          })
+          ()
+        }
+        start.countDown()
+        assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        pool.shutdown()
+        assert(errs.isEmpty,
+          s"racing add-only commits must all rebase and land: $errs")
+        val snap = VectorStore.snapshot(spark, dir).get
+        assert(snap.version === n.toLong,
+          "every commit exactly one version — none lost, none doubled")
+        assert(snap.entries.toSet ===
+          (1 to n).map(i => s"seg=w$i/cell=$i").toSet)
+        assert((1 to n).forall(i =>
+          snap.tags.get(s"ch$i").contains(i.toLong)),
+          "every writer's channel tag survived the races")
+      } finally CommitGuard.deregister("clobber")
+    }
+  }
+
+  test("PosixLink publishes exactly once under a 16-thread race on file:") {
+    val local = Files.createTempDirectory("graft_guard_link").toFile
+    try {
+      val fs = new Path(local.getAbsolutePath).getFileSystem(conf)
+      val target = new Path(local.getAbsolutePath, "v1.json")
+      val n = 16
+      val tmps = (1 to n).map { i =>
+        val t = new Path(local.getAbsolutePath, s"_tmp_$i")
+        val out = fs.create(t, false)
+        try out.write(s"writer-$i".getBytes("UTF-8")) finally out.close()
+        t
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val done = new java.util.concurrent.CountDownLatch(n)
+      tmps.foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            start.await()
+            if (CommitGuard.PosixLink.publish(fs, t, target))
+              { wins.incrementAndGet(); () }
+          } finally done.countDown()
+        })
+        ()
+      }
+      start.countDown()
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(wins.get() === 1, "exactly one racing link may win")
+      assert(fs.exists(target))
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(local)
+    }
+  }
+}

@@ -775,4 +775,103 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
         VectorStore.vacuum(spark, dir, keep = 0))
     }
   }
+
+  test("shard-routing hash is format-owned: inlined murmur3 == stdlib bit layout + frozen goldens") {
+    val seed = 0x5f3a1c9b
+    // goldens freeze the ON-DISK routing: even a coordinated change
+    // of the inline implementation AND the stdlib cannot slip through
+    val golden = Seq(
+      "" -> 104326234, "a" -> -309600657, "cell=3" -> 1404341400,
+      "cell=999" -> -308070631, "ingest_batch=712" -> -142484281,
+      "seg=abc/cell=17" -> -658444546)
+    golden.foreach { case (s, h) =>
+      assert(VectorStore.murmur3String(s, seed) === h,
+        s"inlined murmur3('$s') drifted from the round-15 shard layout")
+    }
+    // and the inline impl must keep matching the CURRENT stdlib (so a
+    // future Scala upgrade changing stringHash is caught here as a
+    // loud parity failure, not adopted as silent misrouting)
+    val rnd = new scala.util.Random(42)
+    val cases = golden.map(_._1) ++ Seq("αβγ≠", " x￿") ++
+      (1 to 500).map(_ => rnd.nextString(rnd.nextInt(40)))
+    cases.foreach { s =>
+      assert(VectorStore.murmur3String(s, seed) ===
+        scala.util.hashing.MurmurHash3.stringHash(s, seed), s"'$s'")
+    }
+  }
+
+  test("a checkpoint write survives a concurrent vacuum GC'ing its stale base's shards") {
+    // The round-16 ADVICE race: a writer lists manifests, then a
+    // vacuum cycle (or two) publishes a floor checkpoint and GCs the
+    // shards of the below-floor checkpoint the writer's STALE listing
+    // picked as its base. The already-published commit must not fail
+    // on the optimization write: writeCheckpoint retries from a fresh
+    // listing (which resolves from the floor checkpoint).
+    val oldTarget = VectorStore.ShardTargetEntries
+    VectorStore.ShardTargetEntries = 2
+    try withDir { idx =>
+      val dir = idx.getAbsolutePath
+      val md = new java.io.File(idx, "_manifests")
+      def age(): Unit = Option(md.listFiles()).get.foreach { f =>
+        assert(f.setLastModified(System.currentTimeMillis() - 7200000L))
+      }
+      (1 to 19).foreach { v =>
+        VectorStore.commit(spark, dir, Seq.empty,
+          Seq(s"seg=a$v/cell=$v"), None, if (v == 1) "{}" else "")
+      }
+      def v10Shards(): Set[String] = {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val f = new java.io.File(md, "v000000000010.ckpt.json")
+        if (!f.exists()) Set.empty
+        else {
+          val n = om.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+          (0 until n.get("shards").size())
+            .map(i => n.get("shards").get(i).asText())
+            .filter(_.nonEmpty).toSet
+        }
+      }
+      val baseShards = v10Shards()
+      assert(baseShards.nonEmpty, "v10 must be a sharded checkpoint")
+      @volatile var shardsGoneAtHook = false
+      VectorStore.ckptListingHook = () => {
+        VectorStore.ckptListingHook = () => () // disarm: inner
+        // writeCheckpoint calls (vacuum's floor write, the retry)
+        // must run clean
+        // vacuum cycle 1: publishes the floor checkpoint at v20,
+        // deletes manifests/ckpts below it; v10's shards survive this
+        // cycle (still referenced by the start-of-vacuum listing)
+        age(); VectorStore.vacuum(spark, dir, keep = 1)
+        // vacuum cycle 2: v10's ckpt is no longer listed, its shards
+        // age out — exactly the on-disk state the racing writer's
+        // stale listing now points into
+        age(); VectorStore.vacuum(spark, dir, keep = 1)
+        // only the shards the floor checkpoint REWROTE lose their v10
+        // files (untouched ones carry over into v20's checkpoint by
+        // name and stay referenced) — and the writer's stale reuse
+        // path reads exactly the rewritten (touched) ones, so any
+        // gone shard means the FNF retry must fire
+        shardsGoneAtHook = baseShards.exists(n =>
+          !new java.io.File(md, n).exists())
+      }
+      val retriesBefore = VectorStore.ckptRetryCount
+      try {
+        // v20: the commit publishes, then its checkpoint write races
+        // the vacuum cycles injected by the hook — must NOT throw
+        VectorStore.commit(spark, dir, Seq.empty, Seq("seg=a20/cell=20"))
+        assert(shardsGoneAtHook,
+          "race precondition: some stale base shard must be gone " +
+            "before the writer resolves")
+        assert(VectorStore.ckptRetryCount > retriesBefore,
+          "the FNF recovery path must actually have fired")
+        val snap = VectorStore.snapshot(spark, dir).get
+        assert(snap.version === 20L)
+        assert(snap.entries ===
+          (1 to 20).map(v => s"seg=a$v/cell=$v").sorted)
+        // the store stays fully usable: probe reads resolve through
+        // whatever checkpoint state the race left behind
+        assert(VectorStore.liveEntries(spark, dir, Seq("cell=7"))
+          === Seq("seg=a7/cell=7"))
+      } finally VectorStore.ckptListingHook = () => ()
+    } finally VectorStore.ShardTargetEntries = oldTarget
+  }
 }
