@@ -193,14 +193,19 @@ object EventStream {
           state.remove()
           Iterator.empty
         } else {
-          val batch = rows.toSeq
-          val maxTs = batch.map(_._3.getTime).max
+          // single O(1)-memory pass: min-id keeper + max event time
+          // (round 16 — a hot fingerprint receiving 10⁶ duplicates in
+          // one micro-batch must not buffer them in task memory)
+          var maxTs = Long.MinValue
+          var keepId = Long.MaxValue
+          var keepText: String = null
+          rows.foreach { r =>
+            maxTs = math.max(maxTs, r._3.getTime)
+            if (r._1 < keepId) { keepId = r._1; keepText = r._2 }
+          }
           val out =
             if (state.exists) Iterator.empty
-            else {
-              val keeper = batch.minBy(_._1)
-              Iterator.single((keeper._1, keeper._2, fp))
-            }
+            else Iterator.single((keepId, keepText, fp))
           state.update(math.max(state.getOption.getOrElse(Long.MinValue), maxTs))
           // timeout must sit strictly above the current watermark
           state.setTimeoutTimestamp(math.max(state.get + ttlMs,
@@ -249,7 +254,7 @@ object EventStream {
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[(String, Long, Long)]) => {
-        val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+        val ordered = sortByTsId(rows.toArray)
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, String, String)]
         var last = state.getOption
@@ -297,7 +302,7 @@ object EventStream {
           state.remove()
           Iterator.empty
         } else {
-          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          val ordered = sortByTsId(rows.toArray)
           if (ordered.isEmpty) Iterator.empty
           else {
             val out = scala.collection.mutable.ArrayBuffer
@@ -357,7 +362,7 @@ object EventStream {
         val s = state.getOption.getOrElse(
           Array.fill(steps.length)(FunnelUnset))
         val before = s.clone()
-        funnelAdvance(s, rows.map(r => (r._2, r._3)).toArray, stepIdx)
+        funnelAdvance(s, funnelEvents(rows.map(r => (r._2, r._3)), stepIdx))
         if (java.util.Arrays.equals(before, s)) Iterator.empty
         else {
           state.update(s)
@@ -369,25 +374,73 @@ object EventStream {
 
   private val FunnelUnset = Long.MaxValue
 
+  /** In-place (ts_us, event_id) sort of one key's micro-batch — the
+    * shared buffer of the ORDER-REQUIRING keyed ops (transitions,
+    * path-ngrams, sequence patterns): their emissions must follow the
+    * batch twin's window order, and within-group arrival order is
+    * arbitrary after the shuffle, so the sort cannot be elided by an
+    * iterator fold. Task memory is O(this key's rows in this
+    * micro-batch) — a STATED contract (round 16): one hot key
+    * receiving 10⁶ events in a single trigger buffers them here
+    * (array-in-place, no cons lists — see the hot-key spec for the
+    * measured budget); size the trigger (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger) accordingly. The batch twins have no such
+    * cliff. (ts_us, eid) keys are unique (eid is unique), so the
+    * unstable quicksort equals the previous stable sortBy.
+    */
+  private def sortByTsId(a: Array[(Long, String, Long, Long)])
+      : Array[(Long, String, Long, Long)] = {
+    scala.util.Sorting.quickSort(a)(Ordering.by(r => (r._3, r._4)))
+    a
+  }
+
+  private def sortByTsId(
+      a: Array[(Long, String, Long, Long, java.sql.Timestamp)])
+      : Array[(Long, String, Long, Long, java.sql.Timestamp)] = {
+    scala.util.Sorting.quickSort(a)(Ordering.by(r => (r._3, r._4)))
+    a
+  }
+
   /** Shared per-batch funnel fold of [[streamingFunnel]] and its TTL
     * twin: per-step mins in step order — step k's gate (s(k−1)) is
     * final before step k evaluates, the same fixpoint as the batch
-    * operator's sequential step joins. Mutates `s` in place.
+    * operator's sequential step joins. Mutates `s` in place. Takes
+    * pre-resolved (step, ts) pairs — see [[funnelEvents]].
     */
-  private def funnelAdvance(s: Array[Long], evs: Array[(String, Long)],
-      stepIdx: Map[String, Int]): Unit = {
+  private def funnelAdvance(s: Array[Long],
+      evs: Array[(Int, Long)]): Unit = {
     var k = 0
     while (k < s.length) {
       var i = 0
       while (i < evs.length) {
-        val (t, ts) = evs(i)
-        if (stepIdx.get(t).contains(k) &&
+        val (step, ts) = evs(i)
+        if (step == k &&
             (k == 0 || (s(k - 1) != FunnelUnset && ts >= s(k - 1))) &&
             ts < s(k)) s(k) = ts
         i += 1
       }
       k += 1
     }
+  }
+
+  /** Buffer ONLY the events whose type is a funnel step, resolved to
+    * (step index, ts) — the multi-pass step fold needs them batched,
+    * but non-step events (typically the vast majority of a hot key's
+    * micro-batch) never enter task memory (round 16). The remaining
+    * bound — O(step events of one key in one micro-batch) — is a
+    * stated contract: exact funnel times need every step event's
+    * timestamp available until its step's gate is final, so size the
+    * trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) to what a
+    * task can hold; the batch twin has no such cliff.
+    */
+  private def funnelEvents(it: Iterator[(String, Long)],
+      stepIdx: Map[String, Int]): Array[(Int, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    it.foreach { case (t, ts) =>
+      val s = stepIdx.getOrElse(t, -1)
+      if (s >= 0) buf += ((s, ts))
+    }
+    buf.toArray
   }
 
   private def funnelRow(user: Long, s: Array[Long])
@@ -432,14 +485,18 @@ object EventStream {
           state.remove()
           Iterator.single(funnelRow(user, s))
         } else {
-          val evs = rows.toArray
-          if (evs.isEmpty) Iterator.empty
+          // maxTs rides the same pass that filters to step events —
+          // ANY event (step or not) refreshes the sliding TTL
+          var maxTs = Long.MinValue
+          val evs = funnelEvents(rows.map { r =>
+            maxTs = math.max(maxTs, r._4.getTime); (r._2, r._3)
+          }, stepIdx)
+          if (maxTs == Long.MinValue) Iterator.empty
           else {
             val s = state.getOption.getOrElse(
               Array.fill(steps.length)(FunnelUnset))
             val before = s.clone()
-            funnelAdvance(s, evs.map(r => (r._2, r._3)), stepIdx)
-            val maxTs = evs.map(_._4.getTime).max
+            funnelAdvance(s, evs)
             state.update(s) // always: the timeout needs live state
             state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
@@ -481,7 +538,7 @@ object EventStream {
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[List[String]]) => {
-        val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+        val ordered = sortByTsId(rows.toArray)
         var window = state.getOption.getOrElse(Nil)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
         ordered.foreach { case (_, t, _, _) =>
@@ -528,7 +585,7 @@ object EventStream {
           state.remove()
           Iterator.empty
         } else {
-          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          val ordered = sortByTsId(rows.toArray)
           if (ordered.isEmpty) Iterator.empty
           else {
             var window = state.getOption.getOrElse(Nil)
@@ -587,7 +644,7 @@ object EventStream {
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[PikeState]) => {
-        val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+        val ordered = sortByTsId(rows.toArray)
         if (ordered.isEmpty) Iterator.empty
         else {
           val chunk = ordered.map(r => charOf(r._2)).mkString
@@ -657,7 +714,7 @@ object EventStream {
           Iterator.single(
             (user, st.pos.toInt, PikeEngine.matchCount(st).toInt))
         } else {
-          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          val ordered = sortByTsId(rows.toArray)
           if (ordered.isEmpty) Iterator.empty
           else {
             val chunk = ordered.map(r => charOf(r._2)).mkString
@@ -695,13 +752,33 @@ object EventStream {
     */
   /** Shared cap-smallest-by-hash merge of [[streamingQuotaSample]] and
     * its TTL twin — one definition so the twins cannot drift.
+    *
+    * BOUNDED-MEMORY fold (round 16, the hot-key fix): the batch
+    * iterator folds through a size-`cap` max-heap instead of being
+    * materialized and sorted — O(cap) task memory however many rows
+    * one stratum receives in one micro-batch (the previous
+    * `(held ++ batch).sortBy.take(cap)` buffered the whole batch; a
+    * hot stratum with 10⁶ rows in one trigger was a task-memory
+    * cliff the batch twin doesn't have). Result is bit-identical:
+    * the heap's content IS sorted((held ++ batch)).take(cap) under
+    * the same (hash, id) order, duplicates included.
     */
-  private def quotaMerge(st: QuotaState, batch: Array[(String, Long)],
+  private def quotaMerge(st: QuotaState, batch: Iterator[(String, Long)],
       cap: Int): QuotaState = {
-    val merged = ((st.hashes zip st.ids) ++ batch)
-      .sortBy(identity).take(cap)
-    QuotaState(merged.map(_._1), merged.map(_._2),
-      st.seen + batch.length)
+    val ord = Ordering.Tuple2[String, Long]
+    val heap = new scala.collection.mutable.PriorityQueue[(String, Long)]()(ord)
+    var i = 0
+    while (i < st.hashes.length) {
+      heap.enqueue((st.hashes(i), st.ids(i))); i += 1
+    }
+    var n = 0L
+    batch.foreach { e =>
+      n += 1
+      if (heap.size < cap) heap.enqueue(e)
+      else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+    }
+    val merged = heap.dequeueAll.reverseIterator.toArray // ascending
+    QuotaState(merged.map(_._1), merged.map(_._2), st.seen + n)
   }
 
   /** One stratum's current pick set as emission rows. */
@@ -733,10 +810,9 @@ object EventStream {
         val st = state.getOption.map(s => KeyedState.checked(s, s.ver,
           "streamingQuotaSample")).getOrElse(
           QuotaState(Array.empty, Array.empty, 0L))
-        val batch = rows.map(r => (r._3, r._2)).toArray
-        if (batch.isEmpty) Iterator.empty
+        val next = quotaMerge(st, rows.map(r => (r._3, r._2)), cap)
+        if (next.seen == st.seen) Iterator.empty
         else {
-          val next = quotaMerge(st, batch, cap)
           state.update(next)
           quotaEmit(stratum, next)
         }
@@ -788,12 +864,14 @@ object EventStream {
           val st = state.getOption.map(s => KeyedState.checked(s, s.ver,
             "streamingQuotaSampleTtl")).getOrElse(
             QuotaState(Array.empty, Array.empty, 0L))
-          val batch = rows.toArray
-          if (batch.isEmpty) Iterator.empty
+          // event-time max rides the same single pass as the merge
+          var maxTs = Long.MinValue
+          val next = quotaMerge(st, rows.map { r =>
+            maxTs = math.max(maxTs, r._4.getTime); (r._3, r._2)
+          }, cap)
+          if (next.seen == st.seen) Iterator.empty
           else {
-            val next = quotaMerge(st, batch.map(r => (r._3, r._2)), cap)
             state.update(next)
-            val maxTs = batch.map(_._4.getTime).max
             state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
             quotaEmit(stratum, next)
@@ -847,10 +925,9 @@ object EventStream {
         val st = state.getOption.map(s => KeyedState.checked(s, s.ver,
           "streamingWeightedSample")).getOrElse(
           WSampleState(Array.empty, Array.empty, Array.empty, 0L))
-        val batch = rows.map(r => (r._4, r._2, r._3)).toArray
-        if (batch.isEmpty) Iterator.empty
+        val next = wsampleMerge(st, rows.map(r => (r._4, r._2, r._3)), k)
+        if (next.seen == st.seen) Iterator.empty
         else {
-          val next = wsampleMerge(st, batch, k)
           state.update(next)
           wsampleEmit(shard, next)
         }
@@ -860,16 +937,30 @@ object EventStream {
 
   /** Shared top-k-by-rank-key merge of [[streamingWeightedSample]] and
     * its TTL twin — top-k by (key DESC, id ASC), the batch operator's
-    * order.
+    * order. Same bounded-memory fold as [[quotaMerge]] (round 16):
+    * O(k) task memory per shard per batch via a size-k heap instead
+    * of materializing and sorting the shard's whole micro-batch.
     */
   private def wsampleMerge(st: WSampleState,
-      batch: Array[(Double, Long, Long)], k: Int): WSampleState = {
-    val held = Array.tabulate(st.ids.length)(i =>
-      (st.keys(i), st.ids(i), st.ws(i)))
-    val merged = (held ++ batch)
-      .sortBy { case (key, id, _) => (-key, id) }.take(k)
+      batch: Iterator[(Double, Long, Long)], k: Int): WSampleState = {
+    val ord = Ordering.by[(Double, Long, Long), (Double, Long)] {
+      case (key, id, _) => (-key, id)
+    }
+    val heap =
+      new scala.collection.mutable.PriorityQueue[(Double, Long, Long)]()(ord)
+    var i = 0
+    while (i < st.ids.length) {
+      heap.enqueue((st.keys(i), st.ids(i), st.ws(i))); i += 1
+    }
+    var n = 0L
+    batch.foreach { e =>
+      n += 1
+      if (heap.size < k) heap.enqueue(e)
+      else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+    }
+    val merged = heap.dequeueAll.reverseIterator.toArray // (-key, id) asc
     WSampleState(merged.map(_._1), merged.map(_._2), merged.map(_._3),
-      st.seen + batch.length)
+      st.seen + n)
   }
 
   /** One shard's current top-k as emission rows. */
@@ -924,13 +1015,13 @@ object EventStream {
           val st = state.getOption.map(s => KeyedState.checked(s, s.ver,
             "streamingWeightedSampleTtl")).getOrElse(
             WSampleState(Array.empty, Array.empty, Array.empty, 0L))
-          val batch = rows.toArray
-          if (batch.isEmpty) Iterator.empty
+          var maxTs = Long.MinValue
+          val next = wsampleMerge(st, rows.map { r =>
+            maxTs = math.max(maxTs, r._5.getTime); (r._4, r._2, r._3)
+          }, k)
+          if (next.seen == st.seen) Iterator.empty
           else {
-            val next = wsampleMerge(st,
-              batch.map(r => (r._4, r._2, r._3)), k)
             state.update(next)
-            val maxTs = batch.map(_._5.getTime).max
             state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
             wsampleEmit(shard, next)
@@ -974,7 +1065,7 @@ object EventStream {
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[MultiPikeState]) => {
-        val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+        val ordered = sortByTsId(rows.toArray)
         if (ordered.isEmpty) Iterator.empty
         else {
           val chunk = ordered.map(r => charOf(r._2)).mkString
@@ -1037,7 +1128,7 @@ object EventStream {
           state.remove()
           emit(user, sts)
         } else {
-          val ordered = rows.toSeq.sortBy(r => (r._3, r._4))
+          val ordered = sortByTsId(rows.toArray)
           if (ordered.isEmpty) Iterator.empty
           else {
             val chunk = ordered.map(r => charOf(r._2)).mkString
@@ -1088,13 +1179,17 @@ object EventStream {
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, Int)],
           state: org.apache.spark.sql.streaming.GroupState[(Int, Set[Int])]) => {
-        val pers = rows.map(_._2).toArray
-        if (pers.isEmpty) Iterator.empty
+        // fold to the DISTINCT periods only — O(periods in batch)
+        // task memory, not O(events): a hot user with 10⁶ events in
+        // one micro-batch touches at most a handful of periods
+        val perSet = scala.collection.mutable.SortedSet.empty[Int]
+        rows.foreach(r => perSet += r._2)
+        if (perSet.isEmpty) Iterator.empty
         else {
           val (cohort, seen) = state.getOption
-            .getOrElse((pers.min, Set.empty[Int]))
-          val fresh = pers.map(_ - cohort).filter(o => !seen.contains(o))
-            .distinct.sorted
+            .getOrElse((perSet.head, Set.empty[Int]))
+          val fresh = perSet.iterator.map(_ - cohort)
+            .filter(o => !seen.contains(o)).toArray.sorted
           state.update((cohort, seen ++ fresh))
           fresh.iterator.map(o => (cohort, o, user))
         }
@@ -1139,16 +1234,20 @@ object EventStream {
           state.remove()
           Iterator.empty
         } else {
-          val batch = rows.toArray
-          if (batch.isEmpty) Iterator.empty
+          // same distinct-periods fold as the NoTimeout twin, with
+          // the event-time max riding the single pass
+          val perSet = scala.collection.mutable.SortedSet.empty[Int]
+          var maxTs = Long.MinValue
+          rows.foreach { r =>
+            perSet += r._2; maxTs = math.max(maxTs, r._3.getTime)
+          }
+          if (perSet.isEmpty) Iterator.empty
           else {
-            val pers = batch.map(_._2)
             val (cohort, seen) = state.getOption
-              .getOrElse((pers.min, Set.empty[Int]))
-            val fresh = pers.map(_ - cohort).filter(o => !seen.contains(o))
-              .distinct.sorted
+              .getOrElse((perSet.head, Set.empty[Int]))
+            val fresh = perSet.iterator.map(_ - cohort)
+              .filter(o => !seen.contains(o)).toArray.sorted
             state.update((cohort, seen ++ fresh))
-            val maxTs = batch.map(_._3.getTime).max
             state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
             fresh.iterator.map(o => (cohort, o, user))
@@ -1243,8 +1342,12 @@ object EventStream {
           state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) => {
         var seen = state.getOption.getOrElse(Seq.empty)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        // deterministic within-batch order: ids ascending
-        rows.map(_._2).toSeq.distinct.sorted.foreach { id =>
+        // deterministic within-batch order: DISTINCT ids ascending —
+        // folded through a sorted set, O(distinct ids) task memory
+        // (duplicate arrivals of one doc don't buffer; round 16)
+        val fresh = scala.collection.mutable.SortedSet.empty[Long]
+        rows.foreach(r => fresh += r._2)
+        fresh.foreach { id =>
           if (!seen.contains(id)) {
             seen.foreach(s =>
               out += ((math.min(s, id), math.max(s, id))))
@@ -1298,12 +1401,18 @@ object EventStream {
           state.remove()
           Iterator.empty
         } else {
-          val batch = rows.toArray
-          if (batch.isEmpty) Iterator.empty
+          // same distinct-ids fold as the NoTimeout twin, event-time
+          // max riding the single pass
+          val fresh = scala.collection.mutable.SortedSet.empty[Long]
+          var maxTs = Long.MinValue
+          rows.foreach { r =>
+            fresh += r._2; maxTs = math.max(maxTs, r._3.getTime)
+          }
+          if (fresh.isEmpty) Iterator.empty
           else {
             var seen = state.getOption.getOrElse(Seq.empty)
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            batch.map(_._2).toSeq.distinct.sorted.foreach { id =>
+            fresh.foreach { id =>
               if (!seen.contains(id)) {
                 seen.foreach(s =>
                   out += ((math.min(s, id), math.max(s, id))))
@@ -1311,7 +1420,6 @@ object EventStream {
               }
             }
             state.update(seen)
-            val maxTs = batch.map(_._3.getTime).max
             state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
             out.iterator

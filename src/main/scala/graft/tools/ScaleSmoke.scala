@@ -750,9 +750,19 @@ object ScaleSmoke {
           .otherwise("signup").as("event_type"))
     }
 
-    def run(op: DataFrame => DataFrame): Seq[(Int, Double, Long, Long)] = {
+    // provider column (round 16): the same sweep under the default
+    // HDFSBacked provider and under RocksDB — the per-executor state
+    // MEMORY story at churn scale (HDFSBacked holds every live key
+    // on-heap; RocksDB keeps them off-heap/on-disk behind a bounded
+    // cache). Outputs are bit-identical (RocksDbStateSpec pins it);
+    // this measures the operational difference.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def run(op: DataFrame => DataFrame, provider: Option[String] = None)
+        : Seq[(Int, Double, Long, Long)] = {
       val dir = java.nio.file.Files.createTempDirectory("graft_churn")
       val chk = java.nio.file.Files.createTempDirectory("graft_churn_chk")
+      val oldProv = spark.conf.getOption(providerKey)
+      provider.foreach(p => spark.conf.set(providerKey, p))
       try {
         batchDf(0).coalesce(1).write.parquet(s"$dir/b${"%04d".format(0)}")
         val schema = spark.read.parquet(s"$dir/b0000").schema
@@ -775,6 +785,8 @@ object ScaleSmoke {
         q.stop()
         out.toSeq
       } finally {
+        oldProv.fold(spark.conf.unset(providerKey))(v =>
+          spark.conf.set(providerKey, v))
         Seq(dir, chk).foreach { d =>
           val w = java.nio.file.Files.walk(d)
           try w.sorted(java.util.Comparator
@@ -814,6 +826,34 @@ object ScaleSmoke {
     println(f"ttl    state rows mean: Q2 $t2%.0f -> Q4 $t4%.0f (ratio ${t4 / t2}%.2f — flat under churn)")
     println(f"nottl  state rows mean: Q2 $n2%.0f -> Q4 $n4%.0f (ratio ${n4 / n2}%.2f — linear growth)")
     println(f"final state: ttl ${ttl.last._3}%d rows / ${ttl.last._4 / 1e6}%.2f MB vs nottl ${noTtl.last._3}%d rows / ${noTtl.last._4 / 1e6}%.2f MB (${noTtl.last._3.toDouble / math.max(ttl.last._3, 1)}%.1fx rows)")
+
+    // provider comparison at the same churn scale: rerun both ops on
+    // RocksDB and print the final state rows / reported memory / mean
+    // per-batch cost side by side with the default-provider runs above
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val ttlR = run(s =>
+      graft.streaming.EventStream.streamingSequencePatternTtl(s,
+        "user_id", "event_type", "ts", "event_id", charOf, pattern,
+        ttlMs = ttlMs, watermarkDelay = "1 second"), Some(rocks))
+    val noTtlR = run(s =>
+      graft.streaming.EventStream.streamingSequencePattern(s,
+        "user_id", "event_type", "ts", "event_id", charOf, pattern),
+      Some(rocks))
+    def batchMean(xs: Seq[(Int, Double, Long, Long)]) = {
+      val ts = xs.drop(2).map(_._2); ts.sum / math.max(ts.length, 1)
+    }
+    println(f"${"op"}%-7s ${"provider"}%-12s ${"final_rows"}%-11s ${"state_MB"}%-9s ${"batch_s"}%-8s")
+    Seq(("ttl", "hdfs-heap", ttl), ("ttl", "rocksdb", ttlR),
+        ("nottl", "hdfs-heap", noTtl), ("nottl", "rocksdb", noTtlR))
+      .foreach { case (opN, prov, xs) =>
+        println(f"$opN%-7s $prov%-12s ${xs.last._3}%-11d ${xs.last._4 / 1e6}%-9.2f ${batchMean(xs)}%-8.3f")
+      }
+    val rowParity = ttl.last._3 == ttlR.last._3 &&
+      noTtl.last._3 == noTtlR.last._3
+    println(s"provider row-count parity: $rowParity (must be true; " +
+      "memory columns differ by design — HDFSBacked reports the " +
+      "on-heap key map, RocksDB its block cache + memtables)")
   }
 
   /** `race` mode: concurrent-reader stress for the manifest store —

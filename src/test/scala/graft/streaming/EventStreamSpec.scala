@@ -1589,4 +1589,82 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       rm(dir); rm(chk)
     }
   }
+
+  test("hot key: 10^6 events for ONE key in one micro-batch — bounded ops fold, order ops complete") {
+    // The round-16 per-key-per-batch memory contract: (a) fold-shaped
+    // ops (quota/weighted/dedup/cohort/neardup) process a million-row
+    // key in O(cap) task memory — exact vs the batch oracle; (b) the
+    // order-requiring ops (transitions et al.) buffer the key's batch
+    // (stated contract), array-packed, and complete with exact output.
+    import spark.implicits._
+    val n = 1000000L
+    val dir = Files.createTempDirectory("graft_hot").toFile
+    val chk1 = Files.createTempDirectory("graft_hot_c1").toFile
+    val chk2 = Files.createTempDirectory("graft_hot_c2").toFile
+    try {
+      // one user, 10^6 events, unique event ids, event time spread
+      spark.range(n).select(
+          lit(7L).as("user_id"),
+          col("id").as("event_id"),
+          timestamp_seconds(lit(1700000000L) + col("id") / 100).as("ts"),
+          when(pmod(col("id"), lit(3)) === 0, "view")
+            .when(pmod(col("id"), lit(3)) === 1, "click")
+            .otherwise("purchase").as("event_type"),
+          lit("s").as("stratum"))
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      def stream() = spark.readStream.schema(schema)
+        .parquet(dir.getAbsolutePath + "/*")
+
+      // (a) quota: one stratum, cap 5 — O(cap) fold over 10^6 rows
+      val q1 = EventStream.streamingQuotaSample(stream(), "event_id",
+          "stratum", cap = 5)
+        .writeStream.format("memory").queryName("hot_quota")
+        .outputMode("append")
+        .option("checkpointLocation", chk1.getAbsolutePath).start()
+      q1.processAllAvailable(); q1.stop()
+      val picks = spark.table("hot_quota").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(picks.length === 5)
+      assert(picks.forall(_._3 === n), "seen must count every row")
+      val oracle = graft.functions.Curation.quotaSample(
+          spark.read.parquet(dir.getAbsolutePath + "/b1"),
+          "event_id", "stratum", cap = 5)
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(picks.map(_._1).toSet === oracle,
+        "streamed hot-stratum picks must equal the batch quotaSample")
+
+      // (b) transitions: order-requiring — buffers the key's batch
+      // (the stated contract) and must emit exactly n-1 ordered pairs
+      val counted = new java.util.concurrent.atomic.AtomicLong(0)
+      val wrong = new java.util.concurrent.atomic.AtomicLong(0)
+      val q2 = EventStream.streamingTransitions(stream(), "user_id",
+          "event_type", "ts", "event_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk2.getAbsolutePath)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          counted.addAndGet(b.count())
+          // event_id order is view,click,purchase cyclic — every
+          // from->to pair must follow that cycle
+          wrong.addAndGet(b.filter(
+            !(col("from_type") === "view" && col("to_type") === "click") &&
+            !(col("from_type") === "click" && col("to_type") === "purchase") &&
+            !(col("from_type") === "purchase" && col("to_type") === "view"))
+            .count())
+          ()
+        }.start()
+      q2.processAllAvailable(); q2.stop()
+      assert(counted.get() === n - 1,
+        s"hot key must emit exactly ${n - 1} transitions")
+      assert(wrong.get() === 0L,
+        "every transition must follow the cyclic event order — the " +
+          "(ts, eid) sort held under the million-row buffer")
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS hot_quota")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk1); rm(chk2)
+    }
+  }
 }
