@@ -621,22 +621,27 @@ object Dedup {
     * which converges in O(log²) rounds instead of O(diameter).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // reliable per-round lineage cuts when a dir is given — see
+    // graft.operators.Iterate (executor loss past round 1 otherwise
+    // fails a long job unrecoverably: localCheckpoint blocks are
+    // executor-local)
+    val reliable = graft.operators.Iterate.configure(edges, checkpointDir)
+    def cut(df: DataFrame) = graft.operators.Iterate.cut(df, reliable)
+    val sym = cut(edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+      val next = cut(labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nb_label"), col("label")))
-            .as("new_label"))
-        .localCheckpoint()
+            .as("new_label")))
       converged = next.filter(col("new_label") < col("label")).isEmpty
       labels = next.select(col("id"), col("new_label").as("label"))
       i += 1
@@ -663,7 +668,10 @@ object Dedup {
     * independent hash checksum instead of materializing a diff.
     */
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val reliable = graft.operators.Iterate.configure(edges, checkpointDir)
+    def cut(df: DataFrame) = graft.operators.Iterate.cut(df, reliable)
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -698,18 +706,18 @@ object Dedup {
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     // node set BEFORE dropping self-loops: a (v, v) edge still names a
     // node that must come out labeled (as its own singleton component)
-    val allNodes = raw.select(col("u").as("id"))
-      .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
-    var e = raw
+    val allNodes = cut(raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct())
+    var e = cut(raw
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var sig = checksum(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = cut(smallStar(largeStar(e)))
       val nextSig = checksum(next)
       converged = nextSig == sig
       e = next; sig = nextSig

@@ -258,9 +258,14 @@ object Graph {
     */
   def labelPropagateConverged(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedNodeCol: String,
-      seedLabelCol: String, maxIters: Int)
+      seedLabelCol: String, maxIters: Int,
+      checkpointDir: Option[String] = None)
       : (DataFrame, Seq[LpaIterStats]) = {
     require(maxIters >= 1, "maxIters must be >= 1")
+    // reliable per-round cuts when a dir is given — see [[Iterate]]:
+    // localCheckpoint blocks die with their executor, which fails a
+    // long converging job unrecoverably at cluster scale
+    val reliable = Iterate.configure(edges, checkpointDir)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"))
@@ -280,9 +285,9 @@ object Graph {
     // chain took 70 s on persists, sub-second on checkpoints).
     // Fixed-small-iters labelPropagate keeps its persist convention;
     // unbounded loops cut lineage every round.
-    var labels = nodes.join(seed, Seq("node"), "left")
-      .select(col("node"), col("__seed").as("label"), col("__seed"))
-      .localCheckpoint()
+    var labels = Iterate.cut(nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label"), col("__seed")),
+      reliable)
     val stats = scala.collection.mutable.ArrayBuffer.empty[LpaIterStats]
     var it = 0
     var converged = false
@@ -298,14 +303,14 @@ object Graph {
       val adopted = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("__d").as("node"), col("__nl").as("__adopt"))
-      val next = labels
+      val next = Iterate.cut(labels
         .select(col("node"), col("label").as("__old"), col("__seed"))
         .join(adopted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__seed"), col("__adopt"), col("__old"))
             .as("label"),
-          col("__seed"), col("__old"))
-        .localCheckpoint()
+          col("__seed"), col("__old")),
+        reliable)
       // coalesce: sum over ZERO rows (empty graph) is NULL and the
       // unboxing getLong would NPE instead of returning the empty
       // labeling
@@ -354,8 +359,10 @@ object Graph {
   def labelPropagateDelta(storedLabels: DataFrame, edges: DataFrame,
       srcCol: String, dstCol: String, deltaEdges: DataFrame,
       seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
-      rounds: Int): (DataFrame, Seq[LpaIterStats]) = {
+      rounds: Int, checkpointDir: Option[String] = None)
+      : (DataFrame, Seq[LpaIterStats]) = {
     require(rounds >= 1, "rounds must be >= 1")
+    val reliable = Iterate.configure(edges, checkpointDir)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"))
@@ -372,19 +379,19 @@ object Graph {
     // Per-round frames are localCheckpoint'd, not persisted — see
     // labelPropagateConverged's note (the round-update join would
     // otherwise double the analyzed plan per round).
-    var labels = nodes.join(seed, Seq("node"), "left")
+    var labels = Iterate.cut(nodes.join(seed, Seq("node"), "left")
       .join(stored, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("__seed"), col("__stored")).as("label"),
-        col("__seed"))
-      .localCheckpoint()
+        col("__seed")),
+      reliable)
     val d0 = deltaEdges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"))
     // round-1 frontier: every node whose vote multiset changed = dst
     // endpoints of the expanded delta edges (i.e. both endpoints)
-    var frontier = d0.select(col("__d").as("node"))
+    var frontier = Iterate.cut(d0.select(col("__d").as("node"))
       .unionAll(d0.select(col("__s").as("node")))
-      .distinct().localCheckpoint()
+      .distinct(), reliable)
     val stats = scala.collection.mutable.ArrayBuffer.empty[LpaIterStats]
     var it = 0
     var done = false
@@ -404,17 +411,17 @@ object Graph {
       val adopted = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("__d").as("node"), col("__nl").as("__adopt"))
-      val next = labels
+      val next = Iterate.cut(labels
         .select(col("node"), col("label").as("__old"), col("__seed"))
         .join(adopted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__seed"), col("__adopt"), col("__old"))
             .as("label"),
-          col("__seed"), col("__old"))
-        .localCheckpoint()
-      val changedNodes = next
+          col("__seed"), col("__old")),
+        reliable)
+      val changedNodes = Iterate.cut(next
         .filter(not(col("label") <=> col("__old")))
-        .select(col("node")).localCheckpoint()
+        .select(col("node")), reliable)
       val changed = changedNodes.count()
       stats += LpaIterStats(it, changed)
       labels = next.select(col("node"), col("label"), col("__seed"))
@@ -424,10 +431,10 @@ object Graph {
       // another round will run (localCheckpoint is eager; on the last
       // round or at convergence this was a wasted full-edge-scan job)
       if (!done && it < rounds)
-        frontier = und
+        frontier = Iterate.cut(und
           .join(broadcast(changedNodes.select(col("node").as("__s"))),
             Seq("__s"), "left_semi")
-          .select(col("__d").as("node")).distinct().localCheckpoint()
+          .select(col("__d").as("node")).distinct(), reliable)
     }
     und.unpersist(); nodes.unpersist(); seed.unpersist()
     (labels.select(col("node"), col("label")), stats.toSeq)

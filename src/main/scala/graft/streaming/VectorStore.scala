@@ -1088,10 +1088,28 @@ object VectorStore {
       }
       acc.toSet
     }
+    // segments any LISTED manifest ever added (full lists included):
+    // distinguishes a COMMITTED-then-superseded segment — reclaimable
+    // immediately, the thing vacuum exists to delete — from a
+    // never-committed one, which may be a concurrent writer's
+    // finished segment whose commit hasn't published yet (round 16:
+    // the race2 vacuum arm caught vacuum wiping in-flight segments in
+    // exactly that window). Never-committed segments get the same
+    // 1-hour age guard as _staging_ leftovers: a crashed writer's
+    // orphan reclaims on a later cycle, a live writer's segment
+    // survives to its commit.
+    val everCommitted: Set[String] = named.iterator.flatMap {
+      case (v, p) =>
+        val d = readDoc(fs, p, v, dir)
+        (d.full.getOrElse(Seq.empty).iterator ++ d.adds.iterator)
+          .map(_.split("/")(0))
+    }.toSet
     var deleted = 0
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("seg=") && !referenced(n)) {
+      if (st.isDirectory && n.startsWith("seg=") && !referenced(n) &&
+          (everCommitted(n) ||
+            now - st.getModificationTime > 3600000L)) {
         fs.delete(st.getPath, true)
         deleted += 1
       } else if (st.isDirectory && n.startsWith("_staging_") &&

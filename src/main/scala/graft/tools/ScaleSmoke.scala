@@ -1170,6 +1170,7 @@ object ScaleSmoke {
         (ins, dead)
       }
       val conflicts = new java.util.concurrent.atomic.AtomicInteger
+      val replans = new java.util.concurrent.atomic.AtomicInteger
       val failures =
         new java.util.concurrent.ConcurrentLinkedQueue[String]
       def writerLoop(writer: Int): Thread = new Thread(() => {
@@ -1187,6 +1188,15 @@ object ScaleSmoke {
               case e: IllegalStateException
                   if e.getMessage.contains("conflict") =>
                 conflicts.incrementAndGet(); tries += 1
+              case e: IllegalStateException
+                  if e.getMessage.contains("vacuumed") =>
+                // the round-16 vacuum arm's target: a committer whose
+                // plan base aged out during its window fails with the
+                // LOUD re-plan error and never publishes against the
+                // vacuumed base — the retry re-plans from the current
+                // head (syncGraphBatch re-reads it), which is exactly
+                // the recovery the error message prescribes
+                replans.incrementAndGet(); tries += 1
               case e: Throwable =>
                 failures.add(s"w$writer r$k: ${e.toString.take(300)}")
                 landed = true // unexpected: record and move on
@@ -1195,9 +1205,33 @@ object ScaleSmoke {
           if (!landed) failures.add(s"w$writer r$k: retries exhausted")
         }
       })
+      // vacuum arm (round 16): a concurrent reclaim cadence races the
+      // two committers for the whole sweep. keep=6 leaves headroom for
+      // in-flight plans (a plan is at most a few commits stale), so
+      // most rounds land; when one does lose its base the failure
+      // must be the loud re-plan error (counted above), never a
+      // silent publish against vacuumed history — the final
+      // serial-equivalence assertion proves no interleaving lost data
+      val stopVacuum = new java.util.concurrent.atomic.AtomicBoolean
+      val vacuums = new java.util.concurrent.atomic.AtomicInteger
+      val vacuumThread = new Thread(() => {
+        while (!stopVacuum.get()) {
+          try {
+            graft.streaming.VectorStore.vacuum(spark, dir.toString,
+              keep = 6)
+            vacuums.incrementAndGet()
+          } catch {
+            case e: Throwable =>
+              failures.add(s"vacuum: ${e.toString.take(300)}")
+          }
+          Thread.sleep(200)
+        }
+      })
       val t0 = System.nanoTime()
       val ws = Seq(writerLoop(0), writerLoop(1))
+      vacuumThread.start()
       ws.foreach(_.start()); ws.foreach(_.join())
+      stopVacuum.set(true); vacuumThread.join()
       val tW = (System.nanoTime() - t0) / 1e9
       val (ins0, del0) = modelOf(0)
       val (ins1, del1) = modelOf(1)
@@ -1213,6 +1247,8 @@ object ScaleSmoke {
       println(f"race2: $n%d vecs, 2 writers x $rounds%d sync rounds " +
         f"in $tW%.1f s; landed version $v%d, " +
         s"${conflicts.get()} conflicts retried, " +
+        s"${replans.get()} vacuumed-base re-plans retried, " +
+        s"${vacuums.get()} concurrent vacuums, " +
         s"${failures.size()} failures")
       println(s"race2: lost updates ${lost.size}, phantom ids " +
         s"${phantom.size}, duplicate ids $dupes " +
@@ -1241,6 +1277,84 @@ object ScaleSmoke {
         .getOrCreate()
       sp.sparkContext.setLogLevel("WARN")
       manifestSweep(sp, phases, per = 40)
+      sp.stop()
+      return
+    }
+    if (args.length > 1 && args(1) == "ckpt") {
+      // reliable-vs-local lineage-cut overhead for the iterative ops
+      // (round 16): the checkpointDir option buys executor-loss
+      // recovery at the cost of one distributed write of the
+      // node-sized frame per round — this prints that delta so the
+      // default stays fast on purpose.
+      val n = if (args.length > 2) args(2).toInt else 200000
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      try {
+        // chain of n nodes + random chords: multi-round CC work
+        val chain = sp.range(n - 1L).select(col("id").as("a"),
+          (col("id") + 1).as("b"))
+        val chords = sp.range(n / 10L).select(
+          pmod(col("id") * 2654435761L, lit(n.toLong)).as("a"),
+          pmod(col("id") * 1315423911L, lit(n.toLong)).as("b"))
+        val edges = chain.unionAll(chords).localCheckpoint()
+        edges.count()
+        val seeds = sp.range(20).select(
+          (col("id") * (n / 20)).as("n"), col("id").as("lbl"))
+        // warmup: JIT + codegen for BOTH variants' plans on a toy
+        // graph, so the timed runs compare operators, not HotSpot
+        // compile order (the first variant timed otherwise absorbs it)
+        val toyE = sp.range(500).select(col("id").as("a"),
+          (col("id") + 1).as("b")).localCheckpoint()
+        val toyS = sp.range(4).select((col("id") * 100).as("n"),
+          col("id").as("lbl"))
+        graft.functions.Dedup.connectedComponentsStar(toyE, "a", "b").count()
+        graft.functions.Dedup.connectedComponentsStar(toyE, "a", "b",
+          checkpointDir = Some(ckptDir.toString)).count()
+        graft.operators.Graph.labelPropagateConverged(
+          toyE, "a", "b", toyS, "n", "lbl", maxIters = 4)._1.count()
+        graft.operators.Graph.labelPropagateConverged(
+          toyE, "a", "b", toyS, "n", "lbl", maxIters = 4,
+          checkpointDir = Some(ckptDir.toString))._1.count()
+        val (cLocal, tLocal) = timed(
+          graft.functions.Dedup.connectedComponentsStar(
+            edges, "a", "b").count())
+        val (cRel, tRel) = timed(
+          graft.functions.Dedup.connectedComponentsStar(
+            edges, "a", "b",
+            checkpointDir = Some(ckptDir.toString)).count())
+        require(cLocal == cRel, s"cc parity broke: $cLocal vs $cRel")
+        println(f"cc_star n=$n%d: local ${tLocal}%.2f s vs reliable " +
+          f"${tRel}%.2f s (overhead ${(tRel / tLocal - 1) * 100}%.0f%%)")
+        // fixed SMALL round count: the sweep measures PER-ROUND cut
+        // overhead (write of a node-sized frame), not convergence —
+        // a chain this size would otherwise run for minutes
+        val lpaIters = 8
+        val (l1, t1) = timed {
+          val (lf, st) = graft.operators.Graph.labelPropagateConverged(
+            edges, "a", "b", seeds, "n", "lbl", maxIters = lpaIters)
+          (lf.count(), st.length)
+        }
+        val (l2, t2) = timed {
+          val (lf, st) = graft.operators.Graph.labelPropagateConverged(
+            edges, "a", "b", seeds, "n", "lbl", maxIters = lpaIters,
+            checkpointDir = Some(ckptDir.toString))
+          (lf.count(), st.length)
+        }
+        require(l1 == l2, s"lpa parity broke: $l1 vs $l2")
+        println(f"lpa n=$n%d (${l1._2}%d rounds): local ${t1}%.2f s vs " +
+          f"reliable ${t2}%.2f s (overhead ${(t2 / t1 - 1) * 100}%.0f%%)")
+      } finally {
+        val w = java.nio.file.Files.walk(ckptDir)
+        try w.sorted(java.util.Comparator
+            .reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally w.close()
+      }
       sp.stop()
       return
     }

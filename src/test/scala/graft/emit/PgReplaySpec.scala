@@ -37,7 +37,10 @@ class PgReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     val buf = new StringBuilder
     val logger = ProcessLogger(l => buf.append(l).append('\n'),
       l => buf.append(l).append('\n'))
-    val code = Seq("bash", "-c", cmd).!(logger)
+    // stdin from /dev/null: none of these commands read it, and an
+    // inherited sbt stdin pipe under concurrent load was one SIGPIPE
+    // suspect (the exit-141 flake this suite used to show)
+    val code = Seq("bash", "-c", s"exec </dev/null; $cmd").!(logger)
     (code, buf.toString)
   }
 
@@ -112,20 +115,36 @@ class PgReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
         Files.writeString(dir.resolve("before.sql"), out.before)
         Files.writeString(dir.resolve("after.sql"), out.after)
         Files.writeString(dir.resolve("unsure.sql"), out.unsure)
-        dbCounter += 1
-        val db = s"reg_$dbCounter"
-        val (cCode, cOut) = psql("postgres", s"-c 'CREATE DATABASE $db'")
-        assert(cCode == 0, s"createdb failed:\n$cOut")
-        try {
-          for (script <- Seq("before.sql", "after.sql", "unsure.sql")) {
-            val (code, o) = psql(db, s"-f ${dir.resolve(script)}")
-            assert(code == 0,
-              s"$script rejected by PostgreSQL ($file / $optName):\n" +
-                o.linesIterator.filter(l =>
-                  l.contains("ERROR") || l.contains("STATEMENT") ||
-                    l.contains("psql:")).mkString("\n"))
-          }
-        } finally psql("postgres", s"-c 'DROP DATABASE $db'")
+        // Exit 141 = SIGPIPE: a signal-level flake of the psql pipe
+        // under concurrent sbt load, never a SQL verdict — retry the
+        // WHOLE replay on a fresh database (a killed psql may have
+        // half-applied its script, so retrying the script alone would
+        // false-fail on duplicate objects). Any other non-zero exit is
+        // the oracle speaking and asserts immediately.
+        var attempt = 0
+        var flaked = true
+        while (flaked) {
+          flaked = false
+          attempt += 1
+          dbCounter += 1
+          val db = s"reg_$dbCounter"
+          val (cCode, cOut) = psql("postgres", s"-c 'CREATE DATABASE $db'")
+          if (cCode == 141 && attempt <= 3) flaked = true
+          else assert(cCode == 0, s"createdb failed:\n$cOut")
+          if (!flaked) try {
+            val it = Seq("before.sql", "after.sql", "unsure.sql").iterator
+            while (!flaked && it.hasNext) {
+              val script = it.next()
+              val (code, o) = psql(db, s"-f ${dir.resolve(script)}")
+              if (code == 141 && attempt <= 3) flaked = true
+              else assert(code == 0,
+                s"$script rejected by PostgreSQL ($file / $optName):\n" +
+                  o.linesIterator.filter(l =>
+                    l.contains("ERROR") || l.contains("STATEMENT") ||
+                      l.contains("psql:")).mkString("\n"))
+            }
+          } finally psql("postgres", s"-c 'DROP DATABASE $db'")
+        }
       } finally sh(s"rm -rf $dir")
     }
   }

@@ -1446,6 +1446,35 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaStar === viaLabel)
   }
 
+  test("connected components: reliable checkpointDir — identical clusters, checkpoint files on disk") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ck").toFile
+    try {
+      val g = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+        (20L, 21L), (30L, 30L)).toDF("a", "b")
+      def toSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plainStar = toSet(Dedup.connectedComponentsStar(g, "a", "b"))
+      val relStar = toSet(Dedup.connectedComponentsStar(g, "a", "b",
+        checkpointDir = Some(ckpt.getAbsolutePath)))
+      assert(relStar === plainStar)
+      val relMin = toSet(Dedup.connectedComponents(g, "a", "b",
+        checkpointDir = Some(ckpt.getAbsolutePath)))
+      assert(relMin === plainStar)
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles).map(_.map(c =>
+          (if (c.getName.startsWith("rdd-")) 1 else 0) + rddDirs(c)).sum)
+          .getOrElse(0)
+      assert(rddDirs(ckpt) > 0,
+        "reliable cuts must materialize rdd-* checkpoint dirs")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(ckpt)
+    }
+  }
+
   test("stripBoilerplateLines: per-source frequency cut, order, empty docs") {
     import spark.implicits._
     // source A (3 docs ≥ minDocs=3): "footer" in all 3 → dropped;

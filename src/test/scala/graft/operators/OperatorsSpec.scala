@@ -441,6 +441,61 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) === Some(10L)) // the chain fully labeled
   }
 
+  test("labelPropagateConverged: reliable checkpointDir — identical labels, files on disk, survives a block wipe") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lpa_ck").toFile
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("s", "d")
+      val seeds = Seq((1L, 10L), (7L, 20L)).toDF("n", "lbl")
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val (plain, _) = graft.operators.Graph.labelPropagateConverged(
+        edges, "s", "d", seeds, "n", "lbl", maxIters = 20)
+      val (rel, stats) = graft.operators.Graph.labelPropagateConverged(
+        edges, "s", "d", seeds, "n", "lbl", maxIters = 20,
+        checkpointDir = Some(ckpt.getAbsolutePath))
+      val plainMap = collect(plain)
+      assert(collect(rel) === plainMap, "reliable cuts must not change labels")
+      assert(stats.last.changed === 0L)
+      // real reliable checkpoints materialized on disk (one rdd-* dir
+      // per cut round)
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles).map(_.map(c =>
+          (if (c.getName.startsWith("rdd-")) 1 else 0) + rddDirs(c)).sum)
+          .getOrElse(0)
+      assert(rddDirs(ckpt) >= stats.length,
+        "every round's frame must be a reliable checkpoint")
+      // same delta result through the reliable path (before the wipe:
+      // `plain` is locally checkpointed and will not survive it)
+      val delta = Seq((4L, 7L)).toDF("s", "d")
+      val full = edges.unionByName(delta)
+      val (incPlain, _) = graft.operators.Graph.labelPropagateDelta(
+        plain, full, "s", "d", delta, seeds, "n", "lbl", rounds = 3)
+      val (incRel, _) = graft.operators.Graph.labelPropagateDelta(
+        plain, full, "s", "d", delta, seeds, "n", "lbl", rounds = 3,
+        checkpointDir = Some(ckpt.getAbsolutePath))
+      assert(collect(incRel) === collect(incPlain))
+      // the executor-loss story in miniature: wipe EVERY cached block
+      // (what losing all executors does to localCheckpoint state) —
+      // the reliable result recomputes from the checkpoint FILES,
+      // while the locally-checkpointed `plain` is now unrecoverable
+      // (re-collecting it throws the missing-checkpoint-block error)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      assert(collect(rel) === plainMap,
+        "reliable result must re-read from checkpoint files after a block wipe")
+      val lost = intercept[org.apache.spark.SparkException](collect(plain))
+      assert(lost.getMessage.toLowerCase.contains("checkpoint"),
+        s"expected the local-checkpoint block loss failure, got: ${lost.getMessage.take(120)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(ckpt)
+    }
+  }
+
   test("labelPropagateConverged: empty graph returns empty, no NPE") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("s", "d")

@@ -800,6 +800,39 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a commit planned against a vacuumed base fails with the re-plan error and publishes nothing") {
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      (1 to 6).foreach { v =>
+        VectorStore.commit(spark, dir,
+          if (v <= 1) Seq.empty else Seq(s"seg=a${v - 1}/cell=1"),
+          Seq(s"seg=a$v/cell=1"), None, if (v == 1) "{}" else "")
+      }
+      // a maintenance op PLANS against v2: its drop was live there
+      val planBase = 2L
+      // the store advances and a vacuum reclaims v2's manifest
+      VectorStore.vacuum(spark, dir, keep = 2)
+      val vBefore = VectorStore.version(spark, dir)
+      val entriesBefore = VectorStore.snapshot(spark, dir).get.entries
+      val ex = intercept[IllegalStateException](
+        VectorStore.commit(spark, dir, drop = Seq("seg=a2/cell=1"),
+          add = Seq("seg=late/cell=1"), baseVersion = planBase))
+      assert(ex.getMessage.contains("vacuumed"),
+        s"expected the loud re-plan error, got: ${ex.getMessage}")
+      // and NOTHING published: no version advance, no phantom entries
+      assert(VectorStore.version(spark, dir) === vBefore)
+      assert(VectorStore.snapshot(spark, dir).get.entries === entriesBefore)
+      // re-planning against the current head (the prescribed recovery)
+      // then succeeds
+      val head = VectorStore.snapshot(spark, dir).get
+      val v2 = VectorStore.commit(spark, dir, drop = head.entries,
+        add = Seq("seg=replanned/cell=1"), baseVersion = head.version)
+      assert(v2 === vBefore + 1)
+      assert(VectorStore.snapshot(spark, dir).get.entries ===
+        Seq("seg=replanned/cell=1"))
+    }
+  }
+
   test("a checkpoint write survives a concurrent vacuum GC'ing its stale base's shards") {
     // The round-16 ADVICE race: a writer lists manifests, then a
     // vacuum cycle (or two) publishes a floor checkpoint and GCs the
