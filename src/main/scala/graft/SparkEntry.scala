@@ -4182,6 +4182,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_cluster_cc_star_ckpt" -> ((s, dir) => {
+      // same clusters through the OTHER CC algorithm (large/small-star
+      // contraction, O(log²) rounds regardless of diameter) AND the
+      // round-16 reliable-checkpoint path: every per-round lineage cut
+      // is a real checkpoint() into a job-scoped dir — the
+      // executor-loss-safe configuration a long 100 TB CC job runs
+      // with — proven here against the same recursive-CTE oracle as
+      // dedup_cluster_cc, tri-SF
+      val edges = Dedup.ngramJaccardPairsLsh(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.15, n = 3, numHashes = 16,
+        bands = 8, portable = true)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cc_gate_ckpt")
+      trackStreamTmp(ckpt)
+      Dedup.connectedComponentsStar(edges, "id_a", "id_b",
+          checkpointDir = Some(ckpt.toString))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "events_json_extract" -> ((s, dir) =>
       // semi-structured path extraction: props is a JSON string column;
       // get_json_object is codegen'd map-side path evaluation (no UDF,
@@ -9773,6 +9793,13 @@ object SparkEntry {
     "dedup_cluster_cc" ->
       // the pair pipeline is dedup_ngram_jaccard's; the cluster label is
       // min reachable id, computed as a recursive reachability CTE
+      (ccReachSql + """
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    "dedup_cluster_cc_star_ckpt" ->
+      // identical labeling contract: star contraction reaches the same
+      // unique fixpoint (min id per component) as min-label propagation
       (ccReachSql + """
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
