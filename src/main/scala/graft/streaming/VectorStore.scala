@@ -1100,9 +1100,17 @@ object VectorStore {
     // survives to its commit.
     val everCommitted: Set[String] = named.iterator.flatMap {
       case (v, p) =>
-        val d = readDoc(fs, p, v, dir)
-        (d.full.getOrElse(Seq.empty).iterator ++ d.adds.iterator)
-          .map(_.split("/")(0))
+        try {
+          val d = readDoc(fs, p, v, dir)
+          (d.full.getOrElse(Seq.empty).iterator ++ d.adds.iterator)
+            .map(_.split("/")(0))
+        } catch {
+          // a RACING vacuum deleted this below-its-floor manifest —
+          // its segments were either retained there (then they are in
+          // `referenced` here too) or already reclaimed; skipping only
+          // moves a segment to the age-guarded path, never deletes
+          case _: java.io.FileNotFoundException => Iterator.empty
+        }
     }.toSet
     var deleted = 0
     fs.listStatus(root).foreach { st =>
