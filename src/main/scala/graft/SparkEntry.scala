@@ -410,7 +410,13 @@ object SparkEntry {
       val prov = s.conf.getOption(
         "spark.sql.streaming.stateStore.providerClass")
         .getOrElse("default")
-      val key = s"$name|$dir|$prov|${System.identityHashCode(s)}"
+      // changelog mode changes the state persistence path — a parity
+      // matrix flipping it must re-execute, not hit the plain-RocksDB
+      // memo entry
+      val changelog = s.conf.getOption("spark.sql.streaming.stateStore" +
+        ".rocksdb.changelogCheckpointing.enabled").getOrElse("false")
+      val key =
+        s"$name|$dir|$prov|$changelog|${System.identityHashCode(s)}"
       streamGateResults.computeIfAbsent(key,
         _ => fn(s, dir).localCheckpoint())
     }

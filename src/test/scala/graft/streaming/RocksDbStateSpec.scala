@@ -73,6 +73,38 @@ class RocksDbStateSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private val ChangelogKey = "spark.sql.streaming.stateStore.rocksdb." +
+    "changelogCheckpointing.enabled"
+
+  /** Changelog checkpointing is the production RocksDB commit mode
+    * (per-batch changelog upload instead of full snapshot sync) —
+    * different persistence path, same contract. Certified on a
+    * representative slice: one op per state shape (built-in dedup,
+    * plain tuple state, versioned Pike state, heap-merge state, TTL
+    * eviction timer).
+    */
+  private val changelogGates = Seq("stream_dedup_exact",
+    "stream_transitions", "stream_pattern_match", "stream_quota_sample",
+    "stream_pattern_ttl")
+
+  changelogGates.foreach { g =>
+    test(s"$g is bit-identical under RocksDB changelog checkpointing") {
+      val fn = graft.SparkEntry.queries(g)
+      def run(p: Option[String], changelog: Boolean): Seq[String] = {
+        val old = spark.conf.getOption(ChangelogKey)
+        if (changelog) spark.conf.set(ChangelogKey, "true")
+        try withProvider(p) {
+          fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+        } finally old.fold(spark.conf.unset(ChangelogKey))(v =>
+          spark.conf.set(ChangelogKey, v))
+      }
+      val default = run(None, changelog = false)
+      val rocksChangelog = run(Some(Rocks), changelog = true)
+      assert(rocksChangelog === default,
+        s"$g diverged under RocksDB changelog checkpointing")
+    }
+  }
+
   test("versioned keyed state restores from a RocksDB checkpoint across a query restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_rdb_res").toFile
