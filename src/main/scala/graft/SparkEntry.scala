@@ -3973,6 +3973,24 @@ object SparkEntry {
         "c_custkey", "c_name", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_fuzzy_join_2t" -> ((s, dir) => {
+      // TWO-TABLE fuzzy join at edit distance ≤ 2 (the scale shape:
+      // both sides explode into their FastSS deletion neighborhoods,
+      // candidates come from the variant equi-join — never a cross
+      // join — and exact levenshtein verifies candidates only; the
+      // d=1 self-join variant is q_fuzzy_pairs). Disjoint id-parity
+      // slices so the slices exist at every SF; the oracle
+      // brute-forces the capped slices quadratically.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .filter(col("c_custkey") <= 600)
+      graft.functions.FuzzyJoin.editDistanceJoin(
+        c.filter(col("c_custkey") % 2 === 0), "c_custkey", "c_name",
+        c.filter(col("c_custkey") % 2 === 1), "c_custkey", "c_name",
+        maxDist = 2)
+        .orderBy(col("left_id"), col("right_id"))
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       // fixed-point PageRank (3 iterations) on the customer→supplier
       // purchase graph: integer-scaled state makes every iteration
@@ -9332,6 +9350,18 @@ object SparkEntry {
         |WHERE a.c_custkey <= 500 AND b.c_custkey <= 500
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_join_2t" ->
+      // quadratic ground truth across the disjoint parity slices —
+      // FastSS double-deletion neighborhoods are candidate-complete
+      // at d ≤ 2, so the indexed join must find exactly these pairs
+      """SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON levenshtein(a.c_name, b.c_name) <= 2
+        |WHERE a.c_custkey <= 600 AND b.c_custkey <= 600
+        |  AND a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+        |ORDER BY left_id, right_id""".stripMargin,
 
     "q_label_prop" ->
       // two unrolled synchronous rounds: integer multiplicity votes,

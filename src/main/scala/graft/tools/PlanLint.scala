@@ -33,10 +33,14 @@ object PlanLint {
     "dedup_ngram_allpairs",  // brute-force oracle twin, documented
     "dedup_script_routed",   // CJK side uses char shingles by design
     "dedup_span_coverage",   // per-gram span emission by design
-    "q_fuzzy_pairs")         // FastSS deletion variants: the lambda
+    "q_fuzzy_pairs",         // FastSS deletion variants: the lambda
                              // substr-deletes a PLAIN attribute — the
                              // per-element work IS the operator, no
                              // collapsed computation re-evaluates
+    "q_fuzzy_join_2t")       // same FastSS lambda, d=2 two-table form
+                             // (double-deletion neighborhood; 0.95 s
+                             // at sf0.1 on the capped slices — the
+                             // per-element work IS the operator)
 
   def hits(plan: SparkPlan): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
