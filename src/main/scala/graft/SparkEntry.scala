@@ -3145,6 +3145,39 @@ object SparkEntry {
         .orderBy(col("n_nationkey"), col("nk2"))
     }),
 
+    "citext_lower_join" -> ((s, dir) => {
+      // the documented citext WORKAROUND (Spark 4.1 plans UTF8_LCASE
+      // join keys sort-merge-only — standing limitation note): a
+      // lower()-equality join is hash/broadcast-joinable and must
+      // return exactly ciJoin's rows; gating it tri-SF makes the
+      // workaround a verified first-class path, not a comment
+      val a = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val b = t(s, dir, "nation").select(
+        col("n_nationkey").as("nk2"), upper(col("n_name")).as("n_name"))
+      graft.functions.Citext.lowerJoin(a, b, Seq("n_name"))
+        .select(col("n_nationkey"), col("nk2"))
+        .orderBy(col("n_nationkey"), col("nk2"))
+    }),
+
+    "val_pk_duplicates" -> ((s, dir) =>
+      // C-family validation: PK-duplicate audit (the pre-migration
+      // check for a proposed key) — one groupBy, no self-join
+      graft.operators.Validation.pkDuplicates(
+          t(s, dir, "lineitem"), Seq("l_orderkey"))
+        .orderBy(col("l_orderkey"))),
+
+    "val_null_counts" -> ((s, dir) => {
+      // NOT NULL audit in ONE aggregate pass (no per-column jobs);
+      // nulls are planted via a deterministic predicate so the audit
+      // has something to count on TPC-H's null-free tables
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", lit(null))
+          .otherwise(col("o_orderpriority")).as("pri"),
+        when(col("o_orderstatus") === "F", lit(null))
+          .otherwise(col("o_orderstatus")).as("status"))
+      graft.operators.Validation.nullCounts(o, Seq("pri", "status"))
+    }),
+
     // ---------------- extension operators: multimodal plumbing --------
     "mm_chunk_fixed" -> ((s, dir) =>
       // audio-style fixed-window framing of the payload with per-chunk
@@ -7528,6 +7561,28 @@ object SparkEntry {
         |                    FROM nation) b
         |  ON lower(a.n_name) = lower(b.n_name)
         |ORDER BY a.n_nationkey, nk2""".stripMargin,
+
+    "citext_lower_join" ->
+      // same ground truth as citext_ci_join: the workaround must be
+      // row-identical to the collation join
+      """SELECT a.n_nationkey, b.n_nationkey AS nk2
+        |FROM nation a JOIN (SELECT n_nationkey, upper(n_name) AS n_name
+        |                    FROM nation) b
+        |  ON lower(a.n_name) = lower(b.n_name)
+        |ORDER BY a.n_nationkey, nk2""".stripMargin,
+
+    "val_pk_duplicates" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS dup_count
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "val_null_counts" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS nulls_pri,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS nulls_status
+        |FROM orders""".stripMargin,
 
     "dedup_embedding_cos" ->
       """WITH aug AS (
