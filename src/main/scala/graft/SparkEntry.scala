@@ -403,22 +403,47 @@ object SparkEntry {
   private val streamGateResults =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  /** Memo bypass for plan-inspecting and timing tools (PlanLint,
+    * ExplainPlans, TimeQuery): a memoized stream gate returns a bare
+    * LogicalRDD scan of its localCheckpoint — correct data, opaque
+    * plan — which would permanently blind the interpreted-path lint
+    * to regressions in a stream gate's post-processing and make warm
+    * TimeQuery runs measure a block read. Those tools flip this off;
+    * bench and Verify (where the memo is the point) leave it on.
+    */
+  @volatile private[graft] var memoStreamGatesEnabled = true
+
+  /** Memoized frames pin their session + blocks; evict when the
+    * session changes (a stopped session's frames are unreadable and
+    * would otherwise be retained for the JVM's lifetime) — and let
+    * block-wiping specs clear explicitly.
+    */
+  @volatile private var memoSession = 0
+  private[graft] def clearResultMemos(): Unit = {
+    streamGateResults.clear()
+    scd2StreamResults.clear()
+  }
+
   private def memoStreamGate(name: String,
       fn: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame =
     (s, dir) => {
-      val prov = s.conf.getOption(
-        "spark.sql.streaming.stateStore.providerClass")
-        .getOrElse("default")
-      // changelog mode changes the state persistence path — a parity
-      // matrix flipping it must re-execute, not hit the plain-RocksDB
-      // memo entry
-      val changelog = s.conf.getOption("spark.sql.streaming.stateStore" +
-        ".rocksdb.changelogCheckpointing.enabled").getOrElse("false")
-      val key =
-        s"$name|$dir|$prov|$changelog|${System.identityHashCode(s)}"
-      streamGateResults.computeIfAbsent(key,
-        _ => fn(s, dir).localCheckpoint())
+      if (!memoStreamGatesEnabled) fn(s, dir)
+      else {
+        val sid = System.identityHashCode(s)
+        if (memoSession != sid) { clearResultMemos(); memoSession = sid }
+        val prov = s.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+          .getOrElse("default")
+        // changelog mode changes the state persistence path — a parity
+        // matrix flipping it must re-execute, not hit the plain-RocksDB
+        // memo entry
+        val changelog = s.conf.getOption("spark.sql.streaming.stateStore" +
+          ".rocksdb.changelogCheckpointing.enabled").getOrElse("false")
+        val key = s"$name|$dir|$prov|$changelog"
+        streamGateResults.computeIfAbsent(key,
+          _ => fn(s, dir).localCheckpoint())
+      }
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

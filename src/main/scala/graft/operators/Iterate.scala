@@ -23,6 +23,17 @@ import org.apache.spark.sql.DataFrame
   * default) — point `checkpointDir` at a job-scoped location and
   * reclaim it when the job's outputs are durable, exactly like any
   * scratch dir.
+  *
+  * SESSION-GLOBAL constraint (Spark's model, not ours): a
+  * SparkContext has ONE reliable checkpoint dir —
+  * `setCheckpointDir` is last-writer-wins, and `RDD.checkpoint`
+  * always writes under the context's current dir. Two CONCURRENT
+  * iterative operators on one session passing DIFFERENT dirs will
+  * interleave their round files under whichever dir was set last;
+  * safe, but cleanup then must wait for both. The rule: concurrent
+  * operators on one session share one checkpoint dir, and the dir is
+  * reclaimed only after every operator using it has quiesced — the
+  * same discipline GraphX/GraphFrames checkpointing requires.
   */
 private[graft] object Iterate {
 

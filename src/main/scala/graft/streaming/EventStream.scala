@@ -771,6 +771,10 @@ object EventStream {
     while (i < st.hashes.length) {
       heap.enqueue((st.hashes(i), st.ids(i))); i += 1
     }
+    // a restored checkpoint may hold MORE than cap (a restart with a
+    // smaller cap): trim held state down like the old sort-take did,
+    // or the emit would exceed the new cap forever
+    while (heap.size > cap) { heap.dequeue(); () }
     var n = 0L
     batch.foreach { e =>
       n += 1
@@ -952,6 +956,9 @@ object EventStream {
     while (i < st.ids.length) {
       heap.enqueue((st.keys(i), st.ids(i), st.ws(i))); i += 1
     }
+    // restored state may exceed k after a restart with a smaller k —
+    // trim like the old sort-take did (see quotaMerge)
+    while (heap.size > k) { heap.dequeue(); () }
     var n = 0L
     batch.foreach { e =>
       n += 1

@@ -480,8 +480,10 @@ object VectorStore {
   /** The head version's channel-tag map, or None when no version is
     * committed — ONE listing + one small JSON read serving both the
     * store-presence probe and the replay guard of a streamed
-    * maintenance batch (calling [[hasVersion]] then [[lastTag]]
-    * would list and parse the head twice per micro-batch).
+    * maintenance batch (a separate presence probe followed by
+    * [[lastTag]] would list and parse the head twice per
+    * micro-batch; the old `hasVersion` helper was deleted for
+    * exactly that reason).
     */
   private[streaming] def headTags(spark: SparkSession,
       dir: String): Option[Map[String, Long]] =
@@ -1034,6 +1036,28 @@ object VectorStore {
     snapshot(spark, dir)
   }
 
+  /** A directory's effective age anchor: its own mtime when the store
+    * reports one, else the newest mtime among its contents — object
+    * stores report 0 for synthetic directory entries, and taking 0 at
+    * face value would make every IN-FLIGHT segment look an hour old,
+    * reopening the exact uncommitted-segment race the age guard
+    * closes (round-16 review). Recursion is bounded by the segment's
+    * own file count; file mtimes are real on every store.
+    */
+  private def effectiveMtime(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    if (!st.isDirectory || st.getModificationTime > 0L)
+      st.getModificationTime
+    else {
+      val kids =
+        try fs.listStatus(st.getPath)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus]
+        }
+      if (kids.isEmpty) 0L else kids.map(effectiveMtime(fs, _)).max
+    }
+
   /** Drop old versions and delete every `seg=*` dir no retained
     * version references. Returns the number of segment dirs deleted.
     *
@@ -1070,6 +1094,14 @@ object VectorStore {
     val byCount = named.takeRight(keep).map(_._1).toSet
     val retained = named.filter(v => byCount(v._1) || youngEnough(v._1))
     val floor = retained.head._1
+    // RACING-VACUUM tolerance (round 16, completing the FNF story):
+    // a concurrent vacuum with a NEWER floor may delete manifests or
+    // checkpoints this vacuum's listing still references — its floor
+    // resolution below would then throw FileNotFound. That vacuum
+    // owns the reclamation; abandoning THIS cycle before any delete
+    // is the safe move (every delete is idempotent and a later cycle
+    // redoes the work).
+    try {
     // resolvability: the oldest retained version must be a base —
     // checkpoint it if its manifest is a delta and no ckpt exists
     if (!ckpts.contains(floor) &&
@@ -1117,11 +1149,11 @@ object VectorStore {
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("seg=") && !referenced(n) &&
           (everCommitted(n) ||
-            now - st.getModificationTime > 3600000L)) {
+            now - effectiveMtime(fs, st) > 3600000L)) {
         fs.delete(st.getPath, true)
         deleted += 1
       } else if (st.isDirectory && n.startsWith("_staging_") &&
-          now - st.getModificationTime > 3600000L) {
+          now - effectiveMtime(fs, st) > 3600000L) {
         fs.delete(st.getPath, true); ()
       }
     }
@@ -1169,6 +1201,9 @@ object VectorStore {
       }
     }
     deleted
+    } catch {
+      case _: java.io.FileNotFoundException => 0
+    }
   }
 
   /** Current version number (specs/audits). */

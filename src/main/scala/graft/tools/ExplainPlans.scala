@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainPlans {
   def main(args: Array[String]): Unit = {
+    // real plans/timings, not the memoized stream-gate block read
+    graft.SparkEntry.memoStreamGatesEnabled = false
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
     val spark = SparkSession.builder().master("local[4]")

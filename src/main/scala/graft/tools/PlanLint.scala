@@ -66,6 +66,8 @@ object PlanLint {
     hits(df.queryExecution.executedPlan).map(h => s"$name: $h")
 
   def main(args: Array[String]): Unit = {
+    // real plans/timings, not the memoized stream-gate block read
+    graft.SparkEntry.memoStreamGatesEnabled = false
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
     val spark = SparkSession.builder().master("local[8]")

@@ -851,9 +851,12 @@ object ScaleSmoke {
       }
     val rowParity = ttl.last._3 == ttlR.last._3 &&
       noTtl.last._3 == noTtlR.last._3
-    println(s"provider row-count parity: $rowParity (must be true; " +
-      "memory columns differ by design — HDFSBacked reports the " +
-      "on-heap key map, RocksDB its block cache + memtables)")
+    println(s"provider row-count parity: $rowParity (memory columns " +
+      "differ by design — HDFSBacked reports the on-heap key map, " +
+      "RocksDB its block cache + memtables)")
+    require(rowParity, "provider state-row divergence: " +
+      s"ttl ${ttl.last._3} vs ${ttlR.last._3}, " +
+      s"nottl ${noTtl.last._3} vs ${noTtlR.last._3}")
   }
 
   /** `race` mode: concurrent-reader stress for the manifest store —

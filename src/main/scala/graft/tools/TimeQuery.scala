@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
+    // real plans/timings, not the memoized stream-gate block read
+    graft.SparkEntry.memoStreamGatesEnabled = false
     val sfDir = args.head
     val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -1590,6 +1590,63 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quota restart with a SMALLER cap trims restored state to the new cap") {
+    // the round-16 heap merge must keep the old sort-take semantics:
+    // a checkpoint written at cap=10 restored into a cap=5 query
+    // trims held state on the first merge (the heap otherwise only
+    // caps NEW admissions and would emit 10 picks forever)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_qcap").toFile
+    val chk = Files.createTempDirectory("graft_qcap_chk").toFile
+    try {
+      (1L to 12L).map(i => (i, "s")).toDF("id", "stratum")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      def runOnce(cap: Int): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .parquet(dir.getAbsolutePath + "/*")
+        val q = EventStream.streamingQuotaSample(stream, "id", "stratum",
+            cap = cap)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", chk.getAbsolutePath)
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.collect().foreach(r =>
+                emitted.add((r.getLong(1), r.getLong(3))))
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      runOnce(cap = 10)
+      assert(emitted.size === 10)
+      emitted.clear()
+      Seq((100L, "s")).toDF("id", "stratum")
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b2")
+      runOnce(cap = 5)
+      val picks = emitted.toArray.map(_.asInstanceOf[(Long, Long)])
+      assert(picks.length === 5,
+        s"restored cap-10 state must trim to the new cap 5, got ${picks.length}")
+      assert(picks.forall(_._2 === 13L), "seen must count all 13 rows")
+      // and the picks equal the batch operator over the whole prefix
+      // at the new cap (the 5 global smallest are necessarily inside
+      // the held 10-smallest-of-12 plus the new arrival)
+      val oracle = graft.functions.Curation.quotaSample(
+          (1L to 12L).map(i => (i, "s")).toDF("id", "stratum")
+            .unionByName(Seq((100L, "s")).toDF("id", "stratum")),
+          "id", "stratum", cap = 5)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(picks.map(_._1).toSet === oracle)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chk)
+    }
+  }
+
   test("hot key: 10^6 events for ONE key in one micro-batch — bounded ops fold, order ops complete") {
     // The round-16 per-key-per-batch memory contract: (a) fold-shaped
     // ops (quota/weighted/dedup/cohort/neardup) process a million-row
