@@ -140,12 +140,11 @@ object SparkEntry {
   private val streamFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
 
-  /** stream_scd2_apply memo: per input dir, the FINAL folded
-    * dimension frame (localCheckpoint'd — block-manager-resident for
-    * the JVM's lifetime; bench/verify reruns re-read it).
+  /** stream_scd2_apply memo: per (session, input dir), the FINAL
+    * folded dimension frame (localCheckpoint'd, hence session-bound —
+    * see [[SessionMemo]]; bench/verify reruns re-read it).
     */
-  private val scd2StreamResults =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val scd2StreamResults = new SessionMemo
 
   /** stream_sync_apply memo: per input dir, the in-memory Derby URL
     * holding the FINAL synced table — the continuous CDC sync runs
@@ -400,8 +399,37 @@ object SparkEntry {
     * provider rides in the key so the RocksDB parity matrix still
     * executes both providers for real.
     */
-  private val streamGateResults =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  /** Per-(live session, key) DataFrame memo (round-16 ADVICE fix):
+    * memoized frames are localCheckpoint'd, so they are readable only
+    * under the session that built them — the old single-tenant memo
+    * evicted on a session-change check-then-act over two volatiles,
+    * and two LIVE sessions racing their gates could leave one
+    * session's frame memoized under the other's tenure (a dead-block
+    * read after the first session stops). Entries are now keyed by
+    * the session OBJECT: live sessions coexist (no eviction thrash —
+    * the RocksDB parity matrix interleaves sessions), stopped
+    * sessions are swept on every access (their checkpoint blocks are
+    * gone with their BlockManager), and the WeakHashMap is belt to
+    * that sweep's braces. The inner compute runs the gate under the
+    * key's bin lock, exactly like the previous CHM memo.
+    */
+  private final class SessionMemo {
+    private val maps = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    def getOrBuild(s: SparkSession, key: String,
+        build: => DataFrame): DataFrame = {
+      maps.synchronized { // manual lock: entrySet iteration
+        maps.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+      }
+      maps.computeIfAbsent(s, _ =>
+          new java.util.concurrent.ConcurrentHashMap[String, DataFrame])
+        .computeIfAbsent(key, _ => build)
+    }
+    def clear(): Unit = maps.clear()
+  }
+
+  private val streamGateResults = new SessionMemo
 
   /** Memo bypass for plan-inspecting and timing tools (PlanLint,
     * ExplainPlans, TimeQuery): a memoized stream gate returns a bare
@@ -413,12 +441,9 @@ object SparkEntry {
     */
   @volatile private[graft] var memoStreamGatesEnabled = true
 
-  /** Memoized frames pin their session + blocks; evict when the
-    * session changes (a stopped session's frames are unreadable and
-    * would otherwise be retained for the JVM's lifetime) — and let
-    * block-wiping specs clear explicitly.
+  /** Explicit clear for block-wiping specs (session-keyed eviction is
+    * otherwise automatic — see [[SessionMemo]]).
     */
-  @volatile private var memoSession = 0
   private[graft] def clearResultMemos(): Unit = {
     streamGateResults.clear()
     scd2StreamResults.clear()
@@ -430,8 +455,6 @@ object SparkEntry {
     (s, dir) => {
       if (!memoStreamGatesEnabled) fn(s, dir)
       else {
-        val sid = System.identityHashCode(s)
-        if (memoSession != sid) { clearResultMemos(); memoSession = sid }
         val prov = s.conf.getOption(
           "spark.sql.streaming.stateStore.providerClass")
           .getOrElse("default")
@@ -441,8 +464,7 @@ object SparkEntry {
         val changelog = s.conf.getOption("spark.sql.streaming.stateStore" +
           ".rocksdb.changelogCheckpointing.enabled").getOrElse("false")
         val key = s"$name|$dir|$prov|$changelog"
-        streamGateResults.computeIfAbsent(key,
-          _ => fn(s, dir).localCheckpoint())
+        streamGateResults.getOrBuild(s, key, fn(s, dir).localCheckpoint())
       }
     }
 
@@ -1656,7 +1678,7 @@ object SparkEntry {
       // apply2 of the full snapshot — c20_scd2_apply's own oracle,
       // verbatim. Exercises close-reopen (changed), insert (new) and
       // close-only (deleted tombstone) version chaining.
-      scd2StreamResults.computeIfAbsent(dir, _ => {
+      scd2StreamResults.getOrBuild(s, dir, {
         val ord = t(s, dir, "orders")
         var dim = ord.filter(col("o_orderkey") % 10 =!= 3)
           .select(col("o_orderkey"),

@@ -16,12 +16,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * `link(2)` is atomic and fails `EEXIST` — so `file:` stores get
   * [[CommitGuard.PosixLink]]. HDFS-class stores make non-overwrite
   * `rename` atomic at the NameNode — [[CommitGuard.AtomicRename]].
-  * S3-class object stores have NEITHER (rename is copy+delete, and a
-  * plain PUT overwrites): the only correct publish there is a
-  * conditional put (`If-None-Match: *`) or an external coordinator
-  * (the DynamoDB LogStore pattern) — which cannot be written here
-  * without the store's SDK, so there is deliberately NO default for
-  * those schemes. An unregistered scheme REFUSES to commit loudly
+  * Object stores split (round 17): ADLS Gen2 (`abfs`/`abfss`) has an
+  * atomic contract-refusing rename and rides [[AtomicRename]]; GCS
+  * (`gs`) commits a no-overwrite create atomically at close and rides
+  * [[CommitGuard.AtomicCreate]] in-tree. Where neither holds (plain
+  * `s3a` before Hadoop 3.4.1 conditional writes), the only
+  * correct publish is a conditional put (`If-None-Match: *`) or an
+  * external coordinator (the DynamoDB LogStore pattern) — which
+  * cannot be written here without the store's SDK, so there is
+  * deliberately NO default. An unregistered scheme REFUSES to commit
+  * loudly
   * ([[CommitGuard.forScheme]]) instead of degrading to
   * check-then-rename, which passes every test and then silently
   * loses racing commits in production — the one failure mode the
@@ -81,12 +85,84 @@ object CommitGuard {
       !fs.exists(target) && fs.rename(tmp, target)
   }
 
+  /** Object stores whose no-overwrite CREATE commits ATOMICALLY AT
+    * CLOSE (round 17 — turns the round-16 "refuses" into "works"
+    * where no SDK code is needed): publish =
+    * `fs.create(target, overwrite = false)` + stream `tmp`'s bytes +
+    * `close()`. The object becomes visible only when the close-time
+    * conditional upload succeeds, so a loser learns it lost at create
+    * (the connector's upfront existence check) or at close (the
+    * store's precondition), and a reader NEVER sees a torn manifest —
+    * the same guarantee the rename-based guards give.
+    *
+    *  - `gs` (GCS connector, registered by default): the upload
+    *    commits at `close()` with an if-generation-match=0
+    *    precondition — the Delta GCSLogStore publish. A tight race
+    *    that slips past the upfront existence check surfaces at close
+    *    as the store's 412-precondition IOException, which this guard
+    *    cannot name without the SDK — it propagates LOUDLY (the
+    *    commit aborts; nothing is lost silently and a retry rebases)
+    *    rather than mapping every IOException ambiguously to "lost".
+    *  - `s3a`: NOT registered by default — plain S3 create is
+    *    check-then-PUT and a PUT overwrites. On Hadoop 3.4.1+ against
+    *    a store with conditional writes, enable
+    *    `fs.s3a.create.conditional.enabled` (close becomes a PUT with
+    *    `If-None-Match: *` — again close-decided, never torn) and opt
+    *    in at boot:
+    *    {{{ CommitGuard.register("s3a", CommitGuard.AtomicCreate) }}}
+    *  - `abfs`/`abfss` deliberately do NOT ride this guard: an ADLS
+    *    Gen2 blob is VISIBLE from create with appends flushing at
+    *    close, so a create-decided publish would expose racing head
+    *    readers to truncated manifests (the end-to-end race spec
+    *    catches exactly that). ADLS Gen2's hierarchical namespace
+    *    makes `rename` atomic and contract-refusing on an existing
+    *    destination — the Delta AzureLogStore position — so those
+    *    schemes ride [[AtomicRename]] instead.
+    *
+    * Any non-already-exists failure after the create propagates LOUDLY
+    * and deliberately does NOT delete the target: on a close-decided
+    * store a visible target can only be a racing WINNER's manifest,
+    * and destroying a committed version is the one unrecoverable move.
+    */
+  object AtomicCreate extends CommitGuard {
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+      val out =
+        try fs.create(target, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case _: java.nio.file.FileAlreadyExistsException => return false
+        }
+      try {
+        val in = fs.open(tmp)
+        try {
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        out.close()
+        true
+      } catch {
+        // close-decided stores (gs): losing the race surfaces here
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
+  }
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, CommitGuard]()
   registry.put("file", PosixLink)
   registry.put("hdfs", AtomicRename)
   registry.put("viewfs", AtomicRename)
   registry.put("webhdfs", AtomicRename)
+  // ADLS Gen2: hierarchical-namespace rename is atomic and refuses an
+  // existing destination (see the AtomicCreate doc for why a
+  // create-decided publish is WRONG there)
+  registry.put("abfs", AtomicRename)
+  registry.put("abfss", AtomicRename)
+  // GCS: close-decided conditional create (if-generation-match=0)
+  registry.put("gs", AtomicCreate)
 
   /** Install (or replace) the guard for a filesystem scheme — call
     * once at boot for object stores (`s3a`, `gs`, `abfs`, …) with a

@@ -555,6 +555,21 @@ object VectorStore {
       add: Seq[String], tag: Option[(String, Long)] = None,
       schemaJson: String = "", baseVersion: Long = -1L): Long = {
     val (fs, root) = fsOf(spark, dir)
+    // FAIL-FAST guard resolution (round-16 ADVICE): an unregistered
+    // scheme must refuse HERE, before any tmp manifest is written —
+    // resolving only inside tryPublish leaked a _tmp_ file per attempt
+    // and, for ingest callers, let a full (possibly huge) segment
+    // write complete before the refusal. writeSegment has the same
+    // entry check, so ingest refuses before any data is written.
+    guardFor(fs, root)
+    // distinct segment dirs this commit's adds live under — verified
+    // present per attempt below (ADVICE, round 16: a writer whose
+    // data-write-to-commit window outlived vacuum's orphanAgeMs had
+    // its never-committed segment reclaimed, and the commit still
+    // published a manifest referencing deleted files — a committed
+    // version with missing data; the check turns that silent loss
+    // into a loud pre-publish failure)
+    val addSegs = add.iterator.map(_.split("/")(0)).toSet
     val dropKeys = drop.toSet
     val maxRetries = 20
     var attempt = 0
@@ -619,6 +634,23 @@ object VectorStore {
           "; both writers rewrote the same partition(s). First " +
           "writer wins; re-plan this maintenance op against the " +
           "current snapshot")
+
+      // adds must exist ON DISK at publish time: a vacuum that
+      // reclaimed an aged-out uncommitted segment (write-to-commit
+      // window > orphanAgeMs) must fail THIS commit loudly, never
+      // let it publish a version referencing deleted files. One
+      // exists() per distinct segment (vacuum deletes whole seg=
+      // dirs), re-checked on every retry — O(delta) RPCs.
+      addSegs.foreach { s =>
+        if (!fs.exists(new Path(root, s))) throw new IllegalStateException(
+          s"VectorStore: commit at $dir adds entries under '$s' but " +
+            "that segment dir is not on disk — vacuumed as an aged-out " +
+            "uncommitted orphan (write-to-commit window exceeded " +
+            "vacuum's orphanAgeMs) or never written. Re-run the " +
+            "ingest/maintenance op against the current snapshot, and " +
+            "size vacuum's orphanAgeMs above the longest " +
+            "write-to-commit window")
+      }
 
       val v = curV + 1
       val tags = latest.map(_._2.tags).getOrElse(Map.empty) ++ tag.toMap
@@ -700,15 +732,20 @@ object VectorStore {
         // published — the checkpoint is only an optimization — so one
         // retry from scratch; a second miss means real corruption and
         // stays loud.
-        ckptRetryCount += 1
+        ckptRetryCount.incrementAndGet()
         writeCheckpointFrom(fs, md, dir, v, listManifests(fs, md))
     }
 
   /** Test-observable count of checkpoint retries taken after a vacuum
     * race (the catch above) — lets the race spec assert the recovery
-    * path actually fired rather than passing vacuously.
+    * path actually fired rather than passing vacuously. AtomicLong,
+    * not a @volatile var: `+= 1` on a volatile is a non-atomic
+    * read-modify-write, and concurrent committers taking the retry
+    * could lose increments the race spec's assertion depends on
+    * (round-16 ADVICE).
     */
-  @volatile private[streaming] var ckptRetryCount: Long = 0L
+  private[streaming] val ckptRetryCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Test-only fault-injection point: runs after [[writeCheckpointFrom]]
     * takes its manifest listing and before it resolves the base — the
@@ -801,13 +838,20 @@ object VectorStore {
     */
   private def tryPublish(fs: FileSystem, tmp: Path,
       target: Path): Boolean = {
-    val scheme = Option(tmp.toUri.getScheme)
-      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
-    val won = CommitGuard.forScheme(scheme).publish(fs, tmp, target)
+    val won = guardFor(fs, tmp).publish(fs, tmp, target)
     // guards may leave tmp behind (link does; a lost rename does)
     if (fs.exists(tmp)) { fs.delete(tmp, false); () }
     won
   }
+
+  /** The [[CommitGuard]] for a store path's filesystem scheme —
+    * resolved at [[commit]]/[[writeSegment]] ENTRY as well as at each
+    * publish, so an unregistered scheme refuses before any data or
+    * tmp-manifest bytes are written (round-16 ADVICE).
+    */
+  private def guardFor(fs: FileSystem, p: Path): CommitGuard =
+    CommitGuard.forScheme(Option(p.toUri.getScheme)
+      .orElse(Option(fs.getUri.getScheme)).getOrElse("file"))
 
   /** Append `df` as a fresh immutable segment partitioned by
     * `partCols` under it; returns the manifest entries (relative
@@ -827,6 +871,10 @@ object VectorStore {
       partCols: Seq[String]): Seq[String] = {
     val seg = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
     val (fs, root) = fsOf(df.sparkSession, dir)
+    // fail fast on a scheme with no CommitGuard: the segment can never
+    // be committed, so refusing BEFORE the (possibly huge) distributed
+    // write is the only non-wasteful answer (round-16 ADVICE)
+    guardFor(fs, root)
     val staging = new Path(root, s"_staging_$seg")
     try {
       df.withColumn("seg", lit(seg))
@@ -1072,137 +1120,169 @@ object VectorStore {
     * Chain safety: before deleting manifests below the retention
     * floor, the oldest retained version gets a checkpoint if it
     * doesn't have one (its entries would otherwise be unresolvable
-    * once the deltas below it are gone). Also reclaims `_staging_*`
-    * leftovers from crashed segment writes once they are at least an
-    * hour old (in-flight writes are younger).
+    * once the deltas below it are gone).
+    *
+    * `orphanAgeMs` (round 17, configurable per the round-16 ADVICE —
+    * the Delta deletedFileRetentionDuration knob): the age below
+    * which NEVER-COMMITTED debris is presumed in-flight and spared —
+    * a concurrent writer's finished `seg=` dir whose commit hasn't
+    * published yet, `_staging_*` committer scratch, un-referenced
+    * checkpoint shards, `_tmp_` manifest writes. Size it ABOVE the
+    * longest data-write-to-commit window your writers can have
+    * (large segment writes, plan-then-commit maintenance); if a
+    * too-small window does reclaim a live writer's segment, that
+    * writer's [[commit]] now fails LOUDLY pre-publish (it verifies
+    * its add dirs exist) instead of publishing a version with
+    * missing data.
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
-      minAgeMs: Long = 0L): Int = {
+      minAgeMs: Long = 0L, orphanAgeMs: Long = 3600000L): Int = {
     require(keep >= 1, "vacuum must keep at least the current version")
     require(minAgeMs >= 0L, "minAgeMs must be >= 0")
+    require(orphanAgeMs >= 0L, "orphanAgeMs must be >= 0")
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     if (!fs.exists(md)) return 0
     val (named, ckpts) = listManifests(fs, md)
     if (named.isEmpty) return 0
     val now = System.currentTimeMillis()
-    val youngEnough: Set[Long] =
-      if (minAgeMs <= 0) Set.empty
-      else named.filter { case (_, p) =>
-        now - fs.getFileStatus(p).getModificationTime < minAgeMs
-      }.map(_._1).toSet
-    val byCount = named.takeRight(keep).map(_._1).toSet
-    val retained = named.filter(v => byCount(v._1) || youngEnough(v._1))
-    val floor = retained.head._1
-    // RACING-VACUUM tolerance (round 16, completing the FNF story):
-    // a concurrent vacuum with a NEWER floor may delete manifests or
-    // checkpoints this vacuum's listing still references — its floor
-    // resolution below would then throw FileNotFound. That vacuum
-    // owns the reclamation; abandoning THIS cycle before any delete
-    // is the safe move (every delete is idempotent and a later cycle
-    // redoes the work).
-    try {
-    // resolvability: the oldest retained version must be a base —
-    // checkpoint it if its manifest is a delta and no ckpt exists
-    if (!ckpts.contains(floor) &&
-        readDoc(fs, named.find(_._1 == floor).get._2, floor, dir)
-          .full.isEmpty)
-      writeCheckpoint(fs, md, dir, floor)
-    // referenced segments: resolve the floor once, replay deltas up
-    val referenced = {
-      var e = snapshotAt(spark, dir, floor).get.entries
-      val acc = scala.collection.mutable.Set.empty[String]
-      acc ++= e.map(_.split("/")(0))
-      retained.drop(1).foreach { case (v, p) =>
-        val d = readDoc(fs, p, v, dir)
-        e = d.full.getOrElse(applyDelta(e, d.adds, d.drops))
-        acc ++= e.map(_.split("/")(0))
-      }
-      acc.toSet
-    }
-    // segments any LISTED manifest ever added (full lists included):
-    // distinguishes a COMMITTED-then-superseded segment — reclaimable
-    // immediately, the thing vacuum exists to delete — from a
-    // never-committed one, which may be a concurrent writer's
-    // finished segment whose commit hasn't published yet (round 16:
-    // the race2 vacuum arm caught vacuum wiping in-flight segments in
-    // exactly that window). Never-committed segments get the same
-    // 1-hour age guard as _staging_ leftovers: a crashed writer's
-    // orphan reclaims on a later cycle, a live writer's segment
-    // survives to its commit.
-    val everCommitted: Set[String] = named.iterator.flatMap {
-      case (v, p) =>
-        try {
-          val d = readDoc(fs, p, v, dir)
-          (d.full.getOrElse(Seq.empty).iterator ++ d.adds.iterator)
-            .map(_.split("/")(0))
-        } catch {
-          // a RACING vacuum deleted this below-its-floor manifest —
-          // its segments were either retained there (then they are in
-          // `referenced` here too) or already reclaimed; skipping only
-          // moves a segment to the age-guarded path, never deletes
-          case _: java.io.FileNotFoundException => Iterator.empty
+    // RESOLUTION phase, with RACING-VACUUM tolerance scoped to exactly
+    // it (round-16 ADVICE narrowed the old whole-body catch): a
+    // concurrent vacuum with a NEWER floor may delete manifests or
+    // checkpoints this vacuum's listing still references — the floor
+    // resolution below would then throw FileNotFound. That vacuum owns
+    // the reclamation; abandoning THIS cycle before any delete is the
+    // safe move (every delete is idempotent and a later cycle redoes
+    // the work) — and it is LOGGED, not silent. The catch ends where
+    // deletion begins: an FNF thrown by the deletion phase (there is
+    // no expected one — Hadoop delete() returns false on a missing
+    // path) would be genuine corruption and stays loud, and a tail
+    // race can no longer discard the real deleted count.
+    val resolved: Option[(Long, Set[String], Set[String])] =
+      try {
+        val youngEnough: Set[Long] =
+          if (minAgeMs <= 0) Set.empty
+          else named.filter { case (_, p) =>
+            now - fs.getFileStatus(p).getModificationTime < minAgeMs
+          }.map(_._1).toSet
+        val byCount = named.takeRight(keep).map(_._1).toSet
+        val retained = named.filter(v => byCount(v._1) || youngEnough(v._1))
+        val floor = retained.head._1
+        // resolvability: the oldest retained version must be a base —
+        // checkpoint it if its manifest is a delta and no ckpt exists
+        if (!ckpts.contains(floor) &&
+            readDoc(fs, named.find(_._1 == floor).get._2, floor, dir)
+              .full.isEmpty)
+          writeCheckpoint(fs, md, dir, floor)
+        // referenced segments: resolve the floor once, replay deltas up
+        val referenced = {
+          var e = snapshotAt(spark, dir, floor).get.entries
+          val acc = scala.collection.mutable.Set.empty[String]
+          acc ++= e.map(_.split("/")(0))
+          retained.drop(1).foreach { case (v, p) =>
+            val d = readDoc(fs, p, v, dir)
+            e = d.full.getOrElse(applyDelta(e, d.adds, d.drops))
+            acc ++= e.map(_.split("/")(0))
+          }
+          acc.toSet
         }
-    }.toSet
-    var deleted = 0
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("seg=") && !referenced(n) &&
-          (everCommitted(n) ||
-            now - effectiveMtime(fs, st) > 3600000L)) {
-        fs.delete(st.getPath, true)
-        deleted += 1
-      } else if (st.isDirectory && n.startsWith("_staging_") &&
-          now - effectiveMtime(fs, st) > 3600000L) {
-        fs.delete(st.getPath, true); ()
+        // segments any LISTED manifest ever added (full lists
+        // included): distinguishes a COMMITTED-then-superseded segment
+        // — reclaimable immediately, the thing vacuum exists to delete
+        // — from a never-committed one, which may be a concurrent
+        // writer's finished segment whose commit hasn't published yet
+        // (round 16: the race2 vacuum arm caught vacuum wiping
+        // in-flight segments in exactly that window). Never-committed
+        // segments get the orphanAgeMs age guard, same as _staging_
+        // leftovers: a crashed writer's orphan reclaims on a later
+        // cycle, a live writer's segment survives to its commit.
+        val everCommitted: Set[String] = named.iterator.flatMap {
+          case (v, p) =>
+            try {
+              val d = readDoc(fs, p, v, dir)
+              (d.full.getOrElse(Seq.empty).iterator ++ d.adds.iterator)
+                .map(_.split("/")(0))
+            } catch {
+              // a RACING vacuum deleted this below-its-floor manifest —
+              // its segments were either retained there (then they are
+              // in `referenced` here too) or already reclaimed;
+              // skipping only moves a segment to the age-guarded path,
+              // never deletes
+              case _: java.io.FileNotFoundException => Iterator.empty
+            }
+        }.toSet
+        Some((floor, referenced, everCommitted))
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"VectorStore: vacuum at $dir abandoned before any " +
+              "deletion — a racing vacuum with a newer floor deleted " +
+              s"a listed manifest/checkpoint (${e.getMessage}); that " +
+              "cycle owns the reclamation and a later one redoes " +
+              "this vacuum's work")
+          None
       }
-    }
-    // checkpoint-shard GC references — gathered BEFORE any manifest
-    // deletion, from the union of the start-of-vacuum listing and a
-    // re-list (the floor checkpoint written above must count): shards
-    // of a below-floor checkpoint survive this cycle even though its
-    // .ckpt.json is about to be deleted, because a concurrent
-    // writeCheckpoint that listed manifests before this vacuum
-    // published the floor checkpoint may still be resolving from it —
-    // deleting its shards out from under that (stale but valid)
-    // listing made the already-published commit fail on an
-    // optimization write (round-16 ADVICE). Orphaned shards reclaim
-    // on the NEXT vacuum cycle via the 1-hour age guard, and
-    // writeCheckpoint additionally retries from a fresh listing on a
-    // missing shard — belt and braces.
-    val ckptsNow = listManifests(fs, md)._2
-    val refShards: Set[String] = (ckpts ++ ckptsNow)
-      .flatMap { case (cv, cp) =>
-        try readCkpt(fs, cp, cv, dir) match {
-          case Right(r) => r.files.filter(_.nonEmpty)
-          case Left(_) => Seq.empty
-        } catch {
-          // a racing vacuum already deleted this checkpoint file —
-          // its shards are then that vacuum's responsibility
-          case _: java.io.FileNotFoundException => Seq.empty
+    resolved match {
+      case None => 0
+      case Some((floor, referenced, everCommitted)) =>
+        var deleted = 0
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("seg=") && !referenced(n) &&
+              (everCommitted(n) ||
+                now - effectiveMtime(fs, st) > orphanAgeMs)) {
+            fs.delete(st.getPath, true)
+            deleted += 1
+          } else if (st.isDirectory && n.startsWith("_staging_") &&
+              now - effectiveMtime(fs, st) > orphanAgeMs) {
+            fs.delete(st.getPath, true); ()
+          }
         }
-      }.toSet
-    named.filter(_._1 < floor).foreach { case (_, p) =>
-      fs.delete(p, false); ()
-    }
-    ckptsNow.filter(_._1 < floor).foreach { case (_, p) =>
-      fs.delete(p, false); ()
-    }
-    fs.listStatus(md).foreach { st =>
-      val n = st.getPath.getName
-      val stale = now - st.getModificationTime > 3600000L
-      if (stale && !refShards(n) &&
-          n.startsWith("sh_") && n.endsWith(".json")) {
-        fs.delete(st.getPath, false); ()
-      } else if (stale && n.startsWith("_tmp_")) {
-        // crashed manifest/checkpoint writes (tryPublish normally
-        // removes its tmp; a crash between create and publish leaks)
-        fs.delete(st.getPath, false); ()
-      }
-    }
-    deleted
-    } catch {
-      case _: java.io.FileNotFoundException => 0
+        // checkpoint-shard GC references — gathered BEFORE any
+        // manifest deletion, from the union of the start-of-vacuum
+        // listing and a re-list (the floor checkpoint written above
+        // must count): shards of a below-floor checkpoint survive this
+        // cycle even though its .ckpt.json is about to be deleted,
+        // because a concurrent writeCheckpoint that listed manifests
+        // before this vacuum published the floor checkpoint may still
+        // be resolving from it — deleting its shards out from under
+        // that (stale but valid) listing made the already-published
+        // commit fail on an optimization write (round-16 ADVICE).
+        // Orphaned shards reclaim on the NEXT vacuum cycle via the
+        // orphanAgeMs guard, and writeCheckpoint additionally retries
+        // from a fresh listing on a missing shard — belt and braces.
+        val ckptsNow = listManifests(fs, md)._2
+        val refShards: Set[String] = (ckpts ++ ckptsNow)
+          .flatMap { case (cv, cp) =>
+            try readCkpt(fs, cp, cv, dir) match {
+              case Right(r) => r.files.filter(_.nonEmpty)
+              case Left(_) => Seq.empty
+            } catch {
+              // a racing vacuum already deleted this checkpoint file —
+              // its shards are then that vacuum's responsibility
+              case _: java.io.FileNotFoundException => Seq.empty
+            }
+          }.toSet
+        named.filter(_._1 < floor).foreach { case (_, p) =>
+          fs.delete(p, false); ()
+        }
+        ckptsNow.filter(_._1 < floor).foreach { case (_, p) =>
+          fs.delete(p, false); ()
+        }
+        fs.listStatus(md).foreach { st =>
+          val n = st.getPath.getName
+          val stale = now - st.getModificationTime > orphanAgeMs
+          if (stale && !refShards(n) &&
+              n.startsWith("sh_") && n.endsWith(".json")) {
+            fs.delete(st.getPath, false); ()
+          } else if (stale && n.startsWith("_tmp_")) {
+            // crashed manifest/checkpoint writes (tryPublish normally
+            // removes its tmp; a crash between create and publish
+            // leaks)
+            fs.delete(st.getPath, false); ()
+          }
+        }
+        deleted
     }
   }
 

@@ -91,10 +91,11 @@ class CommitGuardSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("a conditional-put guard through the seam: 8 racing commits all land, serialized") {
-    withClobberDir { (_, dir) =>
+    withClobberDir { (fs, dir) =>
       CommitGuard.register("clobber", LockedConditionalPut)
       try {
         val n = 8
+        (1 to n).foreach(i => fs.mkdirs(new Path(dir + s"/seg=w$i")))
         val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
         val start = new java.util.concurrent.CountDownLatch(1)
         val done = new java.util.concurrent.CountDownLatch(n)
@@ -128,6 +129,139 @@ class CommitGuardSpec extends AnyFunSuite with SparkTestBase {
           snap.tags.get(s"ch$i").contains(i.toLong)),
           "every writer's channel tag survived the races")
       } finally CommitGuard.deregister("clobber")
+    }
+  }
+
+  private def withAtomicCreateDir(
+      f: (FileSystem, String) => Unit): Unit = {
+    conf.set("fs.atomiccreate.impl",
+      classOf[AtomicCreateFileSystem].getName)
+    val local = Files.createTempDirectory("graft_guard_ac").toFile
+    val dir = "atomiccreate://" + local.getAbsolutePath
+    try f(new Path(dir).getFileSystem(conf), dir)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(local)
+    }
+  }
+
+  test("AtomicCreate wins exactly once under a 16-thread race on a store whose rename clobbers") {
+    withAtomicCreateDir { (fs, dir) =>
+      // precondition: this store's rename really does clobber (the
+      // degradation arm above would lose updates here too) — the
+      // create, not any rename, must be what decides the race
+      val probe = new Path(dir + "/probe_target")
+      val probeSrc = new Path(dir + "/probe_src")
+      Seq(probe, probeSrc).foreach { p =>
+        val o = fs.create(p, false)
+        try o.write(p.getName.getBytes("UTF-8")) finally o.close()
+      }
+      assert(fs.rename(probeSrc, probe), "clobbering rename model broke")
+      val target = new Path(dir + "/_manifests/v000000000001.json")
+      fs.mkdirs(target.getParent)
+      val n = 16
+      val tmps = (1 to n).map { i =>
+        val t = new Path(target.getParent, s"_tmp_$i")
+        val out = fs.create(t, false)
+        try out.write(s"writer-$i".getBytes("UTF-8")) finally out.close()
+        t
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(n)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      tmps.foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            start.await()
+            if (CommitGuard.AtomicCreate.publish(fs, t, target))
+              { wins.incrementAndGet(); () }
+          } finally done.countDown()
+        })
+        ()
+      }
+      start.countDown()
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(wins.get() === 1, "exactly one racing create may win")
+      // the published manifest is COMPLETE (one writer's full bytes),
+      // not torn — the winner finished its write before any loser
+      // could disturb the name (create-no-overwrite never replaces)
+      val in = fs.open(target)
+      val content = try {
+        val buf = new Array[Byte](64)
+        val k = in.read(buf); new String(buf, 0, k, "UTF-8")
+      } finally in.close()
+      assert(content.matches("writer-\\d+"), s"torn manifest: '$content'")
+    }
+  }
+
+  test("VectorStore commits end-to-end through AtomicCreate: 8 racers all land") {
+    withAtomicCreateDir { (fs, dir) =>
+      CommitGuard.register("atomiccreate", CommitGuard.AtomicCreate)
+      try {
+        val n = 8
+        (1 to n).foreach(i => fs.mkdirs(new Path(dir + s"/seg=w$i")))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val done = new java.util.concurrent.CountDownLatch(n)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        (1 to n).foreach { i =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try {
+                start.await()
+                VectorStore.commit(spark, dir, Seq.empty,
+                  Seq(s"seg=w$i/cell=$i"), Some((s"ch$i", i.toLong)),
+                  emptySchema)
+                ()
+              } catch { case t: Throwable => errs.add(t); () }
+              finally done.countDown()
+          })
+          ()
+        }
+        start.countDown()
+        assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        pool.shutdown()
+        assert(errs.isEmpty,
+          s"racing add-only commits must all rebase and land: $errs")
+        val snap = VectorStore.snapshot(spark, dir).get
+        assert(snap.version === n.toLong)
+        assert(snap.entries.toSet ===
+          (1 to n).map(i => s"seg=w$i/cell=$i").toSet)
+        assert((1 to n).forall(i =>
+          snap.tags.get(s"ch$i").contains(i.toLong)))
+      } finally CommitGuard.deregister("atomiccreate")
+    }
+  }
+
+  test("abfs/abfss (atomic rename) and gs (AtomicCreate) ship defaults; s3a still refuses") {
+    // ADLS Gen2: hierarchical-namespace rename is atomic and refuses
+    // an existing destination; a create-decided publish would tear
+    assert(CommitGuard.forScheme("abfs") eq CommitGuard.AtomicRename)
+    assert(CommitGuard.forScheme("abfss") eq CommitGuard.AtomicRename)
+    assert(CommitGuard.forScheme("gs") eq CommitGuard.AtomicCreate)
+    // plain S3 create is check-then-PUT (a PUT overwrites): stays a
+    // loud refusal until the deployment opts in (Hadoop 3.4.1+
+    // conditional writes — see the AtomicCreate doc)
+    val ex = intercept[IllegalStateException](CommitGuard.forScheme("s3a"))
+    assert(ex.getMessage.contains("no CommitGuard registered"))
+  }
+
+  test("an unregistered scheme refuses at writeSegment, BEFORE any data is written") {
+    import spark.implicits._
+    withClobberDir { (fs, dir) =>
+      val df = Seq((1L, "a")).toDF("id", "v")
+      val ex = intercept[IllegalStateException](
+        VectorStore.writeSegment(df, dir, Seq.empty))
+      assert(ex.getMessage.contains("no CommitGuard registered"))
+      // nothing hit the store — no staging dir, no segment dir
+      val left = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      assert(left.isEmpty,
+        s"refusal must precede all writes, found: ${left.toSeq}")
     }
   }
 

@@ -14,6 +14,17 @@ import java.nio.file.Files
   */
 class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
 
+  /** Create the `seg=` dirs a synthetic commit's adds reference —
+    * commit verifies its add dirs exist on disk before publishing
+    * (round 17, the vacuum-race guard), which a real writeSegment
+    * caller's adds satisfy by construction.
+    */
+  private def seedSegs(idx: java.io.File, entries: Seq[String])
+      : Seq[String] = {
+    entries.foreach(e => new java.io.File(idx, e.split("/")(0)).mkdirs())
+    entries
+  }
+
   private def withDir(f: java.io.File => Unit): Unit = {
     val d = Files.createTempDirectory("graft_vstore").toFile
     try f(d)
@@ -140,7 +151,7 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
         val add = Seq(s"seg=s$v/cell=${v % 4}")
         val drop =
           if (v % 3 == 0) Seq(model.last(v % model.last.length)) else Seq.empty
-        val got = VectorStore.commit(spark, dir, drop, add)
+        val got = VectorStore.commit(spark, dir, drop, seedSegs(idx, add))
         assert(got === v.toLong)
         model = model :+
           (model.last.filterNot(drop.toSet) ++ add).distinct.sorted
@@ -163,9 +174,9 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     withDir { idx =>
       val dir = idx.getAbsolutePath
       (1 to 7).foreach { v =>
+        new java.io.File(idx, s"seg=s$v").mkdirs()
         VectorStore.commit(spark, dir, Seq.empty,
           Seq(s"seg=s$v/cell=0"), None, "{}")
-        new java.io.File(idx, s"seg=s$v").mkdirs()
       }
       // everything is seconds old: a 1-hour age floor protects ALL
       // versions regardless of keep=1
@@ -187,7 +198,7 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
         === (1 to 7).map(v => s"seg=s$v/cell=0"))
       // and a fresh commit on the vacuumed chain still works
       VectorStore.commit(spark, dir, Seq("seg=s1/cell=0"),
-        Seq("seg=s8/cell=0"))
+        seedSegs(idx, Seq("seg=s8/cell=0")))
       assert(VectorStore.snapshot(spark, dir).get.entries
         === ((2 to 8).map(v => s"seg=s$v/cell=0")))
     }
@@ -272,9 +283,9 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     withDir { idx =>
       val dir = idx.getAbsolutePath
       (1 to 12).foreach { v =>
+        new java.io.File(idx, s"seg=s$v").mkdirs()
         VectorStore.commit(spark, dir, Seq.empty,
           Seq(s"seg=s$v/cell=0"), None, "{}")
-        new java.io.File(idx, s"seg=s$v").mkdirs()
       }
       VectorStore.vacuum(spark, dir, keep = 3)
       val rows = VectorStore.versionStats(spark, dir).collect()
@@ -304,7 +315,7 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     withDir { idx =>
       val dir = idx.getAbsolutePath
       val e = (1 to 8).map(i => s"seg=base/cell=$i")
-      VectorStore.commit(spark, dir, Seq.empty, e, None, "{}")
+      VectorStore.commit(spark, dir, Seq.empty, seedSegs(idx, e), None, "{}")
       // many rounds of two genuinely concurrent committers with
       // DISJOINT drops: a publish race must rebase the loser, and the
       // result must equal serial application in either order
@@ -312,6 +323,7 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
         val before = VectorStore.snapshot(spark, dir).get
         val a = (s"seg=a$round/cell=1", before.entries.head)
         val b = (s"seg=b$round/cell=2", before.entries.last)
+        seedSegs(idx, Seq(a._1, b._1))
         val start = new java.util.concurrent.CountDownLatch(1)
         val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
         val ts = Seq(
@@ -345,25 +357,25 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     withDir { idx =>
       val dir = idx.getAbsolutePath
       val e = Seq("seg=base/cell=1", "seg=base/cell=2")
-      VectorStore.commit(spark, dir, Seq.empty, e, None, "{}")
+      VectorStore.commit(spark, dir, Seq.empty, seedSegs(idx, e), None, "{}")
       val base = VectorStore.version(spark, dir)
       // writer 1 rewrites cell 1 and lands first
       VectorStore.commit(spark, dir, Seq("seg=base/cell=1"),
-        Seq("seg=w1/cell=1"), baseVersion = base)
+        seedSegs(idx, Seq("seg=w1/cell=1")), baseVersion = base)
       // writer 2 planned against the SAME base and also rewrote
       // cell 1 — without the plan-base check this would land as a
       // silent duplicate of cell 1 (no publish race: it commits after
       // writer 1, so the drop is simply no longer live)
       val ex = intercept[IllegalStateException](
         VectorStore.commit(spark, dir, Seq("seg=base/cell=1"),
-          Seq("seg=w2/cell=1"), baseVersion = base))
+          seedSegs(idx, Seq("seg=w2/cell=1")), baseVersion = base))
       assert(ex.getMessage.contains("conflict"))
       // the store holds writer 1's world, untouched by the loser
       val entries = VectorStore.snapshot(spark, dir).get.entries.toSet
       assert(entries === Set("seg=w1/cell=1", "seg=base/cell=2"))
       // …and a re-planned retry (fresh base) succeeds
       VectorStore.commit(spark, dir, Seq("seg=w1/cell=1"),
-        Seq("seg=w2/cell=1"),
+        seedSegs(idx, Seq("seg=w2/cell=1")),
         baseVersion = VectorStore.version(spark, dir))
       assert(VectorStore.snapshot(spark, dir).get.entries.toSet
         === Set("seg=w2/cell=1", "seg=base/cell=2"))
@@ -689,7 +701,7 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
       var model = Vector.empty[Seq[String]]
       var cur = Seq.empty[String]
       def step(drops: Seq[String], adds: Seq[String]): Unit = {
-        VectorStore.commit(spark, dir, drops, adds, None,
+        VectorStore.commit(spark, dir, drops, seedSegs(idx, adds), None,
           if (model.isEmpty) "{}" else "")
         cur = (cur.filterNot(drops.toSet) ++ adds).distinct.sorted
         model = model :+ cur
@@ -800,13 +812,52 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a commit whose add segment was reclaimed fails loudly pre-publish; orphanAgeMs widens the window") {
+    withDir { idx =>
+      val dir = idx.getAbsolutePath
+      VectorStore.commit(spark, dir, Seq.empty,
+        seedSegs(idx, Seq("seg=base/cell=1")), None, "{}")
+      // a slow writer's finished-but-uncommitted segment, 2h old
+      val slow = new java.io.File(idx, "seg=slow")
+      slow.mkdirs()
+      val f = new java.io.File(slow, "part-0.parquet")
+      java.nio.file.Files.writeString(f.toPath, "x")
+      Seq(slow, f).foreach(x =>
+        assert(x.setLastModified(System.currentTimeMillis() - 7200000L)))
+      // sized-up orphan window: the in-flight segment SURVIVES…
+      assert(VectorStore.vacuum(spark, dir, keep = 1,
+        orphanAgeMs = 24L * 3600000L) === 0)
+      assert(slow.exists())
+      // …and its commit lands
+      VectorStore.commit(spark, dir, Seq.empty, Seq("seg=slow/cell=2"))
+      assert(VectorStore.snapshot(spark, dir).get.entries
+        === Seq("seg=base/cell=1", "seg=slow/cell=2"))
+      // the OTHER arm: an aged-out orphan reclaimed by the default
+      // window makes the late commit fail LOUDLY BEFORE publishing —
+      // never a committed version referencing deleted files
+      val slow2 = new java.io.File(idx, "seg=slow2")
+      slow2.mkdirs()
+      assert(slow2.setLastModified(System.currentTimeMillis() - 7200000L))
+      assert(VectorStore.vacuum(spark, dir, keep = 1) === 1)
+      assert(!slow2.exists())
+      val vBefore = VectorStore.version(spark, dir)
+      val ex = intercept[IllegalStateException](
+        VectorStore.commit(spark, dir, Seq.empty, Seq("seg=slow2/cell=3")))
+      assert(ex.getMessage.contains("not on disk") &&
+        ex.getMessage.contains("orphanAgeMs"))
+      assert(VectorStore.version(spark, dir) === vBefore,
+        "the failed commit must publish nothing")
+    }
+  }
+
   test("a commit planned against a vacuumed base fails with the re-plan error and publishes nothing") {
     withDir { idx =>
       val dir = idx.getAbsolutePath
       (1 to 6).foreach { v =>
         VectorStore.commit(spark, dir,
           if (v <= 1) Seq.empty else Seq(s"seg=a${v - 1}/cell=1"),
-          Seq(s"seg=a$v/cell=1"), None, if (v == 1) "{}" else "")
+          seedSegs(idx, Seq(s"seg=a$v/cell=1")), None,
+          if (v == 1) "{}" else "")
       }
       // a maintenance op PLANS against v2: its drop was live there
       val planBase = 2L
@@ -816,7 +867,8 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
       val entriesBefore = VectorStore.snapshot(spark, dir).get.entries
       val ex = intercept[IllegalStateException](
         VectorStore.commit(spark, dir, drop = Seq("seg=a2/cell=1"),
-          add = Seq("seg=late/cell=1"), baseVersion = planBase))
+          add = seedSegs(idx, Seq("seg=late/cell=1")),
+          baseVersion = planBase))
       assert(ex.getMessage.contains("vacuumed"),
         s"expected the loud re-plan error, got: ${ex.getMessage}")
       // and NOTHING published: no version advance, no phantom entries
@@ -826,7 +878,8 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
       // then succeeds
       val head = VectorStore.snapshot(spark, dir).get
       val v2 = VectorStore.commit(spark, dir, drop = head.entries,
-        add = Seq("seg=replanned/cell=1"), baseVersion = head.version)
+        add = seedSegs(idx, Seq("seg=replanned/cell=1")),
+        baseVersion = head.version)
       assert(v2 === vBefore + 1)
       assert(VectorStore.snapshot(spark, dir).get.entries ===
         Seq("seg=replanned/cell=1"))
@@ -850,7 +903,8 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
       }
       (1 to 19).foreach { v =>
         VectorStore.commit(spark, dir, Seq.empty,
-          Seq(s"seg=a$v/cell=$v"), None, if (v == 1) "{}" else "")
+          seedSegs(idx, Seq(s"seg=a$v/cell=$v")), None,
+          if (v == 1) "{}" else "")
       }
       def v10Shards(): Set[String] = {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -886,15 +940,16 @@ class VectorStoreSpec extends AnyFunSuite with SparkTestBase {
         shardsGoneAtHook = baseShards.exists(n =>
           !new java.io.File(md, n).exists())
       }
-      val retriesBefore = VectorStore.ckptRetryCount
+      val retriesBefore = VectorStore.ckptRetryCount.get()
       try {
         // v20: the commit publishes, then its checkpoint write races
         // the vacuum cycles injected by the hook — must NOT throw
-        VectorStore.commit(spark, dir, Seq.empty, Seq("seg=a20/cell=20"))
+        VectorStore.commit(spark, dir, Seq.empty,
+          seedSegs(idx, Seq("seg=a20/cell=20")))
         assert(shardsGoneAtHook,
           "race precondition: some stale base shard must be gone " +
             "before the writer resolves")
-        assert(VectorStore.ckptRetryCount > retriesBefore,
+        assert(VectorStore.ckptRetryCount.get() > retriesBefore,
           "the FNF recovery path must actually have fired")
         val snap = VectorStore.snapshot(spark, dir).get
         assert(snap.version === 20L)
