@@ -250,20 +250,29 @@ object EventStream {
         col(idCol).cast("long").as("eid"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
+    val chunk = BatchSorter.chunkRows(spark)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[(String, Long, Long)]) => {
-        val ordered = sortByTsId(rows.toArray)
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, String, String)]
-        var last = state.getOption
-        ordered.foreach { case (_, t, tsUs, id) =>
-          last.foreach { case (prevT, _, _) => out += ((user, prevT, t)) }
-          last = Some((t, tsUs, id))
+        // final state = the batch's (ts_us, eid)-max event, known at
+        // INGESTION — so state settles eagerly and the sorted pass
+        // below emits pairs LAZILY (round 17: no O(batch) output
+        // buffer; Spark stores the updated state only after it drains
+        // the returned iterator)
+        var maxRow: Row4 = null
+        val ordered = sortedRows4(rows, chunk, r =>
+          if (maxRow == null || ord4.gt(r, maxRow)) maxRow = r)
+        if (maxRow == null) Iterator.empty
+        else {
+          var prev = state.getOption.map(_._1)
+          state.update((maxRow._2, maxRow._3, maxRow._4))
+          ordered.flatMap { r =>
+            val out = prev.map(p => (user, p, r._2))
+            prev = Some(r._2)
+            out
+          }
         }
-        last.foreach(state.update)
-        out.iterator
       })
       .toDF("user_id", "from_type", "to_type")
   }
@@ -294,6 +303,7 @@ object EventStream {
       .withWatermark("__ts", watermarkDelay)
       .as[(Long, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
+    val chunk = BatchSorter.chunkRows(spark)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.EventTimeTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
@@ -302,21 +312,25 @@ object EventStream {
           state.remove()
           Iterator.empty
         } else {
-          val ordered = sortByTsId(rows.toArray)
-          if (ordered.isEmpty) Iterator.empty
+          // state + TTL anchor both fold at ingestion (see the
+          // NoTimeout twin); emission is lazy over the sorted runs
+          var maxRow: Row5 = null
+          var maxTsMs = Long.MinValue
+          val ordered = sortedRows5(rows, chunk, { r =>
+            if (maxRow == null || ord5.gt(r, maxRow)) maxRow = r
+            if (r._5.getTime > maxTsMs) maxTsMs = r._5.getTime
+          })
+          if (maxRow == null) Iterator.empty
           else {
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, String, String)]
-            var last = state.getOption
-            ordered.foreach { case (_, t, tsUs, id, _) =>
-              last.foreach { case (prevT, _, _) => out += ((user, prevT, t)) }
-              last = Some((t, tsUs, id))
-            }
-            last.foreach(state.update)
-            val maxTs = ordered.map(_._5.getTime).max
-            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+            var prev = state.getOption.map(_._1)
+            state.update((maxRow._2, maxRow._3, maxRow._4))
+            state.setTimeoutTimestamp(math.max(maxTsMs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
-            out.iterator
+            ordered.flatMap { r =>
+              val out = prev.map(p => (user, p, r._2))
+              prev = Some(r._2)
+              out
+            }
           }
         })
       .toDF("user_id", "from_type", "to_type")
@@ -374,31 +388,85 @@ object EventStream {
 
   private val FunnelUnset = Long.MaxValue
 
-  /** In-place (ts_us, event_id) sort of one key's micro-batch — the
-    * shared buffer of the ORDER-REQUIRING keyed ops (transitions,
-    * path-ngrams, sequence patterns): their emissions must follow the
-    * batch twin's window order, and within-group arrival order is
-    * arbitrary after the shuffle, so the sort cannot be elided by an
-    * iterator fold. Task memory is O(this key's rows in this
-    * micro-batch) — a STATED contract (round 16): one hot key
-    * receiving 10⁶ events in a single trigger buffers them here
-    * (array-in-place, no cons lists — see the hot-key spec for the
-    * measured budget); size the trigger (maxFilesPerTrigger /
-    * maxOffsetsPerTrigger) accordingly. The batch twins have no such
-    * cliff. (ts_us, eid) keys are unique (eid is unique), so the
-    * unstable quicksort equals the previous stable sortBy.
+  /** (ts_us, event_id) order + spill codecs of the ORDER-REQUIRING
+    * keyed ops (transitions, path-ngrams, sequence patterns): their
+    * emissions must follow the batch twin's window order, and
+    * within-group arrival order is arbitrary after the shuffle, so an
+    * order-correct fold without a sort is impossible. Since round 17
+    * the sort runs through [[BatchSorter]] — batches up to
+    * `graft.stream.sortChunkRows` (default 2²¹) take the same
+    * in-memory array sort as before; a pathological hot key spills
+    * sorted runs to executor-local disk and merges, capping task
+    * memory at O(chunkRows) instead of the round-16 O(key's batch)
+    * stated contract. (ts_us, eid) keys are unique (eid is unique),
+    * so run order is bit-identical to the in-memory sort.
     */
-  private def sortByTsId(a: Array[(Long, String, Long, Long)])
-      : Array[(Long, String, Long, Long)] = {
-    scala.util.Sorting.quickSort(a)(Ordering.by(r => (r._3, r._4)))
-    a
+  private type Row4 = (Long, String, Long, Long)
+  private type Row5 = (Long, String, Long, Long, java.sql.Timestamp)
+  private val ord4: Ordering[Row4] = Ordering.by(r => (r._3, r._4))
+  private val ord5: Ordering[Row5] = Ordering.by(r => (r._3, r._4))
+
+  private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private def writeStr(o: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(utf8)
+    o.writeInt(b.length); o.write(b)
+  }
+  private def readStr(i: java.io.DataInputStream): String = {
+    val b = new Array[Byte](i.readInt())
+    i.readFully(b); new String(b, utf8)
+  }
+  private def writeRow4(o: java.io.DataOutputStream, r: Row4): Unit = {
+    o.writeLong(r._1); writeStr(o, r._2); o.writeLong(r._3)
+    o.writeLong(r._4)
+  }
+  private def readRow4(i: java.io.DataInputStream): Row4 =
+    (i.readLong(), readStr(i), i.readLong(), i.readLong())
+  private def writeRow5(o: java.io.DataOutputStream, r: Row5): Unit = {
+    o.writeLong(r._1); writeStr(o, r._2); o.writeLong(r._3)
+    o.writeLong(r._4)
+    // (epoch ms, nanos) round-trips java.sql.Timestamp exactly
+    o.writeLong(r._5.getTime); o.writeInt(r._5.getNanos)
+  }
+  private def readRow5(i: java.io.DataInputStream): Row5 = {
+    val r = (i.readLong(), readStr(i), i.readLong(), i.readLong())
+    val ms = i.readLong(); val nanos = i.readInt()
+    val ts = new java.sql.Timestamp(Math.floorDiv(ms, 1000L) * 1000L)
+    ts.setNanos(nanos)
+    (r._1, r._2, r._3, r._4, ts)
   }
 
-  private def sortByTsId(
-      a: Array[(Long, String, Long, Long, java.sql.Timestamp)])
-      : Array[(Long, String, Long, Long, java.sql.Timestamp)] = {
-    scala.util.Sorting.quickSort(a)(Ordering.by(r => (r._3, r._4)))
-    a
+  private def sortedRows4(rows: Iterator[Row4], chunk: Int,
+      onRow: Row4 => Unit = _ => ()): Iterator[Row4] =
+    BatchSorter.sorted(rows, chunk, onRow, writeRow4, readRow4)(
+      ord4, implicitly)
+  private def sortedRows5(rows: Iterator[Row5], chunk: Int,
+      onRow: Row5 => Unit = _ => ()): Iterator[Row5] =
+    BatchSorter.sorted(rows, chunk, onRow, writeRow5, readRow5)(
+      ord5, implicitly)
+
+  /** Char-chunked Pike feed: consumes the sorted iterator in bounded
+    * string chunks so the pattern ops never materialize a hot key's
+    * whole batch as one decode string (round 17 — the last O(batch)
+    * buffer those ops had).
+    */
+  private val FeedChunkChars = 64 * 1024
+  private def feedChunked(it: Iterator[String],
+      progs: Seq[PikeRegex.Program],
+      init: Array[PikeState]): Array[PikeState] = {
+    var sts = init
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = if (sb.length > 0) {
+      val chunk = sb.toString
+      sts = Array.tabulate(progs.length)(i =>
+        PikeEngine.feed(progs(i), sts(i), chunk))
+      sb.setLength(0)
+    }
+    it.foreach { c =>
+      sb.append(c)
+      if (sb.length >= FeedChunkChars) flush()
+    }
+    flush()
+    sts
   }
 
   /** Shared per-batch funnel fold of [[streamingFunnel]] and its TTL
@@ -534,19 +602,35 @@ object EventStream {
         col(idCol).cast("long").as("eid"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
+    val chunk = BatchSorter.chunkRows(spark)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[List[String]]) => {
-        val ordered = sortByTsId(rows.toArray)
-        var window = state.getOption.getOrElse(Nil)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-        ordered.foreach { case (_, t, _, _) =>
-          window = (window :+ t).takeRight(n)
-          if (window.length == n) out += ((user, window.mkString(" > ")))
+        // final window = last min(n, batch) types in order — an
+        // n-element heap at INGESTION settles state eagerly; path
+        // emission is then lazy over the sorted runs (round 17)
+        val topN = new scala.collection.mutable.PriorityQueue[Row4]()(
+          ord4.reverse)
+        val ordered = sortedRows4(rows, chunk, { r =>
+          if (topN.size < n) topN.enqueue(r)
+          else if (ord4.gt(r, topN.head)) {
+            topN.dequeue(); topN.enqueue(r); ()
+          }
+        })
+        if (topN.isEmpty) Iterator.empty
+        else {
+          val carried = state.getOption.getOrElse(Nil)
+          // reversed min-heap dequeues ascending (ts_us, eid)
+          val lastTypes = topN.dequeueAll.iterator
+            .map((r: Row4) => r._2).toList
+          state.update((carried ++ lastTypes).takeRight(n))
+          var w = carried
+          ordered.flatMap { r =>
+            w = (w :+ r._2).takeRight(n)
+            if (w.length == n) Some((user, w.mkString(" > "))) else None
+          }
         }
-        state.update(window)
-        out.iterator
       })
       .toDF("user_id", "path")
   }
@@ -577,6 +661,7 @@ object EventStream {
       .withWatermark("__ts", watermarkDelay)
       .as[(Long, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
+    val chunk = BatchSorter.chunkRows(spark)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.EventTimeTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
@@ -585,20 +670,32 @@ object EventStream {
           state.remove()
           Iterator.empty
         } else {
-          val ordered = sortByTsId(rows.toArray)
-          if (ordered.isEmpty) Iterator.empty
-          else {
-            var window = state.getOption.getOrElse(Nil)
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-            ordered.foreach { case (_, t, _, _, _) =>
-              window = (window :+ t).takeRight(n)
-              if (window.length == n) out += ((user, window.mkString(" > ")))
+          // heap-folded window + TTL anchor at ingestion, lazy path
+          // emission — see the NoTimeout twin
+          val topN = new scala.collection.mutable.PriorityQueue[Row5]()(
+            ord5.reverse)
+          var maxTsMs = Long.MinValue
+          val ordered = sortedRows5(rows, chunk, { r =>
+            if (r._5.getTime > maxTsMs) maxTsMs = r._5.getTime
+            if (topN.size < n) topN.enqueue(r)
+            else if (ord5.gt(r, topN.head)) {
+              topN.dequeue(); topN.enqueue(r); ()
             }
-            state.update(window)
-            val maxTs = ordered.map(_._5.getTime).max
-            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+          })
+          if (topN.isEmpty) Iterator.empty
+          else {
+            val carried = state.getOption.getOrElse(Nil)
+            val lastTypes = topN.dequeueAll.iterator
+              .map((r: Row5) => r._2).toList
+            state.update((carried ++ lastTypes).takeRight(n))
+            state.setTimeoutTimestamp(math.max(maxTsMs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
-            out.iterator
+            var w = carried
+            ordered.flatMap { r =>
+              w = (w :+ r._2).takeRight(n)
+              if (w.length == n) Some((user, w.mkString(" > ")))
+              else None
+            }
           }
         })
       .toDF("user_id", "path")
@@ -640,18 +737,23 @@ object EventStream {
         col(idCol).cast("long").as("eid"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
+    val chunk = BatchSorter.chunkRows(spark)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[PikeState]) => {
-        val ordered = sortByTsId(rows.toArray)
-        if (ordered.isEmpty) Iterator.empty
+        val ordered = sortedRows4(rows, chunk)
+        if (!ordered.hasNext) Iterator.empty
         else {
-          val chunk = ordered.map(r => charOf(r._2)).mkString
-          val st = PikeEngine.feed(prog,
-            state.getOption.map(s => KeyedState.checked(s, s.ver,
-              "streamingSequencePattern")).getOrElse(PikeEngine.initial),
-            chunk)
+          // char-chunked feed over the sorted runs: the incremental
+          // Pike VM carries state between chunks exactly as it does
+          // between micro-batches, so no O(batch) decode string is
+          // ever materialized (round 17)
+          val init = state.getOption.map(s => KeyedState.checked(s,
+            s.ver, "streamingSequencePattern"))
+            .getOrElse(PikeEngine.initial)
+          val st = feedChunked(ordered.map(r => charOf(r._2)),
+            Seq(prog), Array(init))(0)
           state.update(st)
           Iterator.single(
             (user, st.pos.toInt, PikeEngine.matchCount(st).toInt))
@@ -704,6 +806,7 @@ object EventStream {
       .withWatermark("__ts", watermarkDelay)
       .as[(Long, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
+    val chunk = BatchSorter.chunkRows(spark)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.EventTimeTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
@@ -714,21 +817,21 @@ object EventStream {
           Iterator.single(
             (user, st.pos.toInt, PikeEngine.matchCount(st).toInt))
         } else {
-          val ordered = sortByTsId(rows.toArray)
-          if (ordered.isEmpty) Iterator.empty
+          var maxTsMs = Long.MinValue
+          val ordered = sortedRows5(rows, chunk,
+            r => if (r._5.getTime > maxTsMs) maxTsMs = r._5.getTime)
+          if (!ordered.hasNext) Iterator.empty
           else {
-            val chunk = ordered.map(r => charOf(r._2)).mkString
-            val st = PikeEngine.feed(prog,
-              state.getOption.map(s => KeyedState.checked(s, s.ver,
-                "streamingSequencePatternTtl"))
-                .getOrElse(PikeEngine.initial),
-              chunk)
+            val init = state.getOption.map(s => KeyedState.checked(s,
+              s.ver, "streamingSequencePatternTtl"))
+              .getOrElse(PikeEngine.initial)
+            val st = feedChunked(ordered.map(r => charOf(r._2)),
+              Seq(prog), Array(init))(0)
             state.update(st)
             // sliding TTL anchored on this batch's max event time
             // (in-order arrival contract — same as the base op);
             // timeout must sit strictly above the current watermark
-            val maxTs = ordered.map(_._5.getTime).max
-            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+            state.setTimeoutTimestamp(math.max(maxTsMs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
             Iterator.single(
               (user, st.pos.toInt, PikeEngine.matchCount(st).toInt))
@@ -1068,20 +1171,20 @@ object EventStream {
         col(idCol).cast("long").as("eid"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
+    val chunk = BatchSorter.chunkRows(spark)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.NoTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long)],
           state: org.apache.spark.sql.streaming.GroupState[MultiPikeState]) => {
-        val ordered = sortByTsId(rows.toArray)
-        if (ordered.isEmpty) Iterator.empty
+        val ordered = sortedRows4(rows, chunk)
+        if (!ordered.hasNext) Iterator.empty
         else {
-          val chunk = ordered.map(r => charOf(r._2)).mkString
           val prev = state.getOption
             .map(s => KeyedState.checked(s, s.ver,
               "streamingSequencePatternMulti").states)
             .getOrElse(Array.fill(progs.length)(PikeEngine.initial))
-          val next = Array.tabulate(progs.length)(i =>
-            PikeEngine.feed(progs(i), prev(i), chunk))
+          val next = feedChunked(ordered.map(r => charOf(r._2)),
+            progs, prev)
           state.update(MultiPikeState(next))
           names.indices.iterator.map(i =>
             (user, names(i), next(i).pos.toInt,
@@ -1126,6 +1229,7 @@ object EventStream {
       .withWatermark("__ts", watermarkDelay)
       .as[(Long, String, Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
+    val chunk = BatchSorter.chunkRows(spark)
     keyed.flatMapGroupsWithState(
       OM.Append(), GroupStateTimeout.EventTimeTimeout())(
       (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
@@ -1135,19 +1239,19 @@ object EventStream {
           state.remove()
           emit(user, sts)
         } else {
-          val ordered = sortByTsId(rows.toArray)
-          if (ordered.isEmpty) Iterator.empty
+          var maxTsMs = Long.MinValue
+          val ordered = sortedRows5(rows, chunk,
+            r => if (r._5.getTime > maxTsMs) maxTsMs = r._5.getTime)
+          if (!ordered.hasNext) Iterator.empty
           else {
-            val chunk = ordered.map(r => charOf(r._2)).mkString
             val prev = state.getOption
               .map(s => KeyedState.checked(s, s.ver,
                 "streamingSequencePatternMultiTtl").states)
               .getOrElse(Array.fill(progs.length)(PikeEngine.initial))
-            val next = Array.tabulate(progs.length)(i =>
-              PikeEngine.feed(progs(i), prev(i), chunk))
+            val next = feedChunked(ordered.map(r => charOf(r._2)),
+              progs, prev)
             state.update(MultiPikeState(next))
-            val maxTs = ordered.map(_._5.getTime).max
-            state.setTimeoutTimestamp(math.max(maxTs + ttlMs,
+            state.setTimeoutTimestamp(math.max(maxTsMs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
             emit(user, next)
           }

@@ -1691,8 +1691,13 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(picks.map(_._1).toSet === oracle,
         "streamed hot-stratum picks must equal the batch quotaSample")
 
-      // (b) transitions: order-requiring — buffers the key's batch
-      // (the stated contract) and must emit exactly n-1 ordered pairs
+      // (b) transitions: order-requiring — since round 17 the sort is
+      // CAPPED-MEMORY: chunkRows forced far below the batch size, so
+      // the million-row key MUST take the spill-run/merge path
+      // (asserted via the spill counter) and still emit exactly n-1
+      // pairs in exact (ts, eid) order
+      spark.conf.set(BatchSorter.ChunkRowsConf, "65536")
+      val spillsBefore = BatchSorter.spillSorts.get()
       val counted = new java.util.concurrent.atomic.AtomicLong(0)
       val wrong = new java.util.concurrent.atomic.AtomicLong(0)
       val q2 = EventStream.streamingTransitions(stream(), "user_id",
@@ -1715,13 +1720,63 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         s"hot key must emit exactly ${n - 1} transitions")
       assert(wrong.get() === 0L,
         "every transition must follow the cyclic event order — the " +
-          "(ts, eid) sort held under the million-row buffer")
+          "(ts, eid) sort held through the spilled runs")
+      assert(BatchSorter.spillSorts.get() > spillsBefore,
+        "the million-row key at chunkRows=65536 must take the " +
+          "capped-memory spill path, not the in-memory fast path")
+      // every spill run file is reclaimed once its stream drains
+      val leftover = Option(new java.io.File(
+          System.getProperty("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_keysort_"))
+      assert(leftover.isEmpty,
+        s"spill runs must be deleted on exhaustion: ${leftover.toSeq}")
     } finally {
+      spark.conf.unset(BatchSorter.ChunkRowsConf)
       spark.sql("DROP VIEW IF EXISTS hot_quota")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
       }
       rm(dir); rm(chk1); rm(chk2)
     }
+  }
+
+  test("BatchSorter: spilled merge is bit-identical to the in-memory sort; onRow sees every row once") {
+    val rnd = new scala.util.Random(42)
+    val rows: Seq[(Long, String, Long, Long)] = (1 to 100000).map { i =>
+      (7L, s"t${rnd.nextInt(5)}", rnd.nextInt(5000).toLong, i.toLong)
+    }
+    val ord = Ordering.by[(Long, String, Long, Long), (Long, Long)](
+      r => (r._3, r._4))
+    def w(o: java.io.DataOutputStream,
+        r: (Long, String, Long, Long)): Unit = {
+      o.writeLong(r._1)
+      val b = r._2.getBytes("UTF-8"); o.writeInt(b.length); o.write(b)
+      o.writeLong(r._3); o.writeLong(r._4)
+    }
+    def rd(i: java.io.DataInputStream): (Long, String, Long, Long) = {
+      val a = i.readLong()
+      val b = new Array[Byte](i.readInt()); i.readFully(b)
+      (a, new String(b, "UTF-8"), i.readLong(), i.readLong())
+    }
+    val expect = rows.sorted(ord)
+    // fast path (fits)
+    var seen = 0L
+    val inMem = BatchSorter.sorted(rows.iterator, 1 << 20,
+      (_: (Long, String, Long, Long)) => seen += 1, w, rd)(
+      ord, implicitly).toSeq
+    assert(seen === rows.length.toLong)
+    assert(inMem === expect)
+    // spill path (97 runs of 1031) — same result, counter fires
+    val before = BatchSorter.spillSorts.get()
+    seen = 0L
+    val spilled = BatchSorter.sorted(rows.iterator, 1031,
+      (_: (Long, String, Long, Long)) => seen += 1, w, rd)(
+      ord, implicitly).toSeq
+    assert(seen === rows.length.toLong)
+    assert(BatchSorter.spillSorts.get() === before + 1)
+    assert(spilled === expect,
+      "ties on (ts, eid) are impossible (eid unique), so the merged " +
+        "run order must equal the in-memory sort exactly")
   }
 }
