@@ -37,15 +37,82 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Iterate {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Set the session's reliable checkpoint dir when requested; returns
     * whether cuts should be reliable. One call per operator
     * invocation (each `setCheckpointDir` call creates a fresh
     * UUID-scoped subdir — calling per ROUND would spray directories).
+    *
+    * OBSERVABLE HANDOFF (round 17): when this call REDIRECTS a
+    * session whose checkpoint dir already pointed somewhere else, the
+    * last-writer-wins takeover is logged — the documented shared-dir
+    * rule (class doc) was otherwise invisible at runtime, and an
+    * operator silently stealing the dir from a concurrent one is
+    * exactly the surprise the rule warns about.
     */
   def configure(df: DataFrame, checkpointDir: Option[String]): Boolean = {
-    checkpointDir.foreach(d =>
-      df.sparkSession.sparkContext.setCheckpointDir(d))
+    checkpointDir.foreach { d =>
+      val sc = df.sparkSession.sparkContext
+      val root = d.stripSuffix("/")
+      // getCheckpointDir returns the UUID-scoped SUBDIR a previous
+      // setCheckpointDir(root) created — same root ⇒ prefix match
+      sc.getCheckpointDir.filterNot(_.stripSuffix("/")
+          .startsWith(root)).foreach { prev =>
+        log.warn(s"Iterate: session checkpoint dir moves $prev -> " +
+          s"$root (setCheckpointDir is last-writer-wins and " +
+          "session-global; a concurrent iterative operator that set " +
+          "the previous dir will write its remaining rounds under " +
+          "the new one — reclaim either dir only after every " +
+          "operator using it has quiesced, or scope the job with " +
+          "Iterate.withJobScopedCheckpointDir)")
+      }
+      sc.setCheckpointDir(d)
+    }
     checkpointDir.isDefined
+  }
+
+  /** Live-user refcount per scratch dir (driver-JVM-local — which is
+    * exactly where Spark's one-checkpoint-dir-per-context constraint
+    * lives).
+    */
+  private val users = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]
+
+  /** Job-scoped reliable-checkpoint scratch (round 17 — closing the
+    * documented-but-manual ownership rule): enters `dir` as the
+    * session's checkpoint dir for the duration of `body` and reclaims
+    * it (recursive delete) only when the LAST concurrent user leaves.
+    * Spark never deletes reliable checkpoint files itself
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` is off by
+    * default), so without this every `checkpointDir` caller had to
+    * hand-roll "delete after ALL iterative ops quiesced".
+    *
+    * Concurrent operators SHARING one dir refcount it — each body
+    * completes with its round files intact, and the delete happens
+    * after the last one returns. Point `dir` at a scratch location
+    * THIS JOB owns (never a shared parent: reclamation deletes the
+    * whole dir). Coordination is per driver JVM; two drivers must not
+    * share a scratch dir (they never can safely — the session-global
+    * constraint is per context anyway).
+    */
+  def withJobScopedCheckpointDir[T](spark: org.apache.spark.sql.SparkSession,
+      dir: String)(body: => T): T = {
+    val n = users.computeIfAbsent(dir,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+    n.incrementAndGet()
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      body
+    } finally {
+      if (n.decrementAndGet() == 0) {
+        users.remove(dir)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        ()
+      }
+    }
   }
 
   /** Eagerly cut `df`'s lineage — reliably when `reliable` (see class

@@ -501,6 +501,52 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("withJobScopedCheckpointDir: concurrent sharers both complete; reclaim fires only after the last leaves") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_jobck").toFile
+    val dir = new java.io.File(root, "scratch")
+    try {
+      val bothIn = new java.util.concurrent.CountDownLatch(2)
+      val release1 = new java.util.concurrent.CountDownLatch(1)
+      val release2 = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val counts = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+      def worker(release: java.util.concurrent.CountDownLatch) =
+        new Thread(() => {
+          try graft.operators.Iterate.withJobScopedCheckpointDir(
+            spark, dir.getAbsolutePath) {
+            // a real reliable cut inside the scope — files land under
+            // the shared dir and must survive the OTHER sharer leaving
+            val cut = spark.range(10).toDF("id").checkpoint()
+            bothIn.countDown()
+            release.await()
+            counts.add(cut.count())
+            ()
+          } catch { case t: Throwable => errs.add(t); () }
+        })
+      val t1 = worker(release1)
+      val t2 = worker(release2)
+      t1.start(); t2.start()
+      assert(bothIn.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(dir.isDirectory, "scratch dir must exist while in use")
+      // first sharer leaves: the dir is still the second's — NO reclaim
+      release1.countDown(); t1.join(60000)
+      assert(dir.isDirectory,
+        "reclaim must wait for the last concurrent user, not the first")
+      // second leaves: the scope reclaims the whole scratch dir
+      release2.countDown(); t2.join(60000)
+      assert(errs.isEmpty, s"both sharers must complete: $errs")
+      assert(counts.toArray.toSeq === Seq(10L, 10L))
+      assert(!dir.exists(),
+        "the last user's exit must delete the job-scoped scratch dir")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(root)
+    }
+  }
+
   test("labelPropagateConverged: empty graph returns empty, no NPE") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("s", "d")
