@@ -124,6 +124,31 @@ object Bench {
       case (k, med, _, Some(_), s1) if math.abs(s1 - med) > 0.3 =>
         s"\"" + k + "\":" + r3(s1)
     }.mkString("{", ",", "}")
+    // MEMO-OFF STREAM PASS (round 17): one un-memoized execution per
+    // stream_* gate in the warm JVM. The round-16 result memo makes
+    // stream medians ~0.03-0.07 s block reads, leaving the real
+    // streaming cost only in `first` — which mixes fixture write, JIT
+    // and boot variance (±0.5 s between identical rounds), so a
+    // kernel regression had to beat boot noise in one cold sample to
+    // be visible. This pass re-executes each gate with the memo
+    // bypassed AFTER warmup: fixtures are memoized and codegen/JIT is
+    // hot, so the sample is the tracked steady-state series PLANS.md
+    // compares round over round. Disable with
+    // SPARK_GRAFT_STREAM_MEMOOFF=0.
+    val memoOff: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_STREAM_MEMOOFF").contains("0"))
+        Seq.empty
+      else {
+        SparkEntry.memoStreamGatesEnabled = false
+        try sorted.collect {
+          case (name, fn) if name.startsWith("stream_") =>
+            val (s, e) = timed(fn)
+            System.err.println(f"[bench] memo-off $name%-26s $s%8.2f s" +
+              e.map(m => s"  ERROR: $m").getOrElse(""))
+            (name, s)
+        }
+        finally SparkEntry.memoStreamGatesEnabled = true
+      }
     val total = results.map(_._2).sum
     // contention diagnostic: host steal percentage over the measured
     // window. This box shows multi-minute steal windows that inflate
@@ -142,7 +167,10 @@ object Bench {
         f"${(s1 - s0) * 100.0 / (t1 - t0)}%.1f"
       case _ => "null"
     }
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"first":$firsts,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
+    val memoOffJson = memoOff.map { case (k, v) =>
+      s"\"" + k + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"first":$firsts,"stream_memooff":$memoOffJson,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
     // Full line first (per-query detail), durable copy on disk, and a
     // ~120-byte total-only line LAST: whatever slice of the tail the
     // driver parses, at least one complete JSON line with the round
@@ -152,7 +180,15 @@ object Bench {
       java.nio.file.Paths.get(outPath), full + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"n_queries":${results.size},"n_errors":$nErr,"steal_pct":$stealPct,"sf":"$sfDir"}""")
+    // the driver parses the LAST complete JSON line in its tail
+    // window: keep it small, but carry the TOP-20 medians (round-16
+    // verdict: the headline 287 s was not decomposable from the
+    // artifact) — ~600 bytes, far inside the window that truncated
+    // the full 246-query map in round 4
+    val top20 = results.filter(_._3.isEmpty).sortBy(-_._2).take(20)
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top20,"n_queries":${results.size},"n_errors":$nErr,"steal_pct":$stealPct,"sf":"$sfDir"}""")
     spark.stop()
     // Backstop: any leaked non-daemon thread (3rd-party pool, Derby, …)
     // must not block driver timeout-kill the bench (round-1 rc=124).

@@ -757,12 +757,17 @@ object ScaleSmoke {
     // cache). Outputs are bit-identical (RocksDbStateSpec pins it);
     // this measures the operational difference.
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    def run(op: DataFrame => DataFrame, provider: Option[String] = None)
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled"
+    def run(op: DataFrame => DataFrame, provider: Option[String] = None,
+        changelog: Boolean = false)
         : Seq[(Int, Double, Long, Long)] = {
       val dir = java.nio.file.Files.createTempDirectory("graft_churn")
       val chk = java.nio.file.Files.createTempDirectory("graft_churn_chk")
       val oldProv = spark.conf.getOption(providerKey)
+      val oldCl = spark.conf.getOption(changelogKey)
       provider.foreach(p => spark.conf.set(providerKey, p))
+      if (changelog) spark.conf.set(changelogKey, "true")
       try {
         batchDf(0).coalesce(1).write.parquet(s"$dir/b${"%04d".format(0)}")
         val schema = spark.read.parquet(s"$dir/b0000").schema
@@ -787,6 +792,8 @@ object ScaleSmoke {
       } finally {
         oldProv.fold(spark.conf.unset(providerKey))(v =>
           spark.conf.set(providerKey, v))
+        oldCl.fold(spark.conf.unset(changelogKey))(v =>
+          spark.conf.set(changelogKey, v))
         Seq(dir, chk).foreach { d =>
           val w = java.nio.file.Files.walk(d)
           try w.sorted(java.util.Comparator
@@ -840,23 +847,49 @@ object ScaleSmoke {
       graft.streaming.EventStream.streamingSequencePattern(s,
         "user_id", "event_type", "ts", "event_id", charOf, pattern),
       Some(rocks))
+    // CHANGELOG-CHECKPOINTING arm (round 17): the production
+    // low-latency commit mode — per-batch cost must not regress vs
+    // plain RocksDB as live state grows (full snapshot uploads are
+    // replaced by delta changelogs; that is the claim this curve
+    // records)
+    val ttlRC = run(s =>
+      graft.streaming.EventStream.streamingSequencePatternTtl(s,
+        "user_id", "event_type", "ts", "event_id", charOf, pattern,
+        ttlMs = ttlMs, watermarkDelay = "1 second"), Some(rocks),
+      changelog = true)
+    val noTtlRC = run(s =>
+      graft.streaming.EventStream.streamingSequencePattern(s,
+        "user_id", "event_type", "ts", "event_id", charOf, pattern),
+      Some(rocks), changelog = true)
     def batchMean(xs: Seq[(Int, Double, Long, Long)]) = {
       val ts = xs.drop(2).map(_._2); ts.sum / math.max(ts.length, 1)
     }
     println(f"${"op"}%-7s ${"provider"}%-12s ${"final_rows"}%-11s ${"state_MB"}%-9s ${"batch_s"}%-8s")
     Seq(("ttl", "hdfs-heap", ttl), ("ttl", "rocksdb", ttlR),
-        ("nottl", "hdfs-heap", noTtl), ("nottl", "rocksdb", noTtlR))
+        ("ttl", "rocksdb+cl", ttlRC),
+        ("nottl", "hdfs-heap", noTtl), ("nottl", "rocksdb", noTtlR),
+        ("nottl", "rocksdb+cl", noTtlRC))
       .foreach { case (opN, prov, xs) =>
         println(f"$opN%-7s $prov%-12s ${xs.last._3}%-11d ${xs.last._4 / 1e6}%-9.2f ${batchMean(xs)}%-8.3f")
       }
+    // the live-state GROWTH curves (NoTTL accumulates one state row
+    // per distinct key ever seen): per-provider memory + per-batch
+    // cost at the marks — the "millions of live keys" evidence
+    println(f"${"batch"}%-7s ${"keys"}%-9s ${"heap_MB"}%-8s ${"heap_s"}%-7s ${"rocks_MB"}%-9s ${"rocks_s"}%-8s ${"rkcl_MB"}%-8s ${"rkcl_s"}%-7s")
+    marks.foreach { b =>
+      val (h, r, c) = (noTtl(b - 1), noTtlR(b - 1), noTtlRC(b - 1))
+      println(f"$b%-7d ${h._3}%-9d ${h._4 / 1e6}%-8.2f ${h._2}%-7.3f ${r._4 / 1e6}%-9.2f ${r._2}%-8.3f ${c._4 / 1e6}%-8.2f ${c._2}%-7.3f")
+    }
     val rowParity = ttl.last._3 == ttlR.last._3 &&
-      noTtl.last._3 == noTtlR.last._3
-    println(s"provider row-count parity: $rowParity (memory columns " +
-      "differ by design — HDFSBacked reports the on-heap key map, " +
-      "RocksDB its block cache + memtables)")
+      ttl.last._3 == ttlRC.last._3 &&
+      noTtl.last._3 == noTtlR.last._3 &&
+      noTtl.last._3 == noTtlRC.last._3
+    println(s"provider row-count parity (incl. changelog): $rowParity " +
+      "(memory columns differ by design — HDFSBacked reports the " +
+      "on-heap key map, RocksDB its block cache + memtables)")
     require(rowParity, "provider state-row divergence: " +
-      s"ttl ${ttl.last._3} vs ${ttlR.last._3}, " +
-      s"nottl ${noTtl.last._3} vs ${noTtlR.last._3}")
+      s"ttl ${ttl.last._3} vs ${ttlR.last._3} vs ${ttlRC.last._3}, " +
+      s"nottl ${noTtl.last._3} vs ${noTtlR.last._3} vs ${noTtlRC.last._3}")
   }
 
   /** `race` mode: concurrent-reader stress for the manifest store —
