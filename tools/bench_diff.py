@@ -77,6 +77,30 @@ def main():
         for q in sorted(steadies):
             print(f"  {q:26s} first {steadies[q]:6.2f} s   "
                   f"median {qn[q]:6.2f} s")
+    # round-17+: the memo-off stream pass is the tracked steady-state
+    # series for stream gates (their medians are memoized block reads
+    # since r16) — diff it like-for-like when both rounds carry it,
+    # flagging >1.3x movers per the round-16 verdict ask
+    mo_old, mo_new = old.get("stream_memooff", {}), new.get(
+        "stream_memooff", {})
+    mo_common = sorted(set(mo_old) & set(mo_new))
+    if mo_common:
+        print("\nstream memo-off (steady-state) movers >1.3x:")
+        any_mover = False
+        for q in mo_common:
+            a, b = mo_old[q], mo_new[q]
+            if a > 0 and (b / a > 1.3 or a / b > 1.3) and abs(b - a) > 0.3:
+                print(f"  STREAM-MOVER {q:26s} {a:6.2f} -> {b:6.2f} s "
+                      f"({b / a:4.2f}x)")
+                any_mover = True
+        if not any_mover:
+            print("  none")
+        print(f"  memo-off sums: old {sum(mo_old[q] for q in mo_common):.1f} s"
+              f"  new {sum(mo_new[q] for q in mo_common):.1f} s"
+              f"  ({len(mo_common)} gates)")
+    elif mo_new:
+        print(f"\nstream memo-off: new series present ({len(mo_new)} gates,"
+              f" {sum(mo_new.values()):.1f} s) — no old series to diff")
 
 
 if __name__ == "__main__":
