@@ -69,9 +69,21 @@ private[streaming] object BatchSorter {
       implicit ord: Ordering[T],
       ct: scala.reflect.ClassTag[T]): Iterator[T] = {
     val cmp = ord.asInstanceOf[java.util.Comparator[AnyRef]]
-    val buf = new Array[T](chunk)
+    // the buffer GROWS geometrically toward `chunk` instead of being
+    // allocated at full chunk size upfront: this function runs once
+    // per KEY GROUP per micro-batch, and a 2²¹-slot array per 3-row
+    // group is ~16 MB of allocation churn per key — at 20k keys/batch
+    // that alone throttled the churn sweep to GC (caught live, round
+    // 17). Small groups now cost O(group); only a group that actually
+    // fills the chunk pays the full allocation.
+    var buf = ct.newArray(math.min(chunk, 64))
     var m = 0
     while (m < chunk && rows.hasNext) {
+      if (m == buf.length) {
+        val nb = ct.newArray(math.min(chunk.toLong, buf.length * 2L).toInt)
+        System.arraycopy(buf, 0, nb, 0, m)
+        buf = nb
+      }
       val r = rows.next(); onRow(r); buf(m) = r; m += 1
     }
     if (!rows.hasNext) { // fits: the round-16 in-place array sort

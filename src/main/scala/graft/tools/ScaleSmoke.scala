@@ -1444,7 +1444,9 @@ object ScaleSmoke {
         else (60, 256, 40)
       val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
       val sp = SparkSession.builder().master(s"local[$cpus0]")
-        .config("spark.sql.shuffle.partitions", "8")
+        // state ops parallelize per shuffle partition — at the 10^6-key
+        // sweep scale the 8-partition default left half the box idle
+        .config("spark.sql.shuffle.partitions", cpus0)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       sp.sparkContext.setLogLevel("WARN")
