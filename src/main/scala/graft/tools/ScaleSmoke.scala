@@ -1082,9 +1082,15 @@ object ScaleSmoke {
       var liveNow = 0
       var nextId = 0
       // distinct cells spread entries across checkpoint shards — the
-      // probe column below lists ONE cell and must stay flat in live
+      // probe column below lists ONE cell and must stay flat in live.
+      // The seg dir is CREATED (round 17): commit verifies its adds
+      // exist on disk pre-publish, so the timed commits below measure
+      // the real path including that exists() probe.
       def freshEntry(): String = {
-        nextId += 1; s"seg=s$nextId/cell=${nextId % 512}"
+        nextId += 1
+        java.nio.file.Files.createDirectories(
+          dir.resolve(s"seg=s$nextId"))
+        s"seg=s$nextId/cell=${nextId % 512}"
       }
       var pool = scala.collection.mutable.ArrayBuffer.empty[String]
       phases.foreach { target =>
