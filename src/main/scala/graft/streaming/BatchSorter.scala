@@ -93,6 +93,12 @@ private[streaming] object BatchSorter {
 
     spillSorts.incrementAndGet()
     val files = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    // abort backstop registered BEFORE the first spill (the listener
+    // holds the buffer by reference, so later-added runs are covered):
+    // a task dying mid-spill or mid-merge must not leak run files
+    // until JVM exit
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => files.foreach(_.delete())))
     def spillRun(len: Int): Unit = {
       java.util.Arrays.sort(buf.asInstanceOf[Array[AnyRef]], 0, len, cmp)
       val f = java.io.File.createTempFile("graft_keysort_", ".run")
@@ -114,11 +120,6 @@ private[streaming] object BatchSorter {
       }
       if (m > 0) spillRun(m)
     }
-    // abort backstop: a query dying mid-consumption must not leak
-    // run files until JVM exit
-    Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => files.foreach(_.delete())))
-
     final class Run(f: java.io.File) {
       private val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(
