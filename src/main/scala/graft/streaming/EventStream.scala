@@ -449,7 +449,11 @@ object EventStream {
     * whole batch as one decode string (round 17 — the last O(batch)
     * buffer those ops had).
     */
-  private val FeedChunkChars = 64 * 1024
+  /** Mutable ONLY so the multi-flush equivalence spec can force many
+    * flushes on a small fixture (the ShardTargetEntries precedent);
+    * production code never writes it.
+    */
+  private[streaming] var FeedChunkChars = 64 * 1024
   private def feedChunked(it: Iterator[String],
       progs: Seq[PikeRegex.Program],
       init: Array[PikeState]): Array[PikeState] = {

@@ -238,6 +238,22 @@ class CommitGuardSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("AtomicCreate: a mid-publish failure propagates loudly and publishes nothing") {
+    withAtomicCreateDir { (fs, dir) =>
+      val target = new Path(dir + "/_manifests/v000000000002.json")
+      fs.mkdirs(target.getParent)
+      // the tmp vanished (a racing vacuum's _tmp_ GC, a disk fault):
+      // the guard must throw — never map a non-already-exists failure
+      // to "lost the race" — and on a close-decided store nothing may
+      // become visible under the target name
+      val ghost = new Path(target.getParent, "_tmp_missing")
+      intercept[java.io.FileNotFoundException](
+        CommitGuard.AtomicCreate.publish(fs, ghost, target))
+      assert(!fs.exists(target),
+        "a failed close-decided publish must leave nothing visible")
+    }
+  }
+
   test("abfs/abfss (atomic rename) and gs (AtomicCreate) ship defaults; s3a still refuses") {
     // ADLS Gen2: hierarchical-namespace rename is atomic and refuses
     // an existing destination; a create-decided publish would tear

@@ -1741,6 +1741,64 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("chunked Pike feed: hundreds of flushes equal one feed (FeedChunkChars forced tiny)") {
+    // the round-17 pattern ops feed the Pike VM in bounded char
+    // chunks; the incremental-feed ENGINE parity is PikeRegexSpec's,
+    // but the operator-side flush loop (buffer fill -> feed -> reset,
+    // hundreds of times in one micro-batch) deserves its own pin:
+    // a 5000-event single-user batch with an 8-char flush threshold
+    // must produce the exact (n_events, n_matches) the default
+    // threshold (one flush) produces.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_feedchunk").toFile
+    val chkA = Files.createTempDirectory("graft_feedchunk_ca").toFile
+    val chkB = Files.createTempDirectory("graft_feedchunk_cb").toFile
+    val oldChunk = EventStream.FeedChunkChars
+    try {
+      val n = 5000L
+      spark.range(n).select(
+          lit(1L).as("user_id"),
+          col("id").as("event_id"),
+          timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+          when(pmod(col("id"), lit(7)) === 0, "view")
+            .when(pmod(col("id"), lit(7)) < 5, "click")
+            .otherwise("purchase").as("event_type"))
+        .coalesce(1).write.parquet(dir.getAbsolutePath + "/b1")
+      val schema = spark.read.parquet(dir.getAbsolutePath + "/b1").schema
+      val charOf = (t: String) => t match {
+        case "view" => "v"; case "click" => "c"; case _ => "p"
+      }
+      def runOnce(chk: java.io.File, name: String): (Int, Int) = {
+        val q = EventStream.streamingSequencePattern(
+            spark.readStream.schema(schema)
+              .parquet(dir.getAbsolutePath + "/*"),
+            "user_id", "event_type", "ts", "event_id", charOf,
+            "vc+p")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", chk.getAbsolutePath).start()
+        q.processAllAvailable(); q.stop()
+        val r = spark.table(name).collect().last
+        (r.getInt(1), r.getInt(2))
+      }
+      val oneFeed = runOnce(chkA, "feed_default")
+      assert(oneFeed._1 === n.toInt, "every event must be consumed")
+      assert(oneFeed._2 > 0, "fixture must actually match the pattern")
+      EventStream.FeedChunkChars = 8 // ~625 flushes over the batch
+      val manyFlushes = runOnce(chkB, "feed_tiny")
+      assert(manyFlushes === oneFeed,
+        "multi-flush chunked feed must equal the single-feed result")
+    } finally {
+      EventStream.FeedChunkChars = oldChunk
+      spark.sql("DROP VIEW IF EXISTS feed_default")
+      spark.sql("DROP VIEW IF EXISTS feed_tiny")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir); rm(chkA); rm(chkB)
+    }
+  }
+
   test("BatchSorter: spilled merge is bit-identical to the in-memory sort; onRow sees every row once") {
     val rnd = new scala.util.Random(42)
     val rows: Seq[(Long, String, Long, Long)] = (1 to 100000).map { i =>
