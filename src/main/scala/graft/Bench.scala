@@ -83,7 +83,14 @@ object Bench {
     // sample from a stable one. Note reruns hit warm CacheManager
     // state, so the median sits between cold and warm — comparable
     // across rounds under the same methodology, not to pre-r12 mins.
-    val rerunnable = firstPass.filter(q => q._4.isEmpty && q._3 > 0.3)
+    // threshold 0.15 s (round 18, was 0.3): the 0.15–0.3 s band had NO
+    // rerun samples, so bench_diff fell back to a blanket 0.15 s
+    // absolute floor there — sampling them gives every comparable gate
+    // a MEASURED spread and lets the floor relax to 0.10 s (a real
+    // 1.5x regression of a 0.3 s gate now clears it; job-floor jitter
+    // does not). Below 0.15 s the job floor dominates and a swing is
+    // noise, not signal. Costs ~19 s of bench wall time.
+    val rerunnable = firstPass.filter(q => q._4.isEmpty && q._3 > 0.15)
     val extras: Map[String, Seq[Double]] = (1 to 2).flatMap { _ =>
       rerunnable.map { case (name, fn, _, _) =>
         val (s, e) = timed(fn)
@@ -135,19 +142,35 @@ object Bench {
     // hot, so the sample is the tracked steady-state series PLANS.md
     // compares round over round. Disable with
     // SPARK_GRAFT_STREAM_MEMOOFF=0.
-    val memoOff: Seq[(String, Double)] =
+    // Round 18: the INNER memos are bypassed too (memoStreamInnerEnabled
+    // — scd2/sync/vector_sync memoize their folded end state per dir,
+    // so their memo-off values were warm reads; now all 27 gates
+    // re-execute for real), and an ERRORED gate's wall time never
+    // enters the series — it lands in a separate errors key so
+    // bench_diff never diffs a failed gate's truncated time as a
+    // steady-state sample (round-18 ADVICE).
+    val (memoOff, memoOffErrs): (Seq[(String, Double)], Seq[(String, String)]) =
       if (sys.env.get("SPARK_GRAFT_STREAM_MEMOOFF").contains("0"))
-        Seq.empty
+        (Seq.empty, Seq.empty)
       else {
         SparkEntry.memoStreamGatesEnabled = false
-        try sorted.collect {
-          case (name, fn) if name.startsWith("stream_") =>
-            val (s, e) = timed(fn)
-            System.err.println(f"[bench] memo-off $name%-26s $s%8.2f s" +
-              e.map(m => s"  ERROR: $m").getOrElse(""))
-            (name, s)
+        SparkEntry.memoStreamInnerEnabled = false
+        try {
+          val runs = sorted.collect {
+            case (name, fn) if name.startsWith("stream_") =>
+              val (s, e) = timed(fn)
+              System.err.println(f"[bench] memo-off $name%-26s $s%8.2f s" +
+                e.map(m => s"  ERROR: $m").getOrElse(""))
+              (name, s, e)
+          }
+          (runs.collect { case (n, s, None) => (n, s) },
+            runs.collect { case (n, _, Some(e)) =>
+              (n, e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) })
         }
-        finally SparkEntry.memoStreamGatesEnabled = true
+        finally {
+          SparkEntry.memoStreamGatesEnabled = true
+          SparkEntry.memoStreamInnerEnabled = true
+        }
       }
     val total = results.map(_._2).sum
     // contention diagnostic: host steal percentage over the measured
@@ -170,7 +193,10 @@ object Bench {
     val memoOffJson = memoOff.map { case (k, v) =>
       s"\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"first":$firsts,"stream_memooff":$memoOffJson,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
+    val memoOffErrJson = memoOffErrs.map { case (k, m) =>
+      s"\"" + k + "\":\"" + m + "\""
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"first":$firsts,"stream_memooff":$memoOffJson,"stream_memooff_errors":$memoOffErrJson,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
     // Full line first (per-query detail), durable copy on disk, and a
     // ~120-byte total-only line LAST: whatever slice of the tail the
     // driver parses, at least one complete JSON line with the round

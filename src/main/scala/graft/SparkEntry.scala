@@ -146,6 +146,48 @@ object SparkEntry {
     */
   private val scd2StreamResults = new SessionMemo
 
+  /** The [[scd2StreamResults]] builder (round 18 — extracted for the
+    * memo-off fresh variant): folds the classified CDC stream
+    * micro-batch by micro-batch into the versioned dimension and
+    * returns the final folded frame.
+    */
+  private def buildScd2Stream(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    var dim = ord.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        lit("2025-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+      .localCheckpoint()
+    val changes = DiffSync.diff(
+        diffSrc(s, dir).drop("o_custkey"),
+        diffTgt(s, dir).drop("o_custkey"), Seq("o_orderkey"))
+      .filter(col(DiffSync.FlagCol) =!= "identical")
+    val stream = streamPrefixBy(s, changes,
+      pmod(col("o_orderkey"), lit(3)).cast("int"), 3,
+      Some(s"$dir|cdc-scd2"))
+    val chk = trackStreamTmp(
+      java.nio.file.Files.createTempDirectory("graft_scd2_chk"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", chk.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // localCheckpoint per fold: cuts the lineage (the plan
+        // would otherwise double per batch) and makes the fold
+        // durable for the next micro-batch
+        dim = graft.operators.Scd2.applyCdc(dim, batch,
+            "o_orderkey", Seq("o_totalprice"), DiffSync.FlagCol,
+            lit("2026-01-01"))
+          .localCheckpoint()
+      }
+      .start()
+    q.awaitTermination()
+    dim
+  }
+
   /** stream_sync_apply memo: per input dir, the in-memory Derby URL
     * holding the FINAL synced table — the continuous CDC sync runs
     * once per JVM; bench/verify reruns re-read the result table (the
@@ -153,6 +195,52 @@ object SparkEntry {
     */
   private val syncTargetUrls =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The [[syncTargetUrls]] builder (round 18 — extracted so the
+    * bench memo-off pass can run it FRESH per call via
+    * [[memoStreamInnerEnabled]]): seeds a new in-memory Derby target
+    * with the diff fixture's target state, streams the classified CDC
+    * diff through continuousSyncWriter in 3 micro-batches, and
+    * returns the target's JDBC URL.
+    */
+  private def buildSyncTarget(s: SparkSession, dir: String): String = {
+    val u = "jdbc:derby:memory:graft_sync_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") +
+      ";create=true"
+    // DDL-create with UNQUOTED identifiers (Derby uppercases them
+    // — what applyToJdbc's unquoted SQL expects); Spark's append
+    // writer then resolves names against the existing table
+    // case-insensitively (the SyncDemo pattern)
+    val conn = java.sql.DriverManager.getConnection(u)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE SYNC_TARGET (o_orderkey BIGINT NOT NULL " +
+        "PRIMARY KEY, o_custkey BIGINT, o_totalprice DOUBLE)")
+    finally conn.close()
+    graft.operators.JdbcSink.write(diffTgt(s, dir),
+      graft.operators.JdbcSink.Spec(u, "SYNC_TARGET", "", "",
+        numPartitions = 4, truncate = false,
+        relaxDurability = false, rewriteBatchedInserts = false))
+    val changes = DiffSync.diff(diffSrc(s, dir), diffTgt(s, dir),
+        Seq("o_orderkey"))
+      .filter(col(DiffSync.FlagCol) =!= "identical")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        when(col(DiffSync.FlagCol) === "deleted", lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+    val stream = streamPrefixBy(s, changes,
+      pmod(col("o_orderkey"), lit(3)).cast("int"), 3,
+      Some(s"$dir|cdc-sync"))
+    val chk = trackStreamTmp(
+      java.nio.file.Files.createTempDirectory("graft_sync_chk"))
+    val q = graft.streaming.EventStream.continuousSyncWriter(
+        stream, Seq("o_orderkey"),
+        DiffSync.SyncTarget(u, "SYNC_TARGET", "", "",
+          dialect = "generic"),
+        chk.toString, opCol = Some("op"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    u
+  }
 
   /** stream_graph_ingest memo: per input dir, the parquet dir of the
     * STREAMED graph index store — the vector stream runs once per
@@ -235,6 +323,52 @@ object SparkEntry {
     */
   private val vectorSyncDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The [[vectorSyncDirs]] builder (round 18 — extracted for the
+    * memo-off fresh variant): builds the corrupted-twin base store,
+    * streams the CDC upsert/delete batches through
+    * streamingVectorSync, and returns the synced store's dir.
+    */
+  private def buildVectorSyncStore(s: SparkSession, dir: String): String = {
+    val (corpus, _) = plantedAnnFixture(s, dir)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id",
+      "embedding", 16)
+    val band = floor(col("vec_id") / 100000L)
+    val corrupted = corpus.filter(band.between(1, 3))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(-1.0))
+          .as("embedding"))
+    // naturals = everything OUTSIDE the planted-twin bands 1–5
+    // (not just band 0): with the fixture assert this is
+    // equivalent, but it stays correct if naturals ever grow past
+    // vec_id 600000
+    val base = corpus.filter(!band.between(1, 5))
+      .unionByName(corrupted)
+    val idx = trackStreamTmp(
+      java.nio.file.Files.createTempDirectory("graft_vsync_idx"))
+    Similarity.graphAnnBuild(base, "vec_id", "embedding", cents,
+        degree = 8, efConstruction = 64)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(idx.toString)
+    val changes = corpus.filter(band.isin(1, 3, 5))
+      .select(col("vec_id"), col("embedding"),
+        lit("upsert").as("op"))
+      .unionByName(corpus.filter(band.isin(2, 4))
+        .select(col("vec_id"), col("embedding"),
+          lit("delete").as("op")))
+    val stream = streamPrefixBy(s, changes,
+      pmod(col("vec_id"), lit(3)).cast("int"), 3,
+      Some(s"$dir|vec-sync"))
+    val chk = trackStreamTmp(
+      java.nio.file.Files.createTempDirectory("graft_vsync_chk"))
+    val q = graft.streaming.VectorIngest.streamingVectorSync(
+        stream, "vec_id", "embedding", "op", cents, idx.toString,
+        chk.toString, degree = 8, efConstruction = 64,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    idx.toString
+  }
 
   /** Once-per-dir fixture-contract check for [[plantedAnnFixture]]:
     * natural vec_ids must sit below the planted-twin band range.
@@ -407,24 +541,34 @@ object SparkEntry {
     * session's frame memoized under the other's tenure (a dead-block
     * read after the first session stops). Entries are now keyed by
     * the session OBJECT: live sessions coexist (no eviction thrash —
-    * the RocksDB parity matrix interleaves sessions), stopped
+    * the RocksDB parity matrix interleaves sessions), and stopped
     * sessions are swept on every access (their checkpoint blocks are
-    * gone with their BlockManager), and the WeakHashMap is belt to
-    * that sweep's braces. The inner compute runs the gate under the
-    * key's bin lock, exactly like the previous CHM memo.
+    * gone with their BlockManager). The sweep is the ONLY reclamation
+    * (round-18 ADVICE: the previous WeakHashMap "belt" was inert —
+    * the memoized frames strongly reference their owning session, so
+    * no entry could ever be weakly collected; the claim is dropped
+    * rather than papered over). Consequence, documented: a stopped
+    * session's (small, localCheckpoint'd) frames are retained until
+    * the next getOrBuild or clearResultMemos call — bounded in every
+    * real caller (bench/verify hit the memo continuously), and the
+    * blocks themselves died with the session's BlockManager either
+    * way. The inner compute runs the gate under the key's bin lock,
+    * exactly like the previous CHM memo.
     */
   private final class SessionMemo {
-    private val maps = java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    private val maps = new java.util.concurrent.ConcurrentHashMap[
+      SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
     def getOrBuild(s: SparkSession, key: String,
         build: => DataFrame): DataFrame = {
-      maps.synchronized { // manual lock: entrySet iteration
-        maps.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
-      }
+      sweep()
       maps.computeIfAbsent(s, _ =>
           new java.util.concurrent.ConcurrentHashMap[String, DataFrame])
         .computeIfAbsent(key, _ => build)
+    }
+    def sweep(): Unit = {
+      maps.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+      ()
     }
     def clear(): Unit = maps.clear()
   }
@@ -440,6 +584,21 @@ object SparkEntry {
     * bench and Verify (where the memo is the point) leave it on.
     */
   @volatile private[graft] var memoStreamGatesEnabled = true
+
+  /** Inner-memo bypass (round 18, closing the memo-off blind spot):
+    * stream_scd2_apply / stream_sync_apply / stream_vector_sync
+    * memoize their FOLDED END STATE per input dir (Derby URL, folded
+    * dimension, synced store), so even with [[memoStreamGatesEnabled]]
+    * off their re-execution was a warm read of that state and the
+    * bench memo-off series recorded a fixture read, not the operator.
+    * Flipping this off makes those three gates rebuild their end
+    * state from the (still-memoized) fixtures on every call — the
+    * real steady-state streaming cost, comparable round over round
+    * like the other 24 gates. Bench's memo-off pass and TimeQuery
+    * flip it; Verify and correctness runs leave it on (one execution
+    * per JVM either way).
+    */
+  @volatile private[graft] var memoStreamInnerEnabled = true
 
   /** Explicit clear for block-wiping specs (session-keyed eviction is
     * otherwise automatic — see [[SessionMemo]]).
@@ -1621,44 +1780,9 @@ object SparkEntry {
       // verbatim. Insert, update AND delete tombstones are all
       // exercised by construction (keys %10==3 are new, %7==0 are
       // changed, %10==4 are deleted).
-      val url = syncTargetUrls.computeIfAbsent(dir, _ => {
-        val u = "jdbc:derby:memory:graft_sync_" +
-          java.util.UUID.randomUUID().toString.replace("-", "") +
-          ";create=true"
-        // DDL-create with UNQUOTED identifiers (Derby uppercases them
-        // — what applyToJdbc's unquoted SQL expects); Spark's append
-        // writer then resolves names against the existing table
-        // case-insensitively (the SyncDemo pattern)
-        val conn = java.sql.DriverManager.getConnection(u)
-        try conn.createStatement().executeUpdate(
-          "CREATE TABLE SYNC_TARGET (o_orderkey BIGINT NOT NULL " +
-            "PRIMARY KEY, o_custkey BIGINT, o_totalprice DOUBLE)")
-        finally conn.close()
-        graft.operators.JdbcSink.write(diffTgt(s, dir),
-          graft.operators.JdbcSink.Spec(u, "SYNC_TARGET", "", "",
-            numPartitions = 4, truncate = false,
-            relaxDurability = false, rewriteBatchedInserts = false))
-        val changes = DiffSync.diff(diffSrc(s, dir), diffTgt(s, dir),
-            Seq("o_orderkey"))
-          .filter(col(DiffSync.FlagCol) =!= "identical")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            when(col(DiffSync.FlagCol) === "deleted", lit("delete"))
-              .otherwise(lit("upsert")).as("op"))
-        val stream = streamPrefixBy(s, changes,
-          pmod(col("o_orderkey"), lit(3)).cast("int"), 3,
-          Some(s"$dir|cdc-sync"))
-        val chk = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_sync_chk"))
-        val q = graft.streaming.EventStream.continuousSyncWriter(
-            stream, Seq("o_orderkey"),
-            DiffSync.SyncTarget(u, "SYNC_TARGET", "", "",
-              dialect = "generic"),
-            chk.toString, opCol = Some("op"),
-            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        u
-      })
+      val url =
+        if (!memoStreamInnerEnabled) buildSyncTarget(s, dir)
+        else syncTargetUrls.computeIfAbsent(dir, _ => buildSyncTarget(s, dir))
       s.read.format("jdbc").option("url", url)
         .option("dbtable", "SYNC_TARGET").load()
         // Derby uppercases unquoted identifiers on read-back
@@ -1678,42 +1802,9 @@ object SparkEntry {
       // apply2 of the full snapshot — c20_scd2_apply's own oracle,
       // verbatim. Exercises close-reopen (changed), insert (new) and
       // close-only (deleted tombstone) version chaining.
-      scd2StreamResults.getOrBuild(s, dir, {
-        val ord = t(s, dir, "orders")
-        var dim = ord.filter(col("o_orderkey") % 10 =!= 3)
-          .select(col("o_orderkey"),
-            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
-              .otherwise(col("o_totalprice")).as("o_totalprice"),
-            lit("2025-01-01").as("valid_from"),
-            lit(null).cast("string").as("valid_to"),
-            lit(true).as("is_current"))
-          .localCheckpoint()
-        val changes = DiffSync.diff(
-            diffSrc(s, dir).drop("o_custkey"),
-            diffTgt(s, dir).drop("o_custkey"), Seq("o_orderkey"))
-          .filter(col(DiffSync.FlagCol) =!= "identical")
-        val stream = streamPrefixBy(s, changes,
-          pmod(col("o_orderkey"), lit(3)).cast("int"), 3,
-          Some(s"$dir|cdc-scd2"))
-        val chk = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_scd2_chk"))
-        val q = stream.writeStream
-          .outputMode("update")
-          .option("checkpointLocation", chk.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // localCheckpoint per fold: cuts the lineage (the plan
-            // would otherwise double per batch) and makes the fold
-            // durable for the next micro-batch
-            dim = graft.operators.Scd2.applyCdc(dim, batch,
-                "o_orderkey", Seq("o_totalprice"), DiffSync.FlagCol,
-                lit("2026-01-01"))
-              .localCheckpoint()
-          }
-          .start()
-        q.awaitTermination()
-        dim
-      }).orderBy(col("o_orderkey"), col("valid_from"), col("is_current"))
+      (if (!memoStreamInnerEnabled) buildScd2Stream(s, dir)
+       else scd2StreamResults.getOrBuild(s, dir, buildScd2Stream(s, dir)))
+        .orderBy(col("o_orderkey"), col("valid_from"), col("is_current"))
     }),
 
     "stream_graph_ingest" -> ((s, dir) => {
@@ -1756,46 +1847,10 @@ object SparkEntry {
       // Final store = naturals + true twins of bands 1/3/5, so the
       // top-3 search equals the remove oracle (brute force minus
       // bands 2/4) — which holds iff all four CDC paths applied.
-      val idxDir = vectorSyncDirs.computeIfAbsent(dir, _ => {
-        val (corpus, _) = plantedAnnFixture(s, dir)
-        val cents = Similarity.ivfCentroids(corpus, "vec_id",
-          "embedding", 16)
-        val band = floor(col("vec_id") / 100000L)
-        val corrupted = corpus.filter(band.between(1, 3))
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x * lit(-1.0))
-              .as("embedding"))
-        // naturals = everything OUTSIDE the planted-twin bands 1–5
-        // (not just band 0): with the fixture assert this is
-        // equivalent, but it stays correct if naturals ever grow past
-        // vec_id 600000
-        val base = corpus.filter(!band.between(1, 5))
-          .unionByName(corrupted)
-        val idx = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_vsync_idx"))
-        Similarity.graphAnnBuild(base, "vec_id", "embedding", cents,
-            degree = 8, efConstruction = 64)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(idx.toString)
-        val changes = corpus.filter(band.isin(1, 3, 5))
-          .select(col("vec_id"), col("embedding"),
-            lit("upsert").as("op"))
-          .unionByName(corpus.filter(band.isin(2, 4))
-            .select(col("vec_id"), col("embedding"),
-              lit("delete").as("op")))
-        val stream = streamPrefixBy(s, changes,
-          pmod(col("vec_id"), lit(3)).cast("int"), 3,
-          Some(s"$dir|vec-sync"))
-        val chk = trackStreamTmp(
-          java.nio.file.Files.createTempDirectory("graft_vsync_chk"))
-        val q = graft.streaming.VectorIngest.streamingVectorSync(
-            stream, "vec_id", "embedding", "op", cents, idx.toString,
-            chk.toString, degree = 8, efConstruction = 64,
-            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        idx.toString
-      })
+      val idxDir =
+        if (!memoStreamInnerEnabled) buildVectorSyncStore(s, dir)
+        else vectorSyncDirs.computeIfAbsent(dir,
+          _ => buildVectorSyncStore(s, dir))
       val (corpus, queries) = plantedAnnFixture(s, dir)
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         16)

@@ -52,13 +52,44 @@ private[graft] object Iterate {
     * exactly the surprise the rule warns about.
     */
   def configure(df: DataFrame, checkpointDir: Option[String]): Boolean = {
-    checkpointDir.foreach { d =>
-      val sc = df.sparkSession.sparkContext
-      val root = d.stripSuffix("/")
-      // getCheckpointDir returns the UUID-scoped SUBDIR a previous
-      // setCheckpointDir(root) created — same root ⇒ prefix match
-      sc.getCheckpointDir.filterNot(_.stripSuffix("/")
-          .startsWith(root)).foreach { prev =>
+    checkpointDir.foreach(
+      setCheckpointDirWithTakeoverWarn(df.sparkSession.sparkContext, _))
+    checkpointDir.isDefined
+  }
+
+  /** The warn-then-set shared by [[configure]] and
+    * [[withJobScopedCheckpointDir]] (round 18 — the helper previously
+    * called `setCheckpointDir` directly, so the one redirect path the
+    * observability was added for stayed invisible when entered via the
+    * helper).
+    */
+  /** Test-observable count of takeover warnings (the spill-counter
+    * pattern: specs assert the warn path RAN, not log output).
+    */
+  private[graft] val takeoverWarns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def setCheckpointDirWithTakeoverWarn(
+      sc: org.apache.spark.SparkContext, d: String): Unit = {
+    // getCheckpointDir returns the FULLY-QUALIFIED UUID-scoped SUBDIR
+    // a previous setCheckpointDir(root) created (file:/… — Spark
+    // stores fs.getFileStatus(...).getPath), so the root must be
+    // qualified through the same FileSystem before comparing — a bare
+    // /tmp/ck root never prefix-matches file:/tmp/ck/<uuid> and every
+    // same-root re-configure would false-positively warn.
+    val root = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+        .toString.stripSuffix("/")
+    }
+    // same root ⇒ child path. The comparison is component-bounded
+    // (== or root + "/"): a raw startsWith would treat a previous dir
+    // /tmp/ck2/<uuid> as "same root" as /tmp/ck and silently suppress
+    // the takeover warning.
+    sc.getCheckpointDir.map(_.stripSuffix("/"))
+      .filterNot(p => p == root || p.startsWith(root + "/"))
+      .foreach { prev =>
+        takeoverWarns.incrementAndGet()
         log.warn(s"Iterate: session checkpoint dir moves $prev -> " +
           s"$root (setCheckpointDir is last-writer-wins and " +
           "session-global; a concurrent iterative operator that set " +
@@ -67,9 +98,7 @@ private[graft] object Iterate {
           "operator using it has quiesced, or scope the job with " +
           "Iterate.withJobScopedCheckpointDir)")
       }
-      sc.setCheckpointDir(d)
-    }
-    checkpointDir.isDefined
+    sc.setCheckpointDir(d)
   }
 
   /** Live-user refcount per scratch dir (driver-JVM-local — which is
@@ -98,20 +127,42 @@ private[graft] object Iterate {
     */
   def withJobScopedCheckpointDir[T](spark: org.apache.spark.sql.SparkSession,
       dir: String)(body: => T): T = {
-    val n = users.computeIfAbsent(dir,
-      _ => new java.util.concurrent.atomic.AtomicInteger(0))
-    n.incrementAndGet()
+    // Enter and exit each run inside `users.compute(dir, …)` — the
+    // ConcurrentHashMap serializes computes PER KEY, which closes the
+    // round-17 TOCTOU: with a bare decrementAndGet()==0 followed by
+    // the delete, a joiner could computeIfAbsent+increment between
+    // the last leaver's decrement and its recursive delete and start
+    // checkpointing into a dir that is then deleted under it —
+    // exactly the premature reclaim this API promises to prevent.
+    // Now a joiner racing the last leaver either lands BEFORE the
+    // exit-compute (count 1→2, no reclaim — the dir survives for the
+    // joiner, whose own exit reclaims) or blocks on the key until the
+    // delete finishes and enters a fresh scope (setCheckpointDir
+    // recreates the dir). Holding the bin lock across the recursive
+    // delete is deliberate: blocking a same-dir joiner for the
+    // delete's duration IS the correct semantics, and scratch dirs
+    // are few (one per job), so the lock is uncontended otherwise.
+    users.compute(dir, (_, n) =>
+      if (n == null) new java.util.concurrent.atomic.AtomicInteger(1)
+      else { n.incrementAndGet(); n })
     try {
-      spark.sparkContext.setCheckpointDir(dir)
+      setCheckpointDirWithTakeoverWarn(spark.sparkContext, dir)
       body
     } finally {
-      if (n.decrementAndGet() == 0) {
-        users.remove(dir)
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-        ()
-      }
+      users.compute(dir, (_, n) =>
+        if (n == null) null // impossible: only this exit removes entries
+        else if (n.decrementAndGet() > 0) n
+        else {
+          // last leaver: reclaim while still holding the key's compute.
+          // If the delete throws, the entry stays at 0 (compute aborts)
+          // and the NEXT scope on this dir retries the reclaim at its
+          // own exit — loud, not leaked-forever.
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          null // removes the entry
+        })
+      ()
     }
   }
 

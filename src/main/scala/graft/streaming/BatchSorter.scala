@@ -24,12 +24,49 @@ import org.apache.spark.sql.SparkSession
   * bit-identical to the full in-memory sort (the (ts_us, event_id)
   * keys are unique, so run boundaries cannot reorder ties).
   *
-  * Run files land in `java.io.tmpdir` (executor-local scratch, the
-  * same disk class Spark spills to); each run file is deleted the
-  * moment its stream exhausts, with a task-completion listener as the
-  * abort backstop.
+  * Run files land under SPARK'S CONFIGURED LOCAL DIRS (round 18 —
+  * previously `java.io.tmpdir`): on YARN those are the container
+  * dirs, on k8s/standalone the volumes `spark.local.dir` points at —
+  * the disks Spark actually sizes for shuffle spill. `java.io.tmpdir`
+  * is only the fallback when no Spark env/conf is present (driver-side
+  * unit tests): on k8s it is typically a small root-volume `/tmp`,
+  * and a pathological hot key spilling there could fill the root disk
+  * instead of the spill disks. Each run file is deleted the moment
+  * its stream exhausts, with a task-completion listener as the abort
+  * backstop.
   */
 private[streaming] object BatchSorter {
+
+  /** Resolve the spill directories the way Spark's own
+    * Utils.getConfiguredLocalDirs does for the non-YARN case (that
+    * method is private[spark]): container LOCAL_DIRS when running
+    * under YARN, else SPARK_LOCAL_DIRS, else `spark.local.dir` from
+    * the live SparkEnv's conf, else `java.io.tmpdir`. Multiple dirs
+    * round-robin per run file so one hot key's runs spread across the
+    * spill disks like shuffle blocks do.
+    */
+  private[streaming] def spillDirs(): Array[String] = {
+    val raw =
+      (if (sys.env.contains("CONTAINER_ID")) sys.env.get("LOCAL_DIRS")
+       else None)
+        .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+        .orElse(Option(org.apache.spark.SparkEnv.get)
+          .flatMap(e => e.conf.getOption("spark.local.dir")))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dirs = raw.split(",").map(_.trim).filter(_.nonEmpty)
+    if (dirs.isEmpty) Array(System.getProperty("java.io.tmpdir"))
+    else dirs
+  }
+
+  private val runFileSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def newRunFile(): java.io.File = {
+    val dirs = spillDirs()
+    val pick = (runFileSeq.getAndIncrement() % dirs.length).toInt
+    val d = new java.io.File(dirs(pick), "graft_keysort")
+    d.mkdirs()
+    java.io.File.createTempFile("graft_keysort_", ".run", d)
+  }
 
   /** In-memory threshold AND spill-run size, in rows. 2²¹ rows of
     * event tuples is tens of MB of task memory — comfortably inside
@@ -101,7 +138,7 @@ private[streaming] object BatchSorter {
       _.addTaskCompletionListener[Unit](_ => files.foreach(_.delete())))
     def spillRun(len: Int): Unit = {
       java.util.Arrays.sort(buf.asInstanceOf[Array[AnyRef]], 0, len, cmp)
-      val f = java.io.File.createTempFile("graft_keysort_", ".run")
+      val f = newRunFile()
       files += f
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(

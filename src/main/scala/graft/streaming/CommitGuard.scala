@@ -123,8 +123,20 @@ object CommitGuard {
     * and deliberately does NOT delete the target: on a close-decided
     * store a visible target can only be a racing WINNER's manifest,
     * and destroying a committed version is the one unrecoverable move.
+    * On every failure path the open upload is RELEASED via
+    * `abort()` where the stream supports it (round-18 ADVICE: an
+    * s3a conditional-create stream left neither closed nor aborted is
+    * an orphaned multipart upload that accrues cost). `close()` is
+    * deliberately NOT the fallback: on a close-decided store closing
+    * after a failed copy would PUBLISH a torn or empty manifest — a
+    * non-abortable stream is left unclosed instead (the store expires
+    * the upload session; a torn manifest would be forever).
     */
   object AtomicCreate extends CommitGuard {
+    private def abortQuietly(
+        out: org.apache.hadoop.fs.FSDataOutputStream): Unit =
+      try { out.abort(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
       val out =
         try fs.create(target, false)
@@ -143,9 +155,15 @@ object CommitGuard {
         out.close()
         true
       } catch {
-        // close-decided stores (gs): losing the race surfaces here
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
+        // close-decided stores (gs): losing the race surfaces here.
+        // abort after a failed close is an idempotent no-op, so the
+        // unconditional release is safe on both failure shapes
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          abortQuietly(out); false
+        case _: java.nio.file.FileAlreadyExistsException =>
+          abortQuietly(out); false
+        case t: Throwable =>
+          abortQuietly(out); throw t
       }
     }
   }

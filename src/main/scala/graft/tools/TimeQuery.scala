@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    // real plans/timings, not the memoized stream-gate block read
+    // real plans/timings, not the memoized stream-gate block read —
+    // including the inner end-state memos of the sync-shaped gates
     graft.SparkEntry.memoStreamGatesEnabled = false
+    graft.SparkEntry.memoStreamInnerEnabled = false
     val sfDir = args.head
     val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

