@@ -89,13 +89,19 @@ object Bench {
     // a MEASURED spread and lets the floor relax to 0.10 s (a real
     // 1.5x regression of a 0.3 s gate now clears it; job-floor jitter
     // does not). Below 0.15 s the job floor dominates and a swing is
-    // noise, not signal. Costs ~19 s of bench wall time.
+    // noise, not signal. The SUB-0.4 s band — where every one of
+    // round 17's phantom movers lived — escalates to MEDIAN-5 (4
+    // extra passes): at median-3 a single job-floor burst can still
+    // carry the median, while at median-5 jitter lands in the spread
+    // and the median stabilizes. Costs ~56 s of bench wall time.
+    def extraPasses(s: Double): Int = if (s < 0.4) 4 else 2
     val rerunnable = firstPass.filter(q => q._4.isEmpty && q._3 > 0.15)
-    val extras: Map[String, Seq[Double]] = (1 to 2).flatMap { _ =>
-      rerunnable.map { case (name, fn, _, _) =>
-        val (s, e) = timed(fn)
-        (name, s, e)
-      }
+    val extras: Map[String, Seq[Double]] = (1 to 4).flatMap { pass =>
+      rerunnable.filter(q => extraPasses(q._3) >= pass)
+        .map { case (name, fn, _, _) =>
+          val (s, e) = timed(fn)
+          (name, s, e)
+        }
     }.collect { case (n, s, None) => (n, s) }
       .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
     val results = firstPass.map { case (name, fn, s1, e1) =>

@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * its stream exhausts, with a task-completion listener as the abort
   * backstop.
   */
-private[streaming] object BatchSorter {
+private[graft] object BatchSorter {
 
   /** Resolve the spill directories the way Spark's own
     * Utils.getConfiguredLocalDirs does for the non-YARN case (that

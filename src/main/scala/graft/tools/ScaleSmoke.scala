@@ -892,6 +892,134 @@ object ScaleSmoke {
       s"nottl ${noTtl.last._3} vs ${noTtlR.last._3} vs ${noTtlRC.last._3}")
   }
 
+  /** `churnspill` mode (round 18 stretch): BatchSorter's spill path
+    * priced UNDER RocksDB changelog checkpointing — the worst-case
+    * production combination (a skewed hot key spilling sorted runs to
+    * the local dirs inside every micro-batch while state commits ride
+    * delta changelogs). Fixture = the churn sweep's fresh-keys-per-
+    * batch shape, except 30% of each batch's rows land on ONE
+    * (fresh-per-batch) hot key — the realistic skew shape, not
+    * every-key-spills (which would price file churn, not the sorter).
+    * Two arms on IDENTICAL data, both rocksdb+changelog:
+    * `graft.stream.sortChunkRows` default (hot key sorts in memory)
+    * vs forced below the hot key's row count (hot key spills
+    * ~hotRows/chunk runs and k-way-merges; cold keys keep the
+    * in-memory fast path). Printed: per-batch curve at the marks,
+    * final-state row parity between arms (the spill path must be
+    * bit-identical at scale, not just in the unit spec), and the
+    * spillSorts delta — REQUIRED > 0, the arm is vacuous if
+    * everything fit.
+    */
+  private def churnSpillSweep(spark: SparkSession, nBatches: Int,
+      users: Int, charsPer: Int): Unit = {
+    val pattern = "v[ce]*p"
+    val charOf = (t: String) => t match {
+      case "view" => "v"; case "click" => "c"
+      case "purchase" => "p"; case _ => "s"
+    }
+    // 30% of rows → hot key b*users + users (OUTSIDE the batch's cold
+    // id range [b*users, b*users+users)); rest = the churn fixture
+    def hotBatchDf(b: Int): DataFrame = {
+      val perBatch = users.toLong * charsPer
+      val mix = pmod(col("id") * 2654435761L +
+        pmod(col("id"), lit(users.toLong)) * 1315423911L, lit(10))
+      spark.range(perBatch).select(
+        when(pmod(col("id"), lit(10)) < 3,
+            lit(b.toLong * users + users))
+          .otherwise(lit(b.toLong * users) +
+            pmod(col("id"), lit(users.toLong))).as("user_id"),
+        timestamp_seconds(lit(1L + b.toLong * charsPer) +
+          floor(col("id") / users)).as("ts"),
+        (lit(b * perBatch) + col("id")).as("event_id"),
+        when(mix < 4, "view").when(mix < 8, "click")
+          .when(mix === 8, "purchase")
+          .otherwise("signup").as("event_type"))
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val chunkKey = graft.streaming.BatchSorter.ChunkRowsConf
+    def run(chunkRows: Option[Int]): Seq[(Int, Double, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_chsp")
+      val chk = java.nio.file.Files.createTempDirectory("graft_chsp_chk")
+      val olds = Seq(providerKey, changelogKey, chunkKey)
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(providerKey, rocks)
+      spark.conf.set(changelogKey, "true")
+      chunkRows.foreach(c => spark.conf.set(chunkKey, c.toString))
+      try {
+        hotBatchDf(0).coalesce(1).write.parquet(s"$dir/b0000")
+        val schema = spark.read.parquet(s"$dir/b0000").schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+        // conf is read at op CONSTRUCTION — must happen under the
+        // overridden chunkRows
+        val q = graft.streaming.EventStream.streamingSequencePattern(
+            stream, "user_id", "event_type", "ts", "event_id", charOf,
+            pattern)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", chk.toString).start()
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Double, Long)]
+        (0 until nBatches).foreach { b =>
+          if (b > 0) hotBatchDf(b).coalesce(1).write
+            .parquet(s"$dir/b${"%04d".format(b)}")
+          val (_, t) = timed(q.processAllAvailable())
+          val so = Option(q.lastProgress)
+            .flatMap(p => p.stateOperators.headOption)
+          out += ((b + 1, t, so.map(_.numRowsTotal).getOrElse(0L)))
+        }
+        q.stop()
+        out.toSeq
+      } finally {
+        olds.foreach { case (k, old) =>
+          old.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+        }
+        Seq(dir, chk).foreach { d =>
+          val w = java.nio.file.Files.walk(d)
+          try w.sorted(java.util.Comparator
+              .reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally w.close()
+        }
+      }
+    }
+    val hotRows = (users.toLong * charsPer * 3) / 10
+    // force ~8 spilled runs per hot-key batch; never below 1024 rows
+    val forcedChunk = math.max(1024, (hotRows / 8).toInt)
+    println(s"churnspill sweep: $users users x $charsPer chars per " +
+      s"batch, $nBatches batches, hot key ~$hotRows rows/batch; " +
+      s"rocksdb+changelog both arms; spill arm sortChunkRows=" +
+      s"$forcedChunk (default ${graft.streaming.BatchSorter
+        .DefaultChunkRows})")
+    val spills0 = graft.streaming.BatchSorter.spillSorts.get()
+    val base = run(None)
+    val spillsAfterBase = graft.streaming.BatchSorter.spillSorts.get()
+    val spill = run(Some(forcedChunk))
+    val spills = graft.streaming.BatchSorter.spillSorts.get() -
+      spillsAfterBase
+    val marks = Seq(1, 2, 5, 10, 20, 40, 60, 100).filter(_ <= nBatches)
+    println(f"${"batch"}%-7s ${"rows_base"}%-10s ${"base_s"}%-8s ${"rows_spill"}%-11s ${"spill_s"}%-8s")
+    marks.foreach { m =>
+      val a = base(m - 1); val b = spill(m - 1)
+      println(f"$m%-7d ${a._3}%-10d ${a._2}%-8.3f ${b._3}%-11d ${b._2}%-8.3f")
+    }
+    def mean(xs: Seq[(Int, Double, Long)]) = {
+      val ts = xs.drop(2).map(_._2); ts.sum / math.max(ts.length, 1)
+    }
+    println(f"batch-time mean (post-warmup): base ${mean(base)}%.3f s " +
+      f"vs spill ${mean(spill)}%.3f s " +
+      f"(${mean(spill) / mean(base)}%.2fx); spillSorts delta: $spills " +
+      s"(base arm: ${spillsAfterBase - spills0})")
+    require(spills > 0,
+      "spill arm never spilled — chunkRows did not bind; the arm is vacuous")
+    require(base.last._3 == spill.last._3,
+      s"state-row divergence between arms: ${base.last._3} vs " +
+        s"${spill.last._3} — the spill path changed results at scale")
+  }
+
   /** `race` mode: concurrent-reader stress for the manifest store —
     * the r13-verdict failure scenario (a `graphAnnTopKIndexed` search
     * racing a sync observing a half-committed store) driven for real.
@@ -1457,6 +1585,20 @@ object ScaleSmoke {
         .getOrCreate()
       sp.sparkContext.setLogLevel("WARN")
       churnSweep(sp, nb, us, cp)
+      sp.stop()
+      return
+    }
+    if (args.length > 1 && args(1) == "churnspill") {
+      val (nb, us, cp) =
+        if (args.length > 4) (args(2).toInt, args(3).toInt, args(4).toInt)
+        else (30, 2000, 50)
+      val cpus0 = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sp = SparkSession.builder().master(s"local[$cpus0]")
+        .config("spark.sql.shuffle.partitions", cpus0)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      sp.sparkContext.setLogLevel("WARN")
+      churnSpillSweep(sp, nb, us, cp)
       sp.stop()
       return
     }
