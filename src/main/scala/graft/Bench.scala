@@ -50,6 +50,36 @@ object Bench {
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    // tmp-I/O latency probe (round 18): stream gates are micro-batch
+    // checkpoint-I/O bound — 1.5-2x stream-gate drift has been observed
+    // at 0.4% STEAL (CPU clean, I/O contended), which made the memo-off
+    // series un-attributable from the artifact. Writing+fsyncing a few
+    // small files prices exactly the operation a streaming checkpoint
+    // commit performs; recorded once before the first pass and again
+    // before the memo-off pass so a reader can tell "the box's disk
+    // slowed mid-run" from a real operator regression.
+    def ioProbeMs(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ioprobe")
+      try {
+        val buf = Array.fill(4096)(0.toByte)
+        val t0 = System.nanoTime()
+        (0 until 50).foreach { i =>
+          java.nio.file.Files.write(dir.resolve(s"p$i"), buf); ()
+        }
+        (0 until 10).foreach { i =>
+          val ch = java.nio.channels.FileChannel.open(dir.resolve(s"p$i"),
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.force(true) finally ch.close()
+        }
+        (System.nanoTime() - t0) / 1e6
+      } finally {
+        val w = java.nio.file.Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally w.close()
+      }
+    }
+    val ioMsStart = ioProbeMs()
     val startTicks = {
       def t(): Option[(Long, Long)] =
         try {
@@ -155,10 +185,12 @@ object Bench {
     // enters the series — it lands in a separate errors key so
     // bench_diff never diffs a failed gate's truncated time as a
     // steady-state sample (round-18 ADVICE).
+    var ioMsMemoOff: Double = -1.0
     val (memoOff, memoOffErrs): (Seq[(String, Double)], Seq[(String, String)]) =
       if (sys.env.get("SPARK_GRAFT_STREAM_MEMOOFF").contains("0"))
         (Seq.empty, Seq.empty)
       else {
+        ioMsMemoOff = ioProbeMs()
         SparkEntry.memoStreamGatesEnabled = false
         SparkEntry.memoStreamInnerEnabled = false
         try {
@@ -202,7 +234,9 @@ object Bench {
     val memoOffErrJson = memoOffErrs.map { case (k, m) =>
       s"\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"first":$firsts,"stream_memooff":$memoOffJson,"stream_memooff_errors":$memoOffErrJson,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
+    val ioJson = s""""io_probe_ms":{"start":${r3(ioMsStart)}""" +
+      (if (ioMsMemoOff >= 0) s""","memooff":${r3(ioMsMemoOff)}}""" else "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median3","queries":$qs,"spread":$spreads,"first":$firsts,"stream_memooff":$memoOffJson,"stream_memooff_errors":$memoOffErrJson,$ioJson,"errors":$errs,"steal_pct":$stealPct,"sf":"$sfDir"}"""
     // Full line first (per-query detail), durable copy on disk, and a
     // ~120-byte total-only line LAST: whatever slice of the tail the
     // driver parses, at least one complete JSON line with the round

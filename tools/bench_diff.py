@@ -91,6 +91,20 @@ def main():
     mo_old, mo_new = old.get("stream_memooff", {}), new.get(
         "stream_memooff", {})
     mo_common = sorted(set(mo_old) & set(mo_new))
+    # r18+: stream gates are checkpoint-I/O bound — surface the tmp-I/O
+    # probe next to the stream diff so "the box's disk slowed" is
+    # readable from the artifact (observed: 1.5-2x stream drift at 0.4%
+    # steal, CPU clean, I/O contended)
+    io_old, io_new = old.get("io_probe_ms"), new.get("io_probe_ms")
+    if io_old or io_new:
+        def fmt(d):
+            if not d:
+                return "n/a"
+            parts = [f"{k} {v:.1f} ms" for k, v in d.items()]
+            return ", ".join(parts)
+        print(f"\ntmp-I/O probe: old [{fmt(io_old)}]  new [{fmt(io_new)}]"
+              "  (stream gates are checkpoint-I/O bound — a probe shift"
+              " explains a board-wide stream move)")
     if mo_common:
         print("\nstream memo-off (steady-state) movers >1.3x:")
         any_mover = False
