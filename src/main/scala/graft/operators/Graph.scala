@@ -43,9 +43,12 @@ object Graph {
     // plan re-runs per iteration
     val e = edges.select(col(srcCol).cast("long").as("__src"),
       col(dstCol).cast("long").as("__dst")).persist(lvl)
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst")))
-      .distinct().persist(lvl)
+    // ONE scan of the cached edge list (explode of both endpoints),
+    // not a union of two selects — the union form scanned e twice and
+    // doubled the partial-distinct map stage (measured: 64 tasks vs 32
+    // on the gate plan for identical output)
+    val nodes = e.select(explode(array(col("__src"), col("__dst")))
+      .as("node")).distinct().persist(lvl)
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
     // out-degree is folded into the cached edge list ONCE — each
     // iteration then touches a single static relation; with the rank
@@ -54,9 +57,16 @@ object Graph {
     // contribution sum on dst
     val eDeg = e.join(deg, "__src")
       .select(col("__src"), col("__dst"), col("__outdeg")).persist(lvl)
-    val n = nodes.count() // also materializes e
-    val base = (15L * (scale / n)) / 100L
-    var pr = nodes.withColumn("pr", lit(scale / n)).persist(lvl)
+    // |nodes| rides as a 1-row broadcast scalar instead of a driver
+    // count(): the mid-pipeline action cost a full extra job sweep
+    // (and its driver gap) per invocation; `div` is truncating integer
+    // division in both Spark and Scala, so lit(scale) div n is
+    // bit-identical to the old lit(scale / n) literal
+    val nCnt = broadcast(nodes.agg(count(lit(1)).as("__n")))
+    val base = expr(s"(15 * ($scale div __n)) div 100")
+    var pr = nodes.crossJoin(nCnt)
+      .select(col("node"), expr(s"$scale div __n").as("pr"))
+      .persist(lvl)
     val intermediates = scala.collection.mutable.ArrayBuffer(pr)
     (0 until iters).foreach { _ =>
       val contrib = eDeg
@@ -68,8 +78,9 @@ object Graph {
       pr = nodes
         .join(contrib.withColumnRenamed("__dst", "node"), Seq("node"),
           "left")
+        .crossJoin(nCnt)
         .select(col("node"),
-          (lit(base) +
+          (base +
             expr(s"(85 * coalesce(__m, 0L)) div 100")).as("pr"))
         .persist(lvl)
       intermediates += pr
@@ -128,8 +139,9 @@ object Graph {
       : DataFrame = {
     val e = edges.select(col(uCol).cast("long").as("u"),
       col(vCol).cast("long").as("v"))
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v")))
+    // one scan of the caller's edge plan (explode of both endpoints),
+    // not a unionAll that runs the upstream edge-build twice
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("__d"))
     // orient by (degree, id): lower endpoint -> higher endpoint
     val oriented = e
@@ -167,6 +179,31 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** One synchronous LPA voting round's adoption table, shared by all
+    * three propagate variants: count votes per (dst, label), then take
+    * the argmax label per dst — highest vote count, ties to the
+    * SMALLER label. The argmax is a partial-aggregated
+    * `max(struct(votes, ~label))` groupBy, NOT a row_number window:
+    * the window form re-partitioned the vote table on dst (a third
+    * exchange) and sorted every partition; the struct-max rides
+    * map-side combine on an exchange that carries one row per
+    * (dst-partial) and needs no sort. `~label` (bitwise NOT) inverts
+    * the order of ALL longs without overflow (unlike unary minus at
+    * Long.MinValue), so max(~label) == min(label) exactly — the same
+    * tie the window's `orderBy(votes desc, label asc)` broke.
+    */
+  private def argmaxVotes(und: DataFrame, labels: DataFrame): DataFrame =
+    und
+      .join(labels.filter(col("label").isNotNull)
+        .select(col("node").as("__s"), col("label").as("__nl")), "__s")
+      .groupBy(col("__d"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("__d"))
+      .agg(max(struct(col("__votes").as("v"),
+        bitwise_not(col("__nl")).as("li"))).as("__m"))
+      .select(col("__d").as("node"),
+        bitwise_not(col("__m.li")).as("__adopt"))
+
   /** Seeded synchronous label propagation — the graph-based
     * semi-supervised labeler (spread domain / quality / topic labels
     * from a labeled seed set over a similarity or interaction graph;
@@ -195,8 +232,15 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"))
-    val und = e0.unionAll(e0.select(col("__d").as("__s"),
-      col("__s").as("__d"))).persist(lvl)
+    // ONE scan of the caller's (possibly expensive) edge plan: explode
+    // both directions in a single pass instead of unionAll of two
+    // selects, which ran the whole upstream edge-build twice before
+    // the persist populated
+    val und = e0.select(explode(array(
+        struct(col("__s"), col("__d")),
+        struct(col("__d").as("__s"), col("__s").as("__d")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__d").as("__d"))
+      .persist(lvl)
     val nodes = und.select(col("__s").as("node")).distinct().persist(lvl)
     // one label per node, deterministically: duplicate (node, label)
     // seed rows would fan out through the left join below, duplicating
@@ -211,20 +255,9 @@ object Graph {
     var labels = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"), col("__seed"))
       .persist(lvl)
-    labels.count()
     val intermediates = scala.collection.mutable.ArrayBuffer(labels)
     (0 until iters).foreach { _ =>
-      val votes = und
-        .join(labels.filter(col("label").isNotNull)
-          .select(col("node").as("__s"), col("label").as("__nl")), "__s")
-        .groupBy(col("__d"), col("__nl"))
-        .agg(count(lit(1)).as("__votes"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__d"))
-        .orderBy(col("__votes").desc, col("__nl").asc)
-      val adopted = votes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("__d").as("node"), col("__nl").as("__adopt"))
+      val adopted = argmaxVotes(und, labels)
       labels = labels.select(col("node"), col("label"), col("__seed"))
         .join(adopted, Seq("node"), "left")
         .select(col("node"),
@@ -232,8 +265,13 @@ object Graph {
           col("__seed"))
         .persist(lvl)
       intermediates += labels
-      labels.count()
     }
+    // ONE materializing job computes the whole chain (each round's
+    // persist caches as the action sweeps through) — the pageRank
+    // convention; per-round counts paid a job launch + driver gap per
+    // round for nothing (fixed iteration count needs no convergence
+    // probe)
+    labels.count()
     intermediates.dropRight(1).foreach(_.unpersist())
     und.unpersist(); nodes.unpersist(); seed.unpersist()
     labels.select(col("node"), col("label"))
@@ -269,8 +307,13 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"))
-    val und = e0.unionAll(e0.select(col("__d").as("__s"),
-      col("__s").as("__d"))).persist(lvl)
+    // one scan of the caller's edge plan (explode both directions),
+    // not a unionAll that runs the upstream edge-build twice
+    val und = e0.select(explode(array(
+        struct(col("__s"), col("__d")),
+        struct(col("__d").as("__s"), col("__s").as("__d")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__d").as("__d"))
+      .persist(lvl)
     val nodes = und.select(col("__s").as("node")).distinct().persist(lvl)
     val seed = seeds.select(col(seedNodeCol).cast("long").as("node"),
       col(seedLabelCol).cast("long").as("__seed"))
@@ -292,17 +335,7 @@ object Graph {
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val votes = und
-        .join(labels.filter(col("label").isNotNull)
-          .select(col("node").as("__s"), col("label").as("__nl")), "__s")
-        .groupBy(col("__d"), col("__nl"))
-        .agg(count(lit(1)).as("__votes"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__d"))
-        .orderBy(col("__votes").desc, col("__nl").asc)
-      val adopted = votes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("__d").as("node"), col("__nl").as("__adopt"))
+      val adopted = argmaxVotes(und, labels)
       val next = Iterate.cut(labels
         .select(col("node"), col("label").as("__old"), col("__seed"))
         .join(adopted, Seq("node"), "left")
@@ -366,8 +399,13 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = edges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"))
-    val und = e0.unionAll(e0.select(col("__d").as("__s"),
-      col("__s").as("__d"))).persist(lvl)
+    // one scan of the caller's edge plan (explode both directions),
+    // not a unionAll that runs the upstream edge-build twice
+    val und = e0.select(explode(array(
+        struct(col("__s"), col("__d")),
+        struct(col("__d").as("__s"), col("__s").as("__d")))).as("__e"))
+      .select(col("__e.__s").as("__s"), col("__e.__d").as("__d"))
+      .persist(lvl)
     val nodes = und.select(col("__s").as("node")).distinct().persist(lvl)
     val seed = seeds.select(col(seedNodeCol).cast("long").as("node"),
       col(seedLabelCol).cast("long").as("__seed"))
@@ -388,29 +426,24 @@ object Graph {
     val d0 = deltaEdges.select(col(srcCol).cast("long").as("__s"),
       col(dstCol).cast("long").as("__d"))
     // round-1 frontier: every node whose vote multiset changed = dst
-    // endpoints of the expanded delta edges (i.e. both endpoints)
-    var frontier = Iterate.cut(d0.select(col("__d").as("node"))
-      .unionAll(d0.select(col("__s").as("node")))
-      .distinct(), reliable)
+    // endpoints of the expanded delta edges (i.e. both endpoints).
+    // NOT cut: the frontier is consumed exactly once, as the broadcast
+    // side of the next round's semi-join — an eager checkpoint here
+    // paid a whole extra job (and its driver gap) per round to
+    // materialize something the broadcast build computes anyway; its
+    // plan stays bounded because it only references cut/persisted
+    // frames, so the per-round lineage-growth rationale doesn't apply
+    var frontier = d0.select(explode(array(col("__d"), col("__s")))
+      .as("node")).distinct()
     val stats = scala.collection.mutable.ArrayBuffer.empty[LpaIterStats]
     var it = 0
     var done = false
     while (it < rounds && !done) {
       // votes restricted to frontier dst: broadcast semi-join prunes
       // the edge scan map-side; the aggregate is frontier-sized
-      val votes = und
+      val adopted = argmaxVotes(und
         .join(broadcast(frontier.select(col("node").as("__d"))),
-          Seq("__d"), "left_semi")
-        .join(labels.filter(col("label").isNotNull)
-          .select(col("node").as("__s"), col("label").as("__nl")), "__s")
-        .groupBy(col("__d"), col("__nl"))
-        .agg(count(lit(1)).as("__votes"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__d"))
-        .orderBy(col("__votes").desc, col("__nl").asc)
-      val adopted = votes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("__d").as("node"), col("__nl").as("__adopt"))
+          Seq("__d"), "left_semi"), labels)
       val next = Iterate.cut(labels
         .select(col("node"), col("label").as("__old"), col("__seed"))
         .join(adopted, Seq("node"), "left")
@@ -419,22 +452,25 @@ object Graph {
             .as("label"),
           col("__seed"), col("__old")),
         reliable)
-      val changedNodes = Iterate.cut(next
+      // changedNodes is a cheap filter over the CUT `next` frame — an
+      // eager checkpoint of it cost one more job per round for a
+      // recompute that is a cached-scan + filter
+      val changedNodes = next
         .filter(not(col("label") <=> col("__old")))
-        .select(col("node")), reliable)
+        .select(col("node"))
       val changed = changedNodes.count()
       stats += LpaIterStats(it, changed)
       labels = next.select(col("node"), col("label"), col("__seed"))
       done = changed == 0L
       it += 1
-      // next frontier: neighbors of changed nodes — computed ONLY if
-      // another round will run (localCheckpoint is eager; on the last
-      // round or at convergence this was a wasted full-edge-scan job)
+      // next frontier: neighbors of changed nodes — lazy (see the
+      // round-1 frontier note): it resolves inside the next round's
+      // broadcast build, over the cut `next` and the persisted `und`
       if (!done && it < rounds)
-        frontier = Iterate.cut(und
+        frontier = und
           .join(broadcast(changedNodes.select(col("node").as("__s"))),
             Seq("__s"), "left_semi")
-          .select(col("__d").as("node")).distinct(), reliable)
+          .select(col("__d").as("node")).distinct()
     }
     und.unpersist(); nodes.unpersist(); seed.unpersist()
     (labels.select(col("node"), col("label")), stats.toSeq)
