@@ -1319,9 +1319,16 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // unbounded-size side: force the shuffle join even if a small test
-    // fixture would auto-broadcast, so the tested plan IS the 100 TB plan
-    val withDf = tf.hint("shuffle_merge")
-      .join(dfTable.hint("shuffle_merge"), Seq("term"))
+    // fixture would auto-broadcast, so the tested plan IS the 100 TB
+    // plan. SHUFFLE_HASH, not shuffle_merge (guide §3.1): both sides
+    // still shuffle on term, but the vocab-sized df table builds a
+    // per-partition hash map instead of BOTH corpus-sized streams
+    // paying a full sort — the SMJ sorts were the hottest stage of the
+    // NB/tfidf gates (26.6 CPU-s of 1.78M-row sorting on the nb_char
+    // plan). Build side = the per-term aggregate, whose per-partition
+    // share is vocab/shufflePartitions — bounded at any corpus scale.
+    val withDf = tf
+      .join(dfTable.hint("shuffle_hash"), Seq("term"))
     val n = df.agg(count(lit(1)).as("__n"))
     // floor-quantize to 6 decimals (same rationale as q4: pure IEEE
     // ops, no decimal-string tie semantics) BEFORE ranking so the
@@ -1574,6 +1581,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__v"))
     val dense = counts.select(col("term")).distinct()
       .crossJoin(broadcast(labelTotals))
+    // stays sort-merge (measured, not assumed): here BOTH sides are
+    // vocab-sized — a shuffled-hash build of the counts table was
+    // tried and lost ~0.3 s on the big-vocab ngram gate (hash-map
+    // build of the whole per-partition vocab costs more than the two
+    // sorts it saves); classify's probe-side stream is where
+    // shuffle_hash wins
     dense.hint("shuffle_merge")
       .join(counts.hint("shuffle_merge"), Seq("label", "term"), "left")
       .na.fill(0L, Seq("cnt"))
@@ -1658,13 +1671,32 @@ object TextAnalysis {
         explode(features(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
-    val contrib = tf.crossJoin(broadcast(
-        priors.select(col("label"), col("oov_logp"))))
-      .hint("shuffle_merge")
-      .join(model.hint("shuffle_merge").select(
-        col("term"), col("label"), col("logp")), Seq("term", "label"), "left")
+    // The model joins ON TERM ONLY, folded to one map<label, logp> row
+    // per term — NOT on (term, label) with the tf stream pre-expanded
+    // ×labels: that shape shuffled |labels|× the corpus-sized
+    // (doc, term) stream and then sorted it for the merge join (the
+    // hottest stage of every nb gate profile: a 1.78M-row sort for a
+    // 355k-row tf table at 5 labels). Here the exchange carries the tf
+    // table once; the ×labels expansion happens map-side AFTER the
+    // join and feeds straight into the (doc, label) partial aggregate.
+    // Per-term contribution arithmetic is unchanged operand for
+    // operand (floor(tf · logp · 1e9) on the same doubles), so scores
+    // are bit-identical; the map lookup per label replaces the join's
+    // (term, label) match, with the same OOV fallback on a vocab miss
+    // (the trained grid is dense, so an in-vocab term has every
+    // label). Still a forced shuffle join — the model spans the
+    // vocabulary, a fixture-scale broadcast would lie about the plan.
+    val modelByTerm = model
+      .groupBy(col("term"))
+      .agg(map_from_entries(collect_list(
+        struct(col("label"), col("logp")))).as("__lp"))
+    val contrib = tf.hint("shuffle_merge")
+      .join(modelByTerm.hint("shuffle_merge"), Seq("term"), "left")
+      .crossJoin(broadcast(priors.select(col("label"), col("oov_logp"))))
       .withColumn("__c",
-        floor(col("__tf") * coalesce(col("logp"), col("oov_logp")) * 1e9))
+        floor(col("__tf") *
+          coalesce(element_at(col("__lp"), col("label")),
+            col("oov_logp")) * 1e9))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("__c")).as("__s"))
     val base = docs.select(col(idCol)).crossJoin(broadcast(
