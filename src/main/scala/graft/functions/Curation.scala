@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  // heavy map-side kernels engage the whole cluster even when the
+  // input arrived as one unsplittable scan split — no-op on
+  // properly-split inputs (see Tables.spreadScan)
+  private def spread(df: org.apache.spark.sql.DataFrame) =
+    graft.sources.Tables.spreadScan(df)
+
   /** 60-bit uniform hash of a salted string key (portable: DuckDB
     * `CAST('0x' || substr(md5(salt || key), 1, 15) AS BIGINT)`).
     */
@@ -201,7 +207,7 @@ object Curation {
   /** (idCol, __ng: array of word n-grams) — shared front half of the
     * decontamination variants. */
   private def gramSets(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = df
+      n: Int): DataFrame = spread(df.select(col(idCol), col(textCol)))
     .select(col(idCol), TextAnalysis.tokens(lower(trim(col(textCol))))
       .as("__toks"))
     .select(col(idCol), Dedup.wordNgramsFromTokens(col("__toks"), n)
@@ -354,7 +360,7 @@ object Curation {
       // the interpreted Generate path (PlanLint trap); the kernels
       // are bit-identical (unigram stream = token array, bigram
       // stream = sliding windows, empty for < 2 tokens)
-      df.select(keep :+ explode(concat(
+      spread(df).select(keep :+ explode(concat(
           TextAnalysis.wordNgramsAllNative(col(textCol), 1, lowercase = true),
           TextAnalysis.wordNgramsAllNative(col(textCol), 2, lowercase = true)))
           .as("__g"): _*)
@@ -578,7 +584,8 @@ object Curation {
     * reach the driver. Ties break on the token for determinism.
     */
   def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(TextAnalysis.tokens(lower(trim(col(textCol)))))
+    spread(df.select(col(textCol)))
+      .select(explode(TextAnalysis.tokens(lower(trim(col(textCol)))))
         .as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"))
@@ -753,7 +760,7 @@ object Curation {
     // a Generate here, where the interpreted lambda re-tokenizes per
     // element (the 12 s-vs-0.6 s trap — see expressions.WordNgrams)
     def gramStream(df: DataFrame, keyCols: Seq[Column]) =
-      df.select((keyCols :+ explode(
+      spread(df).select((keyCols :+ explode(
         Dedup.wordNgramsNative(col(textCol), n)).as("__g")): _*)
     val segSk = gramStream(corpus, Seq(col(segCol)))
       .groupBy(col(segCol))
@@ -780,7 +787,7 @@ object Curation {
       bench: DataFrame, benchSegCol: String, textCol: String,
       n: Int = 4): DataFrame = {
     def gramStream(df: DataFrame, keyCols: Seq[Column]) =
-      df.select((keyCols :+ explode(
+      spread(df).select((keyCols :+ explode(
         Dedup.wordNgramsNative(col(textCol), n)).as("__g")): _*)
     val segSk = gramStream(corpus, Seq(col(segCol)))
       .groupBy(col(segCol))

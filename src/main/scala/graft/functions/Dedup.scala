@@ -18,6 +18,12 @@ object Dedup {
 
   import org.apache.spark.sql.graftglue.Glue.{column => exprCol, expression => colExpr}
 
+  // heavy map-side kernels (gram explodes, signature hashing) engage
+  // the whole cluster even when the input arrived as one unsplittable
+  // scan split — no-op on properly-split inputs (see Tables.spreadScan)
+  private def spread(df: DataFrame): DataFrame =
+    graft.sources.Tables.spreadScan(df)
+
   /** Exact dedup: hash-groupBy on the normalized-text fingerprint.
     * Returns one row per distinct content: keeper id (min), dup count.
     * One shuffle of (16-byte key, id) pairs regardless of corpus size.
@@ -130,8 +136,9 @@ object Dedup {
     val rows = numHashes / bands
     // staged selects: tokens → (ngrams) → signature → bands, each
     // materialized once per row (never recomputed inside lambdas)
-    val toks = df.select(col(idCol),
-      TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    val toks = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
     val staged =
       if (portable)
         // fused native kernel: tokens → windows → md5 → all minima in
@@ -168,7 +175,7 @@ object Dedup {
       k: Int = 5, numHashes: Int = 16, bands: Int = 4,
       portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val staged = df
+    val staged = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), shingles(col(textCol), k).as("__sh"))
       .select(col(idCol),
         (if (portable)
@@ -276,8 +283,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
-    val sets = history.select(col(idCol), col(textCol))
-      .unionByName(delta.select(col(idCol), col(textCol)))
+    // spread the SCANS, not the semi-join output: .rdd on a plan with
+    // exchanges would finalize (and pre-execute) its AQE stages in a
+    // throwaway query execution
+    val sets = spread(history.select(col(idCol), col(textCol)))
+      .unionByName(spread(delta.select(col(idCol), col(textCol))))
       .join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), wordNgramsNative(col(textCol), n).as("__ng"))
     verifyJaccardPairs(cands, sets, idCol, "__ng", threshold)
@@ -294,7 +304,7 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, n,
       portable)
-    val sets = df
+    val sets = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), wordNgramsNative(col(textCol), n).as("__ng"))
     verifyJaccardPairs(cands, sets, idCol, "__ng", threshold)
   }
@@ -370,6 +380,11 @@ object Dedup {
       threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "containment threshold must be in (0, 1]")
+    // NOT spread: measured 2-5x slower with the pre-kernel round-robin
+    // here (escalating across invocations) - this pipeline persists the
+    // gram sets and fans them through a prefix window + two joins, and
+    // the spread shuffle upsets that balance; the other gram kernels
+    // all win from it (see Tables.spreadScan)
     val sets = df
       .select(col(idCol), wordNgramsNative(col(textCol), n).as("__ng"))
       .filter(size(col("__ng")) > 0)
@@ -507,10 +522,11 @@ object Dedup {
     */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
+    val sdf = spread(df.select(col(idCol), col(textCol)))
     val sig =
       if (portable)
         // native single-pass kernel: md5 + all 60 bit-votes per doc
-        df.select(col(idCol),
+        sdf.select(col(idCol),
           TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
           .select(col(idCol),
             exprCol(graft.expressions.PortableSimHash(
@@ -518,7 +534,7 @@ object Dedup {
       else
         // two-phase select: token hashing materializes once, then the
         // bit-votes read the same array (no re-hash per bit)
-        df.select(col(idCol), Similarity.tokenHashes(col(textCol)).as("th"))
+        sdf.select(col(idCol), Similarity.tokenHashes(col(textCol)).as("th"))
           .select(col(idCol),
             Similarity.simhashFromHashes(col("th"), 64).as("simhash"))
     sig.groupBy("simhash")
@@ -536,7 +552,7 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       radius: Int = 3): DataFrame = {
-    val sigs = df
+    val sigs = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol),
         exprCol(graft.expressions.PortableSimHash(
@@ -777,7 +793,7 @@ object Dedup {
     // lambda runs interpreted under the Generate and re-substrs per
     // element — the raw gram stream was 8 s of the sf0.1 span gate
     // (kernel parity pinned by spec incl. code-point offsets)
-    val grams = df.select(col(idCol), col(textCol))
+    val grams = spread(df.select(col(idCol), col(textCol)))
       .filter(length(col(textCol)) >= k)
       .select(col(idCol), exprCol(
         graft.expressions.CharGramsWithPos(colExpr(col(textCol)), k))

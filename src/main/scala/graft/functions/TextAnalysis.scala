@@ -140,6 +140,12 @@ object TextAnalysis {
   private def columnExpr(c: Column) =
     org.apache.spark.sql.graftglue.Glue.expression(c)
 
+  // heavy map-side kernels (tokenize/gram explodes) engage the whole
+  // cluster even when the input arrived as one unsplittable scan split
+  // — no-op on properly-split inputs (see Tables.spreadScan)
+  private def spread(df: DataFrame): DataFrame =
+    graft.sources.Tables.spreadScan(df)
+
   /** Non-distinct word n-gram stream as ONE native kernel —
     * bit-identical to the declarative sliding-window `transform`, but
     * safe to feed a Generate: the declarative form re-tokenizes per
@@ -171,7 +177,8 @@ object TextAnalysis {
     * whitespace/regex metacharacters (symbols join on single spaces).
     */
   private def bpeWordFreq(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(expr(
+    spread(df.select(col(textCol)))
+      .select(explode(expr(
         s"regexp_extract_all(lower(`$textCol`), '[a-z]+', 0)")).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
 
@@ -1314,7 +1321,7 @@ object TextAnalysis {
     val reserved = Seq("term", "tf", "df", "tfidf", "rank", "__n")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input column '$c' collides with a tfidfTopTerms output column"))
-    val tf = df
+    val tf = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1383,7 +1390,7 @@ object TextAnalysis {
     // vocabulary BEFORE the tf groupBy: the postings shuffle then
     // carries only query-term tokens, not the whole corpus — df per
     // term is unchanged because every doc containing the term survives
-    val postings = df
+    val postings = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), size(tokens(col(textCol))).as("dl"),
         explode(tokens(col(textCol))).as("term"))
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
@@ -1570,7 +1577,8 @@ object TextAnalysis {
     val reserved = Seq("label", "term", "cnt", "logp")
     reserved.foreach(c => require(!df.columns.contains(c) || c == labelCol,
       s"input column '$c' collides with a naiveBayesTrain output column"))
-    val toks = df.select(col(labelCol).as("label"),
+    val toks = spread(df.select(col(labelCol), col(textCol)))
+      .select(col(labelCol).as("label"),
         explode(features(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val counts = toks.groupBy(col("label"), col("term"))
@@ -1608,7 +1616,8 @@ object TextAnalysis {
   def naiveBayesPriors(df: DataFrame, labelCol: String, textCol: String,
       features: Column => Column = nbUnigramFeatures)
       : DataFrame = {
-    val toks = df.select(col(labelCol).as("label"),
+    val toks = spread(df.select(col(labelCol), col(textCol)))
+      .select(col(labelCol).as("label"),
         explode(features(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val counts = toks.groupBy(col("label"), col("term"))
@@ -1667,7 +1676,8 @@ object TextAnalysis {
   def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, priors: DataFrame,
       features: Column => Column = nbUnigramFeatures): DataFrame = {
-    val tf = docs.select(col(idCol),
+    val tf = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         explode(features(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))

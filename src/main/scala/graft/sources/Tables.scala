@@ -15,6 +15,34 @@ object Tables {
   def parquet(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread an UNDER-SPLIT scan across the cluster before a heavy
+    * map-side kernel (gram explode, tokenizer, media decode).
+    *
+    * Parquet cannot split below a row group, so a single-file /
+    * single-row-group input (or a gzip text file) feeds ONE task no
+    * matter how many cores the cluster has — the optimization guide's
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read" case. Measured here: the span-extents gram
+    * explode ran 1.5 s on 1 of 32 cores because the corpus table is
+    * one row group.
+    *
+    * Scale-adaptive, not a local[32] constant: fires ONLY when the
+    * scan's split count is below the cluster's default parallelism.
+    * A production 100 TB table scans as thousands of splits, so this
+    * is a no-op there — no payload re-shuffle is ever added at scale;
+    * on an under-split input the one-time round-robin exchange of the
+    * raw rows is the price of engaging the other cores at all
+    * (deterministic row→partition assignment via Spark's
+    * sort-before-repartition default).
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    // streaming frames can't be partition-probed (.rdd) and their
+    // micro-batch parallelism is the source's business — pass through
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** JDBC read plan mirroring the reference's TableInput (C2) with the
     * LOB-table partitioned variant (C3, pl:949–963): when a single
     * integral PK exists, read with `partitionColumn` so N executors scan
