@@ -39,6 +39,13 @@ object Tables {
     // streaming frames can't be partition-probed (.rdd) and their
     // micro-batch parallelism is the source's business — pass through
     if (df.isStreaming) return df
+    // exchange-bearing plans pass through untouched: probing .rdd
+    // under AQE would finalize (and pre-execute) their query stages in
+    // a throwaway execution, and a post-shuffle frame is already
+    // cluster-spread anyway. sparkPlan (pre-adaptive) is analysis-only.
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
