@@ -38,6 +38,7 @@ object Bench {
       val wd = warmDir.getPath
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, wd).count() catch { case _: Throwable => () }
+        finally { CachePool.releaseAll(); () }
       }
     }
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -48,6 +49,16 @@ object Bench {
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        // release the query's tracked persisted intermediates INSIDE
+        // the timed region (cleanup is part of the query's cost, ~ms):
+        // without this the CacheManager grows one MEMORY_AND_DISK
+        // entry per persist site per invocation across warmup + 246
+        // queries + rerun passes, and late-rerun gates pay the
+        // accumulated eviction/spill pressure (measured in round 18:
+        // curate_split_containment_safe 3.6 s -> 19.3 s at 32 cores).
+        // Side effect: rerun samples no longer hit warm CacheManager
+        // state — every sample recomputes from the parquet inputs.
+        finally { CachePool.releaseAll(); () }
       ((System.nanoTime() - t0) / 1e9, err)
     }
     // tmp-I/O latency probe (round 18): stream gates are micro-batch

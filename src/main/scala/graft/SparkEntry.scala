@@ -3552,9 +3552,9 @@ object SparkEntry {
         df.select((keys :+ explode(
           Dedup.wordNgramsNative(col("text"), 4)).as("g")): _*)
       val segD = grams(corpus, Seq(col("source"))).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CachePool.persist(_))
       val benchD = grams(bench, Seq(col("bench_id"))).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CachePool.persist(_))
       val nG = segD.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
       val nB = benchD.groupBy(col("bench_id"))
         .agg(count(lit(1)).as("__n_bench"))
@@ -3673,7 +3673,7 @@ object SparkEntry {
       // three times and was 11.5 s of the sf0.1 bench alone (vs ~4 s)
       val segD = grams(corpus, Seq(col("source"))).distinct()
       val benchD = grams(bench, Seq.empty).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CachePool.persist(_))
       val nB = benchD.agg(count(lit(1)).as("__n_bench"))
       val cnts = segD
         .join(benchD.withColumn("__hit", lit(1)), Seq("g"), "left")

@@ -34,6 +34,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // bound the tracked persisted intermediates to one query's
+      // lifetime (the CacheManager otherwise grows per invocation)
+      CachePool.releaseAll(); ()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -268,7 +268,7 @@ object Curation {
       .select(explode_outer(col("__ng")).as("g"))
       .filter(col("g").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     // BloomFilterAggregate silently clamps its parameters to the
     // runtime-filter conf caps (defaults 4e6 items / 6.7e7 bits) —
     // raise them to the requested size for the build so the achieved
@@ -374,7 +374,7 @@ object Curation {
     // convention as decontaminateBloom's gram cache).
     val rawPerDoc = gramBuckets(raw, Seq(col(idCol)))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     val tgtGrams = gramBuckets(target, Seq.empty)
     val rawCounts = rawPerDoc.groupBy(col("__b")).agg(sum(col("__n")).as("__cr"))
     val tgtCounts = tgtGrams.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))

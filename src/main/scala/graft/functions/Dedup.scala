@@ -195,7 +195,7 @@ object Dedup {
     val bandsDf = staged
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     val l = bandsDf.alias("l"); val r = bandsDf.alias("r")
     l.join(r, col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -216,7 +216,7 @@ object Dedup {
     // persist across the self-join (hammingNearDups convention): the
     // tokenize→gram→minhash pipeline would otherwise run twice
     val b = lshBands(df, idCol, textCol, numHashes, bands, ngramN, portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     val l = b.alias("l"); val r = b.alias("r")
     l.join(r, col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
@@ -268,7 +268,7 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val dBands = lshBands(delta, idCol, textCol, numHashes, bands, n,
         portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     val allBands = index.unionByName(dBands)
     val cands = dBands.alias("l")
       .join(allBands.alias("r"),
@@ -280,7 +280,7 @@ object Dedup {
       .distinct()
       // collision-sized; referenced twice (id semi-join + final join) —
       // without this the whole band join runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     val ids = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
     // spread the SCANS, not the semi-join output: .rdd on a plan with
@@ -388,7 +388,7 @@ object Dedup {
     val sets = df
       .select(col(idCol), wordNgramsNative(col(textCol), n).as("__ng"))
       .filter(size(col("__ng")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     // candidate generation runs on 8-byte gram HASHES, not gram text —
     // the df join + per-doc window + inverted-index probe shuffle and
     // sort longs instead of ~30-byte strings (measured 8× on the cold
@@ -604,7 +604,7 @@ object Dedup {
         explode(array(bandCols: _*)).as("blk"))
       .select(col(idCol), col("__sig"), col("blk.block_id"),
         col("blk.block_value"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     val l = bands.alias("l"); val r = bands.alias("r")
     l.join(r, col("l.block_id") === col("r.block_id") &&
         col("l.block_value") === col("r.block_value") &&
@@ -654,11 +654,21 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+      // the convergence probe rides the SAME action that materializes
+      // the round's cut (Dataset.observe → CollectMetrics accumulator):
+      // one job per round, not cut + a second isEmpty job per round —
+      // the round-18 LPA template (fold the probe into the mandatory
+      // materialization). The metric is the identical predicate the
+      // old isEmpty scanned for.
+      val obs = org.apache.spark.sql.Observation()
       val next = cut(labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nb_label"), col("label")))
-            .as("new_label")))
-      converged = next.filter(col("new_label") < col("label")).isEmpty
+            .as("new_label"))
+        .observe(obs,
+          count(when(col("new_label") < col("label"), lit(1)))
+            .as("changed")))
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select(col("id"), col("new_label").as("label"))
       i += 1
     }
@@ -710,13 +720,20 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
-      // decimal sum: order-independent and overflow-free (a plain long
-      // sum of xxhash64 values trips ANSI overflow)
-      val r = e.agg(count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("h")).head()
-      (r.getLong(0), r.getDecimal(1))
+    // decimal sum: order-independent and overflow-free (a plain long
+    // sum of xxhash64 values trips ANSI overflow). The checksum rides
+    // the SAME action that materializes each round's cut
+    // (Dataset.observe) — one job per round, not cut + a second
+    // checksum head() per round; the aggregate expressions are
+    // byte-identical to the old standalone checksum.
+    def checksumExprs = Seq(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("h"))
+    def cutWithChecksum(e: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cutE = cut(e.observe(obs, checksumExprs.head, checksumExprs.tail: _*))
+      (cutE, (obs.get("n").asInstanceOf[Long],
+        obs.get("h").asInstanceOf[java.math.BigDecimal]))
     }
     val raw = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
@@ -724,17 +741,15 @@ object Dedup {
     // node that must come out labeled (as its own singleton component)
     val allNodes = cut(raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id"))).distinct())
-    var e = cut(raw
+    var (e, sig) = cutWithChecksum(raw
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct())
-    var sig = checksum(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = cut(smallStar(largeStar(e)))
-      val nextSig = checksum(next)
+      val (next, nextSig) = cutWithChecksum(smallStar(largeStar(e)))
       converged = nextSig == sig
       e = next; sig = nextSig
       i += 1

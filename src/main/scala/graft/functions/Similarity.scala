@@ -198,6 +198,11 @@ object Similarity {
         .select(zip_with(col("__w"), col("__dw"), _ + _).as("__w"))
         .localCheckpoint()
     }
+    // every epoch's localCheckpoint above is eager, so the persisted
+    // feature table has served its purpose by now and the returned
+    // frame references only the checkpointed weights — release the
+    // cache here instead of leaking a corpus-sized entry per call
+    xq.unpersist(blocking = false)
     w.select(posexplode(col("__w")).as(Seq("dim", "weight")))
   }
 

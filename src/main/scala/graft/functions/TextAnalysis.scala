@@ -1694,14 +1694,25 @@ object TextAnalysis {
     // are bit-identical; the map lookup per label replaces the join's
     // (term, label) match, with the same OOV fallback on a vocab miss
     // (the trained grid is dense, so an in-vocab term has every
-    // label). Still a forced shuffle join — the model spans the
-    // vocabulary, a fixture-scale broadcast would lie about the plan.
+    // label; a caller-supplied model must be unique per (term, label)
+    // or map_from_entries throws under the default
+    // spark.sql.mapKeyDedupPolicy=EXCEPTION — naiveBayesTrain's grid
+    // is unique by construction). Still a forced shuffle join — the
+    // model spans the vocabulary, a fixture-scale broadcast would lie
+    // about the plan. SHUFFLE_HASH with the vocab-sized folded model
+    // as build side (the tfidfTopTerms rationale): the corpus-sized
+    // tf stream pays its one exchange but NO merge-join sort — the
+    // round-18 shuffle_merge-on-both-sides form sorted both the tf
+    // stream and the folded model and was the measured local
+    // regression of the big-vocab gates (txt_nb_ngram −13%). The
+    // fold's groupBy(term) exchange is reused by the join (same key),
+    // so the fold adds aggregation work only.
     val modelByTerm = model
       .groupBy(col("term"))
       .agg(map_from_entries(collect_list(
         struct(col("label"), col("logp")))).as("__lp"))
-    val contrib = tf.hint("shuffle_merge")
-      .join(modelByTerm.hint("shuffle_merge"), Seq("term"), "left")
+    val contrib = tf
+      .join(modelByTerm.hint("shuffle_hash"), Seq("term"), "left")
       .crossJoin(broadcast(priors.select(col("label"), col("oov_logp"))))
       .withColumn("__c",
         floor(col("__tf") *
@@ -1714,11 +1725,18 @@ object TextAnalysis {
     val scored = base.join(contrib, Seq(idCol, "label"), "left")
       .withColumn("__nanos",
         col("prior_nanos") + coalesce(col("__s"), lit(0L)))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__nanos").desc, col("label").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select(col(idCol), col("label").as("pred_label"),
-        (col("__nanos").cast("double") / 1e9).as("score"))
+    // argmax via partial-aggregated min(struct(-nanos, label)) — the
+    // LPA template, not a row_number window: the window re-partitioned
+    // the scored table on doc (an extra exchange) and sorted every
+    // partition for ≤ |labels| rows per doc. min over
+    // (-nanos asc, label asc) is exactly the window's
+    // (nanos desc, label asc) rank-1 row; negation is overflow-safe
+    // (|nanos| = |Σ floor(tf·logp·1e9)| ≪ Long.MaxValue — logp is a
+    // log-probability, tf is bounded by document length).
+    scored.groupBy(col(idCol))
+      .agg(min(struct((-col("__nanos")).as("n"), col("label").as("l")))
+        .as("__m"))
+      .select(col(idCol), col("__m.l").as("pred_label"),
+        ((-col("__m.n")).cast("double") / 1e9).as("score"))
   }
 }

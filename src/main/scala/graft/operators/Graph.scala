@@ -93,7 +93,10 @@ object Graph {
     pr.count()
     intermediates.dropRight(1).foreach(_.unpersist())
     e.unpersist(); eDeg.unpersist(); nodes.unpersist()
-    pr // already materialized; final frame stays cached for the caller
+    // already materialized; the final frame stays cached for the
+    // caller's action but is tracked so the harness's releaseAll
+    // bounds its lifetime to this query (it leaked forever before)
+    graft.CachePool.track(pr)
   }
 
   /** Distinct undirected co-occurrence edges (u < v) from an
@@ -163,7 +166,7 @@ object Graph {
     // 3 full recomputes on the gate plan). Same convention as
     // pageRankFixedPoint: persist, leave cached for the caller.
     val orientedP = oriented
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachePool.persist(_))
     // wedges at the low apex; order the two far endpoints so each
     // candidate closure is probed once
     val w = orientedP.as("e1").join(orientedP.as("e2"),
@@ -274,6 +277,9 @@ object Graph {
     labels.count()
     intermediates.dropRight(1).foreach(_.unpersist())
     und.unpersist(); nodes.unpersist(); seed.unpersist()
+    // final round's frame stays cached for the caller's action;
+    // tracked so releaseAll bounds the lifetime (leaked forever before)
+    graft.CachePool.track(labels)
     labels.select(col("node"), col("label"))
   }
 
@@ -336,20 +342,24 @@ object Graph {
     var converged = false
     while (it < maxIters && !converged) {
       val adopted = argmaxVotes(und, labels)
+      // the changed count rides the SAME action that materializes the
+      // round's cut (Dataset.observe): one job per round instead of
+      // cut + a second agg/collect job. coalesce: sum over ZERO rows
+      // (empty graph) is NULL and the unboxing would NPE instead of
+      // returning the empty labeling.
+      val obs = org.apache.spark.sql.Observation()
       val next = Iterate.cut(labels
         .select(col("node"), col("label").as("__old"), col("__seed"))
         .join(adopted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__seed"), col("__adopt"), col("__old"))
             .as("label"),
-          col("__seed"), col("__old")),
+          col("__seed"), col("__old"))
+        .observe(obs, coalesce(sum(
+          when(not(col("label") <=> col("__old")), 1L).otherwise(0L)),
+          lit(0L)).as("changed")),
         reliable)
-      // coalesce: sum over ZERO rows (empty graph) is NULL and the
-      // unboxing getLong would NPE instead of returning the empty
-      // labeling
-      val changed = next.agg(coalesce(sum(
-        when(not(col("label") <=> col("__old")), 1L).otherwise(0L)),
-        lit(0L)).as("c")).collect().head.getLong(0)
+      val changed = obs.get("changed").asInstanceOf[Long]
       stats += LpaIterStats(it, changed)
       labels = next.select(col("node"), col("label"), col("__seed"))
       converged = changed == 0L
@@ -444,21 +454,27 @@ object Graph {
       val adopted = argmaxVotes(und
         .join(broadcast(frontier.select(col("node").as("__d"))),
           Seq("__d"), "left_semi"), labels)
+      // the changed count rides the cut action (Dataset.observe), so
+      // the round costs ONE job — the old shape paid cut + a
+      // changedNodes.count() job per round
+      val obs = org.apache.spark.sql.Observation()
       val next = Iterate.cut(labels
         .select(col("node"), col("label").as("__old"), col("__seed"))
         .join(adopted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__seed"), col("__adopt"), col("__old"))
             .as("label"),
-          col("__seed"), col("__old")),
+          col("__seed"), col("__old"))
+        .observe(obs, coalesce(sum(
+          when(not(col("label") <=> col("__old")), 1L).otherwise(0L)),
+          lit(0L)).as("changed")),
         reliable)
-      // changedNodes is a cheap filter over the CUT `next` frame — an
-      // eager checkpoint of it cost one more job per round for a
-      // recompute that is a cached-scan + filter
+      // changedNodes is a cheap LAZY filter over the CUT `next` frame —
+      // it resolves inside the next round's broadcast build
       val changedNodes = next
         .filter(not(col("label") <=> col("__old")))
         .select(col("node"))
-      val changed = changedNodes.count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       stats += LpaIterStats(it, changed)
       labels = next.select(col("node"), col("label"), col("__seed"))
       done = changed == 0L

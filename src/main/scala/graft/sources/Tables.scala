@@ -39,13 +39,24 @@ object Tables {
     // streaming frames can't be partition-probed (.rdd) and their
     // micro-batch parallelism is the source's business — pass through
     if (df.isStreaming) return df
-    // exchange-bearing plans pass through untouched: probing .rdd
-    // under AQE would finalize (and pre-execute) their query stages in
-    // a throwaway execution, and a post-shuffle frame is already
-    // cluster-spread anyway. sparkPlan (pre-adaptive) is analysis-only.
-    val hasExchange = df.queryExecution.sparkPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-    if (hasExchange) return df
+    // "scans only", made explicit on the OPTIMIZED logical plan: only
+    // Project/Filter nodes over leaf relations qualify. Anything else
+    // (join, aggregate, window, repartition, generate) passes through
+    // untouched — a post-shuffle frame is already cluster-spread, and
+    // probing `.rdd` on an exchange-bearing plan would finalize (and
+    // pre-execute) its AQE query stages in a throwaway execution. The
+    // round-18 guard checked sparkPlan for Exchange nodes, but
+    // EnsureRequirements inserts join/aggregate exchanges only in
+    // executedPlan, so a caller-supplied join frame slipped past it
+    // (latent: all round-18 call sites passed scan+project frames).
+    // A Project/Filter-over-leaf plan has no stages, so its `.rdd`
+    // probe below builds the RDD without running anything.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    val scanOnly = df.queryExecution.optimizedPlan.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[LeafNode] => p
+    }.isEmpty
+    if (!scanOnly) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -65,6 +65,8 @@ object ProbeJobs {
           jobs.clear(); order.clear()
           val t0 = System.nanoTime()
           fn(spark, dir).count()
+          // Bench convention: cleanup inside the timed region
+          graft.CachePool.releaseAll()
           val wall = (System.nanoTime() - t0) / 1e9
           // listener bus is async; give it a beat to drain
           Thread.sleep(300)

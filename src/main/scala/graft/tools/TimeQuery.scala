@@ -37,6 +37,7 @@ object TimeQuery {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[time] warmup $name failed: ${e.getMessage}")
         }
+        finally { graft.CachePool.releaseAll(); () }
       }
     }
     names.foreach { name =>
@@ -44,6 +45,8 @@ object TimeQuery {
       (1 to 2).foreach { run =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
+        // Bench convention: cleanup inside the timed region
+        graft.CachePool.releaseAll()
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"[time] $name%-26s run$run $secs%8.2f s  ($n rows)")
       }

@@ -1838,17 +1838,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         "run order must equal the in-memory sort exactly")
   }
 
-  test("BatchSorter: run files land under the configured spark.local.dir spill disks, round-robin, and are deleted at exhaustion") {
+  test("BatchSorter: spill-dir resolution follows Spark's local-dir precedence (hermetic)") {
+    // round-19 (verdict item 2): the old form of this test read the
+    // REAL env (fails wherever SPARK_LOCAL_DIRS is set) and mutated
+    // the shared SparkEnv conf mid-suite (races sibling suites in the
+    // same JVM). The resolver is now a pure function of its sources —
+    // assert the precedence chain with injected values only.
+    def res(env: Map[String, String], conf: Option[String]) =
+      BatchSorter.resolveSpillDirs(env.get, conf, "/fallback_tmp").toSeq
+    // YARN container: LOCAL_DIRS wins
+    assert(res(Map("CONTAINER_ID" -> "c1", "LOCAL_DIRS" -> "/y1,/y2",
+      "SPARK_LOCAL_DIRS" -> "/s1"), Some("/c1")) === Seq("/y1", "/y2"))
+    // no container: SPARK_LOCAL_DIRS beats conf
+    assert(res(Map("SPARK_LOCAL_DIRS" -> "/s1, /s2"), Some("/c1")) ===
+      Seq("/s1", "/s2"))
+    // conf beats tmpdir
+    assert(res(Map.empty, Some("/c1,/c2")) === Seq("/c1", "/c2"))
+    // nothing configured: tmpdir
+    assert(res(Map.empty, None) === Seq("/fallback_tmp"))
+    // blank entries collapse to the fallback
+    assert(res(Map("SPARK_LOCAL_DIRS" -> " , "), None) ===
+      Seq("/fallback_tmp"))
+  }
+
+  test("BatchSorter: run files land under the configured spill disks, round-robin, and are deleted at exhaustion") {
     // round-18 verdict item 2: spills previously went to
     // java.io.tmpdir — on k8s/standalone often a small root-volume
-    // /tmp, not the disks Spark sizes for shuffle spill. The resolver
-    // mirrors Utils.getConfiguredLocalDirs (non-YARN): spark.local.dir
-    // from the live SparkEnv conf, comma-split, round-robin.
+    // /tmp, not the disks Spark sizes for shuffle spill. Hermetic via
+    // the spillDirsOverride seam: no env reads, no shared-conf
+    // mutation (precedence is covered by the resolver test above).
     val diskA = java.nio.file.Files.createTempDirectory("graft_ld_a")
     val diskB = java.nio.file.Files.createTempDirectory("graft_ld_b")
-    val conf = org.apache.spark.SparkEnv.get.conf
-    val prev = conf.getOption("spark.local.dir")
-    conf.set("spark.local.dir", s"$diskA,$diskB")
+    BatchSorter.spillDirsOverride =
+      Some(Array(diskA.toString, diskB.toString))
     try {
       assert(BatchSorter.spillDirs().toSeq ===
         Seq(diskA.toString, diskB.toString))
@@ -1879,10 +1901,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(runFiles(diskA).isEmpty && runFiles(diskB).isEmpty,
         "every run file must be deleted at stream exhaustion")
     } finally {
-      prev match {
-        case Some(v) => conf.set("spark.local.dir", v)
-        case None => conf.remove("spark.local.dir")
-      }
+      BatchSorter.spillDirsOverride = None
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
       }
