@@ -1617,10 +1617,26 @@ object Similarity {
       .select(col(queryId), col(corpusId),
         when(denom === 0, lit(0.0))
           .otherwise(dot(col(corpusVec), col(queryVec)) / denom).as("cos"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cos").desc, col(corpusId).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val idNumeric = c.schema(corpusId).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (k == 1 && idNumeric) {
+      // the bruteForceTopK k=1 convention: partial-agg'd
+      // max(struct(cos, -id)) argmax instead of the window — the
+      // candidate stream combines map-side and the shuffle carries
+      // |queries| rows instead of re-partitioning + sorting every
+      // probed pair. Tie-break (cos desc, id asc) and output schema
+      // identical to the window path.
+      joined.groupBy(col(queryId))
+        .agg(max(struct(col("cos"), (-col(corpusId)).as("__negid")))
+          .as("__w"))
+        .select(col(queryId), (-col(s"__w.__negid")).as(corpusId),
+          col("__w.cos").as("cos"), lit(1).as("rank"))
+    } else {
+      val w = Window.partitionBy(col(queryId))
+        .orderBy(col("cos").desc, col(corpusId).asc)
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
   }
 
   // ------------------------------------------------------------------
